@@ -1,0 +1,134 @@
+"""Time-series frame builders: candle views + calendar spine.
+
+The reference's analytical core is per-symbol daily OHLCV series
+(ddl/hive/crypto_raw/candles_day.ddl:3-26) analyzed with windows and
+indicators. The driver testdata has no candles table, so these builders
+derive deterministic candle-shaped series from the TPC-H-ish tables:
+
+- ``orders_candles``: long series (~2400 trading days, 1995-2001),
+  id = o_orderpriority — exercises the 52-row Ichimoku/Aroon windows.
+- ``events_candles``: short dense series (30 days), id = event_type —
+  exercises recursive smoothers (EMA/MACD/RSI) with small magnitudes.
+
+Both are plain groupBy aggregates (map-side partial agg, one shuffle on
+the (id, dt) key), and both have exact DuckDB-SQL equivalents (see
+plans/*_q.py oracles built from CANDLES_ORDERS_SQL / CANDLES_EVENTS_SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import table
+
+# DuckDB CTE bodies — kept textually next to the builders so the Spark
+# and oracle definitions can only drift in code review, not silently.
+CANDLES_ORDERS_SQL = """
+  SELECT o_orderpriority                   AS id,
+         CAST(o_orderdate AS DATE)         AS dt,
+         max(o_totalprice)                 AS high,
+         min(o_totalprice)                 AS low,
+         avg(o_totalprice)                 AS close,
+         sum(o_totalprice)                 AS volume
+  FROM orders
+  GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)
+"""
+
+CANDLES_EVENTS_SQL = """
+  SELECT event_type                        AS id,
+         CAST(ts AS DATE)                  AS dt,
+         max(value)                        AS high,
+         min(value)                        AS low,
+         avg(value)                        AS close,
+         sum(value)                        AS volume
+  FROM events
+  GROUP BY event_type, CAST(ts AS DATE)
+"""
+
+
+def _candles(df: DataFrame, id_col: str, ts_col: str, val_col: str) -> DataFrame:
+    return df.groupBy(
+        F.col(id_col).alias("id"), F.to_date(ts_col).alias("dt")
+    ).agg(
+        F.max(val_col).alias("high"),
+        F.min(val_col).alias("low"),
+        F.avg(val_col).alias("close"),
+        F.sum(val_col).alias("volume"),
+    )
+
+
+def orders_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long daily series keyed by order priority (5 ids x ~2400 days)."""
+    return _candles(table(spark, sf_dir, "orders"), "o_orderpriority", "o_orderdate", "o_totalprice")
+
+
+def events_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Short dense daily series keyed by event type (5 ids x 30 days)."""
+    return _candles(table(spark, sf_dir, "events"), "event_type", "ts", "value")
+
+
+def calendar_spine(bounded: DataFrame, dt_col: str = "dt") -> DataFrame:
+    """Contiguous daily date spine bounded by min/max of ``dt_col``.
+
+    The reference materializes a 1900-2200 dbt date_spine
+    (modules/dbt/crypto_etl_pjr/models/utilities/calendar.sql:3-8) and
+    bounds it with scalar subqueries (crypto_daily_close_stats.sql:43-44).
+    Here the bounds come from a one-row aggregate that Catalyst keeps on
+    the driver side of a (1-row) cross join — no collect, no 110k-row
+    static table.
+    """
+    bounds = bounded.agg(
+        F.min(dt_col).alias("_mn"), F.max(dt_col).alias("_mx")
+    )
+    return bounds.select(
+        F.explode(F.sequence("_mn", "_mx")).alias("date_day")
+    )
+
+
+def densify(candles: DataFrame) -> DataFrame:
+    """Per-id calendar densification: (distinct id) x (date spine), left
+    join candles — missing trading days become null-measure rows.
+
+    The reference's mart joins the spine on date ONLY
+    (crypto_daily_close_stats.sql:39-41), fanning out null-id rows across
+    symbols; SURVEY §7.3(6) flags this as a quirk. We implement the
+    DEVSPEC-intended per-symbol spine (docs/DEVSPEC_mart_001.md:10-37).
+    """
+    ids = candles.select(F.col("id").alias("_spine_id")).distinct()
+    grid = calendar_spine(candles).crossJoin(F.broadcast(ids))
+    return grid.join(
+        candles,
+        (grid.date_day == candles.dt) & (grid._spine_id == candles.id),
+        "left_outer",
+    ).select(
+        F.col("_spine_id").alias("id"),
+        F.col("date_day").alias("dt"),
+        "high",
+        "low",
+        "close",
+        "volume",
+    )
+
+
+# DuckDB equivalent of densify(), parameterized by the candles CTE body.
+DENSIFY_SQL_TEMPLATE = """
+  WITH candles AS ({candles_sql}),
+  bounds AS (SELECT min(dt) AS mn, max(dt) AS mx FROM candles),
+  spine AS (
+    SELECT CAST(gs.generate_series AS DATE) AS date_day
+    FROM generate_series(DATE '1990-01-01', DATE '2030-12-31', INTERVAL 1 DAY) gs, bounds
+    WHERE CAST(gs.generate_series AS DATE) BETWEEN bounds.mn AND bounds.mx
+  ),
+  ids AS (SELECT DISTINCT id FROM candles),
+  dense AS (
+    SELECT i.id, s.date_day AS dt, c.high, c.low, c.close, c.volume
+    FROM spine s CROSS JOIN ids i
+    LEFT JOIN candles c ON c.id = i.id AND c.dt = s.date_day
+  )
+"""
+
+
+def densify_sql(candles_sql: str) -> str:
+    """Oracle CTE prefix ending in a ``dense`` relation."""
+    return DENSIFY_SQL_TEMPLATE.format(candles_sql=candles_sql)

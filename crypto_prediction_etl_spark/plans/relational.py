@@ -1,0 +1,552 @@
+"""Relational operator coverage: scans, projections, filters, joins,
+aggregates, set ops, sorts/limits, subqueries, scalar functions.
+
+Maps SURVEY.md §2.2-§2.8 onto the driver's TPC-H-ish tables. Each query
+declares the operator(s) it certifies in its docstring with the
+reference citation. All plans are declarative DataFrame/SQL so Catalyst
+does pushdown/pruning/join-selection; explicit ``broadcast`` hints mark
+the dimension sides that must never shuffle at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import table
+from ..functions.portable import prnd
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4) + filter/projection (§2.2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag, l_linestatus,
+      floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0                                        AS sum_qty,
+      floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0                                   AS sum_base_price,
+      floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0                AS sum_disc_price,
+      floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100.0 + 0.5) / 100.0  AS sum_charge,
+      floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0                                        AS avg_qty,
+      floor((avg(l_extendedprice)) * 100.0 + 0.5) / 100.0                                   AS avg_price,
+      floor((avg(l_discount)) * 1000000.0 + 0.5) / 1000000.0                                        AS avg_disc,
+      count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style wide aggregate: filter + groupBy + 8 aggregates.
+
+    Certifies scan pushdown (P6 range predicate), groupBy().agg()
+    (SURVEY §2.4 notes the reference never calls it directly — its A1-A5
+    are all special cases of this). Partial (map-side) aggregation makes
+    this shuffle only one row per (flag, status, partition) at any scale.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            prnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+            prnd(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            prnd(F.sum(disc_price), 2).alias("sum_disc_price"),
+            prnd(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            prnd(F.avg("l_quantity"), 4).alias("avg_qty"),
+            prnd(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            prnd(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q02_filtered_revenue",
+    oracle="""
+    SELECT floor((sum(l_extendedprice * l_discount)) * 100.0 + 0.5) / 100.0 AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q02_filtered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-style single-row agg over a compound predicate (P6/P7).
+
+    The whole predicate reaches the parquet scan (PushedFilters); only
+    3 columns are read (ReadSchema) — the shape that matters at 100 TB.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(prnd(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q03_distinct_keys",
+    oracle="SELECT DISTINCT c_mktsegment AS segment FROM customer",
+)
+def q03_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT grouping keys (A1; reference:
+    airflow/etl_scripts/pyspark/D_Create_crypto_ind_day_001.py:39-41)."""
+    return (
+        table(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").alias("segment"))
+        .distinct()
+    )
+
+
+@query(
+    "q04_union_counts",
+    oracle="""
+    SELECT 'customer' AS table_name, count(*) AS n FROM customer
+    UNION ALL SELECT 'orders', count(*) FROM orders
+    UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+    UNION ALL SELECT 'part', count(*) FROM part
+    UNION ALL SELECT 'supplier', count(*) FROM supplier
+    UNION ALL SELECT 'events', count(*) FROM events
+    """,
+)
+def q04_union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table row-count union — the reference's data-quality count
+    model (A3; reference:
+    modules/dbt/crypto_etl_pjr/models/cross_use/staging/cross_use_test.sql:1-15).
+    """
+    out = None
+    for name in ("customer", "orders", "lineitem", "part", "supplier", "events"):
+        one = table(spark, sf_dir, name).agg(F.count("*").alias("n")).select(
+            F.lit(name).alias("table_name"), "n"
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+@query(
+    "q05_minmax_bounds",
+    oracle="""
+    SELECT CAST(min(o_orderdate) AS DATE) AS min_dt,
+           CAST(max(o_orderdate) AS DATE) AS max_dt,
+           count(*) AS n
+    FROM orders
+    """,
+)
+def q05_minmax_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX bounding aggregate (A4; reference:
+    crypto_daily_close_stats.sql:15-21 min_max_dt CTE)."""
+    return table(spark, sf_dir, "orders").agg(
+        F.min(F.to_date("o_orderdate")).alias("min_dt"),
+        F.max(F.to_date("o_orderdate")).alias("max_dt"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q10_region_revenue",
+    oracle="""
+    SELECT n.n_name AS nation,
+           floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q10_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-style 6-way join: big fact joined to broadcast dims.
+
+    supplier/customer/nation/region are broadcast (no shuffle of
+    lineitem for the dim joins); only the lineitem<->orders join shuffles
+    on orderkey. Certifies J1-style equi-joins with Catalyst/AQE picking
+    broadcast-hash for the small sides.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(region.r_name == "ASIA")
+        .groupBy(nation.n_name.alias("nation"))
+        .agg(
+            prnd(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q11_top_unshipped_orders",
+    oracle="""
+    SELECT o.o_orderkey AS orderkey,
+           CAST(o.o_orderdate AS DATE) AS orderdate,
+           o.o_orderpriority AS priority,
+           floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+)
+def q11_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-style join + group + deterministic top-k (§2.6 sort/limit;
+    reference spot-check pattern crypto_create_mart.py:189-191)."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    return (
+        F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING"))
+        .join(orders.filter(F.col("o_orderdate") < cutoff),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .join(li.filter(F.col("l_shipdate") > cutoff),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("o_orderkey").alias("orderkey"),
+            F.to_date("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            prnd(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q12_semi_anti_join",
+    oracle="""
+    SELECT 'with_orders' AS bucket, count(*) AS n_customers
+    FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'without_orders', count(*)
+    FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q12_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi / left-anti joins (EXISTS / NOT EXISTS) + union (§2.7)."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").select("o_custkey")
+    semi = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .agg(F.count("*").alias("n_customers"))
+        .select(F.lit("with_orders").alias("bucket"), "n_customers")
+    )
+    anti = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .agg(F.count("*").alias("n_customers"))
+        .select(F.lit("without_orders").alias("bucket"), "n_customers")
+    )
+    return semi.unionByName(anti)
+
+
+@query(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-style left outer join + two-level aggregation (J2 outer
+    join semantics: preserved rows count as 0)."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy(cust.c_custkey)
+        .agg(F.count(orders.o_orderkey).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q14_scalar_subquery",
+    oracle="""
+    SELECT count(*) AS n_above,
+           floor((min(o_totalprice)) * 100.0 + 0.5) / 100.0 AS min_above
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def q14_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery bound (J3; reference:
+    crypto_daily_close_stats.sql:43-44). Spark SQL supports scalar
+    subqueries natively; the inner agg becomes a broadcast one-row plan.
+    """
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT count(*) AS n_above,
+               floor((min(o_totalprice)) * 100.0D + 0.5D) / 100.0D AS min_above
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional aggregation, pivot, rollup, top-k per group
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q15_promo_revenue_share",
+    oracle="""
+    SELECT floor((100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount))) * 1000000.0 + 0.5) / 1000000.0 AS promo_share
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def q15_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-style conditional aggregate (CASE WHEN inside sum) over a
+    broadcast dim join."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            prnd(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_share")
+        )
+    )
+
+
+@query(
+    "q16_pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS status_o,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS status_f,
+           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS status_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q16_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (engine extension beyond reference scope — SURVEY §2.4 notes
+    the reference has no grouping-sets/pivot; we expose it anyway)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0)
+        .select(
+            "priority",
+            F.col("O").alias("status_o"),
+            F.col("F").alias("status_f"),
+            F.col("P").alias("status_p"),
+        )
+    )
+
+
+@query(
+    "q17_rollup_revenue",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_price
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q17_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (engine extension; subsumes the
+    reference's per-table count unions with one operator)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(prnd(F.sum("l_extendedprice"), 2).alias("sum_price"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_price",
+        )
+    )
+
+
+@query(
+    "q18_topk_per_group",
+    oracle="""
+    SELECT brand, partkey, retailprice, rnk FROM (
+      SELECT p_brand AS brand, p_partkey AS partkey,
+             floor((p_retailprice) * 100.0 + 0.5) / 100.0 AS retailprice,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS rnk
+      FROM part
+    ) WHERE rnk <= 3
+    """,
+)
+def q18_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via ranking window (§2.6; order-book top-20 rank
+    analog, reference: streaming/order_book.py:89-90)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        table(spark, sf_dir, "part")
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.col("p_partkey").alias("partkey"),
+            prnd("p_retailprice", 2).alias("retailprice"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (SURVEY §2.8) & null handling (§2.2 P8/P9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q20_date_functions",
+    oracle="""
+    SELECT event_id,
+           CAST(ts AS DATE)                                   AS dt,
+           year(ts) AS y, month(ts) AS m, day(ts) AS d, hour(ts) AS h,
+           strftime(ts, '%Y-%m-%d')                           AS dt_str,
+           CAST(ts AS DATE) + 7                               AS dt_plus7,
+           CAST(CAST(ts AS DATE) - INTERVAL 3 MONTH AS DATE)  AS dt_minus_3m,
+           CAST(date_trunc('month', CAST(ts AS DATE) - INTERVAL 3 MONTH) AS DATE)
+                                                              AS first_day_3m_ago,
+           CAST(floor(epoch(ts)) AS BIGINT)                   AS unix_sec
+    FROM events WHERE event_id % 10 = 0
+    """,
+)
+def q20_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's dominant scalar family (§2.8): from_unixtime-style
+    formatting, year/month/day/hour partition derivation
+    (trino/D_Load_crypto_candles_realtime_003.sql:39-44), date_add,
+    add_months + trunc-to-month (modules/common/utils.py:62-71)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)
+    return ev.select(
+        "event_id",
+        F.to_date("ts").alias("dt"),
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.date_format("ts", "yyyy-MM-dd").alias("dt_str"),
+        F.date_add(F.to_date("ts"), 7).alias("dt_plus7"),
+        F.add_months(F.to_date("ts"), -3).alias("dt_minus_3m"),
+        F.trunc(F.add_months(F.to_date("ts"), -3), "MM").alias("first_day_3m_ago"),
+        F.unix_timestamp("ts").alias("unix_sec"),
+    )
+
+
+@query(
+    "q21_null_and_case_handling",
+    oracle="""
+    SELECT
+      CASE WHEN c_acctbal < 0 THEN 'negative'
+           WHEN c_acctbal = 0 THEN 'zero'
+           ELSE 'positive' END                       AS balance_bucket,
+      count(*)                                       AS n,
+      floor((sum(coalesce(c_acctbal, 0.0))) * 100.0 + 0.5) / 100.0        AS total_bal,
+      count(nullif(c_mktsegment, 'MACHINERY'))       AS non_machinery
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def q21_null_and_case_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/COALESCE/NULLIF + null-aware counts (P8 null-row filter,
+    reference: yahoofinancials_operation.py:57)."""
+    c = table(spark, sf_dir, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") == 0, "zero")
+        .otherwise("positive")
+    )
+    return c.groupBy(bucket.alias("balance_bucket")).agg(
+        F.count("*").alias("n"),
+        prnd(F.sum(F.coalesce(F.col("c_acctbal"), F.lit(0.0))), 2).alias("total_bal"),
+        F.count(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY"))).alias(
+            "non_machinery"
+        ),
+    )
+
+
+@query(
+    "q22_string_functions",
+    oracle="""
+    SELECT p_partkey AS partkey,
+           upper(p_brand)                      AS brand_upper,
+           substr(p_name, 1, 12)               AS name_prefix,
+           length(p_name)                      AS name_len,
+           concat(p_brand, ':', p_type)        AS brand_type,
+           replace(p_brand, 'Brand#', 'B')     AS brand_short,
+           CASE WHEN p_type LIKE 'PROM%' THEN 1 ELSE 0 END AS is_promo
+    FROM part WHERE p_size >= 40
+    """,
+)
+def q22_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar functions (cast/alias are the only string ops the
+    reference uses — §2.8; we expose the standard family)."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
+    return p.select(
+        F.col("p_partkey").alias("partkey"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 12).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_brand", "Brand#", "B").alias("brand_short"),
+        F.when(F.col("p_type").startswith("PROM"), 1).otherwise(0).alias("is_promo"),
+    )

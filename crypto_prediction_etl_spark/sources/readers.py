@@ -1,0 +1,73 @@
+"""Batch readers over the driver-supplied parquet testdata.
+
+The reference reads from a Hive metastore via ``spark.sql`` (reference:
+modules/spark_operations/utils/session.py:111-113); here the catalog is a
+directory of parquet files per scale factor (TESTDATA.md). Reads are plain
+``spark.read.parquet`` so Catalyst keeps predicate pushdown, column
+pruning, and partition pruning on the scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+# events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark's
+# vectorized reader rejects outright. Read nanos as raw int64 (legacy
+# conf) and convert to a microsecond timestamp in the plan — this keeps
+# the scan distributed and vectorized (no driver-side pyarrow detour).
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table as a DataFrame."""
+    nanos_cols = _NANOS_TS_COLS.get(name, ())
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in nanos_cols:
+        if dict(df.dtypes).get(c) == "bigint":
+            # integer `div` — a double division would lose exactness at
+            # 1e18-nanosecond magnitudes (double mantissa is 53 bits)
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (for spark.sql plans)."""
+    for name in TESTDATA_TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def csv_bootstrap(
+    spark: SparkSession, path: str, schema=None, *, header: bool = True
+) -> DataFrame:
+    """CSV external-table bootstrap (reference:
+    modules/hive_operations/query_script/init_insert_crypto_candles_past_from_csv.sql:1-48).
+
+    Explicit schema in production — ``inferSchema`` forces an extra pass.
+    """
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
