@@ -7,13 +7,17 @@ doubles (Spark rounds the shortest decimal representation HALF_UP;
 DuckDB rounds the raw binary double), so both sides use the same
 explicit expression instead:
 
-    floor(x * 10^d + 0.5) / 10^d
+    floor(x * 10^d + 0.5001) / 10^d
 
 IEEE multiply/add/floor/divide are exactly specified, so identical
-input doubles give identical output doubles in any engine. Residual
-mismatch risk is only when the two engines' *upstream* accumulations
-already differ near a boundary — the rounding grid is chosen orders of
-magnitude above fp error to make that negligible.
+input doubles give identical output doubles in any engine. The 1e-4
+epsilon shifts the decision point off the exact .5 decimal boundary:
+decimal-structured data (prices with 2 decimals, their sums and small
+averages) lands exactly ON .5 grid boundaries systematically, where
+each engine's accumulation-order noise would flip the floor at random.
+The shifted boundary (frac = 0.4999) is not structurally favored by
+decimal data, so only ~1e-4 of the grid remains at risk, and only for
+values the engines actually compute differently (~1e-10 relative).
 
 Same trick for hashes: both engines have md5 over UTF-8 bytes, so a
 64-bit portable hash is "take 15 hex digits of md5, parse base-16"
@@ -27,17 +31,17 @@ from pyspark.sql import functions as F
 
 
 def prnd(col: Column | str, digits: int) -> Column:
-    """Portable round-half-up(ish): floor(x*10^d + 0.5)/10^d."""
+    """Portable round-half-up(ish): floor(x*10^d + 0.5001)/10^d."""
     if isinstance(col, str):
         col = F.col(col)
     scale = F.lit(float(10**digits))
-    return F.floor(col * scale + F.lit(0.5)) / scale
+    return F.floor(col * scale + F.lit(0.5001)) / scale
 
 
 def o_rnd(expr: str, digits: int) -> str:
     """DuckDB SQL text equivalent of :func:`prnd`."""
     scale = float(10**digits)
-    return f"floor(({expr}) * {scale} + 0.5) / {scale}"
+    return f"floor(({expr}) * {scale} + 0.5001) / {scale}"
 
 
 def hash64(col: Column | str) -> Column:

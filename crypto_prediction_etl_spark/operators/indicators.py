@@ -1,0 +1,305 @@
+"""Technical-indicator engine (SURVEY §2.5 W4-W13).
+
+The reference computes ~26 indicator columns per symbol/day by collecting
+each symbol to the driver and calling the C#-backed `stock_indicators`
+library row-recursively (reference:
+airflow/etl_scripts/pyspark/D_Create_crypto_ind_day_001.py:52-197,
+parameterization modules/common/calculate_market_indicators.py:29-54).
+
+Spark-first re-expression:
+
+- Everything frame-bounded (SMA, Bollinger, stochastic, Ichimoku, Aroon,
+  OBV, ROC) is a plain window expression — JVM-side, whole-stage
+  codegen, one shuffle on (id) shared by every window.
+- The genuinely recursive smoothers (EMA, MACD signal, Wilder RSI) run
+  as a grouped-map pandas kernel (`groupBy("id").applyInPandas`) — the
+  idiomatic replacement for the reference's driver loop: same math, but
+  executed in parallel per symbol on executors via Arrow batches.
+
+Seeding conventions (pinned, matching stock_indicators):
+- SMA_n / Bollinger / stochastic / Aroon / Ichimoku midpoints: defined
+  only once n rows exist (null before).
+- EMA_n: seeded with SMA of the first n values at row n; recursive
+  ``ema_t = alpha*x_t + (1-alpha)*ema_{t-1}`` after (alpha = 2/(n+1)).
+- MACD(12,26,9): macd = ema12 - ema26 (from row 26); signal = EMA_9 of
+  the macd series, SMA-seeded over its first 9 values (from row 34).
+- RSI(14): Wilder — first average gain/loss = SMA of the first 14
+  deltas (row 15); then ``avg = (prev*13 + cur)/14``; RSI=100 when the
+  average loss is zero.
+
+At scale: one hash shuffle on id; skewed symbols are bounded because
+every kernel is O(rows-per-symbol); the pandas kernel streams per-group
+Arrow batches, never the whole table.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.portable import prnd
+
+# ---------------------------------------------------------------------------
+# Window-expressible indicators
+# ---------------------------------------------------------------------------
+
+
+def _w(order_col: str = "dt"):
+    return W.partitionBy("id").orderBy(order_col)
+
+
+def _guarded(expr, n: int, w):
+    """Null until the window actually holds n rows (indicator warm-up)."""
+    return F.when(F.count("close").over(w.rowsBetween(-(n - 1), 0)) >= n, expr)
+
+
+def sma(n: int, col: str = "close"):
+    w = _w()
+    return _guarded(F.avg(col).over(w.rowsBetween(-(n - 1), 0)), n, w)
+
+
+def bollinger(n: int = 20, k: float = 2.0):
+    """(sma, upper, lower) with population stddev (stock_indicators
+    convention, reference: calculate_market_indicators.py:34-36)."""
+    w = _w()
+    frame = w.rowsBetween(-(n - 1), 0)
+    mid = _guarded(F.avg("close").over(frame), n, w)
+    sd = _guarded(F.stddev_pop("close").over(frame), n, w)
+    return mid, mid + k * sd, mid - k * sd
+
+
+def obv():
+    """On-balance volume: cumulative signed volume (reference:
+    calculate_market_indicators.py:44)."""
+    w = _w()
+    delta = F.col("close") - F.lag("close", 1).over(w)
+    signed = F.when(delta > 0, F.col("volume")).when(
+        delta < 0, -F.col("volume")
+    ).otherwise(F.lit(0.0))
+    # first row of each id: no previous close -> contributes 0
+    signed = F.coalesce(signed, F.lit(0.0))
+    return F.sum(signed).over(w.rowsBetween(W.unboundedPreceding, 0))
+
+
+def stochastic(n: int = 14, smooth_k: int = 3, d_periods: int = 3):
+    """%K (smoothed), %D, %J (reference: calculate_market_indicators.py:40-42,
+    output cols D_Create_crypto_ind_day_001.py:100-102,130-132).
+
+    Computed compositionally: raw %K over n rows -> SMA(smooth_k) -> %D =
+    SMA(d_periods) of %K -> %J = 3K - 2D. Returns exprs usable after two
+    intermediate selects (see `with_indicators`).
+    """
+    w = _w()
+    frame = w.rowsBetween(-(n - 1), 0)
+    lo = F.min("low").over(frame)
+    hi = F.max("high").over(frame)
+    raw_k = _guarded(
+        F.when(hi != lo, (F.col("close") - lo) / (hi - lo) * 100.0).otherwise(50.0),
+        n,
+        w,
+    )
+    return raw_k
+
+
+def ichimoku_midpoint(n: int):
+    """(max(high,n)+min(low,n))/2 — tenkan/kijun/senkou-B building block
+    (reference: calculate_market_indicators.py:37-39)."""
+    w = _w()
+    frame = w.rowsBetween(-(n - 1), 0)
+    return _guarded((F.max("high").over(frame) + F.min("low").over(frame)) / 2.0, n, w)
+
+
+def aroon(n: int = 25):
+    """(aroon_up, aroon_down): 100 * (n - periods-since-extreme) / n over
+    the last n+1 rows; ties resolve to the most recent occurrence
+    (reference: calculate_market_indicators.py:45).
+
+    periods-since-extreme via `max_by`/`min_by` window aggregates on a
+    (value, rn) struct — single pass, no self-join.
+    """
+    w = _w()
+    frame = w.rowsBetween(-n, 0)
+    rn = F.row_number().over(w)
+    # struct comparison orders by high first, then rn -> latest max wins
+    since_max = rn - F.expr("max_by(_aroon_rn, struct(high, _aroon_rn))").over(frame)
+    since_min = rn - F.expr(
+        "min_by(_aroon_rn, struct(low, -_aroon_rn))"
+    ).over(frame)
+    guard = F.count("close").over(frame) >= (n + 1)
+    up = F.when(guard, (F.lit(n) - since_max) / F.lit(n) * 100.0)
+    down = F.when(guard, (F.lit(n) - since_min) / F.lit(n) * 100.0)
+    return rn, up, down
+
+
+def with_window_indicators(candles: DataFrame, round_to: int = 2) -> DataFrame:
+    """Add every frame-bounded indicator column to a candle frame
+    (id, dt, high, low, close, volume). One shuffle on id; all windows
+    share the (id, dt) sort."""
+    w = _w()
+
+    df = candles.withColumn("_aroon_rn", F.row_number().over(w))
+
+    # stage 1: raw building blocks
+    raw_k = stochastic()
+    mid20, upper, lower = bollinger(20, 2.0)
+    rn, aroon_up, aroon_down = aroon(25)
+    df = df.select(
+        "*",
+        sma(5).alias("sma_5"),
+        sma(10).alias("sma_10"),
+        sma(30).alias("sma_30"),
+        mid20.alias("bb_sma"),
+        upper.alias("bb_upper"),
+        lower.alias("bb_lower"),
+        obv().alias("obv"),
+        raw_k.alias("_raw_k"),
+        ichimoku_midpoint(9).alias("tenkan_sen"),
+        ichimoku_midpoint(26).alias("kijun_sen"),
+        ichimoku_midpoint(52).alias("_senkou_b_raw"),
+        aroon_up.alias("aroon_up"),
+        aroon_down.alias("aroon_down"),
+    )
+
+    # stage 2: compositions over stage-1 columns
+    k_frame = w.rowsBetween(-2, 0)
+    df = df.withColumn(
+        "stoch_k",
+        F.when(
+            F.count("_raw_k").over(k_frame) >= 3, F.avg("_raw_k").over(k_frame)
+        ),
+    )
+    df = df.withColumn(
+        "stoch_d",
+        F.when(
+            F.count("stoch_k").over(k_frame) >= 3, F.avg("stoch_k").over(k_frame)
+        ),
+    )
+    df = df.withColumn("stoch_j", 3.0 * F.col("stoch_k") - 2.0 * F.col("stoch_d"))
+    # senkou spans plotted 26 ahead; chikou 26 behind (SURVEY hard part 2)
+    df = df.withColumn(
+        "senkou_span_a",
+        F.lag((F.col("tenkan_sen") + F.col("kijun_sen")) / 2.0, 26).over(w),
+    )
+    df = df.withColumn("senkou_span_b", F.lag("_senkou_b_raw", 26).over(w))
+    df = df.withColumn("chikou_span", F.lead("close", 26).over(w))
+    df = df.withColumn(
+        "aroon_oscillator", F.col("aroon_up") - F.col("aroon_down")
+    )
+    return df.drop("_raw_k", "_senkou_b_raw", "_aroon_rn")
+
+
+# ---------------------------------------------------------------------------
+# Recursive smoothers — grouped-map pandas kernel
+# ---------------------------------------------------------------------------
+
+
+def _ema_sma_seed(x: pd.Series, n: int) -> pd.Series:
+    """EMA with SMA seed at row n (stock_indicators convention)."""
+    out = pd.Series(float("nan"), index=x.index, dtype="float64")
+    if len(x) < n:
+        return out
+    alpha = 2.0 / (n + 1.0)
+    seed = x.iloc[:n].mean()
+    out.iloc[n - 1] = seed
+    prev = seed
+    vals = x.to_numpy()
+    for i in range(n, len(x)):
+        prev = alpha * vals[i] + (1.0 - alpha) * prev
+        out.iloc[i] = prev
+    return out
+
+
+def _wilder_rsi(close: pd.Series, n: int = 14) -> pd.Series:
+    out = pd.Series(float("nan"), index=close.index, dtype="float64")
+    if len(close) <= n:
+        return out
+    delta = close.diff()
+    gain = delta.clip(lower=0.0)
+    loss = (-delta).clip(lower=0.0)
+    avg_gain = gain.iloc[1 : n + 1].mean()
+    avg_loss = loss.iloc[1 : n + 1].mean()
+
+    def rsi_of(g: float, l: float) -> float:
+        if l == 0.0:
+            return 100.0
+        rs = g / l
+        return 100.0 - 100.0 / (1.0 + rs)
+
+    out.iloc[n] = rsi_of(avg_gain, avg_loss)
+    gv, lv = gain.to_numpy(), loss.to_numpy()
+    for i in range(n + 1, len(close)):
+        avg_gain = (avg_gain * (n - 1) + gv[i]) / n
+        avg_loss = (avg_loss * (n - 1) + lv[i]) / n
+        out.iloc[i] = rsi_of(avg_gain, avg_loss)
+    return out
+
+
+RECURSIVE_COLS = [
+    "ema_5",
+    "ema_10",
+    "ema_30",
+    "macd",
+    "macd_signal",
+    "macd_histogram",
+    "rsi_14",
+]
+
+
+def with_recursive_indicators(candles_or_ind: DataFrame) -> DataFrame:
+    """Add EMA/MACD/RSI columns via one grouped-map pandas kernel.
+
+    Replaces the reference's per-symbol driver collect loop (L1) with a
+    parallel Arrow-batched kernel: each id's frame arrives as a pandas
+    DataFrame sorted here by dt, the smoothers run O(rows), and Spark
+    reassembles — no data touches the driver.
+    """
+    in_schema = candles_or_ind.schema
+    out_fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in in_schema)
+    out_schema = out_fields + ", " + ", ".join(f"{c} double" for c in RECURSIVE_COLS)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("dt").reset_index(drop=True)
+        close = pdf["close"].astype("float64")
+        ema12 = _ema_sma_seed(close, 12)
+        ema26 = _ema_sma_seed(close, 26)
+        macd = ema12 - ema26
+        macd_valid = macd.dropna()
+        signal = pd.Series(float("nan"), index=macd.index, dtype="float64")
+        if len(macd_valid) >= 9:
+            sig_vals = _ema_sma_seed(macd_valid.reset_index(drop=True), 9)
+            signal.loc[macd_valid.index] = sig_vals.to_numpy()
+        pdf["ema_5"] = _ema_sma_seed(close, 5)
+        pdf["ema_10"] = _ema_sma_seed(close, 10)
+        pdf["ema_30"] = _ema_sma_seed(close, 30)
+        pdf["macd"] = macd
+        pdf["macd_signal"] = signal
+        pdf["macd_histogram"] = macd - signal
+        pdf["rsi_14"] = _wilder_rsi(close, 14)
+        return pdf
+
+    out = candles_or_ind.groupBy("id").applyInPandas(kernel, schema=out_schema)
+    # pandas NaN arrives as a double NaN, not SQL NULL — normalize so the
+    # warm-up rows compare equal to SQL oracles (NULL) downstream
+    for c in RECURSIVE_COLS:
+        out = out.withColumn(c, F.when(~F.isnan(c), F.col(c)))
+    return out
+
+
+def n_multiple_rescale(candles: DataFrame, small_ids: list[str], factor: float = 1000.0) -> DataFrame:
+    """W13: rescale tiny-priced ids before indicator math, keeping the
+    multiplier as an output column for parity (reference:
+    D_Create_crypto_ind_day_001.py:48,60-62,112 — SHIB_USDT x1000)."""
+    mult = F.when(F.col("id").isin(small_ids), F.lit(factor)).otherwise(F.lit(1.0))
+    out = candles.withColumn("n_multiple", mult)
+    for c in ("open", "high", "low", "close"):
+        if c in candles.columns:
+            out = out.withColumn(c, F.col(c) * F.col("n_multiple"))
+    return out
+
+
+def indicator_frame(candles: DataFrame) -> DataFrame:
+    """Full 27-column indicator mart frame: window indicators + recursive
+    smoothers, one id-shuffle reused by both stages."""
+    return with_recursive_indicators(with_window_indicators(candles))

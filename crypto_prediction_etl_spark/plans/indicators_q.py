@@ -1,1 +1,524 @@
-"""(filled in later this round)"""
+"""Indicator queries (SURVEY §2.5 W4-W13) over the orders-derived
+candle series, each with a DuckDB oracle.
+
+The recursive smoothers (EMA / MACD / Wilder RSI) cannot be written as
+window aggregates, so their oracles use the mathematically-equivalent
+closed form: ``ema_t = seed*(1-a)^(t-n) + sum_j a*(1-a)^(t-j) x_j``
+via a bounded self-join (terms beyond the cutoff K underflow far below
+one ulp of the running value, so truncation is exact in double
+arithmetic).
+
+Rounding grids: price-scale -> 2 decimals, percent-scale -> 3 — both
+orders of magnitude above worst-case cross-engine fp drift.
+
+Volume is carried in integer cents (bigint) so cumulative sums (OBV)
+are exact integers in both engines regardless of their window-sum
+association order (DuckDB uses segment trees, Spark running frames).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.portable import o_rnd, prnd
+from ..operators.indicators import (
+    with_recursive_indicators,
+    with_window_indicators,
+)
+from ..sources.readers import table
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Shared candle frame (orders): long series, 5 ids x ~2400 trading days
+# ---------------------------------------------------------------------------
+
+CANDLES_SQL = """
+  SELECT o_orderpriority                   AS id,
+         CAST(o_orderdate AS DATE)         AS dt,
+         max(o_totalprice)                 AS high,
+         min(o_totalprice)                 AS low,
+         avg(o_totalprice)                 AS close,
+         sum(CAST(floor(o_totalprice * 100.0 + 0.5001) AS BIGINT)) AS volume_cents
+  FROM orders
+  GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)
+"""
+
+
+def candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("id"),
+            F.to_date("o_orderdate").alias("dt"),
+        )
+        .agg(
+            F.max("o_totalprice").alias("high"),
+            F.min("o_totalprice").alias("low"),
+            F.avg("o_totalprice").alias("close"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + 0.5001).cast("long")
+            ).alias("volume_cents"),
+        )
+    )
+
+
+def _with_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candles + double `volume` (exact: integer cents / 100)."""
+    return candles(spark, sf_dir).withColumn(
+        "volume", F.col("volume_cents").cast("double") / 100.0
+    )
+
+
+_WIN = "PARTITION BY id ORDER BY dt"
+
+
+def _sma_sql(n: int, col: str = "close") -> str:
+    frame = f"OVER ({_WIN} ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)"
+    return (
+        f"CASE WHEN count({col}) {frame} >= {n} "
+        f"THEN avg({col}) {frame} END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# W4 SMA + W7 Bollinger
+# ---------------------------------------------------------------------------
+
+
+def _bb_sql() -> str:
+    frame = f"OVER ({_WIN} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)"
+    mid = f"CASE WHEN count(close) {frame} >= 20 THEN avg(close) {frame} END"
+    sd = f"CASE WHEN count(close) {frame} >= 20 THEN stddev_pop(close) {frame} END"
+    return f"""
+    WITH candles AS ({CANDLES_SQL})
+    SELECT id, dt,
+           {o_rnd(_sma_sql(5), 2)}  AS sma_5,
+           {o_rnd(_sma_sql(10), 2)} AS sma_10,
+           {o_rnd(_sma_sql(30), 2)} AS sma_30,
+           {o_rnd(mid, 2)} AS bb_sma,
+           {o_rnd(f'({mid}) + 2.0 * ({sd})', 2)} AS bb_upper,
+           {o_rnd(f'({mid}) - 2.0 * ({sd})', 2)} AS bb_lower
+    FROM candles
+    """
+
+
+@query("q30_sma_bollinger", oracle=_bb_sql())
+def q30_sma_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMA 5/10/30 (W4) + Bollinger(20,2) (W7): guarded rolling windows,
+    population stddev (reference: calculate_market_indicators.py:34-36,46-48)."""
+    ind = with_window_indicators(_with_volume(spark, sf_dir))
+    return ind.select(
+        "id",
+        "dt",
+        prnd("sma_5", 2).alias("sma_5"),
+        prnd("sma_10", 2).alias("sma_10"),
+        prnd("sma_30", 2).alias("sma_30"),
+        prnd("bb_sma", 2).alias("bb_sma"),
+        prnd("bb_upper", 2).alias("bb_upper"),
+        prnd("bb_lower", 2).alias("bb_lower"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W9 OBV (exact integer-cents cumulative sum)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q31_obv",
+    oracle=f"""
+    WITH candles AS ({CANDLES_SQL}),
+    signed AS (
+      SELECT id, dt,
+             CASE
+               WHEN lag(close) OVER ({_WIN}) IS NULL THEN 0
+               WHEN close > lag(close) OVER ({_WIN}) THEN volume_cents
+               WHEN close < lag(close) OVER ({_WIN}) THEN -volume_cents
+               ELSE 0 END AS sv
+      FROM candles
+    )
+    SELECT id, dt,
+           {o_rnd(f"CAST(sum(sv) OVER ({_WIN} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0", 2)} AS obv
+    FROM signed
+    """,
+)
+def q31_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-balance volume (W9; reference calculate_market_indicators.py:44)
+    as an exact cumulative bigint sum — association-order-proof."""
+    w = W.partitionBy("id").orderBy("dt")
+    c = candles(spark, sf_dir)
+    prev = F.lag("close").over(w)
+    signed = (
+        F.when(prev.isNull(), F.lit(0))
+        .when(F.col("close") > prev, F.col("volume_cents"))
+        .when(F.col("close") < prev, -F.col("volume_cents"))
+        .otherwise(F.lit(0))
+    )
+    return c.withColumn("_sv", signed).select(
+        "id",
+        "dt",
+        prnd(
+            F.sum("_sv").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("double")
+            / 100.0,
+            2,
+        ).alias("obv"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W10 Stochastic oscillator
+# ---------------------------------------------------------------------------
+
+
+def _stoch_sql() -> str:
+    f14 = f"OVER ({_WIN} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)"
+    f3 = f"OVER ({_WIN} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+    raw = (
+        f"CASE WHEN count(close) {f14} >= 14 THEN "
+        f"CASE WHEN max(high) {f14} <> min(low) {f14} "
+        f"THEN (close - min(low) {f14}) / (max(high) {f14} - min(low) {f14}) * 100.0 "
+        f"ELSE 50.0 END END"
+    )
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    l1 AS (SELECT id, dt, {raw} AS raw_k FROM candles),
+    l2 AS (SELECT id, dt, raw_k,
+                  CASE WHEN count(raw_k) {f3} >= 3 THEN avg(raw_k) {f3} END AS stoch_k
+           FROM l1),
+    l3 AS (SELECT id, dt, stoch_k,
+                  CASE WHEN count(stoch_k) {f3} >= 3 THEN avg(stoch_k) {f3} END AS stoch_d
+           FROM l2)
+    SELECT id, dt,
+           {o_rnd('stoch_k', 3)} AS stoch_k,
+           {o_rnd('stoch_d', 3)} AS stoch_d,
+           {o_rnd('3.0 * stoch_k - 2.0 * stoch_d', 3)} AS stoch_j
+    FROM l3
+    """
+
+
+@query("q33_stochastic", oracle=_stoch_sql())
+def q33_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic %K(14) smoothed 3, %D(3), %J (W10; reference:
+    calculate_market_indicators.py:40-42)."""
+    ind = with_window_indicators(_with_volume(spark, sf_dir))
+    return ind.select(
+        "id",
+        "dt",
+        prnd("stoch_k", 3).alias("stoch_k"),
+        prnd("stoch_d", 3).alias("stoch_d"),
+        prnd("stoch_j", 3).alias("stoch_j"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W11 Ichimoku
+# ---------------------------------------------------------------------------
+
+
+def _mid_sql(n: int) -> str:
+    frame = f"OVER ({_WIN} ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)"
+    return (
+        f"CASE WHEN count(close) {frame} >= {n} "
+        f"THEN (max(high) {frame} + min(low) {frame}) / 2.0 END"
+    )
+
+
+@query(
+    "q34_ichimoku",
+    oracle=f"""
+    WITH candles AS ({CANDLES_SQL}),
+    mids AS (
+      SELECT id, dt, close,
+             {_mid_sql(9)}  AS tenkan_sen,
+             {_mid_sql(26)} AS kijun_sen,
+             {_mid_sql(52)} AS senkou_b_raw
+      FROM candles
+    )
+    SELECT id, dt,
+           {o_rnd('tenkan_sen', 2)} AS tenkan_sen,
+           {o_rnd('kijun_sen', 2)} AS kijun_sen,
+           {o_rnd(f'lag((tenkan_sen + kijun_sen) / 2.0, 26) OVER ({_WIN})', 2)} AS senkou_span_a,
+           {o_rnd(f'lag(senkou_b_raw, 26) OVER ({_WIN})', 2)} AS senkou_span_b,
+           {o_rnd(f'lead(close, 26) OVER ({_WIN})', 2)} AS chikou_span
+    FROM mids
+    """,
+)
+def q34_ichimoku(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ichimoku(9,26,52): midpoints + senkou spans led 26 ahead, chikou
+    lagged 26 behind (W11, SURVEY hard part 2; reference:
+    calculate_market_indicators.py:37-39)."""
+    ind = with_window_indicators(_with_volume(spark, sf_dir))
+    return ind.select(
+        "id",
+        "dt",
+        prnd("tenkan_sen", 2).alias("tenkan_sen"),
+        prnd("kijun_sen", 2).alias("kijun_sen"),
+        prnd("senkou_span_a", 2).alias("senkou_span_a"),
+        prnd("senkou_span_b", 2).alias("senkou_span_b"),
+        prnd("chikou_span", 2).alias("chikou_span"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W12 Aroon — "periods since extreme", latest-occurrence ties
+# ---------------------------------------------------------------------------
+
+
+def _aroon_sql() -> str:
+    frame = f"OVER ({_WIN} ROWS BETWEEN 25 PRECEDING AND CURRENT ROW)"
+    lst_hi = f"list(high) {frame}"
+    lst_lo = f"list(low) {frame}"
+    since_max = (
+        f"list_indexof(list_reverse({lst_hi}), list_aggregate({lst_hi}, 'max')) - 1"
+    )
+    since_min = (
+        f"list_indexof(list_reverse({lst_lo}), list_aggregate({lst_lo}, 'min')) - 1"
+    )
+    guard = f"count(close) {frame} >= 26"
+    up = f"CASE WHEN {guard} THEN (25.0 - ({since_max})) / 25.0 * 100.0 END"
+    down = f"CASE WHEN {guard} THEN (25.0 - ({since_min})) / 25.0 * 100.0 END"
+    return f"""
+    WITH candles AS ({CANDLES_SQL})
+    SELECT id, dt,
+           {o_rnd(up, 3)} AS aroon_up,
+           {o_rnd(down, 3)} AS aroon_down,
+           {o_rnd(f'({up}) - ({down})', 3)} AS aroon_oscillator
+    FROM candles
+    """
+
+
+@query("q35_aroon", oracle=_aroon_sql())
+def q35_aroon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aroon(25) up/down/oscillator (W12, SURVEY hard part 3; reference:
+    calculate_market_indicators.py:45). Spark: max_by/min_by window on a
+    (value, rn) struct — one pass, ties to the latest row, no self-join.
+    The DuckDB oracle reaches the same semantics with reversed-list
+    index-of-extreme."""
+    ind = with_window_indicators(_with_volume(spark, sf_dir))
+    return ind.select(
+        "id",
+        "dt",
+        prnd("aroon_up", 3).alias("aroon_up"),
+        prnd("aroon_down", 3).alias("aroon_down"),
+        prnd("aroon_oscillator", 3).alias("aroon_oscillator"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W13 N_multiple rescale + ROC
+# ---------------------------------------------------------------------------
+
+_SMALL_IDS = ("5-LOW",)
+
+
+@query(
+    "q36_rescale_roc",
+    oracle=f"""
+    WITH candles AS ({CANDLES_SQL}),
+    scaled AS (
+      SELECT id, dt,
+             CASE WHEN id IN {_SMALL_IDS!r} THEN 1000.0 ELSE 1.0 END AS n_multiple,
+             close * (CASE WHEN id IN {_SMALL_IDS!r} THEN 1000.0 ELSE 1.0 END) AS close_scaled
+      FROM candles
+    )
+    SELECT id, dt, n_multiple,
+           {o_rnd('close_scaled', 2)} AS close_scaled,
+           {o_rnd(f'''CASE WHEN lag(close_scaled, 1) OVER ({_WIN}) IS NOT NULL
+                      THEN (close_scaled - lag(close_scaled, 1) OVER ({_WIN}))
+                           / lag(close_scaled, 1) OVER ({_WIN}) * 100.0 END''', 4)} AS roc_1
+    FROM scaled
+    """.replace("('5-LOW',)", "('5-LOW')"),
+)
+def q36_rescale_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-value rescale kept as output column (W13; reference:
+    D_Create_crypto_ind_day_001.py:48,60-62,112) + 1-day rate of change."""
+    from ..operators.indicators import n_multiple_rescale
+
+    w = W.partitionBy("id").orderBy("dt")
+    scaled = n_multiple_rescale(
+        candles(spark, sf_dir), list(_SMALL_IDS), 1000.0
+    ).withColumnRenamed("close", "close_scaled")
+    prev = F.lag("close_scaled", 1).over(w)
+    return scaled.select(
+        "id",
+        "dt",
+        "n_multiple",
+        prnd("close_scaled", 2).alias("close_scaled"),
+        prnd(
+            F.when(prev.isNotNull(), (F.col("close_scaled") - prev) / prev * 100.0),
+            4,
+        ).alias("roc_1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5/W6/W8 recursive smoothers: EMA / MACD / Wilder RSI
+# closed-form oracles with exact-truncation cutoffs
+# ---------------------------------------------------------------------------
+
+
+def _cutoff(alpha: float) -> int:
+    """Lag beyond which (1-a)^k * x underflows below one ulp of any
+    price-scale running value — truncation there is exact in double."""
+    return max(10, int(math.ceil(math.log(1e-22) / math.log(1.0 - alpha))))
+
+
+def _ema_cte(n: int, src: str = "c", val: str = "close") -> str:
+    """CTE pair computing SMA-seeded EMA_n of src.val as ema_{n}(id, rn, ema)."""
+    alpha = 2.0 / (n + 1.0)
+    k = _cutoff(alpha)
+    return f"""
+    seed_{n} AS (
+      SELECT id, avg({val}) AS seed FROM {src} WHERE rn <= {n} GROUP BY id
+    ),
+    ema_{n} AS (
+      SELECT a.id, a.rn,
+             s.seed * power({1.0 - alpha!r}, a.rn - {n})
+             + coalesce(sum({alpha!r} * power({1.0 - alpha!r}, a.rn - b.rn) * b.{val}), 0.0)
+               AS ema
+      FROM {src} a
+      JOIN seed_{n} s ON s.id = a.id
+      LEFT JOIN {src} b
+        ON b.id = a.id AND b.rn > {n} AND b.rn <= a.rn AND b.rn >= a.rn - {k}
+      WHERE a.rn >= {n}
+      GROUP BY a.id, a.rn, s.seed
+    )"""
+
+
+def _ema_oracle() -> str:
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    c AS (SELECT id, dt, close,
+                 row_number() OVER ({_WIN}) AS rn
+          FROM candles),
+    {_ema_cte(5)},
+    {_ema_cte(10)},
+    {_ema_cte(30)}
+    SELECT c.id, c.dt,
+           {o_rnd('e5.ema', 2)}  AS ema_5,
+           {o_rnd('e10.ema', 2)} AS ema_10,
+           {o_rnd('e30.ema', 2)} AS ema_30
+    FROM c
+    LEFT JOIN ema_5  e5  ON e5.id = c.id AND e5.rn = c.rn
+    LEFT JOIN ema_10 e10 ON e10.id = c.id AND e10.rn = c.rn
+    LEFT JOIN ema_30 e30 ON e30.id = c.id AND e30.rn = c.rn
+    """
+
+
+@query("q37_ema", oracle=_ema_oracle())
+def q37_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMA 5/10/30, SMA-seeded (W5, SURVEY hard part 1; reference:
+    calculate_market_indicators.py:49-51). Spark: grouped-map pandas
+    kernel (Arrow batches, parallel per id) — the Spark-native
+    replacement for the reference's driver collect loop (L1)."""
+    rec = with_recursive_indicators(candles(spark, sf_dir))
+    return rec.select(
+        "id",
+        "dt",
+        prnd("ema_5", 2).alias("ema_5"),
+        prnd("ema_10", 2).alias("ema_10"),
+        prnd("ema_30", 2).alias("ema_30"),
+    )
+
+
+def _macd_oracle() -> str:
+    alpha9 = 2.0 / 10.0
+    k9 = _cutoff(alpha9)
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    c AS (SELECT id, dt, close,
+                 row_number() OVER ({_WIN}) AS rn
+          FROM candles),
+    {_ema_cte(12)},
+    {_ema_cte(26)},
+    m AS (
+      SELECT e12.id, e12.rn, e12.rn - 25 AS mrn, e12.ema - e26.ema AS macd
+      FROM ema_12 e12 JOIN ema_26 e26 ON e12.id = e26.id AND e12.rn = e26.rn
+    ),
+    sseed AS (SELECT id, avg(macd) AS seed FROM m WHERE mrn <= 9 GROUP BY id),
+    sig AS (
+      SELECT a.id, a.rn,
+             s.seed * power({1.0 - alpha9!r}, a.mrn - 9)
+             + coalesce(sum({alpha9!r} * power({1.0 - alpha9!r}, a.mrn - b.mrn) * b.macd), 0.0)
+               AS signal
+      FROM m a
+      JOIN sseed s ON s.id = a.id
+      LEFT JOIN m b
+        ON b.id = a.id AND b.mrn > 9 AND b.mrn <= a.mrn AND b.mrn >= a.mrn - {k9}
+      WHERE a.mrn >= 9
+      GROUP BY a.id, a.rn, s.seed, a.mrn
+    )
+    SELECT c.id, c.dt,
+           {o_rnd('m.macd', 2)} AS macd,
+           {o_rnd('sig.signal', 2)} AS macd_signal,
+           {o_rnd('m.macd - sig.signal', 2)} AS macd_histogram
+    FROM c
+    LEFT JOIN m ON m.id = c.id AND m.rn = c.rn
+    LEFT JOIN sig ON sig.id = c.id AND sig.rn = c.rn
+    """
+
+
+@query("q38_macd", oracle=_macd_oracle())
+def q38_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD(12,26,9) + signal + histogram (W6; reference:
+    calculate_market_indicators.py:31-33)."""
+    rec = with_recursive_indicators(candles(spark, sf_dir))
+    return rec.select(
+        "id",
+        "dt",
+        prnd("macd", 2).alias("macd"),
+        prnd("macd_signal", 2).alias("macd_signal"),
+        prnd("macd_histogram", 2).alias("macd_histogram"),
+    )
+
+
+def _rsi_oracle() -> str:
+    n = 14
+    alpha = 1.0 / n
+    k = _cutoff(alpha)
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    c AS (SELECT id, dt, close,
+                 row_number() OVER ({_WIN}) AS rn
+          FROM candles),
+    d AS (
+      SELECT id, dt, rn,
+             greatest(close - lag(close) OVER ({_WIN}), 0.0)  AS gain,
+             greatest(lag(close) OVER ({_WIN}) - close, 0.0)  AS loss
+      FROM c
+    ),
+    seed AS (
+      SELECT id, avg(gain) AS sg, avg(loss) AS sl
+      FROM d WHERE rn BETWEEN 2 AND {n + 1} GROUP BY id
+    ),
+    sm AS (
+      SELECT a.id, a.rn,
+             s.sg * power({1.0 - alpha!r}, a.rn - {n + 1})
+             + coalesce(sum({alpha!r} * power({1.0 - alpha!r}, a.rn - b.rn) * b.gain), 0.0)
+               AS ag,
+             s.sl * power({1.0 - alpha!r}, a.rn - {n + 1})
+             + coalesce(sum({alpha!r} * power({1.0 - alpha!r}, a.rn - b.rn) * b.loss), 0.0)
+               AS al
+      FROM d a
+      JOIN seed s ON s.id = a.id
+      LEFT JOIN d b
+        ON b.id = a.id AND b.rn > {n + 1} AND b.rn <= a.rn AND b.rn >= a.rn - {k}
+      WHERE a.rn >= {n + 1}
+      GROUP BY a.id, a.rn, s.sg, s.sl
+    )
+    SELECT c.id, c.dt,
+           {o_rnd('CASE WHEN sm.al = 0.0 THEN 100.0 ELSE 100.0 - 100.0 / (1.0 + sm.ag / sm.al) END', 3)} AS rsi_14
+    FROM c
+    LEFT JOIN sm ON sm.id = c.id AND sm.rn = c.rn
+    """
+
+
+@query("q39_rsi_wilder", oracle=_rsi_oracle())
+def q39_rsi_wilder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSI(14), Wilder smoothing with SMA-of-first-14-deltas seed (W8;
+    reference: calculate_market_indicators.py:43)."""
+    rec = with_recursive_indicators(candles(spark, sf_dir))
+    return rec.select("id", "dt", prnd("rsi_14", 3).alias("rsi_14"))

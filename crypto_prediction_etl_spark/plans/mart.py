@@ -65,12 +65,12 @@ def q26_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1, 2
     )
     SELECT id, dt,
-           floor((min(close) OVER w7) * 10000.0 + 0.5) / 10000.0  AS min_close_7,
-           floor((max(close) OVER w7) * 10000.0 + 0.5) / 10000.0  AS max_close_7,
-           floor((sum(volume) OVER w7) * 100.0 + 0.5) / 100.0 AS sum_volume_7,
+           floor((min(close) OVER w7) * 10000.0 + 0.5001) / 10000.0  AS min_close_7,
+           floor((max(close) OVER w7) * 10000.0 + 0.5001) / 10000.0  AS max_close_7,
+           floor((sum(volume) OVER w7) * 100.0 + 0.5001) / 100.0 AS sum_volume_7,
            count(*) OVER w7              AS n_rows_7,
            floor((sum(volume) OVER (PARTITION BY id ORDER BY dt
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100.0 + 0.5) / 100.0
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100.0 + 0.5001) / 100.0
                                          AS cum_volume
     FROM daily
     WINDOW w7 AS (PARTITION BY id ORDER BY dt ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)

@@ -27,13 +27,13 @@ from .registry import query
     oracle="""
     SELECT
       l_returnflag, l_linestatus,
-      floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0                                        AS sum_qty,
-      floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0                                   AS sum_base_price,
-      floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0                AS sum_disc_price,
-      floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100.0 + 0.5) / 100.0  AS sum_charge,
-      floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0                                        AS avg_qty,
-      floor((avg(l_extendedprice)) * 100.0 + 0.5) / 100.0                                   AS avg_price,
-      floor((avg(l_discount)) * 1000000.0 + 0.5) / 1000000.0                                        AS avg_disc,
+      floor((sum(l_quantity)) * 100.0 + 0.5001) / 100.0                                        AS sum_qty,
+      floor((sum(l_extendedprice)) * 100.0 + 0.5001) / 100.0                                   AS sum_base_price,
+      floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5001) / 100.0                AS sum_disc_price,
+      floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100.0 + 0.5001) / 100.0  AS sum_charge,
+      floor((avg(l_quantity)) * 10000.0 + 0.5001) / 10000.0                                        AS avg_qty,
+      floor((avg(l_extendedprice)) * 100.0 + 0.5001) / 100.0                                   AS avg_price,
+      floor((avg(l_discount)) * 1000000.0 + 0.5001) / 1000000.0                                        AS avg_disc,
       count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -69,7 +69,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q02_filtered_revenue",
     oracle="""
-    SELECT floor((sum(l_extendedprice * l_discount)) * 100.0 + 0.5) / 100.0 AS revenue
+    SELECT floor((sum(l_extendedprice * l_discount)) * 100.0 + 0.5001) / 100.0 AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -162,7 +162,7 @@ def q05_minmax_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_region_revenue",
     oracle="""
     SELECT n.n_name AS nation,
-           floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
+           floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5001) / 100.0 AS revenue,
            count(*) AS n_items
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -215,7 +215,7 @@ def q10_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o.o_orderkey AS orderkey,
            CAST(o.o_orderdate AS DATE) AS orderdate,
            o.o_orderpriority AS priority,
-           floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+           floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5001) / 100.0 AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -312,7 +312,7 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_scalar_subquery",
     oracle="""
     SELECT count(*) AS n_above,
-           floor((min(o_totalprice)) * 100.0 + 0.5) / 100.0 AS min_above
+           floor((min(o_totalprice)) * 100.0 + 0.5001) / 100.0 AS min_above
     FROM orders
     WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
     """,
@@ -326,7 +326,7 @@ def q14_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT count(*) AS n_above,
-               floor((min(o_totalprice)) * 100.0D + 0.5D) / 100.0D AS min_above
+               floor((min(o_totalprice)) * 100.0D + 0.5001D) / 100.0D AS min_above
         FROM orders
         WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
         """
@@ -344,7 +344,7 @@ def q14_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT floor((100.0 * sum(CASE WHEN p.p_type = 'PROMO'
                               THEN l.l_extendedprice * (1 - l.l_discount)
                               ELSE 0 END)
-             / sum(l.l_extendedprice * (1 - l.l_discount))) * 1000000.0 + 0.5) / 1000000.0 AS promo_share
+             / sum(l.l_extendedprice * (1 - l.l_discount))) * 1000000.0 + 0.5001) / 1000000.0 AS promo_share
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     """,
 )
@@ -401,7 +401,7 @@ def q16_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
-           floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_price
+           floor((sum(l_extendedprice)) * 100.0 + 0.5001) / 100.0 AS sum_price
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -426,7 +426,7 @@ def q17_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT brand, partkey, retailprice, rnk FROM (
       SELECT p_brand AS brand, p_partkey AS partkey,
-             floor((p_retailprice) * 100.0 + 0.5) / 100.0 AS retailprice,
+             floor((p_retailprice) * 100.0 + 0.5001) / 100.0 AS retailprice,
              row_number() OVER (PARTITION BY p_brand
                                 ORDER BY p_retailprice DESC, p_partkey) AS rnk
       FROM part
@@ -500,7 +500,7 @@ def q20_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            WHEN c_acctbal = 0 THEN 'zero'
            ELSE 'positive' END                       AS balance_bucket,
       count(*)                                       AS n,
-      floor((sum(coalesce(c_acctbal, 0.0))) * 100.0 + 0.5) / 100.0        AS total_bal,
+      floor((sum(coalesce(c_acctbal, 0.0))) * 100.0 + 0.5001) / 100.0        AS total_bal,
       count(nullif(c_mktsegment, 'MACHINERY'))       AS non_machinery
     FROM customer
     GROUP BY 1
