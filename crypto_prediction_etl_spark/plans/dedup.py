@@ -1,1 +1,141 @@
-"""(filled in later this round)"""
+"""Near-duplicate detection queries: n-gram Jaccard, MinHash+LSH,
+SimHash — each with a bit-exact DuckDB oracle (signature hashes are
+md5-derived arithmetic, portable across engines)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.portable import o_hash64, o_rnd, prnd
+from ..operators.dedup import (
+    LSH_BANDS,
+    MINHASH_PERMS,
+    MINHASH_PRIME,
+    doc_shingles,
+    jaccard_pairs,
+    minhash_dedup_pairs,
+    simhash_signatures,
+)
+from ..sources.readers import table
+from .registry import query
+
+_TOKS = "string_split(lower(text), ' ')"
+
+# Shared CTE: distinct 2-gram word shingles per document.
+_SHINGLES_CTE = f"""
+    d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(toks) >= 2
+                    THEN list_transform(range(1, len(toks)),
+                                        i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+                    ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+      FROM d
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    jac AS (
+      SELECT i.id_a, i.id_b, i.n_inter,
+             CAST(i.n_inter AS DOUBLE) / (x.n_sh + y.n_sh - i.n_inter) AS jaccard
+      FROM inter i
+      JOIN sizes x ON x.doc_id = i.id_a
+      JOIN sizes y ON y.doc_id = i.id_b
+    )"""
+
+
+@query(
+    "q44_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE}
+    SELECT id_a, id_b, n_inter, {o_rnd('jaccard', 6)} AS jaccard
+    FROM jac WHERE jaccard >= 0.8
+    """,
+)
+def q44_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-gram-shingle Jaccard near-dup pairs (>= 0.8).
+
+    Shuffle pattern at scale: explode shingles -> equi-join on shingle
+    (hash-partitioned) -> pair aggregation. Quadratic only within a
+    shingle's posting list — the LSH variant (q45) is the scale path."""
+    shingled = doc_shingles(table(spark, sf_dir, "documents"))
+    pairs = jaccard_pairs(shingled, 0.8)
+    return pairs.select(
+        "id_a", "id_b", "n_inter", prnd("jaccard", 6).alias("jaccard")
+    )
+
+
+def _minhash_oracle() -> str:
+    p = MINHASH_PRIME
+    mh_cols = ",\n             ".join(
+        f"min((CAST({a} AS BIGINT) * hh + {b}) % {p}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    rows = len(MINHASH_PERMS) // LSH_BANDS
+    band_selects = []
+    for band in range(LSH_BANDS):
+        cols = [f"mh{band * rows + j}" for j in range(rows)]
+        key = "md5(concat_ws(','," + ",".join(f"CAST({c} AS VARCHAR)" for c in cols) + "))"
+        band_selects.append(
+            f"SELECT a.doc_id AS id_a, b.doc_id AS id_b\n"
+            f"       FROM (SELECT doc_id, {key} AS bk FROM sig) a\n"
+            f"       JOIN (SELECT doc_id, {key} AS bk FROM sig) b\n"
+            f"         ON a.bk = b.bk AND a.doc_id < b.doc_id"
+        )
+    cand = "\n      UNION\n      ".join(band_selects)
+    return f"""
+    WITH {_SHINGLES_CTE},
+    h AS (SELECT doc_id, ({o_hash64('shingle')}) % {p} AS hh FROM sh),
+    sig AS (SELECT doc_id,
+             {mh_cols}
+            FROM h GROUP BY doc_id),
+    cand AS (
+      {cand}
+    )
+    SELECT c.id_a, c.id_b, {o_rnd('j.jaccard', 6)} AS jaccard
+    FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+    WHERE j.jaccard >= 0.8
+    """
+
+
+@query("q45_minhash_lsh_pairs", oracle=_minhash_oracle())
+def q45_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 perms) + LSH(4 bands x 4 rows) candidate generation,
+    exact-Jaccard verification at 0.8.
+
+    The scale path for near-dup: signatures are one groupBy over the
+    shingle explosion; candidate pairs come from 4 equality joins on
+    32-char band keys (never an n^2 cross join); verification touches
+    only candidate pairs."""
+    pairs = minhash_dedup_pairs(table(spark, sf_dir, "documents"), 0.8)
+    return pairs.select("id_a", "id_b", prnd("jaccard", 6).alias("jaccard"))
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    sums = ",\n             ".join(
+        f"sum(CASE WHEN (hh >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(bits)
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    h AS (SELECT doc_id, {o_hash64('tok')} AS hh FROM d),
+    sums AS (SELECT doc_id,
+             {sums}
+             FROM h GROUP BY doc_id)
+    SELECT doc_id, {sig} AS simhash
+    FROM sums
+    """
+
+
+@query("q46_simhash", oracle=_simhash_oracle())
+def q46_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit tf-weighted SimHash signature per document — constant
+    output per doc, one explode + one groupBy at any scale."""
+    return simhash_signatures(table(spark, sf_dir, "documents"), bits=32)

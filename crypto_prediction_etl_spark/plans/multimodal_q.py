@@ -1,1 +1,70 @@
-"""(filled in later this round)"""
+"""Multimodal-column queries: binary payload metadata (oracle-checked)
+and mapInPandas feature extraction (rows-only — Python kernel output,
+cross-checked in tests/test_multimodal.py instead)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.portable import o_rnd, prnd
+from ..operators.multimodal import (
+    decode_features,
+    payload_metadata,
+    synthetic_payload,
+)
+from ..sources.readers import table
+from .registry import query
+
+
+@query(
+    "q70_binary_metadata",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             concat('W=', CAST(doc_id % 64 + 16 AS VARCHAR),
+                    ';H=', CAST(doc_id % 48 + 16 AS VARCHAR), ';', text) AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           octet_length(encode(s))                       AS byte_len,
+           md5(s)                                        AS checksum,
+           CAST(doc_id % 64 + 16 AS INT)                 AS width,
+           CAST(doc_id % 48 + 16 AS INT)                 AS height,
+           CAST((doc_id % 64 + 16) * (doc_id % 48 + 16) AS BIGINT) AS n_pixels
+    FROM p
+    """,
+)
+def q70_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary payload + typed metadata extracted JVM-side
+    (octet_length / md5 / header regex) — the multimodal column model
+    at its scan layer; no Python touches the bytes."""
+    payloads = synthetic_payload(table(spark, sf_dir, "documents"))
+    m = payload_metadata(F.col("payload"))
+    return payloads.select(
+        "doc_id",
+        m["byte_len"].alias("byte_len"),
+        m["checksum"].alias("checksum"),
+        m["width"].alias("width"),
+        m["height"].alias("height"),
+        m["n_pixels"].alias("n_pixels"),
+    )
+
+
+@query("q71_multimodal_features")  # rows-only: pandas kernel output
+def q71_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads (Arrow
+    batches, deterministic fake decode): width/height/byte stats +
+    body checksum. No SQL oracle (Python kernel); exactness is covered
+    by tests/test_multimodal.py against a local recompute."""
+    payloads = synthetic_payload(table(spark, sf_dir, "documents"))
+    feats = decode_features(payloads)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_bytes",
+        prnd("mean_byte", 4).alias("mean_byte"),
+        "max_byte",
+        "body_checksum",
+    )

@@ -1,1 +1,165 @@
-"""(filled in later this round)"""
+"""Similarity-search queries over the embeddings table, DuckDB-checked.
+
+The oracle computes cosine with ``list_dot_product`` over
+double-cast lists — the same sequential accumulation as the Spark
+``aggregate(zip_with(...))`` formulation; similarities are rounded on
+the portable grid before ranking so ranks hash identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.portable import o_rnd
+from ..operators.similarity import (
+    as_double_vec,
+    bucketed_ann_topk,
+    cosine_topk,
+    near_dup_pairs,
+)
+from ..sources.readers import table
+from .registry import query
+
+_VECS_CTE = """
+    e AS (SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings)
+"""
+
+_COS = (
+    "list_dot_product(q.v, c.v) / "
+    "(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))"
+)
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_vec("embedding").alias("v")
+    )
+
+
+@query(
+    "q50_cosine_topk",
+    oracle=f"""
+    WITH {_VECS_CTE},
+    q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             {o_rnd(_COS, 6)} AS cos_sim
+      FROM q JOIN e c ON c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def q50_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for a deterministic query sample
+    (vec_id % 50 = 0) — the exact ANN baseline. The query side is
+    broadcast; the corpus is scanned once, never shuffled; ranking is
+    one window over (query_id)."""
+    vecs = _vecs(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") % 50 == 0)
+    return cosine_topk(vecs, queries, k=10)
+
+
+@query(
+    "q51_embedding_near_dup",
+    oracle=f"""
+    WITH {_VECS_CTE}
+    SELECT q.vec_id AS id_a, c.vec_id AS id_b, {o_rnd(_COS, 6)} AS cos_sim
+    FROM e q JOIN e c ON q.vec_id < c.vec_id
+    WHERE {o_rnd(_COS, 6)} >= 0.4
+    """,
+)
+def q51_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (>= 0.4): the
+    embedding-space analog of q44/q45 text dedup."""
+    out = near_dup_pairs(_vecs(spark, sf_dir), 0.4)
+    return out.select(
+        F.col("id_a"), F.col("id_b"), F.col("cos_sim")
+    )
+
+
+@query(
+    "q52_bucketed_ann",
+    oracle=f"""
+    WITH {_VECS_CTE},
+    b AS (SELECT vec_id, v,
+                 concat(CASE WHEN v[1] >= 0 THEN '1' ELSE '0' END,
+                        CASE WHEN v[2] >= 0 THEN '1' ELSE '0' END,
+                        CASE WHEN v[3] >= 0 THEN '1' ELSE '0' END,
+                        CASE WHEN v[4] >= 0 THEN '1' ELSE '0' END) AS bkt
+          FROM e),
+    q AS (SELECT * FROM b WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             {o_rnd(_COS, 6)} AS cos_sim
+      FROM q JOIN b c ON c.bkt = q.bkt AND c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def q52_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed approximate top-5: probe only the query's
+    bucket (16 buckets from 4 sign bits) — the scale path that replaces
+    the n*m cross product with a bucket-local join."""
+    vecs = _vecs(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") % 50 == 0)
+    return bucketed_ann_topk(vecs, queries, k=5, bits=4)
+
+
+@query(
+    "q53_knn_label_vote",
+    oracle=f"""
+    WITH {_VECS_CTE},
+    q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label AS label_actual,
+             c.vec_id AS vec_id, c.label AS label,
+             {o_rnd(_COS, 6)} AS cos_sim
+      FROM q JOIN e c ON c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, label_actual,
+           count(*) FILTER (WHERE label = label_actual) AS votes_for_actual,
+           count(*) AS k
+    FROM ranked WHERE rank <= 10
+    GROUP BY query_id, label_actual
+    """,
+)
+def q53_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label voting on top of exact top-k — a downstream-consumer
+    shape (classification-by-neighbors) built purely from q50's plan."""
+    vecs = _vecs(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("label_actual")
+    )
+    topk = cosine_topk(_vecs(spark, sf_dir), _vecs(spark, sf_dir).filter(F.col("vec_id") % 50 == 0), k=10)
+    corpus_labels = _vecs(spark, sf_dir).select("vec_id", "label")
+    return (
+        topk.join(corpus_labels, "vec_id")
+        .join(F.broadcast(queries), topk.query_id == queries.qid)
+        .groupBy("query_id", "label_actual")
+        .agg(
+            F.count(F.when(F.col("label") == F.col("label_actual"), 1)).alias(
+                "votes_for_actual"
+            ),
+            F.count("*").alias("k"),
+        )
+    )

@@ -1,1 +1,199 @@
-"""(filled in later this round)"""
+"""Streaming-shaped queries in batch form (SURVEY §2.9, §3.1).
+
+The reference's stream pipelines are stateless enrich-and-sink: JSON
+decode, nested-field extraction, epoch->timestamp derivation, ladder
+explode with positional rank. These transforms are identical for batch
+and streaming DataFrames (Structured Streaming's unified model), so the
+correctness gate runs them in batch over `events`; the true streaming
+execution (file source -> foreachBatch upsert -> checkpoint) is covered
+by tests/test_streaming.py.
+
+Window aggregations + sessionization extend the reference (it has no
+stream aggregation at all — SURVEY §2.9: "no watermarks, no stream
+windows"); they're the Spark-native idioms a scaled deployment needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.portable import o_rnd, prnd
+from ..sources.readers import table
+from .registry import query
+
+
+@query(
+    "q60_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+    FROM events WHERE event_id % 7 = 0
+    """,
+)
+def q60_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON decode + field extraction (P2/P3; reference:
+    streaming/candles.py:84-96 from_json + element_at) + timestamp
+    formatting (reference: candles.py:97-102 from_unixtime)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    parsed = F.from_json("props", T.StructType([T.StructField("k", T.LongType())]))
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k_val"),
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    )
+
+
+@query(
+    "q61_tumbling_window",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           {o_rnd('sum(value)', 2)} AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def q61_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregate — the streaming
+    extension flagged in SURVEY §2.9 (same code works under
+    readStream + withWatermark)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            prnd(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "q62_sliding_window",
+    oracle=f"""
+    WITH contrib AS (
+      SELECT unnest([date_trunc('hour', ts),
+                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+             value
+      FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n_events,
+           {o_rnd('sum(value)', 2)} AS total_value
+    FROM contrib GROUP BY ws
+    """,
+)
+def q62_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (2h width, 1h slide): each event lands in two
+    overlapping windows."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            prnd(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "q63_sessionization",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             lag(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, event_id, sec,
+             sum(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY sec, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM o
+    )
+    SELECT user_id, session_no,
+           count(*) AS n_events,
+           max(sec) - min(sec) AS duration_sec
+    FROM s GROUP BY user_id, session_no
+    """,
+)
+def q63_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + cumulative
+    session counter — the batch formulation of streaming
+    session_window(ts, gap)."""
+    ev = table(spark, sf_dir, "events")
+    sec = F.floor(F.col("ts").cast("double")).cast("long")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select("user_id", "event_id", sec.alias("sec")).withColumn(
+        "prev_sec", F.lag("sec").over(W.partitionBy("user_id").orderBy("sec", "event_id"))
+    )
+    is_new = F.when(
+        F.col("prev_sec").isNull() | (F.col("sec") - F.col("prev_sec") > 1800), 1
+    ).otherwise(0)
+    s = o.withColumn(
+        "session_no",
+        F.sum(is_new).over(
+            W.partitionBy("user_id")
+            .orderBy("sec", "event_id")
+            .rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    return s.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        (F.max("sec") - F.min("sec")).alias("duration_sec"),
+    )
+
+
+@query(
+    "q64_ladder_explode",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, CAST(ts AS DATE) AS dt,
+             list_slice(list_sort(list(value), 'DESC'), 1, 5) AS ladder
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT event_type, dt,
+           u.r AS order_rank, u.v AS quote_value
+    FROM g, unnest(list_transform(range(1, len(ladder) + 1),
+                                  i -> {'r': i, 'v': ladder[i]})) AS x(u)
+    """,
+)
+def q64_ladder_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-book ladder explode with positional rank (reference:
+    streaming/order_book.py:88-123 posexplode + order_rank = pos+1):
+    top-5 values per (type, day), one row per rung."""
+    ev = table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type", F.to_date("ts").alias("dt")).agg(
+        F.slice(
+            F.sort_array(F.collect_list("value"), asc=False), 1, 5
+        ).alias("ladder")
+    )
+    return g.select(
+        "event_type",
+        "dt",
+        F.posexplode("ladder").alias("pos", "quote_value"),
+    ).select(
+        "event_type",
+        "dt",
+        (F.col("pos") + 1).alias("order_rank"),
+        "quote_value",
+    )

@@ -1,1 +1,151 @@
-"""(filled in later this round)"""
+"""Text-analysis queries over the documents table (language ID, quality
+scoring, token counting, fingerprinting) with bit-exact DuckDB oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.portable import o_rnd, prnd
+from ..operators.text import (
+    LANG_MARKERS,
+    LANG_PRIORITY,
+    fingerprint_md5,
+    lang_id,
+    lang_scores,
+    quality_metrics,
+    quality_score,
+    tokens,
+)
+from ..sources.readers import table
+from .registry import query
+
+_TOKS_SQL = "string_split(lower(text), ' ')"
+
+
+def _in_list(items: tuple[str, ...]) -> str:
+    return "(" + ", ".join(f"'{i}'" for i in items) + ")"
+
+
+@query(
+    "q40_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len({_TOKS_SQL}) AS n_tokens,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words,
+           {o_rnd("CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text)", 6)} AS alpha_ratio,
+           {o_rnd("CAST(length(text) - length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) / len(" + _TOKS_SQL + ")", 6)} AS avg_token_len
+    FROM documents
+    """,
+)
+def q40_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + character-class ratios (BASELINE north-star:
+    text analysis for training-data pipelines). Pure codegen'd
+    expressions — no UDF in the scan path."""
+    m = quality_metrics("text")
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        m["n_chars"].alias("n_chars"),
+        m["n_tokens"].alias("n_tokens"),
+        m["n_words"].alias("n_words"),
+        prnd(m["alpha_ratio"], 6).alias("alpha_ratio"),
+        prnd(m["avg_token_len"], 6).alias("avg_token_len"),
+    )
+
+
+def _lang_oracle() -> str:
+    score_cols = ",\n           ".join(
+        f"len(list_filter(toks, t -> t IN {_in_list(LANG_MARKERS[lang])})) AS s_{lang}"
+        for lang in LANG_PRIORITY
+    )
+    all_zero = " AND ".join(f"s_{lang} = 0" for lang in LANG_PRIORITY)
+    chain = [f"WHEN {all_zero} THEN 'und'"]
+    remaining = list(LANG_PRIORITY)
+    while remaining:
+        lang = remaining.pop(0)
+        if remaining:
+            cond = " AND ".join(f"s_{lang} >= s_{o}" for o in remaining)
+            chain.append(f"WHEN {cond} THEN '{lang}'")
+        else:
+            chain.append(f"ELSE '{lang}'")
+    case = "CASE " + " ".join(chain) + " END"
+    return f"""
+    WITH d AS (SELECT doc_id, lang AS lang_actual, {_TOKS_SQL} AS toks FROM documents),
+    s AS (SELECT doc_id, lang_actual,
+           {score_cols}
+          FROM d)
+    SELECT doc_id, lang_actual, s_en, s_de, s_es, s_fr, s_zh,
+           {case} AS lang_pred
+    FROM s
+    """
+
+
+@query("q41_lang_id", oracle=_lang_oracle())
+def q41_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID with deterministic priority argmax."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    s = lang_scores(toks)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        *[s[lang].alias(f"s_{lang}") for lang in LANG_PRIORITY],
+        lang_id(toks).alias("lang_pred"),
+    )
+
+
+def _quality_oracle() -> str:
+    toks = _TOKS_SQL
+    stop = f"len(list_filter({toks}, t -> t IN {_in_list(LANG_MARKERS['en'])}))"
+    n_chars = "length(text)"
+    n_tokens = f"len({toks})"
+    alpha = f"CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / {n_chars}"
+    atl = f"CAST({n_chars} - length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) / {n_tokens}"
+    stop_ratio = f"CAST({stop} AS DOUBLE) / {n_tokens}"
+    score = (
+        f"(CASE WHEN {n_tokens} BETWEEN 20 AND 2000 THEN 0.25 ELSE 0.0 END"
+        f" + CASE WHEN ({stop_ratio}) >= 0.01 THEN 0.25 ELSE 0.0 END"
+        f" + CASE WHEN ({alpha}) >= 0.6 THEN 0.25 ELSE 0.0 END"
+        f" + CASE WHEN ({atl}) BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END)"
+    )
+    return f"""
+    SELECT doc_id,
+           {o_rnd(stop_ratio, 6)} AS stopword_ratio,
+           {o_rnd(score, 2)} AS quality_score
+    FROM documents
+    """
+
+
+@query("q42_quality_score", oracle=_quality_oracle())
+def q42_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document-quality score (length band, stopword share,
+    alpha share, token-length sanity)."""
+    m = quality_metrics("text")
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        prnd(m["stopword_ratio"], 6).alias("stopword_ratio"),
+        prnd(quality_score(m), 2).alias("quality_score"),
+    )
+
+
+@query(
+    "q43_fingerprint_dedup",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    ),
+    canon AS (SELECT fingerprint, min(doc_id) AS canonical_id FROM fp GROUP BY fingerprint)
+    SELECT f.doc_id, f.fingerprint, c.canonical_id,
+           CAST(f.doc_id <> c.canonical_id AS INT) AS is_duplicate
+    FROM fp f JOIN canon c USING (fingerprint)
+    """,
+)
+def q43_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 content fingerprint -> hash groupBy -> canonical
+    min-id. One shuffle on a 128-bit key at any scale."""
+    from ..operators.dedup import exact_dedup
+
+    return exact_dedup(table(spark, sf_dir, "documents"))
