@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "headline_total", "value": <sec>, "unit": "sec",
+   "queries": {"q01_...": sec, ...}, "sf": 0.1}
+
+Each query executes to completion through the noop sink (full plan runs,
+nothing is collected to the driver), matching how a cluster job would
+materialize results.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_ROOT)
+
+from crypto_prediction_etl_spark.plans import registry  # noqa: E402
+from crypto_prediction_etl_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_filtered_revenue",
+    "q10_region_revenue",
+    "q11_top_unshipped_orders",
+    "q13_order_count_distribution",
+    "q25_daily_close_stats",
+    "q27_rolling_min_max_sum",
+    "q30_sma_bollinger",
+    "q31_obv",
+    "q35_aroon",
+    "q37_ema",
+    "q39_rsi_wilder",
+    "q44_ngram_jaccard_pairs",
+    "q45_minhash_lsh_pairs",
+    "q50_cosine_topk",
+    "q61_tumbling_window",
+    "q63_sessionization",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    registry.load_all()
+    spark = get_spark("bench")
+
+    # warm the JVM/codegen path so per-query numbers measure the plan,
+    # not first-call classloading
+    registry.QUERIES["q01_pricing_summary"](spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -56,10 +56,17 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def doc_shingles(
-    docs: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, shingle) — distinct shingles per document, exploded."""
-    return docs.select(
+    """(id, shingle) — distinct shingles per document, exploded.
+
+    The input is repartitioned to the session's parallelism first: doc
+    corpora often arrive as few large files, and the tokenize/shingle
+    derivation is CPU-bound — without the spread, one task does all the
+    work regardless of cluster size.
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(par).select(
         F.col(id_col),
         F.explode(F.array_distinct(word_shingles(tokens(text_col), n))).alias(
             "shingle"
@@ -74,6 +81,8 @@ def jaccard_pairs(
 
     Output: (id_a, id_b, n_inter, jaccard) with id_a < id_b.
     """
+    # consumed three times (sizes + both join sides): materialize once
+    shingled = shingled.persist()
     sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = shingled.select(F.col(id_col).alias("id_a"), "shingle")
     b = shingled.select(F.col(id_col).alias("id_b"), "shingle")
@@ -110,34 +119,58 @@ def minhash_signatures(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Banded-LSH candidate pairs: equal md5 over any band of the
-    signature. Output (id_a, id_b) distinct, id_a < id_b."""
+    signature. Output (id_a, id_b) distinct, id_a < id_b.
+
+    Single-pass plan: explode the 4 band keys per doc, one self-join on
+    (band, key) — not one join per band, which would re-evaluate the
+    signature lineage once per band per side.
+    """
     n = len(MINHASH_PERMS)
     rows_per_band = n // LSH_BANDS
-    pairs = None
+    keys = []
     for band in range(LSH_BANDS):
         cols = [f"mh{band * rows_per_band + j}" for j in range(rows_per_band)]
-        key = F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
-        bk = signatures.select(F.col(id_col), key.alias("bk"))
-        a = bk.select(F.col(id_col).alias("id_a"), "bk")
-        b = bk.select(F.col(id_col).alias("id_b"), "bk")
-        p = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+        keys.append(F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols])))
+    banded = signatures.select(
+        F.col(id_col), F.posexplode(F.array(*keys)).alias("band", "bk")
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bk")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bk")
+    return (
+        a.join(b, ["band", "bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
 
 def minhash_dedup_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
-    n: int = 2,
+    n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: shingle -> sign -> band-bucket join ->
     exact-Jaccard verify >= threshold. Output (id_a, id_b, jaccard)."""
-    shingled = doc_shingles(docs, n, id_col, text_col)
-    sigs = minhash_signatures(shingled, id_col)
+    # persist the two reused intermediates: shingles feed signatures AND
+    # verification; signatures feed both sides of the band self-join.
+    # On a cluster these would be materialized signature/posting tables.
+    shingled = doc_shingles(docs, n, id_col, text_col).persist()
+    sigs = minhash_signatures(shingled, id_col).persist()
     cands = lsh_candidate_pairs(sigs, id_col)
-    verified = jaccard_pairs(shingled, threshold, id_col)
+    # verify ONLY candidate docs: semi-join the shingle postings down to
+    # docs that appear in some candidate pair, then exact-Jaccard just
+    # those — the full n^2 pair join never runs (the LSH point)
+    cand_docs = (
+        cands.select(F.col("id_a").alias(id_col))
+        .unionByName(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    # the semi-join keeps every shingle of a kept doc, so per-doc sizes
+    # (and hence Jaccard) are identical to the full-corpus computation
+    sh_cand = shingled.join(F.broadcast(cand_docs), id_col, "left_semi")
+    verified = jaccard_pairs(sh_cand, threshold, id_col)
     return cands.join(verified, ["id_a", "id_b"]).select(
         "id_a", "id_b", "jaccard"
     )

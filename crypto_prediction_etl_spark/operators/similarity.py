@@ -59,19 +59,61 @@ def cosine_topk(
 
     Output: (query_id, vec_id, cos_sim, rank), rank 1..k, deterministic
     tie-break on the rounded similarity then corpus id.
+
+    Execution: the (small) query matrix is broadcast to every task as a
+    normalized numpy array; a ``mapInPandas`` kernel scores each corpus
+    Arrow batch against all queries with one BLAS matmul — the corpus
+    never shuffles and Python cost is one vectorized call per batch,
+    not per pair. Per-task partial top-k bounds kernel output to
+    k rows per query per batch before the final global ranking window.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    q_rows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in q_rows], dtype="int64")
+    qm = np.stack([np.asarray(r[1], dtype="float64") for r in q_rows])
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((qids, qm))
+
+    scale = float(10**round_to)
+
+    def kernel(batches):
+        ids, qmat = bc.value
+        for pdf in batches:
+            vm = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+            sims = vm @ qmat.T  # (batch, n_queries)
+            # round on the portable grid INSIDE the kernel (same IEEE ops
+            # as prnd/o_rnd) so the partial top-k uses the exact global
+            # ordering key (rounded sim desc, id asc) — provably a
+            # superset of the global top-k
+            sims = np.floor(sims * scale + 0.5001) / scale
+            vid = pdf[id_col].to_numpy()
+            full = pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, len(vid)),
+                    id_col: np.tile(vid, len(ids)),
+                    "cos_sim": sims.T.reshape(-1),
+                }
+            )
+            full = full[full["query_id"] != full[id_col]]
+            full = (
+                full.sort_values(
+                    ["query_id", "cos_sim", id_col], ascending=[True, False, True]
+                )
+                .groupby("query_id", sort=False)
+                .head(k)
+            )
+            yield full
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        kernel, schema=f"query_id long, {id_col} long, cos_sim double"
     )
-    joined = corpus.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
-    sim = prnd(cosine(F.col("_qv"), F.col(vec_col)), round_to)
-    w = W.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc(id_col)
-    )
-    return (
-        joined.select("query_id", id_col, sim.alias("cos_sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )
 
 

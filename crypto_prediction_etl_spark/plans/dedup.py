@@ -21,14 +21,14 @@ from .registry import query
 
 _TOKS = "string_split(lower(text), ' ')"
 
-# Shared CTE: distinct 2-gram word shingles per document.
+# Shared CTE: distinct 3-gram word shingles per document.
 _SHINGLES_CTE = f"""
     d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     sh AS (
       SELECT doc_id, unnest(list_distinct(
-               CASE WHEN len(toks) >= 2
-                    THEN list_transform(range(1, len(toks)),
-                                        i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+               CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks) - 1),
+                                        i -> array_to_string(list_slice(toks, i, i + 2), ' '))
                     ELSE CAST([] AS VARCHAR[]) END)) AS shingle
       FROM d
     ),
@@ -56,7 +56,7 @@ _SHINGLES_CTE = f"""
     """,
 )
 def q44_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 2-gram-shingle Jaccard near-dup pairs (>= 0.8).
+    """Exact 3-gram-shingle Jaccard near-dup pairs (>= 0.8).
 
     Shuffle pattern at scale: explode shingles -> equi-join on shingle
     (hash-partitioned) -> pair aggregation. Quadratic only within a

@@ -1,0 +1,124 @@
+"""Partitioned writers + idempotent-reload ELT primitives (SURVEY M2).
+
+The reference's load semantics are delete->verify->insert over
+partition-targeted windows, sequenced by Airflow across Trino/Hive
+(L3: D_Load_crypto_candles_day.py:128-138; L4 wrk-swap:
+D_Create_indicator_day.py:374-382). Spark-first, all of that collapses
+into dynamic partition overwrite: write only the partitions present in
+the reload frame, atomically replacing them — one writer, one engine,
+no staging twin.
+
+Partition layout follows the reference DDLs: year/month/day[/hour]
+smallint columns derived from the event timestamp
+(ddl/hive/crypto_raw/candles_day.ddl:24-26,
+trino/D_Load_crypto_candles_day_003.sql:44-46). At 100 TB this layout
+gives partition pruning on every date-bounded predicate, and the
+dynamic-overwrite reload touches only the reload window's directories.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_PARTITION_COLS = ("year", "month", "day")
+
+
+def add_partition_cols(
+    df: DataFrame, ts_col: str = "ts_create_utc", with_hour: bool = False
+) -> DataFrame:
+    """Derive year/month/day[/hour] partition columns from a timestamp."""
+    out = (
+        df.withColumn("year", F.year(ts_col))
+        .withColumn("month", F.month(ts_col))
+        .withColumn("day", F.dayofmonth(ts_col))
+    )
+    if with_hour:
+        out = out.withColumn("hour", F.hour(ts_col))
+    return out
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = DEFAULT_PARTITION_COLS,
+    mode: str = "append",
+) -> None:
+    """Partitioned parquet write (S4/S5 sink)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def reload_window(
+    new_df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = DEFAULT_PARTITION_COLS,
+) -> None:
+    """Idempotent window reload (L3 delete->insert in ONE writer).
+
+    With ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set by
+    the session factory), overwrite replaces exactly the partitions
+    present in ``new_df`` and leaves every other partition untouched —
+    the reference's delete-sweep + federated INSERT...SELECT
+    (D_Load_crypto_candles_day_001/_003.sql) as a single atomic-per-
+    partition operation. Re-running is a no-op-equivalent overwrite.
+    """
+    new_df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def delete_partitions(
+    spark: SparkSession, path: str, predicate: Column | str
+) -> int:
+    """Partition-targeted DELETE (S6; reference:
+    trino/D_Load_crypto_candles_day_001.sql:1-6 — partition cols only).
+
+    Implemented as directory removal through the Hadoop FS API (works on
+    HDFS/S3A/local identically): enumerate distinct partition tuples
+    matching the predicate, drop their directories. Metadata-only at any
+    scale — no data rewrite.
+    """
+    df = spark.read.parquet(path)
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    # distinct partition dirs containing matching rows
+    files = (
+        df.filter(pred)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    dirs = sorted({r.f.rsplit("/", 1)[0] for r in files})
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    n = 0
+    for d in dirs:
+        p = jvm.org.apache.hadoop.fs.Path(d)
+        fs = p.getFileSystem(conf)
+        if fs.exists(p):
+            fs.delete(p, True)
+            n += 1
+    return n
+
+
+def verify_deletion(spark: SparkSession, path: str, predicate: Column | str) -> int:
+    """Post-DELETE check: COUNT(*) of matching rows, expected 0 (A2;
+    reference: trino/D_Load_crypto_candles_day_002.sql:1-6)."""
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    return spark.read.parquet(path).filter(pred).count()
+
+
+def upsert_by_key(
+    existing: DataFrame,
+    updates: DataFrame,
+    pk_cols: list[str],
+    order_cols: list[str],
+) -> DataFrame:
+    """MERGE-emulation (S11 Cassandra upsert): union + keep newest row
+    per PK by ``order_cols`` desc. Shuffles once on the PK hash."""
+    from pyspark.sql import Window as W
+
+    unioned = existing.unionByName(updates, allowMissingColumns=True)
+    w = W.partitionBy(*pk_cols).orderBy(*[F.desc(c) for c in order_cols])
+    return (
+        unioned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1,0 +1,129 @@
+"""Stream transform pipelines (SURVEY §3.1): the three topic flows,
+as pure DataFrame->DataFrame functions.
+
+Structured Streaming's unified model means these run identically over
+``spark.read.json`` (tests, backfills) and ``spark.readStream`` (live):
+stateless enrich-only transforms — JSON decode, first-element
+extraction, string->float casts, epoch->timestamp derivations —
+exactly the reference's chain (candles.py:82-105, market_trade.py:78-99,
+order_book.py:76-123), minus the Cassandra sink.
+
+At scale: no shuffle anywhere in these pipelines — every operator is
+per-row, so throughput scales with source partitions (Kafka partitions
+-> tasks); ``maxOffsetsPerTrigger`` bounds micro-batch size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .schemas import CANDLES_SCHEMA, MARKET_TRADE_SCHEMA, ORDER_BOOK_SCHEMA
+
+
+def _first(field: str) -> Column:
+    """element_at(data.<field>, 1) — the producer wraps one record per
+    message (reference: candles.py:86-96)."""
+    return F.element_at(F.col(f"value.data.{field}"), 1)
+
+
+def _time_cols(epoch_col: Column) -> list[Column]:
+    """ts/dt derivations from an epoch-seconds column (reference:
+    candles.py:97-103)."""
+    return [
+        F.from_unixtime(epoch_col, "yyyy-MM-dd HH:mm:ss")
+        .cast("timestamp")
+        .alias("ts_create_utc"),
+        F.from_unixtime(epoch_col, "yyyy-MM-dd").cast("date").alias("dt_create_utc"),
+        F.current_timestamp().alias("ts_insert_utc"),
+    ]
+
+
+def parse_envelope(raw: DataFrame, schema) -> DataFrame:
+    """CAST(value AS STRING) -> from_json; malformed lines or empty
+    envelopes yield null `value`/`data` and are dropped (P1/P2)."""
+    return (
+        raw.selectExpr("CAST(value AS STRING) AS value_str")
+        .select(F.from_json("value_str", schema).alias("value"))
+        .filter(F.col("value").isNotNull() & (F.size("value.data") >= 1))
+    )
+
+
+def candles_pipeline(raw: DataFrame) -> DataFrame:
+    """crypto.candles_minute topic -> typed candle rows
+    (reference: streaming/candles.py:82-105)."""
+    parsed = parse_envelope(raw, CANDLES_SCHEMA)
+    f = _first
+    return parsed.select(
+        f("id").alias("id"),
+        f("low").cast("float").alias("low"),
+        f("high").cast("float").alias("high"),
+        f("open").cast("float").alias("open"),
+        f("close").cast("float").alias("close"),
+        f("amount").cast("float").alias("amount"),
+        f("quantity").cast("float").alias("quantity"),
+        f("tradeCount").cast("int").alias("tradeCount"),
+        f("ts_send").cast("bigint").alias("ts_send"),
+        f("startTime").cast("bigint").alias("startTime"),
+        f("closeTime").cast("bigint").alias("closeTime"),
+        *_time_cols(f("closeTime").cast("bigint")),
+    )
+
+
+CANDLES_PK = ["id", "dt_create_utc", "startTime", "closeTime"]
+
+
+def market_trade_pipeline(raw: DataFrame) -> DataFrame:
+    """crypto.market_trade topic -> typed trade rows
+    (reference: streaming/market_trade.py:78-99)."""
+    parsed = parse_envelope(raw, MARKET_TRADE_SCHEMA)
+    f = _first
+    return parsed.select(
+        f("id").alias("id"),
+        f("trade_id").cast("bigint").alias("trade_id"),
+        f("takerSide").alias("takerSide"),
+        f("amount").cast("float").alias("amount"),
+        f("quantity").cast("float").alias("quantity"),
+        f("price").cast("float").alias("price"),
+        f("createTime").cast("bigint").alias("createTime"),
+        f("ts_send").cast("bigint").alias("ts_send"),
+        *_time_cols(f("createTime").cast("bigint")),
+    )
+
+
+MARKET_TRADE_PK = ["id", "dt_create_utc", "trade_id"]
+
+
+def order_book_pipeline(raw: DataFrame) -> DataFrame:
+    """crypto.order_book topic -> flattened ladder: fork asks/bids,
+    posexplode each 20-level ladder, stamp order_rank = pos+1 and
+    order_type, union the legs (reference: streaming/order_book.py:76-123).
+    """
+    parsed = parse_envelope(raw, ORDER_BOOK_SCHEMA)
+    f = _first
+
+    def leg(side: str) -> DataFrame:
+        ladder = F.element_at(F.col(f"value.data.{side}"), 1)
+        base = parsed.select(
+            f("id").alias("id"),
+            f("seqid").cast("bigint").alias("seqid"),
+            f("createTime").cast("bigint").alias("createTime"),
+            f("ts_send").cast("bigint").alias("ts_send"),
+            F.posexplode_outer(ladder).alias("pos", "entry"),
+        )
+        return base.select(
+            "id",
+            "seqid",
+            F.lit("ask" if side == "asks" else "bid").alias("order_type"),
+            F.element_at("entry", 1).cast("float").alias("quote_price"),
+            F.element_at("entry", 2).cast("float").alias("base_amount"),
+            (F.col("pos") + 1).alias("order_rank"),
+            "createTime",
+            "ts_send",
+            *_time_cols(F.col("createTime")),
+        )
+
+    return leg("asks").unionByName(leg("bids"))
+
+
+ORDER_BOOK_PK = ["id", "dt_create_utc", "seqid", "order_type", "order_rank"]

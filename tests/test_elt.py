@@ -1,0 +1,113 @@
+"""ELT primitives: partitioned write, dynamic-overwrite window reload
+(idempotent delete->insert), partition-targeted delete + verify,
+PK upsert, quality checks."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from crypto_prediction_etl_spark.quality.checks import (
+    check_deletion,
+    check_freshness,
+    check_not_null,
+    check_offset_lag,
+    check_row_count_parity,
+    check_unique,
+)
+from crypto_prediction_etl_spark.sources.writers import (
+    add_partition_cols,
+    delete_partitions,
+    reload_window,
+    upsert_by_key,
+    verify_deletion,
+    write_partitioned,
+)
+
+SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "elt_tests"
+)
+
+
+@pytest.fixture()
+def workdir():
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    os.makedirs(SCRATCH)
+    yield SCRATCH
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
+def _frame(spark, days, symbol="BTC_USDT", price=100.0):
+    rows = [
+        (symbol, f"2024-01-{d:02d} 12:00:00", price + d) for d in days
+    ]
+    df = spark.createDataFrame(rows, "id string, ts string, close double")
+    return add_partition_cols(df.withColumn("ts_create_utc", F.to_timestamp("ts")))
+
+
+def test_partitioned_write_layout_and_pruning(spark, workdir):
+    path = os.path.join(workdir, "t1")
+    write_partitioned(_frame(spark, [1, 2, 3]), path)
+    assert os.path.isdir(os.path.join(path, "year=2024", "month=1", "day=2"))
+    got = spark.read.parquet(path).filter("day = 2")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert got.count() == 1
+    # partition filter must prune at scan, not post-filter
+    assert "PartitionFilters: [" in plan and "day" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_reload_window_is_idempotent_delete_insert(spark, workdir):
+    path = os.path.join(workdir, "t2")
+    write_partitioned(_frame(spark, [1, 2, 3, 4, 5]), path)
+    # reload days 4-5 with corrected values; days 1-3 must be untouched
+    corrected = _frame(spark, [4, 5], price=500.0)
+    reload_window(corrected, path)
+    reload_window(corrected, path)  # idempotent re-run
+    out = spark.read.parquet(path)
+    assert out.count() == 5
+    assert out.filter("day = 4").select("close").first().close == pytest.approx(504.0)
+    assert out.filter("day = 1").select("close").first().close == pytest.approx(101.0)
+
+
+def test_delete_partitions_and_verify(spark, workdir):
+    path = os.path.join(workdir, "t3")
+    write_partitioned(_frame(spark, [1, 2, 3]), path)
+    n = delete_partitions(spark, path, "day >= 2")
+    assert n == 2
+    assert verify_deletion(spark, path, "day >= 2") == 0
+    assert spark.read.parquet(path).count() == 1
+    res = check_deletion(spark.read.parquet(path), F.col("day") >= 2)
+    assert res.passed
+
+
+def test_upsert_by_key(spark, workdir):
+    existing = spark.createDataFrame(
+        [("BTC", 1, 100.0, 10), ("BTC", 2, 200.0, 10)],
+        "id string, k int, v double, ver int",
+    )
+    updates = spark.createDataFrame(
+        [("BTC", 2, 222.0, 11), ("BTC", 3, 300.0, 11)],
+        "id string, k int, v double, ver int",
+    )
+    out = upsert_by_key(existing, updates, ["id", "k"], ["ver"])
+    got = {(r.id, r.k): r.v for r in out.collect()}
+    assert got == {("BTC", 1): 100.0, ("BTC", 2): 222.0, ("BTC", 3): 300.0}
+
+
+def test_quality_checks(spark):
+    df = spark.createDataFrame(
+        [("BTC_USDT", "2024-01-02", 1.0), ("BTC_USDT", "2024-01-03", 2.0), ("ETH", "2024-01-03", None)],
+        "id string, dt string, v double",
+    )
+    assert check_unique(df, ["id", "dt"]).passed
+    assert not check_unique(df.unionByName(df), ["id", "dt"]).passed
+    assert check_freshness(df, "dt", F.col("id") == "BTC_USDT", "2024-01-03").passed
+    assert not check_freshness(df, "dt", F.col("id") == "BTC_USDT", "2024-01-04").passed
+    assert check_row_count_parity(df, df).passed
+    assert not check_not_null(df, ["v"]).passed
+    assert check_offset_lag({"sources": [{"startOffset": "5", "endOffset": "900"}]}).passed
+    assert not check_offset_lag({"sources": [{"startOffset": "0", "endOffset": "5000"}]}).passed

@@ -1,0 +1,229 @@
+"""Structured-Streaming end-to-end: JSON-lines file source (Kafka
+stand-in) -> topic pipelines -> foreachBatch append sink + checkpoint ->
+merge-on-read upsert. Covers FIXTURES.md §6: duplicate keys, out-of-order
+ts_send, malformed JSON."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from crypto_prediction_etl_spark.streaming.pipelines import (
+    CANDLES_PK,
+    ORDER_BOOK_PK,
+    candles_pipeline,
+    market_trade_pipeline,
+    order_book_pipeline,
+)
+from crypto_prediction_etl_spark.streaming.sinks import (
+    progress_summary,
+    read_hot_table,
+    start_file_stream_pipeline,
+)
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "stream_tests")
+
+
+def _candle_msg(id_, start, close_time, close="100.5"):
+    return json.dumps(
+        {
+            "data": [
+                {
+                    "id": id_,
+                    "low": "99.0",
+                    "high": "101.0",
+                    "open": "99.5",
+                    "close": close,
+                    "amount": "1000.0",
+                    "quantity": "10.0",
+                    "tradeCount": "42",
+                    "ts_send": str(close_time + 1),
+                    "startTime": str(start),
+                    "closeTime": str(close_time),
+                }
+            ]
+        }
+    )
+
+
+def _trade_msg(id_, trade_id, ts):
+    return json.dumps(
+        {
+            "data": [
+                {
+                    "id": id_,
+                    "trade_id": str(trade_id),
+                    "takerSide": "buy" if trade_id % 2 else "sell",
+                    "amount": "50.0",
+                    "quantity": "0.5",
+                    "price": "100.0",
+                    "createTime": str(ts),
+                    "ts_send": str(ts + 2),
+                }
+            ]
+        }
+    )
+
+
+def _book_msg(id_, seqid, ts, levels=3):
+    asks = [[str(100.0 + i), str(1.0 + i)] for i in range(levels)]
+    bids = [[str(99.0 - i), str(2.0 + i)] for i in range(levels)]
+    return json.dumps(
+        {
+            "data": [
+                {
+                    "id": id_,
+                    "seqid": str(seqid),
+                    "asks": asks,
+                    "bids": bids,
+                    "createTime": str(ts),
+                    "ts_send": str(ts + 1),
+                }
+            ]
+        }
+    )
+
+
+@pytest.fixture()
+def workdir():
+    path = SCRATCH
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    yield path
+    shutil.rmtree(path, ignore_errors=True)
+
+
+BASE_TS = 1700000000  # 2023-11-14 UTC
+
+
+def _run_stream(spark, workdir, name, lines, pipeline):
+    src = os.path.join(workdir, f"{name}_src")
+    out = os.path.join(workdir, f"{name}_out")
+    ckpt = os.path.join(workdir, f"{name}_ckpt")
+    os.makedirs(src)
+    with open(os.path.join(src, "batch0.jsonl"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    q = start_file_stream_pipeline(spark, src, pipeline, out, ckpt)
+    q.processAllAvailable()
+    return q, src, out, ckpt
+
+
+def test_candles_stream_end_to_end(spark, workdir):
+    lines = [
+        _candle_msg("BTC_USDT", BASE_TS, BASE_TS + 59),
+        _candle_msg("ETH_USDT", BASE_TS, BASE_TS + 59),
+        _candle_msg("BTC_USDT", BASE_TS, BASE_TS + 59, close="101.0"),  # dup PK resend
+        "{not valid json",  # malformed -> dropped
+        json.dumps({"data": []}),  # empty envelope -> dropped
+    ]
+    q, src, out, ckpt = _run_stream(spark, workdir, "candles", lines, candles_pipeline)
+    prog = progress_summary(q)
+    q.stop()
+
+    appended = spark.read.parquet(out)
+    assert appended.count() == 3  # both BTC rows appended, junk dropped
+    assert dict(appended.dtypes)["close"] == "float"
+    assert dict(appended.dtypes)["dt_create_utc"] == "date"
+
+    hot = read_hot_table(spark, out, CANDLES_PK, ["ts_insert_utc", "_epoch"])
+    assert hot.count() == 2  # upsert semantics: one row per PK
+    assert prog["numInputRows"] == 5
+
+
+def test_candles_checkpoint_replay_no_duplicates(spark, workdir):
+    lines = [_candle_msg("BTC_USDT", BASE_TS, BASE_TS + 59)]
+    q, src, out, ckpt = _run_stream(spark, workdir, "replay", lines, candles_pipeline)
+    q.stop()
+    # restart on same checkpoint, no new files -> no new rows
+    q2 = start_file_stream_pipeline(spark, src, candles_pipeline, out, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    assert spark.read.parquet(out).count() == 1
+    # new file after restart IS picked up
+    with open(os.path.join(src, "batch1.jsonl"), "w") as f:
+        f.write(_candle_msg("BTC_USDT", BASE_TS + 60, BASE_TS + 119) + "\n")
+    q3 = start_file_stream_pipeline(spark, src, candles_pipeline, out, ckpt)
+    q3.processAllAvailable()
+    q3.stop()
+    assert spark.read.parquet(out).count() == 2
+
+
+def test_market_trade_stream(spark, workdir):
+    lines = [_trade_msg("BTC_USDT", i, BASE_TS + i) for i in range(5)]
+    lines.append(_trade_msg("BTC_USDT", 2, BASE_TS + 2))  # dup trade_id
+    q, _, out, _ = _run_stream(spark, workdir, "trades", lines, market_trade_pipeline)
+    q.stop()
+    hot = read_hot_table(
+        spark, out, ["id", "dt_create_utc", "trade_id"], ["ts_insert_utc", "_epoch"]
+    )
+    assert hot.count() == 5
+    sides = {r.takerSide for r in hot.collect()}
+    assert sides == {"buy", "sell"}
+
+
+def test_order_book_fork_explode_union(spark, workdir):
+    lines = [
+        _book_msg("BTC_USDT", 1, BASE_TS),
+        _book_msg("BTC_USDT", 1, BASE_TS),  # duplicate snapshot (retry)
+        _book_msg("ETH_USDT", 7, BASE_TS + 5, levels=2),
+    ]
+    q, _, out, _ = _run_stream(spark, workdir, "book", lines, order_book_pipeline)
+    q.stop()
+    appended = spark.read.parquet(out)
+    # 3 msgs: 2x(3 asks + 3 bids) + 1x(2+2) = 16 rows appended
+    assert appended.count() == 16
+    hot = read_hot_table(spark, out, ORDER_BOOK_PK, ["ts_insert_utc", "_epoch"])
+    assert hot.count() == 10  # dup snapshot collapsed
+    btc_asks = (
+        hot.filter((F.col("id") == "BTC_USDT") & (F.col("order_type") == "ask"))
+        .orderBy("order_rank")
+        .collect()
+    )
+    assert [r.order_rank for r in btc_asks] == [1, 2, 3]
+    assert btc_asks[0].quote_price == pytest.approx(100.0)
+    assert btc_asks[2].quote_price == pytest.approx(102.0)
+
+
+def test_watermarked_window_aggregation(spark, workdir):
+    """Event-time windowed aggregation with watermark over a file stream
+    (engine extension beyond reference scope, SURVEY §2.9)."""
+    import pandas as pd
+
+    src = os.path.join(workdir, "events_src")
+    os.makedirs(src)
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:01:00", "2024-01-01 00:02:00", "2024-01-01 01:01:00"]
+            ),
+            "v": [1.0, 2.0, 10.0],
+        }
+    )
+    pdf.to_parquet(
+        os.path.join(src, "p0.parquet"),
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    schema = "ts timestamp, v double"
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.sum("v").alias("total"))
+    )
+    qname = "wmagg"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    q.processAllAvailable()
+    rows = {r["window"].start.hour: r.total for r in spark.sql(f"SELECT * FROM {qname}").collect()}
+    q.stop()
+    assert rows == {0: 3.0, 1: 10.0}
