@@ -550,3 +550,77 @@ def q22_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("p_brand", "Brand#", "B").alias("brand_short"),
         F.when(F.col("p_type").startswith("PROM"), 1).otherwise(0).alias("is_promo"),
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (custom temporal operator, SURVEY §7.2 path (a))
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q19_asof_join",
+    oracle="""
+    WITH c AS (
+      SELECT event_type AS id, CAST(ts AS DATE) AS dt,
+             avg(value) AS close
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    l AS (
+      SELECT event_id, event_type, CAST(ts AS DATE) AS edt
+      FROM events WHERE event_id % 13 = 0
+    )
+    SELECT l.event_id, l.event_type, l.edt,
+           floor((c.close) * 10000.0 + 0.5001) / 10000.0 AS right_close,
+           c.dt AS right_cdt
+    FROM l ASOF LEFT JOIN c ON l.event_type = c.id AND l.edt >= c.dt
+    """,
+)
+def q19_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — point-in-time enrichment Spark lacks natively
+    (events -> latest daily candle at or before the event's day).
+
+    Spark-first composition (operators/asof.py): tagged union + one
+    per-key window with last(ignorenulls) carry-forward — single
+    shuffle, O(n log n), no range explosion, no per-group pandas. The
+    DuckDB oracle uses its native ASOF LEFT JOIN (inclusive semantics
+    on both sides).
+    """
+    from ..functions.portable import prnd as _prnd
+    from ..operators.asof import asof_join
+    from ..operators.timeseries import events_candles
+
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 13 == 0)
+    left = ev.select(
+        "event_id",
+        F.col("event_type").alias("id"),
+        F.to_date("ts").alias("edt"),
+    )
+    right = events_candles(spark, sf_dir).select(
+        "id",
+        F.col("dt").alias("edt"),
+        "close",
+        F.col("dt").alias("cdt"),
+    )
+    out = asof_join(left, right, on="edt", by="id", value_cols=["close", "cdt"])
+    return out.select(
+        "event_id",
+        F.col("id").alias("event_type"),
+        "edt",
+        _prnd(F.col("right_close"), 4).alias("right_close"),
+        F.col("right_cdt"),
+    )
+
+
+@query("q23_approx_aggregates")  # rows-only: sketch results are engine-specific
+def q23_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct (HyperLogLog++) + approximate quantiles —
+    engine extensions for 100 TB interactive profiling (exactness
+    bounds asserted in tests/test_plans.py; no cross-engine oracle
+    because sketch outputs are implementation-specific by design)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("median_price"),
+        F.percentile_approx("l_extendedprice", 0.95, 1000).alias("p95_price"),
+    )

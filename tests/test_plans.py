@@ -1,0 +1,103 @@
+"""Plan-quality guards: the physical plans the engine is supposed to
+produce at scale (pushdown, broadcast, partial agg, single window sort,
+no Python in JVM-only paths) — regressions here are perf bugs even when
+results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from crypto_prediction_etl_spark.plans import registry
+
+registry.load_all()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = registry.QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q02_filtered_revenue")
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q02_filtered_revenue")
+    schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    # only the 4 needed columns of 11 are read
+    assert "l_extendedprice" in schema and "l_returnflag" not in schema
+    assert "l_partkey" not in schema
+
+
+def test_dim_joins_are_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q10_region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 4
+    # the one big-big join (lineitem x orders) may shuffle; dims must not
+    assert "CartesianProduct" not in plan
+
+
+def test_aggregate_is_partial_then_final(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q01_pricing_summary")
+    # map-side combine: HashAggregate appears before AND after exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_windows_share_one_sort_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q30_sma_bollinger")
+    # all SMA/Bollinger frames over the same (id, dt) ordering: one
+    # shuffle for the window stage (plus the candle groupBy exchange)
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_no_python_udf_in_jvm_paths(spark, sf_dir):
+    for name in (
+        "q01_pricing_summary",
+        "q25_daily_close_stats",
+        "q30_sma_bollinger",
+        "q40_token_stats",
+        "q44_ngram_jaccard_pairs",
+        "q46_simhash",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_recursive_kernel_is_arrow_grouped_map(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q37_ema")
+    assert "FlatMapGroupsInPandas" in plan  # Arrow grouped-map, not RDD
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    df = registry.QUERIES["q01_pricing_summary"](spark, sf_dir)
+    df.collect()  # AQE finalizes the plan only after execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # codegen'd operators carry the `*(stageId)` marker in plan text
+    assert "*(1) " in plan and "*(2) " in plan
+
+
+def test_approx_aggregates_error_bounds(spark, sf_dir):
+    rows = registry.QUERIES["q23_approx_aggregates"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        rel_err = abs(r.approx_parts - r.exact_parts) / max(r.exact_parts, 1)
+        assert rel_err < 0.05, r
+        assert r.median_price <= r.p95_price
+
+
+def test_asof_join_semantics(spark):
+    from crypto_prediction_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c")], "k int, t int, x string"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 99, 990.0)], "k int, t int, p double"
+    )
+    out = {
+        (r.k, r.t): r.right_p
+        for r in asof_join(left, right, on="t", by="k").collect()
+    }
+    # inclusive at equal t; no future rows; unmatched -> null
+    assert out == {(1, 10): 100.0, (1, 20): 150.0, (2, 5): None}
