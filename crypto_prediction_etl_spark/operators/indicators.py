@@ -197,43 +197,43 @@ def with_window_indicators(candles: DataFrame, round_to: int = 2) -> DataFrame:
 
 def _ema_sma_seed(x: pd.Series, n: int) -> pd.Series:
     """EMA with SMA seed at row n (stock_indicators convention)."""
-    out = pd.Series(float("nan"), index=x.index, dtype="float64")
-    if len(x) < n:
-        return out
-    alpha = 2.0 / (n + 1.0)
-    seed = x.iloc[:n].mean()
-    out.iloc[n - 1] = seed
-    prev = seed
-    vals = x.to_numpy()
-    for i in range(n, len(x)):
-        prev = alpha * vals[i] + (1.0 - alpha) * prev
-        out.iloc[i] = prev
-    return out
+    import numpy as np
+
+    vals = x.to_numpy(dtype="float64")
+    out = np.full(len(vals), np.nan)
+    if len(vals) >= n:
+        alpha = 2.0 / (n + 1.0)
+        prev = vals[:n].mean()
+        out[n - 1] = prev
+        for i in range(n, len(vals)):
+            prev = alpha * vals[i] + (1.0 - alpha) * prev
+            out[i] = prev
+    return pd.Series(out, index=x.index, dtype="float64")
 
 
 def _wilder_rsi(close: pd.Series, n: int = 14) -> pd.Series:
-    out = pd.Series(float("nan"), index=close.index, dtype="float64")
-    if len(close) <= n:
-        return out
-    delta = close.diff()
-    gain = delta.clip(lower=0.0)
-    loss = (-delta).clip(lower=0.0)
-    avg_gain = gain.iloc[1 : n + 1].mean()
-    avg_loss = loss.iloc[1 : n + 1].mean()
+    import numpy as np
 
-    def rsi_of(g: float, l: float) -> float:
-        if l == 0.0:
-            return 100.0
-        rs = g / l
-        return 100.0 - 100.0 / (1.0 + rs)
+    vals = close.to_numpy(dtype="float64")
+    out = np.full(len(vals), np.nan)
+    if len(vals) > n:
+        delta = np.diff(vals)
+        gv = np.clip(delta, 0.0, None)
+        lv = np.clip(-delta, 0.0, None)
+        avg_gain = gv[:n].mean()
+        avg_loss = lv[:n].mean()
 
-    out.iloc[n] = rsi_of(avg_gain, avg_loss)
-    gv, lv = gain.to_numpy(), loss.to_numpy()
-    for i in range(n + 1, len(close)):
-        avg_gain = (avg_gain * (n - 1) + gv[i]) / n
-        avg_loss = (avg_loss * (n - 1) + lv[i]) / n
-        out.iloc[i] = rsi_of(avg_gain, avg_loss)
-    return out
+        def rsi_of(g: float, l: float) -> float:
+            if l == 0.0:
+                return 100.0
+            return 100.0 - 100.0 / (1.0 + g / l)
+
+        out[n] = rsi_of(avg_gain, avg_loss)
+        for i in range(n + 1, len(vals)):
+            avg_gain = (avg_gain * (n - 1) + gv[i - 1]) / n
+            avg_loss = (avg_loss * (n - 1) + lv[i - 1]) / n
+            out[i] = rsi_of(avg_gain, avg_loss)
+    return pd.Series(out, index=close.index, dtype="float64")
 
 
 RECURSIVE_COLS = [

@@ -522,3 +522,157 @@ def q39_rsi_wilder(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference: calculate_market_indicators.py:43)."""
     rec = with_recursive_indicators(candles(spark, sf_dir))
     return rec.select("id", "dt", prnd("rsi_14", 3).alias("rsi_14"))
+
+
+# ---------------------------------------------------------------------------
+# Combined indicator mart — the reference's flagship batch output
+# (one query touching rescale + window family + recursive family + join)
+# ---------------------------------------------------------------------------
+
+
+def _mart_oracle() -> str:
+    f20 = f"OVER ({_WIN} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)"
+    f30 = f"OVER ({_WIN} ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)"
+    f14 = f"OVER ({_WIN} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)"
+    f9 = f"OVER ({_WIN} ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)"
+    f26 = f"OVER ({_WIN} ROWS BETWEEN 25 PRECEDING AND CURRENT ROW)"
+    f3 = f"OVER ({_WIN} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+    sma30 = f"CASE WHEN count(close) {f30} >= 30 THEN avg(close) {f30} END"
+    bbmid = f"CASE WHEN count(close) {f20} >= 20 THEN avg(close) {f20} END"
+    bbsd = f"CASE WHEN count(close) {f20} >= 20 THEN stddev_pop(close) {f20} END"
+    rawk = (
+        f"CASE WHEN count(close) {f14} >= 14 THEN "
+        f"CASE WHEN max(high) {f14} <> min(low) {f14} "
+        f"THEN (close - min(low) {f14}) / (max(high) {f14} - min(low) {f14}) * 100.0 "
+        f"ELSE 50.0 END END"
+    )
+    mid9 = f"CASE WHEN count(close) {f9} >= 9 THEN (max(high) {f9} + min(low) {f9}) / 2.0 END"
+    mid26 = f"CASE WHEN count(close) {f26} >= 26 THEN (max(high) {f26} + min(low) {f26}) / 2.0 END"
+    lst_hi = f"list(high) {f26}"
+    since_max = f"list_indexof(list_reverse({lst_hi}), list_aggregate({lst_hi}, 'max')) - 1"
+    aroon_up = (
+        f"CASE WHEN count(close) {f26} >= 26 "
+        f"THEN (25.0 - ({since_max})) / 25.0 * 100.0 END"
+    )
+    alpha9 = 2.0 / 10.0
+    k9 = _cutoff(alpha9)
+    n = 14
+    alpha14 = 1.0 / n
+    k14 = _cutoff(alpha14)
+    return f"""
+    WITH candles0 AS ({CANDLES_SQL}),
+    candles AS (
+      SELECT id, dt,
+             high * m AS high, low * m AS low, close * m AS close,
+             volume_cents, m AS n_multiple
+      FROM (SELECT *, CASE WHEN id IN ('5-LOW') THEN 1000.0 ELSE 1.0 END AS m
+            FROM candles0)
+    ),
+    c AS (SELECT id, dt, close, row_number() OVER ({_WIN}) AS rn FROM candles),
+    {_ema_cte(30)},
+    {_ema_cte(12)},
+    {_ema_cte(26)},
+    mm AS (
+      SELECT e12.id, e12.rn, e12.rn - 25 AS mrn, e12.ema - e26.ema AS macd
+      FROM ema_12 e12 JOIN ema_26 e26 ON e12.id = e26.id AND e12.rn = e26.rn
+    ),
+    sseed AS (SELECT id, avg(macd) AS seed FROM mm WHERE mrn <= 9 GROUP BY id),
+    sig AS (
+      SELECT a.id, a.rn,
+             s.seed * power({1.0 - alpha9!r}, a.mrn - 9)
+             + coalesce(sum({alpha9!r} * power({1.0 - alpha9!r}, a.mrn - b.mrn) * b.macd), 0.0)
+               AS signal
+      FROM mm a
+      JOIN sseed s ON s.id = a.id
+      LEFT JOIN mm b
+        ON b.id = a.id AND b.mrn > 9 AND b.mrn <= a.mrn AND b.mrn >= a.mrn - {k9}
+      WHERE a.mrn >= 9
+      GROUP BY a.id, a.rn, s.seed, a.mrn
+    ),
+    dd AS (
+      SELECT id, rn,
+             greatest(close - lag(close) OVER (PARTITION BY id ORDER BY rn), 0.0) AS gain,
+             greatest(lag(close) OVER (PARTITION BY id ORDER BY rn) - close, 0.0) AS loss
+      FROM c
+    ),
+    rseed AS (
+      SELECT id, avg(gain) AS sg, avg(loss) AS sl
+      FROM dd WHERE rn BETWEEN 2 AND {n + 1} GROUP BY id
+    ),
+    rsm AS (
+      SELECT a.id, a.rn,
+             s.sg * power({1.0 - alpha14!r}, a.rn - {n + 1})
+             + coalesce(sum({alpha14!r} * power({1.0 - alpha14!r}, a.rn - b.rn) * b.gain), 0.0) AS ag,
+             s.sl * power({1.0 - alpha14!r}, a.rn - {n + 1})
+             + coalesce(sum({alpha14!r} * power({1.0 - alpha14!r}, a.rn - b.rn) * b.loss), 0.0) AS al
+      FROM dd a
+      JOIN rseed s ON s.id = a.id
+      LEFT JOIN dd b
+        ON b.id = a.id AND b.rn > {n + 1} AND b.rn <= a.rn AND b.rn >= a.rn - {k14}
+      WHERE a.rn >= {n + 1}
+      GROUP BY a.id, a.rn, s.sg, s.sl
+    ),
+    w1 AS (
+      SELECT id, dt, n_multiple, close,
+             row_number() OVER ({_WIN}) AS rn,
+             {sma30} AS sma_30,
+             {bbmid} AS bb_sma,
+             {bbsd} AS bb_sd,
+             {rawk} AS raw_k,
+             {mid9} AS tenkan,
+             {mid26} AS kijun,
+             {aroon_up} AS aroon_up
+      FROM candles
+    ),
+    w2 AS (
+      SELECT id, dt, n_multiple, close, rn, sma_30, aroon_up,
+             bb_sma + 2.0 * bb_sd AS bb_upper,
+             CASE WHEN count(raw_k) {f3} >= 3 THEN avg(raw_k) {f3} END AS stoch_k,
+             lag((tenkan + kijun) / 2.0, 26) OVER ({_WIN}) AS senkou_span_a
+      FROM w1
+    )
+    SELECT w2.id, w2.dt, w2.n_multiple,
+           {o_rnd('w2.close', 2)} AS close_scaled,
+           {o_rnd('w2.sma_30', 2)} AS sma_30,
+           {o_rnd('w2.bb_upper', 2)} AS bb_upper,
+           {o_rnd('w2.stoch_k', 3)} AS stoch_k,
+           {o_rnd('w2.senkou_span_a', 2)} AS senkou_span_a,
+           {o_rnd('w2.aroon_up', 3)} AS aroon_up,
+           {o_rnd('e30.ema', 2)} AS ema_30,
+           {o_rnd('sig.signal', 2)} AS macd_signal,
+           {o_rnd('CASE WHEN rsm.al = 0.0 THEN 100.0 ELSE 100.0 - 100.0 / (1.0 + rsm.ag / rsm.al) END', 3)} AS rsi_14
+    FROM w2
+    LEFT JOIN ema_30 e30 ON e30.id = w2.id AND e30.rn = w2.rn
+    LEFT JOIN sig ON sig.id = w2.id AND sig.rn = w2.rn
+    LEFT JOIN rsm ON rsm.id = w2.id AND rsm.rn = w2.rn
+    """
+
+
+@query("q32_indicator_mart", oracle=_mart_oracle())
+def q32_indicator_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship batch output: the full indicator mart in
+    one plan — N_multiple rescale (W13) -> window family -> recursive
+    family -> single frame (the reference needed a per-symbol driver
+    loop + full-outer join + unionAll accumulation + a wrk staging
+    table for this; here it is one Catalyst plan with one id-shuffle).
+
+    reference: D_Create_crypto_ind_day_001.py:52-246 end to end.
+    """
+    from ..operators.indicators import indicator_frame, n_multiple_rescale
+
+    scaled = n_multiple_rescale(_with_volume(spark, sf_dir), ["5-LOW"])
+    ind = indicator_frame(scaled)
+    return ind.select(
+        "id",
+        "dt",
+        "n_multiple",
+        prnd("close", 2).alias("close_scaled"),
+        prnd("sma_30", 2).alias("sma_30"),
+        prnd("bb_upper", 2).alias("bb_upper"),
+        prnd("stoch_k", 3).alias("stoch_k"),
+        prnd("senkou_span_a", 2).alias("senkou_span_a"),
+        prnd("aroon_up", 3).alias("aroon_up"),
+        prnd("ema_30", 2).alias("ema_30"),
+        prnd("macd_signal", 2).alias("macd_signal"),
+        prnd("rsi_14", 3).alias("rsi_14"),
+    )

@@ -91,3 +91,19 @@ def progress_summary(query) -> dict:
             for s in p.get("sources", [])
         ],
     }
+
+
+def compact_hot_table(
+    spark: SparkSession,
+    path: str,
+    pk_cols: list[str],
+    order_cols: list[str],
+    compacted_path: str,
+) -> int:
+    """Rewrite the append log as its merge-on-read view (one row per
+    PK) — the maintenance job that bounds read amplification; on a
+    cluster this runs on a schedule exactly like Cassandra compaction.
+    Returns the compacted row count."""
+    hot = read_hot_table(spark, path, pk_cols, order_cols)
+    hot.write.mode("overwrite").parquet(compacted_path)
+    return spark.read.parquet(compacted_path).count()

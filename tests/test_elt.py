@@ -111,3 +111,52 @@ def test_quality_checks(spark):
     assert not check_not_null(df, ["v"]).passed
     assert check_offset_lag({"sources": [{"startOffset": "5", "endOffset": "900"}]}).passed
     assert not check_offset_lag({"sources": [{"startOffset": "0", "endOffset": "5000"}]}).passed
+
+
+def test_salted_aggregation_matches_plain(spark, sf_dir):
+    from crypto_prediction_etl_spark.operators.skew import salted_join, salted_sum_count
+    from crypto_prediction_etl_spark.sources.readers import table
+
+    li = table(spark, sf_dir, "lineitem")
+    got = {
+        r.l_returnflag: (r.sum_l_quantity, r.n_rows)
+        for r in salted_sum_count(li, ["l_returnflag"], "l_quantity").collect()
+    }
+    want = {
+        r.l_returnflag: (r.s, r.n)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][1] == want[k][1]
+        assert got[k][0] == pytest.approx(want[k][0], rel=1e-12)
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    from crypto_prediction_etl_spark.operators.skew import salted_join
+    from crypto_prediction_etl_spark.sources.readers import table
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    plain = orders.join(cust, "o_custkey").count()
+    salted = salted_join(orders, cust, "o_custkey").count()
+    assert salted == plain
+
+
+def test_compaction_bounds_read_amplification(spark, workdir):
+    from crypto_prediction_etl_spark.streaming.sinks import compact_hot_table
+
+    path = os.path.join(workdir, "hot")
+    for epoch in range(3):
+        spark.createDataFrame(
+            [("BTC", 1, float(epoch), epoch), ("BTC", 2, float(epoch), epoch)],
+            "id string, k int, v double, _epoch int",
+        ).write.mode("append").parquet(path)
+    assert spark.read.parquet(path).count() == 6
+    out = os.path.join(workdir, "compacted")
+    n = compact_hot_table(spark, path, ["id", "k"], ["_epoch"], out)
+    assert n == 2
+    vals = {r.k: r.v for r in spark.read.parquet(out).collect()}
+    assert vals == {1: 2.0, 2: 2.0}  # newest epoch won
