@@ -31,28 +31,50 @@ def daily_close_stats(
     avg_close, roc) — one row per (id, dt, range).
     """
     w = W.partitionBy("id").orderBy("dt")
-    out = None
+    # ONE window pass computes every range's stats as columns (all six
+    # frames share a single sort+exchange), then `stack` unpivots to the
+    # range-stamped rows the reference materializes via 6x UNION ALL —
+    # same output, 1/6th the sorts/joins/scans.
+    cols = []
     for n in ranges:
         lag_close = F.lag("close", n).over(w)
-        block = dense.select(
-            F.col("id").alias("symbol_id"),
-            F.lag("dt", n).over(w).alias("dt_start"),
-            F.col("dt").alias("dt_end"),
-            F.lit(str(n)).alias("stat_range"),
-            prnd(F.col("close"), round_to).alias("close_today"),
+        cols.append(F.lag("dt", n).over(w).alias(f"_ds{n}"))
+        cols.append(
             prnd(F.avg("close").over(w.rowsBetween(-n, 0)), round_to).alias(
-                "avg_close"
-            ),
+                f"_ac{n}"
+            )
+        )
+        cols.append(
             prnd(
                 F.when(
                     lag_close.isNotNull(),
                     (F.col("close") - lag_close) / lag_close * 100.0,
                 ),
                 6,
-            ).alias("roc"),
+            ).alias(f"_roc{n}")
         )
-        out = block if out is None else out.unionByName(block)
-    return out
+    wide = dense.select(
+        F.col("id").alias("symbol_id"),
+        F.col("dt").alias("dt_end"),
+        prnd(F.col("close"), round_to).alias("close_today"),
+        *cols,
+    )
+    stack = (
+        f"stack({len(ranges)}, "
+        + ", ".join(f"'{n}', _ds{n}, _ac{n}, _roc{n}" for n in ranges)
+        + ") AS (stat_range, dt_start, avg_close, roc)"
+    )
+    return wide.selectExpr(
+        "symbol_id", "dt_end", "close_today", stack
+    ).select(
+        "symbol_id",
+        "dt_start",
+        "dt_end",
+        "stat_range",
+        "close_today",
+        "avg_close",
+        "roc",
+    )
 
 
 def daily_close_stats_sql(

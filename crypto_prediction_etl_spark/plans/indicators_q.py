@@ -320,7 +320,7 @@ _SMALL_IDS = ("5-LOW",)
     WITH candles AS ({CANDLES_SQL}),
     scaled AS (
       SELECT id, dt,
-             CASE WHEN id IN {_SMALL_IDS!r} THEN 1000.0 ELSE 1.0 END AS n_multiple,
+             CAST(CASE WHEN id IN {_SMALL_IDS!r} THEN 1000.0 ELSE 1.0 END AS DOUBLE) AS n_multiple,
              close * (CASE WHEN id IN {_SMALL_IDS!r} THEN 1000.0 ELSE 1.0 END) AS close_scaled
       FROM candles
     )
@@ -564,7 +564,7 @@ def _mart_oracle() -> str:
     candles AS (
       SELECT id, dt,
              high * m AS high, low * m AS low, close * m AS close,
-             volume_cents, m AS n_multiple
+             volume_cents, CAST(m AS DOUBLE) AS n_multiple
       FROM (SELECT *, CASE WHEN id IN ('5-LOW') THEN 1000.0 ELSE 1.0 END AS m
             FROM candles0)
     ),

@@ -27,7 +27,7 @@ from .registry import query
       FROM documents
     )
     SELECT doc_id,
-           octet_length(encode(s))                       AS byte_len,
+           CAST(octet_length(encode(s)) AS INTEGER)      AS byte_len,
            md5(s)                                        AS checksum,
            CAST(doc_id % 64 + 16 AS INT)                 AS width,
            CAST(doc_id % 48 + 16 AS INT)                 AS height,

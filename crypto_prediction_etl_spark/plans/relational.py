@@ -371,9 +371,9 @@ def q15_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q16_pivot_status_by_priority",
     oracle="""
     SELECT o_orderpriority AS priority,
-           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS status_o,
-           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS status_f,
-           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS status_p
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_o,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_f,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_p
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -427,8 +427,8 @@ def q17_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT brand, partkey, retailprice, rnk FROM (
       SELECT p_brand AS brand, p_partkey AS partkey,
              floor((p_retailprice) * 100.0 + 0.5001) / 100.0 AS retailprice,
-             row_number() OVER (PARTITION BY p_brand
-                                ORDER BY p_retailprice DESC, p_partkey) AS rnk
+             CAST(row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS rnk
       FROM part
     ) WHERE rnk <= 3
     """,
@@ -461,7 +461,7 @@ def q18_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            CAST(ts AS DATE)                                   AS dt,
-           year(ts) AS y, month(ts) AS m, day(ts) AS d, hour(ts) AS h,
+           CAST(year(ts) AS INTEGER) AS y, CAST(month(ts) AS INTEGER) AS m, CAST(day(ts) AS INTEGER) AS d, CAST(hour(ts) AS INTEGER) AS h,
            strftime(ts, '%Y-%m-%d')                           AS dt_str,
            CAST(ts AS DATE) + 7                               AS dt_plus7,
            CAST(CAST(ts AS DATE) - INTERVAL 3 MONTH AS DATE)  AS dt_minus_3m,
@@ -530,7 +530,7 @@ def q21_null_and_case_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_partkey AS partkey,
            upper(p_brand)                      AS brand_upper,
            substr(p_name, 1, 12)               AS name_prefix,
-           length(p_name)                      AS name_len,
+           CAST(length(p_name) AS INTEGER)     AS name_len,
            concat(p_brand, ':', p_type)        AS brand_type,
            replace(p_brand, 'Brand#', 'B')     AS brand_short,
            CASE WHEN p_type LIKE 'PROM%' THEN 1 ELSE 0 END AS is_promo

@@ -51,8 +51,8 @@ def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ranked AS (
       SELECT query_id, vec_id, cos_sim,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY cos_sim DESC, vec_id) AS rank
+             CAST(row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
       FROM scored
     )
     SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 10
@@ -104,8 +104,8 @@ def q51_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ranked AS (
       SELECT query_id, vec_id, cos_sim,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY cos_sim DESC, vec_id) AS rank
+             CAST(row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
       FROM scored
     )
     SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5

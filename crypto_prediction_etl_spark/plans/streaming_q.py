@@ -130,7 +130,7 @@ def q62_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
       FROM o
     )
-    SELECT user_id, session_no,
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
            count(*) AS n_events,
            max(sec) - min(sec) AS duration_sec
     FROM s GROUP BY user_id, session_no
@@ -172,7 +172,7 @@ def q63_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type, CAST(ts AS DATE)
     )
     SELECT event_type, dt,
-           u.r AS order_rank, u.v AS quote_value
+           CAST(u.r AS INTEGER) AS order_rank, u.v AS quote_value
     FROM g, unnest(list_transform(range(1, len(ladder) + 1),
                                   i -> {'r': i, 'v': ladder[i]})) AS x(u)
     """,

@@ -31,9 +31,9 @@ def _in_list(items: tuple[str, ...]) -> str:
     "q40_token_stats",
     oracle=f"""
     SELECT doc_id,
-           length(text) AS n_chars,
-           len({_TOKS_SQL}) AS n_tokens,
-           len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           CAST(len({_TOKS_SQL}) AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS n_words,
            {o_rnd("CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text)", 6)} AS alpha_ratio,
            {o_rnd("CAST(length(text) - length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) / len(" + _TOKS_SQL + ")", 6)} AS avg_token_len
     FROM documents
@@ -56,7 +56,7 @@ def q40_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lang_oracle() -> str:
     score_cols = ",\n           ".join(
-        f"len(list_filter(toks, t -> t IN {_in_list(LANG_MARKERS[lang])})) AS s_{lang}"
+        f"CAST(len(list_filter(toks, t -> t IN {_in_list(LANG_MARKERS[lang])})) AS INTEGER) AS s_{lang}"
         for lang in LANG_PRIORITY
     )
     all_zero = " AND ".join(f"s_{lang} = 0" for lang in LANG_PRIORITY)
