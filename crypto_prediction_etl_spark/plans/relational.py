@@ -624,3 +624,60 @@ def q23_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("median_price"),
         F.percentile_approx("l_extendedprice", 0.95, 1000).alias("p95_price"),
     )
+
+
+@query(
+    "q24_cube_counts",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n,
+           floor((sum(l_quantity)) * 100.0 + 0.5001) / 100.0 AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q24_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (engine extension; completes the
+    grouping-sets family next to q17 ROLLUP)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            prnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "q29_exact_percentiles",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           floor((quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5)) * 100.0 + 0.5001) / 100.0  AS median_price,
+           floor((quantile_cont(CAST(o_totalprice AS DOUBLE), 0.95)) * 100.0 + 0.5001) / 100.0 AS p95_price,
+           floor((quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99)) * 100.0 + 0.5001) / 100.0 AS p99_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q29_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (Spark
+    `percentile`; DuckDB `quantile_cont` — same interpolation). The
+    approximate sibling (q23) is the scale path; this is the exact
+    baseline it is judged against."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS priority,
+               floor(percentile(o_totalprice, 0.5D)  * 100.0D + 0.5001D) / 100.0D AS median_price,
+               floor(percentile(o_totalprice, 0.95D) * 100.0D + 0.5001D) / 100.0D AS p95_price,
+               floor(percentile(o_totalprice, 0.99D) * 100.0D + 0.5001D) / 100.0D AS p99_price
+        FROM orders GROUP BY o_orderpriority
+        """
+    )

@@ -197,3 +197,75 @@ def q64_ladder_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") + 1).alias("order_rank"),
         "quote_value",
     )
+
+
+@query(
+    "q65_order_book_wire",
+    oracle="""
+    WITH src AS (
+      SELECT event_type, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(floor(value * 100) AS BIGINT) AS p1,
+             event_id % 10 + 1 AS amt
+      FROM events WHERE event_id % 11 = 0
+    ),
+    legs AS (
+      SELECT event_type, event_id, sec, 'ask' AS order_type, 1 AS order_rank,
+             p1 AS price, amt FROM src
+      UNION ALL
+      SELECT event_type, event_id, sec, 'ask', 2, p1 + 5, amt + 1 FROM src
+      UNION ALL
+      SELECT event_type, event_id, sec, 'bid', 1, p1 - 3, amt + 2 FROM src
+    )
+    SELECT event_type AS id,
+           event_id AS seqid,
+           order_type,
+           CAST(price AS FLOAT) AS quote_price,
+           CAST(amt AS FLOAT) AS base_amount,
+           order_rank,
+           sec AS createTime,
+           sec + 1 AS ts_send,
+           strftime(make_timestamp(sec * 1000000), '%Y-%m-%d %H:%M:%S') AS ts_str,
+           CAST(make_timestamp(sec * 1000000) AS DATE) AS dt_create_utc
+    FROM legs
+    """,
+)
+def q65_order_book_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL order-book stream pipeline inside the hash gate: build
+    the producer's exact JSON envelope (nested array<array<string>>
+    ladders) from events rows, then run `order_book_pipeline` —
+    from_json decode, ask/bid fork, posexplode with positional rank,
+    union (reference: streaming/order_book.py:76-123). The oracle
+    computes the expected flattened ladder directly — verifying the
+    pipeline's output, not replaying its parsing."""
+    from ..streaming.pipelines import order_book_pipeline
+
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
+    sec = F.floor(F.col("ts").cast("double")).cast("long")
+    p1 = F.floor(F.col("value") * 100).cast("long")
+    amt = F.col("event_id") % 10 + 1
+    s = F.lit
+    msg = F.concat(
+        s('{"data":[{"id":"'), F.col("event_type"),
+        s('","seqid":"'), F.col("event_id").cast("string"),
+        s('","asks":[["'), p1.cast("string"), s('","'), amt.cast("string"),
+        s('"],["'), (p1 + 5).cast("string"), s('","'), (amt + 1).cast("string"),
+        s('"]],"bids":[["'), (p1 - 3).cast("string"), s('","'), (amt + 2).cast("string"),
+        s('"]],"createTime":"'), sec.cast("string"),
+        s('","ts_send":"'), (sec + 1).cast("string"),
+        s('"}]}'),
+    )
+    raw = ev.select(msg.alias("value"))
+    out = order_book_pipeline(raw)
+    return out.select(
+        "id",
+        "seqid",
+        "order_type",
+        "quote_price",
+        "base_amount",
+        "order_rank",
+        "createTime",
+        "ts_send",
+        F.date_format("ts_create_utc", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "dt_create_utc",
+    )
