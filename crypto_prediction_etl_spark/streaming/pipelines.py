@@ -127,3 +127,61 @@ def order_book_pipeline(raw: DataFrame) -> DataFrame:
 
 
 ORDER_BOOK_PK = ["id", "dt_create_utc", "seqid", "order_type", "order_rank"]
+
+
+def running_ohlc_stateful(grouped_stream):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-symbol running OHLC + volume over an unbounded stream.
+
+    The reference keeps no stream state at all (SURVEY §2.9 — PK upsert
+    absorbs re-sends); this is the engine extension for true stateful
+    aggregation: state = (open, high, low, close, volume, n) per id,
+    updated per micro-batch, emitted on every update.
+
+    ``grouped_stream``: result of ``df.groupBy("id")`` over a stream
+    with columns (id, price, qty). Returns the streaming DataFrame.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "id string, open double, high double, low double, close double, "
+        "volume double, n_trades long"
+    )
+    state_schema = (
+        "open double, high double, low double, close double, "
+        "volume double, n_trades long"
+    )
+
+    def update(key, pdfs, state):
+        kid = key[0]
+        if state.exists:
+            o, h, l, c, v, n = state.get
+        else:
+            o = h = l = c = None
+            v, n = 0.0, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values("price", kind="stable")  # deterministic
+            for price, qty in zip(pdf["price"], pdf["qty"]):
+                price, qty = float(price), float(qty)
+                if o is None:
+                    o = h = l = price
+                h = max(h, price)
+                l = min(l, price)
+                c = price
+                v += qty
+                n += 1
+        state.update((o, h, l, c, v, n))
+        yield pd.DataFrame(
+            [{"id": kid, "open": o, "high": h, "low": l, "close": c,
+              "volume": v, "n_trades": n}]
+        )
+
+    return grouped_stream.applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

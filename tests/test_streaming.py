@@ -227,3 +227,43 @@ def test_watermarked_window_aggregation(spark, workdir):
     rows = {r["window"].start.hour: r.total for r in spark.sql(f"SELECT * FROM {qname}").collect()}
     q.stop()
     assert rows == {0: 3.0, 1: 10.0}
+
+
+def test_stateful_running_ohlc(spark, workdir):
+    """applyInPandasWithState: state persists across micro-batches."""
+    import pandas as pd
+
+    from crypto_prediction_etl_spark.streaming.pipelines import (
+        running_ohlc_stateful,
+    )
+
+    src = os.path.join(workdir, "ohlc_src")
+    os.makedirs(src)
+    pd.DataFrame(
+        {"id": ["BTC", "BTC", "ETH"], "price": [100.0, 110.0, 20.0], "qty": [1.0, 2.0, 5.0]}
+    ).to_parquet(os.path.join(src, "b0.parquet"))
+
+    stream = spark.readStream.schema("id string, price double, qty double").parquet(src)
+    out = running_ohlc_stateful(stream.groupBy("id"))
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ohlc")
+        .option("checkpointLocation", os.path.join(workdir, "ohlc_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # second micro-batch: state must carry over
+    pd.DataFrame(
+        {"id": ["BTC"], "price": [90.0], "qty": [3.0]}
+    ).to_parquet(os.path.join(src, "b1.parquet"))
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql(
+        "SELECT * FROM ohlc WHERE id = 'BTC' ORDER BY n_trades DESC LIMIT 1"
+    ).collect()
+    r = rows[0]
+    assert r.n_trades == 3
+    assert r.high == 110.0 and r.low == 90.0 and r.close == 90.0
+    assert r.volume == 6.0
