@@ -36,11 +36,15 @@ HEADLINE = [
     "q35_aroon",
     "q37_ema",
     "q39_rsi_wilder",
+    "q32_indicator_mart",
     "q44_ngram_jaccard_pairs",
     "q45_minhash_lsh_pairs",
+    "q46_simhash",
     "q50_cosine_topk",
+    "q52_bucketed_ann",
     "q61_tumbling_window",
     "q63_sessionization",
+    "q65_order_book_wire",
 ]
 
 

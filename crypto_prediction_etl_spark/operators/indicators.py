@@ -39,7 +39,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.portable import prnd
 
 # ---------------------------------------------------------------------------
 # Window-expressible indicators

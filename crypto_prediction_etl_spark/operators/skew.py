@@ -13,7 +13,7 @@ algebraic aggregate (sum/count/min/max and their compositions).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 

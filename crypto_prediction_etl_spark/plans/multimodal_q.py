@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.portable import o_rnd, prnd
+from ..functions.portable import prnd
 from ..operators.multimodal import (
     decode_features,
     payload_metadata,

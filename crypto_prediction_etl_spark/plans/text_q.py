@@ -10,7 +10,6 @@ from ..functions.portable import o_rnd, prnd
 from ..operators.text import (
     LANG_MARKERS,
     LANG_PRIORITY,
-    fingerprint_md5,
     lang_id,
     lang_scores,
     quality_metrics,

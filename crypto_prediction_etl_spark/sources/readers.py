@@ -37,8 +37,17 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Correctness-critical dynamic confs, (re)applied defensively: the
+    caller may hand us a session built without our factory (the round
+    driver does), and UTC timezone changes every date/hour derivation
+    relative to the DuckDB oracle."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table as a DataFrame."""
+    _ensure_session_confs(spark)
     nanos_cols = _NANOS_TS_COLS.get(name, ())
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
