@@ -681,3 +681,37 @@ def q29_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "q26b_unpivot_measures",
+    oracle="""
+    SELECT o_orderpriority AS priority, measure,
+           floor((val) * 100.0 + 0.5001) / 100.0 AS val
+    FROM (
+      SELECT o_orderpriority,
+             sum(o_totalprice) AS total_price,
+             CAST(count(*) AS DOUBLE) AS n_orders,
+             max(o_totalprice) AS max_price
+      FROM orders GROUP BY o_orderpriority
+    ) UNPIVOT (val FOR measure IN (total_price, n_orders, max_price))
+    """,
+)
+def q26b_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot wide measures to long (stack) — the inverse of q16's
+    pivot; the same primitive that turns the one-pass window mart into
+    the reference's range-stamped rows (operators/rolling.py)."""
+    wide = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.sum("o_totalprice").alias("total_price"),
+            F.count("*").cast("double").alias("n_orders"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+    return wide.selectExpr(
+        "priority",
+        "stack(3, 'total_price', total_price, 'n_orders', n_orders, "
+        "'max_price', max_price) AS (measure, val)",
+    ).select("priority", "measure", prnd("val", 2).alias("val"))

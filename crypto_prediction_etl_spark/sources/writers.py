@@ -122,3 +122,23 @@ def upsert_by_key(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed managed table (S4 variant for repeated co-located joins).
+
+    Joins/aggregations on ``bucket_col`` between tables bucketed the
+    same way need NO shuffle — at 100 TB this converts every
+    fact-to-fact join on the bucket key from a full exchange into a
+    local zip of pre-hashed files (see tests/test_elt.py plan assert).
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)

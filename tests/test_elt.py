@@ -160,3 +160,60 @@ def test_compaction_bounds_read_amplification(spark, workdir):
     assert n == 2
     vals = {r.k: r.v for r in spark.read.parquet(out).collect()}
     assert vals == {1: 2.0, 2: 2.0}  # newest epoch won
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir):
+    """Co-located bucketed join: no Exchange on either side (the 100 TB
+    fact-to-fact join strategy)."""
+    from crypto_prediction_etl_spark.sources.readers import table
+    from crypto_prediction_etl_spark.sources.writers import write_bucketed_table
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    # a stale warehouse dir survives catalog drops from prior sessions
+    warehouse = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "spark-warehouse")
+    for t in ("b_orders", "b_lineitem"):
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    write_bucketed_table(
+        table(spark, sf_dir, "orders"), "b_orders", "o_orderkey", 8
+    )
+    write_bucketed_table(
+        table(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        "o_orderkey",
+        8,
+    )
+    # force sort-merge so the bucketed co-location (not a broadcast)
+    # is what eliminates the join shuffle
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(spark.table("b_orders"), "o_orderkey")
+        agg = joined.groupBy("o_orderpriority").agg(F.sum("l_quantity").alias("q"))
+        agg.collect()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" in final, final[:2000]
+    assert "Bucketed: true" in final
+    # the ONLY exchange is the post-join groupBy on o_orderpriority;
+    # neither bucketed join side shuffles
+    n_exchanges = final.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, final[:2000]
+    assert "hashpartitioning(o_orderkey" not in final
+    # sanity: result matches unbucketed join
+    plain = (
+        table(spark, sf_dir, "lineitem")
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+        .join(table(spark, sf_dir, "orders"), "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    got = {r.o_orderpriority: r.q for r in agg.collect()}
+    want = {r.o_orderpriority: r.q for r in plain.collect()}
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
