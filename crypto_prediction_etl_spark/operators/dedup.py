@@ -158,7 +158,9 @@ def minhash_dedup_pairs(
     # On a cluster these would be materialized signature/posting tables.
     shingled = doc_shingles(docs, n, id_col, text_col).persist()
     sigs = minhash_signatures(shingled, id_col).persist()
-    cands = lsh_candidate_pairs(sigs, id_col)
+    # cands feeds both the doc semi-join and the final pair join —
+    # without a persist the band self-join runs twice
+    cands = lsh_candidate_pairs(sigs, id_col).persist()
     # verify ONLY candidate docs: semi-join the shingle postings down to
     # docs that appear in some candidate pair, then exact-Jaccard just
     # those — the full n^2 pair join never runs (the LSH point)
