@@ -186,6 +186,14 @@ def with_window_indicators(candles: DataFrame, round_to: int = 2) -> DataFrame:
     df = df.withColumn(
         "aroon_oscillator", F.col("aroon_up") - F.col("aroon_down")
     )
+    # obv_sma: SMA(10) of OBV (reference W9 optional output)
+    df = df.withColumn(
+        "obv_sma",
+        F.when(
+            F.count("obv").over(w.rowsBetween(-9, 0)) >= 10,
+            F.avg("obv").over(w.rowsBetween(-9, 0)),
+        ),
+    )
     return df.drop("_raw_k", "_senkou_b_raw", "_aroon_rn")
 
 

@@ -142,3 +142,16 @@ def write_bucketed_table(
     if sort_col:
         writer = writer.sortBy(sort_col)
     writer.saveAsTable(table_name)
+
+
+def cast_float_storage_edge(df: DataFrame, exclude: tuple[str, ...] = ()) -> DataFrame:
+    """Compute in double, store as float32 (SURVEY hard part 5): the
+    reference's Hive DDLs declare `float` for every price/volume column
+    (ddl/hive/crypto_raw/candles_day.ddl:5-9); casting only at the
+    storage edge keeps analytics at double precision while halving
+    storage/IO for the wide mart tables."""
+    out = df
+    for name, dtype in df.dtypes:
+        if dtype == "double" and name not in exclude:
+            out = out.withColumn(name, F.col(name).cast("float"))
+    return out

@@ -58,15 +58,19 @@ def start_file_stream_pipeline(
     pipeline,
     out_dir: str,
     checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
 ):
     """Wire a JSON-lines file source (Kafka stand-in for tests) through a
     transform pipeline into the upsert sink with checkpointing
-    (reference: read_stream.py:6-19 + candles.py:111-124)."""
-    raw = (
-        spark.readStream.format("text")
-        .load(source_dir)
-        .withColumnRenamed("value", "value")
-    )
+    (reference: read_stream.py:6-19 + candles.py:111-124).
+
+    ``max_files_per_trigger`` is the file-source analog of the
+    reference's ``maxOffsetsPerTrigger: 10000`` micro-batch rate limit
+    (reference: streaming/candles.py:21)."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.load(source_dir)
     out = pipeline(raw)
     return (
         out.writeStream.outputMode("append")

@@ -217,3 +217,19 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir):
         assert got[k] == pytest.approx(want[k], rel=1e-12)
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_float_storage_edge(spark, workdir):
+    from crypto_prediction_etl_spark.sources.writers import cast_float_storage_edge
+
+    df = _frame(spark, [1, 2])
+    out = cast_float_storage_edge(df)
+    assert dict(out.dtypes)["close"] == "float"
+    path = os.path.join(workdir, "floatedge")
+    out.write.parquet(path)
+    import glob
+
+    import pyarrow.parquet as pq
+    # physical storage is float32
+    part = glob.glob(os.path.join(path, "*.parquet"))[0]
+    assert "float" == str(pq.read_schema(part).field("close").type)

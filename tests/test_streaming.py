@@ -267,3 +267,26 @@ def test_stateful_running_ohlc(spark, workdir):
     assert r.n_trades == 3
     assert r.high == 110.0 and r.low == 90.0 and r.close == 90.0
     assert r.volume == 6.0
+
+
+def test_rate_limited_micro_batches(spark, workdir):
+    """maxFilesPerTrigger (the maxOffsetsPerTrigger analog) splits the
+    backlog into multiple micro-batches."""
+    src = os.path.join(workdir, "rate_src")
+    os.makedirs(src)
+    for i in range(3):
+        with open(os.path.join(src, f"f{i}.jsonl"), "w") as f:
+            f.write(_candle_msg("BTC_USDT", BASE_TS + 60 * i, BASE_TS + 60 * i + 59) + "\n")
+    q = start_file_stream_pipeline(
+        spark,
+        src,
+        candles_pipeline,
+        os.path.join(workdir, "rate_out"),
+        os.path.join(workdir, "rate_ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.processAllAvailable()
+    last_batch = q.lastProgress["batchId"]
+    q.stop()
+    assert last_batch >= 2  # 3 files -> at least 3 micro-batches (0,1,2)
+    assert spark.read.parquet(os.path.join(workdir, "rate_out")).count() == 3
