@@ -269,3 +269,56 @@ def q65_order_book_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts_create_utc", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
         "dt_create_utc",
     )
+
+
+@query(
+    "q63b_native_session_window",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             lag(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY sec, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM o JOIN events USING (user_id, event_id, ts)
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           floor((sum(value)) * 100.0 + 0.5001) / 100.0 AS total_value
+    FROM s GROUP BY user_id, session_no
+    """,
+)
+def q63b_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window (30-min gap) — the built-in
+    operator whose manual formulation is q63; in streaming the same
+    expression runs stateful with watermark eviction. The oracle derives
+    identical sessions via the lag+cumsum construction (session start =
+    first event's second-truncated epoch in both: Spark session_window
+    keys on the event timestamp; we truncate to seconds first so both
+    engines bucket identically)."""
+    ev = table(spark, sf_dir, "events")
+    # truncate to whole seconds so the session assignment (gap compare)
+    # matches the oracle's integer-second arithmetic exactly
+    sec_ts = F.timestamp_seconds(F.floor(F.col("ts").cast("double")).cast("long"))
+    return (
+        ev.withColumn("ts_s", sec_ts)
+        .groupBy("user_id", F.session_window("ts_s", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            prnd(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -101,3 +101,16 @@ def test_asof_join_semantics(spark):
     }
     # inclusive at equal t; no future rows; unmatched -> null
     assert out == {(1, 10): 100.0, (1, 20): 150.0, (2, 5): None}
+
+
+def test_indicator_mart_kernel_reuses_window_partitioning(spark, sf_dir):
+    """q32: candles groupBy(id,dt) + window(id) = 2 exchanges; the
+    grouped-map pandas kernel must reuse the window stage's
+    id-partitioning (no third shuffle)."""
+    df = registry.QUERIES["q32_indicator_mart"](spark, sf_dir)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "FlatMapGroupsInPandas" in final
+    assert final.count("Exchange hashpartitioning") <= 2, final[:3000]
