@@ -93,3 +93,42 @@ def q27_rolling_min_max_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w7).alias("n_rows_7"),
         prnd(F.sum("volume").over(wcum), 2).alias("cum_volume"),
     )
+
+
+@query(
+    "q28_time_range_frame",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS id, CAST(ts AS DATE) AS dt,
+             avg(value) AS close
+      FROM events GROUP BY 1, 2
+    )
+    SELECT id, dt,
+           floor((avg(close) OVER (PARTITION BY id ORDER BY dt
+                  RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)) * 10000.0 + 0.5001) / 10000.0
+             AS avg_close_7cal,
+           count(*) OVER (PARTITION BY id ORDER BY dt
+                  RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+             AS n_days_present
+    FROM daily
+    """,
+)
+def q28_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame (trailing 7 CALENDAR days, not 7 rows) —
+    the correct trailing-window semantics for sparse series, distinct
+    from the reference's ROWS frames (W1). Spark: rangeBetween over an
+    epoch-day ordering; DuckDB: RANGE with INTERVAL bounds."""
+    from ..operators.timeseries import events_candles
+
+    daily = events_candles(spark, sf_dir).select("id", "dt", "close")
+    w = (
+        W.partitionBy("id")
+        .orderBy(F.unix_date("dt"))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "id",
+        "dt",
+        prnd(F.avg("close").over(w), 4).alias("avg_close_7cal"),
+        F.count("*").over(w).alias("n_days_present"),
+    )

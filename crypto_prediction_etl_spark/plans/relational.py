@@ -715,3 +715,34 @@ def q26b_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(3, 'total_price', total_price, 'n_orders', n_orders, "
         "'max_price', max_price) AS (measure, val)",
     ).select("priority", "measure", prnd("val", 2).alias("val"))
+
+
+@query(
+    "q28b_ranking_family",
+    oracle="""
+    SELECT p_partkey AS partkey, p_brand AS brand,
+           CAST(rank()       OVER w AS INTEGER) AS rnk,
+           CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+           floor((percent_rank() OVER w) * 1000000.0 + 0.5001) / 1000000.0 AS prnk,
+           floor((cume_dist()    OVER w) * 1000000.0 + 0.5001) / 1000000.0 AS cdist,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+    """,
+)
+def q28b_ranking_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family per group (rank, dense_rank,
+    percent_rank, cume_dist, ntile) — q18 covers row_number; these
+    complete §2.6's ordering operators."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"),
+        F.col("p_brand").alias("brand"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        prnd(F.percent_rank().over(w), 6).alias("prnk"),
+        prnd(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
