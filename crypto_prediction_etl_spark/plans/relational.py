@@ -746,3 +746,76 @@ def q28b_ranking_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd(F.cume_dist().over(w), 6).alias("cdist"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+@query(
+    "q26c_intersect_except",
+    oracle="""
+    SELECT 'both' AS bucket, n_nationkey AS key FROM (
+      SELECT c_nationkey AS n_nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT 'customer_only', n_nationkey FROM (
+      SELECT c_nationkey AS n_nationkey FROM customer
+      EXCEPT
+      SELECT s_nationkey FROM supplier
+    )
+    """,
+)
+def q26c_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (engine completeness — SURVEY §2.7 notes the
+    reference never uses them; a user of a full engine will)."""
+    cust_n = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("key")
+    )
+    supp_n = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("key")
+    )
+    both = cust_n.intersect(supp_n).select(F.lit("both").alias("bucket"), "key")
+    # subtract == EXCEPT (set semantics); exceptAll would keep leftover
+    # multiplicity for keys present on both sides
+    only = cust_n.subtract(supp_n).select(
+        F.lit("customer_only").alias("bucket"), "key"
+    )
+    return both.unionByName(only)
+
+
+@query(
+    "q27b_table_profile",
+    oracle="""
+    SELECT 'o_totalprice' AS col,
+           count(*) AS n_rows,
+           count(o_totalprice) AS n_non_null,
+           count(DISTINCT o_totalprice) AS n_distinct,
+           floor((min(o_totalprice)) * 100.0 + 0.5001) / 100.0 AS min_val,
+           floor((max(o_totalprice)) * 100.0 + 0.5001) / 100.0 AS max_val,
+           floor((avg(o_totalprice)) * 100.0 + 0.5001) / 100.0 AS avg_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*), count(o_custkey),
+           count(DISTINCT o_custkey),
+           floor((min(o_custkey)) * 100.0 + 0.5001) / 100.0,
+           floor((max(o_custkey)) * 100.0 + 0.5001) / 100.0,
+           floor((avg(o_custkey)) * 100.0 + 0.5001) / 100.0
+    FROM orders
+    """,
+)
+def q27b_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile sweep (rows, nulls, distinct, min/max/avg per
+    column) — the engine primitive behind the reference's count/
+    freshness operational checks, generalized to a profiling scan."""
+    o = table(spark, sf_dir, "orders")
+    out = None
+    for c in ("o_totalprice", "o_custkey"):
+        prof = o.agg(
+            F.count("*").alias("n_rows"),
+            F.count(c).alias("n_non_null"),
+            F.countDistinct(c).alias("n_distinct"),
+            prnd(F.min(c).cast("double"), 2).alias("min_val"),
+            prnd(F.max(c).cast("double"), 2).alias("max_val"),
+            prnd(F.avg(c), 2).alias("avg_val"),
+        ).select(F.lit(c).alias("col"), "*")
+        out = prof if out is None else out.unionByName(prof)
+    return out
