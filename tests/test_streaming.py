@@ -290,3 +290,36 @@ def test_rate_limited_micro_batches(spark, workdir):
     q.stop()
     assert last_batch >= 2  # 3 files -> at least 3 micro-batches (0,1,2)
     assert spark.read.parquet(os.path.join(workdir, "rate_out")).count() == 3
+
+
+def test_stream_static_dimension_join(spark, workdir):
+    """Stream-static join: enrich the candles stream with a broadcast
+    dimension table (symbol -> base/quote) — the streaming analog of the
+    batch dim joins; Spark re-plans the static side per micro-batch."""
+    dim = spark.createDataFrame(
+        [("BTC_USDT", "BTC", "USDT"), ("ETH_USDT", "ETH", "USDT")],
+        "id string, base string, quote string",
+    )
+    lines = [
+        _candle_msg("BTC_USDT", BASE_TS, BASE_TS + 59),
+        _candle_msg("ETH_USDT", BASE_TS, BASE_TS + 59),
+        _candle_msg("DOGE_USDT", BASE_TS, BASE_TS + 59),  # no dim row
+    ]
+    src = os.path.join(workdir, "dimjoin_src")
+    os.makedirs(src)
+    with open(os.path.join(src, "b0.jsonl"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    raw = spark.readStream.format("text").load(src)
+    enriched = candles_pipeline(raw).join(F.broadcast(dim), "id", "left_outer")
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dimjoin")
+        .option("checkpointLocation", os.path.join(workdir, "dimjoin_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {r.id: (r.base, r.quote) for r in spark.sql("SELECT * FROM dimjoin").collect()}
+    assert rows["BTC_USDT"] == ("BTC", "USDT")
+    assert rows["DOGE_USDT"] == (None, None)  # left-outer preserved
