@@ -819,3 +819,73 @@ def q27b_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(c).alias("col"), "*")
         out = prof if out is None else out.unionByName(prof)
     return out
+
+
+@query(
+    "q24b_grouping_sets",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def q24b_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (completes the grouping family beyond
+    ROLLUP q17 / CUBE q24): per-flag totals and per-status totals in
+    one pass."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@query(
+    "q28c_value_windows",
+    oracle="""
+    -- windows must run over ALL rows (Spark side filters after the
+    -- window); SQL WHERE runs before windows, so wrap in a subquery
+    SELECT orderkey, priority, first_price, last_price, third_price FROM (
+      SELECT o_orderkey AS orderkey, o_orderpriority AS priority,
+             floor((first_value(o_totalprice) OVER w) * 100.0 + 0.5001) / 100.0 AS first_price,
+             floor((last_value(o_totalprice) OVER
+                    (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) * 100.0 + 0.5001) / 100.0 AS last_price,
+             floor((nth_value(o_totalprice, 3) OVER
+                    (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) * 100.0 + 0.5001) / 100.0 AS third_price
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey)
+    ) WHERE orderkey % 17 = 0
+    """,
+)
+def q28c_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over deterministic ordering
+    (completing the window value-function family)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_orderpriority").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        table(spark, sf_dir, "orders")
+        .withColumn("first_price", prnd(F.first("o_totalprice").over(w), 2))
+        .withColumn("last_price", prnd(F.last("o_totalprice").over(wfull), 2))
+        .withColumn(
+            "third_price", prnd(F.nth_value("o_totalprice", 3).over(wfull), 2)
+        )
+        .filter(F.col("o_orderkey") % 17 == 0)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderpriority").alias("priority"),
+            "first_price",
+            "last_price",
+            "third_price",
+        )
+    )

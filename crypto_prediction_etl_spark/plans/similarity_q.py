@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.portable import o_rnd
+from ..functions.portable import o_rnd, prnd
 from ..operators.similarity import (
     as_double_vec,
     bucketed_ann_topk,
@@ -162,4 +162,38 @@ def q53_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.count("*").alias("k"),
         )
+    )
+
+
+@query(
+    "q54_array_functions",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           floor((list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum')) * 10000.0 + 0.5001) / 10000.0 AS vec_sum,
+           floor((list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'max')) * 10000.0 + 0.5001) / 10000.0 AS vec_max,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive,
+           floor((list_aggregate(list_transform(list_slice(embedding, 1, 8), x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) * 10000.0 + 0.5001) / 10000.0 AS head_sq_sum
+    FROM embeddings WHERE vec_id % 5 = 0
+    """,
+)
+def q54_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions certified directly (transform /
+    filter / aggregate / slice / size) — the JVM-side vector toolkit the
+    similarity operators are built from (SURVEY §2.8 notes the reference
+    needs only element_at/posexplode; a vector engine needs these)."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    dvec = F.transform("embedding", lambda x: x.cast("double"))
+    head_sq = F.aggregate(
+        F.transform(F.slice("embedding", 1, 8), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        prnd(F.aggregate(dvec, F.lit(0.0), lambda a, x: a + x), 4).alias("vec_sum"),
+        prnd(F.array_max(dvec), 4).alias("vec_max"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+        prnd(head_sq, 4).alias("head_sq_sum"),
     )
