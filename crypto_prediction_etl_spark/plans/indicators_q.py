@@ -28,6 +28,7 @@ from ..operators.indicators import (
     with_recursive_indicators,
     with_window_indicators,
 )
+from ..operators.timeseries import CANDLES_EVENTS_SQL as CANDLES_EVENTS_ORACLE_SQL
 from ..sources.readers import table
 from .registry import query
 
@@ -675,4 +676,50 @@ def q32_indicator_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd("ema_30", 2).alias("ema_30"),
         prnd("macd_signal", 2).alias("macd_signal"),
         prnd("rsi_14", 3).alias("rsi_14"),
+    )
+
+
+@query(
+    "q36c_multi_domain_sma",
+    oracle=f"""
+    WITH crypto AS ({CANDLES_SQL}),
+    stock AS ({CANDLES_EVENTS_ORACLE_SQL}),
+    unioned AS (
+      SELECT 'crypto' AS domain, id, dt, close FROM crypto
+      UNION ALL
+      SELECT 'stock', id, dt, close FROM stock
+    )
+    SELECT domain, id, dt,
+           {{sma10}} AS sma_10
+    FROM unioned
+    """.replace("{sma10}", o_rnd(
+        "CASE WHEN count(close) OVER (PARTITION BY domain, id ORDER BY dt "
+        "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) >= 10 "
+        "THEN avg(close) OVER (PARTITION BY domain, id ORDER BY dt "
+        "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) END", 2)),
+)
+def q36c_multi_domain_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-domain indicator sweep: the reference clones one indicator
+    job six times (crypto/forex/gold/oil/gas/stock — six ~255-line
+    scripts, airflow/etl_scripts/pyspark/D_Create_*_ind_day_001.py);
+    here all domains union into ONE frame keyed by (domain, id) and one
+    window pass computes the mart for every domain at once."""
+    from ..operators.timeseries import events_candles
+    from pyspark.sql import Window as W
+
+    crypto = candles(spark, sf_dir).select(
+        F.lit("crypto").alias("domain"), "id", "dt", "close"
+    )
+    stock = events_candles(spark, sf_dir).select(
+        F.lit("stock").alias("domain"), "id", "dt", "close"
+    )
+    unioned = crypto.unionByName(stock)
+    w = W.partitionBy("domain", "id").orderBy("dt").rowsBetween(-9, 0)
+    return unioned.select(
+        "domain",
+        "id",
+        "dt",
+        prnd(
+            F.when(F.count("close").over(w) >= 10, F.avg("close").over(w)), 2
+        ).alias("sma_10"),
     )

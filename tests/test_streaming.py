@@ -323,3 +323,65 @@ def test_stream_static_dimension_join(spark, workdir):
     rows = {r.id: (r.base, r.quote) for r in spark.sql("SELECT * FROM dimjoin").collect()}
     assert rows["BTC_USDT"] == ("BTC", "USDT")
     assert rows["DOGE_USDT"] == (None, None)  # left-outer preserved
+
+
+def test_streaming_agg_to_mart_via_foreachbatch(spark, workdir):
+    """Full streaming-analytics path: stream -> watermarked tumbling
+    aggregation -> foreachBatch MERGE into a mart (update mode re-emits
+    refined windows; the merge keeps the latest per window key) — the
+    production shape for continuously-maintained aggregate marts."""
+    import pandas as pd
+
+    from crypto_prediction_etl_spark.sources.writers import upsert_by_key
+
+    src = os.path.join(workdir, "agg_src")
+    mart = os.path.join(workdir, "agg_mart")
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(rows, columns=["ts", "v"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        pdf.to_parquet(
+            os.path.join(src, name),
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+
+    write_batch("b0.parquet", [("2024-01-01 00:10:00", 1.0), ("2024-01-01 00:20:00", 2.0)])
+
+    def merge_batch(batch_df, epoch_id):
+        batch = batch_df.withColumn("_epoch", F.lit(epoch_id))
+        if os.path.exists(mart):
+            existing = batch.sparkSession.read.parquet(mart)
+            merged = upsert_by_key(existing, batch, ["window_start"], ["_epoch"])
+        else:
+            merged = batch
+        merged.write.mode("overwrite").parquet(mart + ".tmp")
+        out = batch.sparkSession.read.parquet(mart + ".tmp")
+        out.write.mode("overwrite").parquet(mart)
+
+    stream = spark.readStream.schema("ts timestamp, v double").parquet(src)
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.sum("v").alias("total"), F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "total",
+            "n",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(workdir, "agg_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # late-but-within-watermark row refines the same window
+    write_batch("b1.parquet", [("2024-01-01 00:30:00", 10.0)])
+    q.processAllAvailable()
+    q.stop()
+
+    rows = {r.window_start: (r.total, r.n) for r in spark.read.parquet(mart).collect()}
+    assert rows["2024-01-01 00:00:00"] == (13.0, 3)  # refined, not duplicated
