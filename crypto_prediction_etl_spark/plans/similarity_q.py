@@ -197,3 +197,19 @@ def q54_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
         prnd(head_sq, 4).alias("head_sq_sum"),
     )
+
+
+@query("q55_kmeans_clusters")  # rows-only: iterative, not SQL-expressible
+def q55_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means(4, 5 iterations) over the embeddings — the iterative-
+    algorithm pattern (declarative per-iteration passes; only the k x d
+    centroid matrix crosses the driver between iterations). Rows-only:
+    the fixpoint loop is not single-statement SQL; determinism and
+    inertia monotonicity are asserted in tests/test_clustering.py."""
+    from ..functions.portable import prnd as _prnd
+    from ..operators.clustering import kmeans
+
+    assigned, _ = kmeans(_vecs(spark, sf_dir), k=4, iters=5)
+    return assigned.select(
+        "vec_id", "cluster", _prnd(F.col("sq_dist"), 4).alias("sq_dist")
+    )

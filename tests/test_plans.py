@@ -114,3 +114,19 @@ def test_indicator_mart_kernel_reuses_window_partitioning(spark, sf_dir):
     )[0]
     assert "FlatMapGroupsInPandas" in final
     assert final.count("Exchange hashpartitioning") <= 2, final[:3000]
+
+
+def test_kmeans_determinism_and_inertia(spark, sf_dir):
+    from crypto_prediction_etl_spark.plans.similarity_q import _vecs
+    from crypto_prediction_etl_spark.operators.clustering import kmeans
+
+    vecs = _vecs(spark, sf_dir)
+    a1, hist1 = kmeans(vecs, k=4, iters=4)
+    a2, hist2 = kmeans(vecs, k=4, iters=4)
+    assert hist1 == hist2  # fully deterministic
+    # Lloyd's algorithm never increases inertia
+    assert all(b <= a + 1e-6 for a, b in zip(hist1, hist1[1:]))
+    m1 = {r.vec_id: r.cluster for r in a1.collect()}
+    m2 = {r.vec_id: r.cluster for r in a2.collect()}
+    assert m1 == m2
+    assert set(m1.values()) == {0, 1, 2, 3}
