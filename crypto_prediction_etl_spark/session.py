@@ -55,6 +55,12 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # -- correctness / comparability --------------------------------
         .config("spark.sql.session.timeZone", "UTC")
+        # parquet TIMESTAMP(NANOS) columns (events.ts) read as int64 and
+        # are converted in-plan by sources.readers.table(); set HERE, for
+        # the session's lifetime, because lazy plans re-consult the conf
+        # at action time — a save/restore scope would break execution of
+        # any nanos-table frame collected after the restore.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # -- python interop (Arrow batches, not row pickling) -----------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

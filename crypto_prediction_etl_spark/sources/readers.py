@@ -40,17 +40,23 @@ _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 def _ensure_session_confs(spark: SparkSession) -> None:
     """Correctness-critical dynamic confs, (re)applied defensively: the
     caller may hand us a session built without our factory (the round
-    driver does), and UTC timezone changes every date/hour derivation
-    relative to the DuckDB oracle."""
+    driver does). UTC timezone changes every date/hour derivation
+    relative to the DuckDB oracle; nanosAsLong is required to scan
+    events.parquet at all. Both are session-lifetime by design — lazy
+    plans re-consult SQLConf at action time, so a save/restore scope
+    around the read would break frames collected after the restore. The
+    factory (session.py) sets the same two statically; this is the
+    driver-owned-session path. nanosAsLong's visible effect on foreign
+    reads is limited to parquet files that actually store TIMESTAMP(
+    NANOS), which Spark would otherwise refuse to read outright."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table as a DataFrame."""
     _ensure_session_confs(spark)
     nanos_cols = _NANOS_TS_COLS.get(name, ())
-    if nanos_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in nanos_cols:
         if dict(df.dtypes).get(c) == "bigint":

@@ -66,7 +66,10 @@ def reload_window(
 
 
 def delete_partitions(
-    spark: SparkSession, path: str, predicate: Column | str
+    spark: SparkSession,
+    path: str,
+    predicate: Column | str,
+    partition_cols: tuple[str, ...] = DEFAULT_PARTITION_COLS,
 ) -> int:
     """Partition-targeted DELETE (S6; reference:
     trino/D_Load_crypto_candles_day_001.sql:1-6 — partition cols only).
@@ -74,24 +77,46 @@ def delete_partitions(
     Implemented as directory removal through the Hadoop FS API (works on
     HDFS/S3A/local identically): enumerate distinct partition tuples
     matching the predicate, drop their directories. Metadata-only at any
-    scale — no data rewrite.
+    scale — no data files are read or rewritten: the predicate is
+    evaluated against a projection of the partition columns only, which
+    partition pruning answers from the file listing.
+
+    Safety (the reference's Trino DELETE refuses non-partition
+    predicates the same way): the predicate must reference partition
+    columns only — evaluating it against the partition-column projection
+    raises AnalysisException for anything else, so a data-column
+    predicate can never trigger a directory sweep. Directories are built
+    from the distinct matching partition tuples (``year=Y/month=M/...``)
+    and are always strictly below the dataset root.
     """
+    if not partition_cols:
+        raise ValueError(
+            "delete_partitions requires a partitioned dataset; refusing to "
+            "delete from an unpartitioned path (that would be the dataset root)"
+        )
     df = spark.read.parquet(path)
+    missing = [c for c in partition_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition columns {missing} not present in {path}")
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
-    # distinct partition dirs containing matching rows
-    files = (
-        df.filter(pred)
-        .select(F.input_file_name().alias("f"))
-        .distinct()
-        .collect()
-    )
-    dirs = sorted({r.f.rsplit("/", 1)[0] for r in files})
+    # A predicate touching any data column must fail analysis instead of
+    # deleting mixed-content dirs. Filtering a projection is NOT enough:
+    # Catalyst's ResolveMissingReferences resolves pruned columns through
+    # a Project, so probe against an empty relation that has ONLY the
+    # partition columns — there is nothing beneath it to resolve from.
+    probe_schema = df.select(*partition_cols).schema
+    spark.createDataFrame([], probe_schema).filter(pred).schema  # noqa: B018
+    parts = df.select(*partition_cols).filter(pred).distinct().collect()
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
     n = 0
-    for d in dirs:
-        p = jvm.org.apache.hadoop.fs.Path(d)
+    for row in parts:
+        rel = "/".join(f"{c}={row[c]}" for c in partition_cols)
+        p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + rel)
         fs = p.getFileSystem(conf)
+        if p.equals(fs.makeQualified(root)):  # defense in depth
+            raise ValueError("refusing to delete the dataset root")
         if fs.exists(p):
             fs.delete(p, True)
             n += 1

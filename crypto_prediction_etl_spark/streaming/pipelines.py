@@ -66,11 +66,22 @@ def candles_pipeline(raw: DataFrame) -> DataFrame:
         f("ts_send").cast("bigint").alias("ts_send"),
         f("startTime").cast("bigint").alias("startTime"),
         f("closeTime").cast("bigint").alias("closeTime"),
-        *_time_cols(f("closeTime").cast("bigint")),
+        # ts/dt_create_utc derive from ts_send — the SEND time, not the
+        # candle's closeTime — matching candles.py:97-100; the partition
+        # date therefore tracks arrival, and re-sends of the same candle
+        # get distinct ts_send values (distinct PK rows, per the
+        # reference table contract below).
+        *_time_cols(f("ts_send").cast("bigint")),
     )
 
 
-CANDLES_PK = ["id", "dt_create_utc", "startTime", "closeTime"]
+# Mirrors the reference PK ((id, dt_create_utc), ts_send, startTime)
+# (ddl/cassandra/crypto/candles_realtime.ddl:19): partition key +
+# clustering columns, flattened. A re-send carries a new ts_send and so
+# UPSERTS AS A NEW ROW rather than collapsing — downstream marts pick
+# the freshest per (id, startTime) themselves, exactly like the
+# reference's consumers.
+CANDLES_PK = ["id", "dt_create_utc", "ts_send", "startTime"]
 
 
 def market_trade_pipeline(raw: DataFrame) -> DataFrame:
@@ -129,7 +140,7 @@ def order_book_pipeline(raw: DataFrame) -> DataFrame:
 ORDER_BOOK_PK = ["id", "dt_create_utc", "seqid", "order_type", "order_rank"]
 
 
-def running_ohlc_stateful(grouped_stream):
+def running_ohlc_stateful(grouped_stream, seq_col: str = "seq"):
     """Custom stateful streaming operator (applyInPandasWithState):
     per-symbol running OHLC + volume over an unbounded stream.
 
@@ -139,7 +150,14 @@ def running_ohlc_stateful(grouped_stream):
     updated per micro-batch, emitted on every update.
 
     ``grouped_stream``: result of ``df.groupBy("id")`` over a stream
-    with columns (id, price, qty). Returns the streaming DataFrame.
+    with columns (id, price, qty, <seq_col>). ``seq_col`` is the
+    event-time / trade-sequence column (the reference's trade_id /
+    createTime, market_trade.py:78-99): open/close are defined by TRADE
+    ORDER, so each micro-batch folds in ``seq_col`` order — Spark gives
+    no intra-batch ordering guarantee, and a batch holding >1 trade per
+    symbol would otherwise produce arrival-order (wrong) open/close.
+    Ties on ``seq_col`` break deterministically by (price, qty).
+    Returns the streaming DataFrame.
     """
     import pandas as pd
 
@@ -162,7 +180,7 @@ def running_ohlc_stateful(grouped_stream):
             o = h = l = c = None
             v, n = 0.0, 0
         for pdf in pdfs:
-            pdf = pdf.sort_values("price", kind="stable")  # deterministic
+            pdf = pdf.sort_values([seq_col, "price", "qty"], kind="stable")
             for price, qty in zip(pdf["price"], pdf["qty"]):
                 price, qty = float(price), float(qty)
                 if o is None:

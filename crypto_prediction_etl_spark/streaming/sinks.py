@@ -52,6 +52,60 @@ def read_hot_table(
     )
 
 
+def kafka_source_options(
+    bootstrap_servers: str,
+    topic: str,
+    max_offsets_per_trigger: int = 10000,
+    starting_offsets: str = "earliest",
+    fail_on_data_loss: bool = False,
+) -> dict[str, str]:
+    """The reference's Kafka reader option surface, verbatim
+    (read_stream.py:6-19: subscribe, startingOffsets=earliest,
+    maxOffsetsPerTrigger=10000 via streaming/candles.py:19-23,
+    failOnDataLoss=false)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "maxOffsetsPerTrigger": str(max_offsets_per_trigger),
+        "failOnDataLoss": str(fail_on_data_loss).lower(),
+    }
+
+
+def start_stream_pipeline(
+    spark: SparkSession,
+    pipeline,
+    out_dir: str,
+    checkpoint_dir: str,
+    source_format: str = "text",
+    source_options: dict[str, str] | None = None,
+    source_path: str | None = None,
+):
+    """Wire ANY streaming source through a transform pipeline into the
+    upsert sink with checkpointing (reference: read_stream.py:6-19 +
+    candles.py:111-124).
+
+    The source is a (format, options[, path]) seam so the SAME pipeline
+    runs against Kafka in production and a file source in tests: every
+    topic pipeline starts from ``CAST(value AS STRING)``, which both the
+    Kafka source's binary ``value`` column and the text source's string
+    ``value`` column satisfy. For Kafka pass
+    ``source_format="kafka", source_options=kafka_source_options(...)``
+    and no path.
+    """
+    reader = spark.readStream.format(source_format)
+    for k, v in (source_options or {}).items():
+        reader = reader.option(k, str(v))
+    raw = reader.load(source_path) if source_path is not None else reader.load()
+    out = pipeline(raw)
+    return (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(upsert_append_writer(out_dir))
+        .start()
+    )
+
+
 def start_file_stream_pipeline(
     spark: SparkSession,
     source_dir: str,
@@ -60,23 +114,21 @@ def start_file_stream_pipeline(
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
 ):
-    """Wire a JSON-lines file source (Kafka stand-in for tests) through a
-    transform pipeline into the upsert sink with checkpointing
-    (reference: read_stream.py:6-19 + candles.py:111-124).
-
-    ``max_files_per_trigger`` is the file-source analog of the
-    reference's ``maxOffsetsPerTrigger: 10000`` micro-batch rate limit
-    (reference: streaming/candles.py:21)."""
-    reader = spark.readStream.format("text")
+    """File-source binding of :func:`start_stream_pipeline` (the test/
+    backfill path). ``max_files_per_trigger`` is the file-source analog
+    of the reference's ``maxOffsetsPerTrigger: 10000`` micro-batch rate
+    limit (reference: streaming/candles.py:21)."""
+    opts = {}
     if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    raw = reader.load(source_dir)
-    out = pipeline(raw)
-    return (
-        out.writeStream.outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(upsert_append_writer(out_dir))
-        .start()
+        opts["maxFilesPerTrigger"] = str(max_files_per_trigger)
+    return start_stream_pipeline(
+        spark,
+        pipeline,
+        out_dir,
+        checkpoint_dir,
+        source_format="text",
+        source_options=opts,
+        source_path=source_dir,
     )
 
 
@@ -97,17 +149,35 @@ def progress_summary(query) -> dict:
     }
 
 
+DEFAULT_TTL_SECONDS = 2592000  # reference: candles_realtime.ddl:20 (30 days)
+
+
 def compact_hot_table(
     spark: SparkSession,
     path: str,
     pk_cols: list[str],
     order_cols: list[str],
     compacted_path: str,
+    ttl_seconds: int | None = None,
+    ts_col: str = "ts_insert_utc",
+    now=None,
 ) -> int:
     """Rewrite the append log as its merge-on-read view (one row per
     PK) — the maintenance job that bounds read amplification; on a
     cluster this runs on a schedule exactly like Cassandra compaction.
+
+    ``ttl_seconds`` additionally enforces the hot table's retention —
+    Cassandra's ``default_time_to_live = 2592000``
+    (ddl/cassandra/crypto/candles_realtime.ddl:20) — by dropping rows
+    whose ``ts_col`` is older than ``now - ttl_seconds`` during the same
+    rewrite (no extra pass). ``now`` defaults to the current timestamp;
+    pass a fixed value for deterministic runs. Idempotent: re-running
+    with the same ``now`` rewrites the identical survivor set.
     Returns the compacted row count."""
     hot = read_hot_table(spark, path, pk_cols, order_cols)
+    if ttl_seconds is not None:
+        now_expr = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+        cutoff = now_expr - F.make_dt_interval(secs=F.lit(float(ttl_seconds)))
+        hot = hot.filter(F.col(ts_col).cast("timestamp") >= cutoff)
     hot.write.mode("overwrite").parquet(compacted_path)
     return spark.read.parquet(compacted_path).count()

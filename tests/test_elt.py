@@ -84,6 +84,22 @@ def test_delete_partitions_and_verify(spark, workdir):
     assert res.passed
 
 
+def test_delete_partitions_rejects_data_column_predicate(spark, workdir):
+    """A predicate on a non-partition column must fail analysis instead of
+    sweeping whole directories that also hold non-matching rows."""
+    from pyspark.errors import AnalysisException
+
+    path = os.path.join(workdir, "t3b")
+    write_partitioned(_frame(spark, [1, 2, 3]), path)
+    with pytest.raises(AnalysisException):
+        delete_partitions(spark, path, "close > 0")
+    assert spark.read.parquet(path).count() == 3  # nothing deleted
+    with pytest.raises(ValueError):
+        delete_partitions(spark, path, "day >= 1", partition_cols=())
+    with pytest.raises(ValueError):
+        delete_partitions(spark, path, "day >= 1", partition_cols=("nope",))
+
+
 def test_upsert_by_key(spark, workdir):
     existing = spark.createDataFrame(
         [("BTC", 1, 100.0, 10), ("BTC", 2, 200.0, 10)],
@@ -111,6 +127,70 @@ def test_quality_checks(spark):
     assert not check_not_null(df, ["v"]).passed
     assert check_offset_lag({"sources": [{"startOffset": "5", "endOffset": "900"}]}).passed
     assert not check_offset_lag({"sources": [{"startOffset": "0", "endOffset": "5000"}]}).passed
+
+
+def test_offset_lag_parses_real_offset_shapes():
+    """Structured Streaming reports offsets as JSON objects — Kafka:
+    topic->partition->offset, file source: {"logOffset": N} — and an
+    unparseable offset must FAIL the check, not pass with lag 0."""
+    from crypto_prediction_etl_spark.quality.checks import (
+        check_offset_lag,
+        check_offset_lag_trend,
+        offset_lags,
+    )
+
+    kafka = {
+        "sources": [
+            {
+                "startOffset": '{"crypto.candles_minute": {"0": 100, "1": 50}}',
+                "endOffset": '{"crypto.candles_minute": {"0": 300, "1": 1800}}',
+            }
+        ]
+    }
+    lags = offset_lags(kafka)
+    assert lags == {
+        "src0:crypto.candles_minute-0": 200,
+        "src0:crypto.candles_minute-1": 1750,
+    }
+    assert not check_offset_lag(kafka).passed  # partition 1 over 1000
+    assert check_offset_lag(kafka, max_lag=2000).passed
+
+    file_src = {
+        "sources": [{"startOffset": {"logOffset": 3}, "endOffset": {"logOffset": 5}}]
+    }
+    assert offset_lags(file_src) == {"src0:logOffset": 2}
+    assert check_offset_lag(file_src).passed
+
+    garbage = {"sources": [{"startOffset": "{not json", "endOffset": "7"}]}
+    assert offset_lags(garbage) is None
+    assert not check_offset_lag(garbage).passed
+    assert not check_offset_lag({"sources": [{"startOffset": None, "endOffset": 7}]}).passed
+
+    # trend: fail only when lag is over threshold AND growing
+    assert check_offset_lag_trend({"p0": 5000}, {"p0": 9000}).passed  # draining
+    assert not check_offset_lag_trend({"p0": 5000}, {"p0": 100}).passed  # growing
+    assert check_offset_lag_trend({"p0": 500}, {"p0": 100}).passed  # under threshold
+    assert check_offset_lag_trend({"p0": 5000}, None).passed  # first run
+    assert not check_offset_lag_trend(None, {"p0": 1}).passed  # unparseable
+
+
+def test_freshness_policy_calendar_gate(spark):
+    """Warn-vs-fail mirrors the reference (cassandra_operation.py:52-69):
+    missing sentinel on a market-open day -> warning; missing on a
+    closed day or without a calendar -> error; present -> pass."""
+    from crypto_prediction_etl_spark.quality.checks import check_freshness_policy
+
+    df = spark.createDataFrame(
+        [("BTC_USDT", "2024-01-03", 1.0)], "id string, dt string, v double"
+    )
+    ok = check_freshness_policy(df, "dt", F.col("id") == "BTC_USDT", "2024-01-03", True)
+    assert ok.passed and ok.severity == "none"
+    warn = check_freshness_policy(df, "dt", F.col("id") == "BTC_USDT", "2024-01-04", True)
+    assert not warn.passed and warn.severity == "warning"
+    err = check_freshness_policy(df, "dt", F.col("id") == "BTC_USDT", "2024-01-04", False)
+    assert not err.passed and err.severity == "error"
+    err2 = check_freshness_policy(df, "dt", F.col("id") == "BTC_USDT", "2024-01-04")
+    assert not err2.passed and err2.severity == "error"
 
 
 def test_salted_aggregation_matches_plain(spark, sf_dir):
@@ -143,6 +223,37 @@ def test_salted_join_matches_plain(spark, sf_dir):
     plain = orders.join(cust, "o_custkey").count()
     salted = salted_join(orders, cust, "o_custkey").count()
     assert salted == plain
+
+
+def test_compaction_ttl_retention(spark, workdir):
+    """TTL sweep during compaction (reference candles_realtime.ddl:20,
+    default_time_to_live=2592000): expired rows dropped, fresh rows
+    intact, idempotent re-run."""
+    from crypto_prediction_etl_spark.streaming.sinks import compact_hot_table
+
+    path = os.path.join(workdir, "ttlhot")
+    spark.createDataFrame(
+        [
+            ("BTC", 1, 1.0, "2024-01-01 00:00:00"),  # 44 days old -> expired
+            ("BTC", 2, 2.0, "2024-02-10 00:00:00"),  # 4 days old -> kept
+            ("ETH", 3, 3.0, "2024-02-13 00:00:00"),  # 1 day old -> kept
+        ],
+        "id string, k int, v double, ts_insert_utc string",
+    ).withColumn("ts_insert_utc", F.to_timestamp("ts_insert_utc")).write.parquet(path)
+    out = os.path.join(workdir, "ttlcompacted")
+    now = "2024-02-14 00:00:00"
+    n = compact_hot_table(
+        spark, path, ["id", "k"], ["ts_insert_utc"], out,
+        ttl_seconds=2592000, now=now,
+    )
+    assert n == 2
+    assert {r.k for r in spark.read.parquet(out).collect()} == {2, 3}
+    # idempotent: same now -> same survivor set
+    n2 = compact_hot_table(
+        spark, path, ["id", "k"], ["ts_insert_utc"], out,
+        ttl_seconds=2592000, now=now,
+    )
+    assert n2 == 2
 
 
 def test_compaction_bounds_read_amplification(spark, workdir):

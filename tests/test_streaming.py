@@ -239,11 +239,21 @@ def test_stateful_running_ohlc(spark, workdir):
 
     src = os.path.join(workdir, "ohlc_src")
     os.makedirs(src)
+    # batch 0 holds 3 BTC trades whose price order DISAGREES with trade
+    # order: open must be the seq-1 trade (105), close the seq-3 (100) —
+    # not the cheapest/priciest row of the batch.
     pd.DataFrame(
-        {"id": ["BTC", "BTC", "ETH"], "price": [100.0, 110.0, 20.0], "qty": [1.0, 2.0, 5.0]}
+        {
+            "id": ["BTC", "BTC", "BTC", "ETH"],
+            "price": [105.0, 110.0, 100.0, 20.0],
+            "qty": [1.0, 2.0, 1.0, 5.0],
+            "seq": [1, 2, 3, 1],
+        }
     ).to_parquet(os.path.join(src, "b0.parquet"))
 
-    stream = spark.readStream.schema("id string, price double, qty double").parquet(src)
+    stream = spark.readStream.schema(
+        "id string, price double, qty double, seq long"
+    ).parquet(src)
     out = running_ohlc_stateful(stream.groupBy("id"))
     q = (
         out.writeStream.outputMode("update")
@@ -253,9 +263,13 @@ def test_stateful_running_ohlc(spark, workdir):
         .start()
     )
     q.processAllAvailable()
+    # batch-0 verdict: open/close follow trade order, not price order
+    b0 = spark.sql("SELECT * FROM ohlc WHERE id = 'BTC'").collect()[0]
+    assert b0.open == 105.0 and b0.close == 100.0
+    assert b0.high == 110.0 and b0.low == 100.0
     # second micro-batch: state must carry over
     pd.DataFrame(
-        {"id": ["BTC"], "price": [90.0], "qty": [3.0]}
+        {"id": ["BTC"], "price": [90.0], "qty": [3.0], "seq": [4]}
     ).to_parquet(os.path.join(src, "b1.parquet"))
     q.processAllAvailable()
     q.stop()
@@ -264,9 +278,10 @@ def test_stateful_running_ohlc(spark, workdir):
         "SELECT * FROM ohlc WHERE id = 'BTC' ORDER BY n_trades DESC LIMIT 1"
     ).collect()
     r = rows[0]
-    assert r.n_trades == 3
+    assert r.n_trades == 4
+    assert r.open == 105.0
     assert r.high == 110.0 and r.low == 90.0 and r.close == 90.0
-    assert r.volume == 6.0
+    assert r.volume == 7.0
 
 
 def test_rate_limited_micro_batches(spark, workdir):
@@ -385,3 +400,44 @@ def test_streaming_agg_to_mart_via_foreachbatch(spark, workdir):
 
     rows = {r.window_start: (r.total, r.n) for r in spark.read.parquet(mart).collect()}
     assert rows["2024-01-01 00:00:00"] == (13.0, 3)  # refined, not duplicated
+
+
+def test_kafka_source_option_surface(spark, workdir):
+    """The Kafka seam: same pipeline, source swapped by (format, options).
+    No broker exists here, so assert the option surface mirrors the
+    reference reader (read_stream.py:6-19) and that the generic
+    entrypoint drives the file binding identically."""
+    from crypto_prediction_etl_spark.streaming.sinks import (
+        kafka_source_options,
+        start_stream_pipeline,
+    )
+
+    opts = kafka_source_options("kafka0:9092,kafka1:9092", "crypto.candles_minute")
+    assert opts == {
+        "kafka.bootstrap.servers": "kafka0:9092,kafka1:9092",
+        "subscribe": "crypto.candles_minute",
+        "startingOffsets": "earliest",
+        "maxOffsetsPerTrigger": "10000",
+        "failOnDataLoss": "false",
+    }
+    # all option values are strings (DataStreamReader contract)
+    assert all(isinstance(v, str) for v in opts.values())
+
+    # the generic seam runs the existing candles pipeline over the file
+    # binding with the same results as start_file_stream_pipeline
+    src = os.path.join(workdir, "seam_src")
+    os.makedirs(src)
+    with open(os.path.join(src, "b0.jsonl"), "w") as f:
+        f.write(_candle_msg("BTC_USDT", BASE_TS, BASE_TS + 59) + "\n")
+    q = start_stream_pipeline(
+        spark,
+        candles_pipeline,
+        os.path.join(workdir, "seam_out"),
+        os.path.join(workdir, "seam_ckpt"),
+        source_format="text",
+        source_options={"maxFilesPerTrigger": "1"},
+        source_path=src,
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(os.path.join(workdir, "seam_out")).count() == 1
