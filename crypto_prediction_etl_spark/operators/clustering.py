@@ -60,19 +60,26 @@ def kmeans(
     centroids = [[float(x) for x in r[vec_col]] for r in seed_rows]
 
     inertia_history: list[float] = []
-    assigned = None
     for _ in range(iters):
         assigned = assign_clusters(vecs, centroids, id_col, vec_col)
-        # elementwise mean per cluster: explode to (cluster, pos, val),
-        # one groupBy — the only shuffle of the iteration
+        # elementwise mean per cluster AND inertia in ONE action: explode
+        # to (cluster, pos, val) rows that carry sq_dist, one groupBy —
+        # the only shuffle AND only distance pass of the iteration
+        # (sq_dist contributes at pos 0 only, so its per-cluster sum is
+        # counted once, not dim times).
         stats = (
-            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "val"))
+            assigned.select(
+                "cluster", "sq_dist", F.posexplode(vec_col).alias("pos", "val")
+            )
             .groupBy("cluster", "pos")
-            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .agg(
+                F.sum("val").alias("s"),
+                F.count("*").alias("n"),
+                F.sum(F.when(F.col("pos") == 0, F.col("sq_dist"))).alias("in0"),
+            )
             .collect()
         )
-        inertia = assigned.agg(F.sum("sq_dist")).first()[0]
-        inertia_history.append(float(inertia))
+        inertia_history.append(float(sum(r.in0 or 0.0 for r in stats)))
         new_centroids = [list(c) for c in centroids]
         acc: dict[int, list[float]] = {}
         cnt: dict[int, int] = {}

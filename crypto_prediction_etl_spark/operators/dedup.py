@@ -6,9 +6,9 @@ Training-data pipeline dedup at 100 TB scale:
   shuffle on a 128-bit key, canonical = min doc_id per group.
 - n-gram Jaccard: shingle -> explode -> self-equi-join on shingle ->
   per-pair intersection counts -> Jaccard filter. The join is
-  hash-partitioned on the shingle; hot shingles are the skew risk, so
-  callers can drop top-frequency shingles (stop-shingle cut) — the
-  LSH path below is the designed scale path.
+  hash-partitioned on the shingle; hot shingles are the skew risk —
+  :func:`stop_shingle_cut` caps document frequency to bound every
+  posting list; the LSH path below is the designed scale path.
 - MinHash+LSH: k permutation hashes over shingles -> banded signature
   -> bucket join on (band, band-hash) -> candidate pairs -> exact
   Jaccard verify. Pair generation cost drops from O(n^2) to
@@ -72,6 +72,30 @@ def doc_shingles(
             "shingle"
         ),
     )
+
+
+def stop_shingle_cut(
+    shingled: DataFrame, max_doc_freq: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_doc_freq``.
+
+    The skew guard for the exact-Jaccard path: the shingle self-join is
+    quadratic WITHIN each posting list, so one corpus-wide hot shingle
+    ("the quick brown" boilerplate) alone costs O(n^2). Capping document
+    frequency bounds every posting list — and with it the worst
+    per-shingle join cost — at max_doc_freq^2. A shingle shared by more
+    than ``max_doc_freq`` documents carries ~zero dedup signal anyway
+    (it is corpus boilerplate, not content), the same reasoning as IDF.
+    One extra groupBy(shingle) pass; the oracle replays the identical
+    cut so Jaccard denominators stay engine-consistent.
+    """
+    keep = (
+        shingled.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_doc_freq)
+        .select("shingle")
+    )
+    return shingled.join(keep, "shingle", "left_semi")
 
 
 def jaccard_pairs(

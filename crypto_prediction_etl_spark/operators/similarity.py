@@ -126,21 +126,58 @@ def sign_bucket(vec_col: Column, bits: int = 4) -> Column:
     return F.concat(*parts)
 
 
+def sign_bucket_int(vec_col: Column, bits: int) -> Column:
+    """Sign bucket as an integer (bit i set when dim i+1 >= 0) — XOR-able
+    for Hamming-ball multiprobe."""
+    out = F.lit(0)
+    for i in range(bits):
+        out = out + F.when(F.element_at(vec_col, i + 1) >= 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+    return out.cast("int")
+
+
+def probe_masks(bits: int, multiprobe: int) -> list[int]:
+    """All XOR masks within Hamming distance ``multiprobe`` of 0 —
+    applied to a query's bucket they enumerate its probe ball."""
+    return [m for m in range(1 << bits) if bin(m).count("1") <= multiprobe]
+
+
 def bucketed_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     bits: int = 4,
+    multiprobe: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "v",
     round_to: int = 6,
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's sign-LSH bucket."""
-    c = corpus.withColumn("_bkt", sign_bucket(F.col(vec_col), bits))
+    """Approximate top-k: probe the query's sign-LSH bucket plus every
+    bucket within Hamming distance ``multiprobe`` (classic multiprobe
+    LSH: neighbors that differ in a few quantization bits are the
+    likeliest to hold missed true neighbors).
+
+    Execution: the corpus is bucketed ONCE (integer sign bucket); the
+    small query side explodes into its probe ball (sum_{d<=mp} C(bits,d)
+    buckets) and broadcasts; candidates come from the bucket hash join —
+    never a cross product. Each corpus vector lives in exactly one
+    bucket and probe buckets are distinct, so no candidate dedup is
+    needed. Tuning is corpus-dependent: recall@k vs fraction-of-corpus-
+    scanned is measured in tests/test_plans.py (this repo's synthetic
+    near-isotropic embeddings need a wide ball — bits=6, multiprobe=3
+    for ~90% recall@5; clustered real corpora keep recall with far
+    fewer probes and more bits)."""
+    c = corpus.withColumn("_bkt", sign_bucket_int(F.col(vec_col), bits))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        sign_bucket(F.col(vec_col), bits).alias("_bkt"),
+        sign_bucket_int(F.col(vec_col), bits).alias("_qbkt"),
+    )
+    masks = probe_masks(bits, multiprobe)
+    q = q.withColumn(
+        "_bkt",
+        F.explode(F.array(*[F.col("_qbkt").bitwiseXOR(F.lit(m)) for m in masks])),
     )
     joined = c.join(F.broadcast(q), "_bkt").filter(
         F.col(id_col) != F.col("query_id")
@@ -161,12 +198,88 @@ def near_dup_pairs(
     vec_col: str = "v",
     round_to: int = 6,
 ) -> DataFrame:
-    """All pairs (a < b) with cosine >= threshold. Exact; for scale use
-    the bucketed variant as a pre-filter."""
+    """All pairs (a < b) with cosine >= threshold. EXACT BASELINE ONLY:
+    the theta self-join is a nested-loop cross product — O(n^2) rows
+    scored, unusable beyond ~10^4 vectors. The registered query path is
+    :func:`near_dup_pairs_lsh`; this stays as the recall yardstick the
+    tests measure against."""
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     sim = prnd(cosine(F.col("_va"), F.col("_vb")), round_to)
     return pairs.select("id_a", "id_b", sim.alias("cos_sim")).filter(
         F.col("cos_sim") >= threshold
+    )
+
+
+def near_dup_pairs_lsh(
+    corpus: DataFrame,
+    threshold: float,
+    bands: int = 16,
+    band_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    round_to: int = 6,
+) -> DataFrame:
+    """Near-duplicate pairs via banded sign-LSH prefilter + exact verify
+    (the q45 MinHash-band shape applied to embeddings).
+
+    Plan: one sign signature per vector (``bands * band_bits`` bits) ->
+    explode into per-band buckets -> EQUI self-join on (band, bucket) ->
+    distinct candidate pairs -> join vectors back -> exact cosine >=
+    threshold. Every join is a hash join on a key; there is no theta
+    join, no CartesianProduct, no BroadcastNestedLoopJoin anywhere in
+    the plan (asserted in tests/test_plans.py), and AQE's skew-join
+    splitting handles a hot bucket.
+
+    Cost model at scale: candidate volume is sum over (band, bucket) of
+    |bucket|^2 — controlled by ``band_bits``. Recall for a pair at angle
+    theta is 1-(1-p^band_bits)^bands with p = 1 - theta/pi, so band_bits
+    trades candidate volume against recall at the TARGET threshold:
+    real near-dup corpora (cos >= 0.9, p ~ 0.86) support band_bits=16
+    with tiny buckets; this repo's synthetic embeddings are near-random
+    (max pairwise cos ~ 0.51), so the registered q51 uses 16 bands x 4
+    bits — measured 96.6% recall of the exact pair set at threshold 0.4
+    (tests/test_similarity.py quantifies it). Approximation is BY
+    DESIGN; the DuckDB oracle replays the identical banding, so the
+    gate checks the LSH result exactly.
+    """
+    n_bits = bands * band_bits
+    sig = sign_bucket(F.col(vec_col), n_bits)
+    banded = (
+        corpus.select(F.col(id_col), sig.alias("_sig"))
+        .select(
+            id_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.substring("_sig", b * band_bits + 1, band_bits).alias(
+                                "bkt"
+                            ),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("_bb"),
+        )
+        .select(id_col, F.col("_bb.band").alias("band"), F.col("_bb.bkt").alias("bkt"))
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bkt")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bkt")
+    cand = (
+        a.join(b, ["band", "bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    sim = prnd(cosine(F.col("_va"), F.col("_vb")), round_to)
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
     )

@@ -15,14 +15,15 @@ from ..operators.dedup import (
     jaccard_pairs,
     minhash_dedup_pairs,
     simhash_signatures,
+    stop_shingle_cut,
 )
 from ..sources.readers import table
 from .registry import query
 
 _TOKS = "string_split(lower(text), ' ')"
 
-# Shared CTE: distinct 3-gram word shingles per document.
-_SHINGLES_CTE = f"""
+# Base CTEs: distinct 3-gram word shingles per document.
+_BASE_SH_CTE = f"""
     d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     sh AS (
       SELECT doc_id, unnest(list_distinct(
@@ -31,11 +32,16 @@ _SHINGLES_CTE = f"""
                                         i -> array_to_string(list_slice(toks, i, i + 2), ' '))
                     ELSE CAST([] AS VARCHAR[]) END)) AS shingle
       FROM d
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    )"""
+
+
+def _jaccard_ctes(sh_rel: str) -> str:
+    """sizes/inter/jac CTE block over a (doc_id, shingle) relation."""
+    return f"""
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM {sh_rel} GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM {sh_rel} a JOIN {sh_rel} b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     ),
     jac AS (
@@ -47,21 +53,44 @@ _SHINGLES_CTE = f"""
     )"""
 
 
+# Uncapped shingle pipeline (q45's verification set).
+_SHINGLES_CTE = _BASE_SH_CTE + "," + _jaccard_ctes("sh")
+
+
+_Q44_MAX_DF = 100  # stop-shingle cut: bound every posting list
+
+# q44's capped shingle set: sh minus shingles in more than _Q44_MAX_DF
+# documents (the oracle replay of stop_shingle_cut).
+_CAPPED_SHINGLES_CTE = (
+    _BASE_SH_CTE
+    + f""",
+    keep AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING count(*) <= {_Q44_MAX_DF}),
+    shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),"""
+    + _jaccard_ctes("shc")
+)
+
+
 @query(
     "q44_ngram_jaccard_pairs",
     oracle=f"""
-    WITH {_SHINGLES_CTE}
+    WITH {_CAPPED_SHINGLES_CTE}
     SELECT id_a, id_b, n_inter, {o_rnd('jaccard', 6)} AS jaccard
     FROM jac WHERE jaccard >= 0.8
     """,
 )
 def q44_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram-shingle Jaccard near-dup pairs (>= 0.8).
+    """Exact 3-gram-shingle Jaccard near-dup pairs (>= 0.8) with the
+    stop-shingle skew cap (doc frequency <= 100).
 
-    Shuffle pattern at scale: explode shingles -> equi-join on shingle
-    (hash-partitioned) -> pair aggregation. Quadratic only within a
-    shingle's posting list — the LSH variant (q45) is the scale path."""
-    shingled = doc_shingles(table(spark, sf_dir, "documents"))
+    Shuffle pattern at scale: explode shingles -> doc-frequency cut ->
+    equi-join on shingle (hash-partitioned) -> pair aggregation.
+    Quadratic only within a posting list, and the cap bounds every
+    posting list at 100 docs — the LSH variant (q45) is the designed
+    scale path. The oracle replays the identical cut."""
+    shingled = stop_shingle_cut(
+        doc_shingles(table(spark, sf_dir, "documents")), _Q44_MAX_DF
+    )
     pairs = jaccard_pairs(shingled, 0.8)
     return pairs.select(
         "id_a", "id_b", "n_inter", prnd("jaccard", 6).alias("jaccard")

@@ -130,3 +130,58 @@ def test_kmeans_determinism_and_inertia(spark, sf_dir):
     m2 = {r.vec_id: r.cluster for r in a2.collect()}
     assert m1 == m2
     assert set(m1.values()) == {0, 1, 2, 3}
+
+
+def test_near_dup_lsh_plan_is_bucketed_not_cartesian(spark, sf_dir):
+    """q51 must prefilter via the banded equi self-join — the all-pairs
+    theta join (CartesianProduct / BroadcastNestedLoopJoin) is the
+    100 TB scale-killer this operator exists to avoid."""
+    plan = _plan(spark, sf_dir, "q51_embedding_near_dup")
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+
+
+def test_near_dup_lsh_recall_vs_exact(spark, sf_dir):
+    """LSH prefilter recall: the candidate set must recover >= 90% of
+    the exact-join near-dup pairs at the registered threshold, and each
+    emitted pair must carry the identical exact cosine."""
+    from crypto_prediction_etl_spark.operators.similarity import (
+        near_dup_pairs,
+        near_dup_pairs_lsh,
+    )
+    from crypto_prediction_etl_spark.plans.similarity_q import _vecs
+
+    vecs = _vecs(spark, sf_dir)
+    exact = {(r.id_a, r.id_b): r.cos_sim for r in near_dup_pairs(vecs, 0.4).collect()}
+    lsh = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in near_dup_pairs_lsh(vecs, 0.4, bands=16, band_bits=4).collect()
+    }
+    assert set(lsh) <= set(exact)  # never invents pairs
+    assert len(lsh) >= 0.9 * len(exact)
+    for pair, sim in lsh.items():
+        assert sim == exact[pair]  # verify step is exact, not approximate
+
+
+def test_bucketed_ann_recall(spark, sf_dir):
+    """Multiprobe ANN (q52 config: 6 bits, Hamming-ball 3) must recover
+    >= 85% of the exact top-5 (q50 ordering) averaged over queries."""
+    from pyspark.sql import functions as F
+
+    from crypto_prediction_etl_spark.operators.similarity import (
+        bucketed_ann_topk,
+        cosine_topk,
+    )
+    from crypto_prediction_etl_spark.plans.similarity_q import _vecs
+
+    vecs = _vecs(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") % 50 == 0)
+    exact = cosine_topk(vecs, queries, k=5).collect()
+    ann = bucketed_ann_topk(vecs, queries, k=5, bits=6, multiprobe=3).collect()
+    ex, ap = {}, {}
+    for r in exact:
+        ex.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in ann:
+        ap.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(ap.get(q, set()) & ex[q]) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.85, recalls

@@ -152,3 +152,33 @@ def test_shingles_never_exceed_token_count(spark, texts):
     ).collect()
     for r in out:
         assert r.n_sh == max(0, r.n_tok - 2)
+
+
+def test_stop_shingle_cut_bounds_posting_lists(spark):
+    """One corpus-wide hot shingle must not create a quadratic posting
+    list: the cut drops it, bounding every per-shingle group, while
+    genuinely shared rare shingles still pair up."""
+    from pyspark.sql import functions as F
+
+    from crypto_prediction_etl_spark.operators.dedup import (
+        doc_shingles,
+        jaccard_pairs,
+        stop_shingle_cut,
+    )
+
+    hot = "the quick brown"
+    docs = [(i, f"{hot} unique{i} word{i} tail{i} more{i}") for i in range(40)]
+    # docs 100/101 share ALL their rare shingles -> a true near-dup pair
+    docs += [(100, "alpha beta gamma delta"), (101, "alpha beta gamma delta")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    shingled = doc_shingles(df)
+    capped = stop_shingle_cut(shingled, max_doc_freq=10)
+    dfreq = {
+        r.shingle: r.n
+        for r in capped.groupBy("shingle").agg(F.count("*").alias("n")).collect()
+    }
+    assert dfreq, "cut must not empty the corpus"
+    assert max(dfreq.values()) <= 10  # every posting list bounded
+    assert hot not in dfreq  # the hot shingle is gone
+    pairs = {(r.id_a, r.id_b) for r in jaccard_pairs(capped, 0.8).collect()}
+    assert pairs == {(100, 101)}  # signal kept, boilerplate pairs gone
