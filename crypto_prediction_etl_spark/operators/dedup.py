@@ -55,10 +55,14 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def doc_shingles(
+def doc_shingle_arrays(
     docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, shingle) — distinct shingles per document, exploded.
+    """(id, shingles) — distinct shingle ARRAY per document.
+
+    The array form is the cheap thing to persist (one row per doc, not
+    one per shingle) and feeds both signature computation (hash the
+    array in place) and verification (explode only candidate docs).
 
     The input is repartitioned to the session's parallelism first: doc
     corpora often arrive as few large files, and the tokenize/shingle
@@ -68,9 +72,16 @@ def doc_shingles(
     par = docs.sparkSession.sparkContext.defaultParallelism
     return docs.repartition(par).select(
         F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(tokens(text_col), n))).alias(
-            "shingle"
-        ),
+        F.array_distinct(word_shingles(tokens(text_col), n)).alias("shingles"),
+    )
+
+
+def doc_shingles(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, shingle) — distinct shingles per document, exploded."""
+    return doc_shingle_arrays(docs, n, id_col, text_col).select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
     )
 
 
@@ -176,27 +187,65 @@ def minhash_dedup_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: shingle -> sign -> band-bucket join ->
-    exact-Jaccard verify >= threshold. Output (id_a, id_b, jaccard)."""
-    # persist the two reused intermediates: shingles feed signatures AND
-    # verification; signatures feed both sides of the band self-join.
-    # On a cluster these would be materialized signature/posting tables.
-    shingled = doc_shingles(docs, n, id_col, text_col).persist()
-    sigs = minhash_signatures(shingled, id_col).persist()
+    exact-Jaccard verify >= threshold. Output (id_a, id_b, jaccard).
+
+    The only persisted corpus-wide intermediate is the per-doc shingle
+    ARRAY (one row per doc); the exploded posting list is materialized
+    only for candidate docs during verification. Signature hashing
+    explodes (id, hash64) longs — never the shingle strings — and the
+    16 permutation mins partial-aggregate map-side, so the signature
+    shuffle is 16 longs per doc per map partition.
+    """
+    arrays = (
+        doc_shingle_arrays(docs, n, id_col, text_col)
+        .filter(F.size("shingles") > 0)
+        .persist()
+    )
+    hashed = arrays.select(
+        F.col(id_col),
+        F.explode(
+            F.transform("shingles", lambda s: hash64(s) % MINHASH_PRIME)
+        ).alias("_h"),
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % MINHASH_PRIME).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    sigs = hashed.groupBy(id_col).agg(*aggs).persist()
     # cands feeds both the doc semi-join and the final pair join —
     # without a persist the band self-join runs twice
     cands = lsh_candidate_pairs(sigs, id_col).persist()
-    # verify ONLY candidate docs: semi-join the shingle postings down to
-    # docs that appear in some candidate pair, then exact-Jaccard just
-    # those — the full n^2 pair join never runs (the LSH point)
+    # verify ONLY candidate docs: cut the corpus to docs appearing in
+    # some candidate pair, explode just their shingles, exact-Jaccard —
+    # the full n^2 pair join never runs (the LSH point)
     cand_docs = (
         cands.select(F.col("id_a").alias(id_col))
         .unionByName(cands.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    # the semi-join keeps every shingle of a kept doc, so per-doc sizes
-    # (and hence Jaccard) are identical to the full-corpus computation
-    sh_cand = shingled.join(F.broadcast(cand_docs), id_col, "left_semi")
-    verified = jaccard_pairs(sh_cand, threshold, id_col)
+    sub = arrays.join(F.broadcast(cand_docs), id_col, "left_semi")
+    expl = sub.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    ea = expl.select(F.col(id_col).alias("id_a"), "shingle")
+    eb = expl.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        ea.join(eb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    # per-doc sizes come free from the array length — no groupBy pass
+    sa = sub.select(F.col(id_col).alias("id_a"), F.size("shingles").alias("n_a"))
+    sb = sub.select(F.col(id_col).alias("id_b"), F.size("shingles").alias("n_b"))
+    verified = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
     return cands.join(verified, ["id_a", "id_b"]).select(
         "id_a", "id_b", "jaccard"
     )
