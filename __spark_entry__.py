@@ -50,6 +50,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # the remainder (driver-green in r01, unchanged) follow in registry
 # order.
 _ADJUDICATE_FIRST = [
+    "q47_winnowing_fingerprints",
+    "q48_dedup_clusters",
+    "q56_ivf_ann",
     "q51_embedding_near_dup",
     "q52_bucketed_ann",
     "q40_token_stats",

@@ -310,3 +310,59 @@ def simhash_signatures(
         )
         sig = term if sig is None else (sig + term)
     return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def dedup_clusters(
+    pairs: DataFrame, max_iter: int = 10
+) -> DataFrame:
+    """Connected components of the near-dup pair graph: every document
+    that appears in some pair gets (doc_id, cluster_id, is_canonical),
+    cluster_id = smallest doc_id reachable via pair edges, canonical =
+    the cluster's keeper row (what a training pipeline retains).
+
+    Iterative min-label propagation, the Spark-idiomatic CC for graphs
+    without GraphX/graphframes: per round, every vertex takes the min
+    of its own and its neighbours' labels (one equi-join on the edge
+    list + one groupBy min), stopping when a round changes nothing.
+    Rounds needed = component diameter, and near-dup components are
+    small dense clusters (diameter a few hops), so the loop converges
+    in 2-4 rounds; ``max_iter`` hard-caps adversarial chains. Each
+    round localCheckpoints eagerly — lineage stays O(1) instead of
+    growing per iteration, and the convergence count reuses the same
+    materialization the next join reads.
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = sym.join(
+            labels.select(F.col("id").alias("dst"), "label"), "dst"
+        ).select(F.col("src").alias("id"), "label")
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.select("id", F.col("label").alias("_new"))
+            .join(labels, "id")
+            .filter(F.col("_new") != F.col("label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("id") == F.col("label")).cast("int").alias("is_canonical"),
+    )

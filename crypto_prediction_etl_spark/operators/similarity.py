@@ -283,3 +283,107 @@ def near_dup_pairs_lsh(
         .select("id_a", "id_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    seeds: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    round_to: int = 6,
+) -> DataFrame:
+    """Assign every vector to its nearest coarse centroid (IVF cell).
+
+    cell = argmax_j cosine(v, seed_j); ties break to the smallest j.
+    The seed matrix enters the plan as literals (k x d doubles — the
+    coarse quantizer is small by construction), so assignment is a pure
+    map over the corpus: per row, k codegen'd dot products and one
+    array_max over (similarity, -j) structs. No shuffle, no UDF; seed
+    norms constant-fold. Similarities are rounded on the portable grid
+    so a SQL oracle's argmax agrees bit-for-bit.
+
+    At scale this is the index build: the assigned frame is written
+    once, partitioned/bucketed by cell, and probes become partition-
+    pruned scans.
+    """
+    structs = []
+    for j, vec in enumerate(seeds):
+        s = F.array(*[F.lit(float(x)) for x in vec])
+        structs.append(
+            F.struct(
+                prnd(cosine(F.col(vec_col), s), round_to).alias("c"),
+                F.lit(-j).alias("nj"),
+            )
+        )
+    best = F.array_max(F.array(*structs))
+    return corpus.withColumn("cell", (-best.getField("nj")).cast("int"))
+
+
+def ivf_probe_cells(
+    queries: DataFrame,
+    seeds: list[list[float]],
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    round_to: int = 6,
+) -> DataFrame:
+    """(query_id, qv, cell) — each query's ``nprobe`` nearest cells.
+
+    Same literal-seed scoring as :func:`ivf_assign`; the nprobe best
+    cells fall out of one array_sort (ascending on (sim, -j), take the
+    last nprobe structs) — still a pure map over the (small) query set.
+    """
+    structs = []
+    for j, vec in enumerate(seeds):
+        s = F.array(*[F.lit(float(x)) for x in vec])
+        structs.append(
+            F.struct(
+                prnd(cosine(F.col(vec_col), s), round_to).alias("c"),
+                F.lit(-j).alias("nj"),
+            )
+        )
+    ranked = F.array_sort(F.array(*structs))
+    top = F.slice(ranked, len(seeds) - nprobe + 1, nprobe)
+    return queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(
+            F.transform(top, lambda s: (-s.getField("nj")).cast("int"))
+        ).alias("cell"),
+    )
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    seeds: list[list[float]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF approximate nearest neighbours: coarse-quantize the corpus
+    into len(seeds) cells, probe each query's ``nprobe`` nearest cells,
+    exact-cosine rank inside the probed cells only.
+
+    The recall/cost dial is nprobe/len(seeds): candidates shrink to
+    roughly that fraction of the corpus. Execution is one broadcast
+    hash join on cell (query side exploded to its probe cells) — never
+    a cross product; AQE skew-splits a hot cell. With centroids from
+    k-means (operators.clustering.kmeans) instead of deterministic
+    seeds, this is textbook IVF-Flat; the seed variant keeps a SQL
+    oracle bit-exact.
+    """
+    assigned = ivf_assign(corpus, seeds, id_col, vec_col, round_to)
+    probes = ivf_probe_cells(queries, seeds, nprobe, id_col, vec_col, round_to)
+    joined = assigned.join(F.broadcast(probes), "cell").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    sim = prnd(cosine(F.col("_qv"), F.col(vec_col)), round_to)
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        joined.select("query_id", id_col, sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -159,3 +159,32 @@ def quality_score(m: dict[str, Column]) -> Column:
 def fingerprint_md5(col: Column | str) -> Column:
     """Content fingerprint: md5 of the normalized text."""
     return F.md5(normalize(col))
+
+
+def winnow_fingerprints(hashes_col: Column, w: int = 4) -> Column:
+    """Winnowing fingerprint set over an ordered k-gram hash array.
+
+    Classic document fingerprinting (MOSS-style): slide a window of
+    ``w`` consecutive k-gram hashes and keep the minimum of each
+    window; the distinct kept values are the document's fingerprints.
+    Any two documents sharing a run of >= w+k-1 identical tokens are
+    guaranteed to share a fingerprint, while storage drops to ~2/(w+1)
+    of the k-gram count.
+
+    Whole computation stays in the array domain (transform/sequence/
+    slice/array_min over one row per document) — a pure map with NO
+    shuffle at any scale, unlike the window-function formulation which
+    would re-partition the exploded k-gram stream by document.
+
+    Documents with fewer than ``w`` k-grams yield one truncated window
+    (the min of all their hashes); empty hash arrays yield no
+    fingerprints.
+    """
+    n = F.size(hashes_col)
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.lit(1), n - (w - 1))),
+        lambda i: F.array_min(F.slice(hashes_col, i, w)),
+    )
+    return F.when(n > 0, F.array_distinct(wins)).otherwise(
+        F.array().cast("array<long>")
+    )

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..functions.portable import o_hash64, o_rnd, prnd
 from ..operators.dedup import (
     LSH_BANDS,
+    dedup_clusters,
     MINHASH_PERMS,
     MINHASH_PRIME,
     doc_shingles,
@@ -168,3 +169,45 @@ def q46_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit tf-weighted SimHash signature per document — constant
     output per doc, one explode + one groupBy at any scale."""
     return simhash_signatures(table(spark, sf_dir, "documents"), bits=32)
+
+
+def _clusters_oracle() -> str:
+    # edges = the q45 near-dup pair query verbatim (its own WITH block
+    # nests legally inside a derived table); components via a recursive
+    # transitive-closure CTE, label = min reachable doc_id.
+    return f"""
+    WITH RECURSIVE edges AS (
+      SELECT id_a, id_b FROM ({_minhash_oracle().strip()}) pairs
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION ALL
+      SELECT id_b, id_a FROM edges
+    ),
+    reach AS (
+      SELECT DISTINCT src AS id, src AS l FROM sym
+      UNION
+      SELECT r.id, s.dst AS l
+      FROM reach r JOIN sym s ON s.src = r.l
+    )
+    SELECT id AS doc_id, min(l) AS cluster_id,
+           CAST(id = min(l) AS INT) AS is_canonical
+    FROM reach GROUP BY id
+    """
+
+
+@query("q48_dedup_clusters", oracle=_clusters_oracle())
+def q48_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: connected components over the q45
+    MinHash-LSH pair graph, canonical keeper = min doc_id per component
+    — the step that turns pairwise near-dup hits into "keep one copy"
+    decisions in a training-data pipeline.
+
+    Spark side is iterative min-label propagation (join + groupBy min
+    per round, localCheckpointed, converges in diameter rounds — see
+    operators.dedup.dedup_clusters); the oracle replays it as a
+    recursive transitive-closure CTE. The pair pipeline itself is the
+    cached q45 plan, so in a shared session the graph build costs one
+    broadcast join over already-materialized candidates."""
+    pairs = minhash_dedup_pairs(table(spark, sf_dir, "documents"), 0.8)
+    return dedup_clusters(pairs)

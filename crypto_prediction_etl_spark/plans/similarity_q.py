@@ -249,3 +249,79 @@ def q55_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.select(
         "vec_id", "cluster", _prnd(F.col("sq_dist"), 4).alias("sq_dist")
     )
+
+
+_Q56_K_SEEDS, _Q56_NPROBE, _Q56_TOPK = 8, 2, 5
+_COS_CS = (
+    "list_dot_product(c.v, s.v) / "
+    "(sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(s.v, s.v)))"
+)
+_COS_QS = (
+    "list_dot_product(q.v, s.v) / "
+    "(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(s.v, s.v)))"
+)
+_COS_PA = (
+    "list_dot_product(p.qv, a.v) / "
+    "(sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v)))"
+)
+
+
+@query(
+    "q56_ivf_ann",
+    oracle=f"""
+    WITH {_VECS_CTE},
+    seeds AS (
+      SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS j
+      FROM e ORDER BY vec_id LIMIT {_Q56_K_SEEDS}
+    ),
+    asg AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT c.vec_id, c.v, s.j AS cell,
+               row_number() OVER (PARTITION BY c.vec_id
+                                  ORDER BY {o_rnd(_COS_CS, 6)} DESC, s.j) AS rn
+        FROM e c CROSS JOIN seeds s) t WHERE rn = 1
+    ),
+    q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+    probe AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, s.j AS cell,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {o_rnd(_COS_QS, 6)} DESC, s.j) AS rn
+        FROM q CROSS JOIN seeds s) t WHERE rn <= {_Q56_NPROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id, {o_rnd(_COS_PA, 6)} AS cos_sim
+      FROM probe p JOIN asg a USING (cell)
+      WHERE a.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= {_Q56_TOPK}
+    """,
+)
+def q56_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: 8 coarse cells, probe the 2 nearest per query,
+    exact cosine top-5 inside the probed cells (~nprobe/k of the corpus
+    scanned instead of all of it).
+
+    Coarse centroids here are the 8 smallest-id vectors so the DuckDB
+    oracle can replay the quantizer bit-exactly; production swaps in
+    q55's k-means centroids — the plan (literal-seed assignment map +
+    broadcast probe join on cell + per-query top-k window) is unchanged.
+    The k x d seed collect is driver-bounded by construction (the
+    coarse codebook is small; it IS the index definition)."""
+    from ..operators.similarity import ivf_ann_topk
+
+    vecs = _vecs(spark, sf_dir)
+    seed_rows = (
+        vecs.orderBy("vec_id").limit(_Q56_K_SEEDS).select("v").collect()
+    )
+    seeds = [list(r[0]) for r in seed_rows]
+    queries = vecs.filter(F.col("vec_id") % 50 == 0)
+    return ivf_ann_topk(
+        vecs, queries, seeds, k=_Q56_TOPK, nprobe=_Q56_NPROBE
+    )

@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.portable import o_rnd, prnd
+from ..functions.portable import o_hash64, o_rnd, prnd
 from ..operators.text import (
     LANG_MARKERS,
     LANG_PRIORITY,
@@ -148,3 +148,54 @@ def q43_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import exact_dedup
 
     return exact_dedup(table(spark, sf_dir, "documents"))
+
+
+_Q47_W = 4  # winnowing window (over 3-gram shingle hashes)
+
+@query(
+    "q47_winnowing_fingerprints",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks) - 1),
+                                      i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                  ELSE CAST([] AS VARCHAR[]) END AS shs
+      FROM d
+    ),
+    hs AS (SELECT doc_id, list_transform(shs, s -> {o_hash64('s')}) AS hl FROM sh),
+    wins AS (
+      SELECT doc_id,
+             unnest(list_distinct(CASE WHEN len(hl) > 0 THEN
+               list_transform(range(1, greatest(1, len(hl) - {_Q47_W - 1}) + 1),
+                              i -> list_aggregate(list_slice(hl, i, i + {_Q47_W - 1}), 'min'))
+               ELSE CAST([] AS BIGINT[]) END)) AS fp
+      FROM hs
+    )
+    SELECT doc_id, fp FROM wins
+    """,
+)
+def q47_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (MOSS-style): 3-gram shingle
+    hashes -> sliding window-of-4 minima -> distinct kept hashes.
+
+    The whole pipeline is array-domain higher-order functions over one
+    row per document — a pure map stage with zero shuffles at any
+    scale; only the final explode widens rows. Reference for parity:
+    the exact-dedup/fingerprint family (SURVEY §2 LLM-pipeline ops)."""
+    from ..functions.portable import hash64
+    from ..operators.text import winnow_fingerprints, word_shingles
+
+    docs = table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    return (
+        docs.repartition(par)
+        .select("doc_id", tokens("text").alias("_toks"))
+        .select("doc_id", word_shingles(F.col("_toks"), 3).alias("_sh"))
+        .select("doc_id", F.transform("_sh", hash64).alias("_hl"))
+        .select(
+            "doc_id",
+            F.explode(winnow_fingerprints(F.col("_hl"), _Q47_W)).alias("fp"),
+        )
+    )

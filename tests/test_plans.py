@@ -185,3 +185,111 @@ def test_bucketed_ann_recall(spark, sf_dir):
         ap.setdefault(r.query_id, set()).add(r.vec_id)
     recalls = [len(ap.get(q, set()) & ex[q]) / len(ex[q]) for q in ex]
     assert sum(recalls) / len(recalls) >= 0.85, recalls
+
+
+def test_winnowing_guarantee(spark):
+    """Winnowing's core property: documents sharing a token run of
+    length >= w + k - 1 (= 4 + 3 - 1) must share a fingerprint; and the
+    fingerprint set never exceeds the k-gram count."""
+    from pyspark.sql import functions as F
+
+    from crypto_prediction_etl_spark.functions.portable import hash64
+    from crypto_prediction_etl_spark.operators.text import (
+        tokens,
+        winnow_fingerprints,
+        word_shingles,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w+k-1
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one two {shared} tail xx"),
+            (2, f"other start {shared} completely different ending"),
+            (3, "nothing in common at all here whatsoever"),
+            (4, "tiny doc"),  # < k tokens -> no shingles -> no fingerprints
+        ],
+        "doc_id int, text string",
+    )
+    fp = (
+        docs.select("doc_id", tokens("text").alias("_t"))
+        .select("doc_id", word_shingles(F.col("_t"), 3).alias("_sh"))
+        .select(
+            "doc_id",
+            F.size("_sh").alias("n_sh"),
+            winnow_fingerprints(F.transform("_sh", hash64), 4).alias("fps"),
+        )
+        .collect()
+    )
+    by_id = {r.doc_id: r for r in fp}
+    assert set(by_id[1].fps) & set(by_id[2].fps), "shared run must share a fp"
+    assert not set(by_id[1].fps) & set(by_id[3].fps)
+    assert by_id[4].fps == []
+    for r in fp:
+        assert len(r.fps) <= max(r.n_sh, 0)
+
+
+def test_dedup_clusters_components(spark):
+    """Label propagation must find exact connected components (chain
+    topology exercises multi-round convergence) and be deterministic."""
+    from crypto_prediction_etl_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in dedup_clusters(pairs).collect()
+    }
+    assert got == {
+        1: (1, 1), 2: (1, 0), 3: (1, 0), 4: (1, 0),
+        10: (10, 1), 11: (10, 0),
+        20: (20, 1), 21: (20, 0), 22: (20, 0),
+    }
+    again = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in dedup_clusters(pairs).collect()
+    }
+    assert again == got
+
+
+def test_ivf_ann_recall_scales_with_nprobe(spark, sf_dir):
+    """IVF with 8 cells: recall@5 must beat the random-scan baseline
+    (nprobe/cells = 0.25) at nprobe=2 and improve as the probe widens —
+    on THIS corpus (near-isotropic synthetic embeddings) measured 0.44
+    at nprobe=2 / 0.66 at nprobe=4 at sf0.001; clustered real corpora
+    concentrate neighbours in the probed cells and do far better."""
+    from pyspark.sql import functions as F
+
+    from crypto_prediction_etl_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+    )
+    from crypto_prediction_etl_spark.plans.similarity_q import _vecs
+
+    vecs = _vecs(spark, sf_dir)
+    seeds = [list(r[0]) for r in vecs.orderBy("vec_id").limit(8).select("v").collect()]
+    queries = vecs.filter(F.col("vec_id") % 50 == 0)
+    exact = cosine_topk(vecs, queries, k=5).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r.query_id, set()).add(r.vec_id)
+
+    def recall(nprobe):
+        ann = ivf_ann_topk(vecs, queries, seeds, k=5, nprobe=nprobe).collect()
+        ap = {}
+        for r in ann:
+            ap.setdefault(r.query_id, set()).add(r.vec_id)
+        rs = [len(ap.get(q, set()) & ex[q]) / len(ex[q]) for q in ex]
+        return sum(rs) / len(rs)
+
+    r2, r4 = recall(2), recall(4)
+    assert r2 >= 0.35, r2
+    assert r4 >= r2, (r2, r4)
+
+
+def test_ivf_plan_is_bucketed_not_cartesian(spark, sf_dir):
+    """q56's probe must be an equi join on cell — no cross product."""
+    plan = _plan(spark, sf_dir, "q56_ivf_ann")
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
