@@ -188,3 +188,16 @@ def winnow_fingerprints(hashes_col: Column, w: int = 4) -> Column:
     return F.when(n > 0, F.array_distinct(wins)).otherwise(
         F.array().cast("array<long>")
     )
+
+
+# BPE-style pre-tokenization runs: letter runs, digit runs, symbol runs.
+# Deliberately RE2-safe (no lookahead/backrefs) so DuckDB's
+# regexp_extract_all segments text identically to Spark's.
+BPE_RUN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+
+def bpe_segments(col: Column | str) -> Column:
+    """Array of BPE-ish pre-token runs (the GPT-2 pretokenizer shape,
+    restricted to an engine-portable regex subset)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_RUN_REGEX), F.lit(0))

@@ -199,3 +199,48 @@ def q47_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(winnow_fingerprints(F.col("_hl"), _Q47_W)).alias("fp"),
         )
     )
+
+
+@query(
+    "q49_bpe_token_segmentation",
+    oracle=f"""
+    WITH seg AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+') AS runs,
+             regexp_extract_all(text, '[A-Za-z]+') AS alpha_runs,
+             regexp_extract_all(text, '[0-9]+') AS digit_runs
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(runs) AS INTEGER) AS n_bpe_tokens,
+           CAST(len(alpha_runs) AS INTEGER) AS n_alpha_runs,
+           CAST(len(digit_runs) AS INTEGER) AS n_digit_runs,
+           {o_rnd("CASE WHEN len(runs) > 0 THEN CAST(len(array_to_string(runs, '')) AS DOUBLE) / len(runs) ELSE 0.0 END", 6)} AS avg_run_len
+    FROM seg
+    """,
+)
+def q49_bpe_token_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization counts: letter/digit/symbol run
+    segmentation with an RE2-safe regex both engines evaluate
+    identically (the 'token counting: whitespace + BPE-ish regex'
+    north-star op). Pure per-row regex — codegen'd, zero shuffle."""
+    from ..operators.text import bpe_segments
+
+    docs = table(spark, sf_dir, "documents")
+    runs = bpe_segments("text")
+    alpha = F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]+"), F.lit(0))
+    digit = F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), F.lit(0))
+    n_runs = F.size(runs)
+    return docs.select(
+        "doc_id",
+        n_runs.alias("n_bpe_tokens"),
+        F.size(alpha).alias("n_alpha_runs"),
+        F.size(digit).alias("n_digit_runs"),
+        prnd(
+            F.when(
+                n_runs > 0,
+                F.length(F.array_join(runs, "")).cast("double") / n_runs,
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("avg_run_len"),
+    )

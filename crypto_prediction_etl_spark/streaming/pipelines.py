@@ -203,3 +203,32 @@ def running_ohlc_stateful(grouped_stream, seq_col: str = "seq"):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    event_time_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-ingested duplicate documents by
+    content fingerprint, with state bounded by the watermark.
+
+    The streaming face of :func:`..operators.dedup.exact_dedup` for a
+    live training-data ingest: fingerprint = md5 of the normalized
+    text (same canon form as the batch op, so batch and stream agree
+    on what "identical" means), then ``dropDuplicatesWithinWatermark``
+    keeps ONE state entry per fingerprint only until the watermark
+    passes ``delay`` beyond its event time. Unbounded-key streams stay
+    bounded: state is O(distinct fingerprints per watermark window),
+    not O(all history) — the difference between a dedup that survives
+    a week of 100 TB ingest and one that OOMs on day one. Emission is
+    append-mode immediate (first sighting flows through the same
+    micro-batch; later sightings within the window are dropped).
+    """
+    from ..operators.text import fingerprint_md5
+
+    fp = stream.withColumn("fingerprint", fingerprint_md5(text_col))
+    return fp.withWatermark(event_time_col, delay).dropDuplicatesWithinWatermark(
+        ["fingerprint"]
+    )

@@ -293,3 +293,13 @@ def test_ivf_plan_is_bucketed_not_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q56_ivf_ann")
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+
+
+def test_winnowing_plan_has_single_exchange(spark, sf_dir):
+    """q47 is a pure map after the parallelism repartition: exactly one
+    Exchange (the round-robin spread), no aggregation, no join — the
+    shape that scales linearly with input splits."""
+    plan = _plan(spark, sf_dir, "q47_winnowing_fingerprints")
+    assert plan.count("Exchange") == 1, plan[:3000]
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "HashAggregate"):
+        assert op not in plan, op

@@ -441,3 +441,55 @@ def test_kafka_source_option_surface(spark, workdir):
     q.processAllAvailable()
     q.stop()
     assert spark.read.parquet(os.path.join(workdir, "seam_out")).count() == 1
+
+
+def test_streaming_exact_dedup(spark, workdir):
+    """Duplicate content arriving in a later micro-batch (inside the
+    watermark window) is dropped; distinct content passes; whitespace/
+    case variants hash to the same fingerprint (batch canon form)."""
+    import pandas as pd
+
+    from crypto_prediction_etl_spark.streaming.pipelines import (
+        streaming_exact_dedup,
+    )
+
+    src = os.path.join(workdir, "docs_src")
+    os.makedirs(src)
+    t = pd.Timestamp("2024-01-01 00:00:00")
+
+    def write(name, rows):
+        pd.DataFrame(rows).to_parquet(
+            os.path.join(src, name),
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+
+    write("b0.parquet", {
+        "doc_id": [1, 2],
+        "ts": [t, t + pd.Timedelta(minutes=1)],
+        "text": ["hello world", "fresh content"],
+    })
+    stream = spark.readStream.schema(
+        "doc_id long, ts timestamp, text string"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    deduped = streaming_exact_dedup(stream)
+    qname = "dedup_stream"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    q.processAllAvailable()
+    # second batch: one exact dup, one canon-form dup, one new doc
+    write("b1.parquet", {
+        "doc_id": [3, 4, 5],
+        "ts": [t + pd.Timedelta(minutes=2)] * 3,
+        "text": ["hello world", "  Hello   WORLD ", "brand new"],
+    })
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        r.doc_id for r in spark.sql(f"SELECT doc_id FROM {qname}").collect()
+    )
+    assert got == [1, 2, 5]
