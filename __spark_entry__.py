@@ -52,6 +52,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _ADJUDICATE_FIRST = [
     "q47_winnowing_fingerprints",
     "q49_bpe_token_segmentation",
+    "q72_frame_sample",
     "q48_dedup_clusters",
     "q56_ivf_ann",
     "q51_embedding_near_dup",

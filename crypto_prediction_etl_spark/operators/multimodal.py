@@ -108,3 +108,78 @@ def decode_features(payloads: DataFrame, batch_schema: str | None = None) -> Dat
             yield pd.DataFrame(rows)
 
     return payloads.mapInPandas(kernel, schema=schema)
+
+
+FRAME_CHARS = 64  # fake-codec frame size (characters of the body)
+
+
+def sample_frames(
+    payloads: DataFrame, every_n: int = 2, frame_chars: int = FRAME_CHARS
+) -> DataFrame:
+    """Frame sampling over binary "video" payloads via ``mapInPandas``:
+    decode (fake codec = fixed-size character chunks of the body), keep
+    every ``every_n``-th frame, emit one row per kept frame.
+
+    The 1->N batch shape is the real point: a frame sampler widens rows
+    (unlike feature extraction's 1->1), and the Arrow batch carries the
+    frame bytes out of Python without pickling. With ffmpeg present the
+    chunker becomes a real demuxer; the schema, partitioning and batch
+    contract are unchanged. Chunking is by CHARACTER (the fake payload
+    body is utf-8 text) so a SQL oracle can replay frames with substr.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                head, _, rest = raw.partition(b";H=")
+                _, _, body = rest.partition(b";")
+                s = body.decode("utf-8")
+                n_frames = (len(s) + frame_chars - 1) // frame_chars
+                for idx in range(0, n_frames, every_n):
+                    fr = s[idx * frame_chars : (idx + 1) * frame_chars]
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "frame_idx": idx,
+                            "frame_len": len(fr),
+                            "frame_md5": hashlib.md5(fr.encode("utf-8")).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "frame_len", "frame_md5"],
+            )
+
+    return payloads.mapInPandas(
+        kernel, schema="doc_id long, frame_idx int, frame_len int, frame_md5 string"
+    )
+
+
+def resize_payload(payloads: DataFrame, num: int = 1, den: int = 2) -> DataFrame:
+    """Binary->binary "resize" via ``mapInPandas``: scale the header
+    dims by num/den and stride-sample the body bytes — the Arrow shape
+    of a real thumbnailing pass (decode, scale, re-encode) with the
+    codec faked. Output schema (doc_id, payload binary) matches the
+    input, so resize stages compose/chain like any other payload op."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                head, _, rest = raw.partition(b";H=")
+                w = int(head[2:])
+                h_str, _, body = rest.partition(b";")
+                h = int(h_str)
+                nw, nh = w * num // den, h * num // den
+                out = (
+                    f"W={nw};H={nh};".encode() + bytes(body[:: den // num or 1])
+                )
+                rows.append({"doc_id": int(doc_id), "payload": out})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return payloads.mapInPandas(kernel, schema="doc_id long, payload binary")

@@ -68,3 +68,33 @@ def q71_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_byte",
         "body_checksum",
     )
+
+
+@query(
+    "q72_frame_sample",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(unnest(range(1, CAST(ceil(length(text) / 64.0) AS BIGINT) + 1)) AS INT) AS i
+      FROM documents
+    ),
+    frames AS (
+      SELECT f.doc_id, f.i - 1 AS frame_idx,
+             substr(d.text, (f.i - 1) * 64 + 1, 64) AS fr
+      FROM f JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(length(fr) AS INT) AS frame_len, md5(fr) AS frame_md5
+    FROM frames WHERE frame_idx % 2 = 0
+    """,
+)
+def q72_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over binary payloads: mapInPandas
+    fake-codec chunker keeps every 2nd 64-char frame, one output row
+    per kept frame (the 1->N Arrow batch shape of a real demuxer).
+    The oracle replays the chunker with substr over the source text —
+    the kernel's frames are hash-checked, not just counted."""
+    from ..operators.multimodal import sample_frames
+
+    payloads = synthetic_payload(table(spark, sf_dir, "documents"))
+    return sample_frames(payloads, every_n=2)

@@ -52,3 +52,62 @@ def test_unknown_codec_raises(spark):
     with pytest.raises(Exception) as exc:
         decode_features(df).collect()
     assert "NotImplementedError" in str(exc.value) or "PIL" in str(exc.value)
+
+
+def test_frame_sample_shape_and_content(spark, sf_dir):
+    """Frame sampler: every 2nd 64-char frame, md5s match a local
+    recompute, and the last frame may be ragged (shorter)."""
+    import hashlib
+
+    from crypto_prediction_etl_spark.operators.multimodal import (
+        sample_frames,
+        synthetic_payload,
+    )
+    from crypto_prediction_etl_spark.sources.readers import table
+
+    docs = table(spark, sf_dir, "documents").limit(50)
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    got = sample_frames(synthetic_payload(docs), every_n=2).collect()
+    by_key = {(r.doc_id, r.frame_idx): (r.frame_len, r.frame_md5) for r in got}
+    expect = {}
+    for doc_id, text in texts.items():
+        n = (len(text) + 63) // 64
+        for idx in range(0, n, 2):
+            fr = text[idx * 64 : (idx + 1) * 64]
+            expect[(doc_id, idx)] = (len(fr), hashlib.md5(fr.encode()).hexdigest())
+    assert by_key == expect
+    assert any(v[0] < 64 for v in expect.values())  # ragged tail exists
+
+
+def test_resize_payload_roundtrip(spark, sf_dir):
+    """Resize halves header dims; output re-parses through the same
+    JVM-side metadata extractor (binary->binary composition)."""
+    from pyspark.sql import functions as F
+
+    from crypto_prediction_etl_spark.operators.multimodal import (
+        payload_metadata,
+        resize_payload,
+        synthetic_payload,
+    )
+    from crypto_prediction_etl_spark.sources.readers import table
+
+    docs = table(spark, sf_dir, "documents").limit(20)
+    orig = synthetic_payload(docs)
+    m0 = {
+        r.doc_id: (r.w, r.h)
+        for r in orig.select(
+            "doc_id",
+            payload_metadata(F.col("payload"))["width"].alias("w"),
+            payload_metadata(F.col("payload"))["height"].alias("h"),
+        ).collect()
+    }
+    resized = resize_payload(orig, 1, 2)
+    m1 = {
+        r.doc_id: (r.w, r.h)
+        for r in resized.select(
+            "doc_id",
+            payload_metadata(F.col("payload"))["width"].alias("w"),
+            payload_metadata(F.col("payload"))["height"].alias("h"),
+        ).collect()
+    }
+    assert m1 == {k: (w // 2, h // 2) for k, (w, h) in m0.items()}
