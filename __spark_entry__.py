@@ -53,6 +53,8 @@ _ADJUDICATE_FIRST = [
     "q47_winnowing_fingerprints",
     "q49_bpe_token_segmentation",
     "q72_frame_sample",
+    "q73_dataset_split",
+    "q74_sequence_packing",
     "q48_dedup_clusters",
     "q56_ivf_ann",
     "q51_embedding_near_dup",

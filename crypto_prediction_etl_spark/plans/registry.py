@@ -45,6 +45,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load_all() -> None:
     """Import every plan module so its @query decorators run."""
     from . import (  # noqa: F401
+        dataprep_q,
         dedup,
         indicators_q,
         mart,

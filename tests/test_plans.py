@@ -303,3 +303,46 @@ def test_winnowing_plan_has_single_exchange(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan[:3000]
     for op in ("SortMergeJoin", "BroadcastHashJoin", "HashAggregate"):
         assert op not in plan, op
+
+
+def test_dataset_split_stable_under_partitioning(spark, sf_dir):
+    """Hash-based split assignment must be identical regardless of how
+    the input is partitioned (the property that makes it safe for
+    incremental appends at scale) and must honor the 80/10/10 fences
+    per document."""
+    from pyspark.sql import functions as F
+
+    from crypto_prediction_etl_spark.functions.portable import hash64
+    from crypto_prediction_etl_spark.sources.readers import table
+
+    docs = table(spark, sf_dir, "documents")
+    bucket = hash64(F.col("doc_id")) % 100
+    a = {r.doc_id: r.b for r in docs.select("doc_id", bucket.alias("b")).collect()}
+    b = {
+        r.doc_id: r.b
+        for r in docs.repartition(7)
+        .select("doc_id", bucket.alias("b"))
+        .collect()
+    }
+    assert a == b
+    assert all(0 <= v < 100 for v in a.values())
+
+
+def test_sequence_packing_invariants(spark, sf_dir):
+    """Packing: offsets stay inside the budget, pack_id is the floor of
+    the running token offset, and ids are nondecreasing in doc order
+    within a stratum."""
+    from crypto_prediction_etl_spark.plans.registry import QUERIES
+
+    rows = QUERIES["q74_sequence_packing"](spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.doc_id)
+        offset = 0
+        for r in rs:
+            assert 0 <= r.pack_offset < 2048
+            assert r.pack_id == offset // 2048
+            assert r.pack_offset == offset % 2048
+            offset += r.n_tokens
