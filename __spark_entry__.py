@@ -53,6 +53,8 @@ _ADJUDICATE_FIRST = [
     "q47_winnowing_fingerprints",
     "q49_bpe_token_segmentation",
     "q72_frame_sample",
+    "q57_interval_join",
+    "q58_kmv_distinct",
     "q73_dataset_split",
     "q74_sequence_packing",
     "q48_dedup_clusters",

@@ -132,3 +132,45 @@ DENSIFY_SQL_TEMPLATE = """
 def densify_sql(candles_sql: str) -> str:
     """Oracle CTE prefix ending in a ``dense`` relation."""
     return DENSIFY_SQL_TEMPLATE.format(candles_sql=candles_sql)
+
+
+def interval_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    ts_col: str = "ts",
+    bucket_seconds: int = 300,
+) -> DataFrame:
+    """Half-open interval join ([start, end) contains point ts) as an
+    EQUI join: both sides are quantized to ``bucket_seconds`` time
+    buckets, intervals explode to every bucket they overlap, and the
+    exact range predicate filters after the bucket hash join.
+
+    A naive theta join (p.ts BETWEEN i.start AND i.end) plans as
+    BroadcastNestedLoopJoin — every point against every interval, the
+    same O(n*m) scale-killer as the all-pairs cosine join. The bucket
+    prefilter turns it into a hash join whose candidate count is
+    (points per bucket) x (intervals overlapping that bucket): linear
+    in both inputs for bounded interval length. Each point lives in
+    exactly ONE bucket, so a (interval, point) pair meets at most once
+    — no post-join dedup. Choose ``bucket_seconds`` ~ the typical
+    interval length: shorter buckets = more interval replicas, longer
+    = more false candidates per bucket.
+    """
+    n_buckets_spanned = 2  # end - start <= bucket_seconds => 2 buckets
+    b0 = F.floor(F.unix_timestamp(F.col(start_col)) / bucket_seconds)
+    ivals = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.array_distinct(
+                F.array(*[b0 + i for i in range(n_buckets_spanned)])
+            )
+        ),
+    )
+    pts = points.withColumn(
+        "_bkt", F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds)
+    )
+    return ivals.join(pts, "_bkt").filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    )

@@ -1,0 +1,94 @@
+"""Event-analytics queries: bucket-prefiltered interval join and the
+deterministic KMV cardinality sketch, DuckDB-checked."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.portable import o_hash64, o_rnd, prnd
+from ..operators.sketches import HASH_SPACE, kmv_distinct
+from ..operators.timeseries import interval_join
+from ..sources.readers import table
+from .registry import query
+
+_Q57_WINDOW_S = 300  # incident window length = bucket size (5 minutes)
+
+
+@query(
+    "q57_interval_join",
+    oracle=f"""
+    WITH i AS (SELECT event_id, ts FROM events WHERE event_type = 'error'),
+    t AS (SELECT ts, value FROM events WHERE event_type <> 'error')
+    SELECT i.event_id,
+           count(t.ts) AS n_follow,
+           {o_rnd('coalesce(sum(t.value), 0.0)', 2)} AS follow_value
+    FROM i LEFT JOIN t
+      ON t.ts >= i.ts AND t.ts < i.ts + INTERVAL 5 MINUTE
+    GROUP BY i.event_id
+    """,
+)
+def q57_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incident-window interval join: for every error event, aggregate
+    the non-error events inside its 5-minute half-open window.
+
+    The oracle states it as the theta join; the Spark plan refuses to —
+    operators.timeseries.interval_join quantizes both sides to 5-minute
+    buckets and hash-joins on the bucket, with the exact range predicate
+    as a post-filter (candidates linear in both inputs, never
+    points x intervals). A left anti complement restores the zero-match
+    incidents the inner bucket join drops."""
+    ev = table(spark, sf_dir, "events")
+    incidents = ev.filter(F.col("event_type") == "error").select(
+        "event_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("end_ts"),
+    )
+    targets = ev.filter(F.col("event_type") != "error").select(
+        F.col("ts"), F.col("value")
+    )
+    matched = interval_join(
+        incidents, targets, bucket_seconds=_Q57_WINDOW_S
+    ).groupBy("event_id").agg(
+        F.count("ts").alias("n_follow"),
+        prnd(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias("follow_value"),
+    )
+    unmatched = incidents.join(matched, "event_id", "left_anti").select(
+        "event_id",
+        F.lit(0).cast("long").alias("n_follow"),
+        F.lit(0.0).alias("follow_value"),
+    )
+    return matched.unionByName(unmatched)
+
+
+_Q58_K = 16
+
+
+@query(
+    "q58_kmv_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type, ({o_hash64('user_id')}) AS hh FROM events
+    ),
+    r AS (
+      SELECT event_type, hh,
+             row_number() OVER (PARTITION BY event_type ORDER BY hh) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS nd
+      FROM h
+    )
+    SELECT event_type,
+           CAST(nd AS BIGINT) AS n_exact,
+           {o_rnd(f'CASE WHEN nd >= {_Q58_K} THEN {float(_Q58_K - 1)} * {HASH_SPACE} / CAST(hh AS DOUBLE) ELSE CAST(nd AS DOUBLE) END', 2)} AS kmv_estimate
+    FROM r
+    WHERE rn = least({_Q58_K}, nd)
+    """,
+)
+def q58_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type: exact count next to the KMV
+    (k-minimum-values, k=16) estimate. Unlike HLL sketches, KMV over
+    the portable md5 hash is bit-for-bit reproducible on ANY engine —
+    both sides compute identical estimates, so the correctness gate
+    hash-checks an *approximate* aggregate exactly."""
+    return kmv_distinct(
+        table(spark, sf_dir, "events"), "event_type", "user_id", k=_Q58_K
+    )

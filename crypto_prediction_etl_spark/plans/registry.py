@@ -47,6 +47,7 @@ def load_all() -> None:
     from . import (  # noqa: F401
         dataprep_q,
         dedup,
+        events_q,
         indicators_q,
         mart,
         multimodal_q,

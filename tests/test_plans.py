@@ -346,3 +346,25 @@ def test_sequence_packing_invariants(spark, sf_dir):
             assert r.pack_id == offset // 2048
             assert r.pack_offset == offset % 2048
             offset += r.n_tokens
+
+
+def test_interval_join_is_bucketed_not_theta(spark, sf_dir):
+    """q57's containment predicate must ride a bucket hash join — the
+    theta-join formulation (BroadcastNestedLoopJoin) is the points x
+    intervals scale-killer interval_join exists to avoid."""
+    plan = _plan(spark, sf_dir, "q57_interval_join")
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+
+
+def test_kmv_estimate_quality(spark, sf_dir):
+    """KMV estimate must land within 50% of exact for every group at
+    k=16 (loose statistical bound, deterministic on this data) and be
+    exact for groups under k distinct values."""
+    rows = registry.QUERIES["q58_kmv_distinct"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.n_exact < 16:
+            assert r.kmv_estimate == float(r.n_exact)
+        else:
+            assert 0.5 * r.n_exact <= r.kmv_estimate <= 1.5 * r.n_exact, r
