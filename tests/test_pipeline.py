@@ -132,3 +132,39 @@ def test_csv_bootstrap_with_empty_string_filter(spark, workdir):
     got = spark.read.parquet(out)
     assert got.count() == 2
     assert os.path.isdir(os.path.join(out, "year=2024", "month=1", "day=1"))
+
+
+def test_corpus_curation_end_to_end(spark, tmp_path):
+    """Full curation flow: exact + near-dup dedup -> split -> lang/split
+    partitioned layout; duplicates are gone, canonicals survive, reruns
+    are idempotent, and the written layout partition-prunes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from crypto_prediction_etl_spark.plans.curation import curate_corpus
+    from crypto_prediction_etl_spark.sources.readers import table
+
+    sf_dir = "/root/testdata/sf0.01"
+    out = str(tmp_path / "curated")
+    kept = curate_corpus(spark, sf_dir, out)
+    docs = table(spark, sf_dir, "documents")
+
+    n_docs = docs.count()
+    back = spark.read.parquet(out)
+    n_kept = back.count()
+    assert 0 < n_kept < n_docs  # fixtures contain dups by construction
+    # exact-dup elimination: fingerprints are unique post-curation
+    fp = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+    assert back.select(fp.alias("f")).distinct().count() == n_kept
+    # partition layout: lang=*/split=* directories exist
+    langs = [d for d in os.listdir(out) if d.startswith("lang=")]
+    assert langs
+    splits = os.listdir(os.path.join(out, langs[0]))
+    assert any(s.startswith("split=") for s in splits)
+    # every kept doc_id unique
+    assert back.select("doc_id").distinct().count() == n_kept
+    # idempotent rerun (overwrite mode); re-read — the old frame's file
+    # listing is stale after the overwrite
+    curate_corpus(spark, sf_dir, out)
+    assert spark.read.parquet(out).count() == n_kept
