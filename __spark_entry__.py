@@ -55,6 +55,7 @@ _ADJUDICATE_FIRST = [
     "q72_frame_sample",
     "q57_interval_join",
     "q58_kmv_distinct",
+    "q59_grouped_agg_udaf",
     "q73_dataset_split",
     "q74_sequence_packing",
     "q48_dedup_clusters",

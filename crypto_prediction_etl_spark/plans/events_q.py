@@ -92,3 +92,46 @@ def q58_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(
         table(spark, sf_dir, "events"), "event_type", "user_id", k=_Q58_K
     )
+
+
+@query(
+    "q59_grouped_agg_udaf",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {o_rnd('sum(value * user_id) / sum(user_id)', 4)} AS weighted_value
+    FROM events
+    WHERE user_id > 0
+    GROUP BY event_type
+    """,
+)
+def q59_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDAF (§2.10's third Arrow surface next
+    to grouped-map and map iterator): weighted mean via one vectorized
+    numpy reduction per group — Arrow moves the group's columns in a
+    single batch, no per-row Python. Shuffle shape is identical to a
+    JVM aggregate (hash partition on the group key); the UDAF only
+    replaces the reduction kernel, so the 100 TB story is unchanged
+    except partial aggregation — which is why built-ins stay the
+    default and this surface is reserved for reductions Spark lacks."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType given explicitly: this module postpones annotation
+    # evaluation (PEP 563), which defeats pandas_udf's hint inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wmean(v, w):
+        return float((v * w).sum() / w.sum())
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def cnt(v):
+        return len(v)
+
+    # Spark refuses to mix pandas and JVM aggregates in one agg(), so
+    # the row count is a (trivial) pandas UDAF too
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") > 0)
+    return ev.groupBy("event_type").agg(
+        cnt(F.col("value")).alias("n_events"),
+        prnd(wmean(F.col("value"), F.col("user_id").cast("double")), 4).alias(
+            "weighted_value"
+        ),
+    )

@@ -368,3 +368,17 @@ def test_kmv_estimate_quality(spark, sf_dir):
             assert r.kmv_estimate == float(r.n_exact)
         else:
             assert 0.5 * r.n_exact <= r.kmv_estimate <= 1.5 * r.n_exact, r
+
+
+def test_sequence_packing_single_exchange_per_stratum_window(spark, sf_dir):
+    """q74: token counting is map-side; the only exchange is the
+    stratum window's hash partition."""
+    plan = _plan(spark, sf_dir, "q74_sequence_packing")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+
+
+def test_kmv_two_shuffles(spark, sf_dir):
+    """q58: one distinct shuffle on (group, hash) + the per-group
+    window partition — nothing else."""
+    plan = _plan(spark, sf_dir, "q58_kmv_distinct")
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:3000]
