@@ -58,6 +58,9 @@ _ADJUDICATE_FIRST = [
     "q59_grouped_agg_udaf",
     "q73_dataset_split",
     "q74_sequence_packing",
+    "q75_bm25_scoring",
+    "q76_stratified_cap",
+    "q77_pii_content_filter",
     "q48_dedup_clusters",
     "q56_ivf_ann",
     "q51_embedding_near_dup",

@@ -81,6 +81,45 @@ def q73_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CAP_PER_CLASS = 60  # max docs kept per language stratum
+
+
+@query(
+    "q76_stratified_cap",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ({o_hash64('doc_id')}), doc_id) AS INTEGER) AS sample_rank
+      FROM documents
+    )
+    SELECT doc_id, lang, sample_rank,
+           CAST(sample_rank <= {_CAP_PER_CLASS} AS INT) AS kept
+    FROM r
+    """,
+)
+def q76_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-class downsampling: keep at most N documents per
+    language, chosen by portable-hash order (hash64(doc_id) with doc_id
+    tie-break) — the class-rebalancing step of a training-data pipeline.
+
+    Hash order instead of RNG makes the sample a pure function of the
+    data: stable under reruns, repartitions and appends (a new doc can
+    displace at most one ranked doc). One hash-partition + sort per
+    stratum is the only shuffle; at 100 TB strata far above the cap are
+    first pre-pruned with an approximate per-partition cap (keep local
+    top-N before the global window) so the sort input stays bounded."""
+    docs = table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(hash64(F.col("doc_id")), "doc_id")
+    r = docs.select(
+        "doc_id", "lang", F.row_number().over(w).alias("sample_rank")
+    )
+    return r.withColumn(
+        "kept", (F.col("sample_rank") <= _CAP_PER_CLASS).cast("int")
+    )
+
+
 _PACK_BUDGET = 2048  # tokens per packed context window
 
 

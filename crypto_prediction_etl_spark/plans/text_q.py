@@ -201,6 +201,164 @@ def q47_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ("hash", "join", "stream", "vector")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_oracle() -> str:
+    terms = _in_list(_BM25_TERMS)
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+           WHERE term IN {terms} GROUP BY doc_id, term),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, dl.dl, tf.tf,
+             ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+               * tf.tf * ({_BM25_K1} + 1.0)
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                     + {_BM25_B} * CAST(dl.dl AS DOUBLE) / stats.avgdl)) AS c
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    agg AS (
+      SELECT doc_id, CAST(min(dl) AS BIGINT) AS dl,
+             CAST(count(*) AS BIGINT) AS n_terms,
+             CAST(sum(tf) AS BIGINT) AS total_tf,
+             {o_rnd('sum(c)', 6)} AS bm25
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, dl, n_terms, total_tf, bm25,
+           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rank
+    FROM agg
+    """
+
+
+@query("q75_bm25_scoring", oracle=_bm25_oracle())
+def q75_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical relevance of every document against a fixed query
+    (k1=1.2, b=0.75) — the retrieval-scoring op of a corpus-triage
+    pipeline. The token explode is filtered to the query's terms BEFORE
+    any shuffle, so the full-vocabulary posting matrix never
+    materializes; document frequency and corpus stats are broadcast
+    one-row/tiny frames. Rank is computed over the ROUNDED score with a
+    doc_id tie-break so both engines order identically; the global
+    row_number is over query-matching docs only (small by construction
+    — at scale the q50-style per-partition partial top-k replaces it).
+    """
+    from ..operators.retrieval import bm25_scores
+
+    docs = table(spark, sf_dir, "documents")
+    scored = bm25_scores(docs, list(_BM25_TERMS), _BM25_K1, _BM25_B)
+    scored = scored.withColumn("bm25", prnd(F.col("bm25"), 6))
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("bm25").desc(), "doc_id")
+    return scored.select(
+        "doc_id",
+        "dl",
+        "n_terms",
+        "total_tf",
+        "bm25",
+        F.row_number().over(w).alias("rank"),
+    )
+
+
+# deterministic synthetic-PII augmentation: the raw corpus is clean word
+# soup, so the detector would only ever see negatives — both engines
+# append identical synthetic contacts to a doc_id-keyed subset, giving
+# the filter real positives to find (and the redactor real work).
+_EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+"
+_URL_RE = "https?://[a-z0-9./]+"
+_PHONE_RE = "[0-9]{7,}"
+
+
+@query(
+    "q77_pii_content_filter",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+                       ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' see https://docs.example.com/p/' || CAST(doc_id AS VARCHAR)
+                       ELSE '' END
+               || CASE WHEN doc_id % 13 = 0
+                       THEN ' call 555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0')
+                       ELSE '' END AS t
+      FROM documents
+    ),
+    det AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+             CAST(len(regexp_extract_all(t, '{_URL_RE}')) AS INTEGER) AS n_urls,
+             CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS INTEGER) AS n_phones,
+             length(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                   '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_len
+      FROM aug
+    )
+    SELECT doc_id, n_emails, n_urls, n_phones,
+           CAST(n_emails + n_phones > 0 AS INT) AS pii_flag,
+           redacted_len
+    FROM det
+    """,
+)
+def q77_pii_content_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/content filtering for corpus curation: regex detectors for
+    emails / URLs / long digit runs, a drop-or-keep flag, and redaction
+    (replace-then-measure). Patterns are RE2-safe character classes so
+    Java regex and DuckDB RE2 match identically. Pure per-row codegen'd
+    expression work — zero shuffle at any scale. The synthetic-contact
+    augmentation is deterministic on doc_id so both engines construct
+    the identical corpus."""
+    docs = table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com now"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" see https://docs.example.com/p/"),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit(" call 555"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 7, "0"),
+            ),
+        ).otherwise(""),
+    )
+    t = docs.select("doc_id", aug.alias("t"))
+    n_emails = F.regexp_count("t", F.lit(_EMAIL_RE))
+    n_urls = F.regexp_count("t", F.lit(_URL_RE))
+    n_phones = F.regexp_count("t", F.lit(_PHONE_RE))
+    redacted = F.regexp_replace(
+        F.regexp_replace("t", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return t.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_urls.alias("n_urls"),
+        n_phones.alias("n_phones"),
+        ((n_emails + n_phones) > 0).cast("int").alias("pii_flag"),
+        F.length(redacted).alias("redacted_len"),
+    )
+
+
 @query(
     "q49_bpe_token_segmentation",
     oracle=f"""
