@@ -135,3 +135,69 @@ def q59_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weighted_value"
         ),
     )
+
+
+_Z_BITS = 8
+
+
+def _zorder_oracle() -> str:
+    interleave = " + ".join(
+        f"((b1 >> {b}) & 1) * {1 << (2 * b + 1)} + ((b2 >> {b}) & 1) * {1 << (2 * b)}"
+        for b in range(_Z_BITS)
+    )
+    top = (1 << _Z_BITS) - 1
+    scale = float(1 << _Z_BITS)
+    return f"""
+    WITH src AS (
+      SELECT event_id, value,
+             CAST(CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE) AS sec
+      FROM events
+    ),
+    stats AS (SELECT min(value) AS min1, max(value) AS max1,
+                     min(sec) AS min2, max(sec) AS max2 FROM src),
+    b AS (
+      SELECT event_id,
+             CASE WHEN max1 - min1 = 0 THEN 0
+                  ELSE least({top}, greatest(0,
+                    CAST(floor((value - min1) / (max1 - min1) * {scale}) AS BIGINT)))
+             END AS b1,
+             CASE WHEN max2 - min2 = 0 THEN 0
+                  ELSE least({top}, greatest(0,
+                    CAST(floor((sec - min2) / (max2 - min2) * {scale}) AS BIGINT)))
+             END AS b2
+      FROM src CROSS JOIN stats
+    )
+    SELECT event_id,
+           CAST(b1 AS INTEGER) AS b1,
+           CAST(b2 AS INTEGER) AS b2,
+           CAST({interleave} AS BIGINT) AS z
+    FROM b
+    """
+
+
+@query("q78_zorder_curve", oracle=_zorder_oracle())
+def q78_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) curve values over (value, event-time): the data-
+    layout primitive behind multi-dimensional scan pruning (Delta
+    OPTIMIZE ZORDER BY). Range-quantize each dimension to 8 bits against
+    its global min/max — ONE scalar min/max pass broadcast back, no
+    global sort or ntile — then interleave the bits with shift/mask
+    arithmetic, bit-identical in both engines. operators/layout.py
+    turns the same z-value into an actual clustered rewrite
+    (repartitionByRange + sortWithinPartitions); tests/test_layout.py
+    measures the per-file envelope tightening that makes pruning work."""
+    from ..operators.layout import with_zvalue
+
+    ev = table(spark, sf_dir, "events")
+    src = ev.select(
+        "event_id",
+        "value",
+        F.floor(F.col("ts").cast("double")).cast("long").cast("double").alias("sec"),
+    )
+    z = with_zvalue(src, "value", "sec", _Z_BITS)
+    return z.select(
+        "event_id",
+        F.col("_b1").cast("int").alias("b1"),
+        F.col("_b2").cast("int").alias("b2"),
+        F.col("z").cast("long").alias("z"),
+    )
