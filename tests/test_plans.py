@@ -382,3 +382,51 @@ def test_kmv_two_shuffles(spark, sf_dir):
     window partition — nothing else."""
     plan = _plan(spark, sf_dir, "q58_kmv_distinct")
     assert plan.count("Exchange hashpartitioning") <= 2, plan[:3000]
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Catalyst's runtime bloom-filter injection (the free semi-join
+    pruning at 100 TB: a selective dim filter becomes a bloom probe on
+    the fact scan, cutting shuffle input before the join). Local
+    datasets sit below the default application-side threshold (10GB),
+    so the test lowers it — on a real cluster the defaults fire on
+    their own; the session factory keeps the feature at its enabled
+    default."""
+    import pyspark.sql.functions as F
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        # broadcast would subsume the bloom (broadcast IS the better
+        # pruning when the dim fits); disable it to model the big-big case
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
