@@ -232,3 +232,63 @@ def streaming_exact_dedup(
     return fp.withWatermark(event_time_col, delay).dropDuplicatesWithinWatermark(
         ["fingerprint"]
     )
+
+
+def trade_candle_stream_join(
+    trades: DataFrame,
+    candles: DataFrame,
+    candle_seconds: int = 60,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: stamp each trade with
+    the same-symbol candle whose [startTime, startTime+candle_seconds)
+    window contains the trade's createTime — the enrich step that fuses
+    the reference's two independent topic pipelines (market_trade +
+    candles_minute) into one stream.
+
+    Both inputs take event-time watermarks and the join condition
+    bounds the two event times' distance, which is exactly what lets
+    Spark evict join state: each side buffers only rows newer than
+    the other side's watermark minus candle_seconds — state is
+    O(in-flight window x symbols), not O(stream history), at any
+    scale. Inner join in append mode emits a row as soon as both sides
+    of a match have arrived.
+
+    Input frames are the outputs of :func:`market_trade_pipeline` and
+    :func:`candles_pipeline` (batch or streaming — the same plan runs
+    both ways; the e2e test drives real micro-batches).
+    """
+    t = trades.withColumn(
+        "trade_ts", F.timestamp_seconds(F.col("createTime"))
+    ).withWatermark("trade_ts", watermark)
+    c = (
+        candles.select(
+            F.col("id").alias("c_id"),
+            F.col("open").alias("c_open"),
+            F.col("high").alias("c_high"),
+            F.col("low").alias("c_low"),
+            F.col("close").alias("c_close"),
+            F.col("startTime").alias("candle_startTime"),
+            F.timestamp_seconds(F.col("startTime")).alias("candle_start_ts"),
+        )
+    ).withWatermark("candle_start_ts", watermark)
+    cond = (
+        (t["id"] == c["c_id"])
+        & (t["trade_ts"] >= c["candle_start_ts"])
+        & (
+            t["trade_ts"]
+            < c["candle_start_ts"] + F.expr(f"INTERVAL {candle_seconds} SECONDS")
+        )
+    )
+    return t.join(c, cond, "inner").select(
+        "id",
+        "trade_id",
+        "takerSide",
+        "price",
+        "createTime",
+        "candle_startTime",
+        F.col("c_open").alias("candle_open"),
+        F.col("c_high").alias("candle_high"),
+        F.col("c_low").alias("candle_low"),
+        F.col("c_close").alias("candle_close"),
+    )

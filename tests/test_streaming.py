@@ -493,3 +493,57 @@ def test_streaming_exact_dedup(spark, workdir):
         r.doc_id for r in spark.sql(f"SELECT doc_id FROM {qname}").collect()
     )
     assert got == [1, 2, 5]
+
+
+def test_stream_stream_trade_candle_interval_join(spark, workdir):
+    """Two live file streams (trades + candles) joined with watermarks
+    and an event-time range condition — the stream-stream join surface.
+    Only the trade that falls inside a same-symbol candle's minute
+    window may match."""
+    from crypto_prediction_etl_spark.streaming.pipelines import (
+        candles_pipeline,
+        market_trade_pipeline,
+        trade_candle_stream_join,
+    )
+
+    tsrc = os.path.join(workdir, "ss_trades_src")
+    csrc = os.path.join(workdir, "ss_candles_src")
+    out = os.path.join(workdir, "ss_out")
+    ckpt = os.path.join(workdir, "ss_ckpt")
+    os.makedirs(tsrc)
+    os.makedirs(csrc)
+    with open(os.path.join(tsrc, "b0.jsonl"), "w") as f:
+        f.write(
+            "\n".join(
+                [
+                    _trade_msg("BTC_USDT", 1, BASE_TS + 10),  # inside candle
+                    _trade_msg("BTC_USDT", 2, BASE_TS + 70),  # after candle
+                    _trade_msg("ETH_USDT", 3, BASE_TS + 20),  # other symbol
+                ]
+            )
+            + "\n"
+        )
+    with open(os.path.join(csrc, "b0.jsonl"), "w") as f:
+        f.write(_candle_msg("BTC_USDT", BASE_TS, BASE_TS + 60) + "\n")
+
+    trades = market_trade_pipeline(spark.readStream.format("text").load(tsrc))
+    candles = candles_pipeline(spark.readStream.format("text").load(csrc))
+    joined = trade_candle_stream_join(trades, candles)
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    r = rows[0].asDict()
+    assert r["id"] == "BTC_USDT" and r["trade_id"] == 1
+    assert r["candle_startTime"] == BASE_TS
+    assert abs(r["candle_close"] - 100.5) < 1e-6
