@@ -60,6 +60,7 @@ _ADJUDICATE_FIRST = [
     "q74_sequence_packing",
     "q75_bm25_scoring",
     "q78_zorder_curve",
+    "q79_rolling_median",
     "q76_stratified_cap",
     "q77_pii_content_filter",
     "q48_dedup_clusters",

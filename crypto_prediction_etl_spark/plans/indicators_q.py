@@ -723,3 +723,74 @@ def q36c_multi_domain_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.count("close").over(w) >= 10, F.avg("close").over(w)), 2
         ).alias("sma_10"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q79: rolling median / IQR robust-outlier filter
+# ---------------------------------------------------------------------------
+
+_Q79_N = 15  # median-filter window (rows)
+
+
+def _q79_sql() -> str:
+    frame = f"OVER ({_WIN} ROWS BETWEEN {_Q79_N - 1} PRECEDING AND CURRENT ROW)"
+    cnt = f"count(close) {frame}"
+
+    def q(p: float) -> str:
+        return f"CASE WHEN {cnt} >= {_Q79_N} THEN quantile_cont(close, {p}) {frame} END"
+
+    iqr = f"(({q(0.75)}) - ({q(0.25)}))"
+    outlier = (
+        f"CASE WHEN {cnt} >= {_Q79_N} THEN CAST("
+        f"close > ({q(0.75)}) + 1.5 * {iqr} OR close < ({q(0.25)}) - 1.5 * {iqr}"
+        f" AS INT) END"
+    )
+    return f"""
+    WITH candles AS ({CANDLES_SQL})
+    SELECT id, dt,
+           {o_rnd('close', 2)} AS close,
+           {o_rnd(q(0.5), 2)} AS med,
+           {o_rnd(q(0.25), 2)} AS p25,
+           {o_rnd(q(0.75), 2)} AS p75,
+           {outlier} AS is_outlier
+    FROM candles
+    """
+
+
+@query("q79_rolling_median", oracle=_q79_sql())
+def q79_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median filter + IQR robust-outlier flag over the candle
+    series — the denoising/anomaly screen a curation pipeline runs
+    before indicators. Spark has no dedicated sliding-quantile window,
+    but the `percentile` AGGREGATE evaluates per-frame inside a window
+    spec (same linear interpolation as DuckDB's quantile_cont — the
+    cross-engine pair recorded in functions/portable.py lore), so the
+    whole query is one window partitioning: all three quantiles and the
+    warm-up count share the single per-id sort, and the per-row cost is
+    O(window) with window fixed at 15 — scale-safe (no per-row
+    collect_list materialization in the output, no second exchange)."""
+    w = (
+        W.partitionBy("id")
+        .orderBy("dt")
+        .rowsBetween(-(_Q79_N - 1), W.currentRow)
+    )
+    c = candles(spark, sf_dir)
+    cnt = F.count("close").over(w)
+    quant = {
+        p: F.expr(f"percentile(close, {p})").over(w) for p in (0.25, 0.5, 0.75)
+    }
+    guard = cnt >= _Q79_N
+    iqr = quant[0.75] - quant[0.25]
+    outlier = (
+        (F.col("close") > quant[0.75] + 1.5 * iqr)
+        | (F.col("close") < quant[0.25] - 1.5 * iqr)
+    ).cast("int")
+    return c.select(
+        "id",
+        "dt",
+        prnd(F.col("close"), 2).alias("close"),
+        prnd(F.when(guard, quant[0.5]), 2).alias("med"),
+        prnd(F.when(guard, quant[0.25]), 2).alias("p25"),
+        prnd(F.when(guard, quant[0.75]), 2).alias("p75"),
+        F.when(guard, outlier).alias("is_outlier"),
+    )
