@@ -239,6 +239,7 @@ def trade_candle_stream_join(
     candles: DataFrame,
     candle_seconds: int = 60,
     watermark: str = "2 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join: stamp each trade with
     the same-symbol candle whose [startTime, startTime+candle_seconds)
@@ -252,7 +253,10 @@ def trade_candle_stream_join(
     the other side's watermark minus candle_seconds — state is
     O(in-flight window x symbols), not O(stream history), at any
     scale. Inner join in append mode emits a row as soon as both sides
-    of a match have arrived.
+    of a match have arrived; ``how="left_outer"`` additionally emits
+    candle-less trades with nulls — but only once the candle-side
+    watermark has passed the trade's window (the row is provably
+    unmatchable), so late candles can never be wrongly skipped.
 
     Input frames are the outputs of :func:`market_trade_pipeline` and
     :func:`candles_pipeline` (batch or streaming — the same plan runs
@@ -280,7 +284,7 @@ def trade_candle_stream_join(
             < c["candle_start_ts"] + F.expr(f"INTERVAL {candle_seconds} SECONDS")
         )
     )
-    return t.join(c, cond, "inner").select(
+    return t.join(c, cond, how).select(
         "id",
         "trade_id",
         "takerSide",

@@ -547,3 +547,78 @@ def test_stream_stream_trade_candle_interval_join(spark, workdir):
     assert r["id"] == "BTC_USDT" and r["trade_id"] == 1
     assert r["candle_startTime"] == BASE_TS
     assert abs(r["candle_close"] - 100.5) < 1e-6
+
+
+def test_stream_stream_left_outer_emits_after_watermark(spark, workdir):
+    """Left-outer stream-stream join: a trade with no candle emits with
+    nulls — but only after the candle-side watermark passes its window,
+    proving the row unmatchable. A second, much-later batch advances the
+    watermark; the unmatched trade from batch 0 must then appear."""
+    from crypto_prediction_etl_spark.streaming.pipelines import (
+        candles_pipeline,
+        market_trade_pipeline,
+        trade_candle_stream_join,
+    )
+
+    tsrc = os.path.join(workdir, "lo_trades_src")
+    csrc = os.path.join(workdir, "lo_candles_src")
+    out = os.path.join(workdir, "lo_out")
+    ckpt = os.path.join(workdir, "lo_ckpt")
+    os.makedirs(tsrc)
+    os.makedirs(csrc)
+    # batch 0: one matchable trade, one orphan (no ETH candle exists)
+    with open(os.path.join(tsrc, "b0.jsonl"), "w") as f:
+        f.write(
+            "\n".join(
+                [
+                    _trade_msg("BTC_USDT", 1, BASE_TS + 10),
+                    _trade_msg("ETH_USDT", 2, BASE_TS + 20),
+                ]
+            )
+            + "\n"
+        )
+    with open(os.path.join(csrc, "b0.jsonl"), "w") as f:
+        f.write(_candle_msg("BTC_USDT", BASE_TS, BASE_TS + 60) + "\n")
+
+    trades = market_trade_pipeline(spark.readStream.format("text").load(tsrc))
+    candles = candles_pipeline(spark.readStream.format("text").load(csrc))
+    joined = trade_candle_stream_join(
+        trades, candles, watermark="1 minutes", how="left_outer"
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # before the watermark advances, the orphan must NOT have emitted
+        ids_before = {
+            r["trade_id"] for r in spark.read.parquet(out).collect()
+        }
+        assert 2 not in ids_before
+        # batch 1: events 30 min later on BOTH streams -> watermark
+        # (min of the two sides) passes batch 0's windows entirely
+        late = BASE_TS + 1800
+        with open(os.path.join(tsrc, "b1.jsonl"), "w") as f:
+            f.write(_trade_msg("BTC_USDT", 9, late) + "\n")
+        with open(os.path.join(csrc, "b1.jsonl"), "w") as f:
+            f.write(_candle_msg("BTC_USDT", late, late + 60) + "\n")
+        q.processAllAvailable()
+        # one more micro-batch so the state-store eviction that the
+        # advanced watermark enables actually runs and emits the orphan
+        with open(os.path.join(tsrc, "b2.jsonl"), "w") as f:
+            f.write(_trade_msg("BTC_USDT", 10, late + 120) + "\n")
+        with open(os.path.join(csrc, "b2.jsonl"), "w") as f:
+            f.write(_candle_msg("BTC_USDT", late + 120, late + 180) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {r["trade_id"]: r.asDict() for r in spark.read.parquet(out).collect()}
+    assert rows[1]["candle_startTime"] == BASE_TS  # matched normally
+    assert 2 in rows, f"orphan never emitted; got {sorted(rows)}"
+    assert rows[2]["candle_startTime"] is None
+    assert rows[2]["candle_close"] is None
