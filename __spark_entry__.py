@@ -61,6 +61,8 @@ _ADJUDICATE_FIRST = [
     "q75_bm25_scoring",
     "q78_zorder_curve",
     "q79_rolling_median",
+    "q80_ohlc_resample",
+    "q81_series_gaps",
     "q76_stratified_cap",
     "q77_pii_content_filter",
     "q48_dedup_clusters",

@@ -794,3 +794,87 @@ def q79_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd(F.when(guard, quant[0.75]), 2).alias("p75"),
         F.when(guard, outlier).alias("is_outlier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q80: OHLC resample (downsample daily candles to weekly bars)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q80_ohlc_resample",
+    oracle=f"""
+    WITH candles AS ({CANDLES_SQL})
+    SELECT id,
+           CAST(date_trunc('week', dt) AS DATE) AS wk,
+           {o_rnd("arg_min(close, dt)", 2)} AS open,
+           {o_rnd("max(high)", 2)} AS high,
+           {o_rnd("min(low)", 2)} AS low,
+           {o_rnd("arg_max(close, dt)", 2)} AS close,
+           CAST(sum(volume_cents) AS BIGINT) AS volume_cents,
+           CAST(count(*) AS BIGINT) AS n_bars
+    FROM candles
+    GROUP BY id, date_trunc('week', dt)
+    """,
+)
+def q80_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample/downsample: daily candles -> weekly OHLCV bars. open =
+    close at the week's first day (min_by), close = at its last
+    (max_by), high/low/volume aggregate; Spark min_by/max_by == DuckDB
+    arg_min/arg_max with the unique per-(id, dt) key making ties
+    impossible. One groupBy on (id, week) is the only shuffle, and it
+    partial-aggregates map-side — the standard rollup shape that holds
+    at any scale (weekly bars ≪ daily bars). Spark's date_trunc('week')
+    and DuckDB's both land on Monday."""
+    c = candles(spark, sf_dir)
+    return (
+        c.groupBy("id", F.date_trunc("week", "dt").cast("date").alias("wk"))
+        .agg(
+            prnd(F.min_by("close", "dt"), 2).alias("open"),
+            prnd(F.max("high"), 2).alias("high"),
+            prnd(F.min("low"), 2).alias("low"),
+            prnd(F.max_by("close", "dt"), 2).alias("close"),
+            F.sum("volume_cents").cast("long").alias("volume_cents"),
+            F.count("*").cast("long").alias("n_bars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q81: series-gap detection (missing calendar days per symbol)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q81_series_gaps",
+    oracle=f"""
+    WITH candles AS ({CANDLES_SQL}),
+    d AS (
+      SELECT id, dt,
+             lag(dt) OVER (PARTITION BY id ORDER BY dt) AS prev_dt
+      FROM candles
+    )
+    SELECT id,
+           CAST(prev_dt AS DATE) AS gap_start,
+           CAST(dt AS DATE) AS gap_end,
+           CAST(date_diff('day', prev_dt, dt) - 1 AS INTEGER) AS missing_days
+    FROM d
+    WHERE prev_dt IS NOT NULL AND date_diff('day', prev_dt, dt) > 1
+    """,
+)
+def q81_series_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gap probe: every hole in each symbol's daily series
+    (consecutive-row date difference > 1 day), with its bounds and
+    width — what a pipeline checks before densifying against the
+    calendar spine (J2/q25's precondition). One lag window per id on
+    the same per-id sort every indicator already uses."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    d = c.select("id", "dt", F.lag("dt").over(w).alias("prev_dt"))
+    diff = F.datediff("dt", "prev_dt")
+    return d.filter(F.col("prev_dt").isNotNull() & (diff > 1)).select(
+        "id",
+        F.col("prev_dt").alias("gap_start"),
+        F.col("dt").alias("gap_end"),
+        (diff - 1).cast("int").alias("missing_days"),
+    )
