@@ -63,6 +63,7 @@ _ADJUDICATE_FIRST = [
     "q79_rolling_median",
     "q80_ohlc_resample",
     "q81_series_gaps",
+    "q82_quality_fence_filter",
     "q76_stratified_cap",
     "q77_pii_content_filter",
     "q48_dedup_clusters",

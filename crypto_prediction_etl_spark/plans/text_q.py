@@ -402,3 +402,55 @@ def q49_bpe_token_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_run_len"),
     )
+
+
+_Q82_PCT = 0.10  # drop the corpus's bottom decile by quality
+
+
+def _q82_oracle() -> str:
+    # inline the q42 score expression, then fence at its corpus P10
+    toks = _TOKS_SQL
+    stop = f"len(list_filter({toks}, t -> t IN {_in_list(LANG_MARKERS['en'])}))"
+    n_chars = "length(text)"
+    n_tokens = f"len({toks})"
+    alpha = f"CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / {n_chars}"
+    atl = f"CAST({n_chars} - length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) / {n_tokens}"
+    stop_ratio = f"CAST({stop} AS DOUBLE) / {n_tokens}"
+    score = (
+        f"(CASE WHEN {n_tokens} BETWEEN 20 AND 2000 THEN 0.25 ELSE 0.0 END"
+        f" + CASE WHEN ({stop_ratio}) >= 0.01 THEN 0.25 ELSE 0.0 END"
+        f" + CASE WHEN ({alpha}) >= 0.6 THEN 0.25 ELSE 0.0 END"
+        f" + CASE WHEN ({atl}) BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END)"
+    )
+    return f"""
+    WITH scored AS (SELECT doc_id, {score} AS q FROM documents),
+    fence AS (SELECT quantile_cont(q, {_Q82_PCT}) AS thr FROM scored)
+    SELECT doc_id,
+           {o_rnd('q', 2)} AS quality_score,
+           {o_rnd('thr', 6)} AS threshold,
+           CAST(q >= thr AS INT) AS keep
+    FROM scored CROSS JOIN fence
+    """
+
+
+@query("q82_quality_fence_filter", oracle=_q82_oracle())
+def q82_quality_fence_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-fence corpus filtering: score every document (q42's
+    composite), compute the corpus P10 as ONE scalar aggregate, and
+    keep/flag documents at or above it — the drop-bottom-decile gate of
+    a curation pipeline. The fence rides a broadcast one-row cross
+    join, so the corpus frame is scanned twice at most (score+agg,
+    score+flag) and never shuffled; Spark `percentile` and DuckDB
+    `quantile_cont` interpolate identically. At 100 TB the exact
+    percentile swaps for `percentile_approx` with a documented error
+    bound — the plan shape is unchanged."""
+    docs = table(spark, sf_dir, "documents")
+    m = quality_metrics("text")
+    scored = docs.select("doc_id", quality_score(m).alias("q"))
+    fence = scored.agg(F.expr(f"percentile(q, {_Q82_PCT})").alias("thr"))
+    return scored.crossJoin(F.broadcast(fence)).select(
+        "doc_id",
+        prnd(F.col("q"), 2).alias("quality_score"),
+        prnd(F.col("thr"), 6).alias("threshold"),
+        (F.col("q") >= F.col("thr")).cast("int").alias("keep"),
+    )
