@@ -454,3 +454,54 @@ def q82_quality_fence_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd(F.col("thr"), 6).alias("threshold"),
         (F.col("q") >= F.col("thr")).cast("int").alias("keep"),
     )
+
+
+_CHUNK_LEN, _CHUNK_STRIDE = 64, 48  # 16-token overlap
+
+
+@query(
+    "q83_doc_chunking",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    st AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             unnest(range(1, greatest(len(toks), 1) + 1, {_CHUNK_STRIDE})) AS start_tok
+      FROM d
+    )
+    SELECT doc_id,
+           CAST((start_tok - 1) // {_CHUNK_STRIDE} + 1 AS INTEGER) AS chunk_id,
+           CAST(start_tok AS INTEGER) AS start_tok,
+           CAST(least({_CHUNK_LEN}, n - start_tok + 1) AS INTEGER) AS n_tok,
+           md5(array_to_string(list_slice(toks, start_tok, start_tok + {_CHUNK_LEN - 1}), ' ')) AS chunk_md5
+    FROM st
+    """,
+)
+def q83_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (64-token chunks, 16-token
+    overlap) — the RAG/pretraining splitter. Chunk starts come from a
+    per-row `sequence` and the chunk text from an array slice, so the
+    whole derivation is array-domain expression work with ZERO shuffle
+    at any scale; chunk_id derives arithmetically from the start offset
+    (no window function, no ordinality dependence). Chunk content is
+    emitted as its md5 so the gate hash-checks full text equality
+    without shipping it."""
+    docs = table(spark, sf_dir, "documents")
+    n = F.size("_toks")
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(_CHUNK_STRIDE))
+    return (
+        docs.select("doc_id", tokens("text").alias("_toks"))
+        .select("doc_id", "_toks", n.alias("n"), F.explode(starts).alias("start_tok"))
+        .select(
+            "doc_id",
+            (((F.col("start_tok") - 1) / _CHUNK_STRIDE).cast("int") + 1).alias("chunk_id"),
+            F.col("start_tok").cast("int").alias("start_tok"),
+            F.least(F.lit(_CHUNK_LEN), F.col("n") - F.col("start_tok") + 1)
+            .cast("int")
+            .alias("n_tok"),
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice("_toks", F.col("start_tok"), F.lit(_CHUNK_LEN))
+                )
+            ).alias("chunk_md5"),
+        )
+    )
