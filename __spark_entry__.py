@@ -65,6 +65,7 @@ _ADJUDICATE_FIRST = [
     "q81_series_gaps",
     "q82_quality_fence_filter",
     "q83_doc_chunking",
+    "q84_label_centroids",
     "q76_stratified_cap",
     "q77_pii_content_filter",
     "q48_dedup_clusters",

@@ -325,3 +325,35 @@ def q56_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(
         vecs, queries, seeds, k=_Q56_TOPK, nprobe=_Q56_NPROBE
     )
+
+
+@query(
+    "q84_label_centroids",
+    oracle=f"""
+    SELECT label,
+           CAST(pos AS INTEGER) AS pos,
+           {o_rnd('avg(CAST(v AS DOUBLE))', 5)} AS centroid_v,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM (SELECT label,
+                 unnest(embedding) AS v,
+                 unnest(range(0, len(embedding))) AS pos
+          FROM embeddings)
+    GROUP BY label, pos
+    """,
+)
+def q84_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids: element-wise mean of the vector
+    column per label — the array-aggregate pattern (class prototypes,
+    nearest-centroid classifiers, IVF codebook refreshes). posexplode
+    to (label, pos, v) and ONE groupBy(label, pos): the aggregate
+    partial-combines map-side, so the shuffle carries labels x dim
+    partial sums per map partition, not the corpus — at 100 TB the
+    wire traffic is O(labels x 64 x partitions) regardless of row
+    count. DuckDB's zipped parallel unnest replays the position
+    pairing exactly."""
+    emb = table(spark, sf_dir, "embeddings")
+    e = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return e.groupBy("label", "pos").agg(
+        prnd(F.avg(F.col("v").cast("double")), 5).alias("centroid_v"),
+        F.count("*").cast("long").alias("n_vecs"),
+    )
