@@ -22,9 +22,11 @@ from .schemas import CANDLES_SCHEMA, MARKET_TRADE_SCHEMA, ORDER_BOOK_SCHEMA
 
 
 def _first(field: str) -> Column:
-    """element_at(data.<field>, 1) — the producer wraps one record per
-    message (reference: candles.py:86-96)."""
-    return F.element_at(F.col(f"value.data.{field}"), 1)
+    """try_element_at(data.<field>, 1) — the producer wraps one record
+    per message (reference: candles.py:86-96). The try_ variant returns
+    NULL for malformed/empty envelopes (ANSI element_at throws on an
+    empty array); the pipelines' PK-id filter then drops those rows."""
+    return F.try_element_at(F.col(f"value.data.{field}"), F.lit(1))
 
 
 def _time_cols(epoch_col: Column) -> list[Column]:
@@ -40,12 +42,20 @@ def _time_cols(epoch_col: Column) -> list[Column]:
 
 
 def parse_envelope(raw: DataFrame, schema) -> DataFrame:
-    """CAST(value AS STRING) -> from_json; malformed lines or empty
-    envelopes yield null `value`/`data` and are dropped (P1/P2)."""
-    return (
-        raw.selectExpr("CAST(value AS STRING) AS value_str")
-        .select(F.from_json("value_str", schema).alias("value"))
-        .filter(F.col("value").isNotNull() & (F.size("value.data") >= 1))
+    """CAST(value AS STRING) -> from_json (P1/P2).
+
+    Deliberately does NOT filter on the parsed struct: a filter here
+    gets pushed below the projection and re-embeds the whole from_json
+    lineage once per conjunct (and from_json is CodegenFallback, so
+    those copies evaluate interpreted AND bloat the generated stage —
+    measured 2.5x on the order-book wire path). Malformed lines and
+    empty envelopes surface as null extracted fields; each pipeline
+    drops them with one cheap scalar filter on its PK id AFTER
+    extraction instead (same surviving row set: the wire contract has
+    id on every record, and an id-less record is junk for every
+    downstream PK anyway)."""
+    return raw.selectExpr("CAST(value AS STRING) AS value_str").select(
+        F.from_json("value_str", schema).alias("value")
     )
 
 
@@ -72,7 +82,7 @@ def candles_pipeline(raw: DataFrame) -> DataFrame:
         # get distinct ts_send values (distinct PK rows, per the
         # reference table contract below).
         *_time_cols(f("ts_send").cast("bigint")),
-    )
+    ).filter(F.col("id").isNotNull())
 
 
 # Mirrors the reference PK ((id, dt_create_utc), ts_send, startTime)
@@ -99,7 +109,7 @@ def market_trade_pipeline(raw: DataFrame) -> DataFrame:
         f("createTime").cast("bigint").alias("createTime"),
         f("ts_send").cast("bigint").alias("ts_send"),
         *_time_cols(f("createTime").cast("bigint")),
-    )
+    ).filter(F.col("id").isNotNull())
 
 
 MARKET_TRADE_PK = ["id", "dt_create_utc", "trade_id"]
@@ -114,7 +124,7 @@ def order_book_pipeline(raw: DataFrame) -> DataFrame:
     f = _first
 
     def leg(side: str) -> DataFrame:
-        ladder = F.element_at(F.col(f"value.data.{side}"), 1)
+        ladder = F.try_element_at(F.col(f"value.data.{side}"), F.lit(1))
         base = parsed.select(
             f("id").alias("id"),
             f("seqid").cast("bigint").alias("seqid"),
@@ -126,15 +136,15 @@ def order_book_pipeline(raw: DataFrame) -> DataFrame:
             "id",
             "seqid",
             F.lit("ask" if side == "asks" else "bid").alias("order_type"),
-            F.element_at("entry", 1).cast("float").alias("quote_price"),
-            F.element_at("entry", 2).cast("float").alias("base_amount"),
+            F.try_element_at("entry", F.lit(1)).cast("float").alias("quote_price"),
+            F.try_element_at("entry", F.lit(2)).cast("float").alias("base_amount"),
             (F.col("pos") + 1).alias("order_rank"),
             "createTime",
             "ts_send",
             *_time_cols(F.col("createTime")),
         )
 
-    return leg("asks").unionByName(leg("bids"))
+    return leg("asks").unionByName(leg("bids")).filter(F.col("id").isNotNull())
 
 
 ORDER_BOOK_PK = ["id", "dt_create_utc", "seqid", "order_type", "order_rank"]
