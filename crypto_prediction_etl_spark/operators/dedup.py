@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.portable import hash64
+from ..sources.readers import spread_small_scan
 from .text import fingerprint_md5, tokens, word_shingles
 
 # Deterministic permutation parameters (module-load constant, seed=42).
@@ -64,12 +65,11 @@ def doc_shingle_arrays(
     one per shingle) and feeds both signature computation (hash the
     array in place) and verification (explode only candidate docs).
 
-    The input is repartitioned to the session's parallelism first: doc
-    corpora often arrive as few large files, and the tokenize/shingle
-    derivation is CPU-bound — without the spread, one task does all the
-    work regardless of cluster size.
+    The input is spread to the session's parallelism first when it
+    arrives under-partitioned (spread_small_scan): the tokenize/shingle
+    derivation is CPU-bound, and without the spread one task does all
+    the work regardless of cluster size.
     """
-    par = docs.sparkSession.sparkContext.defaultParallelism
     # Two projections on purpose: binding the token array to a real
     # column first makes every reference inside word_shingles a cheap
     # attribute lookup instead of a repeated split(lower(text)) subtree.
@@ -77,7 +77,7 @@ def doc_shingle_arrays(
     # generated code stays small — the inline form compiled to code ~2x
     # slower to Janino-compile and evaluate.
     return (
-        docs.repartition(par)
+        spread_small_scan(docs)
         .select(F.col(id_col), tokens(text_col).alias("_toks"))
         .select(
             F.col(id_col),
@@ -293,8 +293,15 @@ def minhash_dedup_pairs(
 def simhash_signatures(
     docs: DataFrame, bits: int = 32, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, simhash): tf-weighted bitwise-majority of token hashes."""
-    tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    """(id, simhash): tf-weighted bitwise-majority of token hashes.
+
+    The tokenize+hash explode is CPU-bound map work; an
+    under-partitioned corpus scan is spread across the session first
+    (one small file = one task = 1/32 of the machine otherwise).
+    """
+    tok = spread_small_scan(docs).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    )
     tok = tok.withColumn("_h", hash64("tok"))
     aggs = [
         F.sum(
@@ -328,8 +335,15 @@ def dedup_clusters(
     small dense clusters (diameter a few hops), so the loop converges
     in 2-4 rounds; ``max_iter`` hard-caps adversarial chains. Each
     round localCheckpoints eagerly — lineage stays O(1) instead of
-    growing per iteration, and the convergence count reuses the same
-    materialization the next join reads.
+    growing per iteration.
+
+    Convergence witness: min-propagation only ever LOWERS labels, so
+    the exact sum of all labels strictly decreases on any change and
+    is unchanged iff the round was a fixpoint. That makes the stop
+    check one map-side-partial aggregate over the frame the next
+    round reads anyway — no old-vs-new join per iteration. The sum
+    accumulates as decimal(38,0) so it stays exact past int64 range
+    (1e10 docs x 1e10 ids would overflow a bigint sum).
     """
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     sym = edges.unionByName(
@@ -341,6 +355,12 @@ def dedup_clusters(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    def _label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         nbr = sym.join(
             labels.select(F.col("id").alias("dst"), "label"), "dst"
@@ -351,16 +371,12 @@ def dedup_clusters(
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        changed = (
-            new.select("id", F.col("label").alias("_new"))
-            .join(labels, "id")
-            .filter(F.col("_new") != F.col("label"))
-            .count()
-        )
+        new_sum = _label_sum(new)
         labels.unpersist()
         labels = new
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(
         F.col("id").alias("doc_id"),
         F.col("label").alias("cluster_id"),

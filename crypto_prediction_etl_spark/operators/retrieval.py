@@ -49,7 +49,11 @@ def bm25_scores(
     ``dl`` is whitespace-token document length; ``n_terms`` the number
     of distinct query terms present; ``total_tf`` their summed counts.
     """
-    toks = docs.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    from ..sources.readers import spread_small_scan
+
+    toks = spread_small_scan(docs).select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    )
     dl = toks.select(F.col(id_col), F.size("_toks").cast("long").alias("dl"))
     # one-row corpus stats frame: exact bigint sum / count, then divide
     stats = dl.agg(

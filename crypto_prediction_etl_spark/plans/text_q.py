@@ -16,7 +16,7 @@ from ..operators.text import (
     quality_score,
     tokens,
 )
-from ..sources.readers import table
+from ..sources.readers import spread_small_scan, table
 from .registry import query
 
 _TOKS_SQL = "string_split(lower(text), ' ')"
@@ -43,7 +43,7 @@ def q40_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     text analysis for training-data pipelines). Pure codegen'd
     expressions — no UDF in the scan path."""
     m = quality_metrics("text")
-    return table(spark, sf_dir, "documents").select(
+    return spread_small_scan(table(spark, sf_dir, "documents")).select(
         "doc_id",
         m["n_chars"].alias("n_chars"),
         m["n_tokens"].alias("n_tokens"),
@@ -83,7 +83,7 @@ def _lang_oracle() -> str:
 @query("q41_lang_id", oracle=_lang_oracle())
 def q41_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language ID with deterministic priority argmax."""
-    docs = table(spark, sf_dir, "documents")
+    docs = spread_small_scan(table(spark, sf_dir, "documents"))
     toks = tokens("text")
     s = lang_scores(toks)
     return docs.select(
@@ -121,7 +121,7 @@ def q42_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite document-quality score (length band, stopword share,
     alpha share, token-length sanity)."""
     m = quality_metrics("text")
-    return table(spark, sf_dir, "documents").select(
+    return spread_small_scan(table(spark, sf_dir, "documents")).select(
         "doc_id",
         prnd(m["stopword_ratio"], 6).alias("stopword_ratio"),
         prnd(quality_score(m), 2).alias("quality_score"),
@@ -188,9 +188,8 @@ def q47_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import winnow_fingerprints, word_shingles
 
     docs = table(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
     return (
-        docs.repartition(par)
+        spread_small_scan(docs)
         .select("doc_id", tokens("text").alias("_toks"))
         .select("doc_id", word_shingles(F.col("_toks"), 3).alias("_sh"))
         .select("doc_id", F.transform("_sh", hash64).alias("_hl"))
@@ -316,7 +315,7 @@ def q77_pii_content_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression work — zero shuffle at any scale. The synthetic-contact
     augmentation is deterministic on doc_id so both engines construct
     the identical corpus."""
-    docs = table(spark, sf_dir, "documents")
+    docs = spread_small_scan(table(spark, sf_dir, "documents"))
     aug = F.concat(
         F.col("text"),
         F.when(
@@ -384,7 +383,7 @@ def q49_bpe_token_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     north-star op). Pure per-row regex — codegen'd, zero shuffle."""
     from ..operators.text import bpe_segments
 
-    docs = table(spark, sf_dir, "documents")
+    docs = spread_small_scan(table(spark, sf_dir, "documents"))
     runs = bpe_segments("text")
     alpha = F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]+"), F.lit(0))
     digit = F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), F.lit(0))
@@ -444,7 +443,7 @@ def q82_quality_fence_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     `quantile_cont` interpolate identically. At 100 TB the exact
     percentile swaps for `percentile_approx` with a documented error
     bound — the plan shape is unchanged."""
-    docs = table(spark, sf_dir, "documents")
+    docs = spread_small_scan(table(spark, sf_dir, "documents"))
     m = quality_metrics("text")
     scored = docs.select("doc_id", quality_score(m).alias("q"))
     fence = scored.agg(F.expr(f"percentile(q, {_Q82_PCT})").alias("thr"))
@@ -485,7 +484,7 @@ def q83_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no window function, no ordinality dependence). Chunk content is
     emitted as its md5 so the gate hash-checks full text equality
     without shipping it."""
-    docs = table(spark, sf_dir, "documents")
+    docs = spread_small_scan(table(spark, sf_dir, "documents"))
     n = F.size("_toks")
     starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(_CHUNK_STRIDE))
     return (

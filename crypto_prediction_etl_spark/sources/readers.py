@@ -66,6 +66,25 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition an input whose partition count is below
+    the session's parallelism, so CPU-bound derivations downstream
+    (tokenize, shingle, hash, regex) fan out across every core.
+
+    Adaptive on purpose: at bench scale a small corpus is one parquet
+    file = one input split = one task doing ALL the map work while 31
+    cores idle; at cluster scale the scan already yields >= parallelism
+    splits and an unconditional repartition would be a pointless full
+    shuffle of the raw corpus — in that case this is the identity. The
+    partition probe inspects the physical layout only (file listing,
+    no job).
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view (for spark.sql plans)."""
     for name in TESTDATA_TABLES:
