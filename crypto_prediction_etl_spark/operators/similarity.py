@@ -108,7 +108,12 @@ def cosine_topk(
             )
             yield full
 
-    scored = corpus.select(id_col, vec_col).mapInPandas(
+    from ..sources.readers import spread_small_scan
+
+    # The kernel is map-side CPU work on the never-shuffled corpus: an
+    # under-partitioned scan (one parquet file) would score every batch
+    # in one task. Identity when input splits already >= parallelism.
+    scored = spread_small_scan(corpus.select(id_col, vec_col)).mapInPandas(
         kernel, schema=f"query_id long, {id_col} long, cos_sim double"
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))

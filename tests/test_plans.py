@@ -430,3 +430,17 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_spread_small_scan_fans_out_and_noops_when_wide(spark, sf_dir):
+    from crypto_prediction_etl_spark.sources.readers import spread_small_scan
+
+    par = spark.sparkContext.defaultParallelism
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # one-file corpus -> under-partitioned -> spread to full parallelism
+    assert docs.rdd.getNumPartitions() < par
+    spread = spread_small_scan(docs)
+    assert spread.rdd.getNumPartitions() == par
+    # already-wide input -> identity (no extra exchange inserted)
+    wide = docs.repartition(par * 2)
+    assert spread_small_scan(wide) is wide
