@@ -50,6 +50,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # the remainder (driver-green in r01, unchanged) follow in registry
 # order.
 _ADJUDICATE_FIRST = [
+    "q85_incremental_dedup",
     "q47_winnowing_fingerprints",
     "q49_bpe_token_segmentation",
     "q72_frame_sample",

@@ -27,8 +27,9 @@ import random
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
-from ..functions.portable import hash64
+from ..functions.portable import hash64, prnd
 from ..sources.readers import spread_small_scan
 from .text import fingerprint_md5, tokens, word_shingles
 
@@ -287,6 +288,129 @@ def minhash_dedup_pairs(
     )
     return cands.join(verified, ["id_a", "id_b"]).select(
         "id_a", "id_b", "jaccard"
+    )
+
+
+def _band_keys(signatures: DataFrame, id_col: str) -> DataFrame:
+    """(id, band, bk): md5 band keys, one row per band per doc."""
+    n = len(MINHASH_PERMS)
+    rows_per_band = n // LSH_BANDS
+    keys = []
+    for band in range(LSH_BANDS):
+        cols = [f"mh{band * rows_per_band + j}" for j in range(rows_per_band)]
+        keys.append(F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols])))
+    return signatures.select(
+        F.col(id_col), F.posexplode(F.array(*keys)).alias("band", "bk")
+    )
+
+
+def _minhash_sigs_from_arrays(arrays: DataFrame, id_col: str) -> DataFrame:
+    """(id, mh0..mh15) from per-doc shingle arrays (hash-explode form)."""
+    hashed = arrays.select(
+        F.col(id_col),
+        F.explode(
+            F.transform("shingles", lambda s: hash64(s) % MINHASH_PRIME)
+        ).alias("_h"),
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % MINHASH_PRIME).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def incremental_dedup(
+    index_docs: DataFrame,
+    incoming_docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Ingestion-time dedup: check an incoming batch against an indexed
+    corpus WITHOUT re-pairing the corpus against itself — the shape a
+    production pipeline runs on every new crawl drop.
+
+    Output, one row per incoming doc: (doc_id, matched_id, jaccard,
+    is_dup). ``matched_id`` is the best near-dup in the index (highest
+    exact Jaccard on the 6-decimal grid, ties to the smallest index id)
+    or NULL when the batch doc is novel.
+
+    Scale shape: the index side is banded once (at 100 TB the band
+    table IS the persisted dedup index; here it is derived in-query);
+    the small incoming side's band keys broadcast into the bucket
+    join, so the corpus never shuffles and candidate volume is
+    O(bucket collisions), never O(|index| x |batch|). Verification is
+    per-candidate-row ``array_intersect`` on the two shingle arrays —
+    no posting-list explosion at all."""
+    idx_arrays = (
+        doc_shingle_arrays(index_docs, n, id_col, text_col)
+        .filter(F.size("shingles") > 0)
+        .persist()
+    )
+    idx_arrays.count()
+    new_arrays = (
+        doc_shingle_arrays(incoming_docs, n, id_col, text_col)
+        .filter(F.size("shingles") > 0)
+        .persist()
+    )
+    new_arrays.count()
+    idx_bands = _band_keys(_minhash_sigs_from_arrays(idx_arrays, id_col), id_col)
+    new_bands = _band_keys(_minhash_sigs_from_arrays(new_arrays, id_col), id_col)
+    cand = (
+        idx_bands.select(F.col(id_col).alias("_idx_id"), "band", "bk")
+        .join(
+            F.broadcast(
+                new_bands.select(F.col(id_col).alias("_new_id"), "band", "bk")
+            ),
+            ["band", "bk"],
+        )
+        .select("_idx_id", "_new_id")
+        .distinct()
+    )
+    ver = (
+        cand.join(
+            idx_arrays.select(
+                F.col(id_col).alias("_idx_id"), F.col("shingles").alias("_ish")
+            ),
+            "_idx_id",
+        )
+        .join(
+            F.broadcast(
+                new_arrays.select(
+                    F.col(id_col).alias("_new_id"), F.col("shingles").alias("_nsh")
+                )
+            ),
+            "_new_id",
+        )
+        .withColumn("_ni", F.size(F.array_intersect("_ish", "_nsh")))
+        .withColumn(
+            "jaccard",
+            F.col("_ni")
+            / (F.size("_ish") + F.size("_nsh") - F.col("_ni")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .withColumn("jaccard", prnd(F.col("jaccard"), 6))
+    )
+    w = W.partitionBy("_new_id").orderBy(F.desc("jaccard"), F.asc("_idx_id"))
+    best = (
+        ver.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_new_id").alias(id_col),
+            F.col("_idx_id").alias("matched_id"),
+            "jaccard",
+        )
+    )
+    return (
+        incoming_docs.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            "matched_id",
+            "jaccard",
+            F.col("matched_id").isNotNull().cast("int").alias("is_dup"),
+        )
     )
 
 

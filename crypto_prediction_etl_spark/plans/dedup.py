@@ -10,6 +10,7 @@ from ..functions.portable import o_hash64, o_rnd, prnd
 from ..operators.dedup import (
     LSH_BANDS,
     dedup_clusters,
+    incremental_dedup,
     MINHASH_PERMS,
     MINHASH_PRIME,
     doc_shingles,
@@ -169,6 +170,88 @@ def q46_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit tf-weighted SimHash signature per document — constant
     output per doc, one explode + one groupBy at any scale."""
     return simhash_signatures(table(spark, sf_dir, "documents"), bits=32)
+
+
+def _incremental_oracle() -> str:
+    p = MINHASH_PRIME
+    mh_cols = ",\n             ".join(
+        f"min((CAST({a} AS BIGINT) * hh + {b}) % {p}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    rows = len(MINHASH_PERMS) // LSH_BANDS
+    band_selects = []
+    for band in range(LSH_BANDS):
+        cols = [f"mh{band * rows + j}" for j in range(rows)]
+        key = "md5(concat_ws(','," + ",".join(f"CAST({c} AS VARCHAR)" for c in cols) + "))"
+        band_selects.append(
+            f"SELECT doc_id, {band} AS band, {key} AS bk FROM sig"
+        )
+    bands = "\n      UNION ALL\n      ".join(band_selects)
+    raw_j = "CAST(ni AS DOUBLE) / (na + nb - ni)"
+    return f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    arr AS (
+      SELECT doc_id, list_distinct(
+               CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks) - 1),
+                                        i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                    ELSE CAST([] AS VARCHAR[]) END) AS sh
+      FROM d
+    ),
+    arr2 AS (SELECT doc_id, sh FROM arr WHERE len(sh) > 0),
+    h AS (SELECT doc_id, unnest(sh) AS shingle FROM arr2),
+    hh AS (SELECT doc_id, ({o_hash64('shingle')}) % {p} AS hh FROM h),
+    sig AS (SELECT doc_id,
+             {mh_cols}
+            FROM hh GROUP BY doc_id),
+    bands AS (
+      {bands}
+    ),
+    cand AS (
+      SELECT DISTINCT i.doc_id AS idx_id, nn.doc_id AS new_id
+      FROM bands i JOIN bands nn ON i.band = nn.band AND i.bk = nn.bk
+      WHERE i.doc_id % 10 <> 0 AND nn.doc_id % 10 = 0
+    ),
+    ver AS (
+      SELECT c.new_id, c.idx_id,
+             len(list_intersect(a.sh, b.sh)) AS ni,
+             len(a.sh) AS na, len(b.sh) AS nb
+      FROM cand c
+      JOIN arr2 a ON a.doc_id = c.idx_id
+      JOIN arr2 b ON b.doc_id = c.new_id
+    ),
+    jacd AS (
+      SELECT new_id, idx_id, {o_rnd(raw_j, 6)} AS j
+      FROM ver WHERE {raw_j} >= 0.8
+    ),
+    best AS (
+      SELECT new_id, idx_id, j,
+             row_number() OVER (PARTITION BY new_id ORDER BY j DESC, idx_id) AS rn
+      FROM jacd
+    )
+    SELECT nw.doc_id, b.idx_id AS matched_id, b.j AS jaccard,
+           CAST(b.idx_id IS NOT NULL AS INT) AS is_dup
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) nw
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_id = nw.doc_id
+    """
+
+
+@query("q85_incremental_dedup", oracle=_incremental_oracle())
+def q85_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time dedup of an incoming batch (doc_id % 10 = 0, the
+    'new crawl drop') against the indexed remainder of the corpus — the
+    production shape: the index's band table is the persisted dedup
+    index, the small batch's band keys broadcast into the bucket join,
+    the corpus never re-pairs against itself, and verification is
+    per-candidate array_intersect (no posting-list explosion).
+    Output: one row per incoming doc with its best near-dup match
+    (rounded-Jaccard desc, index id asc) or NULL when novel."""
+    docs = table(spark, sf_dir, "documents")
+    from pyspark.sql import functions as F
+
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    index = docs.filter(F.col("doc_id") % 10 != 0)
+    return incremental_dedup(index, incoming, 0.8)
 
 
 def _clusters_oracle() -> str:

@@ -444,3 +444,32 @@ def test_spread_small_scan_fans_out_and_noops_when_wide(spark, sf_dir):
     # already-wide input -> identity (no extra exchange inserted)
     wide = docs.repartition(par * 2)
     assert spread_small_scan(wide) is wide
+
+
+def test_incremental_dedup_matches_and_novelty(spark):
+    """Batch docs near-dup of an index doc must match it (best match by
+    Jaccard, ties to smallest index id); novel batch docs come back
+    NULL-matched with is_dup=0; index docs never pair among themselves."""
+    from crypto_prediction_etl_spark.operators.dedup import incremental_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    index = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),
+            (3, "completely different content about spark shuffle partitions here"),
+        ],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (100, base),  # exact dup of 1 (and near-dup of 2)
+            (101, "unrelated novel text nothing shares any shingle with this batch"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in incremental_dedup(index, incoming, 0.8).collect()}
+    assert set(got) == {100, 101}
+    assert got[100].is_dup == 1 and got[100].matched_id == 1
+    assert got[100].jaccard == 1.0
+    assert got[101].is_dup == 0 and got[101].matched_id is None
