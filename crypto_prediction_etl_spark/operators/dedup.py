@@ -319,44 +319,22 @@ def _minhash_sigs_from_arrays(arrays: DataFrame, id_col: str) -> DataFrame:
     return hashed.groupBy(id_col).agg(*aggs)
 
 
-def incremental_dedup(
-    index_docs: DataFrame,
-    incoming_docs: DataFrame,
+def screen_against_index(
+    idx_arrays: DataFrame,
+    idx_bands: DataFrame,
+    new_arrays: DataFrame,
+    new_bands: DataFrame,
+    incoming_ids: DataFrame,
     threshold: float = 0.8,
-    n: int = 3,
     id_col: str = "doc_id",
-    text_col: str = "text",
 ) -> DataFrame:
-    """Ingestion-time dedup: check an incoming batch against an indexed
-    corpus WITHOUT re-pairing the corpus against itself — the shape a
-    production pipeline runs on every new crawl drop.
-
-    Output, one row per incoming doc: (doc_id, matched_id, jaccard,
-    is_dup). ``matched_id`` is the best near-dup in the index (highest
-    exact Jaccard on the 6-decimal grid, ties to the smallest index id)
-    or NULL when the batch doc is novel.
-
-    Scale shape: the index side is banded once (at 100 TB the band
-    table IS the persisted dedup index; here it is derived in-query);
-    the small incoming side's band keys broadcast into the bucket
-    join, so the corpus never shuffles and candidate volume is
-    O(bucket collisions), never O(|index| x |batch|). Verification is
-    per-candidate-row ``array_intersect`` on the two shingle arrays —
-    no posting-list explosion at all."""
-    idx_arrays = (
-        doc_shingle_arrays(index_docs, n, id_col, text_col)
-        .filter(F.size("shingles") > 0)
-        .persist()
-    )
-    idx_arrays.count()
-    new_arrays = (
-        doc_shingle_arrays(incoming_docs, n, id_col, text_col)
-        .filter(F.size("shingles") > 0)
-        .persist()
-    )
-    new_arrays.count()
-    idx_bands = _band_keys(_minhash_sigs_from_arrays(idx_arrays, id_col), id_col)
-    new_bands = _band_keys(_minhash_sigs_from_arrays(new_arrays, id_col), id_col)
+    """Core of ingestion-time dedup over PRECOMPUTED index state:
+    ``idx_arrays`` (id, shingles) and ``idx_bands`` (id, band, bk) are
+    the persisted dedup index (a parquet table in the streaming path, a
+    derived frame in the batch path); the small batch side broadcasts
+    into the bucket join. Output: one row per id in ``incoming_ids``
+    with its best match (rounded-Jaccard desc, index id asc) or NULL.
+    """
     cand = (
         idx_bands.select(F.col(id_col).alias("_idx_id"), "band", "bk")
         .join(
@@ -403,7 +381,7 @@ def incremental_dedup(
         )
     )
     return (
-        incoming_docs.select(id_col)
+        incoming_ids.select(id_col)
         .join(best, id_col, "left")
         .select(
             id_col,
@@ -411,6 +389,57 @@ def incremental_dedup(
             "jaccard",
             F.col("matched_id").isNotNull().cast("int").alias("is_dup"),
         )
+    )
+
+
+def incremental_dedup(
+    index_docs: DataFrame,
+    incoming_docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Ingestion-time dedup: check an incoming batch against an indexed
+    corpus WITHOUT re-pairing the corpus against itself — the shape a
+    production pipeline runs on every new crawl drop.
+
+    Output, one row per incoming doc: (doc_id, matched_id, jaccard,
+    is_dup). ``matched_id`` is the best near-dup in the index (highest
+    exact Jaccard on the 6-decimal grid, ties to the smallest index id)
+    or NULL when the batch doc is novel.
+
+    Scale shape: the index side is banded once (at 100 TB the band
+    table IS the persisted dedup index — see
+    ``streaming.sinks.neardup_screen_writer`` for the persisted form;
+    here it is derived in-query); the small incoming side's band keys
+    broadcast into the bucket join, so the corpus never shuffles and
+    candidate volume is O(bucket collisions), never
+    O(|index| x |batch|). Verification is per-candidate-row
+    ``array_intersect`` on the two shingle arrays — no posting-list
+    explosion at all."""
+    idx_arrays = (
+        doc_shingle_arrays(index_docs, n, id_col, text_col)
+        .filter(F.size("shingles") > 0)
+        .persist()
+    )
+    idx_arrays.count()
+    new_arrays = (
+        doc_shingle_arrays(incoming_docs, n, id_col, text_col)
+        .filter(F.size("shingles") > 0)
+        .persist()
+    )
+    new_arrays.count()
+    idx_bands = _band_keys(_minhash_sigs_from_arrays(idx_arrays, id_col), id_col)
+    new_bands = _band_keys(_minhash_sigs_from_arrays(new_arrays, id_col), id_col)
+    return screen_against_index(
+        idx_arrays,
+        idx_bands,
+        new_arrays,
+        new_bands,
+        incoming_docs.select(id_col),
+        threshold,
+        id_col,
     )
 
 

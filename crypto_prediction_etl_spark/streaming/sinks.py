@@ -149,6 +149,110 @@ def progress_summary(query) -> dict:
     }
 
 
+def neardup_screen_writer(
+    spark: SparkSession,
+    index_dir: str,
+    out_dir: str,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """foreachBatch function: screen each document micro-batch against
+    the PERSISTED near-dup band index, emit a keep/drop decision per
+    doc, and index only the novel docs — streaming corpus curation.
+
+    State layout (the "band table IS the dedup index" form):
+    ``{index_dir}/arrays`` holds (doc_id, shingles, _epoch) and
+    ``{index_dir}/bands`` holds (doc_id, band, bk, _epoch); decisions
+    land in ``out_dir`` as (doc_id, matched_id, jaccard, is_dup,
+    _epoch). Batches only ever APPEND new epoch partitions to the
+    index — the corpus-side state grows by novel docs and is never
+    rewritten, and each batch's band keys broadcast into the bucket
+    join against it (see operators.dedup.screen_against_index).
+
+    Exactly-once: every output is partitioned by ``_epoch`` and written
+    with dynamic partition overwrite, so a replayed micro-batch (Spark
+    re-invokes foreachBatch with the same epoch_id after a failure)
+    rewrites its own partitions byte-identically instead of appending
+    duplicates — decisions AND index stay idempotent with no
+    read-modify-write in the hot path.
+    """
+    from ..operators.dedup import (
+        _band_keys,
+        _minhash_sigs_from_arrays,
+        doc_shingle_arrays,
+        screen_against_index,
+    )
+
+    arrays_dir = f"{index_dir}/arrays"
+    bands_dir = f"{index_dir}/bands"
+
+    def _write_epoch(df: DataFrame, path: str) -> None:
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch")
+            .parquet(path)
+        )
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        new_arrays = (
+            doc_shingle_arrays(batch_df, id_col=id_col, text_col=text_col)
+            .filter(F.size("shingles") > 0)
+            .persist()
+        )
+        new_arrays.count()
+        new_bands = _band_keys(
+            _minhash_sigs_from_arrays(new_arrays, id_col), id_col
+        )
+        try:
+            idx_arrays = spark.read.parquet(arrays_dir)
+            idx_bands = spark.read.parquet(bands_dir)
+            # a replayed epoch must not match against its own failed
+            # write's partition
+            idx_arrays = idx_arrays.filter(F.col("_epoch") != epoch_id)
+            idx_bands = idx_bands.filter(F.col("_epoch") != epoch_id)
+        except Exception:
+            idx_arrays = idx_bands = None
+        if idx_arrays is None:
+            decisions = batch_df.select(id_col).select(
+                id_col,
+                F.lit(None).cast("long").alias("matched_id"),
+                F.lit(None).cast("double").alias("jaccard"),
+                F.lit(0).alias("is_dup"),
+            )
+        else:
+            decisions = screen_against_index(
+                idx_arrays,
+                idx_bands,
+                new_arrays,
+                new_bands,
+                batch_df.select(id_col),
+                threshold,
+                id_col,
+            )
+        decisions = decisions.withColumn("_epoch", F.lit(epoch_id)).persist()
+        decisions.count()
+        _write_epoch(decisions, out_dir)
+        novel = decisions.filter(F.col("is_dup") == 0).select(id_col)
+        _write_epoch(
+            new_arrays.join(F.broadcast(novel), id_col, "left_semi").withColumn(
+                "_epoch", F.lit(epoch_id)
+            ),
+            arrays_dir,
+        )
+        _write_epoch(
+            new_bands.join(F.broadcast(novel), id_col, "left_semi").withColumn(
+                "_epoch", F.lit(epoch_id)
+            ),
+            bands_dir,
+        )
+        decisions.unpersist()
+        new_arrays.unpersist()
+
+    return write
+
+
 DEFAULT_TTL_SECONDS = 2592000  # reference: candles_realtime.ddl:20 (30 days)
 
 

@@ -622,3 +622,34 @@ def test_stream_stream_left_outer_emits_after_watermark(spark, workdir):
     assert 2 in rows, f"orphan never emitted; got {sorted(rows)}"
     assert rows[2]["candle_startTime"] is None
     assert rows[2]["candle_close"] is None
+
+
+def test_neardup_screen_writer_indexes_novel_and_flags_dups(spark, tmp_path):
+    """Streaming corpus curation: first batch is all-novel and gets
+    indexed; a later batch's near-dup of an indexed doc is flagged with
+    its match and NOT indexed; replaying an epoch (foreachBatch retry
+    contract) rewrites its own partitions instead of duplicating."""
+    from crypto_prediction_etl_spark.streaming.sinks import neardup_screen_writer
+
+    idx_dir, out_dir = str(tmp_path / "idx"), str(tmp_path / "out")
+    w = neardup_screen_writer(spark, idx_dir, out_dir)
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    b0 = spark.createDataFrame(
+        [(1, base), (2, "totally different spark shuffle text content here now")],
+        "doc_id long, text string",
+    )
+    w(b0, 0)
+    b1 = spark.createDataFrame(
+        [(10, base), (11, "novel second batch content nothing shares a shingle")],
+        "doc_id long, text string",
+    )
+    w(b1, 1)
+    out = {r.doc_id: r for r in spark.read.parquet(out_dir).collect()}
+    assert out[1].is_dup == 0 and out[2].is_dup == 0
+    assert out[10].is_dup == 1 and out[10].matched_id == 1 and out[10].jaccard == 1.0
+    assert out[11].is_dup == 0 and out[11].matched_id is None
+    # replay epoch 1: dynamic overwrite of its own partitions, same state
+    w(b1, 1)
+    assert spark.read.parquet(out_dir).count() == 4
+    idx_ids = {r.doc_id for r in spark.read.parquet(f"{idx_dir}/arrays").collect()}
+    assert idx_ids == {1, 2, 11}
