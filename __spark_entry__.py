@@ -50,6 +50,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # the remainder (driver-green in r01, unchanged) follow in registry
 # order.
 _ADJUDICATE_FIRST = [
+    "q86_repetition_signals",
+    "q87_contamination_screen",
+    "q88_mixture_weights",
+    "q89_passage_overlap",
     "q85_incremental_dedup",
     "q47_winnowing_fingerprints",
     "q49_bpe_token_segmentation",

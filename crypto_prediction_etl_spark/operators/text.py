@@ -201,3 +201,30 @@ def bpe_segments(col: Column | str) -> Column:
     restricted to an engine-portable regex subset)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_extract_all(c, F.lit(BPE_RUN_REGEX), F.lit(0))
+
+
+def max_element_frequency(arr: Column) -> Column:
+    """Count of the most frequent element in a string array (0 for
+    empty arrays): the longest equal-run in the SORTED array, computed
+    as one O(n log n) sort plus one linear ``aggregate`` fold per row.
+
+    The natural formulation — count occurrences of each distinct
+    element and take the max — is O(n x distinct) per row, and Spark
+    evaluates nested higher-order lambdas interpreted, making it ~30x
+    slower on real documents; the sorted-run fold touches each element
+    once."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(F.array_sort(arr), zero, step, lambda acc: acc["best"])

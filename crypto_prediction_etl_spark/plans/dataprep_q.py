@@ -174,3 +174,87 @@ def q74_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("start_offset") / _PACK_BUDGET).cast("long").alias("pack_id"),
         (F.col("start_offset") % _PACK_BUDGET).cast("long").alias("pack_offset"),
     )
+
+
+# mixture rebalancing: uniform target share per source, downsample-only
+# rates (the scarcest source keeps rate 1.0), realized by the same
+# portable hash fence q73 uses for splits.
+_Q88_FENCE = 1_000_000
+
+
+def _q88_oracle() -> str:
+    h = o_hash64("doc_id")
+    return f"""
+    WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),
+    t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS n_groups FROM c),
+    w AS (
+      SELECT source, n_docs,
+             n_docs / t.total AS actual_share,
+             1.0 / t.n_groups AS target_share,
+             (1.0 / t.n_groups) / (n_docs / t.total) AS raw_w
+      FROM c CROSS JOIN t
+    ),
+    m AS (SELECT max(raw_w) AS mx FROM w),
+    r AS (SELECT w.*, w.raw_w / m.mx AS rate FROM w CROSS JOIN m),
+    s AS (
+      SELECT d.source, CAST(count(*) AS BIGINT) AS sampled_rows
+      FROM documents d JOIN r ON d.source = r.source
+      WHERE ({h}) % {_Q88_FENCE} < r.rate * {_Q88_FENCE}
+      GROUP BY d.source
+    )
+    SELECT r.source, r.n_docs,
+           {o_rnd('r.actual_share', 6)} AS actual_share,
+           {o_rnd('r.target_share', 6)} AS target_share,
+           {o_rnd('r.rate', 6)} AS sampling_rate,
+           CAST(floor(r.n_docs * r.rate) AS BIGINT) AS expected_rows,
+           CAST(coalesce(s.sampled_rows, 0) AS BIGINT) AS sampled_rows
+    FROM r LEFT JOIN s ON r.source = s.source
+    """
+
+
+@query("q88_mixture_weights", oracle=_q88_oracle())
+def q88_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing for training-data assembly: compute
+    per-source sampling rates that move the corpus to a uniform target
+    mixture by downsampling only (the scarcest source keeps rate 1.0),
+    then REALIZE the sample with q73's deterministic hash fence and
+    report achieved counts next to expected ones.
+
+    Scale shape: group counts are one partial-aggregated groupBy on a
+    low-cardinality key; the rate table is a handful of rows that
+    broadcasts back onto the corpus scan, and the realized sample is a
+    map-side filter — the corpus shuffles only its per-source counts
+    (bytes, not rows). Rates are pure IEEE arithmetic on both engines,
+    so the fence decisions are bit-identical."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    c = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    t = c.agg(
+        F.sum("n_docs").cast("double").alias("total"),
+        F.count("*").cast("double").alias("n_groups"),
+    )
+    w = (
+        c.crossJoin(F.broadcast(t))
+        .withColumn("actual_share", F.col("n_docs") / F.col("total"))
+        .withColumn("target_share", F.lit(1.0) / F.col("n_groups"))
+        .withColumn("raw_w", F.col("target_share") / F.col("actual_share"))
+    )
+    m = w.agg(F.max("raw_w").alias("mx"))
+    r = w.crossJoin(F.broadcast(m)).withColumn("rate", F.col("raw_w") / F.col("mx"))
+    sampled = (
+        docs.join(F.broadcast(r.select("source", "rate")), "source")
+        .filter(hash64(F.col("doc_id")) % _Q88_FENCE < F.col("rate") * _Q88_FENCE)
+        .groupBy("source")
+        .agg(F.count("*").alias("sampled_rows"))
+    )
+    return (
+        r.join(F.broadcast(sampled), "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            prnd(F.col("actual_share"), 6).alias("actual_share"),
+            prnd(F.col("target_share"), 6).alias("target_share"),
+            prnd(F.col("rate"), 6).alias("sampling_rate"),
+            F.floor(F.col("n_docs") * F.col("rate")).cast("long").alias("expected_rows"),
+            F.coalesce(F.col("sampled_rows"), F.lit(0)).cast("long").alias("sampled_rows"),
+        )
+    )

@@ -504,3 +504,300 @@ def q83_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_md5"),
         )
     )
+
+
+# Gopher-style repetition thresholds: a doc is "repetitive" when its
+# duplicate-2-gram share or its top-token share crosses these fences.
+_Q86_DUP2, _Q86_TOP1 = 0.2, 0.2
+
+
+def _q86_oracle() -> str:
+    toks = _TOKS_SQL
+    g2 = (
+        f"CASE WHEN len({toks}) >= 2 THEN "
+        f"list_transform(range(1, len({toks})), "
+        f"i -> array_to_string(list_slice({toks}, i, i + 1), ' ')) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+    def dup(g: str) -> str:
+        return (
+            f"CASE WHEN len({g}) > 0 THEN 1.0 - CAST(len(list_distinct({g})) AS DOUBLE)"
+            f" / len({g}) ELSE 0.0 END"
+        )
+    def top(g: str) -> str:
+        return (
+            f"CASE WHEN len({g}) > 0 THEN CAST(list_aggregate("
+            f"list_transform(list_distinct({g}), x -> len(list_filter({g}, y -> y = x)))"
+            f", 'max') AS DOUBLE) / len({g}) ELSE 0.0 END"
+        )
+    return f"""
+    WITH g AS (SELECT doc_id, {toks} AS t1, {g2} AS t2 FROM documents)
+    SELECT doc_id,
+           CAST(len(t1) AS INTEGER) AS n_tokens,
+           CAST(len(t2) AS INTEGER) AS n_2grams,
+           {o_rnd(dup('t1'), 6)} AS dup_token_frac,
+           {o_rnd(dup('t2'), 6)} AS dup_2gram_frac,
+           {o_rnd(top('t1'), 6)} AS top_token_frac,
+           {o_rnd(top('t2'), 6)} AS top_2gram_frac,
+           CAST(({dup('t2')}) > {_Q86_DUP2} OR ({top('t1')}) > {_Q86_TOP1} AS INT)
+             AS repetitive
+    FROM g
+    """
+
+
+@query("q86_repetition_signals", oracle=_q86_oracle())
+def q86_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/boilerplate signals for corpus curation:
+    duplicate-token and duplicate-2-gram fractions plus the share held
+    by the single most frequent token / 2-gram, and a keep/drop flag.
+
+    Everything stays in the array domain of ONE row per document — a
+    pure map stage, zero shuffle at any corpus size. The top-element
+    count is the max run length in the SORTED array via a linear
+    ``aggregate`` fold (higher-order lambdas evaluate interpreted in
+    Spark, so the naive per-distinct-element filter count is O(n^2)
+    per row and measured ~30x slower; the oracle keeps that natural
+    formulation — DuckDB vectorizes it — since only results must
+    match). This is the repetition-quality gate that runs beside q42's
+    length/ratio score in a training-data pipeline."""
+
+    def dup_frac(a):
+        return F.when(
+            F.size(a) > 0,
+            1.0 - F.size(F.array_distinct(a)).cast("double") / F.size(a),
+        ).otherwise(0.0)
+
+    def top_frac(a):
+        return F.when(
+            F.size(a) > 0,
+            max_element_frequency(a).cast("double") / F.size(a),
+        ).otherwise(0.0)
+
+    from ..operators.text import max_element_frequency, word_shingles
+
+    docs = spread_small_scan(table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        tokens("text").alias("t1"),
+    ).select("doc_id", "t1", word_shingles(F.col("t1"), 2).alias("t2"))
+    raw = base.select(
+        "doc_id",
+        F.size("t1").alias("n_tokens"),
+        F.size("t2").alias("n_2grams"),
+        dup_frac(F.col("t1")).alias("_d1"),
+        dup_frac(F.col("t2")).alias("_d2"),
+        top_frac(F.col("t1")).alias("_t1"),
+        top_frac(F.col("t2")).alias("_t2"),
+    )
+    return raw.select(
+        "doc_id",
+        "n_tokens",
+        "n_2grams",
+        prnd(F.col("_d1"), 6).alias("dup_token_frac"),
+        prnd(F.col("_d2"), 6).alias("dup_2gram_frac"),
+        prnd(F.col("_t1"), 6).alias("top_token_frac"),
+        prnd(F.col("_t2"), 6).alias("top_2gram_frac"),
+        ((F.col("_d2") > _Q86_DUP2) | (F.col("_t1") > _Q86_TOP1))
+        .cast("int")
+        .alias("repetitive"),
+    )
+
+
+# benchmark-contamination screen: docs with doc_id % _Q87_MOD == 0 stand
+# in for a held-out eval set; every doc is scored by the share of its
+# distinct 5-gram hashes that appear anywhere in that set.
+_Q87_MOD, _Q87_N, _Q87_FLAG = 97, 5, 0.2
+
+
+def _q87_oracle() -> str:
+    toks = _TOKS_SQL
+    return f"""
+    WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= {_Q87_N}
+                  THEN list_transform(range(1, len(toks) - {_Q87_N - 2}),
+                                      i -> array_to_string(list_slice(toks, i, i + {_Q87_N - 1}), ' '))
+                  ELSE CAST([] AS VARCHAR[]) END AS shs
+      FROM d
+    ),
+    hs AS (SELECT doc_id, list_distinct(list_transform(shs, s -> {o_hash64('s')})) AS hl FROM sh),
+    b AS (SELECT DISTINCT unnest(hl) AS g FROM hs WHERE doc_id % {_Q87_MOD} = 0),
+    e AS (SELECT doc_id, unnest(hl) AS g FROM hs),
+    hit AS (SELECT e.doc_id, count(*) AS n_hit FROM e JOIN b USING (g) GROUP BY e.doc_id),
+    j AS (
+      SELECT hs.doc_id, len(hl) AS n_grams, coalesce(hit.n_hit, 0) AS n_hit
+      FROM hs LEFT JOIN hit ON hs.doc_id = hit.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_grams AS INTEGER) AS n_grams,
+           CAST(n_hit AS INTEGER) AS n_hit,
+           {o_rnd("CASE WHEN n_grams > 0 THEN CAST(n_hit AS DOUBLE) / n_grams ELSE 0.0 END", 6)} AS contamination,
+           CAST(doc_id % {_Q87_MOD} = 0 AS INT) AS is_benchmark,
+           CAST(n_grams > 0
+                AND CAST(n_hit AS DOUBLE) / n_grams >= {_Q87_FLAG}
+                AND doc_id % {_Q87_MOD} <> 0 AS INT) AS flagged
+    FROM j
+    """
+
+
+@query("q87_contamination_screen", oracle=_q87_oracle())
+def q87_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination screen: treat the doc_id % 97 == 0 slice
+    as a held-out benchmark set and score every document by the fraction
+    of its distinct 5-gram hashes that occur anywhere in that set.
+
+    Scale shape: the benchmark gram set is DISTINCT over a tiny slice
+    and broadcasts; the corpus explodes its grams map-side, inner-joins
+    the broadcast set (non-matching grams die before any exchange), and
+    only the surviving hits shuffle to a per-doc count — then that
+    small hit table broadcasts back onto the one-row-per-doc frame. The
+    corpus itself is never shuffled, which is what makes the screen
+    viable against a 100 TB crawl."""
+    from ..functions.portable import hash64
+    from ..operators.text import word_shingles
+
+    docs = spread_small_scan(table(spark, sf_dir, "documents"))
+    base = (
+        docs.select("doc_id", word_shingles(tokens("text"), _Q87_N).alias("_sh"))
+        .select(
+            "doc_id",
+            F.array_distinct(F.transform("_sh", hash64)).alias("hs"),
+        )
+    )
+    bench = (
+        base.filter(F.col("doc_id") % _Q87_MOD == 0)
+        .select(F.explode("hs").alias("g"))
+        .distinct()
+    )
+    hits = (
+        base.select("doc_id", F.explode("hs").alias("g"))
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    frac = F.when(
+        F.col("n_grams") > 0,
+        F.col("n_hit").cast("double") / F.col("n_grams"),
+    ).otherwise(0.0)
+    return (
+        base.select("doc_id", F.size("hs").alias("n_grams"))
+        .join(F.broadcast(hits), "doc_id", "left")
+        .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0)))
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("int").alias("n_grams"),
+            F.col("n_hit").cast("int").alias("n_hit"),
+            prnd(frac, 6).alias("contamination"),
+            (F.col("doc_id") % _Q87_MOD == 0).cast("int").alias("is_benchmark"),
+            (
+                (frac >= _Q87_FLAG) & (F.col("doc_id") % _Q87_MOD != 0)
+            )
+            .cast("int")
+            .alias("flagged"),
+        )
+    )
+
+
+# cross-doc passage overlap via shared winnowing fingerprints: cap the
+# posting list per fingerprint (hot boilerplate), require >= 2 shared
+# fingerprints, report the top pairs.
+_Q89_MAX_DF, _Q89_MIN_SHARED, _Q89_TOPN = 32, 2, 100
+
+
+def _q89_oracle() -> str:
+    return f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks) - 1),
+                                      i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                  ELSE CAST([] AS VARCHAR[]) END AS shs
+      FROM d
+    ),
+    hs AS (SELECT doc_id, list_transform(shs, s -> {o_hash64('s')}) AS hl FROM sh),
+    wins AS (
+      SELECT doc_id,
+             unnest(list_distinct(CASE WHEN len(hl) > 0 THEN
+               list_transform(range(1, greatest(1, len(hl) - {_Q47_W - 1}) + 1),
+                              i -> list_aggregate(list_slice(hl, i, i + {_Q47_W - 1}), 'min'))
+               ELSE CAST([] AS BIGINT[]) END)) AS fp
+      FROM hs
+    ),
+    cnt AS (SELECT fp, count(*) AS df FROM wins GROUP BY fp),
+    rare AS (SELECT w.doc_id, w.fp FROM wins w JOIN cnt USING (fp) WHERE df <= {_Q89_MAX_DF}),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM rare a JOIN rare b USING (fp)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= {_Q89_MIN_SHARED}
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_fp FROM wins GROUP BY doc_id)
+    SELECT doc_a, doc_b,
+           CAST(n_shared AS INTEGER) AS n_shared,
+           {o_rnd('CAST(n_shared AS DOUBLE) / least(ta.n_fp, tb.n_fp)', 6)} AS overlap
+    FROM pairs
+    JOIN tot ta ON doc_a = ta.doc_id
+    JOIN tot tb ON doc_b = tb.doc_id
+    ORDER BY n_shared DESC, doc_a, doc_b
+    LIMIT {_Q89_TOPN}
+    """
+
+
+@query("q89_passage_overlap", oracle=_q89_oracle())
+def q89_passage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document passage overlap: two docs that share a run of
+    >= w+k-1 = 6 identical tokens are guaranteed to share a winnowing
+    fingerprint (q47's invariant), so joining docs on fingerprints
+    surfaces shared passages without comparing full texts.
+
+    Scale shape: posting lists are capped at df <= 32 BEFORE the
+    self-join (a fingerprint seen in more docs is boilerplate, not a
+    passage), so each bucket contributes O(df^2) pairs and one hot
+    n-gram can never go quadratic — the same discipline as q44's
+    stop-shingle cut and q45's banded join. The final top-N rides a
+    deterministic (n_shared, doc_a, doc_b) sort; at 100 TB that global
+    sort becomes a per-partition partial top-N + single small merge."""
+    from ..functions.portable import hash64
+    from ..operators.text import winnow_fingerprints, word_shingles
+
+    docs = spread_small_scan(table(spark, sf_dir, "documents"))
+    fps = (
+        docs.select("doc_id", tokens("text").alias("_toks"))
+        .select("doc_id", word_shingles(F.col("_toks"), 3).alias("_sh"))
+        .select("doc_id", F.transform("_sh", hash64).alias("_hl"))
+        .select(
+            "doc_id",
+            F.explode(winnow_fingerprints(F.col("_hl"), _Q47_W)).alias("fp"),
+        )
+    )
+    fps = fps.persist()
+    cnt = fps.groupBy("fp").agg(F.count("*").alias("df"))
+    rare = fps.join(cnt.filter(F.col("df") <= _Q89_MAX_DF).select("fp"), "fp")
+    a = rare.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= _Q89_MIN_SHARED)
+    )
+    tot = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    return (
+        F.broadcast(pairs)
+        .join(tot.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("_na")), "doc_a")
+        .join(tot.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("_nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("int").alias("n_shared"),
+            prnd(
+                F.col("n_shared").cast("double") / F.least("_na", "_nb"), 6
+            ).alias("overlap"),
+        )
+        .orderBy(F.col("n_shared").desc(), "doc_a", "doc_b")
+        .limit(_Q89_TOPN)
+    )

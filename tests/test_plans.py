@@ -473,3 +473,58 @@ def test_incremental_dedup_matches_and_novelty(spark):
     assert got[100].is_dup == 1 and got[100].matched_id == 1
     assert got[100].jaccard == 1.0
     assert got[101].is_dup == 0 and got[101].matched_id is None
+
+
+def test_passage_overlap_plan_is_equi_join(spark, sf_dir):
+    """q89's doc-pair discovery must ride the fingerprint equi self-join
+    (df-capped posting lists) — any CartesianProduct / BNLJ means the
+    pair space went quadratic in corpus size."""
+    plan = _plan(spark, sf_dir, "q89_passage_overlap")
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+
+
+def test_contamination_screen_benchmark_self_hit(spark, sf_dir):
+    """Every benchmark-slice doc with at least one 5-gram must score
+    contamination 1.0 against the benchmark set (its own grams are in
+    it), and corpus docs must never be flagged as benchmark."""
+    df = registry.QUERIES["q87_contamination_screen"](spark, sf_dir)
+    rows = df.collect()
+    bench = [r for r in rows if r.is_benchmark == 1]
+    assert bench, "mod-97 slice empty — testdata shape changed"
+    for r in bench:
+        if r.n_grams > 0:
+            assert r.contamination == 1.0 and r.flagged == 0, r
+    assert all(r.doc_id % 97 == 0 for r in bench)
+
+
+def test_max_element_frequency_fold(spark):
+    """q86's top-element counter: longest equal-run in the sorted array
+    must equal the max element frequency — planted repeats, all-distinct,
+    interleaved repeats (sort groups them), and the empty array."""
+    from pyspark.sql import functions as F
+
+    from crypto_prediction_etl_spark.operators.text import (
+        max_element_frequency,
+        tokens,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam eggs"),
+            (2, "one two three four five"),
+            (3, "a b a c a b a"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.top
+        for r in base.select(
+            "doc_id", max_element_frequency(tokens("text")).alias("top")
+        ).collect()
+    }
+    assert out == {1: 4, 2: 1, 3: 4}
+    empty = spark.range(1).select(
+        max_element_frequency(F.array().cast("array<string>")).alias("top")
+    )
+    assert empty.collect()[0].top == 0
