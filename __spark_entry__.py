@@ -50,6 +50,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # the remainder (driver-green in r01, unchanged) follow in registry
 # order.
 _ADJUDICATE_FIRST = [
+    "q90_int8_quantization",
     "q86_repetition_signals",
     "q87_contamination_screen",
     "q88_mixture_weights",

@@ -357,3 +357,106 @@ def q84_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd(F.avg(F.col("v").cast("double")), 5).alias("centroid_v"),
         F.count("*").cast("long").alias("n_vecs"),
     )
+
+
+# int8 scalar quantization: per-dimension corpus min/max -> 0..255
+# codes; the compressed form an ANN index stores at 100 TB (4 bytes ->
+# 1 byte per dim before any product quantization).
+_Q90_DIM, _Q90_LEVELS = 64, 255
+
+
+def _q90_oracle() -> str:
+    idx = f"range(1, {_Q90_DIM + 1})"
+    code = (
+        "CASE WHEN s.mx[i] = s.mn[i] THEN 0 ELSE "
+        "CAST(greatest(0.0, least(255.0, floor((v[i] - s.mn[i]) / (s.mx[i] - s.mn[i])"
+        " * 255.0 + 0.5001))) AS BIGINT) END"
+    )
+    deq = "s.mn[i] + (CAST(" + code + " AS DOUBLE) / 255.0) * (s.mx[i] - s.mn[i])"
+    return f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    dims AS (SELECT unnest({idx}) AS dim),
+    st AS (
+      SELECT dim, min(v[dim]) AS mn, max(v[dim]) AS mx
+      FROM e CROSS JOIN dims GROUP BY dim
+    ),
+    s AS (SELECT list(mn ORDER BY dim) AS mn, list(mx ORDER BY dim) AS mx FROM st),
+    coded AS (
+      SELECT vec_id, label,
+             list_transform({idx}, i -> {code}) AS codes,
+             list_transform({idx}, i -> ({deq}) - v[i]) AS err
+      FROM e CROSS JOIN s
+    )
+    SELECT vec_id, label,
+           md5(array_to_string(codes, ',')) AS code_md5,
+           {o_rnd("list_aggregate(list_transform(err, x -> x * x), 'sum') / " + str(_Q90_DIM), 8)} AS mse,
+           {o_rnd("list_aggregate(list_transform(err, x -> abs(x)), 'max')", 8)} AS max_abs_err
+    FROM coded
+    """
+
+
+@query("q90_int8_quantization", oracle=_q90_oracle())
+def q90_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (int8) embedding quantization: one min/max pass per
+    dimension over the corpus, then every vector quantizes to 0..255
+    codes against the broadcast per-dim ranges; emitted as the code
+    array's md5 (so the gate checks every code without shipping them)
+    plus reconstruction MSE / max-abs error per vector.
+
+    Scale shape: the stats pass posexplodes map-side and partially
+    aggregates to 64 (dim, min, max) rows — bytes cross the exchange,
+    never vectors; the 64-entry range arrays ride a broadcast one-row
+    cross join back onto the scan, and quantization itself is pure
+    array-domain arithmetic (zero shuffle). This is the compression
+    step an IVF/PQ index at 100 TB applies before storing codes; q52/
+    q56 consume such codes unchanged."""
+    vecs = _vecs(spark, sf_dir)
+    st = (
+        vecs.select(F.posexplode("v").alias("dim0", "x"))
+        .groupBy("dim0")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    s = st.agg(
+        F.array_sort(F.collect_list(F.struct("dim0", "mn"))).alias("_mn"),
+        F.array_sort(F.collect_list(F.struct("dim0", "mx"))).alias("_mx"),
+    ).select(
+        F.transform("_mn", lambda e: e["mn"]).alias("mn"),
+        F.transform("_mx", lambda e: e["mx"]).alias("mx"),
+    )
+    idx = F.sequence(F.lit(1), F.lit(_Q90_DIM))
+
+    def _code(i):
+        x = F.element_at("v", i)
+        mn, mx = F.element_at("mn", i), F.element_at("mx", i)
+        q = F.floor((x - mn) / (mx - mn) * 255.0 + F.lit(0.5001))
+        return F.when(mx == mn, F.lit(0).cast("long")).otherwise(
+            F.greatest(F.lit(0.0), F.least(F.lit(255.0), q)).cast("long")
+        )
+
+    def _err(i):
+        x = F.element_at("v", i)
+        mn, mx = F.element_at("mn", i), F.element_at("mx", i)
+        deq = mn + (_code(i).cast("double") / 255.0) * (mx - mn)
+        return deq - x
+
+    coded = vecs.crossJoin(F.broadcast(s)).select(
+        "vec_id",
+        "label",
+        F.transform(idx, _code).alias("codes"),
+        F.transform(idx, _err).alias("err"),
+    )
+    sq_sum = F.aggregate(
+        F.col("err"), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    max_abs = F.array_max(F.transform("err", lambda x: F.abs(x)))
+    return coded.select(
+        "vec_id",
+        "label",
+        F.md5(F.concat_ws(",", F.transform("codes", lambda c: c.cast("string")))).alias(
+            "code_md5"
+        ),
+        prnd(sq_sum / _Q90_DIM, 8).alias("mse"),
+        prnd(max_abs, 8).alias("max_abs_err"),
+    )

@@ -528,3 +528,59 @@ def test_max_element_frequency_fold(spark):
         max_element_frequency(F.array().cast("array<string>")).alias("top")
     )
     assert empty.collect()[0].top == 0
+
+
+def test_int8_quantization_preserves_topk_neighbors(spark, sf_dir):
+    """q90's codes must preserve neighborhood structure: exact cosine
+    top-10 over the DEQUANTIZED vectors recovers >= 90% of the true
+    top-10 (64 dims, 256 levels — quantization error is far below
+    inter-vector distances)."""
+    from pyspark.sql import functions as F
+
+    from crypto_prediction_etl_spark.operators.similarity import (
+        as_double_vec,
+        cosine_topk,
+    )
+    from crypto_prediction_etl_spark.sources.readers import table
+
+    vecs = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    )
+    st = (
+        vecs.select(F.posexplode("v").alias("dim0", "x"))
+        .groupBy("dim0")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    s = st.agg(
+        F.array_sort(F.collect_list(F.struct("dim0", "mn"))).alias("_mn"),
+        F.array_sort(F.collect_list(F.struct("dim0", "mx"))).alias("_mx"),
+    ).select(
+        F.transform("_mn", lambda e: e["mn"]).alias("mn"),
+        F.transform("_mx", lambda e: e["mx"]).alias("mx"),
+    )
+    idx = F.sequence(F.lit(1), F.lit(64))
+
+    def _deq(i):
+        x = F.element_at("v", i)
+        mn, mx = F.element_at("mn", i), F.element_at("mx", i)
+        code = F.when(mx == mn, F.lit(0.0)).otherwise(
+            F.greatest(
+                F.lit(0.0),
+                F.least(
+                    F.lit(255.0),
+                    F.floor((x - mn) / (mx - mn) * 255.0 + F.lit(0.5001)),
+                ),
+            )
+        )
+        return mn + (code / 255.0) * (mx - mn)
+
+    deq = vecs.crossJoin(F.broadcast(s)).select(
+        "vec_id", F.transform(idx, _deq).alias("v")
+    )
+    queries = vecs.filter(F.col("vec_id") % 50 == 0)
+    exact = cosine_topk(vecs, queries, k=10)
+    approx = cosine_topk(deq, deq.filter(F.col("vec_id") % 50 == 0), k=10)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"quantized recall {recall:.3f}"
