@@ -30,10 +30,13 @@ TESTDATA_TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark's
-# vectorized reader rejects outright. Read nanos as raw int64 (legacy
-# conf) and convert to a microsecond timestamp in the plan — this keeps
-# the scan distributed and vectorized (no driver-side pyarrow detour).
+# events.parquet has stored ts as parquet TIMESTAMP(NANOS) in some
+# testdata generations (Spark's vectorized reader rejects that type
+# unless the legacy nanosAsLong conf maps it to int64) and as
+# TIMESTAMP(MICROS) in others (arriving as timestamp_ntz). Normalize
+# both to a session-zone TIMESTAMP in the plan so downstream code sees
+# one dtype regardless of generation — the scan stays distributed and
+# vectorized either way (no driver-side pyarrow detour).
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
@@ -59,10 +62,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanos_cols = _NANOS_TS_COLS.get(name, ())
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in nanos_cols:
-        if dict(df.dtypes).get(c) == "bigint":
+        dtype = dict(df.dtypes).get(c)
+        if dtype == "bigint":
             # integer `div` — a double division would lose exactness at
             # 1e18-nanosecond magnitudes (double mantissa is 53 bits)
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtype == "timestamp_ntz":
+            # session zone is pinned to UTC, so the naive value maps to
+            # the same instant timestamp_micros produced for nanos data
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
