@@ -132,9 +132,12 @@ _PACK_BUDGET = 2048  # tokens per packed context window
     ),
     c AS (
       SELECT doc_id, lang, n_tokens,
-             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             -- CAST: DuckDB sums BIGINT into HUGEINT, which pandas
+             -- surfaces as float64 - the driver value-hash then formats
+             -- 0.0 vs 0 and mismatches despite identical values
+             CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               - n_tokens AS start_offset
+               AS BIGINT) - n_tokens AS start_offset
       FROM d
     )
     SELECT doc_id, lang, n_tokens,
