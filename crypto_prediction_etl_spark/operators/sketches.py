@@ -28,6 +28,13 @@ from ..functions.portable import hash64, prnd
 
 HASH_SPACE = float(1 << 60)  # hash64 range is [0, 2^60)
 
+# HyperLogLog geometry over the 60-bit portable hash: low 6 bits pick
+# one of 64 registers, the remaining 54 bits feed the leading-zero rank.
+HLL_M = 64
+HLL_BUCKET_BITS = 6
+HLL_W = 60 - HLL_BUCKET_BITS  # 54 rank bits; rho in [1, 55]
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)  # Flajolet et al. bias constant
+
 
 def kmv_distinct(
     df: DataFrame,
@@ -59,4 +66,73 @@ def kmv_distinct(
         F.col(group_col),
         F.col("_nd").cast("long").alias("n_exact"),
         prnd(est, round_to).alias("kmv_estimate"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_to: int = 2,
+) -> DataFrame:
+    """(group, n_exact, hll_estimate): HyperLogLog estimate next to the
+    exact distinct count, bit-for-bit reproducible across engines.
+
+    Every step is portable arithmetic: register index = low 6 hash
+    bits; rank rho = leading-zero position of the remaining 54 bits
+    computed as ``55 - length(bin(r))`` (binary-string length, identical
+    in Spark and DuckDB, no float log2); the harmonic denominator
+    sum(2^-M) accumulates as the INTEGER sum of 2^(55-M) (order-
+    independent, max 64 * 2^55 < 2^62 fits int64 — a float sum here
+    would be order-sensitive and could never hash-match), converted to
+    double only once for the final estimate. Small-range correction is
+    linear counting m*ln(m/V) on explicit double casts (both engines'
+    ln agree to the last bit on these inputs).
+
+    Scale shape: register max is an algebraic aggregate, so the sketch
+    partial-aggregates map-side and merges with plain max — per-group
+    state is 64 small ints at any scale, and sketches for disjoint
+    shards union by taking register-wise max (the property that lets a
+    100 TB pipeline maintain per-partition sketches and merge at read)."""
+    h = df.select(F.col(group_col), hash64(F.col(value_col)).alias("_h"))
+    bucketed = h.select(
+        F.col(group_col),
+        (F.col("_h") % HLL_M).alias("_bkt"),
+        F.shiftright("_h", HLL_BUCKET_BITS).alias("_r"),
+    )
+    rho = F.when(
+        F.col("_r") == 0, F.lit(HLL_W + 1)
+    ).otherwise(F.lit(HLL_W + 1) - F.length(F.bin("_r")))
+    regs = (
+        bucketed.withColumn("_rho", rho)
+        .groupBy(group_col, "_bkt")
+        .agg(F.max("_rho").alias("_m"))
+    )
+    per_group = regs.groupBy(group_col).agg(
+        # integer-scaled harmonic sum: 2^(55-M) per present register,
+        # empty registers contribute 2^55 each (added below)
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_W + 1} - _m)")).alias(
+            "_s_present"
+        ),
+        F.count("*").alias("_n_regs"),
+    )
+    scale = F.lit(float(1 << (HLL_W + 1)))
+    s_scaled = (
+        F.col("_s_present")
+        + (F.lit(HLL_M) - F.col("_n_regs")) * F.lit(1 << (HLL_W + 1)).cast("long")
+    ).cast("double")
+    e_raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) * scale / s_scaled
+    v = (F.lit(HLL_M) - F.col("_n_regs")).cast("double")
+    corrected = F.when(
+        (e_raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v),
+    ).otherwise(e_raw)
+    est = per_group.select(
+        F.col(group_col), prnd(corrected, round_to).alias("hll_estimate")
+    )
+    exact = df.groupBy(group_col).agg(
+        F.countDistinct(value_col).alias("n_exact")
+    )
+    return exact.join(est, group_col).select(
+        group_col, F.col("n_exact").cast("long").alias("n_exact"), "hll_estimate"
     )

@@ -174,3 +174,23 @@ def interval_join(
     return ivals.join(pts, "_bkt").filter(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
     )
+
+
+def continuous_aggregate(
+    rollup: DataFrame,
+    raw_tail: DataFrame,
+) -> DataFrame:
+    """Hypertable-style continuous aggregate read path: union a
+    PRECOMPUTED rollup table (closed buckets, maintained incrementally
+    by the trailing-window pipeline — plans/pipeline.py L5) with the
+    freshly-aggregated raw tail (open buckets past the rollup's
+    high-water mark).
+
+    Both inputs must share the bucketed schema; correctness needs
+    exactly the invariant the writer maintains: rollup buckets and tail
+    buckets are disjoint (the cutoff is a bucket boundary) and the
+    rollup is complete below the cutoff. At 100 TB this is the
+    difference between scanning one day of raw events plus a tiny
+    aggregate table and re-scanning the full history per query; the
+    union itself adds no shuffle (both sides arrive pre-aggregated)."""
+    return rollup.unionByName(raw_tail)

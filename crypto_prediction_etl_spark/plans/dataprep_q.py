@@ -261,3 +261,120 @@ def q88_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("sampled_rows"), F.lit(0)).cast("long").alias("sampled_rows"),
         )
     )
+
+
+_Q93_BATCH = 8  # sequences per batch within a length bucket
+
+
+@query(
+    "q93_length_buckets",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(length(bin(n_tokens)) AS INTEGER) AS bucket
+      FROM d
+    ),
+    r AS (
+      SELECT doc_id, lang, n_tokens, bucket,
+             row_number() OVER (PARTITION BY lang, bucket ORDER BY doc_id) AS rn
+      FROM b
+    )
+    SELECT doc_id, lang, n_tokens, bucket,
+           CAST((rn - 1) // {_Q93_BATCH} AS BIGINT) AS batch_id,
+           CAST((rn - 1) % {_Q93_BATCH} AS BIGINT) AS batch_seq
+    FROM r
+    """,
+)
+def q93_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assembly: group documents into power-of-two
+    token-length buckets (bucket = bit-length of n_tokens, no float
+    log2) and pack each (lang, bucket) stratum into fixed-size batches
+    of 8 in doc_id order — the padding-minimizing batching step of a
+    training pipeline (sequences in a batch are within 2x of each
+    other's length, so pad waste is bounded at 50% instead of the
+    unbucketed worst case).
+
+    Shuffle shape: token counting is map-side; the only shuffle is one
+    hash partition + sort per (lang, bucket) stratum for the
+    row_number. At 100 TB the stratum is subdivided by a shard key
+    exactly like q74's packing, keeping every sort bounded."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+    )
+    b = d.withColumn("bucket", F.length(F.bin("n_tokens")).cast("int"))
+    w = W.partitionBy("lang", "bucket").orderBy("doc_id")
+    r = b.withColumn("rn", F.row_number().over(w))
+    return r.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "bucket",
+        F.floor((F.col("rn") - 1) / _Q93_BATCH).cast("long").alias("batch_id"),
+        ((F.col("rn") - 1) % _Q93_BATCH).cast("long").alias("batch_seq"),
+    )
+
+
+_Q94_ALPHA_SQRT = True  # temperature T=2 <=> exponent 1/T = 0.5 = sqrt
+
+
+def _q94_oracle() -> str:
+    return f"""
+    WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY source),
+    t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM c),
+    p AS (
+      SELECT source, n_docs,
+             CAST(n_docs AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+             sqrt(CAST(n_docs AS DOUBLE) / CAST(t.total AS DOUBLE)) AS pa
+      FROM c CROSS JOIN t
+    ),
+    z AS (SELECT sum(pa) AS z FROM p)
+    SELECT source, n_docs,
+           {o_rnd('share', 6)} AS actual_share,
+           {o_rnd('pa / z.z', 6)} AS temp_share,
+           {o_rnd('(pa / z.z) / share', 6)} AS boost
+    FROM p CROSS JOIN z
+    """
+
+
+@query("q94_temperature_mixture", oracle=_q94_oracle())
+def q94_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture reweighting (T=2): sampling share
+    proportional to p^(1/T) = sqrt(p) — the standard multilingual /
+    multi-source rebalancing that upweights rare sources without the
+    hard uniform target of q88. Outputs per-source actual vs
+    temperature share and the boost factor rare sources receive.
+
+    sqrt is correctly rounded under IEEE 754, so per-source weights are
+    bit-identical cross-engine; the normalizer is one sum over the
+    (tiny) per-source weight table. Scale shape: one partial-aggregated
+    count groupBy; everything after runs on a handful of rows."""
+    docs = table(spark, sf_dir, "documents").select("source")
+    c = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    t = c.agg(F.sum("n_docs").alias("total"))
+    p = (
+        c.crossJoin(F.broadcast(t))
+        .withColumn(
+            "share", F.col("n_docs").cast("double") / F.col("total").cast("double")
+        )
+        .withColumn("pa", F.sqrt("share"))
+    )
+    z = p.agg(F.sum("pa").alias("z"))
+    return (
+        p.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            prnd("share", 6).alias("actual_share"),
+            prnd(F.col("pa") / F.col("z"), 6).alias("temp_share"),
+            prnd((F.col("pa") / F.col("z")) / F.col("share"), 6).alias("boost"),
+        )
+    )

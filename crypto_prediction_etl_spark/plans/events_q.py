@@ -7,7 +7,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.portable import o_hash64, o_rnd, prnd
-from ..operators.sketches import HASH_SPACE, kmv_distinct
+from ..operators.sketches import (
+    HASH_SPACE,
+    HLL_ALPHA,
+    HLL_M,
+    HLL_W,
+    hll_distinct,
+    kmv_distinct,
+)
 from ..operators.timeseries import interval_join
 from ..sources.readers import table
 from .registry import query
@@ -201,3 +208,119 @@ def q78_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_b2").cast("int").alias("b2"),
         F.col("z").cast("long").alias("z"),
     )
+
+
+def _q91_oracle() -> str:
+    hh = o_hash64("user_id")
+    w1 = HLL_W + 1
+    scale = 1 << w1
+    return f"""
+    WITH h AS (
+      SELECT event_type, ({hh}) AS hh FROM events
+    ),
+    b AS (
+      SELECT event_type, hh % {HLL_M} AS bkt, hh // {1 << 6} AS r FROM h
+    ),
+    regs AS (
+      SELECT event_type, bkt,
+             max(CASE WHEN r = 0 THEN {w1} ELSE {w1} - length(bin(r)) END) AS m
+      FROM b GROUP BY event_type, bkt
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(sum(CAST({scale} AS BIGINT) // (CAST(1 AS BIGINT) << m)) AS BIGINT)
+               + (CAST({HLL_M} AS BIGINT) - count(*)) * CAST({scale} AS BIGINT) AS s_scaled,
+             CAST({HLL_M} AS BIGINT) - count(*) AS v
+      FROM regs GROUP BY event_type
+    ),
+    est AS (
+      SELECT event_type,
+             CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M * HLL_M} * CAST({scale} AS DOUBLE)
+               / CAST(s_scaled AS DOUBLE) AS e_raw,
+             v
+      FROM g
+    ),
+    fin AS (
+      SELECT event_type,
+             CASE WHEN e_raw <= {2.5 * HLL_M} AND v > 0
+                  THEN CAST({HLL_M} AS DOUBLE) * ln(CAST({HLL_M} AS DOUBLE) / CAST(v AS DOUBLE))
+                  ELSE e_raw END AS e
+      FROM est
+    ),
+    exact AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type
+    )
+    SELECT x.event_type, x.n_exact, {o_rnd('f.e', 2)} AS hll_estimate
+    FROM exact x JOIN fin f USING (event_type)
+    """
+
+
+@query("q91_hll_distinct", oracle=_q91_oracle())
+def q91_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via a cross-engine-reproducible
+    HyperLogLog (64 registers over the portable md5 hash) next to the
+    exact count. Register rank uses binary-string length (no float
+    log2); the harmonic mean accumulates as an order-independent
+    INTEGER sum of 2^(55-M); linear-counting small-range correction on
+    explicit double casts — every step bit-identical in DuckDB, so the
+    gate hash-checks an approximate aggregate exactly (same property as
+    q58's KMV, with HLL's O(m) state and register-wise max mergeability
+    that a 100 TB pipeline needs for per-shard sketch maintenance)."""
+    return hll_distinct(table(spark, sf_dir, "events"), "event_type", "user_id")
+
+
+_Q92_TAIL_DAYS = 7  # open window re-aggregated from raw events
+
+
+def _q92_oracle() -> str:
+    return f"""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, value FROM events
+    ),
+    b AS (SELECT max(day) - {_Q92_TAIL_DAYS} AS cutoff FROM d)
+    SELECT event_type, day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {o_rnd('sum(value)', 4)} AS sum_value,
+           CASE WHEN day < b.cutoff THEN 'rollup' ELSE 'tail' END AS served_from
+    FROM d CROSS JOIN b
+    GROUP BY event_type, day, b.cutoff
+    """
+
+
+@query("q92_rollup_tail_merge", oracle=_q92_oracle())
+def q92_rollup_tail_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate read path (the hypertable rollup pattern):
+    daily per-type counts/sums for CLOSED days come from the rollup
+    table — materialized here with truncated lineage to model reading
+    the incrementally-maintained aggregate the L5 trailing-window
+    pipeline writes — while the open tail (last 7 days) re-aggregates
+    from raw events. The union serves the full series; ``served_from``
+    exposes which path produced each row.
+
+    Scale shape: the rollup side is ~(types x days) pre-aggregated rows
+    (kilobytes at any raw scale); only the tail scans raw data, and a
+    partition-pruned scan at that (day >= cutoff on a date-partitioned
+    table). The cutoff is a bucket boundary, so rollup and tail groups
+    are provably disjoint and the union needs no dedup and no shuffle."""
+    from ..operators.timeseries import continuous_aggregate
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    bounds = ev.agg(
+        F.date_sub(F.max("day"), _Q92_TAIL_DAYS).alias("cutoff")
+    )
+    src = ev.crossJoin(F.broadcast(bounds))
+
+    def _agg(part: DataFrame, tag: str) -> DataFrame:
+        return part.groupBy("event_type", "day").agg(
+            F.count("*").alias("n_events"),
+            prnd(F.sum("value"), 4).alias("sum_value"),
+        ).withColumn("served_from", F.lit(tag))
+
+    rollup = _agg(src.filter(F.col("day") < F.col("cutoff")), "rollup").localCheckpoint(
+        eager=True
+    )
+    tail = _agg(src.filter(F.col("day") >= F.col("cutoff")), "tail")
+    return continuous_aggregate(rollup, tail)
