@@ -324,3 +324,37 @@ def q92_rollup_tail_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tail = _agg(src.filter(F.col("day") >= F.col("cutoff")), "tail")
     return continuous_aggregate(rollup, tail)
+
+
+_Q96_SALTS = 16
+
+
+@query(
+    "q96_salted_hot_agg",
+    oracle=f"""
+    SELECT event_type,
+           {o_rnd('sum(value)', 2)} AS sum_value,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY event_type
+    """,
+)
+def q96_salted_hot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase aggregation through the salted operator
+    (operators/skew.salted_sum_count): phase one spreads every hot key
+    over 16 (key, salt) shards, phase two merges 16 rows per key — the
+    reducer-side work per key is bounded by the salt count no matter
+    how pathological the key distribution (the order-book case: a
+    handful of symbols carry almost all volume). The oracle states the
+    plain GROUP BY; results are identical because sum/count are
+    algebraic — which is exactly why the salting decomposition is safe.
+    AQE cannot re-plan aggregation skew (only join skew), so this
+    explicit operator IS the 100 TB mitigation for hot grouping keys."""
+    from ..operators.skew import salted_sum_count
+
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    out = salted_sum_count(ev, ["event_type"], "value", n_salts=_Q96_SALTS)
+    return out.select(
+        "event_type",
+        prnd(F.col("sum_value"), 2).alias("sum_value"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )

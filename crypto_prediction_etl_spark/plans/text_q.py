@@ -805,3 +805,67 @@ def q89_passage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_shared").desc(), "doc_a", "doc_b")
         .limit(_Q89_TOPN)
     )
+
+
+def _q95_oracle() -> str:
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    vocab AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY tok
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+    scored AS (
+      SELECT t.doc_id,
+             count(*) AS n_tokens,
+             sum(-ln(CAST(v.cnt AS DOUBLE) / CAST(x.total AS DOUBLE))) AS nll
+      FROM tok t JOIN vocab v USING (tok) CROSS JOIN tot x
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           {o_rnd('nll / n_tokens', 4)} AS avg_nll
+    FROM scored
+    """
+
+
+@query("q95_unigram_nll", oracle=_q95_oracle())
+def q95_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring (the CCNet-style quality filter):
+    train a unigram LM on the corpus itself (token relative
+    frequencies), then score every document by average negative
+    log-likelihood — documents full of rare junk tokens score high,
+    fluent boilerplate scores low; a curation pipeline fences on this
+    next to q42's surface heuristics.
+
+    Scale shape: the vocab is one partial-aggregated groupBy over the
+    token explosion; scoring joins tokens to vocab on the token key
+    (hash join; the vocab of a 100 TB corpus still fits the broadcast
+    threshold after min-count pruning) and re-aggregates per doc — the
+    same two-shuffle budget as BM25 (q75). ln on exact IEEE ratios is
+    engine-portable; the per-doc sum is rounded to 4 decimals, orders
+    of magnitude above accumulation-order noise."""
+    docs = spread_small_scan(table(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("total"))
+    p = vocab.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        (-F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))).alias(
+            "_nll_tok"
+        ),
+    )
+    return (
+        tok.join(p, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("_nll_tok").alias("_nll"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            prnd(F.col("_nll") / F.col("n_tokens"), 4).alias("avg_nll"),
+        )
+    )
