@@ -460,3 +460,92 @@ def q90_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd(sq_sum / _Q90_DIM, 8).alias("mse"),
         prnd(max_abs, 8).alias("max_abs_err"),
     )
+
+
+_Q97_M, _Q97_SUBDIM, _Q97_K = 8, 8, 16  # 8 subspaces x 8 dims, 16 codes
+
+
+def _q97_oracle() -> str:
+    blocks, joins, codes, dsum = [], [], [], []
+    for s in range(_Q97_M):
+        lo = s * _Q97_SUBDIM + 1
+        hi = lo + _Q97_SUBDIM - 1
+        cs = f"list_slice(c.v, {lo}, {hi})"
+        ss = f"list_slice(s.v, {lo}, {hi})"
+        d2 = (
+            f"list_dot_product({cs}, {cs})"
+            f" - 2 * list_dot_product({cs}, {ss})"
+            f" + list_dot_product({ss}, {ss})"
+        )
+        blocks.append(
+            f"""a{s} AS (
+      SELECT vec_id, code, d FROM (
+        SELECT c.vec_id, s.j AS code, {o_rnd(d2, 6)} AS d,
+               row_number() OVER (PARTITION BY c.vec_id
+                                  ORDER BY {o_rnd(d2, 6)}, s.j) AS rn
+        FROM e c CROSS JOIN seeds s) t WHERE rn = 1
+    )"""
+        )
+        joins.append(f"JOIN a{s} USING (vec_id)" if s else "FROM a0")
+        codes.append(f"CAST(a{s}.code AS INTEGER) AS code{s}")
+        dsum.append(f"a{s}.d")
+    return f"""
+    WITH {_VECS_CTE},
+    seeds AS (
+      SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS j
+      FROM e ORDER BY vec_id LIMIT {_Q97_K}
+    ),
+    {",".join(blocks)}
+    SELECT a0.vec_id, {", ".join(codes)},
+           {o_rnd(" + ".join(dsum), 5)} AS recon_d2
+    {" ".join(joins)}
+    """
+
+
+@query("q97_product_quantization", oracle=_q97_oracle())
+def q97_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (PQ) of the embedding column: split each
+    64-dim vector into 8 subspaces of 8 dims, assign each subvector to
+    its nearest of 16 per-subspace codebook entries (squared L2, ties
+    to the smallest code), and report the total reconstruction error —
+    64 dims compress to 8 bytes/vector (32x vs float32), the memory
+    layout IVF-PQ indexes serve ANN from at 100 TB.
+
+    Codebooks here are the subvectors of the 16 smallest-id vectors so
+    the oracle replays the quantizer bit-exactly (q56's convention);
+    production swaps in per-subspace k-means (operators/clustering)
+    without changing the plan. Execution is a pure map: the k x d
+    codebook enters as literals, each row computes 8x16 rounded
+    distances via the same sequential-fold dot product the cosine
+    family uses, argmin per subspace is one array_min over (d, j)
+    structs — no shuffle, no UDF, the scan stays whole-stage-codegen.
+    Distance identity d2 = <a,a> - 2<a,b> + <b,b> keeps both engines
+    on composition-of-dot-products arithmetic (a fold of squared
+    diffs would round differently)."""
+    from ..operators.similarity import dot
+
+    vecs = _vecs(spark, sf_dir)
+    seed_rows = vecs.orderBy("vec_id").limit(_Q97_K).select("v").collect()
+    seeds = [list(r[0]) for r in seed_rows]
+    out_cols = [F.col("vec_id")]
+    dparts = []
+    for s in range(_Q97_M):
+        lo = s * _Q97_SUBDIM + 1
+        sub = F.slice(F.col("v"), lo, _Q97_SUBDIM)
+        structs = []
+        for j in range(_Q97_K):
+            sv = seeds[j][lo - 1 : lo - 1 + _Q97_SUBDIM]
+            lit = F.array(*[F.lit(float(x)) for x in sv])
+            snorm = sum(x * x for x in (float(v) for v in sv))
+            d2 = dot(sub, sub) - F.lit(2.0) * dot(sub, lit) + F.lit(snorm)
+            structs.append(
+                F.struct(prnd(d2, 6).alias("d"), F.lit(j).alias("j"))
+            )
+        best = F.array_min(F.array(*structs))
+        out_cols.append(best.getField("j").cast("int").alias(f"code{s}"))
+        dparts.append(best.getField("d"))
+    total = dparts[0]
+    for d in dparts[1:]:
+        total = total + d
+    out_cols.append(prnd(total, 5).alias("recon_d2"))
+    return vecs.select(*out_cols)
