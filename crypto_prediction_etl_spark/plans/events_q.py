@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.portable import o_hash64, o_rnd, prnd
+from ..functions.portable import hash64, o_hash64, o_rnd, prnd
 from ..operators.sketches import (
     HASH_SPACE,
     HLL_ALPHA,
@@ -358,3 +358,140 @@ def q96_salted_hot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd(F.col("sum_value"), 2).alias("sum_value"),
         F.col("n_rows").cast("long").alias("n_rows"),
     )
+
+
+_Q98_CONV_DAYS = 7  # conversion window after signup
+
+
+@query(
+    "q98_conversion_funnel",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, min(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT s.user_id,
+             min(e.ts) AS conv_ts
+      FROM s JOIN events e
+        ON e.user_id = s.user_id
+       AND e.event_type = 'purchase'
+       AND e.ts >= s.signup_ts
+       AND e.ts < s.signup_ts + INTERVAL {_Q98_CONV_DAYS} DAY
+      GROUP BY s.user_id
+    )
+    SELECT CAST(s.signup_ts AS DATE) AS cohort_day,
+           CAST(count(*) AS BIGINT) AS n_signups,
+           CAST(count(p.conv_ts) AS BIGINT) AS n_converted,
+           {o_rnd('CAST(count(p.conv_ts) AS DOUBLE) / count(*)', 4)} AS conv_rate
+    FROM s LEFT JOIN p USING (user_id)
+    GROUP BY cohort_day
+    """,
+)
+def q98_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohorted conversion funnel: first signup per user, first
+    purchase inside the 7-day window after it, conversion rate per
+    signup-day cohort — the order-dependent event-sequence analysis
+    (funnel) every product pipeline runs next to the engine's windowed
+    aggregates.
+
+    Shuffle shape: two partial-aggregated groupBys on user_id (signup
+    firsts, windowed purchase firsts) and one on the cohort day. The
+    signup->purchase match is an equi-join on user_id with the time
+    window as a residual predicate — never a time-theta join, so at
+    100 TB it hash-partitions on user and AQE handles user-level skew."""
+    ev = table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("signup_ts"))
+            & (F.col("ts") < F.col("signup_ts") + F.expr(f"INTERVAL {_Q98_CONV_DAYS} DAYS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    return (
+        s.join(p, "user_id", "left")
+        .groupBy(F.to_date("signup_ts").alias("cohort_day"))
+        .agg(
+            F.count("*").alias("n_signups"),
+            F.count("conv_ts").alias("n_converted"),
+        )
+        .select(
+            "cohort_day",
+            F.col("n_signups").cast("long").alias("n_signups"),
+            F.col("n_converted").cast("long").alias("n_converted"),
+            prnd(
+                F.col("n_converted").cast("double") / F.col("n_signups"), 4
+            ).alias("conv_rate"),
+        )
+    )
+
+
+# deterministic quantiles: lower order statistic at rank
+# floor(q * (n-1)) + 1 over a hash-fenced sample - no interpolation
+# arithmetic, no RNG, identical on any engine at any parallelism.
+_Q99_SAMPLE_MOD = 4  # keep ~1/4 of events, chosen by portable hash
+
+
+def _q99_oracle() -> str:
+    h = o_hash64("event_id")
+    ranks = ", ".join(
+        f"max(CASE WHEN rn = CAST(floor({q} * (n - 1)) AS BIGINT) + 1 THEN value END) AS p{int(q*100)}"
+        for q in (0.25, 0.5, 0.75)
+    )
+    return f"""
+    WITH sampled AS (
+      SELECT event_type, value FROM events
+      WHERE ({h}) % {_Q99_SAMPLE_MOD} = 0
+    ),
+    r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM sampled
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_sampled,
+           {ranks}
+    FROM r GROUP BY event_type
+    """
+
+
+@query("q99_hash_quantiles", oracle=_q99_oracle())
+def q99_hash_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic approximate quantiles: a hash-fenced sample
+    (hash64(event_id) % 4 == 0 - a pure row predicate, no RNG state,
+    stable under reruns/repartitions/appends) reduced to exact lower
+    order statistics at ranks floor(q*(n-1))+1. Unlike
+    approx_percentile/t-digest, every engine reproduces the identical
+    numbers - the property a 100 TB pipeline's QA diff needs. The
+    sample is the scale dial: the window sorts 1/mod of the data per
+    group; at extreme scale the same fence tightens (mod 1000+) and
+    the shuffle carries only sampled rows, the q76 discipline."""
+    ev = table(spark, sf_dir, "events")
+    sampled = ev.filter(hash64(F.col("event_id")) % _Q99_SAMPLE_MOD == 0).select(
+        "event_type", "value"
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy(F.col("value"))
+    r = sampled.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("event_type")).alias("n"),
+    )
+    aggs = [F.max("n").cast("long").alias("n_sampled")]
+    for q in (0.25, 0.5, 0.75):
+        rank = F.floor(F.lit(q) * (F.col("n") - 1)).cast("long") + 1
+        aggs.append(
+            F.max(F.when(F.col("rn") == rank, F.col("value"))).alias(f"p{int(q*100)}")
+        )
+    return r.groupBy("event_type").agg(*aggs)
