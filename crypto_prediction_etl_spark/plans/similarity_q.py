@@ -527,17 +527,29 @@ def q97_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vecs(spark, sf_dir)
     seed_rows = vecs.orderBy("vec_id").limit(_Q97_K).select("v").collect()
     seeds = [list(r[0]) for r in seed_rows]
+    # bind each subvector and its self-dot to real columns first: every
+    # (subspace, code) distance then references them instead of
+    # re-expanding the slice+fold subtree 16x per subspace — the
+    # literal-codebook expression tree is the whole cost of this query
+    # at small SF (driver-side analysis + codegen), and this halves it
+    pre_cols = [F.col("vec_id")]
+    for s in range(_Q97_M):
+        lo = s * _Q97_SUBDIM + 1
+        sub = F.slice(F.col("v"), lo, _Q97_SUBDIM)
+        pre_cols.append(sub.alias(f"_sub{s}"))
+        pre_cols.append(dot(sub, sub).alias(f"_ss{s}"))
+    pre = vecs.select(*pre_cols)
     out_cols = [F.col("vec_id")]
     dparts = []
     for s in range(_Q97_M):
         lo = s * _Q97_SUBDIM + 1
-        sub = F.slice(F.col("v"), lo, _Q97_SUBDIM)
+        sub = F.col(f"_sub{s}")
         structs = []
         for j in range(_Q97_K):
             sv = seeds[j][lo - 1 : lo - 1 + _Q97_SUBDIM]
             lit = F.array(*[F.lit(float(x)) for x in sv])
             snorm = sum(x * x for x in (float(v) for v in sv))
-            d2 = dot(sub, sub) - F.lit(2.0) * dot(sub, lit) + F.lit(snorm)
+            d2 = F.col(f"_ss{s}") - F.lit(2.0) * dot(sub, lit) + F.lit(snorm)
             structs.append(
                 F.struct(prnd(d2, 6).alias("d"), F.lit(j).alias("j"))
             )
@@ -548,4 +560,4 @@ def q97_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in dparts[1:]:
         total = total + d
     out_cols.append(prnd(total, 5).alias("recon_d2"))
-    return vecs.select(*out_cols)
+    return pre.select(*out_cols)
