@@ -310,3 +310,57 @@ def indicator_frame(candles: DataFrame) -> DataFrame:
     """Full 27-column indicator mart frame: window indicators + recursive
     smoothers, one id-shuffle reused by both stages."""
     return with_recursive_indicators(with_window_indicators(candles))
+
+
+# Holt's linear-trend smoothing constants, bound once so the Python
+# kernel and any SQL replay use the IDENTICAL doubles (repr round-trips
+# exactly; re-deriving 1-alpha in another engine could round once more).
+HOLT_ALPHA = 0.2
+HOLT_BETA = 0.1
+HOLT_OMA = 1.0 - HOLT_ALPHA
+HOLT_OMB = 1.0 - HOLT_BETA
+
+
+def holt_linear(candles: DataFrame) -> DataFrame:
+    """Holt's double exponential smoothing (level + trend) per id —
+    the forecasting-grade smoother one step up from EMA: level_t =
+    a*x_t + (1-a)*(level+trend), trend_t = b*(level_t - level_prev) +
+    (1-b)*trend, initialized level_1 = x_1, trend_1 = 0. Emits the
+    smoothed level, the trend, and the one-step-ahead forecast
+    (level + trend).
+
+    Same execution shape as the EMA/MACD/RSI family: one grouped-map
+    pandas kernel (Arrow batch per id, O(rows) Python loop), one
+    id-shuffle, no driver collect. The recursion is sequential by
+    nature — per-key kernels ARE the scale-out (symbols partition the
+    work); the DuckDB oracle replays it as a recursive CTE with the
+    exact same float op sequence, so the gate hash-checks a recursive
+    stateful operator."""
+    in_schema = candles.schema
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in in_schema
+    )
+    out_schema = (
+        out_fields + ", holt_level double, holt_trend double, holt_forecast double"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("dt").reset_index(drop=True)
+        x = pdf["close"].astype("float64").to_numpy()
+        n = len(x)
+        level = [0.0] * n
+        trend = [0.0] * n
+        if n:
+            lvl, tr = float(x[0]), 0.0
+            level[0], trend[0] = lvl, tr
+            for t in range(1, n):
+                new_l = HOLT_ALPHA * float(x[t]) + HOLT_OMA * (lvl + tr)
+                tr = HOLT_BETA * (new_l - lvl) + HOLT_OMB * tr
+                lvl = new_l
+                level[t], trend[t] = lvl, tr
+        pdf["holt_level"] = pd.Series(level, dtype="float64")
+        pdf["holt_trend"] = pd.Series(trend, dtype="float64")
+        pdf["holt_forecast"] = pdf["holt_level"] + pdf["holt_trend"]
+        return pdf
+
+    return candles.groupBy("id").applyInPandas(kernel, schema=out_schema)

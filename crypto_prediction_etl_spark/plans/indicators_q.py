@@ -878,3 +878,51 @@ def q81_series_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dt").alias("gap_end"),
         (diff - 1).cast("int").alias("missing_days"),
     )
+
+
+def _holt_oracle() -> str:
+    from ..operators.indicators import HOLT_ALPHA, HOLT_BETA, HOLT_OMA, HOLT_OMB
+
+    a, b = repr(HOLT_ALPHA), repr(HOLT_BETA)
+    oma, omb = repr(HOLT_OMA), repr(HOLT_OMB)
+    lvl = f"CAST({a} AS DOUBLE) * c.close + CAST({oma} AS DOUBLE) * (h.level + h.trend)"
+    return f"""
+    WITH RECURSIVE candles AS ({CANDLES_SQL}),
+    c AS (SELECT id, dt, close, row_number() OVER ({_WIN}) AS rn FROM candles),
+    hw AS (
+      SELECT id, rn, dt, close AS level, CAST(0 AS DOUBLE) AS trend
+      FROM c WHERE rn = 1
+      UNION ALL
+      SELECT c.id, c.rn, c.dt,
+             {lvl} AS level,
+             CAST({b} AS DOUBLE) * (({lvl}) - h.level)
+               + CAST({omb} AS DOUBLE) * h.trend AS trend
+      FROM hw h JOIN c ON c.id = h.id AND c.rn = h.rn + 1
+    )
+    SELECT id, dt,
+           {o_rnd('level', 2)} AS holt_level,
+           {o_rnd('trend', 4)} AS holt_trend,
+           {o_rnd('level + trend', 2)} AS holt_forecast
+    FROM hw
+    """
+
+
+@query("q100_holt_linear", oracle=_holt_oracle())
+def q100_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + trend + one-step
+    forecast) per symbol — the recursive stateful operator one step
+    beyond the EMA family, executed as a grouped-map pandas kernel
+    (one id-shuffle, O(rows) per key, no driver loop). The oracle
+    replays the recursion as a recursive CTE with the identical float
+    op sequence — the driver gate hash-checks a genuinely recursive
+    computation (q37's EMA uses a closed form; this one cannot)."""
+    from ..operators.indicators import holt_linear
+
+    rec = holt_linear(candles(spark, sf_dir))
+    return rec.select(
+        "id",
+        "dt",
+        prnd("holt_level", 2).alias("holt_level"),
+        prnd("holt_trend", 4).alias("holt_trend"),
+        prnd("holt_forecast", 2).alias("holt_forecast"),
+    )
