@@ -561,3 +561,86 @@ def q97_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         total = total + d
     out_cols.append(prnd(total, 5).alias("recon_d2"))
     return pre.select(*out_cols)
+
+
+_Q101_K_CELLS, _Q101_T = 8, 0.4
+
+
+def _q101_oracle() -> str:
+    cos_cs = (
+        "list_dot_product(c.v, s.v) / "
+        "(sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(s.v, s.v)))"
+    )
+    cos_ab = (
+        "list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+    )
+    return f"""
+    WITH {_VECS_CTE},
+    seeds AS (
+      SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS j
+      FROM e ORDER BY vec_id LIMIT {_Q101_K_CELLS}
+    ),
+    asg AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT c.vec_id, c.v, s.j AS cell,
+               row_number() OVER (PARTITION BY c.vec_id
+                                  ORDER BY {o_rnd(cos_cs, 6)} DESC, s.j) AS rn
+        FROM e c CROSS JOIN seeds s) t WHERE rn = 1
+    ),
+    dup AS (
+      SELECT a.vec_id, min(b.vec_id) AS dup_of
+      FROM asg a JOIN asg b
+        ON a.cell = b.cell AND b.vec_id < a.vec_id
+      WHERE {o_rnd(cos_ab, 6)} >= {_Q101_T}
+      GROUP BY a.vec_id
+    )
+    SELECT asg.vec_id, CAST(asg.cell AS INTEGER) AS cell,
+           d.dup_of,
+           CAST(d.dup_of IS NULL AS INT) AS is_kept
+    FROM asg LEFT JOIN dup d USING (vec_id)
+    """
+
+
+@query("q101_semdedup", oracle=_q101_oracle())
+def q101_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: coarse-cluster the
+    embedding space (the q56 literal-seed quantizer; production uses
+    k-means centroids), then WITHIN each cluster drop every vector
+    that has a lower-id neighbour above the cosine threshold — the
+    keep-one-per-semantic-duplicate-set rule, deterministic via the
+    min-id canonical.
+
+    The cluster assignment is the whole scale story (the SemDeDup
+    observation): candidate pairs exist only inside a cell, so the
+    quadratic term is sum over cells of |cell|^2 with the cell count
+    as the dial (10k+ cells at production scale), and the per-cell
+    join is a plain equi-join on cell — no all-pairs cross product
+    anywhere in the plan. Output: every vector with its cell, its
+    canonical duplicate (or NULL), and the keep flag."""
+    from ..operators.similarity import cosine, ivf_assign
+
+    vecs = _vecs(spark, sf_dir)
+    seed_rows = vecs.orderBy("vec_id").limit(_Q101_K_CELLS).select("v").collect()
+    seeds = [list(r[0]) for r in seed_rows]
+    asg = ivf_assign(vecs, seeds)
+    a = asg.select(F.col("vec_id"), F.col("cell"), F.col("v").alias("_va"))
+    b = asg.select(
+        F.col("vec_id").alias("_vid_b"), F.col("cell"), F.col("v").alias("_vb")
+    )
+    dup = (
+        a.join(b, "cell")
+        .filter(F.col("_vid_b") < F.col("vec_id"))
+        .filter(prnd(cosine(F.col("_va"), F.col("_vb")), 6) >= _Q101_T)
+        .groupBy("vec_id")
+        .agg(F.min("_vid_b").alias("dup_of"))
+    )
+    return (
+        asg.join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            "dup_of",
+            F.col("dup_of").isNull().cast("int").alias("is_kept"),
+        )
+    )
