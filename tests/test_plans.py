@@ -584,3 +584,39 @@ def test_int8_quantization_preserves_topk_neighbors(spark, sf_dir):
     a = {(r.query_id, r.vec_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.9, f"quantized recall {recall:.3f}"
+
+
+def test_hll_partial_aggregates_map_side(spark, sf_dir):
+    """q91: both aggregation layers (register max, harmonic merge) must
+    partial-aggregate — the map-side combine is what keeps sketch state
+    at 64 ints per group at any scale."""
+    plan = _plan(spark, sf_dir, "q91_hll_distinct")
+    assert plan.count("partial_max") >= 1, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rollup_tail_scans_are_disjoint_and_pruned(spark, sf_dir):
+    """q92: the tail side must filter on the day cutoff (at production
+    scale: partition pruning on a date-partitioned table); the rollup
+    side must read the materialized checkpoint, not re-scan raw."""
+    from crypto_prediction_etl_spark.plans import registry as reg
+
+    df = reg.QUERIES["q92_rollup_tail_merge"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # union of a checkpointed (scan-existing-RDD) rollup and a filtered
+    # raw aggregation
+    assert "Union" in plan
+    assert "Scan ExistingRDD" in plan, plan[:2000]
+    assert "day" in plan and ">=" in plan
+
+
+def test_funnel_has_no_theta_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q98_conversion_funnel")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semdedup_join_is_cell_equi(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q101_semdedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
