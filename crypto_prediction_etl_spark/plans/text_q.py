@@ -869,3 +869,110 @@ def q95_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             prnd(F.col("_nll") / F.col("n_tokens"), 4).alias("avg_nll"),
         )
     )
+
+
+_Q102_TOPK = 20
+
+
+def _q102_oracle() -> str:
+    terms = _in_list(_BM25_TERMS)
+    return f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    st AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks), 1) + 1, {_CHUNK_STRIDE})) AS start_tok
+      FROM d
+    ),
+    ch AS (
+      SELECT doc_id * 1000 + ((start_tok - 1) // {_CHUNK_STRIDE} + 1) AS chunk_key,
+             string_split(array_to_string(
+               list_slice(toks, start_tok, start_tok + {_CHUNK_LEN - 1}), ' '), ' ') AS t
+      FROM st
+    ),
+    dl AS (SELECT chunk_key, CAST(len(t) AS BIGINT) AS dl FROM ch),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+    tf AS (SELECT chunk_key, term, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT chunk_key, unnest(t) AS term FROM ch)
+           WHERE term IN {terms} GROUP BY chunk_key, term),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.chunk_key, dl.dl, tf.tf,
+             ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+               * tf.tf * ({_BM25_K1} + 1.0)
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                     + {_BM25_B} * CAST(dl.dl AS DOUBLE) / stats.avgdl)) AS c
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (chunk_key) CROSS JOIN stats
+    ),
+    agg AS (
+      SELECT chunk_key, CAST(min(dl) AS BIGINT) AS dl,
+             CAST(count(*) AS BIGINT) AS n_terms,
+             CAST(sum(tf) AS BIGINT) AS total_tf,
+             {o_rnd('sum(c)', 6)} AS bm25
+      FROM scored GROUP BY chunk_key
+    ),
+    ranked AS (
+      SELECT chunk_key // 1000 AS doc_id,
+             CAST(chunk_key % 1000 AS INTEGER) AS chunk_id,
+             dl, n_terms, total_tf, bm25,
+             CAST(row_number() OVER (ORDER BY bm25 DESC, chunk_key) AS INTEGER) AS rank
+      FROM agg
+    )
+    SELECT doc_id, chunk_id, dl, n_terms, total_tf, bm25, rank
+    FROM ranked WHERE rank <= {_Q102_TOPK}
+    """
+
+
+@query("q102_chunk_retrieval", oracle=_q102_oracle())
+def q102_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG retrieval composition: the q83 sliding-window chunker feeds
+    the q75 BM25 scorer, returning the top-20 CHUNKS for the query —
+    retrieval at passage granularity, which is what a RAG serving
+    index actually ranks (a long document with one relevant passage
+    should win on that passage, not its diluted whole-document score).
+
+    Plan shape inherits both parents: chunking is array-domain map
+    work (zero shuffle), the posting explode is filtered to the
+    query's terms before shuffling, corpus stats broadcast, and the
+    final top-k is a window over query-matching chunks only. chunk_key
+    = doc_id*1000 + chunk_id keeps the composite identity arithmetic
+    (no join to recover provenance)."""
+    from ..operators.retrieval import bm25_scores
+
+    docs = spread_small_scan(table(spark, sf_dir, "documents"))
+    n = F.size("_toks")
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(_CHUNK_STRIDE))
+    chunks = (
+        docs.select("doc_id", tokens("text").alias("_toks"))
+        .select("doc_id", "_toks", F.explode(starts).alias("start_tok"))
+        .select(
+            (
+                F.col("doc_id") * 1000
+                + ((F.col("start_tok") - 1) / _CHUNK_STRIDE).cast("long")
+                + 1
+            ).alias("chunk_key"),
+            F.concat_ws(
+                " ", F.slice("_toks", F.col("start_tok"), F.lit(_CHUNK_LEN))
+            ).alias("chunk_text"),
+        )
+    )
+    scored = bm25_scores(
+        chunks, list(_BM25_TERMS), _BM25_K1, _BM25_B, id_col="chunk_key",
+        text_col="chunk_text",
+    ).withColumn("bm25", prnd(F.col("bm25"), 6))
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("bm25").desc(), "chunk_key")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _Q102_TOPK)
+        .select(
+            (F.col("chunk_key") / 1000).cast("long").alias("doc_id"),
+            (F.col("chunk_key") % 1000).cast("int").alias("chunk_id"),
+            "dl",
+            "n_terms",
+            "total_tf",
+            "bm25",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
