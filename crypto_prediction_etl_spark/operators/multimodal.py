@@ -22,6 +22,8 @@ Payload format for the synthetic fixtures (built from documents.text):
 
 from __future__ import annotations
 
+import math
+
 from collections.abc import Iterator
 
 import pandas as pd
@@ -183,3 +185,86 @@ def resize_payload(payloads: DataFrame, num: int = 1, den: int = 2) -> DataFrame
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     return payloads.mapInPandas(kernel, schema="doc_id long, payload binary")
+
+
+# --- audio: real PCM int16 payloads (numpy-only, no external codecs) ---
+
+PCM_WINDOW = 128  # samples per analysis window
+PCM_BASE_SAMPLES = 256  # payload length = base + doc_id % base
+
+
+def synthetic_pcm_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, audio) with a REAL little-endian int16 PCM payload per row.
+
+    Unlike the image path (codec stubbed — PIL absent from the
+    container), int16 PCM needs no external library: the bytes ARE the
+    samples. Sample i of row k is a deterministic integer waveform
+    ((k*7919 + i*104729) % 65536) - 32768, so any engine can regenerate
+    the ground-truth signal arithmetically — which is how the q103
+    oracle checks features computed from the actual bytes without a
+    blob-parsing SQL dialect."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for k in pdf[id_col].astype("int64"):
+                n = PCM_BASE_SAMPLES + int(k) % PCM_BASE_SAMPLES
+                i = np.arange(n, dtype="int64")
+                x = (int(k) * 7919 + i * 104729) % 65536 - 32768
+                payloads.append(x.astype("<i2").tobytes())
+            yield pd.DataFrame({id_col: pdf[id_col], "audio": payloads})
+
+    return docs.select(id_col).mapInPandas(
+        kernel, schema=f"{id_col} long, audio binary"
+    )
+
+
+def pcm_window_features(
+    payloads: DataFrame, window: int = PCM_WINDOW, id_col: str = "doc_id"
+) -> DataFrame:
+    """Windowed audio features decoded from the binary PCM column:
+    per window — sample count, RMS energy, zero-crossing count.
+
+    mapInPandas 1->N demux (the q72 frame-sample shape): each Arrow
+    batch decodes its payloads with one ``np.frombuffer`` per row and
+    emits a row per window; work is embarrassingly parallel in input
+    splits, zero shuffle. RMS accumulates the EXACT integer sum of
+    squares (max 128 * 2^30 < 2^53, double-exact) before one divide +
+    sqrt, so the math is bit-reproducible anywhere."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k, payload in zip(pdf[id_col].astype("int64"), pdf["audio"]):
+                x = np.frombuffer(bytes(payload), dtype="<i2").astype("int64")
+                n = len(x)
+                for w in range(0, (n + window - 1) // window):
+                    xs = x[w * window : min(n, (w + 1) * window)]
+                    ssum = int((xs * xs).sum())
+                    zc = int(((xs[:-1] * xs[1:]) < 0).sum())
+                    rows.append(
+                        {
+                            id_col: int(k),
+                            "window_id": w,
+                            "n_samples": len(xs),
+                            # math.sqrt, not **0.5: pow(x, 0.5) is not
+                            # guaranteed correctly-rounded; sqrt is, and
+                            # the SQL oracle's sqrt matches it
+                            "rms": math.sqrt(ssum / len(xs)),
+                            "zero_crossings": zc,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "window_id", "n_samples", "rms", "zero_crossings"],
+            )
+
+    return payloads.mapInPandas(
+        kernel,
+        schema=(
+            f"{id_col} long, window_id int, n_samples long, "
+            "rms double, zero_crossings long"
+        ),
+    )

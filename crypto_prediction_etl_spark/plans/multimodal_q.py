@@ -98,3 +98,57 @@ def q72_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payloads = synthetic_payload(table(spark, sf_dir, "documents"))
     return sample_frames(payloads, every_n=2)
+
+
+def _q103_oracle() -> str:
+    from ..operators.multimodal import PCM_BASE_SAMPLES, PCM_WINDOW
+
+    b, w = PCM_BASE_SAMPLES, PCM_WINDOW
+    return f"""
+    WITH d AS (SELECT doc_id, {b} + doc_id % {b} AS n FROM documents),
+    s AS (
+      SELECT doc_id, i,
+             (doc_id * 7919 + i * 104729) % 65536 - 32768 AS x
+      FROM (SELECT doc_id, unnest(range(0, n)) AS i FROM d)
+    ),
+    p AS (
+      SELECT doc_id, i, i // {w} AS window_id, x,
+             lead(x) OVER (PARTITION BY doc_id ORDER BY i) AS xn
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(window_id AS INTEGER) AS window_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           floor(sqrt(CAST(sum(x * x) AS DOUBLE) / count(*)) * 1000000.0 + 0.5001) / 1000000.0 AS rms,
+           CAST(count(*) FILTER (WHERE xn IS NOT NULL
+                                   AND (i + 1) // {w} = window_id
+                                   AND x * xn < 0) AS BIGINT) AS zero_crossings
+    FROM p GROUP BY doc_id, window_id
+    """
+
+
+@query("q103_audio_pcm_features", oracle=_q103_oracle())
+def q103_audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction with a REAL decode path: little-endian
+    int16 PCM payloads in a binary column, decoded per Arrow batch
+    with np.frombuffer, reduced to per-window sample count, RMS energy
+    and zero-crossing counts (mapInPandas 1->N demux, zero shuffle).
+
+    The waveform is a deterministic integer sequence, so the oracle
+    regenerates the ground truth arithmetically and checks features
+    computed FROM THE BYTES — the decode layer itself is under the
+    hash gate, unlike the codec-stubbed image path (q71). RMS uses the
+    exact integer sum of squares (window*2^30 < 2^53) before one
+    divide + correctly-rounded sqrt, so the floats are bit-identical
+    cross-engine."""
+    from ..operators.multimodal import pcm_window_features, synthetic_pcm_payload
+
+    payloads = synthetic_pcm_payload(table(spark, sf_dir, "documents"))
+    feats = pcm_window_features(payloads)
+    return feats.select(
+        "doc_id",
+        "window_id",
+        "n_samples",
+        prnd(F.col("rms"), 6).alias("rms"),
+        "zero_crossings",
+    )
