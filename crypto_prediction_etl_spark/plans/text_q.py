@@ -976,3 +976,115 @@ def q102_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+_Q104_MIN_COUNT, _Q104_TOPK = 5, 50
+
+
+def _q104_oracle() -> str:
+    return f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    uni AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY tok
+    ),
+    nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uni),
+    bi AS (
+      SELECT bigram, CAST(count(*) AS BIGINT) AS c_ab
+      FROM (
+        SELECT unnest(CASE WHEN len(toks) >= 2
+                 THEN list_transform(range(1, len(toks)),
+                        i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+                 ELSE CAST([] AS VARCHAR[]) END) AS bigram
+        FROM d)
+      GROUP BY bigram HAVING count(*) >= {_Q104_MIN_COUNT}
+    ),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bi FROM
+           (SELECT unnest(CASE WHEN len(toks) >= 2
+                 THEN list_transform(range(1, len(toks)),
+                        i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+                 ELSE CAST([] AS VARCHAR[]) END) AS bigram FROM d)),
+    scored AS (
+      SELECT b.bigram, b.c_ab, ua.c AS c_a, ub.c AS c_b,
+             ln((CAST(b.c_ab AS DOUBLE) / CAST(nb.n_bi AS DOUBLE))
+                / ((CAST(ua.c AS DOUBLE) / CAST(nu.n_uni AS DOUBLE))
+                   * (CAST(ub.c AS DOUBLE) / CAST(nu.n_uni AS DOUBLE)))) AS pmi
+      FROM bi b
+      JOIN uni ua ON ua.tok = split_part(b.bigram, ' ', 1)
+      JOIN uni ub ON ub.tok = split_part(b.bigram, ' ', 2)
+      CROSS JOIN nu CROSS JOIN nb
+    )
+    SELECT bigram, c_ab, c_a, c_b,
+           {o_rnd('pmi', 6)} AS pmi,
+           CAST(row_number() OVER (ORDER BY {o_rnd('pmi', 6)} DESC, bigram) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= {_Q104_TOPK}
+    """
+
+
+@query("q104_pmi_collocations", oracle=_q104_oracle())
+def q104_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining: top bigrams by pointwise mutual
+    information (min count 5) — the phrase-detection pass a tokenizer/
+    vocab pipeline runs to promote multi-word units, and a direct
+    reuse of the 2-gram shingle machinery.
+
+    Shuffle budget: one groupBy for unigrams, one for bigrams; the
+    count-cut bigram table joins unigram counts on the word key (at
+    scale the unigram table prunes to words appearing in surviving
+    bigrams before broadcasting); corpus totals are one-row broadcast
+    frames. The final top-k windows over count-cut bigrams only."""
+    from ..operators.text import word_shingles
+
+    d = spread_small_scan(table(spark, sf_dir, "documents")).select(
+        "doc_id", tokens("text").alias("_toks")
+    )
+    uni = (
+        d.select(F.explode("_toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    nu = uni.agg(F.sum("c").alias("n_uni"))
+    bi_all = d.select(
+        F.explode(word_shingles(F.col("_toks"), 2)).alias("bigram")
+    )
+    nb = bi_all.agg(F.count("*").alias("n_bi"))
+    bi = (
+        bi_all.groupBy("bigram")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= _Q104_MIN_COUNT)
+    )
+    parts = F.split(F.col("bigram"), " ")
+    scored = (
+        bi.withColumn("_w1", parts.getItem(0))
+        .withColumn("_w2", F.concat_ws(" ", F.slice(parts, 2, 100000)))
+        .join(uni.select(F.col("tok").alias("_w1"), F.col("c").alias("c_a")), "_w1")
+        .join(uni.select(F.col("tok").alias("_w2"), F.col("c").alias("c_b")), "_w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .withColumn(
+            "pmi",
+            F.log(
+                (F.col("c_ab").cast("double") / F.col("n_bi").cast("double"))
+                / (
+                    (F.col("c_a").cast("double") / F.col("n_uni").cast("double"))
+                    * (F.col("c_b").cast("double") / F.col("n_uni").cast("double"))
+                )
+            ),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(prnd(F.col("pmi"), 6).desc(), "bigram")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _Q104_TOPK)
+        .select(
+            "bigram",
+            "c_ab",
+            "c_a",
+            "c_b",
+            prnd(F.col("pmi"), 6).alias("pmi"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
