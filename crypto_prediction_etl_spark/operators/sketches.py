@@ -71,7 +71,7 @@ def kmv_distinct(
 
 def hll_distinct(
     df: DataFrame,
-    group_col: str,
+    group_col: str | list[str],
     value_col: str,
     round_to: int = 2,
 ) -> DataFrame:
@@ -94,9 +94,11 @@ def hll_distinct(
     state is 64 small ints at any scale, and sketches for disjoint
     shards union by taking register-wise max (the property that lets a
     100 TB pipeline maintain per-partition sketches and merge at read)."""
-    h = df.select(F.col(group_col), hash64(F.col(value_col)).alias("_h"))
+    group_cols = [group_col] if isinstance(group_col, str) else list(group_col)
+    gc = [F.col(c) for c in group_cols]
+    h = df.select(*gc, hash64(F.col(value_col)).alias("_h"))
     bucketed = h.select(
-        F.col(group_col),
+        *gc,
         (F.col("_h") % HLL_M).alias("_bkt"),
         F.shiftright("_h", HLL_BUCKET_BITS).alias("_r"),
     )
@@ -105,10 +107,10 @@ def hll_distinct(
     ).otherwise(F.lit(HLL_W + 1) - F.length(F.bin("_r")))
     regs = (
         bucketed.withColumn("_rho", rho)
-        .groupBy(group_col, "_bkt")
+        .groupBy(*group_cols, "_bkt")
         .agg(F.max("_rho").alias("_m"))
     )
-    per_group = regs.groupBy(group_col).agg(
+    per_group = regs.groupBy(*group_cols).agg(
         # integer-scaled harmonic sum: 2^(55-M) per present register,
         # empty registers contribute 2^55 each (added below)
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_W + 1} - _m)")).alias(
@@ -128,11 +130,13 @@ def hll_distinct(
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v),
     ).otherwise(e_raw)
     est = per_group.select(
-        F.col(group_col), prnd(corrected, round_to).alias("hll_estimate")
+        *gc, prnd(corrected, round_to).alias("hll_estimate")
     )
-    exact = df.groupBy(group_col).agg(
+    exact = df.groupBy(*group_cols).agg(
         F.countDistinct(value_col).alias("n_exact")
     )
-    return exact.join(est, group_col).select(
-        group_col, F.col("n_exact").cast("long").alias("n_exact"), "hll_estimate"
+    return exact.join(est, group_cols).select(
+        *group_cols,
+        F.col("n_exact").cast("long").alias("n_exact"),
+        "hll_estimate",
     )

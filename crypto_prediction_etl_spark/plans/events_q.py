@@ -495,3 +495,62 @@ def q99_hash_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("rn") == rank, F.col("value"))).alias(f"p{int(q*100)}")
         )
     return r.groupBy("event_type").agg(*aggs)
+
+
+def _q105_oracle() -> str:
+    hh = o_hash64("user_id")
+    w1 = HLL_W + 1
+    scale = 1 << w1
+    return f"""
+    WITH h AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, ({hh}) AS hh FROM events
+    ),
+    b AS (
+      SELECT event_type, day, hh % {HLL_M} AS bkt, hh // {1 << 6} AS r FROM h
+    ),
+    regs AS (
+      SELECT event_type, day, bkt,
+             max(CASE WHEN r = 0 THEN {w1} ELSE {w1} - length(bin(r)) END) AS m
+      FROM b GROUP BY event_type, day, bkt
+    ),
+    g AS (
+      SELECT event_type, day,
+             CAST(sum(CAST({scale} AS BIGINT) // (CAST(1 AS BIGINT) << m)) AS BIGINT)
+               + (CAST({HLL_M} AS BIGINT) - count(*)) * CAST({scale} AS BIGINT) AS s_scaled,
+             CAST({HLL_M} AS BIGINT) - count(*) AS v
+      FROM regs GROUP BY event_type, day
+    ),
+    est AS (
+      SELECT event_type, day,
+             CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M * HLL_M} * CAST({scale} AS DOUBLE)
+               / CAST(s_scaled AS DOUBLE) AS e_raw,
+             v
+      FROM g
+    ),
+    fin AS (
+      SELECT event_type, day,
+             CASE WHEN e_raw <= {2.5 * HLL_M} AND v > 0
+                  THEN CAST({HLL_M} AS DOUBLE) * ln(CAST({HLL_M} AS DOUBLE) / CAST(v AS DOUBLE))
+                  ELSE e_raw END AS e
+      FROM est
+    ),
+    exact AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT x.event_type, x.day, x.n_exact, {o_rnd('f.e', 2)} AS hll_estimate
+    FROM exact x JOIN fin f USING (event_type, day)
+    """
+
+
+@query("q105_windowed_hll", oracle=_q105_oracle())
+def q105_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct-user sketch per event type: the q91 HLL composed
+    with a time bucket — the shape a 100 TB pipeline materializes as
+    its per-(partition, day) sketch table. Register banks for any date
+    range then merge by register-wise max WITHOUT rescanning raw data
+    (the q92 rollup pattern applied to a non-additive aggregate:
+    distinct counts don't sum across days, but their sketches merge)."""
+    ev = table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    return hll_distinct(ev, ["event_type", "day"], "user_id")
