@@ -554,3 +554,120 @@ def q105_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct counts don't sum across days, but their sketches merge)."""
     ev = table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
     return hll_distinct(ev, ["event_type", "day"], "user_id")
+
+
+@query(
+    "q107_cumulative_uniques",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events
+      GROUP BY user_id
+    ),
+    daily AS (
+      SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_users
+      FROM first_seen GROUP BY first_day
+    )
+    SELECT day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumulative_uniques
+    FROM daily
+    """,
+)
+def q107_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New and cumulative distinct users per day WITHOUT a windowed
+    distinct: distinct-over-a-growing-window is quadratic state, but
+    first-seen-day per user (one groupBy min) turns it into an
+    ordinary daily count + running integer sum — the standard trick
+    that makes 'cumulative uniques over 100 TB of events' one
+    user-keyed shuffle plus a days-sized frame. All integer
+    arithmetic, bit-exact on any engine."""
+    ev = table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    daily = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        "day",
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(w).cast("long").alias("cumulative_uniques"),
+    )
+
+
+_Q108_MAX_WEEK = 4  # track retention through week 4
+
+
+@query(
+    "q108_retention_cohorts",
+    oracle=f"""
+    WITH first_seen AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events
+      GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             CAST((CAST(ts AS DATE) - f.cohort_day) // 7 AS INTEGER) AS week_offset
+      FROM events e JOIN first_seen f USING (user_id)
+    ),
+    cohort_size AS (
+      SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_users
+      FROM first_seen GROUP BY cohort_day
+    )
+    SELECT a.cohort_day, a.week_offset,
+           CAST(count(*) AS BIGINT) AS active_users,
+           c.n_users AS cohort_users,
+           {o_rnd('CAST(count(*) AS DOUBLE) / c.n_users', 4)} AS retention
+    FROM activity a JOIN cohort_size c USING (cohort_day)
+    WHERE a.week_offset <= {_Q108_MAX_WEEK}
+    GROUP BY a.cohort_day, a.week_offset, c.n_users
+    """,
+)
+def q108_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohort matrix: users grouped by first-seen day,
+    tracked by distinct activity in week offsets 0..4 — the cohort
+    table every product pipeline materializes.
+
+    Shuffle budget: one user groupBy for cohort assignment, a user-key
+    equi-join back to events (broadcastable cohort frame at any scale:
+    one row per user... the JOIN side that matters partial-aggregates
+    to (user, cohort, week) DISTINCT before the final cohort count, so
+    the wide shuffle carries one row per active user-week, not one per
+    event). Integer date arithmetic, exact on both engines."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.floor(F.datediff("day", "cohort_day") / 7).cast("int").alias(
+                "week_offset"
+            ),
+        )
+        .distinct()
+        .filter(F.col("week_offset") <= _Q108_MAX_WEEK)
+    )
+    cohort_size = first_seen.groupBy("cohort_day").agg(
+        F.count("*").alias("n_users")
+    )
+    return (
+        activity.groupBy("cohort_day", "week_offset")
+        .agg(F.count("*").alias("active_users"))
+        .join(F.broadcast(cohort_size), "cohort_day")
+        .select(
+            "cohort_day",
+            "week_offset",
+            F.col("active_users").cast("long").alias("active_users"),
+            F.col("n_users").cast("long").alias("cohort_users"),
+            prnd(
+                F.col("active_users").cast("double") / F.col("n_users"), 4
+            ).alias("retention"),
+        )
+    )

@@ -926,3 +926,61 @@ def q100_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd("holt_trend", 4).alias("holt_trend"),
         prnd("holt_forecast", 2).alias("holt_forecast"),
     )
+
+
+def _q106_oracle() -> str:
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    c AS (SELECT id, dt, close,
+                 CAST(row_number() OVER ({_WIN}) AS BIGINT) AS x
+          FROM candles),
+    s AS (
+      SELECT id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             sum(close) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             sum(CAST(x AS DOUBLE) * close) AS sxy
+      FROM c GROUP BY id
+    )
+    SELECT id, n,
+           {o_rnd('(n * sxy - sx * sy) / (n * sxx - sx * sx)', 6)} AS slope,
+           {o_rnd('(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n', 4)} AS intercept
+    FROM s
+    """
+
+
+@query("q106_ols_trend", oracle=_q106_oracle())
+def q106_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol OLS trend line (slope/intercept of close vs time
+    index) via the closed-form normal equations — regression as an
+    ALGEBRAIC aggregate: five sufficient statistics (n, Σx, Σy, Σx²,
+    Σxy) partial-aggregate map-side in ONE groupBy, so a 100 TB
+    history computes its trend with a single shuffle of five numbers
+    per symbol — no iterative solver, no per-symbol collect. The x
+    index comes from one ranking window per symbol (the same sort the
+    indicator family already pays)."""
+    c = candles(spark, sf_dir)
+    from pyspark.sql import Window as W2
+
+    w = W2.partitionBy("id").orderBy("dt")
+    cx = c.select(
+        "id", "close", F.row_number().over(w).cast("long").alias("x")
+    )
+    s = cx.groupBy("id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("close").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("double") * F.col("close")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return s.select(
+        "id",
+        F.col("n").cast("long").alias("n"),
+        prnd(slope, 6).alias("slope"),
+        prnd(intercept, 4).alias("intercept"),
+    )
