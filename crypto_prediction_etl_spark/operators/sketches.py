@@ -140,3 +140,66 @@ def hll_distinct(
         F.col("n_exact").cast("long").alias("n_exact"),
         "hll_estimate",
     )
+
+
+# Count-min sketch geometry: 4 independent hash rows x 256 buckets.
+CMS_ROWS = 4
+CMS_WIDTH = 256
+
+
+def cms_token_counts(
+    df: DataFrame,
+    token_col: str,
+    probes: list[str],
+    rows: int = CMS_ROWS,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(token, n_exact, cms_estimate) for each probe token: a
+    count-min sketch built over the full token stream, probed for the
+    given tokens, next to the exact counts.
+
+    Counter increments are exact integer sums and the row hashes are
+    salted md5 — every cell, and therefore every estimate (min over
+    rows of the probed cells), is bit-identical on any engine and any
+    partitioning. The sketch is rows x width integers per group (1 KB
+    here) and merges across shards by cell-wise ADDITION — the
+    counting analog of q91's register-max merge; estimates only ever
+    overcount (hash collisions), never undercount.
+    """
+    bkts = F.array(
+        *[
+            hash64(F.concat(F.lit(f"cms{r}:"), F.col(token_col))) % width
+            for r in range(rows)
+        ]
+    )
+    # one scan: each token emits its (row, bucket) coordinates for all
+    # hash rows via posexplode; the groupBy partial-aggregates map-side
+    cells = df.select(F.posexplode(bkts).alias("_row", "_bkt"))
+    sketch = cells.groupBy("_row", "_bkt").agg(F.count("*").alias("_cnt"))
+    probe_rows = []
+    for tok in probes:
+        for r in range(rows):
+            probe_rows.append((tok, r))
+    spark = df.sparkSession
+    pdf = spark.createDataFrame(probe_rows, "token string, _row int")
+    pdf = pdf.withColumn(
+        "_bkt",
+        hash64(F.concat(F.concat(F.lit("cms"), F.col("_row").cast("string"), F.lit(":")), F.col("token")))
+        % width,
+    )
+    est = (
+        pdf.join(sketch, ["_row", "_bkt"], "left")
+        .fillna(0, subset=["_cnt"])
+        .groupBy("token")
+        .agg(F.min("_cnt").cast("long").alias("cms_estimate"))
+    )
+    exact = (
+        df.filter(F.col(token_col).isin(probes))
+        .groupBy(F.col(token_col).alias("token"))
+        .agg(F.count("*").alias("n_exact"))
+    )
+    return (
+        est.join(exact, "token", "left")
+        .fillna(0, subset=["n_exact"])
+        .select("token", F.col("n_exact").cast("long").alias("n_exact"), "cms_estimate")
+    )

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import table
-from ..functions.portable import prnd
+from ..functions.portable import hash64, o_hash64, prnd
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -585,7 +585,7 @@ def q19_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle uses its native ASOF LEFT JOIN (inclusive semantics
     on both sides).
     """
-    from ..functions.portable import prnd as _prnd
+    from ..functions.portable import hash64, o_hash64, prnd as _prnd
     from ..operators.asof import asof_join
     from ..operators.timeseries import events_candles
 
@@ -887,5 +887,88 @@ def q28c_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_price",
             "last_price",
             "third_price",
+        )
+    )
+
+
+_Q110_K, _Q110_M = 3, 4096  # bloom: 3 hash functions, 4096 bits
+
+
+def _q110_oracle() -> str:
+    def pos(salt: int, expr: str) -> str:
+        inner = "'bf" + str(salt) + ":' || " + expr
+        return "(" + o_hash64(inner) + ") % " + str(_Q110_M)
+
+    bit_rows = " UNION ALL ".join(
+        f"SELECT DISTINCT {pos(r, 'CAST(o_custkey AS VARCHAR)')} AS p FROM orders"
+        for r in range(_Q110_K)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT c_custkey, {pos(r, 'CAST(c_custkey AS VARCHAR)')} AS p FROM customer"
+        for r in range(_Q110_K)
+    )
+    return f"""
+    WITH bits AS (SELECT DISTINCT p FROM ({bit_rows})),
+    probes AS ({probe_rows}),
+    hit AS (
+      SELECT c_custkey, CAST(count(b.p) AS BIGINT) AS n_hit
+      FROM probes LEFT JOIN bits b USING (p)
+      GROUP BY c_custkey
+    ),
+    actual AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders)
+    SELECT h.c_custkey,
+           CAST(h.n_hit = {_Q110_K} AS INT) AS might_contain,
+           CAST(a.c_custkey IS NOT NULL AS INT) AS is_actual,
+           CAST(h.n_hit = {_Q110_K} AND a.c_custkey IS NULL AS INT) AS false_positive
+    FROM hit h LEFT JOIN actual a USING (c_custkey)
+    """
+
+
+@query("q110_bloom_membership", oracle=_q110_oracle())
+def q110_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit portable bloom filter: 3 salted-md5 hash positions over
+    4096 bits built from the orders' customer keys, probed by every
+    customer — per customer the filter verdict, ground truth, and the
+    false-positive flag. Spark's native bloom_filter_agg drives the
+    same pruning at runtime (plan-asserted in tests/test_plans.py);
+    this explicit build makes the structure itself gate-checkable and
+    portable: the bit set is a distinct integer set, so construction
+    is one distinct-aggregate, shards merge by set union (bitwise OR),
+    and no-false-negatives is structural. At 100 TB the filter
+    broadcast replaces a shuffle of the probe side — the semi-join
+    pattern for 'does this key exist on the other side of the join'."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+
+    def positions(col, salts=_Q110_K):
+        return F.array(
+            *[
+                hash64(F.concat(F.lit(f"bf{r}:"), col.cast("string"))) % _Q110_M
+                for r in range(salts)
+            ]
+        )
+
+    bits = (
+        orders.select(F.explode(positions(F.col("o_custkey"))).alias("p"))
+        .distinct()
+    )
+    probes = cust.select(
+        "c_custkey", F.explode(positions(F.col("c_custkey"))).alias("p")
+    )
+    hit = (
+        probes.join(F.broadcast(bits.withColumn("_hit", F.lit(1))), "p", "left")
+        .groupBy("c_custkey")
+        .agg(F.count("_hit").alias("n_hit"))
+    )
+    actual = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    return (
+        hit.join(actual.withColumn("_act", F.lit(1)), "c_custkey", "left")
+        .select(
+            "c_custkey",
+            (F.col("n_hit") == _Q110_K).cast("int").alias("might_contain"),
+            F.col("_act").isNotNull().cast("int").alias("is_actual"),
+            ((F.col("n_hit") == _Q110_K) & F.col("_act").isNull())
+            .cast("int")
+            .alias("false_positive"),
         )
     )

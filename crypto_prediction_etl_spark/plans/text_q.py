@@ -1088,3 +1088,66 @@ def q104_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+_Q109_PROBES = ("the", "hash", "vector", "zzz_absent_token")
+
+
+def _q109_oracle() -> str:
+    from ..operators.sketches import CMS_ROWS, CMS_WIDTH
+
+    probe_vals = ", ".join(f"('{t}')" for t in _Q109_PROBES)
+    def bkt(salt, expr):
+        inner = "'cms" + str(salt) + ":' || " + expr
+        return "(" + o_hash64(inner) + ") % " + str(CMS_WIDTH)
+    cell_rows = " UNION ALL ".join(
+        f"SELECT {r} AS row_id, {bkt(r, 'tok')} AS bkt FROM tok"
+        for r in range(CMS_ROWS)
+    )
+    probe_cells = " UNION ALL ".join(
+        f"SELECT token, {r} AS row_id, {bkt(r, 'token')} AS bkt FROM probes"
+        for r in range(CMS_ROWS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    cells AS ({cell_rows}),
+    sketch AS (
+      SELECT row_id, bkt, CAST(count(*) AS BIGINT) AS cnt
+      FROM cells GROUP BY row_id, bkt
+    ),
+    probes(token) AS (VALUES {probe_vals}),
+    pc AS ({probe_cells}),
+    est AS (
+      SELECT pc.token,
+             CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS cms_estimate
+      FROM pc LEFT JOIN sketch s USING (row_id, bkt)
+      GROUP BY pc.token
+    ),
+    exact AS (
+      SELECT tok AS token, CAST(count(*) AS BIGINT) AS n_exact
+      FROM tok WHERE tok IN {_in_list(_Q109_PROBES)} GROUP BY tok
+    )
+    SELECT e.token, CAST(coalesce(x.n_exact, 0) AS BIGINT) AS n_exact,
+           e.cms_estimate
+    FROM est e LEFT JOIN exact x USING (token)
+    """
+
+
+@query("q109_count_min_sketch", oracle=_q109_oracle())
+def q109_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream (4 salted-md5
+    hash rows x 256 buckets), probed for a fixed token set next to
+    exact counts. Counter cells are exact integer sums, so the whole
+    sketch — and the min-over-rows estimates — is bit-identical on any
+    engine and any partitioning, and shard sketches merge by cell-wise
+    ADDITION (the counting analog of q91's register-max merge).
+    Estimates can only overcount (collisions), never undercount; the
+    absent-token probe documents the collision floor."""
+    from ..operators.sketches import cms_token_counts
+
+    toks = spread_small_scan(table(spark, sf_dir, "documents")).select(
+        F.explode(tokens("text")).alias("tok")
+    )
+    return cms_token_counts(toks, "tok", list(_Q109_PROBES))
