@@ -653,3 +653,81 @@ def test_neardup_screen_writer_indexes_novel_and_flags_dups(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == 4
     idx_ids = {r.doc_id for r in spark.read.parquet(f"{idx_dir}/arrays").collect()}
     assert idx_ids == {1, 2, 11}
+
+
+def test_stream_stream_full_outer_emits_both_orphans(spark, workdir):
+    """Full-outer stream-stream join: an unmatched trade AND an
+    unmatched candle must both emit with nulls on the opposite side
+    once the watermark proves them unmatchable — the symmetric
+    completion of the left-outer case."""
+    from crypto_prediction_etl_spark.streaming.pipelines import (
+        candles_pipeline,
+        market_trade_pipeline,
+        trade_candle_stream_join,
+    )
+
+    tsrc = os.path.join(workdir, "fo_trades_src")
+    csrc = os.path.join(workdir, "fo_candles_src")
+    out = os.path.join(workdir, "fo_out")
+    ckpt = os.path.join(workdir, "fo_ckpt")
+    os.makedirs(tsrc)
+    os.makedirs(csrc)
+    # batch 0: matchable BTC pair, orphan ETH trade, orphan XRP candle
+    with open(os.path.join(tsrc, "b0.jsonl"), "w") as f:
+        f.write(
+            "\n".join(
+                [
+                    _trade_msg("BTC_USDT", 1, BASE_TS + 10),
+                    _trade_msg("ETH_USDT", 2, BASE_TS + 20),
+                ]
+            )
+            + "\n"
+        )
+    with open(os.path.join(csrc, "b0.jsonl"), "w") as f:
+        f.write(
+            "\n".join(
+                [
+                    _candle_msg("BTC_USDT", BASE_TS, BASE_TS + 60),
+                    _candle_msg("XRP_USDT", BASE_TS, BASE_TS + 60, close="0.5"),
+                ]
+            )
+            + "\n"
+        )
+
+    trades = market_trade_pipeline(spark.readStream.format("text").load(tsrc))
+    candles = candles_pipeline(spark.readStream.format("text").load(csrc))
+    joined = trade_candle_stream_join(
+        trades, candles, watermark="1 minutes", how="full_outer"
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        late = BASE_TS + 1800
+        for i, ts in enumerate((late, late + 120)):
+            with open(os.path.join(tsrc, f"b{i+1}.jsonl"), "w") as f:
+                f.write(_trade_msg("BTC_USDT", 10 + i, ts) + "\n")
+            with open(os.path.join(csrc, f"b{i+1}.jsonl"), "w") as f:
+                f.write(_candle_msg("BTC_USDT", ts, ts + 60) + "\n")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = [r.asDict() for r in spark.read.parquet(out).collect()]
+    by_tid = {r["trade_id"]: r for r in rows if r["trade_id"] is not None}
+    # matched pair
+    assert by_tid[1]["candle_startTime"] == BASE_TS
+    # orphan trade: candle side null
+    assert by_tid[2]["candle_startTime"] is None
+    # orphan candle: trade side null, candle payload intact
+    orphans = [
+        r for r in rows
+        if r["trade_id"] is None and r["candle_startTime"] == BASE_TS
+    ]
+    assert orphans and orphans[0]["candle_close"] == 0.5
+    assert orphans[0]["price"] is None
