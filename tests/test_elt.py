@@ -344,3 +344,36 @@ def test_float_storage_edge(spark, workdir):
     # physical storage is float32
     part = glob.glob(os.path.join(path, "*.parquet"))[0]
     assert "float" == str(pq.read_schema(part).field("close").type)
+
+
+def test_multi_format_round_trip(spark, sf_dir, workdir):
+    """Format-agnostic IO: the same frame writes and reads back through
+    parquet, ORC, JSON-lines and CSV with values intact — the engine's
+    source/sink surface is not parquet-only. (Avro requires the
+    external spark-avro package, deliberately out of scope.) JSON and
+    CSV are schema-on-read: the reader re-applies the written schema,
+    the production pattern for text-format interchange."""
+    from pyspark.sql import functions as F
+
+    from crypto_prediction_etl_spark.sources.readers import table
+
+    src = (
+        table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    )
+    expected = [tuple(r) for r in src.collect()]
+    schema = src.schema
+    for fmt in ("parquet", "orc", "json", "csv"):
+        path = os.path.join(workdir, f"roundtrip_{fmt}")
+        w = src.write.mode("overwrite").format(fmt)
+        if fmt == "csv":
+            w = w.option("header", "true")
+        w.save(path)
+        r = spark.read.format(fmt)
+        if fmt in ("json", "csv"):
+            r = r.schema(schema)
+        if fmt == "csv":
+            r = r.option("header", "true")
+        got = sorted(tuple(x) for x in r.load(path).collect())
+        assert got == expected, fmt
