@@ -671,3 +671,48 @@ def q108_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+@query(
+    "q111_salted_join",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             {o_rnd('sum(value)', 2)} AS sum_value
+      FROM events GROUP BY user_id
+    ),
+    u AS (SELECT DISTINCT user_id, user_id % 10 AS segment FROM events)
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           {o_rnd('sum(sum_value)', 2)} AS sum_value
+    FROM t JOIN u USING (user_id)
+    GROUP BY segment
+    """,
+)
+def q111_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof equi-join through operators/skew.salted_join: the big
+    (fact) side salts into 16 shards per key, the small (dim) side
+    replicates across every salt value, and the join runs on
+    (key, salt) — a hot key's rows land on 16 reducers instead of one.
+    The oracle states the plain join; results are identical because
+    salting only re-partitions rows (every (key, salt) pair joins the
+    same replicated dim row). This is the explicit mitigation for
+    broadcast-ineligible skewed joins where AQE's sort-merge skew
+    splitting doesn't apply; q96 is the aggregation-side sibling."""
+    from ..operators.skew import salted_join
+
+    ev = table(spark, sf_dir, "events")
+    fact = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        prnd(F.sum("value"), 2).alias("sum_value"),
+    )
+    dim = ev.select(
+        "user_id", (F.col("user_id") % 10).alias("segment")
+    ).distinct()
+    joined = salted_join(fact, dim, "user_id", n_salts=16)
+    return joined.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        prnd(F.sum("sum_value"), 2).alias("sum_value"),
+    )
