@@ -586,3 +586,93 @@ def dedup_clusters(
         F.col("label").alias("cluster_id"),
         (F.col("id") == F.col("label")).cast("int").alias("is_canonical"),
     )
+
+
+def prefix_filter_pairs(
+    arrays: DataFrame,
+    t_num: int = 4,
+    t_den: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT Jaccard pairs >= threshold via prefix filtering (the
+    PPJoin/All-Pairs family) — the third candidate-generation strategy
+    next to banded LSH (probabilistic recall) and the full posting-list
+    join (q44's quadratic-within-posting baseline). Input: the per-doc
+    distinct shingle ARRAY frame.
+
+    Lemma: order the universe by global document frequency (rarest
+    first, ties lexicographic). If J(x,y) >= t then their overlap
+    o >= ceil(t*|x|) (using the size bound |y| >= t*|x|), so y must
+    share at least one of x's first |x| - ceil(t*|x|) + 1 tokens in
+    that order. Exploding ONLY these prefix tokens generates every
+    qualifying pair while the common-token tail — exactly the tokens
+    that make posting lists long — never joins. A size filter
+    (t*|x| <= |y| <= |x|/t) prunes the remaining false candidates
+    before the single array_intersect verification per pair.
+
+    Scale shape: one df-count groupBy, one prefix equi-join whose
+    posting lists shrink with token rarity (rare tokens lead the
+    order), verification O(candidates). Exactness is structural — no
+    recall parameter to tune, which is why dedup QA suites keep a
+    prefix-filter path next to the LSH fast path."""
+    threshold = t_num / t_den  # threshold as a RATIONAL: ceil(t*n) and the
+    # size bounds evaluate in exact integer arithmetic - float 0.8*5
+    # rounds to 4.0000000000000004 in IEEE (ceil 5) but to 4.0 in a
+    # decimal engine (ceil 4), so a float formulation could never
+    # hash-match across engines on boundary sizes
+    expl = arrays.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    dfreq = expl.groupBy("shingle").agg(F.count("*").alias("_df"))
+    # per-doc shingle list in global (df, shingle) order: collect_list
+    # order is nondeterministic, array_sort normalizes it
+    ordered = (
+        expl.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_df"), F.col("shingle")))
+            ).alias("_ord")
+        )
+        .select(
+            F.col(id_col),
+            F.transform("_ord", lambda s: s.getField("shingle")).alias("_sorted"),
+            F.size("_ord").alias("_n"),
+        )
+    )
+    # ceil(t_num*n/t_den) = (t_num*n + t_den - 1) div t_den, all integers
+    ceil_tn = F.expr(f"({t_num} * _n + {t_den - 1}) div {t_den}")
+    prefix_len = F.col("_n") - ceil_tn + 1
+    prefix = ordered.select(
+        F.col(id_col),
+        F.col("_n"),
+        F.explode(F.slice("_sorted", 1, prefix_len.cast("int"))).alias("shingle"),
+    )
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), F.col("_n").alias("_na"), "shingle"
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"), "shingle"
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.lit(t_den) * F.col("_nb") >= F.lit(t_num) * F.col("_na"))
+            & (F.lit(t_den) * F.col("_na") >= F.lit(t_num) * F.col("_nb"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = arrays.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("_sa"))
+    vb = arrays.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("_sb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("_ni", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "jaccard",
+            F.col("_ni")
+            / (F.size("_sa") + F.size("_sb") - F.col("_ni")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.col("_ni").alias("n_inter"), "jaccard")
+    )

@@ -307,3 +307,64 @@ def q48_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     memoized q45 pair frame, so in a shared session the graph build
     starts from already-materialized pairs."""
     return dedup_clusters(corpus_minhash_pairs(spark, sf_dir, 0.8))
+
+
+_Q112_TN, _Q112_TD = 4, 5  # Jaccard threshold 4/5 as an exact rational
+
+
+def _q112_oracle() -> str:
+    tn, td = _Q112_TN, _Q112_TD
+    return f"""
+    WITH {_BASE_SH_CTE},
+    dfreq AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY shingle),
+    ord AS (
+      SELECT sh.doc_id,
+             list(sh.shingle ORDER BY d.df, sh.shingle) AS sorted,
+             CAST(count(*) AS BIGINT) AS n
+      FROM sh JOIN dfreq d USING (shingle) GROUP BY sh.doc_id
+    ),
+    pre AS (
+      SELECT doc_id, n,
+             unnest(list_slice(sorted, 1,
+               CAST(n - (({tn} * n + {td - 1}) // {td}) + 1 AS INTEGER))) AS shingle
+      FROM ord
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM pre a JOIN pre b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       AND {td} * b.n >= {tn} * a.n AND {td} * a.n >= {tn} * b.n
+    ),
+    arr AS (SELECT doc_id, list(shingle) AS s FROM sh GROUP BY doc_id),
+    ver AS (
+      SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(x.s, y.s)) AS BIGINT) AS n_inter,
+             CAST(len(x.s) AS BIGINT) AS na, CAST(len(y.s) AS BIGINT) AS nb
+      FROM cand c JOIN arr x ON x.doc_id = c.id_a JOIN arr y ON y.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, n_inter,
+           {o_rnd('CAST(n_inter AS DOUBLE) / (na + nb - n_inter)', 6)} AS jaccard
+    FROM ver
+    WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= CAST({tn} AS DOUBLE) / {td}
+    """
+
+
+@query("q112_prefix_filter_join", oracle=_q112_oracle())
+def q112_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= 4/5 near-dup pairs via prefix filtering (the
+    PPJoin/All-Pairs family) — the third candidate-generation strategy
+    in the dedup toolbox: q44 joins full posting lists (quadratic in
+    hot shingles), q45 trades exactness for banded-LSH cost, this path
+    is exact AND prunes — only each document's rarest
+    |x| - ceil(t|x|) + 1 shingles (global df order) ever join, and an
+    integer size filter kills cross-size false candidates before the
+    single array_intersect verification per pair. The threshold is a
+    rational (4/5) so every prefix/size bound evaluates in exact
+    integer arithmetic on both engines."""
+    from ..operators.dedup import prefix_filter_pairs
+
+    arrays = corpus_shingle_arrays(spark, sf_dir)
+    pairs = prefix_filter_pairs(arrays, _Q112_TN, _Q112_TD)
+    return pairs.select(
+        "id_a", "id_b", "n_inter", prnd("jaccard", 6).alias("jaccard")
+    )
