@@ -368,3 +368,86 @@ def q112_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", "n_inter", prnd("jaccard", 6).alias("jaccard")
     )
+
+
+_Q113_T = 0.9  # containment threshold: |A ∩ B| / |A|
+
+
+def _q113_oracle() -> str:
+    return f"""
+    WITH {_BASE_SH_CTE},
+    arr AS (SELECT doc_id, list(shingle) AS s, CAST(count(*) AS BIGINT) AS n
+            FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_small, b.doc_id AS id_big,
+             CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS ni,
+             a.n AS n_small, b.n AS n_big
+      FROM arr a JOIN arr b
+        ON a.doc_id <> b.doc_id AND a.n <= b.n
+       AND NOT (a.n = b.n AND a.doc_id > b.doc_id)
+    )
+    SELECT id_small, id_big, ni AS n_inter, n_small, n_big,
+           {o_rnd('CAST(ni AS DOUBLE) / n_small', 6)} AS containment
+    FROM pairs
+    WHERE CAST(ni AS DOUBLE) / n_small >= {_Q113_T}
+    """
+
+
+@query("q113_containment_dedup", oracle=_q113_oracle())
+def q113_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment detection: pairs where >= 90% of the
+    smaller document's shingles appear in the larger one — the
+    excerpt/quote/subset case symmetric Jaccard misses (a paragraph
+    lifted into a long page scores near-zero Jaccard but containment
+    1.0). Orientation is deterministic: small side = fewer shingles,
+    doc_id tie-break at equal sizes.
+
+    The oracle states the n^2 form; the Spark plan refuses it — the
+    candidate set comes from the shared-shingle equi-join (a pair with
+    containment >= 0.9 shares at least ceil(0.9*|A|) >= 1 shingles),
+    aggregated to intersection counts, THEN oriented and thresholded;
+    per-pair work replaces posting lists with one count. At 100 TB the
+    candidate join rides the same stop-shingle/prefix pruning as
+    q44/q112 — containment's prefix bound is |A| - ceil(t|A|) + 1 on
+    the SMALL side only."""
+    arrays = corpus_shingle_arrays(spark, sf_dir)
+    expl = arrays.select(F.col("doc_id"), F.explode("shingles").alias("shingle"))
+    a = expl.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = expl.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    sizes = arrays.select(F.col("doc_id"), F.size("shingles").alias("n"))
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    oriented = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.when(F.col("na") <= F.col("nb"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("id_small"),
+            F.when(F.col("na") <= F.col("nb"), F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("id_big"),
+            F.col("ni").alias("n_inter"),
+            F.least("na", "nb").alias("n_small"),
+            F.greatest("na", "nb").alias("n_big"),
+        )
+        .withColumn(
+            "containment",
+            F.col("n_inter").cast("double") / F.col("n_small"),
+        )
+        .filter(F.col("containment") >= _Q113_T)
+    )
+    return oriented.select(
+        "id_small",
+        "id_big",
+        "n_inter",
+        "n_small",
+        "n_big",
+        prnd("containment", 6).alias("containment"),
+    )
