@@ -716,3 +716,76 @@ def q111_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").cast("long").alias("n_events"),
         prnd(F.sum("sum_value"), 2).alias("sum_value"),
     )
+
+
+@query(
+    "q114_ordered_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s AS (
+      SELECT e.user_id, min(e.ts) AS t_signup
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'signup' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s.t_signup
+      GROUP BY e.user_id
+    )
+    SELECT 'step1_view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM v
+    UNION ALL
+    SELECT 'step2_signup', CAST(count(*) AS BIGINT) FROM s
+    UNION ALL
+    SELECT 'step3_purchase', CAST(count(*) AS BIGINT) FROM p
+    """,
+)
+def q114_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered three-step funnel (view -> signup -> purchase,
+    each step's first occurrence must FOLLOW the previous step's):
+    per-user sequence alignment expressed as chained min-aggregations
+    with a time predicate against the previous step's anchor — each
+    step is one groupBy + one user-keyed equi-join, so a 100 TB event
+    log pays one user-partitioned shuffle per step and no window ever
+    sees more than one row per user. The unordered q98 counts
+    co-occurrence; this one counts the SEQUENCE, which is what drops
+    at each step of a real funnel."""
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    rows = [
+        v.agg(F.count("*").alias("n_users")).select(
+            F.lit("step1_view").alias("step"), F.col("n_users").cast("long")
+        ),
+        s.agg(F.count("*").alias("n_users")).select(
+            F.lit("step2_signup").alias("step"), F.col("n_users").cast("long")
+        ),
+        p.agg(F.count("*").alias("n_users")).select(
+            F.lit("step3_purchase").alias("step"), F.col("n_users").cast("long")
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select("step", F.col("n_users").alias("n_users"))
