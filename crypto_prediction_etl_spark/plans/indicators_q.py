@@ -984,3 +984,121 @@ def q106_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd(slope, 6).alias("slope"),
         prnd(intercept, 4).alias("intercept"),
     )
+
+
+def _q115_oracle() -> str:
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    r AS (
+      SELECT id, dt, close,
+             ln(close / lag(close) OVER ({_WIN})) AS ret
+      FROM candles
+    ),
+    rr AS (SELECT id, dt, ret FROM r WHERE ret IS NOT NULL),
+    p AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.ret AS ra, b.ret AS rb
+      FROM rr a JOIN rr b ON a.dt = b.dt AND a.id < b.id
+    ),
+    s AS (
+      SELECT id_a, id_b,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(ra) AS sa, sum(rb) AS sb,
+             sum(ra * ra) AS saa, sum(rb * rb) AS sbb,
+             sum(ra * rb) AS sab
+      FROM p GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, n,
+           {o_rnd('(n * sab - sa * sb) / (sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb))', 6)} AS corr
+    FROM s
+    """
+
+
+@query("q115_return_correlation", oracle=_q115_oracle())
+def q115_return_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of daily log returns between
+    symbols — the cross-asset co-movement matrix every quant pipeline
+    maintains. Like q106's OLS, correlation is an ALGEBRAIC aggregate:
+    the date-aligned pair join feeds one groupBy of five sufficient
+    statistics (map-side partial), so a 100 TB history shuffles five
+    numbers per symbol pair; the date-equi pair join itself is
+    hash-partitioned on dt and only ever k^2/2 streams wide (k =
+    symbol count). Log returns come from one lag window per symbol —
+    the sort the indicator family already pays."""
+    from pyspark.sql import Window as W2
+
+    c = candles(spark, sf_dir)
+    w = W2.partitionBy("id").orderBy("dt")
+    r = c.select(
+        "id",
+        "dt",
+        F.log(F.col("close") / F.lag("close").over(w)).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    a = r.select(F.col("id").alias("id_a"), "dt", F.col("ret").alias("ra"))
+    b = r.select(F.col("id").alias("id_b"), "dt", F.col("ret").alias("rb"))
+    p = a.join(b, "dt").filter(F.col("id_a") < F.col("id_b"))
+    s = p.groupBy("id_a", "id_b").agg(
+        F.count("*").alias("n"),
+        F.sum("ra").alias("sa"),
+        F.sum("rb").alias("sb"),
+        F.sum(F.col("ra") * F.col("ra")).alias("saa"),
+        F.sum(F.col("rb") * F.col("rb")).alias("sbb"),
+        F.sum(F.col("ra") * F.col("rb")).alias("sab"),
+    )
+    corr = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")) / (
+        F.sqrt(F.col("n") * F.col("saa") - F.col("sa") * F.col("sa"))
+        * F.sqrt(F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb"))
+    )
+    return s.select(
+        "id_a",
+        "id_b",
+        F.col("n").cast("long").alias("n"),
+        prnd(corr, 6).alias("corr"),
+    )
+
+
+def _q116_oracle() -> str:
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    m AS (
+      SELECT id, dt, close,
+             max(close) OVER ({_WIN}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM candles
+    ),
+    dd AS (
+      SELECT id, dt, close, peak,
+             (close - peak) / peak AS drawdown
+      FROM m
+    )
+    SELECT id,
+           {o_rnd('min(drawdown)', 6)} AS max_drawdown,
+           CAST(min_by(dt, drawdown) AS DATE) AS trough_dt
+    FROM dd GROUP BY id
+    """
+
+
+@query("q116_max_drawdown", oracle=_q116_oracle())
+def q116_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per symbol: running peak via one cumulative-max
+    window, drawdown = (close - peak)/peak, the minimum (deepest) per
+    symbol with its trough date via min_by — risk analytics on the
+    same single per-symbol sort every indicator shares. min_by's
+    tie-break is engine-ambiguous, but drawdown ties at the exact
+    minimum require bit-equal doubles at two dates on the same
+    monotone peak - structurally impossible off the warm-up row here
+    and guarded by the deterministic candle series."""
+    from pyspark.sql import Window as W2
+
+    c = candles(spark, sf_dir)
+    w = W2.partitionBy("id").orderBy("dt").rowsBetween(W2.unboundedPreceding, W2.currentRow)
+    dd = c.select(
+        "id",
+        "dt",
+        ((F.col("close") - F.max("close").over(w)) / F.max("close").over(w)).alias(
+            "drawdown"
+        ),
+    )
+    return dd.groupBy("id").agg(
+        prnd(F.min("drawdown"), 6).alias("max_drawdown"),
+        F.min_by("dt", "drawdown").cast("date").alias("trough_dt"),
+    )
