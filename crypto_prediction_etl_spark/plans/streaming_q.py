@@ -322,3 +322,92 @@ def q63b_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "q117_book_imbalance",
+    oracle="""
+    WITH src AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS p1,
+             event_id % 10 + 1 AS amt
+      FROM events WHERE event_id % 11 = 0
+    ),
+    legs AS (
+      SELECT event_type, event_id, 'ask' AS order_type, p1 AS price, amt FROM src
+      UNION ALL
+      SELECT event_type, event_id, 'ask', p1 + 5, amt + 1 FROM src
+      UNION ALL
+      SELECT event_type, event_id, 'bid', p1 - 3, amt + 2 FROM src
+    ),
+    agg AS (
+      SELECT event_type AS id, event_id AS seqid,
+             CAST(sum(CASE WHEN order_type = 'bid' THEN amt END) AS DOUBLE) AS bid_depth,
+             CAST(sum(CASE WHEN order_type = 'ask' THEN amt END) AS DOUBLE) AS ask_depth,
+             CAST(max(CASE WHEN order_type = 'bid' THEN price END) AS DOUBLE) AS best_bid,
+             CAST(min(CASE WHEN order_type = 'ask' THEN price END) AS DOUBLE) AS best_ask
+      FROM legs GROUP BY event_type, event_id
+    )
+    SELECT id, seqid, bid_depth, ask_depth, best_bid, best_ask,
+           floor(((bid_depth - ask_depth) / (bid_depth + ask_depth)) * 1000000.0 + 0.5001) / 1000000.0 AS imbalance,
+           floor(((best_bid + best_ask) / 2.0) * 100.0 + 0.5001) / 100.0 AS mid,
+           best_ask - best_bid AS spread
+    FROM agg
+    """,
+)
+def q117_book_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-book microstructure analytics ON TOP of the real wire
+    pipeline: decode the producer JSON (q65's path), then per book
+    snapshot compute bid/ask depth, best quotes, depth imbalance
+    (bid-ask)/(bid+ask), mid price and spread — the liquidity signals
+    a market-making or feature pipeline derives from every book
+    update. One groupBy over the exploded ladder per snapshot; at
+    scale the stream stays partitioned by symbol so the aggregation
+    is map-side within a snapshot's rows."""
+    from ..streaming.pipelines import order_book_pipeline
+
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
+    sec = F.floor(F.col("ts").cast("double")).cast("long")
+    p1 = F.floor(F.col("value") * 100).cast("long")
+    amt = F.col("event_id") % 10 + 1
+    s = F.lit
+    msg = F.concat(
+        s('{"data":[{"id":"'), F.col("event_type"),
+        s('","seqid":"'), F.col("event_id").cast("string"),
+        s('","asks":[["'), p1.cast("string"), s('","'), amt.cast("string"),
+        s('"],["'), (p1 + 5).cast("string"), s('","'), (amt + 1).cast("string"),
+        s('"]],"bids":[["'), (p1 - 3).cast("string"), s('","'), (amt + 2).cast("string"),
+        s('"]],"createTime":"'), sec.cast("string"),
+        s('","ts_send":"'), (sec + 1).cast("string"),
+        s('"}]}'),
+    )
+    book = order_book_pipeline(ev.select(msg.alias("value")))
+    agg = book.groupBy("id", "seqid").agg(
+        F.sum(
+            F.when(F.col("order_type") == "bid", F.col("base_amount"))
+        ).cast("double").alias("bid_depth"),
+        F.sum(
+            F.when(F.col("order_type") == "ask", F.col("base_amount"))
+        ).cast("double").alias("ask_depth"),
+        F.max(
+            F.when(F.col("order_type") == "bid", F.col("quote_price"))
+        ).cast("double").alias("best_bid"),
+        F.min(
+            F.when(F.col("order_type") == "ask", F.col("quote_price"))
+        ).cast("double").alias("best_ask"),
+    )
+    return agg.select(
+        "id",
+        "seqid",
+        "bid_depth",
+        "ask_depth",
+        "best_bid",
+        "best_ask",
+        prnd(
+            (F.col("bid_depth") - F.col("ask_depth"))
+            / (F.col("bid_depth") + F.col("ask_depth")),
+            6,
+        ).alias("imbalance"),
+        prnd((F.col("best_bid") + F.col("best_ask")) / 2.0, 2).alias("mid"),
+        (F.col("best_ask") - F.col("best_bid")).alias("spread"),
+    )
