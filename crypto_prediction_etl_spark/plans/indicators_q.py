@@ -1102,3 +1102,167 @@ def q116_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd(F.min("drawdown"), 6).alias("max_drawdown"),
         F.min_by("dt", "drawdown").cast("date").alias("trough_dt"),
     )
+
+
+def _q118_oracle() -> str:
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    c AS (SELECT id, dt, close, CAST(volume_cents AS DOUBLE) / 100.0 AS vol
+          FROM candles),
+    m AS (SELECT id, CAST(strftime(dt, '%Y-%m') AS VARCHAR) AS month,
+                 close, vol FROM c)
+    SELECT id, month,
+           CAST(count(*) AS BIGINT) AS n_days,
+           {o_rnd('sum(close * vol) / sum(vol)', 4)} AS vwap,
+           {o_rnd('avg(close)', 4)} AS twap
+    FROM m GROUP BY id, month
+    """
+
+
+@query("q118_vwap", oracle=_q118_oracle())
+def q118_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly VWAP vs TWAP per symbol: volume-weighted and
+    time-weighted average price — the execution-benchmark aggregates.
+    Both are algebraic (two weighted sums / a count), so the whole
+    query is one partial-aggregated groupBy; volume reconstructs
+    exactly from the integer-cents column (no float drift in the
+    weights)."""
+    c = candles(spark, sf_dir).select(
+        "id",
+        F.date_format("dt", "yyyy-MM").alias("month"),
+        "close",
+        (F.col("volume_cents").cast("double") / 100.0).alias("vol"),
+    )
+    return c.groupBy("id", "month").agg(
+        F.count("*").cast("long").alias("n_days"),
+        prnd(F.sum(F.col("close") * F.col("vol")) / F.sum("vol"), 4).alias("vwap"),
+        prnd(F.avg("close"), 4).alias("twap"),
+    )
+
+
+_Q119_LAG = 1  # days of lead-lag
+
+
+def _q119_oracle() -> str:
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    r AS (
+      SELECT id, dt, ln(close / lag(close) OVER ({_WIN})) AS ret
+      FROM candles
+    ),
+    rr AS (SELECT id, dt, ret FROM r WHERE ret IS NOT NULL),
+    lagged AS (
+      SELECT id, dt, ret,
+             lag(ret, {_Q119_LAG}) OVER ({_WIN.replace('candles', 'rr')}) AS ret_lag
+      FROM rr
+    ),
+    p AS (
+      SELECT a.id AS id_lead, b.id AS id_follow, a.ret AS ra, b.ret_lag AS rb
+      FROM rr a JOIN lagged b ON a.dt = b.dt AND a.id <> b.id
+      WHERE b.ret_lag IS NOT NULL
+    ),
+    s AS (
+      SELECT id_lead, id_follow,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(ra) AS sa, sum(rb) AS sb,
+             sum(ra * ra) AS saa, sum(rb * rb) AS sbb,
+             sum(ra * rb) AS sab
+      FROM p GROUP BY id_lead, id_follow
+    )
+    SELECT id_lead, id_follow, n,
+           {o_rnd('(n * sab - sa * sb) / (sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb))', 6)} AS lead_lag_corr
+    FROM s
+    """
+
+
+@query("q119_lead_lag_correlation", oracle=_q119_oracle())
+def q119_lead_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation: does symbol A's return today
+    correlate with symbol B's return YESTERDAY (B leads A by one day)?
+    The time-shifted variant of q115 — directional pairs (id_lead <>
+    id_follow, not just unordered), the lag applied with one extra lag
+    window on the same per-symbol sort, then the identical algebraic
+    five-statistic reduction. The signal quant pipelines screen for
+    lead-lag structure across assets."""
+    from pyspark.sql import Window as W2
+
+    c = candles(spark, sf_dir)
+    w = W2.partitionBy("id").orderBy("dt")
+    r = c.select(
+        "id", "dt", F.log(F.col("close") / F.lag("close").over(w)).alias("ret")
+    ).filter(F.col("ret").isNotNull())
+    lagged = r.select(
+        "id", "dt", "ret", F.lag("ret", _Q119_LAG).over(w).alias("ret_lag")
+    ).filter(F.col("ret_lag").isNotNull())
+    a = r.select(F.col("id").alias("id_lead"), "dt", F.col("ret").alias("ra"))
+    b = lagged.select(
+        F.col("id").alias("id_follow"), "dt", F.col("ret_lag").alias("rb")
+    )
+    p = a.join(b, "dt").filter(F.col("id_lead") != F.col("id_follow"))
+    s = p.groupBy("id_lead", "id_follow").agg(
+        F.count("*").alias("n"),
+        F.sum("ra").alias("sa"),
+        F.sum("rb").alias("sb"),
+        F.sum(F.col("ra") * F.col("ra")).alias("saa"),
+        F.sum(F.col("rb") * F.col("rb")).alias("sbb"),
+        F.sum(F.col("ra") * F.col("rb")).alias("sab"),
+    )
+    corr = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")) / (
+        F.sqrt(F.col("n") * F.col("saa") - F.col("sa") * F.col("sa"))
+        * F.sqrt(F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb"))
+    )
+    return s.select(
+        "id_lead",
+        "id_follow",
+        F.col("n").cast("long").alias("n"),
+        prnd(corr, 6).alias("lead_lag_corr"),
+    )
+
+
+def _q120_oracle() -> str:
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    r AS (
+      SELECT id, dt, ln(close / lag(close) OVER ({_WIN})) AS ret
+      FROM candles
+    ),
+    rr AS (SELECT id, dt,
+                  -- DuckDB dayofweek is 0=Sunday..6; Spark is 1=Sunday..7
+                  CAST(dayofweek(dt) + 1 AS INTEGER) AS dow, ret
+           FROM r WHERE ret IS NOT NULL)
+    SELECT id, dow,
+           CAST(count(*) AS BIGINT) AS n_days,
+           {o_rnd('avg(ret)', 6)} AS mean_ret,
+           {o_rnd('avg(abs(ret))', 6)} AS mean_abs_ret
+    FROM rr GROUP BY id, dow
+    """
+
+
+@query("q120_dow_seasonality", oracle=_q120_oracle())
+def q120_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile: mean and mean-absolute log
+    return per (symbol, weekday) — the seasonal baseline a
+    deseasonalization or anomaly pipeline subtracts before modeling.
+    One lag window on the shared per-symbol sort, one
+    partial-aggregated groupBy; weekday extraction is pure date
+    arithmetic (Spark dayofweek == DuckDB dayofweek + 1 alignment
+    handled via the same 1-7 Sunday-first convention both engines
+    use)."""
+    from pyspark.sql import Window as W2
+
+    c = candles(spark, sf_dir)
+    w = W2.partitionBy("id").orderBy("dt")
+    r = c.select(
+        "id",
+        "dt",
+        F.log(F.col("close") / F.lag("close").over(w)).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    return (
+        r.select("id", F.dayofweek("dt").alias("dow"), "ret")
+        .groupBy("id", "dow")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            prnd(F.avg("ret"), 6).alias("mean_ret"),
+            prnd(F.avg(F.abs("ret")), 6).alias("mean_abs_ret"),
+        )
+    )
