@@ -1266,3 +1266,195 @@ def q120_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             prnd(F.avg(F.abs("ret")), 6).alias("mean_abs_ret"),
         )
     )
+
+
+_ATR_N = 14
+
+
+def _q121_oracle() -> str:
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    c AS (SELECT id, dt, high, low, close,
+                 lag(close) OVER ({_WIN}) AS prev_close,
+                 row_number() OVER ({_WIN}) AS rn
+          FROM candles),
+    tr AS (
+      SELECT id, dt, rn,
+             greatest(high - low,
+                      abs(high - prev_close),
+                      abs(low - prev_close)) AS tr
+      FROM c WHERE prev_close IS NOT NULL
+    ),
+    atr AS (
+      SELECT id, dt, rn, tr,
+             avg(tr) OVER (PARTITION BY id ORDER BY rn
+                           ROWS BETWEEN {_ATR_N - 1} PRECEDING AND CURRENT ROW) AS atr,
+             count(*) OVER (PARTITION BY id ORDER BY rn
+                           ROWS BETWEEN {_ATR_N - 1} PRECEDING AND CURRENT ROW) AS nw
+      FROM tr
+    )
+    SELECT id, dt, {o_rnd('tr', 4)} AS true_range,
+           {o_rnd('atr', 4)} AS atr_14
+    FROM atr WHERE nw = {_ATR_N}
+    """
+
+
+@query("q121_atr", oracle=_q121_oracle())
+def q121_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average True Range (14): true range = max(high-low,
+    |high-prev_close|, |low-prev_close|), simple-averaged over a 14-row
+    frame, warm-up rows suppressed — the volatility indicator the
+    W-family (SMA/EMA/Bollinger/RSI/...) was missing. One lag + one
+    rolling-mean window on the shared per-symbol sort."""
+    from pyspark.sql import Window as W2
+
+    c = candles(spark, sf_dir)
+    w = W2.partitionBy("id").orderBy("dt")
+    tr = c.select(
+        "id",
+        "dt",
+        F.greatest(
+            F.col("high") - F.col("low"),
+            F.abs(F.col("high") - F.lag("close").over(w)),
+            F.abs(F.col("low") - F.lag("close").over(w)),
+        ).alias("tr"),
+        F.lag("close").over(w).alias("_pc"),
+    ).filter(F.col("_pc").isNotNull())
+    wa = (
+        W2.partitionBy("id").orderBy("dt").rowsBetween(-(_ATR_N - 1), 0)
+    )
+    out = tr.select(
+        "id",
+        "dt",
+        prnd("tr", 4).alias("true_range"),
+        prnd(F.avg("tr").over(wa), 4).alias("atr_14"),
+        F.count("*").over(wa).alias("_nw"),
+    )
+    return out.filter(F.col("_nw") == _ATR_N).drop("_nw")
+
+
+_WR_N = 14
+
+
+def _q122_oracle() -> str:
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    c AS (SELECT id, dt, high, low, close,
+                 row_number() OVER ({_WIN}) AS rn FROM candles),
+    w AS (
+      SELECT id, dt, close,
+             max(high) OVER (PARTITION BY id ORDER BY rn
+                             ROWS BETWEEN {_WR_N - 1} PRECEDING AND CURRENT ROW) AS hh,
+             min(low) OVER (PARTITION BY id ORDER BY rn
+                             ROWS BETWEEN {_WR_N - 1} PRECEDING AND CURRENT ROW) AS ll,
+             count(*) OVER (PARTITION BY id ORDER BY rn
+                             ROWS BETWEEN {_WR_N - 1} PRECEDING AND CURRENT ROW) AS nw
+      FROM c
+    )
+    SELECT id, dt,
+           {o_rnd('CASE WHEN hh = ll THEN 0.0 ELSE -100.0 * (hh - close) / (hh - ll) END', 4)} AS williams_r
+    FROM w WHERE nw = {_WR_N}
+    """
+
+
+@query("q122_williams_r", oracle=_q122_oracle())
+def q122_williams_r(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Williams %R (14): -100 * (highest_high - close) /
+    (highest_high - lowest_low), flat-window guard to 0 — the
+    stochastic's inverted cousin, two rolling extremes on the shared
+    per-symbol sort, warm-up suppressed."""
+    from pyspark.sql import Window as W2
+
+    c = candles(spark, sf_dir)
+    wa = W2.partitionBy("id").orderBy("dt").rowsBetween(-(_WR_N - 1), 0)
+    hh = F.max("high").over(wa)
+    ll = F.min("low").over(wa)
+    wr = F.when(hh == ll, F.lit(0.0)).otherwise(
+        F.lit(-100.0) * (hh - F.col("close")) / (hh - ll)
+    )
+    out = c.select(
+        "id", "dt", prnd(wr, 4).alias("williams_r"), F.count("*").over(wa).alias("_nw")
+    )
+    return out.filter(F.col("_nw") == _WR_N).drop("_nw")
+
+
+def _q123_oracle() -> str:
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    c AS (SELECT id, dt, high, low, close,
+                 lag(close) OVER ({_WIN}) AS open
+          FROM candles),
+    b AS (
+      SELECT id, dt, open, high, low, close,
+             abs(close - open) AS body,
+             high - low AS range,
+             lag(open) OVER ({_WIN.replace('candles', 'c')}) AS p_open,
+             lag(close) OVER ({_WIN.replace('candles', 'c')}) AS p_close
+      FROM c WHERE open IS NOT NULL
+    )
+    SELECT id, dt,
+           CAST(range > 0 AND body <= 0.1 * range AS INT) AS is_doji,
+           CAST(p_open IS NOT NULL AND close > open AND p_close < p_open
+                AND close >= p_open AND open <= p_close AS INT) AS is_bullish_engulfing,
+           CAST(p_open IS NOT NULL AND close < open AND p_close > p_open
+                AND close <= p_open AND open >= p_close AS INT) AS is_bearish_engulfing
+    FROM b
+    """
+
+
+@query("q123_candle_patterns", oracle=_q123_oracle())
+def q123_candle_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick pattern detection — doji (body <= 10% of range) and
+    bullish/bearish engulfing (current body spans the previous one,
+    opposite direction) — the rule-based pattern family of a TA
+    engine, expressed as pure boolean expressions over one lag chain
+    (open derives as the prior close on this daily series). Zero extra
+    shuffles beyond the shared per-symbol sort; integer flags make the
+    oracle comparison exact."""
+    from pyspark.sql import Window as W2
+
+    c = candles(spark, sf_dir)
+    w = W2.partitionBy("id").orderBy("dt")
+    b = c.select(
+        "id",
+        "dt",
+        F.lag("close").over(w).alias("open"),
+        "high",
+        "low",
+        "close",
+    ).filter(F.col("open").isNotNull())
+    b = b.select(
+        "id",
+        "dt",
+        "open",
+        "close",
+        (F.abs(F.col("close") - F.col("open"))).alias("body"),
+        (F.col("high") - F.col("low")).alias("range"),
+        F.lag("open").over(w).alias("p_open"),
+        F.lag("close").over(w).alias("p_close"),
+    )
+    return b.select(
+        "id",
+        "dt",
+        ((F.col("range") > 0) & (F.col("body") <= 0.1 * F.col("range")))
+        .cast("int")
+        .alias("is_doji"),
+        (
+            F.col("p_open").isNotNull()
+            & (F.col("close") > F.col("open"))
+            & (F.col("p_close") < F.col("p_open"))
+            & (F.col("close") >= F.col("p_open"))
+            & (F.col("open") <= F.col("p_close"))
+        )
+        .cast("int")
+        .alias("is_bullish_engulfing"),
+        (
+            F.col("p_open").isNotNull()
+            & (F.col("close") < F.col("open"))
+            & (F.col("p_close") > F.col("p_open"))
+            & (F.col("close") <= F.col("p_open"))
+            & (F.col("open") >= F.col("p_close"))
+        )
+        .cast("int")
+        .alias("is_bearish_engulfing"),
+    )
