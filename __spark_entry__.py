@@ -85,6 +85,10 @@ _ADJUDICATE_FIRST = [
     "q102_chunk_retrieval",
     "q104_pmi_collocations",
     "q109_count_min_sketch",
+    "q124_mfi",
+    "q125_donchian",
+    "q126_chaikin_adl",
+    "q127_pivot_points",
     # -- refresh slots: r2-green queries whose plans were touched in
     # round 3 (dedup-family memoization, q89 localCheckpoint) --
     "q89_passage_overlap",

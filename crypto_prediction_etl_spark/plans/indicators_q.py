@@ -1458,3 +1458,244 @@ def q123_candle_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_bearish_engulfing"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Money Flow Index (volume-weighted RSI cousin)
+# ---------------------------------------------------------------------------
+
+_MFI_N = 14
+
+
+def _q124_oracle() -> str:
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    tp AS (
+      SELECT id, dt,
+             (high + low + close) / 3.0 AS tp,
+             volume_cents
+      FROM candles
+    ),
+    flows AS (
+      SELECT id, dt, tp,
+             lag(tp) OVER ({_WIN}) AS prev_tp,
+             CAST(floor(tp * volume_cents + 0.5) AS BIGINT) AS mf_units
+      FROM tp
+    ),
+    signed AS (
+      SELECT id, dt,
+             CASE WHEN tp > prev_tp THEN mf_units ELSE 0 END AS pos_units,
+             CASE WHEN tp < prev_tp THEN mf_units ELSE 0 END AS neg_units
+      FROM flows WHERE prev_tp IS NOT NULL
+    ),
+    w AS (
+      SELECT id, dt,
+             sum(pos_units) OVER ({_WIN} ROWS BETWEEN {_MFI_N - 1} PRECEDING AND CURRENT ROW) AS pos,
+             sum(neg_units) OVER ({_WIN} ROWS BETWEEN {_MFI_N - 1} PRECEDING AND CURRENT ROW) AS neg,
+             count(*) OVER ({_WIN} ROWS BETWEEN {_MFI_N - 1} PRECEDING AND CURRENT ROW) AS nw
+      FROM signed
+    )
+    SELECT id, dt,
+           {o_rnd('CASE WHEN pos + neg = 0 THEN 50.0 ELSE 100.0 * CAST(pos AS DOUBLE) / CAST(pos + neg AS DOUBLE) END', 4)} AS mfi_14
+    FROM w WHERE nw = {_MFI_N}
+    """
+
+
+@query("q124_mfi", oracle=_q124_oracle())
+def q124_mfi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money Flow Index (14) — the volume-weighted RSI: typical price
+    (H+L+C)/3, raw money flow tp*volume signed by tp direction, MFI =
+    100*pos/(pos+neg) over a 14-flow frame (flat 14-window guard to
+    the 50 neutral).  Money flow is carried in integer units
+    (floor(tp*volume_cents + 0.5)) so the windowed sums are exact
+    bigints in both engines regardless of association order — the same
+    portability trick as q31's OBV.  One lag + two conditional window
+    sums on the shared per-symbol sort; zero extra shuffles."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    tp = (F.col("high") + F.col("low") + F.col("close")) / 3.0
+    flows = c.select(
+        "id",
+        "dt",
+        tp.alias("tp"),
+        F.floor(tp * F.col("volume_cents") + 0.5).cast("long").alias("mf_units"),
+    ).withColumn("prev_tp", F.lag("tp").over(w))
+    signed = flows.filter(F.col("prev_tp").isNotNull()).select(
+        "id",
+        "dt",
+        F.when(F.col("tp") > F.col("prev_tp"), F.col("mf_units"))
+        .otherwise(F.lit(0))
+        .alias("pos_units"),
+        F.when(F.col("tp") < F.col("prev_tp"), F.col("mf_units"))
+        .otherwise(F.lit(0))
+        .alias("neg_units"),
+    )
+    wa = w.rowsBetween(-(_MFI_N - 1), 0)
+    pos = F.sum("pos_units").over(wa)
+    neg = F.sum("neg_units").over(wa)
+    mfi = F.when(pos + neg == 0, F.lit(50.0)).otherwise(
+        F.lit(100.0) * pos.cast("double") / (pos + neg).cast("double")
+    )
+    out = signed.select(
+        "id", "dt", prnd(mfi, 4).alias("mfi_14"), F.count("*").over(wa).alias("_nw")
+    )
+    return out.filter(F.col("_nw") == _MFI_N).drop("_nw")
+
+
+# ---------------------------------------------------------------------------
+# Donchian channels + breakout flags
+# ---------------------------------------------------------------------------
+
+_DON_N = 20
+
+
+def _q125_oracle() -> str:
+    frame = f"{_WIN} ROWS BETWEEN {_DON_N} PRECEDING AND 1 PRECEDING"
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    w AS (
+      SELECT id, dt, close,
+             max(high) OVER ({frame}) AS upper,
+             min(low)  OVER ({frame}) AS lower,
+             count(*)  OVER ({frame}) AS nw
+      FROM candles
+    )
+    SELECT id, dt,
+           {o_rnd('upper', 2)} AS don_upper,
+           {o_rnd('lower', 2)} AS don_lower,
+           {o_rnd('(upper + lower) / 2.0', 2)} AS don_mid,
+           CAST(close > upper AS INT) AS breakout_up,
+           CAST(close < lower AS INT) AS breakout_down
+    FROM w WHERE nw = {_DON_N}
+    """
+
+
+@query("q125_donchian", oracle=_q125_oracle())
+def q125_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Donchian channels (20): upper/lower = extremes of the PRIOR 20
+    bars (frame ends at 1 PRECEDING, the classic turtle-trader form, so
+    today's bar can break its own channel), midline, and integer
+    breakout flags when today's close escapes the channel.  Two rolling
+    extremes on one per-symbol sort; extremes copy input doubles so the
+    only fp op is the midline average."""
+    c = candles(spark, sf_dir)
+    wa = W.partitionBy("id").orderBy("dt").rowsBetween(-_DON_N, -1)
+    upper = F.max("high").over(wa)
+    lower = F.min("low").over(wa)
+    out = c.select(
+        "id",
+        "dt",
+        prnd(upper, 2).alias("don_upper"),
+        prnd(lower, 2).alias("don_lower"),
+        prnd((upper + lower) / 2.0, 2).alias("don_mid"),
+        (F.col("close") > upper).cast("int").alias("breakout_up"),
+        (F.col("close") < lower).cast("int").alias("breakout_down"),
+        F.count("*").over(wa).alias("_nw"),
+    )
+    return out.filter(F.col("_nw") == _DON_N).drop("_nw")
+
+
+# ---------------------------------------------------------------------------
+# Chaikin accumulation/distribution line (exact integer-units cumsum)
+# ---------------------------------------------------------------------------
+
+
+def _q126_oracle() -> str:
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    mf AS (
+      SELECT id, dt,
+             CAST(floor(
+               (CASE WHEN high = low THEN 0.0
+                     ELSE ((close - low) - (high - close)) / (high - low) END)
+               * volume_cents + 0.5) AS BIGINT) AS mfv_units
+      FROM candles
+    )
+    SELECT id, dt,
+           {o_rnd(f"CAST(sum(mfv_units) OVER ({_WIN} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0", 2)} AS adl
+    FROM mf
+    """
+
+
+@query("q126_chaikin_adl", oracle=_q126_oracle())
+def q126_chaikin_adl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chaikin accumulation/distribution line: money-flow multiplier
+    ((close-low)-(high-close))/(high-low) (flat-bar guard to 0), scaled
+    by volume and accumulated per symbol.  The multiplier*volume term is
+    quantized to integer units (floor(x+0.5) of the same IEEE double in
+    both engines) before the running sum, so the cumulative series is an
+    exact bigint — association-order-proof like q31's OBV.  One window
+    chain, zero extra shuffles."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    mfm = F.when(F.col("high") == F.col("low"), F.lit(0.0)).otherwise(
+        ((F.col("close") - F.col("low")) - (F.col("high") - F.col("close")))
+        / (F.col("high") - F.col("low"))
+    )
+    mf = c.select(
+        "id",
+        "dt",
+        F.floor(mfm * F.col("volume_cents") + 0.5).cast("long").alias("mfv_units"),
+    )
+    return mf.select(
+        "id",
+        "dt",
+        prnd(
+            F.sum("mfv_units")
+            .over(w.rowsBetween(W.unboundedPreceding, 0))
+            .cast("double")
+            / 100.0,
+            2,
+        ).alias("adl"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classic floor-trader pivot points
+# ---------------------------------------------------------------------------
+
+
+def _q127_oracle() -> str:
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    prev AS (
+      SELECT id, dt,
+             lag(high)  OVER ({_WIN}) AS ph,
+             lag(low)   OVER ({_WIN}) AS pl,
+             lag(close) OVER ({_WIN}) AS pc
+      FROM candles
+    )
+    SELECT id, dt,
+           {o_rnd('(ph + pl + pc) / 3.0', 2)} AS pivot,
+           {o_rnd('2.0 * ((ph + pl + pc) / 3.0) - pl', 2)} AS r1,
+           {o_rnd('2.0 * ((ph + pl + pc) / 3.0) - ph', 2)} AS s1,
+           {o_rnd('(ph + pl + pc) / 3.0 + (ph - pl)', 2)} AS r2,
+           {o_rnd('(ph + pl + pc) / 3.0 - (ph - pl)', 2)} AS s2
+    FROM prev WHERE ph IS NOT NULL
+    """
+
+
+@query("q127_pivot_points", oracle=_q127_oracle())
+def q127_pivot_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic floor-trader pivot levels from the prior bar's H/L/C:
+    P=(H+L+C)/3, R1=2P-L, S1=2P-H, R2=P+(H-L), S2=P-(H-L).  Three lags
+    on the shared per-symbol sort and pure scalar arithmetic — the
+    expression trees are written identically in both engines so every
+    level is the same IEEE double before rounding."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    ph = F.lag("high").over(w)
+    pl = F.lag("low").over(w)
+    pc = F.lag("close").over(w)
+    p = (ph + pl + pc) / 3.0
+    out = c.select(
+        "id",
+        "dt",
+        prnd(p, 2).alias("pivot"),
+        prnd(F.lit(2.0) * p - pl, 2).alias("r1"),
+        prnd(F.lit(2.0) * p - ph, 2).alias("s1"),
+        prnd(p + (ph - pl), 2).alias("r2"),
+        prnd(p - (ph - pl), 2).alias("s2"),
+        ph.alias("_ph"),
+    )
+    return out.filter(F.col("_ph").isNotNull()).drop("_ph")
