@@ -89,6 +89,8 @@ _ADJUDICATE_FIRST = [
     "q125_donchian",
     "q126_chaikin_adl",
     "q127_pivot_points",
+    "q128_char_entropy",
+    "q129_heikin_ashi",
     # -- refresh slots: r2-green queries whose plans were touched in
     # round 3 (dedup-family memoization, q89 localCheckpoint) --
     "q89_passage_overlap",

@@ -364,3 +364,56 @@ def holt_linear(candles: DataFrame) -> DataFrame:
         return pdf
 
     return candles.groupBy("id").applyInPandas(kernel, schema=out_schema)
+
+
+def heikin_ashi(candles: DataFrame) -> DataFrame:
+    """Heikin-Ashi smoothed candles per id: ha_close = (o+h+l+c)/4
+    (rowwise), ha_open_t = (ha_open_{t-1} + ha_close_{t-1})/2 seeded
+    with (open_1+close_1)/2, ha_high/ha_low = extremes over the raw
+    high/low and the synthetic open/close.  The open recursion makes
+    this a genuinely stateful per-key scan (like Holt/EMA), so it runs
+    as the same grouped-map pandas kernel shape: one id-shuffle, an
+    O(rows) Python loop per key, no driver collect.  Expects an
+    ``open`` column (for the daily series it derives as the prior
+    close); the DuckDB oracle replays the recursion as a recursive CTE
+    with the identical float op sequence."""
+    in_schema = candles.schema
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in in_schema
+    )
+    out_schema = (
+        out_fields
+        + ", ha_open double, ha_high double, ha_low double, ha_close double"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("dt").reset_index(drop=True)
+        o = pdf["open"].astype("float64").to_numpy()
+        h = pdf["high"].astype("float64").to_numpy()
+        lo = pdf["low"].astype("float64").to_numpy()
+        c = pdf["close"].astype("float64").to_numpy()
+        n = len(c)
+        ha_o = [0.0] * n
+        ha_c = [0.0] * n
+        for t in range(n):
+            ha_c[t] = (
+                float(o[t]) + float(h[t]) + float(lo[t]) + float(c[t])
+            ) / 4.0
+            if t == 0:
+                ha_o[t] = (float(o[0]) + float(c[0])) / 2.0
+            else:
+                ha_o[t] = (ha_o[t - 1] + ha_c[t - 1]) / 2.0
+        pdf["ha_open"] = pd.Series(ha_o, dtype="float64")
+        pdf["ha_close"] = pd.Series(ha_c, dtype="float64")
+        pdf["ha_high"] = pd.concat(
+            [pdf["high"], pdf["ha_open"], pdf["ha_close"]], axis=1
+        ).max(axis=1)
+        pdf["ha_low"] = pd.concat(
+            [pdf["low"], pdf["ha_open"], pdf["ha_close"]], axis=1
+        ).min(axis=1)
+        return pdf[
+            [f.name for f in in_schema]
+            + ["ha_open", "ha_high", "ha_low", "ha_close"]
+        ]
+
+    return candles.groupBy("id").applyInPandas(kernel, schema=out_schema)

@@ -228,3 +228,35 @@ def max_element_frequency(arr: Column) -> Column:
         )
 
     return F.aggregate(F.array_sort(arr), zero, step, lambda acc: acc["best"])
+
+
+def entropy_term_sum(arr: Column) -> Column:
+    """``sum_i c_i * log2(c_i)`` over the element frequencies ``c_i``
+    of a string array, as one sort + one linear ``aggregate`` fold per
+    row (the q86/max_element_frequency trick: frequencies are run
+    lengths in the SORTED array, so no per-distinct-element rescan and
+    no shuffle).  Shannon entropy then follows driver-side as
+    ``log2(n) - term_sum/n`` without ever materializing a per-element
+    count table."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0.0).alias("acc"),
+    )
+
+    def closed(run: Column) -> Column:
+        return F.when(
+            run > 0, run.cast("double") * F.log2(run.cast("double"))
+        ).otherwise(F.lit(0.0))
+
+    def step(acc, x):
+        same = acc["prev"].eqNullSafe(x)
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(same, acc["acc"]).otherwise(acc["acc"] + closed(acc["run"])).alias("acc"),
+        )
+
+    return F.aggregate(
+        F.array_sort(arr), zero, step, lambda acc: acc["acc"] + closed(acc["run"])
+    )

@@ -888,7 +888,9 @@ def _holt_oracle() -> str:
     lvl = f"CAST({a} AS DOUBLE) * c.close + CAST({oma} AS DOUBLE) * (h.level + h.trend)"
     return f"""
     WITH RECURSIVE candles AS ({CANDLES_SQL}),
-    c AS (SELECT id, dt, close, row_number() OVER ({_WIN}) AS rn FROM candles),
+    -- MATERIALIZED: without it DuckDB re-inlines the window CTE into
+    -- every one of the ~2400 recursive iterations (15s -> 1.5s at sf0.01)
+    c AS MATERIALIZED (SELECT id, dt, close, row_number() OVER ({_WIN}) AS rn FROM candles),
     hw AS (
       SELECT id, rn, dt, close AS level, CAST(0 AS DOUBLE) AS trend
       FROM c WHERE rn = 1
@@ -1699,3 +1701,71 @@ def q127_pivot_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         ph.alias("_ph"),
     )
     return out.filter(F.col("_ph").isNotNull()).drop("_ph")
+
+
+# ---------------------------------------------------------------------------
+# Heikin-Ashi smoothed candles (recursive open chain)
+# ---------------------------------------------------------------------------
+
+
+def _q129_oracle() -> str:
+    ha_close = "(c.open + c.high + c.low + c.close) / 4.0"
+    return f"""
+    WITH RECURSIVE candles AS ({CANDLES_SQL}),
+    base AS (
+      SELECT id, dt, lag(close) OVER ({_WIN}) AS open, high, low, close
+      FROM candles
+    ),
+    -- MATERIALIZED: see q100 — keeps the window CTE out of the
+    -- recursive loop (32s -> 1.8s at sf0.01)
+    c AS MATERIALIZED (SELECT id, dt, open, high, low, close,
+                 row_number() OVER ({_WIN}) AS rn
+          FROM base WHERE open IS NOT NULL),
+    ha AS (
+      SELECT id, rn, dt, high, low,
+             (open + close) / 2.0 AS ha_open,
+             (open + high + low + close) / 4.0 AS ha_close
+      FROM c WHERE rn = 1
+      UNION ALL
+      SELECT c.id, c.rn, c.dt, c.high, c.low,
+             (h.ha_open + h.ha_close) / 2.0 AS ha_open,
+             {ha_close} AS ha_close
+      FROM ha h JOIN c ON c.id = h.id AND c.rn = h.rn + 1
+    )
+    SELECT id, dt,
+           {o_rnd('ha_open', 2)} AS ha_open,
+           {o_rnd('greatest(high, ha_open, ha_close)', 2)} AS ha_high,
+           {o_rnd('least(low, ha_open, ha_close)', 2)} AS ha_low,
+           {o_rnd('ha_close', 2)} AS ha_close
+    FROM ha
+    """
+
+
+@query("q129_heikin_ashi", oracle=_q129_oracle())
+def q129_heikin_ashi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heikin-Ashi smoothed candles: ha_close = (O+H+L+C)/4 rowwise,
+    ha_open = midpoint of the PREVIOUS bar's synthetic open/close (a
+    genuine recursion, seeded with (open_1+close_1)/2), ha_high/ha_low
+    = extremes over the raw and synthetic values.  Open derives as the
+    prior close on this daily series (as in q123).  The open chain
+    cannot be a window aggregate, so it runs as the same grouped-map
+    pandas kernel shape as Holt/EMA (one id-shuffle, O(rows) per key);
+    the oracle replays the recursion as a recursive CTE with the
+    identical float op sequence, giving the gate a second hash-checked
+    recursive stateful operator."""
+    from ..operators.indicators import heikin_ashi
+
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    base = c.select(
+        "id", "dt", F.lag("close").over(w).alias("open"), "high", "low", "close"
+    ).filter(F.col("open").isNotNull())
+    ha = heikin_ashi(base)
+    return ha.select(
+        "id",
+        "dt",
+        prnd("ha_open", 2).alias("ha_open"),
+        prnd("ha_high", 2).alias("ha_high"),
+        prnd("ha_low", 2).alias("ha_low"),
+        prnd("ha_close", 2).alias("ha_close"),
+    )

@@ -1151,3 +1151,73 @@ def q109_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(tokens("text")).alias("tok")
     )
     return cms_token_counts(toks, "tok", list(_Q109_PROBES))
+
+
+# character-entropy quality gate: docs whose alphanumeric character
+# distribution carries fewer bits than this are gibberish/repetition.
+_Q128_LOW_BITS = 3.0
+
+
+def _q128_oracle() -> str:
+    return f"""
+    WITH chars AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]')) AS ch
+      FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+      FROM chars GROUP BY doc_id, ch
+    ),
+    ent AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS INTEGER) AS n_distinct,
+             sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS term_sum
+      FROM counts GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(e.n, 0) AS INTEGER) AS n_alnum,
+           coalesce(e.n_distinct, 0) AS n_distinct_chars,
+           {o_rnd("CASE WHEN e.n > 0 THEN log2(CAST(e.n AS DOUBLE)) - e.term_sum / CAST(e.n AS DOUBLE) ELSE 0.0 END", 6)} AS char_entropy_bits,
+           CAST(coalesce(CASE WHEN e.n > 0 THEN log2(CAST(e.n AS DOUBLE)) - e.term_sum / CAST(e.n AS DOUBLE) ELSE 0.0 END, 0.0) < {_Q128_LOW_BITS} AS INT) AS low_entropy
+    FROM documents d LEFT JOIN ent e USING (doc_id)
+    """
+
+
+@query("q128_char_entropy", oracle=_q128_oracle())
+def q128_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's alphanumeric character
+    distribution — the classic cheap gibberish/boilerplate screen that
+    runs beside q42's ratio score and q86's repetition gate in a
+    training-data pipeline (low-entropy text is keyboard mash, padding,
+    or single-char repetition; English prose sits near 4-4.2 bits).
+
+    The whole computation stays in the array domain of one row per
+    document: frequencies are run lengths in the SORTED char array, and
+    ``sum c_i*log2(c_i)`` folds over them in one linear ``aggregate``
+    pass (``operators.text.entropy_term_sum``) — a pure map stage, zero
+    shuffle at any corpus size, where the per-(doc, char) groupBy the
+    oracle uses would shuffle ~n_chars rows. Entropy follows as
+    ``log2(n) - term_sum/n``."""
+    from ..operators.text import entropy_term_sum
+
+    docs = spread_small_scan(table(spark, sf_dir, "documents"))
+    chars = F.expr("regexp_extract_all(lower(text), '[a-z0-9]', 0)")
+    base = docs.select(
+        "doc_id",
+        F.size(chars).alias("n_alnum"),
+        F.size(F.array_distinct(chars)).alias("n_distinct_chars"),
+        entropy_term_sum(chars).alias("_term_sum"),
+    )
+    ent = F.when(
+        F.col("n_alnum") > 0,
+        F.log2(F.col("n_alnum").cast("double"))
+        - F.col("_term_sum") / F.col("n_alnum").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return base.select(
+        "doc_id",
+        "n_alnum",
+        "n_distinct_chars",
+        prnd(ent, 6).alias("char_entropy_bits"),
+        (ent < _Q128_LOW_BITS).cast("int").alias("low_entropy"),
+    )
