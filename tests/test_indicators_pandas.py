@@ -164,3 +164,33 @@ def test_rsi_bounds_and_wilder(spark_ind):
         al = (al * 13 + loss.iloc[i]) / 14
         vals[i] = 100.0 if al == 0 else 100.0 - 100.0 / (1.0 + ag / al)
     assert rsi.iloc[len(close) - 1] == pytest.approx(vals[len(close) - 1], rel=1e-9)
+
+
+def test_heikin_ashi_matches_independent(spark):
+    """ha recursion vs a direct pandas replay on a hand-made series,
+    including the (open_1+close_1)/2 seed and extreme envelopes."""
+    import pandas as pd
+
+    from crypto_prediction_etl_spark.operators.indicators import heikin_ashi
+
+    rows = []
+    vals = [(10.0, 12.0, 9.0, 11.0), (11.0, 15.0, 10.5, 14.0),
+            (14.0, 14.5, 12.0, 12.5), (12.5, 13.0, 11.0, 11.5),
+            (11.5, 18.0, 11.4, 17.0)]
+    for d, (o, h, lo, c) in enumerate(vals, 1):
+        rows.append(("X", f"2024-01-{d:02d}", o, h, lo, c))
+    df = spark.createDataFrame(
+        rows, "id string, dt string, open double, high double, low double, close double"
+    ).withColumn("dt", __import__("pyspark.sql.functions", fromlist=["F"]).to_date("dt"))
+    got = {str(r.dt): r for r in heikin_ashi(df).collect()}
+
+    ha_o, ha_c = None, None
+    for d, (o, h, lo, c) in enumerate(vals, 1):
+        hc = (o + h + lo + c) / 4.0
+        ho = (o + c) / 2.0 if ha_o is None else (ha_o + ha_c) / 2.0
+        ha_o, ha_c = ho, hc
+        r = got[f"2024-01-{d:02d}"]
+        assert abs(r.ha_open - ho) < 1e-12
+        assert abs(r.ha_close - hc) < 1e-12
+        assert abs(r.ha_high - max(h, ho, hc)) < 1e-12
+        assert abs(r.ha_low - min(lo, ho, hc)) < 1e-12

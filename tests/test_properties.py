@@ -182,3 +182,49 @@ def test_stop_shingle_cut_bounds_posting_lists(spark):
     assert hot not in dfreq  # the hot shingle is gone
     pairs = {(r.id_a, r.id_b) for r in jaccard_pairs(capped, 0.8).collect()}
     assert pairs == {(100, 101)}  # signal kept, boilerplate pairs gone
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc12 XY.!", min_size=0, max_size=60),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_entropy_fold_matches_counter(spark, texts):
+    """The zero-shuffle sorted-run entropy fold equals the classic
+    Counter-based Shannon entropy (alphanumeric chars of the lowered
+    text) to fp precision, including empty/all-symbol documents."""
+    import math
+    import re
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from crypto_prediction_etl_spark.operators.text import entropy_term_sum
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    chars = F.expr("regexp_extract_all(lower(text), '[a-z0-9]', 0)")
+    got = {
+        r.doc_id: (r.n, r.term)
+        for r in df.select(
+            "doc_id",
+            F.size(chars).alias("n"),
+            entropy_term_sum(chars).alias("term"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        cs = re.findall(r"[a-z0-9]", t.lower())
+        n, term = got[i]
+        assert n == len(cs)
+        want_term = sum(c * math.log2(c) for c in Counter(cs).values())
+        assert abs(term - want_term) < 1e-9
+        if n:
+            ent = math.log2(n) - term / n
+            want_ent = -sum(
+                (c / n) * math.log2(c / n) for c in Counter(cs).values()
+            )
+            assert abs(ent - want_ent) < 1e-9
