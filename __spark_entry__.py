@@ -91,6 +91,8 @@ _ADJUDICATE_FIRST = [
     "q127_pivot_points",
     "q128_char_entropy",
     "q129_heikin_ashi",
+    "q130_rolling_volatility",
+    "q131_keltner",
     # -- refresh slots: r2-green queries whose plans were touched in
     # round 3 (dedup-family memoization, q89 localCheckpoint) --
     "q89_passage_overlap",

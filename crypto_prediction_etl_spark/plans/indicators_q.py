@@ -1769,3 +1769,114 @@ def q129_heikin_ashi(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd("ha_low", 2).alias("ha_low"),
         prnd("ha_close", 2).alias("ha_close"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling volatility / Sharpe on log returns
+# ---------------------------------------------------------------------------
+
+_VOL_N = 20
+_ANN = "sqrt(365.0)"
+
+
+def _q130_oracle() -> str:
+    frame = f"{_WIN} ROWS BETWEEN {_VOL_N - 1} PRECEDING AND CURRENT ROW"
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    r AS (
+      SELECT id, dt,
+             ln(close / lag(close) OVER ({_WIN})) AS ret
+      FROM candles
+    ),
+    w AS (
+      SELECT id, dt, ret,
+             avg(ret)        OVER ({frame}) AS mu,
+             stddev_pop(ret) OVER ({frame}) AS sd,
+             count(*)        OVER ({frame}) AS nw
+      FROM r WHERE ret IS NOT NULL
+    )
+    SELECT id, dt,
+           {o_rnd('ret', 6)} AS log_ret,
+           {o_rnd(f'sd * {_ANN}', 6)} AS vol_20_ann,
+           {o_rnd(f'CASE WHEN sd = 0 THEN 0.0 ELSE mu / sd * {_ANN} END', 4)} AS sharpe_20_ann
+    FROM w WHERE nw = {_VOL_N}
+    """
+
+
+@query("q130_rolling_volatility", oracle=_q130_oracle())
+def q130_rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annualized rolling volatility and Sharpe ratio over 20-day log
+    returns — the risk metrics every strategy backtest derives from the
+    candle series.  ``stddev_pop`` is pinned in both engines (the q30
+    Bollinger precedent); flat-window Sharpe guards to 0.  One lag plus
+    one window frame on the shared per-symbol sort."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    r = c.select(
+        "id", "dt", F.log(F.col("close") / F.lag("close").over(w)).alias("ret")
+    ).filter(F.col("ret").isNotNull())
+    wa = w.rowsBetween(-(_VOL_N - 1), 0)
+    mu = F.avg("ret").over(wa)
+    sd = F.stddev_pop("ret").over(wa)
+    ann = F.sqrt(F.lit(365.0))
+    out = r.select(
+        "id",
+        "dt",
+        prnd("ret", 6).alias("log_ret"),
+        prnd(sd * ann, 6).alias("vol_20_ann"),
+        prnd(
+            F.when(sd == 0, F.lit(0.0)).otherwise(mu / sd * ann), 4
+        ).alias("sharpe_20_ann"),
+        F.count("*").over(wa).alias("_nw"),
+    )
+    return out.filter(F.col("_nw") == _VOL_N).drop("_nw")
+
+
+# ---------------------------------------------------------------------------
+# Keltner channels (original SMA form)
+# ---------------------------------------------------------------------------
+
+_KEL_N = 10
+
+
+def _q131_oracle() -> str:
+    frame = f"{_WIN} ROWS BETWEEN {_KEL_N - 1} PRECEDING AND CURRENT ROW"
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    w AS (
+      SELECT id, dt,
+             avg((high + low + close) / 3.0) OVER ({frame}) AS mid,
+             avg(high - low)                 OVER ({frame}) AS band,
+             count(*)                        OVER ({frame}) AS nw
+      FROM candles
+    )
+    SELECT id, dt,
+           {o_rnd('mid', 2)} AS keltner_mid,
+           {o_rnd('mid + band', 2)} AS keltner_upper,
+           {o_rnd('mid - band', 2)} AS keltner_lower
+    FROM w WHERE nw = {_KEL_N}
+    """
+
+
+@query("q131_keltner", oracle=_q131_oracle())
+def q131_keltner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keltner channels in Chester Keltner's original 10-day form:
+    midline = SMA of the typical price (H+L+C)/3, bands offset by the
+    SMA of the daily range — the volatility envelope that predates
+    Bollinger (q30) and ATR-based variants (q121).  Two rolling means
+    over one frame, warm-up suppressed, zero extra shuffles."""
+    c = candles(spark, sf_dir)
+    wa = W.partitionBy("id").orderBy("dt").rowsBetween(-(_KEL_N - 1), 0)
+    mid = F.avg(
+        (F.col("high") + F.col("low") + F.col("close")) / 3.0
+    ).over(wa)
+    band = F.avg(F.col("high") - F.col("low")).over(wa)
+    out = c.select(
+        "id",
+        "dt",
+        prnd(mid, 2).alias("keltner_mid"),
+        prnd(mid + band, 2).alias("keltner_upper"),
+        prnd(mid - band, 2).alias("keltner_lower"),
+        F.count("*").over(wa).alias("_nw"),
+    )
+    return out.filter(F.col("_nw") == _KEL_N).drop("_nw")
