@@ -93,6 +93,8 @@ _ADJUDICATE_FIRST = [
     "q129_heikin_ashi",
     "q130_rolling_volatility",
     "q131_keltner",
+    "q132_event_rate_anomaly",
+    "q133_bpe_merge_candidates",
     # -- refresh slots: r2-green queries whose plans were touched in
     # round 3 (dedup-family memoization, q89 localCheckpoint) --
     "q89_passage_overlap",

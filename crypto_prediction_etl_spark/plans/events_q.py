@@ -789,3 +789,59 @@ def q114_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.select("step", F.col("n_users").alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# Daily event-rate anomaly screen (z-score per event type)
+# ---------------------------------------------------------------------------
+
+_Q132_Z = 2.0
+
+
+def _q132_oracle() -> str:
+    return f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    stats AS (
+      SELECT event_type, day, n_events,
+             avg(CAST(n_events AS DOUBLE))        OVER (PARTITION BY event_type) AS mu,
+             stddev_pop(CAST(n_events AS DOUBLE)) OVER (PARTITION BY event_type) AS sd
+      FROM daily
+    )
+    SELECT event_type, day, n_events,
+           {o_rnd('CASE WHEN sd = 0 THEN 0.0 ELSE (CAST(n_events AS DOUBLE) - mu) / sd END', 4)} AS z,
+           CAST(CASE WHEN sd = 0 THEN 0.0 ELSE abs(CAST(n_events AS DOUBLE) - mu) / sd END > {_Q132_Z} AS INT) AS is_anomaly
+    FROM stats
+    """
+
+
+@query("q132_event_rate_anomaly", oracle=_q132_oracle())
+def q132_event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-rate anomaly screen: per-type daily counts z-scored
+    against that type's own distribution, |z| > 2 flagged — the ops
+    check that catches ingestion outages (count collapse) and bot
+    bursts on the same pass.  One partial-agg groupBy plus one
+    per-type window; the counts reshuffle only ~types x days rows, so
+    the monitor's cost is independent of raw event volume."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n_events"))
+    w = W.partitionBy("event_type")
+    nd = F.col("n_events").cast("double")
+    mu = F.avg(nd).over(w)
+    sd = F.stddev_pop(nd).over(w)
+    z = F.when(sd == 0, F.lit(0.0)).otherwise((nd - mu) / sd)
+    za = F.when(sd == 0, F.lit(0.0)).otherwise(F.abs(nd - mu) / sd)
+    return daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        prnd(z, 4).alias("z"),
+        (za > _Q132_Z).cast("int").alias("is_anomaly"),
+    )

@@ -1221,3 +1221,56 @@ def q128_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd(ent, 6).alias("char_entropy_bits"),
         (ent < _Q128_LOW_BITS).cast("int").alias("low_entropy"),
     )
+
+
+# one BPE merge iteration: the corpus-wide adjacent-character-pair
+# frequency scan that picks the next merge candidate.
+_Q133_TOP = 20
+
+
+def _q133_oracle() -> str:
+    return """
+    WITH words AS (
+      SELECT unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                                w -> length(w) >= 2)) AS w
+      FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+                                   i -> substr(w, CAST(i AS INTEGER), 2))) AS pair
+      FROM words
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 20
+    """
+
+
+@query("q133_bpe_merge_candidates", oracle=_q133_oracle())
+def q133_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training merge iteration: count every adjacent symbol
+    pair inside alphanumeric word runs across the corpus and emit the
+    top merge candidates (count desc, pair asc — the deterministic
+    pick).  Pair extraction stays in the array domain per document
+    (regex word runs -> per-word substring pairs -> flatten), so the
+    only shuffle is the partial-agg groupBy over the ~1.3k distinct
+    pairs — at 100 TB each task counts its own split and ships a tiny
+    partial map, the same shape q104's PMI scan uses.  Iterating this
+    query with a merge table IS the BPE training loop; one step is
+    enough to hash-check the scan."""
+    docs = spread_small_scan(table(spark, sf_dir, "documents"))
+    pairs = F.expr(
+        "flatten(transform("
+        " filter(regexp_extract_all(lower(text), '[a-z0-9]+', 0),"
+        "        w -> length(w) >= 2),"
+        " w -> transform(sequence(1, length(w) - 1),"
+        "                i -> substring(w, i, 2))))"
+    )
+    return (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(_Q133_TOP)
+    )
