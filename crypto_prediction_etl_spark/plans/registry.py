@@ -52,6 +52,7 @@ def load_all() -> None:
         mart,
         multimodal_q,
         relational,
+        relational_ext,
         similarity_q,
         streaming_q,
         text_q,
