@@ -56,4 +56,5 @@ def load_all() -> None:
         similarity_q,
         streaming_q,
         text_q,
+        textprep_q,
     )
