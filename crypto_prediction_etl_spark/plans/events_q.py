@@ -845,3 +845,61 @@ def q132_event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd(z, 4).alias("z"),
         (za > _Q132_Z).cast("int").alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q142 event-transition matrix (Markov chain estimate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q142_event_transitions",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    t AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           {o_rnd('CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type)', 6)} AS prob
+    FROM t
+    """,
+)
+def q142_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event sequences:
+    P(next event type | previous event type) — the session-modeling /
+    next-action-prediction feature table.
+
+    One shuffle on user_id for the lag window (ordered by (ts,
+    event_id) — a total order, so sequences are reproducible under
+    re-partitioning), then a groupBy whose partial-agg output is at
+    most types^2 rows per partition; the row-probability normalizer is
+    a window over the TINY transition table, not the events. At 100 TB
+    the only data-sized exchange is the per-user repartition, which any
+    sessionization already pays (and shares, if the pipeline co-groups
+    by user).
+    """
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    seq_w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(seq_w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    t = seq.groupBy("prev_type", "next_type").agg(F.count("*").alias("n"))
+    norm_w = W.partitionBy("prev_type")
+    return t.select(
+        "prev_type",
+        "next_type",
+        "n",
+        prnd(
+            F.col("n").cast("double") / F.sum("n").over(norm_w), 6
+        ).alias("prob"),
+    )

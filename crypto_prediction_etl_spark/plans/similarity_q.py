@@ -644,3 +644,140 @@ def q101_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dup_of").isNull().cast("int").alias("is_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q143 mutual-kNN graph
+# ---------------------------------------------------------------------------
+
+_Q143_K = 10
+
+
+@query(
+    "q143_mutual_knn",
+    oracle=f"""
+    WITH {_VECS_CTE},
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             {o_rnd(_COS, 6)} AS cos_sim
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored
+    ),
+    knn AS (SELECT * FROM ranked WHERE rank <= {_Q143_K})
+    SELECT ab.query_id AS id_a, ab.vec_id AS id_b,
+           ab.cos_sim AS cos_sim,
+           CAST(ab.rank AS INTEGER) AS rank_ab,
+           CAST(ba.rank AS INTEGER) AS rank_ba
+    FROM knn ab JOIN knn ba
+      ON ba.query_id = ab.vec_id AND ba.vec_id = ab.query_id
+    WHERE ab.query_id < ab.vec_id
+    """,
+)
+def q143_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN graph: the edge set where each endpoint ranks the
+    other in its own top-10 — the standard robust-neighborhood graph
+    for clustering (mutual edges reject hub/asymmetric matches).
+
+    Composes q50's exact top-k (corpus scanned once, per-batch BLAS,
+    partial top-k) with ONE self equi-join of the kNN edge list on the
+    reversed (query, neighbor) pair — the edge list is k rows per
+    vector, so the join input is k*N rows, never N^2. Here every
+    vector is a query, which is the documented collect-side bound of
+    cosine_topk (fine to ~10^5 queries x 64 dims); past that the same
+    mutual join runs unchanged over a block-matrix scorer.
+    """
+    vecs = _vecs(spark, sf_dir)
+    knn = cosine_topk(vecs, _vecs(spark, sf_dir), k=_Q143_K)
+    ab = knn.select(
+        F.col("query_id").alias("id_a"),
+        F.col("vec_id").alias("id_b"),
+        "cos_sim",
+        F.col("rank").alias("rank_ab"),
+    )
+    ba = knn.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("query_id").alias("id_b"),
+        F.col("rank").alias("rank_ba"),
+    )
+    return (
+        ab.join(ba, ["id_a", "id_b"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "cos_sim", "rank_ab", "rank_ba")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q144 Johnson-Lindenstrauss sign projection
+# ---------------------------------------------------------------------------
+
+_Q144_D_IN, _Q144_D_OUT = 64, 8
+
+
+def _q144_signs() -> list[list[float]]:
+    """Deterministic Rademacher (+-1) projection matrix from md5 parity
+    — reproducible on any engine/runtime, no RNG state."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{k}:{i}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1.0
+            for i in range(_Q144_D_IN)
+        ]
+        for k in range(_Q144_D_OUT)
+    ]
+
+
+def _q144_oracle() -> str:
+    import math
+
+    scale = math.sqrt(_Q144_D_OUT)
+    cols = ",\n".join(
+        o_rnd(
+            f"list_dot_product(v, {signs}) / {scale}", 4
+        )
+        + f" AS p{k}"
+        for k, signs in enumerate(_q144_signs())
+    )
+    return f"""
+    WITH {_VECS_CTE}
+    SELECT vec_id,
+    {cols}
+    FROM e
+    """
+
+
+@query("q144_jl_projection", oracle=_q144_oracle())
+def q144_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction 64 -> 8 with a
+    deterministic Rademacher (+-1/sqrt(8)) matrix (Achlioptas 2003:
+    sign matrices preserve pairwise distances like Gaussians) — the
+    cheap pre-reduction in front of clustering / coarse ANN.
+
+    Map-ONLY: the projection matrix is 8 literal sign arrays folded
+    into the plan, each output dim one JVM-side zip_with/aggregate dot
+    product — no shuffle, no Python, no driver state; at 100 TB this
+    is a pure scan-transform at parquet read throughput. The oracle
+    replays the identical literal matrix via list_dot_product (same
+    sequential accumulation as the fold).
+    """
+    import math
+
+    vecs = _vecs(spark, sf_dir)
+    scale = F.lit(math.sqrt(float(_Q144_D_OUT)))
+    outs = []
+    for k, signs in enumerate(_q144_signs()):
+        lit = F.array(*[F.lit(s) for s in signs])
+        dot = F.aggregate(
+            F.zip_with(F.col("v"), lit, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        outs.append(prnd(dot / scale, 4).alias(f"p{k}"))
+    return vecs.select("vec_id", *outs)
