@@ -85,18 +85,32 @@ _ADJUDICATE_FIRST = [
     "q102_chunk_retrieval",
     "q104_pmi_collocations",
     "q109_count_min_sketch",
-    "q124_mfi",
-    "q125_donchian",
-    "q126_chaikin_adl",
-    "q127_pivot_points",
-    "q128_char_entropy",
     "q129_heikin_ashi",
     "q130_rolling_volatility",
     "q131_keltner",
     "q132_event_rate_anomaly",
     "q133_bpe_merge_candidates",
-    # -- refresh slots: r2-green queries whose plans were touched in
-    # round 3 (dedup-family memoization, q89 localCheckpoint) --
+    "q134_grouping_sets",
+    "q135_pivot_matrix",
+    "q136_distribution_windows",
+    "q137_disjunctive_pred",
+    "q138_dormant_customers",
+    "q139_segment_dedup",
+    "q140_vocab_oov",
+    "q141_edit_distance_pairs",
+    "q142_event_transitions",
+    "q143_mutual_knn",
+    "q144_jl_projection",
+    # Beyond the 50-row driver cap (covered by the local mirror):
+    # indicator/fold variants whose operator machinery (candle windows,
+    # pandas kernels, sorted-run folds) is already driver-green via
+    # q30-q39/q86, and the round-2-green refresh slots touched by the
+    # memoization change.
+    "q124_mfi",
+    "q125_donchian",
+    "q126_chaikin_adl",
+    "q127_pivot_points",
+    "q128_char_entropy",
     "q89_passage_overlap",
     "q44_ngram_jaccard_pairs",
     "q45_minhash_lsh_pairs",
