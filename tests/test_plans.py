@@ -620,3 +620,75 @@ def test_semdedup_join_is_cell_equi(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q101_semdedup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rollup_is_single_expand_pass(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q134_grouping_sets")
+    # ROLLUP = one Expand feeding one partial+final aggregate, ONE scan
+    assert plan.count("Expand") >= 1
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_pivot_is_two_phase_aggregate_no_driver_distinct(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q135_pivot_matrix")
+    # static value list: one scan, and the standard two-phase pivot
+    # (pre-aggregate by (id, month), then pivot-aggregate by id) —
+    # never a third job to discover pivot values driver-side
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_distribution_windows_share_one_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q136_distribution_windows")
+    # ntile/percent_rank/cume_dist over ONE window spec: one exchange,
+    # one sort, one Window node
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
+
+
+def test_disjunctive_pred_pushes_into_both_scans(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q137_disjunctive_pred")
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+    # factored conjuncts reach each side's scan
+    pushed = plan.split("PushedFilters: [")
+    assert any("l_quantity" in p.split("]")[0] for p in pushed[1:])
+    assert any("p_brand" in p.split("]")[0] for p in pushed[1:])
+
+
+def test_dormant_anti_join_shape(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q138_dormant_customers")
+    assert "LeftAnti" in plan
+    # orders side projects only o_custkey
+    schemas = [s.splitlines()[0] for s in plan.split("ReadSchema: ")[1:]]
+    assert any("o_custkey" in s and "o_totalprice" not in s for s in schemas)
+
+
+def test_segment_dedup_no_cartesian_two_hash_shuffles(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q139_segment_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_vocab_join_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q140_vocab_oov")
+    # the vocab side is broadcast: exploded tokens never shuffle for it
+    assert "BroadcastHashJoin" in plan
+
+
+def test_edit_distance_blocking_is_equi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q141_edit_distance_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mutual_knn_joins_edge_list_not_vectors(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q143_mutual_knn")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jl_projection_is_map_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q144_jl_projection")
+    assert "Exchange" not in plan  # pure scan-transform
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
