@@ -101,6 +101,11 @@ _ADJUDICATE_FIRST = [
     "q142_event_transitions",
     "q143_mutual_knn",
     "q144_jl_projection",
+    # Beyond the 50-row driver cap (covered by the local mirror) —
+    # first in line for the round-4 rotation:
+    "q145_adx",
+    "q146_trix",
+    "q147_cci",
     # Beyond the 50-row driver cap (covered by the local mirror):
     # indicator/fold variants whose operator machinery (candle windows,
     # pandas kernels, sorted-run folds) is already driver-green via

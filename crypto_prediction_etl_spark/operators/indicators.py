@@ -417,3 +417,168 @@ def heikin_ashi(candles: DataFrame) -> DataFrame:
         ]
 
     return candles.groupBy("id").applyInPandas(kernel, schema=out_schema)
+
+
+ADX_N = 14
+
+
+def adx(candles: DataFrame, n: int = ADX_N) -> DataFrame:
+    """Wilder's Average Directional Index (ADX-14) per id: true range
+    and +/- directional movement per bar, Wilder-smoothed (sum/14 seed
+    then (prev*13 + x)/14), +DI/-DI ratios, DX, and ADX as a second
+    Wilder smoothing of DX (seeded with the mean of the first 14 DX
+    values). Two chained recursions — the deepest stateful operator in
+    the family (reference family: calculate_market_indicators.py).
+
+    Same execution shape as EMA/Holt/Heikin-Ashi: one grouped-map
+    pandas kernel per id (one id-shuffle, O(rows) sequential state
+    machine per key — symbols are the parallelism); every float op is
+    written in the exact sequence the DuckDB recursive-CTE oracle
+    replays, so state stays bit-identical across engines."""
+    in_schema = candles.schema
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in in_schema
+    )
+    out_schema = (
+        out_fields
+        + ", atr double, plus_di double, minus_di double, adx double"
+    )
+    nf = float(n)
+    nm1 = float(n - 1)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("dt").reset_index(drop=True)
+        h = pdf["high"].astype("float64").to_numpy()
+        lo = pdf["low"].astype("float64").to_numpy()
+        c = pdf["close"].astype("float64").to_numpy()
+        m = len(c)
+        nan = float("nan")
+        atr_o = [nan] * m
+        dip_o = [nan] * m
+        dim_o = [nan] * m
+        adx_o = [nan] * m
+        trsum = pdmsum = mdmsum = 0.0
+        atr_s = pdm14 = mdm14 = adx_s = None
+        dxcum = 0.0
+        for t in range(1, m):
+            tr = max(
+                float(h[t]) - float(lo[t]),
+                abs(float(h[t]) - float(c[t - 1])),
+                abs(float(lo[t]) - float(c[t - 1])),
+            )
+            up = float(h[t]) - float(h[t - 1])
+            dn = float(lo[t - 1]) - float(lo[t])
+            pdm = up if (up > dn and up > 0.0) else 0.0
+            mdm = dn if (dn > up and dn > 0.0) else 0.0
+            rn = t  # 1-based count of bars with a previous bar
+            if rn < n:
+                trsum += tr
+                pdmsum += pdm
+                mdmsum += mdm
+                continue
+            if rn == n:
+                trsum += tr
+                pdmsum += pdm
+                mdmsum += mdm
+                atr_s = trsum / nf
+                pdm14 = pdmsum / nf
+                mdm14 = mdmsum / nf
+            else:
+                atr_s = (atr_s * nm1 + tr) / nf
+                pdm14 = (pdm14 * nm1 + pdm) / nf
+                mdm14 = (mdm14 * nm1 + mdm) / nf
+            dip = 100.0 * pdm14 / atr_s if atr_s > 0.0 else 0.0
+            dim = 100.0 * mdm14 / atr_s if atr_s > 0.0 else 0.0
+            s = dip + dim
+            dx = 100.0 * abs(dip - dim) / s if s > 0.0 else 0.0
+            if rn < 2 * n - 1:
+                dxcum += dx
+            elif rn == 2 * n - 1:
+                dxcum += dx
+                adx_s = dxcum / nf
+            else:
+                adx_s = (adx_s * nm1 + dx) / nf
+            atr_o[t] = atr_s
+            dip_o[t] = dip
+            dim_o[t] = dim
+            if adx_s is not None:
+                adx_o[t] = adx_s
+        pdf["atr"] = pd.Series(atr_o, dtype="float64")
+        pdf["plus_di"] = pd.Series(dip_o, dtype="float64")
+        pdf["minus_di"] = pd.Series(dim_o, dtype="float64")
+        pdf["adx"] = pd.Series(adx_o, dtype="float64")
+        return pdf
+
+    return candles.groupBy("id").applyInPandas(kernel, schema=out_schema)
+
+
+TRIX_N = 15
+TRIX_ALPHA = 2.0 / (TRIX_N + 1.0)
+TRIX_OMA = 1.0 - TRIX_ALPHA
+
+
+def trix(candles: DataFrame, n: int = TRIX_N) -> DataFrame:
+    """TRIX(15): 1-bar rate of change of a TRIPLE-smoothed EMA of
+    close. Each EMA level uses the family's SMA-seed convention
+    (q37/W5): level k seeds with the mean of the first 15 values of
+    level k-1, then e = alpha*x + (1-alpha)*e. Three chained
+    recursions; trix_t = 100*(e3_t/e3_{t-1} - 1).
+
+    Grouped-map pandas kernel (one id-shuffle, O(rows) per key); seeds
+    accumulate SEQUENTIALLY (plain running sum, not np.mean) so the
+    DuckDB recursive-CTE oracle replays bit-identical IEEE ops."""
+    in_schema = candles.schema
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in in_schema
+    )
+    out_schema = out_fields + ", ema3 double, trix double"
+    nf = float(n)
+    a, oma = TRIX_ALPHA, TRIX_OMA
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("dt").reset_index(drop=True)
+        x = pdf["close"].astype("float64").to_numpy()
+        m = len(x)
+        nan = float("nan")
+        e3_o = [nan] * m
+        trix_o = [nan] * m
+        s1 = s2 = s3 = 0.0
+        e1 = e2 = e3 = None
+        for t in range(m):
+            rn = t + 1
+            v = float(x[t])
+            if rn < n:
+                s1 += v
+                continue
+            if rn == n:
+                s1 += v
+                e1 = s1 / nf
+            else:
+                e1 = a * v + oma * e1
+            k2 = rn - (n - 1)  # 1-based index into the e1 stream
+            if k2 < n:
+                s2 += e1
+                continue
+            if k2 == n:
+                s2 += e1
+                e2 = s2 / nf
+            else:
+                e2 = a * e1 + oma * e2
+            k3 = k2 - (n - 1)
+            if k3 < n:
+                s3 += e2
+                continue
+            prev_e3 = e3
+            if k3 == n:
+                s3 += e2
+                e3 = s3 / nf
+            else:
+                e3 = a * e2 + oma * e3
+            e3_o[t] = e3
+            if prev_e3 is not None:
+                trix_o[t] = 100.0 * (e3 / prev_e3 - 1.0)
+        pdf["ema3"] = pd.Series(e3_o, dtype="float64")
+        pdf["trix"] = pd.Series(trix_o, dtype="float64")
+        return pdf
+
+    return candles.groupBy("id").applyInPandas(kernel, schema=out_schema)

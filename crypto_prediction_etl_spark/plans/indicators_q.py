@@ -1880,3 +1880,252 @@ def q131_keltner(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(wa).alias("_nw"),
     )
     return out.filter(F.col("_nw") == _KEL_N).drop("_nw")
+
+
+# ---------------------------------------------------------------------------
+# ADX(14) — Wilder's Average Directional Index (two chained recursions)
+# ---------------------------------------------------------------------------
+
+
+def _q145_oracle() -> str:
+    return f"""
+    WITH RECURSIVE candles AS ({CANDLES_SQL}),
+    base AS (
+      SELECT id, dt, high, low, close,
+             lag(high)  OVER ({_WIN}) AS ph,
+             lag(low)   OVER ({_WIN}) AS pl,
+             lag(close) OVER ({_WIN}) AS pc
+      FROM candles
+    ),
+    c AS MATERIALIZED (
+      SELECT id, dt,
+             greatest(high - low, abs(high - pc), abs(low - pc)) AS tr,
+             CASE WHEN (high - ph) > (pl - low) AND (high - ph) > 0.0
+                  THEN high - ph ELSE 0.0 END AS pdm,
+             CASE WHEN (pl - low) > (high - ph) AND (pl - low) > 0.0
+                  THEN pl - low ELSE 0.0 END AS mdm,
+             row_number() OVER ({_WIN}) AS rn
+      FROM base WHERE pc IS NOT NULL
+    ),
+    r AS (
+      SELECT id, rn, dt, tr AS trsum, pdm AS pdmsum, mdm AS mdmsum,
+             CAST(NULL AS DOUBLE) AS atr, CAST(NULL AS DOUBLE) AS pdm14,
+             CAST(NULL AS DOUBLE) AS mdm14, CAST(NULL AS DOUBLE) AS dip,
+             CAST(NULL AS DOUBLE) AS dim, CAST(0.0 AS DOUBLE) AS dxcum,
+             CAST(NULL AS DOUBLE) AS adx
+      FROM c WHERE rn = 1
+      UNION ALL
+      SELECT id, rn, dt, trsum, pdmsum, mdmsum, atr, pdm14, mdm14, dip, dim,
+             CASE WHEN rn >= 14 AND rn <= 27 THEN dxcum + dx ELSE dxcum END AS dxcum,
+             CASE WHEN rn = 27 THEN (dxcum + dx) / 14.0
+                  WHEN rn > 27 THEN (adx0 * 13.0 + dx) / 14.0 END AS adx
+      FROM (
+        SELECT *,
+               CASE WHEN rn >= 14 THEN
+                 CASE WHEN dip + dim > 0.0
+                      THEN 100.0 * abs(dip - dim) / (dip + dim) ELSE 0.0 END
+               END AS dx
+        FROM (
+          SELECT id, rn, dt, trsum, pdmsum, mdmsum, atr, pdm14, mdm14,
+                 CASE WHEN rn >= 14 THEN
+                   CASE WHEN atr > 0.0 THEN 100.0 * pdm14 / atr ELSE 0.0 END
+                 END AS dip,
+                 CASE WHEN rn >= 14 THEN
+                   CASE WHEN atr > 0.0 THEN 100.0 * mdm14 / atr ELSE 0.0 END
+                 END AS dim,
+                 dxcum, adx0
+          FROM (
+            SELECT c.id, c.rn, c.dt,
+                   CASE WHEN c.rn <= 14 THEN p.trsum + c.tr ELSE p.trsum END AS trsum,
+                   CASE WHEN c.rn <= 14 THEN p.pdmsum + c.pdm ELSE p.pdmsum END AS pdmsum,
+                   CASE WHEN c.rn <= 14 THEN p.mdmsum + c.mdm ELSE p.mdmsum END AS mdmsum,
+                   CASE WHEN c.rn = 14 THEN (p.trsum + c.tr) / 14.0
+                        WHEN c.rn > 14 THEN (p.atr * 13.0 + c.tr) / 14.0 END AS atr,
+                   CASE WHEN c.rn = 14 THEN (p.pdmsum + c.pdm) / 14.0
+                        WHEN c.rn > 14 THEN (p.pdm14 * 13.0 + c.pdm) / 14.0 END AS pdm14,
+                   CASE WHEN c.rn = 14 THEN (p.mdmsum + c.mdm) / 14.0
+                        WHEN c.rn > 14 THEN (p.mdm14 * 13.0 + c.mdm) / 14.0 END AS mdm14,
+                   p.dxcum AS dxcum, p.adx AS adx0
+            FROM r p JOIN c ON c.id = p.id AND c.rn = p.rn + 1
+          )
+        )
+      )
+    )
+    SELECT id, dt,
+           {o_rnd('atr', 2)} AS atr_14,
+           {o_rnd('dip', 4)} AS plus_di,
+           {o_rnd('dim', 4)} AS minus_di,
+           {o_rnd('adx', 4)} AS adx
+    FROM r WHERE rn >= 27
+    """
+
+
+@query("q145_adx", oracle=_q145_oracle())
+def q145_adx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADX(14): true range / +DM / -DM per bar, Wilder-smoothed into
+    ATR and +DI/-DI, DX = 100*|+DI - -DI|/(+DI + -DI), and ADX as a
+    SECOND Wilder smoothing of DX (mean-of-first-14 seed) — the
+    deepest recursion in the indicator family (two chained stateful
+    smoothers). Runs as the standard grouped-map pandas kernel (one
+    id-shuffle, O(rows) per key); the oracle replays the identical
+    state machine as a recursive CTE, so every intermediate double is
+    bit-equal and the output hash-checks at the 2/4-decimal grids."""
+    from ..operators.indicators import adx
+
+    out = adx(candles(spark, sf_dir))
+    return out.filter(F.col("adx").isNotNull() & ~F.isnan("adx")).select(
+        "id",
+        "dt",
+        prnd("atr", 2).alias("atr_14"),
+        prnd("plus_di", 4).alias("plus_di"),
+        prnd("minus_di", 4).alias("minus_di"),
+        prnd("adx", 4).alias("adx"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TRIX(15) — triple-EMA rate of change
+# ---------------------------------------------------------------------------
+
+
+def _q146_oracle() -> str:
+    a, oma = 0.125, 0.875  # 2/(15+1), exactly representable doubles
+    return f"""
+    WITH RECURSIVE candles AS ({CANDLES_SQL}),
+    c AS MATERIALIZED (
+      SELECT id, dt, close, row_number() OVER ({_WIN}) AS rn FROM candles
+    ),
+    r AS (
+      SELECT id, rn, dt, close AS s1, CAST(NULL AS DOUBLE) AS e1,
+             CAST(0.0 AS DOUBLE) AS s2, CAST(NULL AS DOUBLE) AS e2,
+             CAST(0.0 AS DOUBLE) AS s3, CAST(NULL AS DOUBLE) AS e3,
+             CAST(NULL AS DOUBLE) AS trix
+      FROM c WHERE rn = 1
+      UNION ALL
+      SELECT id, rn, dt, s1, e1, s2, e2, s3, e3n AS e3,
+             CASE WHEN e3p IS NOT NULL AND e3n IS NOT NULL
+                  THEN 100.0 * (e3n / e3p - 1.0) END AS trix
+      FROM (
+        SELECT id, rn, dt, s1, e1, s2, e2,
+               CASE WHEN rn >= 29 AND rn <= 43 THEN s3p + e2 ELSE s3p END AS s3,
+               CASE WHEN rn = 43 THEN (s3p + e2) / 15.0
+                    WHEN rn > 43 THEN {a} * e2 + {oma} * e3p END AS e3n,
+               e3p
+        FROM (
+          SELECT id, rn, dt, s1, e1,
+                 CASE WHEN rn >= 15 AND rn <= 29 THEN s2p + e1 ELSE s2p END AS s2,
+                 CASE WHEN rn = 29 THEN (s2p + e1) / 15.0
+                      WHEN rn > 29 THEN {a} * e1 + {oma} * e2p END AS e2,
+                 s3p, e3p
+          FROM (
+            SELECT c.id, c.rn, c.dt,
+                   CASE WHEN c.rn <= 15 THEN p.s1 + c.close ELSE p.s1 END AS s1,
+                   CASE WHEN c.rn = 15 THEN (p.s1 + c.close) / 15.0
+                        WHEN c.rn > 15 THEN {a} * c.close + {oma} * p.e1 END AS e1,
+                   p.s2 AS s2p, p.e2 AS e2p, p.s3 AS s3p, p.e3 AS e3p
+            FROM r p JOIN c ON c.id = p.id AND c.rn = p.rn + 1
+          )
+        )
+      )
+    )
+    SELECT id, dt,
+           {o_rnd('e3', 2)} AS ema3_15,
+           {o_rnd('trix', 6)} AS trix
+    FROM r WHERE trix IS NOT NULL
+    """
+
+
+@query("q146_trix", oracle=_q146_oracle())
+def q146_trix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIX(15): 1-bar percent rate of change of a triple-smoothed EMA
+    (each level SMA-seeded per the family convention) — the
+    momentum oscillator whose triple recursion exercises CHAINED
+    stateful streams (e2 consumes e1's warm-up boundary, e3 consumes
+    e2's). Same kernel/oracle discipline as q145."""
+    from ..operators.indicators import trix
+
+    out = trix(candles(spark, sf_dir))
+    return out.filter(F.col("trix").isNotNull() & ~F.isnan("trix")).select(
+        "id",
+        "dt",
+        prnd("ema3", 2).alias("ema3_15"),
+        prnd("trix", 6).alias("trix"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCI(20) — Commodity Channel Index (windowed mean absolute deviation)
+# ---------------------------------------------------------------------------
+
+_CCI_N = 20
+
+
+def _q147_oracle() -> str:
+    fr = f"({_WIN} ROWS BETWEEN {_CCI_N - 1} PRECEDING AND CURRENT ROW)"
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    t AS (SELECT id, dt, (high + low + close) / 3.0 AS tp FROM candles),
+    w AS (
+      SELECT id, dt, tp,
+             avg(tp)  OVER {fr} AS sma,
+             list(tp) OVER {fr} AS lst,
+             count(*) OVER {fr} AS nw
+      FROM t
+    ),
+    m AS (
+      SELECT id, dt, tp, sma,
+             list_aggregate(list_transform(lst, x -> abs(x - sma)), 'sum')
+               / {float(_CCI_N)} AS md
+      FROM w WHERE nw = {_CCI_N}
+    )
+    SELECT id, dt,
+           {o_rnd('tp', 2)} AS tp,
+           {o_rnd('sma', 2)} AS sma_20,
+           {o_rnd('CASE WHEN md > 0.0 THEN (tp - sma) / (0.015 * md) ELSE 0.0 END', 4)} AS cci
+    FROM m
+    """
+
+
+@query("q147_cci", oracle=_q147_oracle())
+def q147_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCI(20): (typical price - SMA) / (0.015 * mean absolute
+    deviation from the CURRENT window's mean). The deviation-from-
+    window-mean makes this inexpressible as a plain window aggregate —
+    but NOT kernel-worthy: collect_list over the 20-row frame plus a
+    JVM higher-order fold (transform/aggregate) computes it with zero
+    Python and the same single per-id sort as every other window
+    indicator. Constant 20-element lists bound memory at any scale."""
+    c = candles(spark, sf_dir)
+    w20 = (
+        W.partitionBy("id").orderBy("dt").rowsBetween(-(_CCI_N - 1), 0)
+    )
+    t = c.select(
+        "id", "dt",
+        ((F.col("high") + F.col("low") + F.col("close")) / 3.0).alias("tp"),
+    )
+    w = t.select(
+        "id", "dt", "tp",
+        F.avg("tp").over(w20).alias("sma"),
+        F.collect_list("tp").over(w20).alias("lst"),
+        F.count("*").over(w20).alias("nw"),
+    ).filter(F.col("nw") == _CCI_N)
+    md = (
+        F.aggregate(
+            F.transform("lst", lambda x: F.abs(x - F.col("sma"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / float(_CCI_N)
+    )
+    m = w.select("id", "dt", "tp", "sma", md.alias("md"))
+    cci = F.when(
+        F.col("md") > 0.0,
+        (F.col("tp") - F.col("sma")) / (0.015 * F.col("md")),
+    ).otherwise(F.lit(0.0))
+    return m.select(
+        "id",
+        "dt",
+        prnd("tp", 2).alias("tp"),
+        prnd("sma", 2).alias("sma_20"),
+        prnd(cci, 4).alias("cci"),
+    )
