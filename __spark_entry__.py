@@ -106,6 +106,10 @@ _ADJUDICATE_FIRST = [
     "q145_adx",
     "q146_trix",
     "q147_cci",
+    "q148_top_supplier",
+    "q149_supplier_diversity",
+    "q150_small_quantity_revenue",
+    "q151_large_orders",
     # Beyond the 50-row driver cap (covered by the local mirror):
     # indicator/fold variants whose operator machinery (candle windows,
     # pandas kernels, sorted-run folds) is already driver-green via

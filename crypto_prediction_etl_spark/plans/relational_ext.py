@@ -268,3 +268,236 @@ def q138_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_cust"),
         prnd(F.sum("c_acctbal"), 2).alias("total_bal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q148 max-aggregate scalar subquery (TPC-H Q15 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q148_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey,
+             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           {o_rnd('total_revenue', 2)} AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def q148_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15 shape: revenue view per supplier for one quarter, then
+    the supplier(s) achieving the MAX of that view — an aggregate of an
+    aggregate consumed as a scalar predicate.
+
+    The revenue view is computed ONCE and reused for both the max
+    scalar and the final probe (Spark reuses the shuffle via the
+    ReusedExchange the plan shows for self-referencing aggregates);
+    the max arrives as a 1-row broadcast, and the supplier dimension is
+    broadcast onto the tiny post-filter result — the fact table is
+    scanned and shuffled exactly once at any scale.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    sup = table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("suppkey"))
+        .select(
+            "s_suppkey", "s_name", prnd("total_revenue", 2).alias("total_revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q149 distinct-count + NOT IN exclusion (TPC-H Q16 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q149_supplier_diversity",
+    oracle="""
+    WITH excl AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    SELECT p_brand, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM excl)
+    GROUP BY p_brand, p_size
+    """,
+)
+def q149_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16 shape: distinct suppliers per (brand, size) with a
+    NOT IN exclusion list — distinct-aggregation after an anti join.
+
+    NOT IN over a provably non-null key column compiles to LEFT ANTI
+    (the null-aware penalty never triggers); the exclusion list and the
+    brand-filtered part dimension both broadcast, so the fact side's
+    only exchange is the final distinct-count — which Spark plans as
+    the standard two-phase (partial distinct per partition, then
+    merge), keeping hot (brand, size) keys from concentrating raw rows.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#33")
+    )
+    excl = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(excl),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q150 correlated-aggregate subquery, decorrelated (TPC-H Q17 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q150_small_quantity_revenue",
+    oracle=f"""
+    WITH avg_qty AS (
+      SELECT l_partkey AS partkey, 0.2 * avg(l_quantity) AS threshold
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {o_rnd('coalesce(sum(l_extendedprice), 0.0) / 7.0', 2)} AS avg_yearly,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN avg_qty ON partkey = l_partkey
+    WHERE p_brand = 'Brand#23' AND l_quantity < threshold
+    """,
+)
+def q150_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17 shape: per-part correlated average-quantity subquery
+    (`l_quantity < 0.2 * avg over the same part`), written directly in
+    its decorrelated form — a per-key aggregate joined back to the
+    fact table, which is exactly what a correlated-subquery rewrite
+    produces.
+
+    At scale the per-part aggregate is small (one row per part) and
+    broadcast-eligible under AQE; the brand filter broadcasts into the
+    fact probe so only Brand#23 rows pay the join. The avg_qty side
+    intentionally aggregates the UNFILTERED lineitem (the subquery is
+    correlated on partkey alone) — pushing the brand filter into it
+    would change semantics; the plan keeps the two scans separate.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        (0.2 * F.avg("l_quantity")).alias("threshold")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(avg_qty, F.col("partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(
+            prnd(
+                F.coalesce(F.sum("l_extendedprice"), F.lit(0.0)) / 7.0, 2
+            ).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q151 HAVING + semi-join back (TPC-H Q18 shape)
+# ---------------------------------------------------------------------------
+
+_Q151_QTY = 250.0
+
+
+@query(
+    "q151_large_orders",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > {_Q151_QTY}
+    )
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS orderdate,
+           {o_rnd('o_totalprice', 2)} AS totalprice,
+           {o_rnd('sum(l_quantity)', 2)} AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q151_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18 shape: orders whose total quantity exceeds a HAVING
+    threshold, re-joined to customers and line items — the
+    aggregate-then-semi-join pattern.
+
+    The HAVING aggregate reduces lineitem to a small orderkey list; it
+    probes back as LEFT SEMI before the wide 3-way join, so only
+    qualifying orders' rows flow into the join stage. Both fact-fact
+    joins are on orderkey — one co-partitioning serves the semi probe,
+    the re-aggregation, and the orders join (a single exchange chain;
+    with bucketed tables, zero).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tq"))
+        .filter(F.col("tq") > _Q151_QTY)
+        .select("l_orderkey")
+    )
+    li_big = li.join(
+        big.withColumnRenamed("l_orderkey", "bk"),
+        F.col("l_orderkey") == F.col("bk"),
+        "left_semi",
+    )
+    return (
+        li_big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_totalprice",
+        )
+        .agg(prnd(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "orderdate",
+            prnd("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+    )
