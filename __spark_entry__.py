@@ -110,6 +110,9 @@ _ADJUDICATE_FIRST = [
     "q149_supplier_diversity",
     "q150_small_quantity_revenue",
     "q151_large_orders",
+    "q152_weighted_jaccard",
+    "q153_curriculum_shards",
+    "q154_systematic_sample",
     # Beyond the 50-row driver cap (covered by the local mirror):
     # indicator/fold variants whose operator machinery (candle windows,
     # pandas kernels, sorted-run folds) is already driver-green via

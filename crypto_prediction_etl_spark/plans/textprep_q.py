@@ -13,7 +13,7 @@ after hash-based candidate generation).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.portable import hash64, o_hash64, o_rnd, prnd
@@ -228,3 +228,240 @@ def q141_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= _Q141_MAX)
         .select("id_a", "id_b", dist.cast("long").alias("dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q152 IDF-weighted Jaccard pairs
+# ---------------------------------------------------------------------------
+
+_Q152_DF_CAP = 16  # blocking tokens must be this rare
+_Q152_MIN_J = 0.08
+
+
+@query(
+    "q152_weighted_jaccard",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.tok,
+             tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS w
+      FROM tf JOIN df USING (tok) CROSS JOIN n
+    ),
+    norm AS (SELECT doc_id, sum(w) AS tw FROM w GROUP BY doc_id),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      JOIN df ON df.tok = a.tok
+      WHERE df.df <= {_Q152_DF_CAP}
+    ),
+    shared AS (
+      SELECT c.id_a, c.id_b, sum(least(wa.w, wb.w)) AS smin
+      FROM cand c
+      JOIN w wa ON wa.doc_id = c.id_a
+      JOIN w wb ON wb.doc_id = c.id_b AND wb.tok = wa.tok
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b,
+           {o_rnd('smin / (na.tw + nb.tw - smin)', 6)} AS wjacc
+    FROM shared
+    JOIN norm na ON na.doc_id = id_a
+    JOIN norm nb ON nb.doc_id = id_b
+    WHERE smin / (na.tw + nb.tw - smin) >= {_Q152_MIN_J}
+    """,
+)
+def q152_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted Jaccard near-dup scoring: J_w(A,B) =
+    sum_t min(w_A(t), w_B(t)) / sum_t max(w_A(t), w_B(t)) with
+    w = tf * ln(N/df) — boilerplate tokens stop dominating similarity,
+    which plain Jaccard (q44) cannot do. Uses the identity
+    sum(max) = W_A + W_B - sum(min), so only SHARED tokens are joined.
+
+    Candidate generation blocks on rare tokens (df <= 16, the q89
+    df-cap discipline — a hot token never builds a posting list); the
+    verify stage joins the SMALL candidate pair list against each
+    side's token map (cost = pairs x doc length, linear), then one
+    groupBy folds the min-weights. All weights derive from two
+    partial-agg passes (tf, df) plus a 1-row N scalar.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    w = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            (
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("w"),
+        )
+    )
+    norm = w.groupBy("doc_id").agg(F.sum("w").alias("tw"))
+    rare = df.filter(F.col("df") <= _Q152_DF_CAP).select("tok")
+    rt = tf.join(F.broadcast(rare), "tok").select("doc_id", "tok")
+    cand = (
+        rt.alias("a")
+        .join(rt.alias("b"), "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    wa = w.select(
+        F.col("doc_id").alias("id_a"), "tok", F.col("w").alias("w_a")
+    )
+    wb = w.select(
+        F.col("doc_id").alias("id_b"), "tok", F.col("w").alias("w_b")
+    )
+    shared = (
+        cand.join(wa, "id_a")
+        .join(wb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("w_a", "w_b")).alias("smin"))
+    )
+    na = norm.select(F.col("doc_id").alias("id_a"), F.col("tw").alias("tw_a"))
+    nb = norm.select(F.col("doc_id").alias("id_b"), F.col("tw").alias("tw_b"))
+    jw = F.col("smin") / (F.col("tw_a") + F.col("tw_b") - F.col("smin"))
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(jw >= _Q152_MIN_J)
+        .select("id_a", "id_b", prnd(jw, 6).alias("wjacc"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q153 curriculum sharding
+# ---------------------------------------------------------------------------
+
+_Q153_SHARDS = 16
+
+
+@query(
+    "q153_curriculum_shards",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             (CASE WHEN len({_TOKS_SQL}) BETWEEN 20 AND 2000 THEN 0.25 ELSE 0.0 END
+              + CASE WHEN CAST(len(list_filter({_TOKS_SQL}, t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE) / len({_TOKS_SQL}) >= 0.01 THEN 0.25 ELSE 0.0 END
+              + CASE WHEN CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) >= 0.6 THEN 0.25 ELSE 0.0 END
+              + CASE WHEN CAST(length(text) - length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) / len({_TOKS_SQL}) BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END
+             ) AS q,
+             {o_hash64('doc_id')} AS h
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, q, h,
+             row_number() OVER (ORDER BY q DESC, h, doc_id) AS rn,
+             count(*) OVER () AS n
+      FROM scored
+    )
+    SELECT doc_id,
+           {o_rnd('q', 2)} AS quality_score,
+           CAST(rn AS BIGINT) AS position,
+           (rn - 1) * {_Q153_SHARDS} // n AS shard
+    FROM r
+    """,
+)
+def q153_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum sharding: rank the corpus by quality score (q42's
+    composite, descending; ties shuffled by portable hash so equal-
+    quality docs spread across shards) and cut it into 16 equal-size
+    shards — highest-quality data lands in the late-training shards a
+    curriculum schedule reads last (or first, per recipe).
+
+    Integer shard arithmetic ((rn-1)*16 // n) is engine-exact. The
+    global row_number is the honest cost: at 100 TB this is a
+    distributed sort by (q, h) — Spark's range-partitioned sort — plus
+    a per-partition offset pass, the same two-pass shape the oracle's
+    single window expresses; no per-row data ever concentrates on one
+    node except the O(partitions) offset table.
+    """
+    from ..operators.text import quality_metrics, quality_score
+
+    docs = table(spark, sf_dir, "documents")
+    m = quality_metrics("text")
+    scored = docs.select(
+        "doc_id",
+        quality_score(m).alias("q"),
+        hash64("doc_id").alias("h"),
+    )
+    win = W.orderBy(F.col("q").desc(), "h", "doc_id")
+    r = scored.select(
+        "doc_id",
+        "q",
+        F.row_number().over(win).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+    )
+    return r.select(
+        "doc_id",
+        prnd("q", 2).alias("quality_score"),
+        F.col("rn").cast("long").alias("position"),
+        ((F.col("rn") - 1) * _Q153_SHARDS / F.col("n"))
+        .cast("long")
+        .alias("shard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q154 systematic weighted sampling
+# ---------------------------------------------------------------------------
+
+_Q154_STEP = 5000  # one pick per 5000 chars of cumulative weight
+
+
+@query(
+    "q154_systematic_sample",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, n_chars, {o_hash64('doc_id')} AS hk FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_chars,
+             sum(n_chars) OVER (ORDER BY hk, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM h
+    )
+    SELECT doc_id, n_chars, cum
+    FROM c
+    WHERE cum // {_Q154_STEP} > (cum - n_chars) // {_Q154_STEP}
+    """,
+)
+def q154_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic weighted sampling: documents ordered by a portable
+    hash (a deterministic shuffle), cumulative character weight
+    computed, and one document picked every 5000 chars of cumulative
+    weight — inclusion probability proportional to size, ZERO RNG
+    state, and exact integer arithmetic (no float boundary can flip a
+    pick). Append-stable ordering comes from the hash key.
+
+    Same global-prefix-sum shape as q153: a distributed sort by hash
+    plus per-partition sums with an O(partitions) offset exchange at
+    scale; the per-row predicate (cum//S > (cum-w)//S) then selects
+    locally with no further shuffle.
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", hash64("doc_id").alias("hk")
+    )
+    win = (
+        W.orderBy("hk", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = docs.select(
+        "doc_id", "n_chars", F.sum("n_chars").over(win).alias("cum")
+    )
+    step = F.lit(_Q154_STEP).cast("long")
+    pick = (F.col("cum") / step).cast("long") > (
+        (F.col("cum") - F.col("n_chars")) / step
+    ).cast("long")
+    return c.filter(pick).select("doc_id", "n_chars", "cum")
