@@ -113,6 +113,11 @@ _ADJUDICATE_FIRST = [
     "q152_weighted_jaccard",
     "q153_curriculum_shards",
     "q154_systematic_sample",
+    "q155_rolling_beta",
+    "q156_percentile_cont",
+    "q157_token_ids",
+    "q158_bigram_nll",
+    "q159_key_skew_profile",
     # Beyond the 50-row driver cap (covered by the local mirror):
     # indicator/fold variants whose operator machinery (candle windows,
     # pandas kernels, sorted-run folds) is already driver-green via

@@ -903,3 +903,155 @@ def q142_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(norm_w), 6
         ).alias("prob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q156 exact interpolated percentiles (percentile_cont semantics)
+# ---------------------------------------------------------------------------
+
+
+def _q156_oracle() -> str:
+    sel, outer = [], []
+    for q in (0.5, 0.9):
+        tag = f"p{int(q * 100)}"
+        # row-level straddling-rank conditions (n is a per-row window col)
+        lo_rn = f"CAST(floor({q} * (n - 1)) AS BIGINT) + 1"
+        hi_rn = f"CAST(ceil({q} * (n - 1)) AS BIGINT) + 1"
+        sel.append(f"max(CASE WHEN rn = {lo_rn} THEN value END) AS vlo_{tag}")
+        sel.append(f"max(CASE WHEN rn = {hi_rn} THEN value END) AS vhi_{tag}")
+        pos = f"{q} * (n_rows - 1)"
+        outer.append(
+            o_rnd(f"vlo_{tag} + (({pos}) - floor({pos})) * (vhi_{tag} - vlo_{tag})", 6)
+            + f" AS {tag}"
+        )
+    return f"""
+    WITH r AS (
+      SELECT event_type, value, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    a AS (
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n_rows,
+             {", ".join(sel)}
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type, n_rows,
+           {", ".join(outer)}
+    FROM a
+    """
+
+
+@query("q156_percentile_cont", oracle=_q156_oracle())
+def q156_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PERCENTILE_CONT semantics (linear interpolation between
+    the two order statistics straddling position q*(n-1)) computed
+    portably: a per-group rank window plus conditional aggregation —
+    NOT the engine's approx_percentile, whose sketches differ across
+    engines and runs. The per-group sort is the honest cost; the
+    (value, event_id) tie-break makes ranks a total order so both
+    engines pick identical straddling rows."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("event_type")).alias("n"),
+    )
+    aggs = [F.max("n").cast("long").alias("n_rows")]
+    for q in (0.5, 0.9):
+        tag = f"p{int(q * 100)}"
+        pos_row = F.lit(q) * (F.col("n") - 1)
+        lo_rn = F.floor(pos_row).cast("long") + 1
+        hi_rn = F.ceil(pos_row).cast("long") + 1
+        aggs.append(
+            F.max(F.when(F.col("rn") == lo_rn, F.col("value"))).alias(f"vlo_{tag}")
+        )
+        aggs.append(
+            F.max(F.when(F.col("rn") == hi_rn, F.col("value"))).alias(f"vhi_{tag}")
+        )
+    a = r.groupBy("event_type").agg(*aggs)
+    outs = ["event_type", "n_rows"]
+    cols = [F.col("event_type"), F.col("n_rows")]
+    for q in (0.5, 0.9):
+        tag = f"p{int(q * 100)}"
+        pos = F.lit(q) * (F.col("n_rows") - 1)
+        cols.append(
+            prnd(
+                F.col(f"vlo_{tag}")
+                + (pos - F.floor(pos)) * (F.col(f"vhi_{tag}") - F.col(f"vlo_{tag}")),
+                6,
+            ).alias(tag)
+        )
+    return a.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# q159 key-skew profiler
+# ---------------------------------------------------------------------------
+
+_Q159_TOPK = 5
+
+
+@query(
+    "q159_key_skew_profile",
+    oracle=f"""
+    WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+    s AS (
+      SELECT count(*) AS n_keys, sum(n) AS n_rows,
+             max(n) AS max_n, avg(n) AS avg_n
+      FROM c
+    ),
+    t AS (
+      SELECT user_id, n,
+             row_number() OVER (ORDER BY n DESC, user_id) AS rnk
+      FROM c
+    )
+    SELECT t.rnk AS rank, t.user_id, t.n,
+           {o_rnd('CAST(t.n AS DOUBLE) / s.n_rows', 6)} AS share,
+           CAST(s.n_keys AS BIGINT) AS n_keys,
+           {o_rnd('s.max_n / s.avg_n', 4)} AS skew_factor
+    FROM t CROSS JOIN s
+    WHERE t.rnk <= {_Q159_TOPK}
+    """,
+)
+def q159_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution profiler: top-5 heavy hitters of a join/groupBy
+    key with their row share, plus the key-count and max/avg skew
+    factor — the diagnostic that decides WHETHER a key needs salting
+    (q96/q111) before a 100 TB shuffle is attempted.
+
+    One partial-agg groupBy on the key; everything downstream (top-k
+    window, 1-row stats) operates on the key-count table, which is
+    orders of magnitude smaller than the data. The stats row broadcast-
+    joins onto the top-k rows.
+    """
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    s = c.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+        F.avg("n").alias("avg_n"),
+    )
+    t = c.select(
+        "user_id",
+        "n",
+        F.row_number()
+        .over(W.orderBy(F.col("n").desc(), "user_id"))
+        .alias("rank"),
+    ).filter(F.col("rank") <= _Q159_TOPK)
+    return t.crossJoin(F.broadcast(s)).select(
+        "rank",
+        "user_id",
+        "n",
+        prnd(F.col("n").cast("double") / F.col("n_rows"), 6).alias("share"),
+        F.col("n_keys").cast("long").alias("n_keys"),
+        prnd(F.col("max_n") / F.col("avg_n"), 4).alias("skew_factor"),
+    )

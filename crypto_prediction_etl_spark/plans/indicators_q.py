@@ -2129,3 +2129,84 @@ def q147_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd("sma", 2).alias("sma_20"),
         prnd(cci, 4).alias("cci"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling market beta / correlation (30-day, algebraic window sums)
+# ---------------------------------------------------------------------------
+
+_BETA_N = 30
+
+
+def _q155_oracle() -> str:
+    fr = f"(PARTITION BY r.id ORDER BY r.dt ROWS BETWEEN {_BETA_N - 1} PRECEDING AND CURRENT ROW)"
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    r0 AS (
+      SELECT id, dt, ln(close / lag(close) OVER ({_WIN})) AS ret
+      FROM candles
+    ),
+    r1 AS (SELECT id, dt, ret FROM r0 WHERE ret IS NOT NULL),
+    mkt AS (SELECT dt, avg(ret) AS mret FROM r1 GROUP BY dt),
+    r AS (SELECT r1.id, r1.dt, r1.ret, mkt.mret FROM r1 JOIN mkt USING (dt)),
+    w AS (
+      SELECT id, dt,
+             count(*)       OVER {fr} AS n,
+             sum(ret)       OVER {fr} AS sr,
+             sum(mret)      OVER {fr} AS sm,
+             sum(ret*mret)  OVER {fr} AS srm,
+             sum(mret*mret) OVER {fr} AS smm,
+             sum(ret*ret)   OVER {fr} AS srr
+      FROM r
+    )
+    SELECT id, dt,
+           {o_rnd(f'(srm - sr * sm / {float(_BETA_N)}) / (smm - sm * sm / {float(_BETA_N)})', 4)} AS beta_30,
+           {o_rnd(f'(srm - sr * sm / {float(_BETA_N)}) / sqrt((srr - sr * sr / {float(_BETA_N)}) * (smm - sm * sm / {float(_BETA_N)}))', 4)} AS corr_30
+    FROM w WHERE n = {_BETA_N}
+    """
+
+
+@query("q155_rolling_beta", oracle=_q155_oracle())
+def q155_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 30-day beta and correlation of each symbol against the
+    equal-weight market (cross-sectional mean of per-symbol log
+    returns) — the factor-exposure measure portfolio risk reads daily.
+
+    The market series is a per-dt aggregate of the tiny returns frame
+    (days x symbols rows, broadcast-joined back on dt), and the rolling
+    stats are ALGEBRAIC sufficient sums (n, Sx, Sy, Sxy, Sxx, Syy) over
+    one per-id window — the same single id-sort every other indicator
+    shares; no per-window recomputation, no pandas."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    r = (
+        c.select(
+            "id",
+            "dt",
+            F.log(F.col("close") / F.lag("close").over(w)).alias("ret"),
+        )
+        .filter(F.col("ret").isNotNull())
+    )
+    mkt = r.groupBy("dt").agg(F.avg("ret").alias("mret"))
+    j = r.join(F.broadcast(mkt), "dt")
+    fr = W.partitionBy("id").orderBy("dt").rowsBetween(-(_BETA_N - 1), 0)
+    nf = float(_BETA_N)
+    stats = j.select(
+        "id",
+        "dt",
+        F.count("*").over(fr).alias("n"),
+        F.sum("ret").over(fr).alias("sr"),
+        F.sum("mret").over(fr).alias("sm"),
+        F.sum(F.col("ret") * F.col("mret")).over(fr).alias("srm"),
+        F.sum(F.col("mret") * F.col("mret")).over(fr).alias("smm"),
+        F.sum(F.col("ret") * F.col("ret")).over(fr).alias("srr"),
+    ).filter(F.col("n") == _BETA_N)
+    cov = F.col("srm") - F.col("sr") * F.col("sm") / nf
+    varm = F.col("smm") - F.col("sm") * F.col("sm") / nf
+    varr = F.col("srr") - F.col("sr") * F.col("sr") / nf
+    return stats.select(
+        "id",
+        "dt",
+        prnd(cov / varm, 4).alias("beta_30"),
+        prnd(cov / F.sqrt(varr * varm), 4).alias("corr_30"),
+    )

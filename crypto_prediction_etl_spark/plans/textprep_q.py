@@ -465,3 +465,166 @@ def q154_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cum") - F.col("n_chars")) / step
     ).cast("long")
     return c.filter(pick).select("doc_id", "n_chars", "cum")
+
+
+# ---------------------------------------------------------------------------
+# q157 token-id encoding (tokenizer apply)
+# ---------------------------------------------------------------------------
+
+_Q157_V = 256
+_Q157_HEAD = 8
+
+
+@query(
+    "q157_token_ids",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tok AS (
+      SELECT doc_id, toks[i] AS tok, i AS pos
+      FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks))) AS i
+        FROM d
+      )
+    ),
+    freq AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+    vocab AS (
+      SELECT tok,
+             row_number() OVER (ORDER BY n DESC, tok) AS id
+      FROM freq ORDER BY n DESC, tok LIMIT {_Q157_V}
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           count(*) FILTER (WHERE v.id IS NULL) AS n_oov,
+           (list(coalesce(v.id, 0) ORDER BY t.pos))[1:{_Q157_HEAD}] AS ids_head
+    FROM tok t LEFT JOIN vocab v USING (tok)
+    GROUP BY t.doc_id
+    """,
+)
+def q157_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION at scale: map every token to its id in
+    the frequency-ranked top-256 vocabulary (OOV -> 0), preserving
+    document order — the encode step that turns a curated corpus into
+    model input, here emitting each doc's token/OOV counts and the
+    first 8 ids as the hash-checkable witness of the full encoding.
+
+    The vocab (id = rank by frequency desc, token asc — a total order)
+    broadcasts; position comes from posexplode so reassembly is an
+    order-insensitive groupBy + sort_array, never a window over the
+    token stream. At 100 TB: one token-frequency groupBy + a
+    broadcast-join map pass, the same shape as q140.
+    """
+    tok = table(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    )
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(_Q157_V)
+        .select(
+            "tok",
+            F.row_number()
+            .over(W.orderBy(F.col("n").desc(), "tok"))
+            .cast("long")
+            .alias("id"),
+        )
+    )
+    enc = tok.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id", "pos", F.coalesce("id", F.lit(0).cast("long")).alias("id")
+    )
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count(F.when(F.col("id") == 0, 1)).alias("n_oov"),
+            F.slice(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "id"))),
+                    lambda s: s.getField("id"),
+                ),
+                1,
+                _Q157_HEAD,
+            ).alias("ids_head"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q158 bigram language-model NLL
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q158_bigram_nll",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      FROM d
+    ),
+    bgs AS (
+      SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bg
+    ),
+    c2 AS (SELECT bg, count(*) AS c12 FROM bgs GROUP BY bg),
+    tok AS (SELECT unnest({_TOKS_SQL}) AS tok FROM documents),
+    c1 AS (SELECT tok, count(*) AS c1 FROM tok GROUP BY tok),
+    v AS (SELECT count(*) AS vsize FROM c1)
+    SELECT b.doc_id,
+           count(*) AS n_bigrams,
+           {o_rnd('avg(-ln((c2.c12 + 1.0) / (c1.c1 + v.vsize)))', 4)} AS bigram_nll
+    FROM bgs b
+    JOIN c2 USING (bg)
+    JOIN c1 ON c1.tok = b.w1
+    CROSS JOIN v
+    GROUP BY b.doc_id
+    """,
+)
+def q158_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score (one level up from q95's
+    unigram NLL): train add-one-smoothed bigram conditionals
+    p(w2|w1) = (c(w1 w2)+1)/(c(w1)+V) on the corpus itself, then score
+    every document by its average bigram negative log-likelihood —
+    the fluency screen that catches shuffled/templated text unigram
+    models cannot.
+
+    Bigrams derive map-side from the token array (no self-join on
+    position); counts are two partial-agg groupBys; scoring joins the
+    doc's bigram instances against the count tables on their hash keys.
+    The vocab-size scalar broadcasts. Hot bigrams are single count
+    rows, never posting lists."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    bgs = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg", F.split("bg", " ").getItem(0).alias("w1"))
+    c2 = bgs.groupBy("bg").agg(F.count("*").alias("c12"))
+    tok = table(spark, sf_dir, "documents").select(
+        F.explode(tokens("text")).alias("tok")
+    )
+    c1 = tok.groupBy("tok").agg(F.count("*").alias("c1"))
+    v = c1.agg(F.count("*").alias("vsize"))
+    nll = -F.log(
+        (F.col("c12") + 1.0) / (F.col("c1") + F.col("vsize"))
+    )
+    return (
+        bgs.join(c2, "bg")
+        .join(c1, F.col("w1") == F.col("tok"))
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            prnd(F.avg(nll), 4).alias("bigram_nll"),
+        )
+    )
