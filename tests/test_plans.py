@@ -692,3 +692,50 @@ def test_jl_projection_is_map_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q144_jl_projection")
     assert "Exchange" not in plan  # pure scan-transform
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_adx_trix_are_grouped_map_kernels(spark, sf_dir):
+    for name in ("q145_adx", "q146_trix"):
+        plan = _plan(spark, sf_dir, name)
+        assert "FlatMapGroupsInPandas" in plan, name
+        # one id-shuffle for the kernel (plus the candle groupBy)
+        assert plan.count("Exchange hashpartitioning") <= 2, name
+
+
+def test_cci_is_jvm_window_fold_no_python(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q147_cci")
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_weighted_jaccard_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q152_weighted_jaccard")
+    # the only nested-loop joins allowed are the 1-row n_docs scalar
+    # cross joins; every pair-producing join must be a hash join
+    assert "CartesianProduct" not in plan
+    for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
+        assert frag.splitlines()[0].strip().endswith("Cross"), frag[:200]
+
+
+def test_rolling_beta_single_stats_window(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q155_rolling_beta")
+    # all six sufficient sums share ONE 30-row frame (a single Window
+    # node computes them); the two remaining Window nodes are the lag
+    # return evaluated in each branch of the market self-join — over
+    # the tiny candle frame, not the fact data
+    assert plan.count("windowspecdefinition(id") <= 8
+    assert plan.count("Window") <= 3
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_token_ids_vocab_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q157_token_ids")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_skew_profile_aggregates_key_counts_not_rows(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q159_key_skew_profile")
+    # partial agg on the raw scan side before any exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan  # 1-row stats side is broadcast
