@@ -118,6 +118,9 @@ _ADJUDICATE_FIRST = [
     "q157_token_ids",
     "q158_bigram_nll",
     "q159_key_skew_profile",
+    "q160_snapshot_diff",
+    "q161_scd2_intervals",
+    "q162_out_of_order",
     # Beyond the 50-row driver cap (covered by the local mirror):
     # indicator/fold variants whose operator machinery (candle windows,
     # pandas kernels, sorted-run folds) is already driver-green via

@@ -1055,3 +1055,129 @@ def q159_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_keys").cast("long").alias("n_keys"),
         prnd(F.col("max_n") / F.col("avg_n"), 4).alias("skew_factor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q161 SCD2 validity intervals
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q161_scd2_intervals",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    chg AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM seq WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(ts) OVER w2, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           CAST(lead(ts) OVER w2 IS NULL AS INT) AS is_current
+    FROM chg
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q161_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) construction: compress each
+    user's event stream into state-change validity intervals
+    [valid_from, valid_to) with an is_current flag — the temporal
+    versioning transform every warehouse dimension load performs.
+
+    Two window passes over the SAME (user_id, (ts, event_id))
+    partitioning — Spark plans them in one sort: lag() finds change
+    points, the stream is filtered to them (this is the compression:
+    repeated states collapse), and lead() closes each interval. No
+    self-join, no shuffle beyond the one per-user exchange.
+    """
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    chg = seq.filter(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    )
+    lead_ts = F.lead("ts").over(w)
+    return chg.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(lead_ts, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        lead_ts.isNull().cast("int").alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q162 out-of-order (late-data) accounting
+# ---------------------------------------------------------------------------
+
+_Q162_LATE_US = 300_000_000  # 5 minutes in microseconds
+
+
+@query(
+    "q162_out_of_order",
+    oracle=f"""
+    WITH arr AS (
+      SELECT event_type,
+             epoch_us(ts) AS ts_us,
+             max(epoch_us(ts)) OVER (PARTITION BY event_type
+                                     ORDER BY event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS run_max_us
+      FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           count(*) FILTER (WHERE run_max_us - ts_us > {_Q162_LATE_US}) AS n_late,
+           {o_rnd(f'CAST(count(*) FILTER (WHERE run_max_us - ts_us > {_Q162_LATE_US}) AS DOUBLE) / count(*)', 6)} AS late_rate,
+           max(run_max_us - ts_us) // 1000000 AS max_delay_s
+    FROM arr GROUP BY event_type
+    """,
+)
+def q162_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order arrival accounting: treating event_id as arrival
+    order, measure how far event time lags the per-type running
+    event-time maximum — the measurement that JUSTIFIES a watermark
+    choice (SURVEY §2.9f): n_late at 5 minutes is exactly the data a
+    ``withWatermark("ts", "5 minutes")`` would drop, and max_delay the
+    bound a lossless one needs.
+
+    All arithmetic in exact integer microseconds (unix_micros /
+    epoch_us) — float epochs would drift across engines. One running-
+    max window per type plus a partial-agg rollup; arrival order is a
+    total order (event_id), so the running max is reproducible.
+    """
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    arr = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.max(F.unix_micros("ts")).over(w).alias("run_max_us"),
+    )
+    delay = F.col("run_max_us") - F.col("ts_us")
+    late = F.count(F.when(delay > _Q162_LATE_US, 1))
+    return arr.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        late.alias("n_late"),
+        prnd(late.cast("double") / F.count("*"), 6).alias("late_rate"),
+        F.floor(F.max(delay) / 1_000_000).cast("long").alias("max_delay_s"),
+    )

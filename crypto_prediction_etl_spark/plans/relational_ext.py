@@ -501,3 +501,99 @@ def q151_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q160 snapshot reconciliation (table diff)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q160_snapshot_diff",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS price
+      FROM orders
+    ),
+    b AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CASE WHEN o_orderkey % 101 = 0
+                  THEN o_totalprice * 1.01 ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000 AS k, o_orderstatus AS st,
+             o_totalprice AS price
+      FROM orders WHERE o_orderkey % 113 = 0
+    ),
+    d AS (
+      SELECT coalesce(a.k, b.k) AS k,
+             CASE WHEN b.k IS NULL THEN 'removed'
+                  WHEN a.k IS NULL THEN 'added'
+                  WHEN a.st <> b.st OR a.price <> b.price THEN 'changed'
+                  ELSE 'equal' END AS status
+      FROM a FULL OUTER JOIN b ON a.k = b.k
+    )
+    SELECT status, count(*) AS n_rows, min(k) AS min_key, max(k) AS max_key
+    FROM d GROUP BY status
+    """,
+)
+def q160_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: diff two versions of a table into
+    added / removed / changed / equal classes — the anti-entropy check
+    every reload pipeline (reference L3: delete-verify-insert) runs to
+    prove a swap preserved the data. The second snapshot is derived
+    in-query (deterministic synthetic deletes %97, updates %101,
+    inserts %113) so the gate hash-checks the diff logic itself.
+
+    One full-outer hash join on the primary key, then per-class
+    partial-agg counts. Change detection compares TYPED columns, never
+    engine-formatted strings (float->string differs across engines; a
+    hash-of-concat diff would false-positive). At 100 TB, bucketing
+    both snapshots by key makes the diff exchange-free.
+    """
+    o = table(spark, sf_dir, "orders")
+    a = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").alias("price"),
+    )
+    b_upd = (
+        o.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("st"),
+            F.when(
+                F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") * 1.01
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("price"),
+        )
+    )
+    b_ins = o.filter(F.col("o_orderkey") % 113 == 0).select(
+        (F.col("o_orderkey") + 1000000000).alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").alias("price"),
+    )
+    b = b_upd.unionByName(b_ins)
+    a2 = a.select(
+        F.col("k").alias("ka"), F.col("st").alias("sta"), F.col("price").alias("pa")
+    )
+    b2 = b.select(
+        F.col("k").alias("kb"), F.col("st").alias("stb"), F.col("price").alias("pb")
+    )
+    d = a2.join(b2, F.col("ka") == F.col("kb"), "full_outer").select(
+        F.coalesce("ka", "kb").alias("k"),
+        F.when(F.col("kb").isNull(), "removed")
+        .when(F.col("ka").isNull(), "added")
+        .when(
+            (F.col("sta") != F.col("stb")) | (F.col("pa") != F.col("pb")),
+            "changed",
+        )
+        .otherwise("equal")
+        .alias("status"),
+    )
+    return d.groupBy("status").agg(
+        F.count("*").alias("n_rows"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+    )
