@@ -121,6 +121,9 @@ _ADJUDICATE_FIRST = [
     "q160_snapshot_diff",
     "q161_scd2_intervals",
     "q162_out_of_order",
+    "q163_cogrouped_adjust",
+    "q164_pagerank",
+    "q165_triangle_count",
     # Beyond the 50-row driver cap (covered by the local mirror):
     # indicator/fold variants whose operator machinery (candle windows,
     # pandas kernels, sorted-run folds) is already driver-green via

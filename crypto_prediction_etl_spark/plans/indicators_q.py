@@ -2210,3 +2210,95 @@ def q155_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd(cov / varm, 4).alias("beta_30"),
         prnd(cov / F.sqrt(varr * varm), 4).alias("corr_30"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q163 cogrouped as-of adjustment (FlatMapCoGroupsInPandas surface)
+# ---------------------------------------------------------------------------
+
+
+def _q163_oracle() -> str:
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    adj0 AS (
+      SELECT id, date_trunc('month', dt) AS mth, min(dt) AS dt0
+      FROM candles GROUP BY id, date_trunc('month', dt)
+    ),
+    adj AS (
+      SELECT id, dt0,
+             1.0 + (CAST(EXTRACT(month FROM dt0) % 3 AS DOUBLE) + 1.0) / 100.0 AS factor,
+             lead(dt0) OVER (PARTITION BY id ORDER BY dt0) AS dt1
+      FROM adj0
+    )
+    SELECT c.id, c.dt,
+           {o_rnd('c.close', 2)} AS close,
+           {o_rnd('a.factor', 4)} AS factor,
+           {o_rnd('c.close * a.factor', 2)} AS adj_close
+    FROM candles c JOIN adj a
+      ON a.id = c.id AND c.dt >= a.dt0
+     AND (a.dt1 IS NULL OR c.dt < a.dt1)
+    """
+
+
+@query("q163_cogrouped_adjust", oracle=_q163_oracle())
+def q163_cogrouped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped as-of apply — the LAST Arrow surface of SURVEY §2.10
+    (FlatMapCoGroupsInPandas, next to grouped-map / map-iterator /
+    grouped-agg): per id, the candle series cogroups with a sparse
+    adjustment table (a deterministic monthly factor derived in-query,
+    the corporate-actions/rescale shape) and a pandas kernel applies
+    the LATEST adjustment at or before each bar via one searchsorted —
+    the classic merge-asof that would otherwise need a range join.
+
+    Both inputs shuffle ONCE on the cogroup key and arrive as two
+    aligned Arrow batches per id; kernel cost is O(bars + adjustments)
+    per key. The oracle states the same semantics as an interval join
+    (lead() closes each adjustment's validity window).
+    """
+    import numpy as np
+    import pandas as pd
+
+    c = candles(spark, sf_dir)
+    adj = (
+        c.groupBy("id", F.trunc("dt", "month").alias("mth"))
+        .agg(F.min("dt").alias("dt0"))
+        .select(
+            "id",
+            "dt0",
+            (
+                1.0 + ((F.month("dt0") % 3).cast("double") + 1.0) / 100.0
+            ).alias("factor"),
+        )
+    )
+
+    def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values("dt").reset_index(drop=True)
+        right = right.sort_values("dt0").reset_index(drop=True)
+        idx = (
+            np.searchsorted(
+                right["dt0"].to_numpy(), left["dt"].to_numpy(), side="right"
+            )
+            - 1
+        )
+        ok = idx >= 0
+        factor = np.where(ok, right["factor"].to_numpy()[np.maximum(idx, 0)], 1.0)
+        out = left[["id", "dt", "close"]].copy()
+        out["factor"] = factor
+        out["adj_close"] = out["close"].to_numpy() * factor
+        return out
+
+    out = (
+        c.groupBy("id")
+        .cogroup(adj.groupBy("id"))
+        .applyInPandas(
+            kernel,
+            schema="id string, dt date, close double, factor double, adj_close double",
+        )
+    )
+    return out.select(
+        "id",
+        "dt",
+        prnd("close", 2).alias("close"),
+        prnd("factor", 4).alias("factor"),
+        prnd("adj_close", 2).alias("adj_close"),
+    )

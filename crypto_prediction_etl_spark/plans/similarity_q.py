@@ -781,3 +781,187 @@ def q144_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         outs.append(prnd(dot / scale, 4).alias(f"p{k}"))
     return vecs.select("vec_id", *outs)
+
+
+# ---------------------------------------------------------------------------
+# Shared mutual-kNN edge list (q143's graph) for the graph-analytics ops
+# ---------------------------------------------------------------------------
+
+_EDGES_CTE = f"""
+    {_VECS_CTE},
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             {o_rnd(_COS, 6)} AS cos_sim
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored
+    ),
+    knn AS (SELECT query_id, vec_id FROM ranked WHERE rank <= {_Q143_K}),
+    edges AS (
+      SELECT ab.query_id AS a, ab.vec_id AS b
+      FROM knn ab JOIN knn ba
+        ON ba.query_id = ab.vec_id AND ba.vec_id = ab.query_id
+      WHERE ab.query_id < ab.vec_id
+    )
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN edge list (id_a < id_b), exactly q143's graph."""
+    vecs = _vecs(spark, sf_dir)
+    knn = cosine_topk(vecs, _vecs(spark, sf_dir), k=_Q143_K).select(
+        "query_id", "vec_id"
+    )
+    ab = knn.select(
+        F.col("query_id").alias("id_a"), F.col("vec_id").alias("id_b")
+    )
+    ba = knn.select(
+        F.col("vec_id").alias("id_a"), F.col("query_id").alias("id_b")
+    )
+    return (
+        ab.join(ba, ["id_a", "id_b"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q164 PageRank (5 unrolled power iterations)
+# ---------------------------------------------------------------------------
+
+_Q164_ITERS = 5
+_Q164_D = 0.85
+
+
+def _q164_oracle() -> str:
+    parts = [
+        f"""sym AS (
+      SELECT a AS src, b AS dst FROM edges
+      UNION ALL
+      SELECT b AS src, a AS dst FROM edges
+    ),
+    deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM e),
+    nodes AS (SELECT vec_id AS node FROM e),
+    pr0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn)"""
+    ]
+    for i in range(1, _Q164_ITERS + 1):
+        parts.append(
+            f"""c{i} AS (
+      SELECT s.dst AS node, sum(p.pr / d.deg) AS c
+      FROM sym s
+      JOIN pr{i - 1} p ON p.node = s.src
+      JOIN deg d ON d.node = s.src
+      GROUP BY s.dst
+    ),
+    pr{i} AS (
+      SELECT n.node,
+             {1.0 - _Q164_D} / nn.n + {_Q164_D} * coalesce(c.c, 0.0) AS pr
+      FROM nodes n LEFT JOIN c{i} c USING (node) CROSS JOIN nn
+    )"""
+        )
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {_EDGES_CTE},
+    {body}
+    SELECT node, {o_rnd('pr', 8)} AS pagerank
+    FROM pr{_Q164_ITERS}
+    """
+
+
+@query("q164_pagerank", oracle=_q164_oracle())
+def q164_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the mutual-kNN graph, 5 power iterations UNROLLED
+    into one declarative plan (pr_{{k+1}} = 0.15/N + 0.85 * sum of
+    neighbor pr/deg) — the iterative-graph-algorithm shape (like q55's
+    k-means) expressed so Catalyst sees the whole dataflow: each
+    iteration is a (join edge list -> partial-agg groupBy -> left join
+    nodes) stage, all on the node key, so one co-partitioning carries
+    every iteration at scale; only degrees and the 1-row N scalar
+    broadcast. Fixed iteration count keeps it SQL-expressible — the
+    oracle replays the identical five stages as chained CTEs."""
+    edges = _edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    vecs = _vecs(spark, sf_dir)
+    nodes = vecs.select(F.col("vec_id").alias("node"))
+    nn = vecs.agg(F.count("*").alias("n"))
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(_Q164_ITERS):
+        contrib = (
+            sym.join(pr, sym.src == pr.node)
+            .join(F.broadcast(deg).alias("d"), F.col("d.node") == sym.src)
+            .groupBy(F.col("dst").alias("cnode"))
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("c"))
+        )
+        pr = (
+            nodes.join(contrib, nodes.node == contrib.cnode, "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - _Q164_D) / F.col("n")
+                    + _Q164_D * F.coalesce("c", F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return pr.select("node", prnd("pr", 8).alias("pagerank"))
+
+
+# ---------------------------------------------------------------------------
+# q165 triangle counting
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q165_triangle_count",
+    oracle=f"""
+    WITH {_EDGES_CTE},
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.b
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    corners AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT node, count(*) AS n_triangles
+    FROM corners GROUP BY node
+    """,
+)
+def q165_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the mutual-kNN graph — the local
+    clustering signal (communities vs hub noise) and the classic
+    multiway self-join: with edges canonically ordered (a < b), each
+    triangle a<b<c is found EXACTLY once via two equi-joins (wedge
+    a-b-c, closure a-c). Join input is the edge list (k-bounded, so
+    O(kN)); the heavy-hitter risk is a high-degree node's wedge set —
+    at scale the standard mitigation keeps the canonical ordering by
+    DEGREE (low-degree first), which this operator's ordering hook
+    accepts; corner counting is a partial-agg groupBy."""
+    e = _edges(spark, sf_dir)
+    e1 = e.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
+    e2 = e.select(F.col("id_a").alias("y"), F.col("id_b").alias("z"))
+    e3 = e.select(F.col("id_a").alias("x"), F.col("id_b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    corners = (
+        tri.select(F.col("x").alias("node"))
+        .unionByName(tri.select(F.col("y").alias("node")))
+        .unionByName(tri.select(F.col("z").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
