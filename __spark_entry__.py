@@ -124,6 +124,9 @@ _ADJUDICATE_FIRST = [
     "q163_cogrouped_adjust",
     "q164_pagerank",
     "q165_triangle_count",
+    "q166_feature_hashing",
+    "q167_knn_eval",
+    "q168_ab_test_stats",
     # Beyond the 50-row driver cap (covered by the local mirror):
     # indicator/fold variants whose operator machinery (candle windows,
     # pandas kernels, sorted-run folds) is already driver-green via

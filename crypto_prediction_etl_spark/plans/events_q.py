@@ -1181,3 +1181,90 @@ def q162_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd(late.cast("double") / F.count("*"), 6).alias("late_rate"),
         F.floor(F.max(delay) / 1_000_000).cast("long").alias("max_delay_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q168 A/B cohort comparison (Welch t statistic)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q168_ab_test_stats",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type, user_id % 2 AS grp, value FROM events
+    ),
+    s AS (
+      SELECT event_type, grp,
+             count(*) AS n, sum(value) AS s1, sum(value * value) AS s2
+      FROM g GROUP BY event_type, grp
+    ),
+    ab AS (
+      SELECT a.event_type,
+             a.n AS n_a, b.n AS n_b,
+             a.s1 / a.n AS m_a, b.s1 / b.n AS m_b,
+             (a.s2 - a.s1 * a.s1 / a.n) / (a.n - 1) AS v_a,
+             (b.s2 - b.s1 * b.s1 / b.n) / (b.n - 1) AS v_b
+      FROM s a JOIN s b ON a.event_type = b.event_type
+      WHERE a.grp = 0 AND b.grp = 1
+    )
+    SELECT event_type, n_a, n_b,
+           {o_rnd('m_a', 4)} AS mean_a,
+           {o_rnd('m_b', 4)} AS mean_b,
+           {o_rnd('(m_a - m_b) / sqrt(v_a / n_a + v_b / n_b)', 4)} AS welch_t
+    FROM ab
+    """,
+)
+def q168_ab_test_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B cohort comparison: per event type, the Welch t statistic
+    between two deterministic user cohorts (user_id parity — in
+    production the experiment-assignment hash), from algebraic
+    sufficient statistics (n, sum, sum-of-squares) only.
+
+    One partial-agg groupBy over the raw events, then all arithmetic
+    happens on the types x 2 cohort table — the experimentation
+    readout costs ONE aggregation of the data regardless of scale,
+    the same law as q106's OLS and q115's correlation."""
+    ev = table(spark, sf_dir, "events")
+    s = (
+        ev.select(
+            "event_type", (F.col("user_id") % 2).alias("grp"), "value"
+        )
+        .groupBy("event_type", "grp")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("s1"),
+            F.sum(F.col("value") * F.col("value")).alias("s2"),
+        )
+    )
+    a = s.filter(F.col("grp") == 0).select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("s1").alias("s1a"),
+        F.col("s2").alias("s2a"),
+    )
+    b = s.filter(F.col("grp") == 1).select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("s1").alias("s1b"),
+        F.col("s2").alias("s2b"),
+    )
+    j = a.join(b, "event_type")
+    m_a = F.col("s1a") / F.col("n_a")
+    m_b = F.col("s1b") / F.col("n_b")
+    v_a = (F.col("s2a") - F.col("s1a") * F.col("s1a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    v_b = (F.col("s2b") - F.col("s1b") * F.col("s1b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    return j.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        prnd(m_a, 4).alias("mean_a"),
+        prnd(m_b, 4).alias("mean_b"),
+        prnd(
+            (m_a - m_b) / F.sqrt(v_a / F.col("n_a") + v_b / F.col("n_b")), 4
+        ).alias("welch_t"),
+    )

@@ -965,3 +965,116 @@ def q165_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tri.select(F.col("z").alias("node")))
     )
     return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+# ---------------------------------------------------------------------------
+# q167 kNN classification metrics (precision / recall / F1)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q167_knn_eval",
+    oracle=f"""
+    WITH {_VECS_CTE},
+    q AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label AS actual,
+             c.label AS nbr_label,
+             {o_rnd(_COS, 6)} AS cos_sim, c.vec_id AS vec_id
+      FROM q JOIN e c ON c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored
+    ),
+    votes AS (
+      SELECT query_id, actual, nbr_label, count(*) AS v
+      FROM ranked WHERE rank <= {_Q143_K}
+      GROUP BY query_id, actual, nbr_label
+    ),
+    pred AS (
+      SELECT query_id, actual,
+             first(nbr_label ORDER BY v DESC, nbr_label ASC) AS predicted
+      FROM votes GROUP BY query_id, actual
+    ),
+    cls AS (SELECT DISTINCT label FROM e),
+    m AS (
+      SELECT cls.label,
+             count(*) FILTER (WHERE p.actual = cls.label) AS n_actual,
+             count(*) FILTER (WHERE p.predicted = cls.label) AS n_predicted,
+             count(*) FILTER (WHERE p.actual = cls.label
+                              AND p.predicted = cls.label) AS tp
+      FROM cls CROSS JOIN pred p
+      GROUP BY cls.label
+    )
+    SELECT label, n_actual, n_predicted, tp,
+           {o_rnd('CASE WHEN n_predicted > 0 THEN CAST(tp AS DOUBLE) / n_predicted ELSE 0.0 END', 6)} AS precision,
+           {o_rnd('CASE WHEN n_actual > 0 THEN CAST(tp AS DOUBLE) / n_actual ELSE 0.0 END', 6)} AS recall
+    FROM m
+    """,
+)
+def q167_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation on top of kNN majority vote (argmax of
+    neighbor-label counts, smallest label on ties): per-class
+    precision and recall over a 10% deterministic query sample — the
+    eval table every embedding-quality iteration reads.
+
+    Composes q50's scorer; everything after the top-k is count
+    arithmetic on (query, label) rows. The class list is a distinct of
+    the label column (tiny, broadcast); metrics are exact integer
+    ratios rounded on the portable grid."""
+    vecs = _vecs(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") % 10 == 0)
+    topk = cosine_topk(vecs, queries, k=_Q143_K)
+    q_lbl = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("actual")
+    )
+    c_lbl = vecs.select("vec_id", F.col("label").alias("nbr_label"))
+    votes = (
+        topk.join(c_lbl, "vec_id")
+        .join(F.broadcast(q_lbl), "query_id")
+        .groupBy("query_id", "actual", "nbr_label")
+        .agg(F.count("*").alias("v"))
+    )
+    pred = votes.groupBy("query_id", "actual").agg(
+        F.min_by(
+            "nbr_label", F.struct((F.col("v") * -1).alias("nv"), F.col("nbr_label"))
+        ).alias("predicted")
+    )
+    cls = vecs.select("label").distinct()
+    m = (
+        F.broadcast(cls)
+        .crossJoin(pred)
+        .groupBy("label")
+        .agg(
+            F.count(F.when(F.col("actual") == F.col("label"), 1)).alias(
+                "n_actual"
+            ),
+            F.count(F.when(F.col("predicted") == F.col("label"), 1)).alias(
+                "n_predicted"
+            ),
+            F.count(
+                F.when(
+                    (F.col("actual") == F.col("label"))
+                    & (F.col("predicted") == F.col("label")),
+                    1,
+                )
+            ).alias("tp"),
+        )
+    )
+    prec = F.when(
+        F.col("n_predicted") > 0,
+        F.col("tp").cast("double") / F.col("n_predicted"),
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("n_actual") > 0, F.col("tp").cast("double") / F.col("n_actual")
+    ).otherwise(F.lit(0.0))
+    return m.select(
+        "label",
+        "n_actual",
+        "n_predicted",
+        "tp",
+        prnd(prec, 6).alias("precision"),
+        prnd(rec, 6).alias("recall"),
+    )

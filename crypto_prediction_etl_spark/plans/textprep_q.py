@@ -628,3 +628,46 @@ def q158_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             prnd(F.avg(nll), 4).alias("bigram_nll"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q166 feature hashing (hashing-trick bag of words)
+# ---------------------------------------------------------------------------
+
+_Q166_DIM = 64
+
+
+@query(
+    "q166_feature_hashing",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    )
+    SELECT doc_id,
+           ({o_hash64('tok')}) % {_Q166_DIM} AS bucket,
+           count(*) AS cnt
+    FROM tok
+    GROUP BY doc_id, ({o_hash64('tok')}) % {_Q166_DIM}
+    """,
+)
+def q166_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization: every token maps to one of 64
+    buckets via the portable 60-bit hash, emitting each document's
+    SPARSE feature vector as (bucket, count) rows — the fixed-width,
+    vocabulary-free encoding (Weinberger et al. 2009) that feeds
+    linear/logistic baselines without a vocab build or a second pass.
+
+    Map-side explode + one partial-agg groupBy on (doc, bucket); no
+    vocabulary state, no broadcast, nothing driver-side — the property
+    that makes feature hashing THE encoder that still works when the
+    token space is unbounded (URLs, ids) at 100 TB. Counts are exact
+    integers, so the gate hash-checks without rounding.
+    """
+    tok = table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    )
+    return (
+        tok.select("doc_id", (hash64("tok") % _Q166_DIM).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
