@@ -127,6 +127,10 @@ _ADJUDICATE_FIRST = [
     "q166_feature_hashing",
     "q167_knn_eval",
     "q168_ab_test_stats",
+    "q169_histogram",
+    "q170_embedding_dim_stats",
+    "q171_quantile_transform",
+    "q172_feature_matrix",
     # Beyond the 50-row driver cap (covered by the local mirror):
     # indicator/fold variants whose operator machinery (candle windows,
     # pandas kernels, sorted-run folds) is already driver-green via

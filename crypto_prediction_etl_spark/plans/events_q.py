@@ -1268,3 +1268,39 @@ def q168_ab_test_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (m_a - m_b) / F.sqrt(v_a / F.col("n_a") + v_b / F.col("n_b")), 4
         ).alias("welch_t"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q171 quantile (rank-uniform) transform
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q171_quantile_transform",
+    oracle=f"""
+    SELECT event_id, event_type,
+           {o_rnd('CAST(row_number() OVER w AS DOUBLE) / (count(*) OVER (PARTITION BY event_type) + 1)', 6)} AS u
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def q171_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-uniform quantile transform: map each value to its
+    within-group plotting position rank/(n+1) in (0, 1) — the
+    distribution-free normalization (feature preprocessing, copula
+    inputs) that is exactly reproducible where z-scores depend on
+    float moments. One per-group sort; the (value, event_id) tie-break
+    totalizes the order so ranks are stable under re-partitioning."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        prnd(
+            F.row_number().over(w).cast("double")
+            / (F.count("*").over(W.partitionBy("event_type")) + 1),
+            6,
+        ).alias("u"),
+    )

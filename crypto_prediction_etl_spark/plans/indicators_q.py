@@ -2302,3 +2302,66 @@ def q163_cogrouped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd("factor", 4).alias("factor"),
         prnd("adj_close", 2).alias("adj_close"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q172 prediction feature matrix (the reference's model-input table)
+# ---------------------------------------------------------------------------
+
+
+def _q172_oracle() -> str:
+    def lagc(k: int) -> str:
+        return f"lag(close, {k}) OVER ({_WIN})"
+
+    return f"""
+    WITH candles AS ({CANDLES_SQL})
+    SELECT id, dt,
+           {o_rnd('close', 2)} AS close,
+           {o_rnd(lagc(1), 2)} AS close_lag1,
+           {o_rnd(lagc(7), 2)} AS close_lag7,
+           {o_rnd(lagc(30), 2)} AS close_lag30,
+           {o_rnd(f'close / ({lagc(1)}) - 1.0', 6)} AS ret_1,
+           {o_rnd(f'close / ({lagc(7)}) - 1.0', 6)} AS ret_7,
+           {o_rnd(f'close / ({lagc(30)}) - 1.0', 6)} AS ret_30,
+           {o_rnd(f'lead(close, 1) OVER ({_WIN}) / close - 1.0', 6)} AS target_ret_1
+    FROM candles
+    QUALIFY {lagc(30)} IS NOT NULL AND lead(close, 1) OVER ({_WIN}) IS NOT NULL
+    """
+
+
+@query("q172_feature_matrix", oracle=_q172_oracle())
+def q172_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prediction feature matrix — the table the reference's ML stage
+    trains on (its entire pipeline exists to produce model inputs from
+    candles): lagged closes, multi-horizon returns, and the one-bar-
+    ahead TARGET return (a lead, so the label never leaks features).
+    Rows with incomplete history or no realized target drop — the
+    walk-forward training contract.
+
+    Every column derives from ONE per-id sort (lags, leads and ratios
+    share the window); at scale this is the same single exchange as
+    the indicator mart, and the output partitions by id/dt for the
+    trainer's sharded reader."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    l1 = F.lag("close", 1).over(w)
+    l7 = F.lag("close", 7).over(w)
+    l30 = F.lag("close", 30).over(w)
+    ld1 = F.lead("close", 1).over(w)
+    out = c.select(
+        "id",
+        "dt",
+        prnd("close", 2).alias("close"),
+        prnd(l1, 2).alias("close_lag1"),
+        prnd(l7, 2).alias("close_lag7"),
+        prnd(l30, 2).alias("close_lag30"),
+        prnd(F.col("close") / l1 - 1.0, 6).alias("ret_1"),
+        prnd(F.col("close") / l7 - 1.0, 6).alias("ret_7"),
+        prnd(F.col("close") / l30 - 1.0, 6).alias("ret_30"),
+        prnd(ld1 / F.col("close") - 1.0, 6).alias("target_ret_1"),
+        l30.alias("_l30"),
+        ld1.alias("_ld1"),
+    )
+    return out.filter(
+        F.col("_l30").isNotNull() & F.col("_ld1").isNotNull()
+    ).drop("_l30", "_ld1")

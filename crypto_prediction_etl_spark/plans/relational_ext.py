@@ -597,3 +597,54 @@ def q160_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("min_key"),
         F.max("k").alias("max_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q169 equi-width histogram
+# ---------------------------------------------------------------------------
+
+_Q169_BINS = 20
+
+
+@query(
+    "q169_histogram",
+    oracle=f"""
+    WITH b AS (
+      SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+    ),
+    h AS (
+      SELECT o_orderpriority,
+             least(CAST(floor((o_totalprice - b.lo) / ((b.hi - b.lo) / {_Q169_BINS}.0) ) AS BIGINT),
+                   {_Q169_BINS - 1}) AS bin
+      FROM orders CROSS JOIN b
+    )
+    SELECT o_orderpriority, bin, count(*) AS n
+    FROM h GROUP BY o_orderpriority, bin
+    """,
+)
+def q169_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (20 bins over the global [min, max]) of
+    order totals per priority — the distribution profile every data
+    QA dashboard draws.
+
+    The bin fences come from a 1-row min/max aggregate broadcast onto
+    the scan (two passes total, both full-scan-cheap); binning is pure
+    row arithmetic and the result is a partial-agg groupBy of at most
+    priorities x bins rows. The last bin absorbs the max via least()
+    identically in both engines — float bin edges are computed with
+    the same (x - lo) / width expression so boundary rows land the
+    same side everywhere.
+    """
+    o = table(spark, sf_dir, "orders")
+    b = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / float(_Q169_BINS)
+    h = o.crossJoin(F.broadcast(b)).select(
+        "o_orderpriority",
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("lo")) / width).cast("long"),
+            F.lit(_Q169_BINS - 1).cast("long"),
+        ).alias("bin"),
+    )
+    return h.groupBy("o_orderpriority", "bin").agg(F.count("*").alias("n"))

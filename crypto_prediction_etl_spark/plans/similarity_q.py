@@ -1078,3 +1078,52 @@ def q167_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd(prec, 6).alias("precision"),
         prnd(rec, 6).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q170 per-dimension embedding statistics (drift monitor)
+# ---------------------------------------------------------------------------
+
+_Q170_DIMS = 8  # monitored head dimensions
+
+
+@query(
+    "q170_embedding_dim_stats",
+    oracle=f"""
+    WITH {_VECS_CTE},
+    x AS (
+      SELECT label, i AS dim, v[i] AS val
+      FROM (
+        SELECT label, v, unnest(generate_series(1, {_Q170_DIMS})) AS i
+        FROM e
+      )
+    )
+    SELECT label, dim,
+           count(*) AS n,
+           {o_rnd('sum(val) / count(*)', 6)} AS mean,
+           {o_rnd('sqrt(sum(val * val) / count(*) - (sum(val) / count(*)) * (sum(val) / count(*)))', 6)} AS std
+    FROM x GROUP BY label, dim
+    """,
+)
+def q170_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class, per-dimension embedding statistics (mean/std over
+    the first 8 dims) — the drift monitor that catches encoder
+    regressions and class collapse between embedding versions.
+
+    Dimensions explode map-side from the array (bounded: 8 rows per
+    vector); one partial-agg groupBy on (label, dim) carries algebraic
+    sums only. Variance via sum/sumsq in the SAME expression order in
+    both engines, so the gate hash-checks a moment computation."""
+    vecs = _vecs(spark, sf_dir)
+    x = vecs.select(
+        "label",
+        F.posexplode(F.slice("v", 1, _Q170_DIMS)).alias("dim0", "val"),
+    ).select("label", (F.col("dim0") + 1).alias("dim"), "val")
+    n = F.count("*")
+    s1 = F.sum("val")
+    s2 = F.sum(F.col("val") * F.col("val"))
+    return x.groupBy("label", "dim").agg(
+        n.alias("n"),
+        prnd(s1 / n, 6).alias("mean"),
+        prnd(F.sqrt(s2 / n - (s1 / n) * (s1 / n)), 6).alias("std"),
+    )
