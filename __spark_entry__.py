@@ -131,6 +131,10 @@ _ADJUDICATE_FIRST = [
     "q170_embedding_dim_stats",
     "q171_quantile_transform",
     "q172_feature_matrix",
+    "q173_rolling_pair_corr",
+    "q174_seasonal_decompose",
+    "q175_cusum_changepoint",
+    "q176_kalman_level",
     # Beyond the 50-row driver cap (covered by the local mirror):
     # indicator/fold variants whose operator machinery (candle windows,
     # pandas kernels, sorted-run folds) is already driver-green via

@@ -582,3 +582,45 @@ def trix(candles: DataFrame, n: int = TRIX_N) -> DataFrame:
         return pdf
 
     return candles.groupBy("id").applyInPandas(kernel, schema=out_schema)
+
+
+KALMAN_Q = 10.0
+KALMAN_R = 1000.0
+KALMAN_P0 = 1.0e6
+
+
+def kalman_level(candles: DataFrame) -> DataFrame:
+    """Local-level (random-walk-plus-noise) Kalman filter per id:
+    predict p += Q, gain K = p/(p+R), update level += K*(x - level),
+    p *= (1-K). Level seeds at the first observation with a diffuse
+    p0, so the gain starts ~1 (trust data) and anneals to the steady
+    state. Grouped-map pandas kernel; every float op in the exact
+    order the recursive-CTE oracle replays."""
+    in_schema = candles.schema
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in in_schema
+    )
+    out_schema = out_fields + ", kalman_level double, kalman_gain double"
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("dt").reset_index(drop=True)
+        x = pdf["close"].astype("float64").to_numpy()
+        m = len(x)
+        nan = float("nan")
+        lvl_o = [nan] * m
+        gain_o = [nan] * m
+        if m:
+            level = float(x[0])
+            p = KALMAN_P0
+            for t in range(1, m):
+                pp = p + KALMAN_Q
+                k = pp / (pp + KALMAN_R)
+                level = level + k * (float(x[t]) - level)
+                p = (1.0 - k) * pp
+                lvl_o[t] = level
+                gain_o[t] = k
+        pdf["kalman_level"] = pd.Series(lvl_o, dtype="float64")
+        pdf["kalman_gain"] = pd.Series(gain_o, dtype="float64")
+        return pdf
+
+    return candles.groupBy("id").applyInPandas(kernel, schema=out_schema)

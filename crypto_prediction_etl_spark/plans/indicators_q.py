@@ -2365,3 +2365,302 @@ def q172_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(
         F.col("_l30").isNotNull() & F.col("_ld1").isNotNull()
     ).drop("_l30", "_ld1")
+
+
+# ---------------------------------------------------------------------------
+# q173 rolling pairwise correlation
+# ---------------------------------------------------------------------------
+
+_Q173_N = 30
+
+
+def _q173_oracle() -> str:
+    fr = f"(PARTITION BY id_a, id_b ORDER BY dt ROWS BETWEEN {_Q173_N - 1} PRECEDING AND CURRENT ROW)"
+    nf = float(_Q173_N)
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    r0 AS (SELECT id, dt, ln(close / lag(close) OVER ({_WIN})) AS ret FROM candles),
+    r AS (SELECT id, dt, ret FROM r0 WHERE ret IS NOT NULL),
+    p AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.dt AS dt,
+             a.ret AS ra, b.ret AS rb
+      FROM r a JOIN r b ON a.dt = b.dt AND a.id < b.id
+    ),
+    w AS (
+      SELECT id_a, id_b, dt,
+             count(*)    OVER {fr} AS n,
+             sum(ra)     OVER {fr} AS sa,
+             sum(rb)     OVER {fr} AS sb,
+             sum(ra*rb)  OVER {fr} AS sab,
+             sum(ra*ra)  OVER {fr} AS saa,
+             sum(rb*rb)  OVER {fr} AS sbb
+      FROM p
+    )
+    SELECT id_a, id_b, dt,
+           {o_rnd(f'(sab - sa * sb / {nf}) / sqrt((saa - sa * sa / {nf}) * (sbb - sb * sb / {nf}))', 4)} AS corr_30
+    FROM w WHERE n = {_Q173_N}
+    """
+
+
+@query("q173_rolling_pair_corr", oracle=_q173_oracle())
+def q173_rolling_pair_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 30-day correlation for EVERY symbol pair (the dynamic
+    version of q115's static correlation matrix) — regime-change
+    detection reads exactly this table.
+
+    Pairs align by an equi-join on dt (id_a < id_b residual); with S
+    symbols that is S(S-1)/2 series of the same length — the pair
+    count, not the data volume, is the scale knob. Rolling stats are
+    the same algebraic sufficient sums as q155 over ONE window per
+    pair. At 100 symbols = 4950 windows of day-length series: still
+    days x pairs rows, dwarfed by any fact table."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    r = c.select(
+        "id", "dt", F.log(F.col("close") / F.lag("close").over(w)).alias("ret")
+    ).filter(F.col("ret").isNotNull())
+    a = r.select(F.col("id").alias("id_a"), "dt", F.col("ret").alias("ra"))
+    b = r.select(F.col("id").alias("id_b"), "dt", F.col("ret").alias("rb"))
+    p = a.join(b, "dt").filter(F.col("id_a") < F.col("id_b"))
+    fr = (
+        W.partitionBy("id_a", "id_b")
+        .orderBy("dt")
+        .rowsBetween(-(_Q173_N - 1), 0)
+    )
+    nf = float(_Q173_N)
+    stats = p.select(
+        "id_a",
+        "id_b",
+        "dt",
+        F.count("*").over(fr).alias("n"),
+        F.sum("ra").over(fr).alias("sa"),
+        F.sum("rb").over(fr).alias("sb"),
+        F.sum(F.col("ra") * F.col("rb")).over(fr).alias("sab"),
+        F.sum(F.col("ra") * F.col("ra")).over(fr).alias("saa"),
+        F.sum(F.col("rb") * F.col("rb")).over(fr).alias("sbb"),
+    ).filter(F.col("n") == _Q173_N)
+    cov = F.col("sab") - F.col("sa") * F.col("sb") / nf
+    va = F.col("saa") - F.col("sa") * F.col("sa") / nf
+    vb = F.col("sbb") - F.col("sb") * F.col("sb") / nf
+    return stats.select(
+        "id_a", "id_b", "dt", prnd(cov / F.sqrt(va * vb), 4).alias("corr_30")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q174 additive seasonal decomposition (period 7)
+# ---------------------------------------------------------------------------
+
+_Q174_P = 7
+
+
+def _q174_oracle() -> str:
+    fr = f"({_WIN} ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)"
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    t AS (
+      SELECT id, dt, close,
+             CASE WHEN count(*) OVER {fr} = {_Q174_P}
+                  THEN avg(close) OVER {fr} END AS trend,
+             dayofweek(dt) AS dow
+      FROM candles
+    ),
+    s AS (
+      SELECT id, dow, avg(close - trend) AS seasonal
+      FROM t WHERE trend IS NOT NULL
+      GROUP BY id, dow
+    )
+    SELECT t.id, t.dt,
+           {o_rnd('t.close', 2)} AS close,
+           {o_rnd('t.trend', 4)} AS trend,
+           {o_rnd('s.seasonal', 4)} AS seasonal,
+           {o_rnd('t.close - t.trend - s.seasonal', 4)} AS residual
+    FROM t JOIN s ON s.id = t.id AND s.dow = t.dow
+    WHERE t.trend IS NOT NULL
+    """
+
+
+@query("q174_seasonal_decompose", oracle=_q174_oracle())
+def q174_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition with weekly period (STL-lite):
+    trend = centered 7-day moving average, seasonal = per-weekday mean
+    of the detrended series, residual = the remainder — the
+    decomposition that separates "it's Sunday" from "something broke"
+    before anomaly screens (q132) run.
+
+    One per-id window (centered frame) + one (id, weekday) groupBy of
+    7 rows per id joined back broadcast-style. Weekday via dayofweek
+    pinned to the same 1=Sunday convention in both engines."""
+    c = candles(spark, sf_dir)
+    fr = W.partitionBy("id").orderBy("dt").rowsBetween(-3, 3)
+    t = c.select(
+        "id",
+        "dt",
+        "close",
+        F.when(
+            F.count("*").over(fr) == _Q174_P, F.avg("close").over(fr)
+        ).alias("trend"),
+        F.dayofweek("dt").alias("dow"),
+    )
+    s = (
+        t.filter(F.col("trend").isNotNull())
+        .groupBy("id", "dow")
+        .agg(F.avg(F.col("close") - F.col("trend")).alias("seasonal"))
+    )
+    return (
+        t.filter(F.col("trend").isNotNull())
+        .join(F.broadcast(s), ["id", "dow"])
+        .select(
+            "id",
+            "dt",
+            prnd("close", 2).alias("close"),
+            prnd("trend", 4).alias("trend"),
+            prnd("seasonal", 4).alias("seasonal"),
+            prnd(
+                F.col("close") - F.col("trend") - F.col("seasonal"), 4
+            ).alias("residual"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q175 CUSUM changepoint locator
+# ---------------------------------------------------------------------------
+
+
+def _q175_oracle() -> str:
+    cum_fr = f"({_WIN} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    m AS (
+      SELECT id, dt, close,
+             avg(close) OVER (PARTITION BY id) AS mu,
+             count(*) OVER (PARTITION BY id) AS n
+      FROM candles
+    ),
+    c AS (
+      SELECT id, dt, n,
+             sum(close - mu) OVER {cum_fr} AS cusum
+      FROM m
+    ),
+    r AS (
+      SELECT id, dt, n, cusum,
+             row_number() OVER (PARTITION BY id
+                                ORDER BY abs(cusum) DESC, dt) AS rk
+      FROM c
+    )
+    SELECT id, CAST(n AS BIGINT) AS n_days, dt AS changepoint_dt,
+           {o_rnd('cusum', 2)} AS max_abs_cusum
+    FROM r WHERE rk = 1
+    """
+
+
+@query("q175_cusum_changepoint", oracle=_q175_oracle())
+def q175_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint location: the running sum of deviations from
+    the series mean peaks (in absolute value) at the most likely
+    single level-shift point (Page's CUSUM chart read as a locator) —
+    the screen that says WHERE a regime changed, where q132's z-scores
+    only say that something did.
+
+    Two windows over the one per-id sort (global mean + running sum)
+    and an argmax window — all partition-local after a single
+    id-exchange. Ties break on the earlier date deterministically."""
+    c = candles(spark, sf_dir)
+    pw = W.partitionBy("id")
+    cum = (
+        W.partitionBy("id")
+        .orderBy("dt")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    m = c.select(
+        "id",
+        "dt",
+        "close",
+        F.avg("close").over(pw).alias("mu"),
+        F.count("*").over(pw).alias("n"),
+    )
+    cu = m.select(
+        "id",
+        "dt",
+        "n",
+        F.sum(F.col("close") - F.col("mu")).over(cum).alias("cusum"),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("id").orderBy(F.abs(F.col("cusum")).desc(), "dt")
+    )
+    return (
+        cu.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "id",
+            F.col("n").cast("long").alias("n_days"),
+            F.col("dt").alias("changepoint_dt"),
+            prnd("cusum", 2).alias("max_abs_cusum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q176 Kalman filter (local level)
+# ---------------------------------------------------------------------------
+
+_KALMAN_Q = 10.0  # process noise
+_KALMAN_R = 1000.0  # observation noise
+_KALMAN_P0 = 1.0e6  # diffuse initial variance
+
+
+def _q176_oracle() -> str:
+    return f"""
+    WITH RECURSIVE candles AS ({CANDLES_SQL}),
+    c AS MATERIALIZED (
+      SELECT id, dt, close, row_number() OVER ({_WIN}) AS rn FROM candles
+    ),
+    r AS (
+      SELECT id, rn, dt, close AS level,
+             CAST({_KALMAN_P0} AS DOUBLE) AS p,
+             CAST(NULL AS DOUBLE) AS gain
+      FROM c WHERE rn = 1
+      UNION ALL
+      SELECT id, rn, dt,
+             level0 + k * (close - level0) AS level,
+             (1.0 - k) * pp AS p,
+             k AS gain
+      FROM (
+        SELECT c.id, c.rn, c.dt, c.close,
+               p.level AS level0,
+               p.p + {_KALMAN_Q} AS pp,
+               (p.p + {_KALMAN_Q}) / (p.p + {_KALMAN_Q} + {_KALMAN_R}) AS k
+        FROM r p JOIN c ON c.id = p.id AND c.rn = p.rn + 1
+      )
+    )
+    SELECT id, dt,
+           {o_rnd('level', 2)} AS kalman_level,
+           {o_rnd('gain', 6)} AS kalman_gain
+    FROM r WHERE gain IS NOT NULL
+    """
+
+
+@query("q176_kalman_level", oracle=_q176_oracle())
+def q176_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-level Kalman filter per symbol (predict: p += Q; update:
+    K = p/(p+R), level += K*(x - level), p *= (1-K)) — the adaptive
+    smoother whose gain ANNEALS from the diffuse prior toward the
+    steady state, unlike EMA's fixed alpha. Seeded level = first
+    close, p0 diffuse.
+
+    Same grouped-map pandas kernel law as EMA/Holt/ADX (one
+    id-shuffle, O(rows) sequential state per key); the oracle replays
+    the identical predict/update float sequence as a recursive CTE, so
+    a genuinely adaptive filter is hash-checked bit-for-bit."""
+    from ..operators.indicators import kalman_level
+
+    out = kalman_level(candles(spark, sf_dir))
+    return out.filter(
+        F.col("kalman_gain").isNotNull() & ~F.isnan("kalman_gain")
+    ).select(
+        "id",
+        "dt",
+        prnd("kalman_level", 2).alias("kalman_level"),
+        prnd("kalman_gain", 6).alias("kalman_gain"),
+    )
