@@ -194,3 +194,90 @@ def test_heikin_ashi_matches_independent(spark):
         assert abs(r.ha_close - hc) < 1e-12
         assert abs(r.ha_high - max(h, ho, hc)) < 1e-12
         assert abs(r.ha_low - min(lo, ho, hc)) < 1e-12
+
+
+def test_adx_bounds_and_warmup(spark, sf_dir):
+    """ADX family invariants: +DI/-DI/ADX in [0,100], ATR > 0, and the
+    warm-up contract (first emitted row at the 27th delta bar)."""
+    from crypto_prediction_etl_spark.operators.indicators import adx
+    from crypto_prediction_etl_spark.plans.indicators_q import candles
+
+    out = (
+        adx(candles(spark, sf_dir))
+        .filter("id = '1-URGENT'")
+        .orderBy("dt")
+        .toPandas()
+    )
+    emitted = out.dropna(subset=["adx"])
+    assert len(emitted) == len(out) - 27  # bar 0 has no TR; ADX from bar 27
+    assert (emitted["atr"] > 0).all()
+    for c in ("plus_di", "minus_di", "adx"):
+        assert emitted[c].between(0.0, 100.0).all(), c
+    # DI defined from bar 14 even before ADX exists
+    di_rows = out.dropna(subset=["plus_di"])
+    assert len(di_rows) == len(out) - 14
+
+
+def test_trix_matches_pandas_triple_ewm(spark, sf_dir):
+    """TRIX vs an independent pandas triple-EWM (SMA-seeded) chain."""
+    from crypto_prediction_etl_spark.operators.indicators import trix
+    from crypto_prediction_etl_spark.plans.indicators_q import candles
+
+    out = (
+        trix(candles(spark, sf_dir))
+        .filter("id = '1-URGENT'")
+        .orderBy("dt")
+        .toPandas()
+    )
+    close = out["close"].astype("float64")
+
+    def ema_sma_seed(x: pd.Series, n: int = 15) -> pd.Series:
+        vals = x.to_numpy(dtype="float64")
+        res = np.full(len(vals), np.nan)
+        # positions of non-nan inputs
+        idx = np.flatnonzero(~np.isnan(vals))
+        if len(idx) >= n:
+            a = 2.0 / (n + 1.0)
+            prev = vals[idx[:n]].mean()
+            res[idx[n - 1]] = prev
+            for j in idx[n:]:
+                prev = a * vals[j] + (1 - a) * prev
+                res[j] = prev
+        return pd.Series(res, index=x.index)
+
+    e3 = ema_sma_seed(ema_sma_seed(ema_sma_seed(close)))
+    expect = 100.0 * (e3 / e3.shift(1) - 1.0)
+    got = out["trix"].astype("float64")
+    mask = ~expect.isna() & ~got.isna()
+    assert mask.sum() > 100
+    assert np.allclose(got[mask], expect[mask], rtol=1e-9, atol=1e-9)
+    # warm-up: first trix at bar 44 (1-based), i.e. 43 leading NaNs
+    assert got.isna().sum() == 43
+
+
+def test_kalman_gain_anneals_monotonically(spark, sf_dir):
+    """Kalman invariants: gain starts near 1 (diffuse prior), decreases
+    monotonically to the steady state, and the level tracks the data
+    more tightly than a wide EMA."""
+    from crypto_prediction_etl_spark.operators.indicators import (
+        KALMAN_Q,
+        KALMAN_R,
+        kalman_level,
+    )
+    from crypto_prediction_etl_spark.plans.indicators_q import candles
+
+    out = (
+        kalman_level(candles(spark, sf_dir))
+        .filter("id = '1-URGENT'")
+        .orderBy("dt")
+        .toPandas()
+    )
+    g = out["kalman_gain"].dropna().to_numpy()
+    assert g[0] > 0.99  # diffuse start
+    assert (np.diff(g) <= 1e-12).all()  # anneals downward
+    # steady-state gain for the local-level model
+    q, r = KALMAN_Q, KALMAN_R
+    k_ss = ((q + np.sqrt(q * q + 4 * q * r)) / 2) / (
+        (q + np.sqrt(q * q + 4 * q * r)) / 2 + r
+    )
+    assert abs(g[-1] - k_ss) < 0.01
