@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .schemas import CANDLES_SCHEMA, MARKET_TRADE_SCHEMA, ORDER_BOOK_SCHEMA
 
@@ -305,4 +306,84 @@ def trade_candle_stream_join(
         F.col("c_high").alias("candle_high"),
         F.col("c_low").alias("candle_low"),
         F.col("c_close").alias("candle_close"),
+    )
+
+
+def running_zscore_tws(grouped_stream, seq_col: str = "seq"):
+    """Stateful streaming via the Spark 4 ``transformWithStateInPandas``
+    API (the arbitrary-state successor to applyInPandasWithState):
+    per-symbol running mean/variance (Welford) held in a ValueState,
+    each micro-batch emitting every trade's z-score against the state
+    BEFORE that batch — the online price-anomaly screen.
+
+    Complements ``running_ohlc_stateful``: same one-shuffle-per-batch
+    execution (state lives in the state store, partitioned by key;
+    batches fold in ``seq_col`` order for determinism), but on the new
+    StatefulProcessor handle API with typed ValueState, timers
+    available, and state schema evolution — where new stateful
+    operators should land.
+
+    Runtime note: the TWS state protocol imports ``google.protobuf``
+    (pyspark's StateMessage_pb2); in containers without protobuf the
+    query fails at pre-init — the plumbing here is complete and the
+    e2e test (tests/test_streaming.py::test_transform_with_state_zscore)
+    runs wherever protobuf is installed and skips elsewhere.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+            T.StructField("zscore", T.DoubleType()),
+            T.StructField("n_seen", T.LongType()),
+        ]
+    )
+
+    class ZScoreProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "welford", "n long, mean double, m2 double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import math
+
+            if self._state.exists():
+                n, mean, m2 = self._state.get()
+            else:
+                n, mean, m2 = 0, 0.0, 0.0
+            out = []
+            for pdf in rows:
+                pdf = pdf.sort_values([seq_col, "price"], kind="stable")
+                for seq, price in zip(pdf[seq_col], pdf["price"]):
+                    price = float(price)
+                    if n >= 2 and m2 > 0.0:
+                        z = (price - mean) / math.sqrt(m2 / (n - 1))
+                    else:
+                        z = 0.0
+                    n += 1
+                    d = price - mean
+                    mean += d / n
+                    m2 += d * (price - mean)
+                    out.append((key[0], int(seq), price, z, n))
+            self._state.update((n, mean, m2))
+            yield pd.DataFrame(
+                out, columns=["id", "seq", "price", "zscore", "n_seen"]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return grouped_stream.transformWithStateInPandas(
+        ZScoreProcessor(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="none",
     )

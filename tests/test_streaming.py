@@ -731,3 +731,70 @@ def test_stream_stream_full_outer_emits_both_orphans(spark, workdir):
     ]
     assert orphans and orphans[0]["candle_close"] == 0.5
     assert orphans[0]["price"] is None
+
+
+def test_transform_with_state_zscore(spark, workdir):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor): Welford
+    state persists across micro-batches; z-scores use pre-batch state.
+
+    The TWS state protocol needs the protobuf python package
+    (pyspark/sql/streaming/proto/StateMessage_pb2); this container
+    ships without it, so the test SKIPS there — the operator is the
+    documented seam (like the PIL codec seam in multimodal): plumbing
+    complete, exercised wherever protobuf exists."""
+    import math
+
+    import pandas as pd
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state protocol needs protobuf",
+    )
+
+    from crypto_prediction_etl_spark.streaming.pipelines import (
+        running_zscore_tws,
+    )
+
+    src = os.path.join(workdir, "tws_src")
+    os.makedirs(src)
+    pd.DataFrame(
+        {
+            "id": ["BTC"] * 4,
+            "price": [100.0, 102.0, 98.0, 101.0],
+            "qty": [1.0] * 4,
+            "seq": [1, 2, 3, 4],
+        }
+    ).to_parquet(os.path.join(src, "b0.parquet"))
+
+    stream = spark.readStream.schema(
+        "id string, price double, qty double, seq long"
+    ).parquet(src)
+    out = running_zscore_tws(stream.groupBy("id"))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tws")
+        .option("checkpointLocation", os.path.join(workdir, "tws_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # second batch: an outlier trade must be scored against carried state
+    pd.DataFrame(
+        {"id": ["BTC"], "price": [150.0], "qty": [1.0], "seq": [5]}
+    ).to_parquet(os.path.join(src, "b1.parquet"))
+    q.processAllAvailable()
+    q.stop()
+
+    rows = {r.seq: r for r in spark.sql("SELECT * FROM tws").collect()}
+    assert len(rows) == 5
+    assert rows[1].zscore == 0.0 and rows[1].n_seen == 1
+    # replay Welford over the first four trades to predict seq-5's score
+    n, mean, m2 = 0, 0.0, 0.0
+    for p in (100.0, 102.0, 98.0, 101.0):
+        n += 1
+        d = p - mean
+        mean += d / n
+        m2 += d * (p - mean)
+    expect = (150.0 - mean) / math.sqrt(m2 / (n - 1))
+    assert abs(rows[5].zscore - expect) < 1e-9
+    assert rows[5].n_seen == 5
