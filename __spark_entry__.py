@@ -135,6 +135,10 @@ _ADJUDICATE_FIRST = [
     "q174_seasonal_decompose",
     "q175_cusum_changepoint",
     "q176_kalman_level",
+    "q177_benford_digits",
+    "q178_revenue_concentration",
+    "q179_target_encoding",
+    "q180_session_paths",
     # Beyond the 50-row driver cap (covered by the local mirror):
     # indicator/fold variants whose operator machinery (candle windows,
     # pandas kernels, sorted-run folds) is already driver-green via

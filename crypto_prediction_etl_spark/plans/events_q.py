@@ -1304,3 +1304,150 @@ def q171_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("u"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q179 leave-one-out target encoding
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q179_target_encoding",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, count(*) AS n, sum(value) AS s1 FROM events
+      GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           {o_rnd('CASE WHEN s.n > 1 THEN (s.s1 - e.value) / (s.n - 1) ELSE 0.0 END', 6)} AS te_loo
+    FROM events e JOIN s USING (event_type)
+    """,
+)
+def q179_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding: each row's category feature is
+    the mean target of its category EXCLUDING the row itself,
+    (sum - x)/(n - 1) — the LOO identity turns a per-row exclusion
+    into one category aggregate + a broadcast join, where the naive
+    formulation is a per-row self-join. The standard high-cardinality
+    categorical encoder that avoids self-leakage.
+
+    One partial-agg groupBy (category sums are category-count-sized,
+    broadcast) + a map-side join: at 100 TB the data is touched twice,
+    shuffled never."""
+    ev = table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("value").alias("s1")
+    )
+    return ev.join(F.broadcast(s), "event_type").select(
+        "event_id",
+        "event_type",
+        prnd(
+            F.when(
+                F.col("n") > 1,
+                (F.col("s1") - F.col("value")) / (F.col("n") - 1),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("te_loo"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q180 session entry paths
+# ---------------------------------------------------------------------------
+
+_Q180_GAP_MIN = 30  # session gap, minutes
+_Q180_DEPTH = 3
+
+
+@query(
+    "q180_session_paths",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL {_Q180_GAP_MIN} MINUTE
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_type, ts, event_id,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM seq
+    ),
+    ranked AS (
+      SELECT user_id, session_no, event_type,
+             row_number() OVER (PARTITION BY user_id, session_no
+                                ORDER BY ts, event_id) AS step
+      FROM sess
+    ),
+    paths AS (
+      SELECT user_id, session_no,
+             string_agg(event_type, '>' ORDER BY step) AS path
+      FROM ranked WHERE step <= {_Q180_DEPTH}
+      GROUP BY user_id, session_no
+    )
+    SELECT path, count(*) AS n_sessions
+    FROM paths GROUP BY path
+    """,
+)
+def q180_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session entry-path analysis: sessionize (30-minute gap rule —
+    q63's operator), take each session's first 3 event types in order,
+    and count path frequencies — the navigation-funnel table product
+    analytics reads ("view>click>purchase" vs "view>error>view").
+
+    The gap-rule session numbering is the same lag + running-sum
+    composition as q63, all on ONE per-user sort; path assembly is an
+    ordered string_agg over <= 3 rows per session; the final count is
+    a tiny groupBy on path strings."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.lag("ts").over(w)
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            gap.isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(gap)
+                > _Q180_GAP_MIN * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    cum = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sess = seq.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum("is_start").over(cum).alias("session_no"),
+    )
+    step_w = W.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    ranked = sess.select(
+        "user_id",
+        "session_no",
+        "event_type",
+        F.row_number().over(step_w).alias("step"),
+    ).filter(F.col("step") <= _Q180_DEPTH)
+    paths = ranked.groupBy("user_id", "session_no").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("step", "event_type"))),
+                lambda s: s.getField("event_type"),
+            ),
+            ">",
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(F.count("*").alias("n_sessions"))

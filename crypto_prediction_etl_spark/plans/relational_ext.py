@@ -648,3 +648,119 @@ def q169_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bin"),
     )
     return h.groupBy("o_orderpriority", "bin").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# q177 Benford first-digit screen
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q177_benford_digits",
+    oracle=f"""
+    WITH d AS (
+      SELECT o_orderpriority,
+             CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1.0
+    ),
+    c AS (
+      SELECT o_orderpriority, digit, count(*) AS n,
+             sum(count(*)) OVER (PARTITION BY o_orderpriority) AS total
+      FROM d GROUP BY o_orderpriority, digit
+    )
+    SELECT o_orderpriority, digit, n,
+           {o_rnd('CAST(n AS DOUBLE) / total', 6)} AS observed,
+           {o_rnd('log10(1.0 + 1.0 / digit)', 6)} AS benford_expected
+    FROM c
+    """,
+)
+def q177_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen: observed leading-digit shares
+    of order totals per priority next to log10(1 + 1/d) — the forensic
+    QA test that flags fabricated or truncated monetary columns (real
+    transactional amounts follow Benford; synthetic uniforms do not,
+    which THIS data demonstrates).
+
+    Digit extraction goes through integer/string ops only (floor ->
+    bigint -> first char) — float-to-string formatting differs across
+    engines and is never hashed. One partial-agg groupBy plus a
+    window over the 5x9 count table.
+    """
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1.0)
+    d = o.select(
+        "o_orderpriority",
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit"),
+    )
+    c = d.groupBy("o_orderpriority", "digit").agg(F.count("*").alias("n"))
+    total = F.sum("n").over(W.partitionBy("o_orderpriority"))
+    return c.select(
+        "o_orderpriority",
+        "digit",
+        "n",
+        prnd(F.col("n").cast("double") / total, 6).alias("observed"),
+        prnd(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias(
+            "benford_expected"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q178 revenue concentration (HHI)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q178_revenue_concentration",
+    oracle=f"""
+    WITH r AS (
+      SELECT c_nationkey, o_custkey, sum(o_totalprice) AS rev
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY c_nationkey, o_custkey
+    ),
+    s AS (
+      SELECT c_nationkey,
+             count(*) AS n_cust,
+             sum(rev) AS total_rev,
+             sum(rev * rev) AS sq
+      FROM r GROUP BY c_nationkey
+    )
+    SELECT c_nationkey, n_cust,
+           {o_rnd('total_rev', 2)} AS total_rev,
+           {o_rnd('sq / (total_rev * total_rev)', 6)} AS hhi
+    FROM s
+    """,
+)
+def q178_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per nation via the Herfindahl-Hirschman
+    index: HHI = sum(share^2) = sum(rev^2)/total^2 — 1/n for perfectly
+    even books, 1.0 for single-customer dependence; the
+    concentration-risk metric computed WITHOUT materializing shares
+    (the sum-of-squares identity keeps it one aggregation chain).
+
+    Two groupBys (customer revenue, then nation moments), both
+    partial-agg; the customer dim broadcasts into the first join.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    r = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    s = r.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_cust"),
+        F.sum("rev").alias("total_rev"),
+        F.sum(F.col("rev") * F.col("rev")).alias("sq"),
+    )
+    return s.select(
+        "c_nationkey",
+        "n_cust",
+        prnd("total_rev", 2).alias("total_rev"),
+        prnd(
+            F.col("sq") / (F.col("total_rev") * F.col("total_rev")), 6
+        ).alias("hhi"),
+    )
