@@ -139,6 +139,10 @@ _ADJUDICATE_FIRST = [
     "q178_revenue_concentration",
     "q179_target_encoding",
     "q180_session_paths",
+    "q181_sequence_anomaly",
+    "q182_temporal_dim_join",
+    "q183_cohort_ltv",
+    "q184_group_hash_sample",
     # Beyond the 50-row driver cap (covered by the local mirror):
     # indicator/fold variants whose operator machinery (candle windows,
     # pandas kernels, sorted-run folds) is already driver-green via

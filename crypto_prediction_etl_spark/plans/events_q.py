@@ -1451,3 +1451,270 @@ def q180_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("path")
     )
     return paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+
+
+# ---------------------------------------------------------------------------
+# q181 sequence-anomaly (bot) scoring via transition likelihood
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q181_sequence_anomaly",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    bi AS (SELECT user_id, prev_type, event_type FROM seq
+           WHERE prev_type IS NOT NULL),
+    t AS (
+      SELECT prev_type, event_type, count(*) AS n
+      FROM bi GROUP BY prev_type, event_type
+    ),
+    p AS (
+      SELECT prev_type, event_type,
+             CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type) AS prob
+      FROM t
+    )
+    SELECT b.user_id,
+           count(*) AS n_transitions,
+           {o_rnd('avg(-ln(p.prob))', 4)} AS avg_nll
+    FROM bi b JOIN p USING (prev_type, event_type)
+    GROUP BY b.user_id
+    """,
+)
+def q181_sequence_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-sequence anomaly score: each user's average negative
+    log-likelihood under the corpus transition model (q142's matrix) —
+    users whose event ORDER is improbable (bots replaying fixed
+    scripts, fraud flows) surface even when their event MIX looks
+    normal.
+
+    The transition model is types^2 rows -> broadcast; scoring reuses
+    the same per-user lag pass (one user-shuffle shared with q142/
+    q161/q180 in a combined pipeline) plus a map-side join and a
+    per-user aggregate."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    bi = ev.select(
+        "user_id",
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    t = bi.groupBy("prev_type", "next_type").agg(F.count("*").alias("n"))
+    p = t.select(
+        "prev_type",
+        "next_type",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(W.partitionBy("prev_type"))
+        ).alias("prob"),
+    )
+    return (
+        bi.join(F.broadcast(p), ["prev_type", "next_type"])
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_transitions"),
+            prnd(F.avg(-F.log("prob")), 4).alias("avg_nll"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q182 temporal dimension join (event -> SCD2 state at event time)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q182_temporal_dim_join",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    chg AS (
+      SELECT user_id, event_type AS state, ts AS vf, event_id
+      FROM seq WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    dim AS (
+      SELECT user_id, state, vf,
+             lead(vf) OVER (PARTITION BY user_id ORDER BY vf, event_id) AS vt
+      FROM chg
+    ),
+    f AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id, f.user_id, d.state AS state_at_purchase
+    FROM f JOIN dim d
+      ON d.user_id = f.user_id AND f.ts >= d.vf
+     AND (d.vt IS NULL OR f.ts < d.vt)
+    """,
+)
+def q182_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (SCD2) dimension join: attach to every purchase event
+    the user's state interval covering the purchase time — the
+    point-in-time-correct enrich that a plain latest-value join gets
+    WRONG for historical facts.
+
+    The dimension is q161's interval table (small: one row per state
+    CHANGE); the join is an equi join on user_id with the interval
+    containment as a residual predicate — each fact probes only its
+    own user's handful of intervals, never a time-theta across users.
+    At 100 TB both sides hash-partition by user_id once; with the
+    as-of operator (q19) this same query runs sort-merge without the
+    residual."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("vf"),
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("state"))
+        )
+    )
+    dim = chg.select(
+        "user_id",
+        "state",
+        "vf",
+        F.lead("vf")
+        .over(W.partitionBy("user_id").orderBy("vf", "event_id"))
+        .alias("vt"),
+    )
+    f = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        f.join(dim, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("vf"))
+            & (F.col("vt").isNull() | (F.col("ts") < F.col("vt")))
+        )
+        .select("event_id", "user_id", F.col("state").alias("state_at_purchase"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q183 cohort LTV matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q183_cohort_ltv",
+    oracle=f"""
+    WITH first_seen AS (
+      SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id
+    ),
+    p AS (
+      SELECT f.user_id,
+             date_trunc('week', f.t0) AS cohort_week,
+             date_diff('week', date_trunc('week', f.t0),
+                       date_trunc('week', e.ts)) AS week_no,
+             e.value
+      FROM events e JOIN first_seen f USING (user_id)
+      WHERE e.event_type = 'purchase'
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           week_no,
+           count(DISTINCT user_id) AS n_buyers,
+           {o_rnd('sum(value)', 2)} AS revenue
+    FROM p GROUP BY cohort_week, week_no
+    """,
+)
+def q183_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: purchase revenue per (first-seen
+    cohort week, weeks-since-first-seen) — the LTV curve finance
+    projects payback from (q108's retention matrix with money instead
+    of presence).
+
+    First-seen is one user groupBy (broadcast back); the triangle is
+    one partial-agg groupBy of cohort x week cells. Week arithmetic
+    uses date_trunc-to-Monday in both engines."""
+    ev = table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(first_seen), "user_id")
+        .select(
+            "user_id",
+            F.date_trunc("week", "t0").alias("cw"),
+            (
+                F.datediff(
+                    F.date_trunc("week", "ts"), F.date_trunc("week", "t0")
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_no"),
+            "value",
+        )
+    )
+    return (
+        p.groupBy(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"), "week_no"
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_buyers"),
+            prnd(F.sum("value"), 2).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q184 deterministic per-group sample
+# ---------------------------------------------------------------------------
+
+_Q184_K = 20
+
+
+@query(
+    "q184_group_hash_sample",
+    oracle=f"""
+    WITH r AS (
+      SELECT event_id, event_type, user_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY {o_hash64('event_id')}, event_id) AS rk
+      FROM events
+    )
+    SELECT event_id, event_type, user_id, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= {_Q184_K}
+    """,
+)
+def q184_group_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group sample: top-20 rows per event type by
+    portable-hash order — the "give me 20 random-looking examples of
+    each class" debugging/labeling query, reproducible across engines,
+    re-runs, and partitionings (unlike TABLESAMPLE / rand()).
+
+    One rank window per group; at scale the hash-order rank is a
+    top-k-per-key, which Spark executes with per-partition partial
+    top-k before the final window when k is small (the q11 limit
+    discipline)."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(
+        hash64(F.col("event_id")), "event_id"
+    )
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            "user_id",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= _Q184_K)
+    )
