@@ -26,3 +26,20 @@ def test_all_queries_return_rows(spark, sf_dir):
         df = fn(spark, sf_dir)
         assert df.columns, name
         assert df.count() >= 0, name
+
+
+def test_adjudication_window_names_resolve():
+    """Every name in the driver-facing rotation must exist in the
+    registry — a typo would silently drop a query from the driver's
+    50-row adjudication window."""
+    import __spark_entry__ as entry
+
+    missing = [
+        n for n in entry._ADJUDICATE_FIRST if n not in registry.QUERIES
+    ]
+    assert not missing, missing
+    # and the first 50 oracle-backed entries are exactly the rotation head
+    ordered = list(entry.oracle_sql())
+    assert ordered[: len(entry._ADJUDICATE_FIRST)] == [
+        n for n in entry._ADJUDICATE_FIRST if n in registry.ORACLES
+    ]
