@@ -143,6 +143,10 @@ _ADJUDICATE_FIRST = [
     "q182_temporal_dim_join",
     "q183_cohort_ltv",
     "q184_group_hash_sample",
+    "q185_tick_rule_flow",
+    "q186_amihud_illiquidity",
+    "q187_underwater_streaks",
+    "q188_centroid_outliers",
     # Beyond the 50-row driver cap (covered by the local mirror):
     # indicator/fold variants whose operator machinery (candle windows,
     # pandas kernels, sorted-run folds) is already driver-green via

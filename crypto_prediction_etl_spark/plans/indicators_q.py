@@ -2664,3 +2664,220 @@ def q176_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd("kalman_level", 2).alias("kalman_level"),
         prnd("kalman_gain", 6).alias("kalman_gain"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q185 tick-rule signed order flow
+# ---------------------------------------------------------------------------
+
+
+def _q185_oracle() -> str:
+    cum = f"({_WIN} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    t AS (
+      SELECT id, dt, close, volume_cents,
+             CASE WHEN close > lag(close) OVER ({_WIN}) THEN 1
+                  WHEN close < lag(close) OVER ({_WIN}) THEN -1
+             END AS tick_raw
+      FROM candles
+    ),
+    s AS (
+      SELECT id, dt, volume_cents,
+             last_value(tick_raw IGNORE NULLS) OVER {cum} AS tick
+      FROM t
+    )
+    SELECT id, dt,
+           CAST(tick AS BIGINT) AS tick,
+           CAST(tick * volume_cents AS BIGINT) AS signed_volume_cents,
+           CAST(sum(tick * volume_cents) OVER {cum} AS BIGINT) AS cum_flow_cents
+    FROM s WHERE tick IS NOT NULL
+    """
+
+
+@query("q185_tick_rule_flow", oracle=_q185_oracle())
+def q185_tick_rule_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick-rule signed order flow: classify each bar +1/-1 by price
+    change, CARRYING the previous sign through unchanged prices
+    (the zero-tick rule), then sign the volume and accumulate — the
+    microstructure flow-imbalance series (Lee-Ready family without
+    quote data).
+
+    The carry-forward is last_value(... IGNORE NULLS) over the running
+    frame — the gap-fill idiom (same as the calendar densify in q25) —
+    so the "recursive-looking" carry stays a pure window, no kernel.
+    Volume rides integer cents: the cumulative flow is exact at any
+    association order."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    lagc = F.lag("close").over(w)
+    t = c.select(
+        "id",
+        "dt",
+        "volume_cents",
+        F.when(F.col("close") > lagc, 1)
+        .when(F.col("close") < lagc, -1)
+        .alias("tick_raw"),
+    )
+    s = t.select(
+        "id",
+        "dt",
+        "volume_cents",
+        F.last("tick_raw", ignorenulls=True).over(cum).alias("tick"),
+    ).filter(F.col("tick").isNotNull())
+    signed = F.col("tick") * F.col("volume_cents")
+    return s.select(
+        "id",
+        "dt",
+        F.col("tick").cast("long").alias("tick"),
+        signed.cast("long").alias("signed_volume_cents"),
+        F.sum(signed).over(cum).cast("long").alias("cum_flow_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q186 Amihud illiquidity
+# ---------------------------------------------------------------------------
+
+_Q186_N = 20
+
+
+def _q186_oracle() -> str:
+    fr = f"({_WIN} ROWS BETWEEN {_Q186_N - 1} PRECEDING AND CURRENT ROW)"
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    r AS (
+      SELECT id, dt,
+             abs(close / lag(close) OVER ({_WIN}) - 1.0)
+               / (CAST(volume_cents AS DOUBLE) / 100.0) * 1000000.0 AS illiq
+      FROM candles
+    ),
+    w AS (
+      SELECT id, dt, illiq,
+             count(illiq) OVER {fr} AS n,
+             avg(illiq) OVER {fr} AS amihud
+      FROM r WHERE illiq IS NOT NULL
+    )
+    SELECT id, dt,
+           {o_rnd('illiq', 6)} AS illiq_daily,
+           {o_rnd('amihud', 6)} AS amihud_20
+    FROM w WHERE n = {_Q186_N}
+    """
+
+
+@query("q186_amihud_illiquidity", oracle=_q186_oracle())
+def q186_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amihud (2002) illiquidity: |return| per unit of traded value
+    (scaled x10^6), rolling 20-day mean — the standard price-impact
+    proxy when order-book depth isn't available. One lag + one rolling
+    window on the shared per-id sort; volume converts from exact
+    integer cents in the same expression both engines run."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    fr = w.rowsBetween(-(_Q186_N - 1), 0)
+    illiq = (
+        F.abs(F.col("close") / F.lag("close").over(w) - 1.0)
+        / (F.col("volume_cents").cast("double") / 100.0)
+        * 1000000.0
+    )
+    r = c.select("id", "dt", illiq.alias("illiq")).filter(
+        F.col("illiq").isNotNull()
+    )
+    out = r.select(
+        "id",
+        "dt",
+        "illiq",
+        F.count("illiq").over(fr).alias("n"),
+        F.avg("illiq").over(fr).alias("amihud"),
+    ).filter(F.col("n") == _Q186_N)
+    return out.select(
+        "id",
+        "dt",
+        prnd("illiq", 6).alias("illiq_daily"),
+        prnd("amihud", 6).alias("amihud_20"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q187 underwater (drawdown) streaks
+# ---------------------------------------------------------------------------
+
+
+def _q187_oracle() -> str:
+    cum = f"({_WIN} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    hw AS (
+      SELECT id, dt, close,
+             CASE WHEN close >= max(close) OVER {cum} THEN 1 ELSE 0 END AS at_high
+      FROM candles
+    ),
+    grp AS (
+      SELECT id, dt, at_high,
+             sum(at_high) OVER {cum} AS epoch
+      FROM hw
+    ),
+    runs AS (
+      SELECT id, epoch,
+             count(*) - max(at_high) AS underwater_days,
+             min(dt) AS start_dt, max(dt) AS end_dt
+      FROM grp GROUP BY id, epoch
+    ),
+    best AS (
+      SELECT id, underwater_days, start_dt, end_dt,
+             row_number() OVER (PARTITION BY id
+                                ORDER BY underwater_days DESC, start_dt) AS rk
+      FROM runs WHERE underwater_days > 0
+    )
+    SELECT id, CAST(underwater_days AS BIGINT) AS underwater_days,
+           start_dt, end_dt
+    FROM best WHERE rk <= 3
+    """
+
+
+@query("q187_underwater_streaks", oracle=_q187_oracle())
+def q187_underwater_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest underwater streaks: the top-3 longest runs of
+    consecutive days below the running high-water mark per symbol —
+    the drawdown-DURATION risk metric that q116's depth-only max
+    drawdown misses.
+
+    Gaps-and-islands composition: running max -> at-high flag ->
+    running sum of flags as the epoch id (each new high starts an
+    epoch) -> per-epoch counts. Three windows and a groupBy, all on
+    the single per-id sort."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    hw = c.select(
+        "id",
+        "dt",
+        (F.col("close") >= F.max("close").over(cum))
+        .cast("int")
+        .alias("at_high"),
+    )
+    grp = hw.select(
+        "id", "dt", "at_high", F.sum("at_high").over(cum).alias("epoch")
+    )
+    runs = grp.groupBy("id", "epoch").agg(
+        (F.count("*") - F.max("at_high")).alias("underwater_days"),
+        F.min("dt").alias("start_dt"),
+        F.max("dt").alias("end_dt"),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("id").orderBy(
+            F.col("underwater_days").desc(), "start_dt"
+        )
+    )
+    return (
+        runs.filter(F.col("underwater_days") > 0)
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= 3)
+        .select(
+            "id",
+            F.col("underwater_days").cast("long").alias("underwater_days"),
+            "start_dt",
+            "end_dt",
+        )
+    )

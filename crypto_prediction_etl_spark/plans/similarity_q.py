@@ -1127,3 +1127,76 @@ def q170_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd(s1 / n, 6).alias("mean"),
         prnd(F.sqrt(s2 / n - (s1 / n) * (s1 / n)), 6).alias("std"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q188 centroid-distance outlier screen
+# ---------------------------------------------------------------------------
+
+_Q188_Z = 2.0
+
+
+@query(
+    "q188_centroid_outliers",
+    oracle=f"""
+    WITH {_VECS_CTE},
+    x AS (
+      SELECT label, vec_id, i AS dim, v[i] AS val
+      FROM (SELECT label, vec_id, v,
+                   unnest(generate_series(1, 64)) AS i FROM e)
+    ),
+    cent AS (SELECT label, dim, avg(val) AS c FROM x GROUP BY label, dim),
+    dist AS (
+      SELECT x.vec_id, x.label,
+             sqrt(sum((x.val - cent.c) * (x.val - cent.c))) AS d
+      FROM x JOIN cent USING (label, dim)
+      GROUP BY x.vec_id, x.label
+    ),
+    st AS (
+      SELECT label, avg(d) AS mu, stddev_pop(d) AS sd FROM dist GROUP BY label
+    )
+    SELECT dist.vec_id, dist.label,
+           {o_rnd('d', 4)} AS dist,
+           {o_rnd('(d - mu) / sd', 4)} AS z,
+           CAST((d - mu) / sd > {_Q188_Z} AS INT) AS is_outlier
+    FROM dist JOIN st USING (label)
+    """,
+)
+def q188_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-distance outlier screen: each embedding's Euclidean
+    distance to its OWN label centroid, z-scored within the label,
+    |z| beyond 2 flagged — the mislabeled-example / junk-cluster
+    pruner (the prune half of SemDeDup-style curation: q101 removes
+    redundancy, this removes off-manifold points).
+
+    Centroids via per-(label, dim) partial-agg means (q84's shape);
+    distances re-aggregate the SAME exploded frame joined to the
+    broadcast centroid table — two groupBys and a tiny stats join, no
+    pairwise anything."""
+    vecs = _vecs(spark, sf_dir)
+    x = vecs.select(
+        "label",
+        "vec_id",
+        F.posexplode("v").alias("dim0", "val"),
+    ).select("label", "vec_id", (F.col("dim0") + 1).alias("dim"), "val")
+    cent = x.groupBy("label", "dim").agg(F.avg("val").alias("c"))
+    dist = (
+        x.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sqrt(
+                F.sum((F.col("val") - F.col("c")) * (F.col("val") - F.col("c")))
+            ).alias("d")
+        )
+    )
+    st = dist.groupBy("label").agg(
+        F.avg("d").alias("mu"), F.stddev_pop("d").alias("sd")
+    )
+    z = (F.col("d") - F.col("mu")) / F.col("sd")
+    return dist.join(F.broadcast(st), "label").select(
+        "vec_id",
+        "label",
+        prnd("d", 4).alias("dist"),
+        prnd(z, 4).alias("z"),
+        (z > _Q188_Z).cast("int").alias("is_outlier"),
+    )
