@@ -147,6 +147,10 @@ _ADJUDICATE_FIRST = [
     "q186_amihud_illiquidity",
     "q187_underwater_streaks",
     "q188_centroid_outliers",
+    "q189_hurst_exponent",
+    "q190_subsample_stability",
+    "q191_user_entropy",
+    "q192_gini_coefficient",
     # Beyond the 50-row driver cap (covered by the local mirror):
     # indicator/fold variants whose operator machinery (candle windows,
     # pandas kernels, sorted-run folds) is already driver-green via

@@ -1718,3 +1718,107 @@ def q184_group_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= _Q184_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# q190 subsample stability of the mean
+# ---------------------------------------------------------------------------
+
+_Q190_REPS = 16
+
+
+@query(
+    "q190_subsample_stability",
+    oracle=f"""
+    WITH reps AS (
+      SELECT e.event_type, r.rep, e.value
+      FROM events e
+      CROSS JOIN (SELECT unnest(generate_series(0, {_Q190_REPS - 1})) AS rep) r
+      WHERE ({o_hash64('e.event_id * 31 + r.rep')}) % 2 = 0
+    ),
+    m AS (
+      SELECT event_type, rep, avg(value) AS mu, count(*) AS n
+      FROM reps GROUP BY event_type, rep
+    )
+    SELECT event_type,
+           count(*) AS n_reps,
+           {o_rnd('avg(mu)', 6)} AS mean_of_means,
+           {o_rnd('stddev_pop(mu)', 6)} AS se_subsample
+    FROM m GROUP BY event_type
+    """,
+)
+def q190_subsample_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subsample-stability (half-sampling) error estimate: 16
+    DETERMINISTIC half-samples per event type (membership by portable
+    hash of (event_id, replicate) — no RNG state, identical on any
+    engine/partitioning), each replicate's mean, and the spread across
+    replicates as the empirical standard error — the
+    bootstrap-flavored uncertainty readout that survives reruns.
+
+    The replicate axis is a 16-element generate_series cross join
+    (fan-out 16x map-side, no shuffle until the groupBy); at scale
+    replicate means partial-aggregate, so the exchange carries
+    types x reps rows."""
+    ev = table(spark, sf_dir, "events")
+    reps = spark.range(_Q190_REPS).select(F.col("id").alias("rep"))
+    j = ev.crossJoin(F.broadcast(reps)).filter(
+        hash64(F.col("event_id") * 31 + F.col("rep")) % 2 == 0
+    )
+    m = j.groupBy("event_type", "rep").agg(
+        F.avg("value").alias("mu"), F.count("*").alias("n")
+    )
+    return m.groupBy("event_type").agg(
+        F.count("*").alias("n_reps"),
+        prnd(F.avg("mu"), 6).alias("mean_of_means"),
+        prnd(F.stddev_pop("mu"), 6).alias("se_subsample"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q191 user engagement entropy
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q191_user_entropy",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    t AS (SELECT user_id, sum(n) AS total FROM c GROUP BY user_id)
+    SELECT c.user_id,
+           CAST(t.total AS BIGINT) AS n_events,
+           count(*) AS n_types,
+           {o_rnd('-sum((CAST(c.n AS DOUBLE) / t.total) * ln(CAST(c.n AS DOUBLE) / t.total))', 6)} AS entropy
+    FROM c JOIN t USING (user_id)
+    GROUP BY c.user_id, t.total
+    """,
+)
+def q191_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement-diversity entropy per user: Shannon entropy of the
+    user's event-type distribution — 0 for single-action accounts
+    (bots, crawlers), ln(5) for perfectly mixed usage; the behavioral
+    feature that separates breadth from volume.
+
+    Two partial-agg groupBys on user-keyed counts (the per-user type
+    histogram is at most |types| rows); the entropy fold happens on
+    the count table, never the raw events."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    t = c.groupBy("user_id").agg(F.sum("n").alias("total"))
+    p = F.col("n").cast("double") / F.col("total")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id", "total")
+        .agg(
+            F.count("*").alias("n_types"),
+            prnd(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+        .select(
+            "user_id",
+            F.col("total").cast("long").alias("n_events"),
+            "n_types",
+            "entropy",
+        )
+    )

@@ -2881,3 +2881,129 @@ def q187_underwater_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "end_dt",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q189 Hurst exponent via rescaled range (R/S) analysis
+# ---------------------------------------------------------------------------
+
+_Q189_SMALL, _Q189_BIG = 16, 64
+
+
+def _q189_rs_cte(n: int, tag: str) -> str:
+    return f"""
+    blk{tag} AS (
+      SELECT id, dt, ret,
+             CAST((row_number() OVER ({_WIN}) - 1) // {n} AS BIGINT) AS blk,
+             row_number() OVER ({_WIN}) AS rn
+      FROM r
+    ),
+    full{tag} AS (
+      SELECT id, blk FROM blk{tag} GROUP BY id, blk HAVING count(*) = {n}
+    ),
+    m{tag} AS (
+      SELECT b.id, b.blk, avg(b.ret) AS mu, stddev_pop(b.ret) AS sd
+      FROM blk{tag} b JOIN full{tag} USING (id, blk)
+      GROUP BY b.id, b.blk
+    ),
+    c{tag} AS (
+      SELECT b.id, b.blk,
+             sum(b.ret - m.mu) OVER (PARTITION BY b.id, b.blk ORDER BY b.rn
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cumdev,
+             m.sd
+      FROM blk{tag} b JOIN m{tag} m ON m.id = b.id AND m.blk = b.blk
+    ),
+    rs{tag} AS (
+      SELECT id, blk,
+             (max(cumdev) - min(cumdev)) / max(sd) AS rs
+      FROM c{tag} WHERE sd > 0 GROUP BY id, blk
+    ),
+    avg{tag} AS (SELECT id, avg(rs) AS rs_{tag} FROM rs{tag} GROUP BY id)
+    """
+
+
+def _q189_oracle() -> str:
+    import math
+
+    logratio = math.log(float(_Q189_BIG) / _Q189_SMALL)
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    r0 AS (SELECT id, dt, ln(close / lag(close) OVER ({_WIN})) AS ret FROM candles),
+    r AS (SELECT id, dt, ret FROM r0 WHERE ret IS NOT NULL),
+    {_q189_rs_cte(_Q189_SMALL, 's')},
+    {_q189_rs_cte(_Q189_BIG, 'b')}
+    SELECT avgs.id,
+           {o_rnd('rs_s', 4)} AS rs_small,
+           {o_rnd('rs_b', 4)} AS rs_big,
+           {o_rnd(f'ln(rs_b / rs_s) / {logratio!r}', 4)} AS hurst
+    FROM avgs JOIN avgb USING (id)
+    """
+
+
+@query("q189_hurst_exponent", oracle=_q189_oracle())
+def q189_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent via two-scale rescaled-range (R/S) analysis:
+    chunk each symbol's return series into non-overlapping blocks of
+    16 and 64, compute each block's range-of-cumulative-deviations
+    over its own std, average per scale, and estimate H from the
+    log-ratio (H=0.5 random walk, >0.5 trending, <0.5 mean-reverting).
+
+    Blocks derive from row_number arithmetic (q139's segmentation idea
+    on a series); per-block moments are partial-agg groupBys; the
+    cumulative deviation is one window per (id, block). Everything
+    rides the single per-id sort — two scales just reuse it."""
+    import math
+
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    r = c.select(
+        "id", "dt", F.log(F.col("close") / F.lag("close").over(w)).alias("ret")
+    ).filter(F.col("ret").isNotNull())
+    rn = F.row_number().over(w)
+    base = r.select("id", "dt", "ret", rn.alias("rn"))
+
+    def rs_scale(n: int):
+        blk = base.select(
+            "id", "ret", "rn", (((F.col("rn") - 1) / n).cast("long")).alias("blk")
+        )
+        full = blk.groupBy("id", "blk").agg(F.count("*").alias("cnt")).filter(
+            F.col("cnt") == n
+        ).select("id", "blk")
+        blk = blk.join(full, ["id", "blk"])
+        m = blk.groupBy("id", "blk").agg(
+            F.avg("ret").alias("mu"), F.stddev_pop("ret").alias("sd")
+        )
+        cw = (
+            W.partitionBy("id", "blk")
+            .orderBy("rn")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        cdev = blk.join(m, ["id", "blk"]).select(
+            "id",
+            "blk",
+            "sd",
+            F.sum(F.col("ret") - F.col("mu")).over(cw).alias("cumdev"),
+        )
+        rs = (
+            cdev.filter(F.col("sd") > 0)
+            .groupBy("id", "blk")
+            .agg(
+                ((F.max("cumdev") - F.min("cumdev")) / F.max("sd")).alias("rs")
+            )
+        )
+        return rs.groupBy("id").agg(F.avg("rs").alias(f"rs_{n}"))
+
+    a_s = rs_scale(_Q189_SMALL)
+    a_b = rs_scale(_Q189_BIG)
+    logratio = math.log(float(_Q189_BIG) / _Q189_SMALL)
+    return a_s.join(a_b, "id").select(
+        "id",
+        prnd(f"rs_{_Q189_SMALL}", 4).alias("rs_small"),
+        prnd(f"rs_{_Q189_BIG}", 4).alias("rs_big"),
+        prnd(
+            F.log(F.col(f"rs_{_Q189_BIG}") / F.col(f"rs_{_Q189_SMALL}"))
+            / logratio,
+            4,
+        ).alias("hurst"),
+    )

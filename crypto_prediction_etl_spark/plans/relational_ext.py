@@ -764,3 +764,59 @@ def q178_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sq") / (F.col("total_rev") * F.col("total_rev")), 6
         ).alias("hhi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q192 Gini coefficient
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q192_gini_coefficient",
+    oracle=f"""
+    WITH x AS (
+      SELECT c_nationkey, c_acctbal, c_custkey FROM customer
+      WHERE c_acctbal > 0.0
+    ),
+    r AS (
+      SELECT c_nationkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal, c_custkey) AS i,
+             count(*) OVER (PARTITION BY c_nationkey) AS n
+      FROM x
+    )
+    SELECT c_nationkey,
+           CAST(max(n) AS BIGINT) AS n_cust,
+           {o_rnd('2.0 * sum(i * c_acctbal) / (max(n) * sum(c_acctbal)) - (max(n) + 1.0) / max(n)', 6)} AS gini
+    FROM r GROUP BY c_nationkey
+    """,
+)
+def q192_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of positive balances per nation via the
+    sorted-rank identity G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n — the
+    inequality measure computed with ONE per-group sort and one
+    aggregate, no pairwise |x_i - x_j| double sum (which is the
+    textbook definition and an O(n^2) join).
+
+    The (value, key) tie-broken rank is a total order, so both engines
+    assign identical ranks and the statistic hash-checks exactly."""
+    from pyspark.sql import Window as W
+
+    c = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0.0)
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    r = c.select(
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(W.partitionBy("c_nationkey")).alias("n"),
+    )
+    return r.groupBy("c_nationkey").agg(
+        F.max("n").cast("long").alias("n_cust"),
+        prnd(
+            2.0
+            * F.sum(F.col("i") * F.col("c_acctbal"))
+            / (F.max("n") * F.sum("c_acctbal"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )
