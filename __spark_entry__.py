@@ -151,6 +151,9 @@ _ADJUDICATE_FIRST = [
     "q190_subsample_stability",
     "q191_user_entropy",
     "q192_gini_coefficient",
+    "q193_ks_test",
+    "q194_psi_drift",
+    "q195_lorenz_deciles",
     # Beyond the 50-row driver cap (covered by the local mirror):
     # indicator/fold variants whose operator machinery (candle windows,
     # pandas kernels, sorted-run folds) is already driver-green via

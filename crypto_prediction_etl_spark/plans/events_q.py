@@ -1822,3 +1822,187 @@ def q191_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q193 two-sample Kolmogorov-Smirnov statistic
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q193_ks_test",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type, value, event_id, user_id % 2 AS grp FROM events
+    ),
+    n AS (
+      SELECT event_type,
+             sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n0,
+             sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n1
+      FROM g GROUP BY event_type
+    ),
+    r AS (
+      SELECT g.event_type, g.grp, g.value, n.n0, n.n1,
+             sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY g.event_type ORDER BY g.value, g.event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c0,
+             sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY g.event_type ORDER BY g.value, g.event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1
+      FROM g JOIN n USING (event_type)
+    )
+    SELECT event_type,
+           CAST(max(n0) AS BIGINT) AS n_a,
+           CAST(max(n1) AS BIGINT) AS n_b,
+           {o_rnd('max(abs(CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1))', 6)} AS ks_stat
+    FROM r GROUP BY event_type
+    """,
+)
+def q193_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the parity
+    cohorts per event type: max gap between the two empirical CDFs —
+    the distribution-shift test that catches what q168's mean-based
+    Welch t cannot (equal means, different shapes).
+
+    The merged sample is sorted ONCE per group; both CDFs are running
+    conditional counts over that sort, and the sup-gap is a plain max.
+    The (value, event_id) tie-break pins the step order so the
+    statistic is identical across engines (differences at ties are
+    below one step height either way)."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    g = ev.select(
+        "event_type", "value", "event_id", (F.col("user_id") % 2).alias("grp")
+    )
+    n = g.groupBy("event_type").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n1"),
+    )
+    cum = (
+        W.partitionBy("event_type")
+        .orderBy("value", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    r = g.join(F.broadcast(n), "event_type").select(
+        "event_type",
+        "n0",
+        "n1",
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).over(cum).alias("c0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).over(cum).alias("c1"),
+    )
+    gap = F.abs(
+        F.col("c0").cast("double") / F.col("n0")
+        - F.col("c1").cast("double") / F.col("n1")
+    )
+    return r.groupBy("event_type").agg(
+        F.max("n0").cast("long").alias("n_a"),
+        F.max("n1").cast("long").alias("n_b"),
+        prnd(F.max(gap), 6).alias("ks_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q194 population stability index (drift monitor)
+# ---------------------------------------------------------------------------
+
+_Q194_BINS = 10
+
+
+@query(
+    "q194_psi_drift",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type, min(ts) AS t0, max(ts) AS t1 FROM events
+      GROUP BY event_type
+    ),
+    halves AS (
+      SELECT e.event_type, e.value,
+             CASE WHEN epoch_us(e.ts) - epoch_us(b.t0)
+                       < (epoch_us(b.t1) - epoch_us(b.t0)) // 2
+                  THEN 0 ELSE 1 END AS half
+      FROM events e JOIN b USING (event_type)
+    ),
+    fences AS (
+      SELECT event_type, min(value) AS lo, max(value) AS hi
+      FROM halves WHERE half = 0 GROUP BY event_type
+    ),
+    binned AS (
+      SELECT h.event_type, h.half,
+             least(greatest(CAST(floor((h.value - f.lo) / ((f.hi - f.lo) / {_Q194_BINS}.0)) AS BIGINT), 0), {_Q194_BINS - 1}) AS bin
+      FROM halves h JOIN fences f USING (event_type)
+    ),
+    c AS (
+      SELECT event_type, bin,
+             sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) + 1 AS na,
+             sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) + 1 AS nb
+      FROM binned GROUP BY event_type, bin
+    ),
+    t AS (
+      SELECT event_type,
+             sum(na) AS ta, sum(nb) AS tb FROM c GROUP BY event_type
+    )
+    SELECT c.event_type,
+           {o_rnd('sum((CAST(c.na AS DOUBLE) / t.ta - CAST(c.nb AS DOUBLE) / t.tb) * ln((CAST(c.na AS DOUBLE) / t.ta) / (CAST(c.nb AS DOUBLE) / t.tb)))', 6)} AS psi
+    FROM c JOIN t USING (event_type)
+    GROUP BY c.event_type
+    """,
+)
+def q194_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second halves
+    of each event type's time range: bin the metric on fences from the
+    FIRST half (the reference window, as a deployed model would),
+    add-one-smooth the bin counts, and fold (p-q)*ln(p/q) — the
+    standard model-monitoring drift score (<0.1 stable, >0.25 act).
+
+    Time split in exact integer microseconds; fences broadcast; one
+    binned groupBy + a per-type fold over 10 bins. The add-one smoothing
+    keeps empty bins finite identically in both engines."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1")
+    )
+    halves = ev.join(F.broadcast(b), "event_type").select(
+        "event_type",
+        "value",
+        F.when(
+            F.unix_micros("ts") - F.unix_micros("t0")
+            < F.floor(
+                (F.unix_micros("t1") - F.unix_micros("t0")) / 2
+            ).cast("long"),
+            0,
+        )
+        .otherwise(1)
+        .alias("half"),
+    )
+    fences = (
+        halves.filter(F.col("half") == 0)
+        .groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    width = (F.col("hi") - F.col("lo")) / float(_Q194_BINS)
+    binned = halves.join(F.broadcast(fences), "event_type").select(
+        "event_type",
+        "half",
+        F.least(
+            F.greatest(
+                F.floor((F.col("value") - F.col("lo")) / width).cast("long"),
+                F.lit(0).cast("long"),
+            ),
+            F.lit(_Q194_BINS - 1).cast("long"),
+        ).alias("bin"),
+    )
+    c = binned.groupBy("event_type", "bin").agg(
+        (F.sum(F.when(F.col("half") == 0, 1).otherwise(0)) + 1).alias("na"),
+        (F.sum(F.when(F.col("half") == 1, 1).otherwise(0)) + 1).alias("nb"),
+    )
+    t = c.groupBy("event_type").agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
+    )
+    p = F.col("na").cast("double") / F.col("ta")
+    q = F.col("nb").cast("double") / F.col("tb")
+    return (
+        c.join(F.broadcast(t), "event_type")
+        .groupBy("event_type")
+        .agg(prnd(F.sum((p - q) * F.log(p / q)), 6).alias("psi"))
+    )

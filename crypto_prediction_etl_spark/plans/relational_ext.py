@@ -820,3 +820,72 @@ def q192_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q195 Lorenz curve deciles
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q195_lorenz_deciles",
+    oracle=f"""
+    WITH x AS (
+      SELECT c_nationkey, c_acctbal, c_custkey FROM customer
+      WHERE c_acctbal > 0.0
+    ),
+    r AS (
+      SELECT c_nationkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal, c_custkey) AS i,
+             count(*) OVER (PARTITION BY c_nationkey) AS n,
+             sum(c_acctbal) OVER (PARTITION BY c_nationkey) AS total
+      FROM x
+    ),
+    c AS (
+      SELECT c_nationkey,
+             (i * 10 - 1) // n AS decile,
+             sum(c_acctbal) OVER (PARTITION BY c_nationkey ORDER BY i
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) / total AS cum_share,
+             i, n
+      FROM r
+    )
+    SELECT c_nationkey,
+           CAST(decile AS BIGINT) AS decile,
+           {o_rnd('max(cum_share)', 6)} AS cum_share
+    FROM c GROUP BY c_nationkey, decile
+    """,
+)
+def q195_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve decile points per nation: cumulative share of
+    total balance held by the bottom d/10 of customers — the curve the
+    q192 Gini summarizes, for dashboards that need the SHAPE (which
+    decile concentration lives in).
+
+    Same single per-group sort as q192; decile boundaries via integer
+    rank arithmetic ((i*10 - 1) // n) so both engines cut identically;
+    each decile reports its closing cumulative share (max of the
+    running share inside the decile)."""
+    from pyspark.sql import Window as W
+
+    c = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0.0)
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    pw = W.partitionBy("c_nationkey")
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    r = c.select(
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(pw).alias("n"),
+        F.sum("c_acctbal").over(pw).alias("total"),
+        (F.sum("c_acctbal").over(cum)).alias("run"),
+    )
+    d = r.select(
+        "c_nationkey",
+        ((F.col("i") * 10 - 1) / F.col("n")).cast("long").alias("decile"),
+        (F.col("run") / F.col("total")).alias("cum_share"),
+    )
+    return d.groupBy("c_nationkey", "decile").agg(
+        prnd(F.max("cum_share"), 6).alias("cum_share")
+    )
