@@ -739,3 +739,34 @@ def test_skew_profile_aggregates_key_counts_not_rows(spark, sf_dir):
     # partial agg on the raw scan side before any exchange
     assert plan.count("HashAggregate") >= 2
     assert "CartesianProduct" not in plan  # 1-row stats side is broadcast
+
+
+def test_snapshot_diff_is_hash_full_outer(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q160_snapshot_diff")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_temporal_join_is_user_equi(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q182_temporal_dim_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_iterations_share_node_key_joins(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q164_pagerank")
+    assert "CartesianProduct" not in plan
+
+
+def test_target_encoding_is_broadcast_map_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q179_target_encoding")
+    assert "BroadcastHashJoin" in plan
+    # raw events shuffle only for the category aggregate
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_centroid_outliers_no_pairwise(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q188_centroid_outliers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
