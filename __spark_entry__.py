@@ -154,6 +154,8 @@ _ADJUDICATE_FIRST = [
     "q193_ks_test",
     "q194_psi_drift",
     "q195_lorenz_deciles",
+    "q196_robust_zscore",
+    "q197_seasonality_strength",
     # Beyond the 50-row driver cap (covered by the local mirror):
     # indicator/fold variants whose operator machinery (candle windows,
     # pandas kernels, sorted-run folds) is already driver-green via

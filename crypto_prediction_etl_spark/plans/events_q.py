@@ -2006,3 +2006,116 @@ def q194_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(prnd(F.sum((p - q) * F.log(p / q)), 6).alias("psi"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q196 robust z-score (median / MAD)
+# ---------------------------------------------------------------------------
+
+
+def _q196_median_expr(val: str, tag: str) -> str:
+    lo_rn = f"CAST(floor(0.5 * (n_{tag} - 1)) AS BIGINT) + 1"
+    hi_rn = f"CAST(ceil(0.5 * (n_{tag} - 1)) AS BIGINT) + 1"
+    return (
+        f"max(CASE WHEN rn_{tag} = {lo_rn} THEN {val} END) + "
+        f"(0.5 * (n2_{tag} - 1) - floor(0.5 * (n2_{tag} - 1))) * "
+        f"(max(CASE WHEN rn_{tag} = {hi_rn} THEN {val} END) - "
+        f"max(CASE WHEN rn_{tag} = {lo_rn} THEN {val} END))"
+    )
+
+
+@query(
+    "q196_robust_zscore",
+    oracle=f"""
+    WITH r1 AS (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn_m,
+             count(*) OVER (PARTITION BY event_type) AS n_m
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, CAST(max(n_m) AS BIGINT) AS n2_m0,
+             {_q196_median_expr('value', 'm').replace('n2_m', 'max(n_m)')} AS med
+      FROM r1 GROUP BY event_type
+    ),
+    d AS (
+      SELECT r.event_type, r.event_id, r.value, m.med,
+             abs(r.value - m.med) AS adev
+      FROM r1 r JOIN med m USING (event_type)
+    ),
+    r2 AS (
+      SELECT event_type, event_id, value, med, adev,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY adev, event_id) AS rn_d,
+             count(*) OVER (PARTITION BY event_type) AS n_d
+      FROM d
+    ),
+    mad AS (
+      SELECT event_type,
+             {_q196_median_expr('adev', 'd').replace('n2_d', 'max(n_d)')} AS mad
+      FROM r2 GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type,
+           {o_rnd('0.6745 * (d.value - d.med) / mad.mad', 4)} AS robust_z,
+           CAST(abs(0.6745 * (d.value - d.med) / mad.mad) > 3.5 AS INT) AS is_outlier
+    FROM d JOIN mad USING (event_type)
+    """,
+)
+def q196_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust z-score: 0.6745*(x - median)/MAD per event type — the
+    outlier screen that survives the outliers themselves (mean/std
+    z-scores explode exactly when contamination appears; median/MAD
+    have a 50% breakdown point).
+
+    Median and MAD are both exact interpolated order statistics
+    (q156's machinery) — one sorted window for the value, a second for
+    the absolute deviations (which REQUIRES the median first; that
+    sequencing is the op). Both medians broadcast back; the final
+    score is a map-side expression."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+
+    def interp_median(df, val_col, part_col="event_type"):
+        w = W.partitionBy(part_col).orderBy(val_col, "event_id")
+        r = df.select(
+            part_col,
+            "event_id",
+            val_col,
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(W.partitionBy(part_col)).alias("n"),
+        )
+        pos_row = F.lit(0.5) * (F.col("n") - 1)
+        lo_rn = F.floor(pos_row).cast("long") + 1
+        hi_rn = F.ceil(pos_row).cast("long") + 1
+        a = r.groupBy(part_col).agg(
+            F.max("n").cast("long").alias("n_rows"),
+            F.max(F.when(F.col("rn") == lo_rn, F.col(val_col))).alias("vlo"),
+            F.max(F.when(F.col("rn") == hi_rn, F.col(val_col))).alias("vhi"),
+        )
+        pos = F.lit(0.5) * (F.col("n_rows") - 1)
+        return a.select(
+            part_col,
+            (
+                F.col("vlo")
+                + (pos - F.floor(pos)) * (F.col("vhi") - F.col("vlo"))
+            ).alias("m"),
+        )
+
+    med = interp_median(ev, "value").withColumnRenamed("m", "med")
+    d = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = interp_median(d, "adev").withColumnRenamed("m", "mad")
+    rz = 0.6745 * (F.col("value") - F.col("med")) / F.col("mad")
+    return d.join(F.broadcast(mad), "event_type").select(
+        "event_id",
+        "event_type",
+        prnd(rz, 4).alias("robust_z"),
+        (F.abs(rz) > 3.5).cast("int").alias("is_outlier"),
+    )

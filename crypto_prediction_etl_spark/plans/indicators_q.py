@@ -3007,3 +3007,83 @@ def q189_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("hurst"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q197 seasonality / trend strength (variance decomposition)
+# ---------------------------------------------------------------------------
+
+
+def _q197_oracle() -> str:
+    fr = f"({_WIN} ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)"
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    t AS (
+      SELECT id, dt, close,
+             CASE WHEN count(*) OVER {fr} = 7
+                  THEN avg(close) OVER {fr} END AS trend,
+             dayofweek(dt) AS dow
+      FROM candles
+    ),
+    s AS (
+      SELECT id, dow, avg(close - trend) AS seasonal
+      FROM t WHERE trend IS NOT NULL GROUP BY id, dow
+    ),
+    comp AS (
+      SELECT t.id,
+             t.close - t.trend - s.seasonal AS resid,
+             t.close - t.trend AS detrended,
+             t.close - s.seasonal AS deseasoned
+      FROM t JOIN s ON s.id = t.id AND s.dow = t.dow
+      WHERE t.trend IS NOT NULL
+    )
+    SELECT id,
+           {o_rnd('greatest(0.0, 1.0 - var_pop(resid) / var_pop(detrended))', 6)} AS seasonal_strength,
+           {o_rnd('greatest(0.0, 1.0 - var_pop(resid) / var_pop(deseasoned))', 6)} AS trend_strength
+    FROM comp GROUP BY id
+    """
+
+
+@query("q197_seasonality_strength", oracle=_q197_oracle())
+def q197_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality and trend strength (Hyndman's STL diagnostics):
+    1 - var(resid)/var(detrended) and 1 - var(resid)/var(deseasoned),
+    clipped at 0 — the one-number answers to "does this series have a
+    weekly pattern worth modeling?", computed from q174's additive
+    decomposition components in a single variance pass per id."""
+    c = candles(spark, sf_dir)
+    fr = W.partitionBy("id").orderBy("dt").rowsBetween(-3, 3)
+    t = c.select(
+        "id",
+        "dt",
+        "close",
+        F.when(F.count("*").over(fr) == 7, F.avg("close").over(fr)).alias(
+            "trend"
+        ),
+        F.dayofweek("dt").alias("dow"),
+    ).filter(F.col("trend").isNotNull())
+    s = t.groupBy("id", "dow").agg(
+        F.avg(F.col("close") - F.col("trend")).alias("seasonal")
+    )
+    comp = t.join(F.broadcast(s), ["id", "dow"]).select(
+        "id",
+        (F.col("close") - F.col("trend") - F.col("seasonal")).alias("resid"),
+        (F.col("close") - F.col("trend")).alias("detrended"),
+        (F.col("close") - F.col("seasonal")).alias("deseasoned"),
+    )
+    return comp.groupBy("id").agg(
+        prnd(
+            F.greatest(
+                F.lit(0.0),
+                1.0 - F.var_pop("resid") / F.var_pop("detrended"),
+            ),
+            6,
+        ).alias("seasonal_strength"),
+        prnd(
+            F.greatest(
+                F.lit(0.0),
+                1.0 - F.var_pop("resid") / F.var_pop("deseasoned"),
+            ),
+            6,
+        ).alias("trend_strength"),
+    )
