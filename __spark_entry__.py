@@ -156,6 +156,9 @@ _ADJUDICATE_FIRST = [
     "q195_lorenz_deciles",
     "q196_robust_zscore",
     "q197_seasonality_strength",
+    "q198_integrity_audit",
+    "q199_column_profile",
+    "q200_curation_funnel",
     # Beyond the 50-row driver cap (covered by the local mirror):
     # indicator/fold variants whose operator machinery (candle windows,
     # pandas kernels, sorted-run folds) is already driver-green via

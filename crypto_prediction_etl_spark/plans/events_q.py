@@ -2119,3 +2119,62 @@ def q196_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd(rz, 4).alias("robust_z"),
         (F.abs(rz) > 3.5).cast("int").alias("is_outlier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q199 column profile
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q199_column_profile",
+    oracle="""
+    SELECT 'event_id' AS col, count(*) AS n,
+           count(*) - count(event_id) AS n_null,
+           count(DISTINCT event_id) AS n_distinct
+    FROM events
+    UNION ALL
+    SELECT 'user_id', count(*), count(*) - count(user_id),
+           count(DISTINCT user_id) FROM events
+    UNION ALL
+    SELECT 'event_type', count(*), count(*) - count(event_type),
+           count(DISTINCT event_type) FROM events
+    UNION ALL
+    SELECT 'value', count(*), count(*) - count(value),
+           count(DISTINCT value) FROM events
+    UNION ALL
+    SELECT 'props', count(*), count(*) - count(props),
+           count(DISTINCT props) FROM events
+    """,
+)
+def q199_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profile: row/null/distinct counts for every
+    column of the events table in one long-format result — the
+    schema-drift and completeness monitor every ingestion pipeline
+    publishes next to its tables.
+
+    Spark computes ALL columns' profiles in a SINGLE aggregate pass
+    (one scan, count + count(col) + approx-exact countDistinct per
+    column as sibling aggregates), then unpivots the one result row —
+    where the SQL formulation re-states it as a UNION of per-column
+    scans, the plan here reads the data once."""
+    ev = table(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type", "value", "props"]
+    aggs = [F.count("*").alias("n")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    one = ev.agg(*aggs)
+    legs = [
+        one.select(
+            F.lit(c).alias("col"),
+            F.col("n").alias("n"),
+            (F.col("n") - F.col(f"nn_{c}")).alias("n_null"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+        )
+        for c in cols
+    ]
+    out = legs[0]
+    for l in legs[1:]:
+        out = out.unionByName(l)
+    return out

@@ -889,3 +889,65 @@ def q195_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("c_nationkey", "decile").agg(
         prnd(F.max("cum_share"), 6).alias("cum_share")
     )
+
+
+# ---------------------------------------------------------------------------
+# q198 referential-integrity audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q198_integrity_audit",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk,
+           count(*) AS n_rows,
+           count(*) FILTER (WHERE o.o_orderkey IS NULL) AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    UNION ALL
+    SELECT 'orders->customer' AS fk,
+           count(*) AS n_rows,
+           count(*) FILTER (WHERE c.c_custkey IS NULL) AS n_orphans
+    FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    UNION ALL
+    SELECT 'lineitem->part' AS fk,
+           count(*) AS n_rows,
+           count(*) FILTER (WHERE p.p_partkey IS NULL) AS n_orphans
+    FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+    """,
+)
+def q198_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts across the three
+    foreign keys of the star schema in one result — the nightly check
+    that catches partial loads and broken CDC before marts consume
+    them (the reference's verify_deletion/count checks generalized to
+    FK health).
+
+    Each leg is a LEFT join counting null probes; the dimension sides
+    (orders keys / customer / part) broadcast or shuffle on the key
+    with partial-agg counts, never materializing the orphan rows."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    p = table(spark, sf_dir, "part")
+
+    def leg(fact, dim, fk_col, pk_col, tag):
+        return (
+            fact.select(F.col(fk_col))
+            .join(
+                dim.select(F.col(pk_col)),
+                F.col(fk_col) == F.col(pk_col),
+                "left",
+            )
+            .agg(
+                F.lit(tag).alias("fk"),
+                F.count("*").alias("n_rows"),
+                F.count(F.when(F.col(pk_col).isNull(), 1)).alias("n_orphans"),
+            )
+            .select("fk", "n_rows", "n_orphans")
+        )
+
+    return (
+        leg(li, o, "l_orderkey", "o_orderkey", "lineitem->orders")
+        .unionByName(leg(o, c, "o_custkey", "c_custkey", "orders->customer"))
+        .unionByName(leg(li, p, "l_partkey", "p_partkey", "lineitem->part"))
+    )

@@ -671,3 +671,84 @@ def q166_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q200 end-to-end curation funnel
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q200_curation_funnel",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, lang, text,
+             md5(lower(text)) AS fingerprint,
+             len({_TOKS_SQL}) AS n_tokens
+      FROM documents
+    ),
+    keep_exact AS (
+      SELECT *, row_number() OVER (PARTITION BY fingerprint
+                                   ORDER BY doc_id) AS rk
+      FROM fp
+    ),
+    scored AS (
+      SELECT doc_id, lang, n_tokens, (rk = 1) AS kept_exact,
+             (CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 0.25 ELSE 0.0 END
+              + CASE WHEN CAST(len(list_filter({_TOKS_SQL}, t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE) / len({_TOKS_SQL}) >= 0.01 THEN 0.25 ELSE 0.0 END
+              + CASE WHEN CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) >= 0.6 THEN 0.25 ELSE 0.0 END
+              + CASE WHEN CAST(length(text) - length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) / len({_TOKS_SQL}) BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END
+             ) AS q
+      FROM keep_exact
+    )
+    SELECT lang,
+           count(*) AS docs_total,
+           count(*) FILTER (WHERE kept_exact) AS docs_after_dedup,
+           count(*) FILTER (WHERE kept_exact AND q >= 0.5) AS docs_final,
+           coalesce(sum(n_tokens) FILTER (WHERE kept_exact AND q >= 0.5), 0) AS tokens_final
+    FROM scored GROUP BY lang
+    """,
+)
+def q200_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel in ONE query: exact dedup (q43's
+    md5 fingerprint, min-id keeper) -> quality fence (q42's composite
+    score >= 0.5) -> per-language survivor and token counts — the
+    dataset-card table every corpus release publishes (how much
+    survived each stage, per language).
+
+    Composes three operator families without materialization: the
+    fingerprint keeper is one window over the fingerprint hash, the
+    score is map-side, and the funnel is a single conditional
+    aggregation. At 100 TB this is the audit query run over the SAME
+    lineage the curation writer (plans/curation.py) executes, so the
+    published counts provably match the shipped data."""
+    from ..operators.text import quality_metrics, quality_score
+
+    docs = table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.md5(F.lower("text")).alias("fingerprint"),
+        F.size(tokens("text")).alias("n_tokens"),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("fingerprint").orderBy("doc_id")
+    )
+    m = quality_metrics("text")
+    scored = fp.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (rk == 1).alias("kept_exact"),
+        quality_score(m).alias("q"),
+    )
+    final = F.col("kept_exact") & (F.col("q") >= 0.5)
+    return scored.groupBy("lang").agg(
+        F.count("*").alias("docs_total"),
+        F.count(F.when(F.col("kept_exact"), 1)).alias("docs_after_dedup"),
+        F.count(F.when(final, 1)).alias("docs_final"),
+        F.coalesce(
+            F.sum(F.when(final, F.col("n_tokens"))), F.lit(0)
+        ).cast("long").alias("tokens_final"),
+    )
