@@ -48,6 +48,27 @@ def q60_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tumbling_hourly(ev: DataFrame) -> DataFrame:
+    """The q61 transformation as a pure DataFrame->DataFrame function —
+    Structured Streaming's unified model means the SAME code runs over
+    a batch read and a readStream source; the batch/stream parity test
+    (tests/test_streaming.py::test_batch_stream_parity_tumbling)
+    executes it both ways and compares results row-for-row."""
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            prnd(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 @query(
     "q61_tumbling_window",
     oracle=f"""
@@ -62,21 +83,8 @@ def q60_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q61_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time window aggregate — the streaming
     extension flagged in SURVEY §2.9 (same code works under
-    readStream + withWatermark)."""
-    ev = table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            prnd(F.sum("value"), 2).alias("total_value"),
-        )
-        .select(
-            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-            "event_type",
-            "n_events",
-            "total_value",
-        )
-    )
+    readStream + withWatermark; see tumbling_hourly)."""
+    return tumbling_hourly(table(spark, sf_dir, "events"))
 
 
 @query(

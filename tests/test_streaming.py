@@ -798,3 +798,43 @@ def test_transform_with_state_zscore(spark, workdir):
     expect = (150.0 - mean) / math.sqrt(m2 / (n - 1))
     assert abs(rows[5].zscore - expect) < 1e-9
     assert rows[5].n_seen == 5
+
+
+def test_batch_stream_parity_tumbling(spark, workdir):
+    """Unified-model parity: the SAME tumbling_hourly() transformation
+    over (a) a batch read and (b) a file readStream of the same rows
+    must produce identical results — the claim SURVEY §2.9 makes for
+    every batch query marked 'streaming-ready'."""
+    from crypto_prediction_etl_spark.plans.streaming_q import tumbling_hourly
+    from crypto_prediction_etl_spark.sources.readers import table
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    src = os.path.join(workdir, "parity_src")
+    ev.write.parquet(src)
+
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in tumbling_hourly(spark.read.parquet(src)).collect()
+    }
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, event_type string, value double"
+    ).parquet(src)
+    q = (
+        tumbling_hourly(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("parity_tumbling")
+        .option("checkpointLocation", os.path.join(workdir, "parity_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM parity_tumbling").collect()
+    }
+    assert streamed == batch and len(batch) > 0
