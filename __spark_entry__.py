@@ -159,6 +159,10 @@ _ADJUDICATE_FIRST = [
     "q198_integrity_audit",
     "q199_column_profile",
     "q200_curation_funnel",
+    "q201_tfidf_keywords",
+    "q202_langid_confusion",
+    "q203_autocorrelation",
+    "q204_basket_lift",
     # Beyond the 50-row driver cap (covered by the local mirror):
     # indicator/fold variants whose operator machinery (candle windows,
     # pandas kernels, sorted-run folds) is already driver-green via

@@ -2178,3 +2178,89 @@ def q199_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for l in legs[1:]:
         out = out.unionByName(l)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q203 autocorrelation periodicity scan
+# ---------------------------------------------------------------------------
+
+_Q203_MAX_LAG = 7
+
+
+@query(
+    "q203_autocorrelation",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    lags AS (
+      SELECT a.event_type, l.lag,
+             count(*) AS np,
+             sum(CAST(a.n AS DOUBLE)) AS sx, sum(CAST(b.n AS DOUBLE)) AS sy,
+             sum(CAST(a.n AS DOUBLE) * b.n) AS sxy,
+             sum(CAST(a.n AS DOUBLE) * a.n) AS sxx,
+             sum(CAST(b.n AS DOUBLE) * b.n) AS syy
+      FROM daily a
+      CROSS JOIN (SELECT unnest(generate_series(1, {_Q203_MAX_LAG})) AS lag) l
+      JOIN daily b ON b.event_type = a.event_type
+                  AND b.day = a.day + to_days(CAST(l.lag AS INTEGER))
+      GROUP BY a.event_type, l.lag
+    )
+    SELECT event_type, CAST(lag AS BIGINT) AS lag, np AS n_pairs,
+           {o_rnd('(sxy - sx * sy / np) / sqrt((sxx - sx * sx / np) * (syy - sy * sy / np))', 4)} AS acf
+    FROM lags
+    """,
+)
+def q203_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation periodicity scan: Pearson ACF of the daily
+    event-count series at lags 1..7 per event type — a weekly-cycle
+    peak at lag 7 is the data-driven justification for q174's seasonal
+    period (and its absence kills the decomposition's premise).
+
+    The daily series is tiny (types x days) after one partial-agg
+    groupBy; each lag is an equi join on (type, day+lag) over that
+    aggregate — the 7-lag fan-out multiplies the AGGREGATE, never the
+    events. Algebraic correlation sums per (type, lag)."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    lags = spark.range(1, _Q203_MAX_LAG + 1).select(
+        F.col("id").alias("lag")
+    )
+    a = daily.select(
+        "event_type",
+        "day",
+        F.col("n").cast("double").alias("x"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("et_b"),
+        F.col("day").alias("day_b"),
+        F.col("n").cast("double").alias("y"),
+    )
+    j = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("et_b") == F.col("event_type"))
+            & (F.col("day_b") == F.date_add("day", F.col("lag").cast("int"))),
+        )
+    )
+    g = j.groupBy("event_type", "lag").agg(
+        F.count("*").alias("np"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("np")
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("np")
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / F.col("np")
+    return g.select(
+        "event_type",
+        F.col("lag").cast("long").alias("lag"),
+        F.col("np").alias("n_pairs"),
+        prnd(cov / F.sqrt(vx * vy), 4).alias("acf"),
+    )

@@ -951,3 +951,90 @@ def q198_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(leg(o, c, "o_custkey", "c_custkey", "orders->customer"))
         .unionByName(leg(li, p, "l_partkey", "p_partkey", "lineitem->part"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q204 market-basket affinity (support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+_Q204_MIN_PAIR = 3
+
+
+@query(
+    "q204_basket_lift",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, p_brand AS item
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+    ),
+    nb AS (SELECT count(DISTINCT ok) AS n_baskets FROM items),
+    freq AS (SELECT item, count(*) AS n FROM items GROUP BY item),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_ab
+      FROM items a JOIN items b ON a.ok = b.ok AND a.item < b.item
+      GROUP BY a.item, b.item
+      HAVING count(*) >= {_Q204_MIN_PAIR}
+    )
+    SELECT p.item_a, p.item_b, p.n_ab,
+           {o_rnd('CAST(p.n_ab AS DOUBLE) / nb.n_baskets', 6)} AS support,
+           {o_rnd('CAST(p.n_ab AS DOUBLE) / fa.n', 6)} AS confidence,
+           {o_rnd('CAST(p.n_ab AS DOUBLE) * nb.n_baskets / (CAST(fa.n AS DOUBLE) * fb.n)', 6)} AS lift
+    FROM pairs p
+    JOIN freq fa ON fa.item = p.item_a
+    JOIN freq fb ON fb.item = p.item_b
+    CROSS JOIN nb
+    """,
+)
+def q204_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: brand co-occurrence within orders with
+    support / confidence / lift — the association-rule primitive
+    (recommendations, cross-sell) as one self-join on the basket key.
+
+    Baskets are DISTINCT (order, item) pairs, so duplicate line items
+    never inflate counts; the pair join blocks on the order key (pair
+    work quadratic only in basket SIZE, never corpus size) and the
+    min-support HAVING prunes the tail before the stats joins. At
+    scale this is the a-priori first pass; higher-order itemsets
+    iterate the same shape on the survivors."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    nb = items.agg(F.countDistinct("ok").alias("n_baskets"))
+    freq = items.groupBy("item").agg(F.count("*").alias("n"))
+    a = items.select("ok", F.col("item").alias("item_a"))
+    b = items.select("ok", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= _Q204_MIN_PAIR)
+    )
+    fa = freq.select(F.col("item").alias("item_a"), F.col("n").alias("n_a"))
+    fb = freq.select(F.col("item").alias("item_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(fa), "item_a")
+        .join(F.broadcast(fb), "item_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            prnd(
+                F.col("n_ab").cast("double") / F.col("n_baskets"), 6
+            ).alias("support"),
+            prnd(F.col("n_ab").cast("double") / F.col("n_a"), 6).alias(
+                "confidence"
+            ),
+            prnd(
+                F.col("n_ab").cast("double")
+                * F.col("n_baskets")
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

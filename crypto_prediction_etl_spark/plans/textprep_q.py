@@ -752,3 +752,130 @@ def q200_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(final, F.col("n_tokens"))), F.lit(0)
         ).cast("long").alias("tokens_final"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q201 TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+_Q201_K = 5
+
+
+@query(
+    "q201_tfidf_keywords",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.tok,
+             tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS w
+      FROM tf JOIN df USING (tok) CROSS JOIN n
+    ),
+    r AS (
+      SELECT doc_id, tok, w,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY w DESC, tok) AS rk
+      FROM w
+    )
+    SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok AS keyword,
+           {o_rnd('w', 6)} AS tfidf
+    FROM r WHERE rk <= {_Q201_K}
+    """,
+)
+def q201_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: each document's top-5 most
+    characteristic tokens (tf * ln(N/df), ties broken lexically) — the
+    summarization/tagging primitive built from the same two
+    partial-agg passes as q152's weights, plus one top-k-per-doc rank
+    window. IDF cancels common boilerplate exactly where raw
+    frequency (q140's vocab) promotes it."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    w = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            (
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("w"),
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.col("w").desc(), "tok")
+    )
+    return (
+        w.withColumn("rk", rk)
+        .filter(F.col("rk") <= _Q201_K)
+        .select(
+            "doc_id",
+            F.col("rk").cast("long").alias("rk"),
+            F.col("tok").alias("keyword"),
+            prnd("w", 6).alias("tfidf"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q202 language-ID confusion matrix (operator self-evaluation)
+# ---------------------------------------------------------------------------
+
+
+def _q202_oracle() -> str:
+    # replicate q41's priority-chain argmax (incl. the 'und' fallback)
+    from ..operators.text import LANG_MARKERS, LANG_PRIORITY
+    from .text_q import _in_list
+
+    score_cols = ", ".join(
+        f"len(list_filter({_TOKS_SQL}, t -> t IN {_in_list(LANG_MARKERS[lang])})) AS s_{lang}"
+        for lang in LANG_PRIORITY
+    )
+    all_zero = " AND ".join(f"s_{lang} = 0" for lang in LANG_PRIORITY)
+    chain = [f"WHEN {all_zero} THEN 'und'"]
+    remaining = list(LANG_PRIORITY)
+    while remaining:
+        lang = remaining.pop(0)
+        if remaining:
+            cond = " AND ".join(f"s_{lang} >= s_{o}" for o in remaining)
+            chain.append(f"WHEN {cond} THEN '{lang}'")
+        else:
+            chain.append(f"ELSE '{lang}'")
+    case = "CASE " + " ".join(chain) + " END"
+    return f"""
+    WITH s AS (
+      SELECT doc_id, lang, {score_cols} FROM documents
+    )
+    SELECT lang AS actual, {case} AS predicted, count(*) AS n
+    FROM s GROUP BY lang, predicted
+    """
+
+
+@query("q202_langid_confusion", oracle=_q202_oracle())
+def q202_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the q41 marker-argmax classifier
+    evaluated against the table's labeled ``lang`` column — the
+    operator-quality readout (which language pairs the heuristic
+    confuses) produced by the engine itself, through the same gate as
+    the operator. CASE-argmax tie order is the sorted language list in
+    both engines."""
+    from ..operators.text import lang_id
+    from ..operators.text import tokens as _toks
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("actual"),
+            lang_id(_toks("text")).alias("predicted"),
+        )
+        .groupBy("actual", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
