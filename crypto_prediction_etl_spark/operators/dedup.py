@@ -215,11 +215,25 @@ def jaccard_pairs(
     # persist races and why checkpoint beats persist here
     shingled = shingled.localCheckpoint(eager=True)
     sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = shingled.select(F.col(id_col).alias("id_a"), "shingle")
-    b = shingled.select(F.col(id_col).alias("id_b"), "shingle")
+    # length filter (PPJoin family): J <= min/max, so a pair whose
+    # size ratio is below the threshold can NEVER pass the final
+    # filter — prune it BEFORE the pair aggregation. The 0.5 slack
+    # keeps the float comparison lossless for integer sizes (a true
+    # J >= t pair has min >= t*max in exact arithmetic; float error
+    # is ~1e-12, far inside the slack), so output rows are unchanged.
+    sized = shingled.join(F.broadcast(sizes), id_col)
+    a = sized.select(
+        F.col(id_col).alias("id_a"), "shingle", F.col("n_sh").alias("n_a0")
+    )
+    b = sized.select(
+        F.col(id_col).alias("id_b"), "shingle", F.col("n_sh").alias("n_b0")
+    )
+    ratio_ok = F.least("n_a0", "n_b0") >= (
+        F.lit(threshold) * F.greatest("n_a0", "n_b0") - 0.5
+    )
     inter = (
         a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("id_a") < F.col("id_b")) & ratio_ok)
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
     )
