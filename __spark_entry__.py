@@ -163,6 +163,10 @@ _ADJUDICATE_FIRST = [
     "q202_langid_confusion",
     "q203_autocorrelation",
     "q204_basket_lift",
+    "q205_ar1_fit",
+    "q206_volume_profile",
+    "q207_rapid_duplicates",
+    "q208_srm_check",
     # Beyond the 50-row driver cap (covered by the local mirror):
     # indicator/fold variants whose operator machinery (candle windows,
     # pandas kernels, sorted-run folds) is already driver-green via

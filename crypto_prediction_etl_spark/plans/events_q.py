@@ -2264,3 +2264,121 @@ def q203_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("np").alias("n_pairs"),
         prnd(cov / F.sqrt(vx * vy), 4).alias("acf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q207 rapid-duplicate event screen
+# ---------------------------------------------------------------------------
+
+_Q207_WINDOW_US = 60_000_000  # 60 seconds
+
+
+@query(
+    "q207_rapid_duplicates",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type, event_id,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id, event_type
+                     ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT user_id, event_type,
+           count(*) AS n_events,
+           count(*) FILTER (WHERE gap_us IS NOT NULL
+                            AND gap_us <= {_Q207_WINDOW_US}) AS n_rapid_dups,
+           {o_rnd(f'CAST(count(*) FILTER (WHERE gap_us IS NOT NULL AND gap_us <= {_Q207_WINDOW_US}) AS DOUBLE) / count(*)', 6)} AS dup_rate
+    FROM seq GROUP BY user_id, event_type
+    HAVING count(*) FILTER (WHERE gap_us IS NOT NULL
+                            AND gap_us <= {_Q207_WINDOW_US}) > 0
+    """,
+)
+def q207_rapid_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rapid-duplicate screen: same (user, event type) re-fired within
+    60 seconds of the previous occurrence — double-clicks, retry
+    storms, at-least-once re-delivery; the batch twin of the streaming
+    dropDuplicatesWithinWatermark path (streaming/pipelines.py), so
+    both layers agree on what 'duplicate' means.
+
+    One lag over the (user, type) sort in exact integer microseconds;
+    the per-key aggregate emits only offending keys (HAVING), keeping
+    the report heavy-hitter-sized."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+    )
+    rapid = F.count(
+        F.when(
+            F.col("gap_us").isNotNull()
+            & (F.col("gap_us") <= _Q207_WINDOW_US),
+            1,
+        )
+    )
+    return (
+        seq.groupBy("user_id", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            rapid.alias("n_rapid_dups"),
+            prnd(rapid.cast("double") / F.count("*"), 6).alias("dup_rate"),
+        )
+        .filter(F.col("n_rapid_dups") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q208 sample-ratio mismatch check
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q208_srm_check",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type,
+             count(DISTINCT CASE WHEN user_id % 2 = 0 THEN user_id END) AS n_a,
+             count(DISTINCT CASE WHEN user_id % 2 = 1 THEN user_id END) AS n_b
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b,
+           {o_rnd('CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b)', 6)} AS chi2,
+           CAST(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b) > 3.841 AS INT) AS srm_flag
+    FROM c
+    """,
+)
+def q208_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio mismatch check: distinct-user counts per cohort
+    against the designed 50/50 split, chi-square with 1 dof
+    ((n_a-n_b)^2/(n_a+n_b)), flagged past the 0.05 critical value
+    3.841 — the FIRST validity gate of any A/B readout (a biased
+    assignment invalidates q168/q193 before they run).
+
+    One partial-distinct aggregate per type; all remaining arithmetic
+    on the cohort-count table."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(
+        F.countDistinct(
+            F.when(F.col("user_id") % 2 == 0, F.col("user_id"))
+        ).alias("n_a"),
+        F.countDistinct(
+            F.when(F.col("user_id") % 2 == 1, F.col("user_id"))
+        ).alias("n_b"),
+    )
+    chi2 = (
+        ((F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b")))
+        .cast("double")
+        / (F.col("n_a") + F.col("n_b"))
+    )
+    return c.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        prnd(chi2, 6).alias("chi2"),
+        (chi2 > 3.841).cast("int").alias("srm_flag"),
+    )

@@ -3087,3 +3087,144 @@ def q197_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("trend_strength"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q205 AR(1) mean-reversion fit
+# ---------------------------------------------------------------------------
+
+
+def _q205_oracle() -> str:
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    r0 AS (SELECT id, dt, ln(close / lag(close) OVER ({_WIN})) AS ret FROM candles),
+    p AS (
+      SELECT id, ret,
+             lag(ret) OVER ({_WIN.replace('ORDER BY dt', 'ORDER BY dt')}) AS pret
+      FROM r0 WHERE ret IS NOT NULL
+    ),
+    s AS (
+      SELECT id, count(*) AS n,
+             sum(pret) AS sx, sum(ret) AS sy,
+             sum(pret * ret) AS sxy, sum(pret * pret) AS sxx
+      FROM p WHERE pret IS NOT NULL GROUP BY id
+    )
+    SELECT id, CAST(n AS BIGINT) AS n_obs,
+           {o_rnd('(sxy - sx * sy / n) / (sxx - sx * sx / n)', 6)} AS phi,
+           {o_rnd('CASE WHEN (sxy - sx * sy / n) / (sxx - sx * sx / n) BETWEEN 0.000001 AND 0.999999 THEN -ln(2.0) / ln((sxy - sx * sy / n) / (sxx - sx * sx / n)) END', 4)} AS half_life_days
+    FROM s
+    """
+
+
+@query("q205_ar1_fit", oracle=_q205_oracle())
+def q205_ar1_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(1) fit of daily log returns per symbol: phi = OLS slope of
+    ret_t on ret_{t-1} (algebraic sufficient sums), plus the implied
+    mean-reversion half-life -ln2/ln(phi) when phi is in (0,1) — the
+    one-number momentum-vs-reversion diagnostic behind pairs/carry
+    strategies. One lag chain + one aggregate; NULL half-life outside
+    the stationary-positive regime, identically in both engines."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    r = c.select(
+        "id", "dt", F.log(F.col("close") / F.lag("close").over(w)).alias("ret")
+    ).filter(F.col("ret").isNotNull())
+    p = r.select("id", "ret", F.lag("ret").over(w).alias("pret")).filter(
+        F.col("pret").isNotNull()
+    )
+    s = p.groupBy("id").agg(
+        F.count("*").alias("n"),
+        F.sum("pret").alias("sx"),
+        F.sum("ret").alias("sy"),
+        F.sum(F.col("pret") * F.col("ret")).alias("sxy"),
+        F.sum(F.col("pret") * F.col("pret")).alias("sxx"),
+    )
+    phi = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    hl = F.when(
+        phi.between(0.000001, 0.999999), -F.log(F.lit(2.0)) / F.log(phi)
+    )
+    return s.select(
+        "id",
+        F.col("n").cast("long").alias("n_obs"),
+        prnd(phi, 6).alias("phi"),
+        prnd(hl, 4).alias("half_life_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q206 volume profile / point of control
+# ---------------------------------------------------------------------------
+
+_Q206_BINS = 24
+
+
+def _q206_oracle() -> str:
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    b AS (
+      SELECT id, min(close) AS lo, max(close) AS hi FROM candles GROUP BY id
+    ),
+    h AS (
+      SELECT c.id,
+             least(CAST(floor((c.close - b.lo) / ((b.hi - b.lo) / {_Q206_BINS}.0)) AS BIGINT), {_Q206_BINS - 1}) AS bin,
+             c.volume_cents
+      FROM candles c JOIN b USING (id)
+    ),
+    v AS (
+      SELECT id, bin, CAST(sum(volume_cents) AS BIGINT) AS vol_cents,
+             count(*) AS n_days
+      FROM h GROUP BY id, bin
+    ),
+    poc AS (
+      SELECT id, bin AS poc_bin,
+             row_number() OVER (PARTITION BY id
+                                ORDER BY vol_cents DESC, bin) AS rk
+      FROM v
+    )
+    SELECT v.id, v.bin, v.vol_cents, v.n_days,
+           CAST(v.bin = p.poc_bin AS INT) AS is_poc
+    FROM v JOIN poc p ON p.id = v.id AND p.rk = 1
+    """
+
+
+@query("q206_volume_profile", oracle=_q206_oracle())
+def q206_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume profile: traded volume distributed over 24 price bins
+    per symbol, with the point of control (highest-volume bin)
+    flagged — the market-profile structure traders read support /
+    resistance from. Per-id min/max fences broadcast (q169's shape,
+    per key); volume rides exact integer cents; POC is one argmax
+    window over the tiny bin table."""
+    c = candles(spark, sf_dir)
+    b = c.groupBy("id").agg(
+        F.min("close").alias("lo"), F.max("close").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / float(_Q206_BINS)
+    h = c.join(F.broadcast(b), "id").select(
+        "id",
+        F.least(
+            F.floor((F.col("close") - F.col("lo")) / width).cast("long"),
+            F.lit(_Q206_BINS - 1).cast("long"),
+        ).alias("bin"),
+        "volume_cents",
+    )
+    v = h.groupBy("id", "bin").agg(
+        F.sum("volume_cents").cast("long").alias("vol_cents"),
+        F.count("*").alias("n_days"),
+    )
+    poc = v.select(
+        "id",
+        F.col("bin").alias("poc_bin"),
+        F.row_number()
+        .over(W.partitionBy("id").orderBy(F.col("vol_cents").desc(), "bin"))
+        .alias("rk"),
+    ).filter(F.col("rk") == 1)
+    return v.join(F.broadcast(poc), "id").select(
+        "id",
+        "bin",
+        "vol_cents",
+        "n_days",
+        (F.col("bin") == F.col("poc_bin")).cast("int").alias("is_poc"),
+    )
