@@ -167,6 +167,9 @@ _ADJUDICATE_FIRST = [
     "q206_volume_profile",
     "q207_rapid_duplicates",
     "q208_srm_check",
+    "q209_vector_normalize",
+    "q210_pca_power_iteration",
+    "q211_wow_growth",
     # Beyond the 50-row driver cap (covered by the local mirror):
     # indicator/fold variants whose operator machinery (candle windows,
     # pandas kernels, sorted-run folds) is already driver-green via

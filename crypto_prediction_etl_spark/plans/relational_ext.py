@@ -1038,3 +1038,67 @@ def q204_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q211 week-over-week growth metrics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q211_wow_growth",
+    oracle=f"""
+    WITH wk AS (
+      SELECT o_orderpriority,
+             date_trunc('week', o_orderdate) AS week,
+             sum(o_totalprice) AS revenue,
+             count(*) AS n_orders
+      FROM orders
+      GROUP BY o_orderpriority, date_trunc('week', o_orderdate)
+    ),
+    g AS (
+      SELECT o_orderpriority, week, revenue, n_orders,
+             lag(revenue) OVER w AS prev_rev,
+             lag(revenue, 4) OVER w AS prev4_rev
+      FROM wk WINDOW w AS (PARTITION BY o_orderpriority ORDER BY week)
+    )
+    SELECT o_orderpriority,
+           strftime(week, '%Y-%m-%d') AS week,
+           {o_rnd('revenue', 2)} AS revenue,
+           n_orders,
+           {o_rnd('CASE WHEN prev_rev > 0.0 THEN revenue / prev_rev - 1.0 END', 6)} AS wow_growth,
+           {o_rnd('CASE WHEN prev4_rev > 0.0 THEN revenue / prev4_rev - 1.0 END', 6)} AS w4w_growth
+    FROM g
+    """,
+)
+def q211_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week and 4-week growth of revenue per priority — the
+    BI staple (periodic re-aggregation + offset comparison) every
+    reporting layer ships.
+
+    One partial-agg weekly rollup (weeks x priorities rows), then two
+    lags over the SAME per-priority week sort; growth guards divide-
+    by-zero identically in both engines. The raw data is aggregated
+    exactly once — the offsets operate on the rollup."""
+    o = table(spark, sf_dir, "orders")
+    wk = o.groupBy(
+        "o_orderpriority", F.date_trunc("week", "o_orderdate").alias("week")
+    ).agg(
+        F.sum("o_totalprice").alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    w = W.partitionBy("o_orderpriority").orderBy("week")
+    prev = F.lag("revenue").over(w)
+    prev4 = F.lag("revenue", 4).over(w)
+    return wk.select(
+        "o_orderpriority",
+        F.date_format("week", "yyyy-MM-dd").alias("week"),
+        prnd("revenue", 2).alias("revenue"),
+        "n_orders",
+        prnd(
+            F.when(prev > 0.0, F.col("revenue") / prev - 1.0), 6
+        ).alias("wow_growth"),
+        prnd(
+            F.when(prev4 > 0.0, F.col("revenue") / prev4 - 1.0), 6
+        ).alias("w4w_growth"),
+    )

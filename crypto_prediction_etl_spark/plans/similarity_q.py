@@ -1200,3 +1200,182 @@ def q188_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd(z, 4).alias("z"),
         (z > _Q188_Z).cast("int").alias("is_outlier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q209 vector normalization audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q209_vector_normalize",
+    oracle=f"""
+    WITH {_VECS_CTE},
+    n AS (
+      SELECT vec_id, sqrt(list_dot_product(v, v)) AS norm, v FROM e
+    )
+    SELECT vec_id,
+           {o_rnd('norm', 6)} AS norm,
+           CAST(norm = 0.0 AS INT) AS is_degenerate,
+           {o_rnd('CASE WHEN norm > 0.0 THEN v[1] / norm END', 6)} AS u0,
+           {o_rnd('CASE WHEN norm > 0.0 THEN v[2] / norm END', 6)} AS u1,
+           {o_rnd('CASE WHEN norm > 0.0 THEN sqrt(list_dot_product(list_transform(v, x -> x / norm), list_transform(v, x -> x / norm))) END', 6)} AS unit_norm
+    FROM n
+    """,
+)
+def q209_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization with audit: each embedding's norm, a
+    degenerate (zero-vector) flag, the first two unit components as
+    hash-checked witnesses, and the re-computed norm of the normalized
+    vector (must be 1 within rounding) — the preprocessing step ALL
+    cosine machinery assumes, surfaced as its own audited operator.
+
+    Map-only (zip_with/aggregate dot products, no shuffle); the same
+    sequential accumulation as the oracle's list_dot_product."""
+    vecs = _vecs(spark, sf_dir)
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    n = vecs.select(
+        "vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("norm")
+    )
+    unit = F.transform("v", lambda x: x / F.col("norm"))
+    return n.select(
+        "vec_id",
+        prnd("norm", 6).alias("norm"),
+        (F.col("norm") == 0.0).cast("int").alias("is_degenerate"),
+        prnd(
+            F.when(F.col("norm") > 0.0, F.element_at("v", 1) / F.col("norm")),
+            6,
+        ).alias("u0"),
+        prnd(
+            F.when(F.col("norm") > 0.0, F.element_at("v", 2) / F.col("norm")),
+            6,
+        ).alias("u1"),
+        prnd(
+            F.when(F.col("norm") > 0.0, F.sqrt(dot(unit, unit))), 6
+        ).alias("unit_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q210 top principal component (unrolled power iteration)
+# ---------------------------------------------------------------------------
+
+_Q210_ITERS = 5
+_Q210_D = 64
+
+
+def _q210_oracle() -> str:
+    parts = [
+        f"""x AS (
+      SELECT vec_id, i AS dim, v[i] AS val
+      FROM (SELECT vec_id, v, unnest(generate_series(1, {_Q210_D})) AS i FROM e)
+    ),
+    mu AS (SELECT dim, avg(val) AS m FROM x GROUP BY dim),
+    xc AS (
+      SELECT x.vec_id, x.dim, x.val - mu.m AS val
+      FROM x JOIN mu USING (dim)
+    ),
+    nn AS (SELECT count(*) AS n FROM e),
+    cov AS (
+      SELECT a.dim AS di, b.dim AS dj,
+             sum(a.val * b.val) / (max(nn.n) - 1) AS cij
+      FROM xc a JOIN xc b ON a.vec_id = b.vec_id
+      CROSS JOIN nn
+      GROUP BY a.dim, b.dim
+    ),
+    w0 AS (SELECT unnest(generate_series(1, {_Q210_D})) AS dim,
+                  1.0 / {float(_Q210_D) ** 0.5} AS w)"""
+    ]
+    for i in range(1, _Q210_ITERS + 1):
+        parts.append(
+            f"""y{i} AS (
+      SELECT cov.di AS dim, sum(cov.cij * w.w) AS y
+      FROM cov JOIN w{i - 1} w ON w.dim = cov.dj
+      GROUP BY cov.di
+    ),
+    nrm{i} AS (SELECT sqrt(sum(y * y)) AS s FROM y{i}),
+    w{i} AS (SELECT dim, y / nrm{i}.s AS w FROM y{i} CROSS JOIN nrm{i})"""
+        )
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {_VECS_CTE},
+    {body}
+    SELECT w.dim AS dim,
+           {o_rnd('sign(w2.w) * w.w', 5)} AS pc1,
+           {o_rnd('nrm{it}.s'.format(it=_Q210_ITERS), 4)} AS eigenvalue
+    FROM w{_Q210_ITERS} w
+    CROSS JOIN nrm{_Q210_ITERS}
+    CROSS JOIN (SELECT w AS w FROM w{_Q210_ITERS} WHERE dim = 1) w2
+    """
+
+
+@query("q210_pca_power_iteration", oracle=_q210_oracle())
+def q210_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud via 5 UNROLLED
+    power iterations on the sample covariance (q164's iterative-
+    dataflow pattern applied to linear algebra): center per dim,
+    form the d x d covariance as a per-vector outer-product aggregate
+    (map-side partial sums — the data is touched once; only d^2 cells
+    shuffle), then five matrix-vector multiply + renormalize stages
+    over the TINY d x d table. Sign fixed by the first component so
+    both engines land the same eigenvector orientation; the final
+    vector norm before normalization estimates the top eigenvalue."""
+    vecs = _vecs(spark, sf_dir)
+    x = vecs.select(
+        "vec_id", F.posexplode("v").alias("dim0", "val")
+    ).select("vec_id", (F.col("dim0") + 1).alias("dim"), "val")
+    mu = x.groupBy("dim").agg(F.avg("val").alias("m"))
+    xc = x.join(F.broadcast(mu), "dim").select(
+        "vec_id", "dim", (F.col("val") - F.col("m")).alias("val")
+    )
+    nn = vecs.agg(F.count("*").alias("n"))
+    a = xc.select("vec_id", F.col("dim").alias("di"), F.col("val").alias("va"))
+    b = xc.select("vec_id", F.col("dim").alias("dj"), F.col("val").alias("vb"))
+    cov = (
+        a.join(b, "vec_id")
+        .crossJoin(F.broadcast(nn))
+        .groupBy("di", "dj")
+        .agg(
+            (F.sum(F.col("va") * F.col("vb")) / (F.max("n") - 1)).alias("cij")
+        )
+    )
+    w = (
+        vecs.sparkSession.range(1, _Q210_D + 1)
+        .select(
+            F.col("id").alias("dim"),
+            F.lit(1.0 / float(_Q210_D) ** 0.5).alias("w"),
+        )
+    )
+    s_final = None
+    for _ in range(_Q210_ITERS):
+        y = (
+            cov.join(
+                F.broadcast(w.withColumnRenamed("dim", "dj")), "dj"
+            )
+            .groupBy(F.col("di").alias("dim"))
+            .agg(F.sum(F.col("cij") * F.col("w")).alias("y"))
+        )
+        nrm = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("s"))
+        w = y.crossJoin(F.broadcast(nrm)).select(
+            "dim", (F.col("y") / F.col("s")).alias("w")
+        )
+        s_final = nrm
+    sign_src = w.filter(F.col("dim") == 1).select(
+        F.col("w").alias("w_first")
+    )
+    return (
+        w.crossJoin(F.broadcast(s_final))
+        .crossJoin(F.broadcast(sign_src))
+        .select(
+            "dim",
+            prnd(F.signum("w_first") * F.col("w"), 5).alias("pc1"),
+            prnd("s", 4).alias("eigenvalue"),
+        )
+    )
