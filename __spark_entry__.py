@@ -170,6 +170,9 @@ _ADJUDICATE_FIRST = [
     "q209_vector_normalize",
     "q210_pca_power_iteration",
     "q211_wow_growth",
+    "q212_mahalanobis_diag",
+    "q213_burstiness",
+    "q214_hash_collision_audit",
     # Beyond the 50-row driver cap (covered by the local mirror):
     # indicator/fold variants whose operator machinery (candle windows,
     # pandas kernels, sorted-run folds) is already driver-green via

@@ -2382,3 +2382,56 @@ def q208_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd(chi2, 6).alias("chi2"),
         (chi2 > 3.841).cast("int").alias("srm_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q213 burstiness (Fano factor)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q213_burstiness",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type, date_trunc('minute', ts) AS minute, count(*) AS n
+      FROM events GROUP BY event_type, date_trunc('minute', ts)
+    ),
+    s AS (
+      SELECT event_type,
+             count(*) AS n_minutes,
+             avg(CAST(n AS DOUBLE)) AS mu,
+             var_pop(CAST(n AS DOUBLE)) AS v
+      FROM m GROUP BY event_type
+    )
+    SELECT event_type, n_minutes,
+           {o_rnd('mu', 6)} AS mean_per_min,
+           {o_rnd('v / mu', 6)} AS fano_factor,
+           CAST(v / mu > 1.5 AS INT) AS is_bursty
+    FROM s
+    """,
+)
+def q213_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness via the Fano factor: variance-to-mean ratio of
+    per-minute event counts — 1.0 for a Poisson (memoryless) stream,
+    >1 for bursty arrivals (bot storms, batch replays), <1 for
+    pacemaker-regular traffic. One minute-bucket partial-agg groupBy,
+    then moments over the tiny (type, minute) table; a streaming ops
+    readout that tells you whether rate limits or queues are shaping
+    your traffic."""
+    ev = table(spark, sf_dir, "events")
+    m = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("minute")
+    ).agg(F.count("*").alias("n"))
+    s = m.groupBy("event_type").agg(
+        F.count("*").alias("n_minutes"),
+        F.avg(F.col("n").cast("double")).alias("mu"),
+        F.var_pop(F.col("n").cast("double")).alias("v"),
+    )
+    fano = F.col("v") / F.col("mu")
+    return s.select(
+        "event_type",
+        "n_minutes",
+        prnd("mu", 6).alias("mean_per_min"),
+        prnd(fano, 6).alias("fano_factor"),
+        (fano > 1.5).cast("int").alias("is_bursty"),
+    )

@@ -1379,3 +1379,73 @@ def q210_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             prnd("s", 4).alias("eigenvalue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q212 diagonal-Mahalanobis outlier screen
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q212_mahalanobis_diag",
+    oracle=f"""
+    WITH {_VECS_CTE},
+    x AS (
+      SELECT label, vec_id, i AS dim, v[i] AS val
+      FROM (SELECT label, vec_id, v,
+                   unnest(generate_series(1, 64)) AS i FROM e)
+    ),
+    st AS (
+      SELECT label, dim, avg(val) AS m, stddev_pop(val) AS sd
+      FROM x GROUP BY label, dim
+    ),
+    d AS (
+      SELECT x.vec_id, x.label,
+             sqrt(sum(CASE WHEN st.sd > 0.0
+                           THEN ((x.val - st.m) / st.sd) * ((x.val - st.m) / st.sd)
+                           ELSE 0.0 END)) AS md
+      FROM x JOIN st USING (label, dim)
+      GROUP BY x.vec_id, x.label
+    )
+    SELECT vec_id, label,
+           {o_rnd('md', 4)} AS mahalanobis,
+           CAST(md > sqrt(64.0) + 2.0 AS INT) AS is_outlier
+    FROM d
+    """,
+)
+def q212_mahalanobis_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagonal-Mahalanobis outlier screen: per-dimension z-scores
+    aggregated into a whitened distance — unlike q188's raw Euclidean,
+    a HIGH-VARIANCE dimension can't dominate (each dim contributes in
+    its own units). Chi distribution heuristics put typical points
+    near sqrt(d); the flag fires past sqrt(64)+2.
+
+    Same two-groupBy shape as q188 with (mean, std) stats instead of
+    centroids; zero-variance dims contribute nothing (guarded
+    identically in both engines)."""
+    vecs = _vecs(spark, sf_dir)
+    x = vecs.select(
+        "label", "vec_id", F.posexplode("v").alias("dim0", "val")
+    ).select("label", "vec_id", (F.col("dim0") + 1).alias("dim"), "val")
+    st = x.groupBy("label", "dim").agg(
+        F.avg("val").alias("m"), F.stddev_pop("val").alias("sd")
+    )
+    z2 = F.when(
+        F.col("sd") > 0.0,
+        ((F.col("val") - F.col("m")) / F.col("sd"))
+        * ((F.col("val") - F.col("m")) / F.col("sd")),
+    ).otherwise(F.lit(0.0))
+    d = (
+        x.join(F.broadcast(st), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(F.sqrt(F.sum(z2)).alias("md"))
+    )
+    import math
+
+    thr = math.sqrt(64.0) + 2.0
+    return d.select(
+        "vec_id",
+        "label",
+        prnd("md", 4).alias("mahalanobis"),
+        (F.col("md") > thr).cast("int").alias("is_outlier"),
+    )

@@ -879,3 +879,76 @@ def q202_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("actual", "predicted")
         .agg(F.count("*").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q214 hash-quality (collision) audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q214_hash_collision_audit",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    seg AS (
+      SELECT DISTINCT
+             array_to_string(toks[g * {_Q139_W} + 1 : g * {_Q139_W} + {_Q139_W}], ' ') AS seg_text
+      FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, len(toks) // {_Q139_W} - 1)) AS g
+        FROM d
+      )
+    ),
+    h AS (
+      SELECT seg_text, {o_hash64('seg_text')} AS h60,
+             ({o_hash64('seg_text')}) % 1048576 AS h20
+      FROM seg
+    )
+    SELECT count(*) AS n_distinct_values,
+           count(DISTINCT h60) AS n_distinct_h60,
+           count(*) - count(DISTINCT h60) AS collisions_60bit,
+           count(*) - count(DISTINCT h20) AS collisions_20bit
+    FROM h
+    """,
+)
+def q214_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-quality audit: collision counts of the engine's portable
+    60-bit hash over the corpus' distinct segments, next to a
+    deliberately truncated 20-bit variant — the audit that VALIDATES
+    the dedup family's central assumption (hash equality ==
+    value equality at working scale). 60-bit collisions should be 0
+    here (birthday bound ~n^2/2^61); the 20-bit column shows what
+    breaking the assumption looks like, so the monitor has a
+    known-positive.
+
+    One distinct + two conditional distinct aggregates — partial-agg
+    all the way; at 100 TB the audit costs a distinct scan of segment
+    values, which the dedup pipeline already materializes."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("toks"))
+        .filter(F.size("toks") >= _Q139_W)
+    )
+    seg = d.select(
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), (F.size("toks") / _Q139_W).cast("long") - 1
+                ),
+                lambda g: F.array_join(
+                    F.slice("toks", (g * _Q139_W + 1).cast("int"), _Q139_W),
+                    " ",
+                ),
+            )
+        ).alias("seg_text")
+    ).distinct()
+    h = seg.select(
+        hash64("seg_text").alias("h60"),
+        (hash64("seg_text") % 1048576).alias("h20"),
+    )
+    return h.agg(
+        F.count("*").alias("n_distinct_values"),
+        F.countDistinct("h60").alias("n_distinct_h60"),
+        (F.count("*") - F.countDistinct("h60")).alias("collisions_60bit"),
+        (F.count("*") - F.countDistinct("h20")).alias("collisions_20bit"),
+    )
