@@ -173,6 +173,7 @@ _ADJUDICATE_FIRST = [
     "q212_mahalanobis_diag",
     "q213_burstiness",
     "q214_hash_collision_audit",
+    "q215_lsh_recall_report",
     # Beyond the 50-row driver cap (covered by the local mirror):
     # indicator/fold variants whose operator machinery (candle windows,
     # pandas kernels, sorted-run folds) is already driver-green via

@@ -451,3 +451,84 @@ def q113_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_big",
         prnd("containment", 6).alias("containment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q215 LSH recall self-evaluation report
+# ---------------------------------------------------------------------------
+
+
+def _minhash_cand_ctes() -> str:
+    """The h/sig/cand CTE block of q45's oracle (same bucketing)."""
+    p = MINHASH_PRIME
+    mh_cols = ",\n             ".join(
+        f"min((CAST({a} AS BIGINT) * hh + {b}) % {p}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    rows = len(MINHASH_PERMS) // LSH_BANDS
+    band_selects = []
+    for band in range(LSH_BANDS):
+        cols = [f"mh{band * rows + j}" for j in range(rows)]
+        key = "md5(concat_ws('," + "'," + ",".join(
+            f"CAST({c} AS VARCHAR)" for c in cols
+        ) + "))"
+        band_selects.append(
+            f"SELECT a.doc_id AS id_a, b.doc_id AS id_b\n"
+            f"       FROM (SELECT doc_id, {key} AS bk FROM sig) a\n"
+            f"       JOIN (SELECT doc_id, {key} AS bk FROM sig) b\n"
+            f"         ON a.bk = b.bk AND a.doc_id < b.doc_id"
+        )
+    cand = "\n      UNION\n      ".join(band_selects)
+    return f"""
+    h AS (SELECT doc_id, ({o_hash64('shingle')}) % {p} AS hh FROM sh),
+    sig AS (SELECT doc_id,
+             {mh_cols}
+            FROM h GROUP BY doc_id),
+    cand AS (
+      {cand}
+    )"""
+
+
+@query(
+    "q215_lsh_recall_report",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_minhash_cand_ctes()},
+    exact AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+    lsh AS (
+      SELECT c.id_a, c.id_b FROM cand c
+      JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+      WHERE j.jaccard >= 0.8
+    )
+    SELECT (SELECT count(*) FROM exact) AS n_exact,
+           (SELECT count(*) FROM cand) AS n_candidates,
+           (SELECT count(*) FROM lsh) AS n_recovered
+    """,
+)
+def q215_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH self-evaluation THROUGH the gate: exact >= 0.8 Jaccard pair
+    count (uncapped baseline), the banded-MinHash CANDIDATE count, and
+    the verified-pair count the LSH pipeline recovers — the
+    recall/efficiency report a dedup deployment publishes before
+    trusting the approximate path (recall = recovered/exact;
+    efficiency = exact/candidates).
+
+    Composes the memoized corpus pipelines; each count is a 1-row
+    aggregate and the three scalars cross-join into the report row.
+    The oracle splices q45's exact band-bucket CTE so both engines
+    score the identical bucketing."""
+    arrays = corpus_shingle_arrays(spark, sf_dir)
+    shingled = arrays.select(
+        F.col("doc_id"), F.explode("shingles").alias("shingle")
+    )
+    exact = jaccard_pairs(shingled, 0.8).select("id_a", "id_b")
+    verified = corpus_minhash_pairs(spark, sf_dir, 0.8).select("id_a", "id_b")
+    from ..operators.dedup import minhash_signatures, lsh_candidate_pairs
+
+    cand = lsh_candidate_pairs(minhash_signatures(shingled)).select(
+        "id_a", "id_b"
+    ).distinct()
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    n_rec = verified.agg(F.count("*").alias("n_recovered"))
+    return n_exact.crossJoin(n_cand).crossJoin(n_rec)
