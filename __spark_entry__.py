@@ -174,6 +174,11 @@ _ADJUDICATE_FIRST = [
     "q213_burstiness",
     "q214_hash_collision_audit",
     "q215_lsh_recall_report",
+    "q216_capm_alpha",
+    "q217_weekly_churn",
+    "q218_gap_days",
+    "q219_volatility_regimes",
+    "q220_price_endings",
     # Beyond the 50-row driver cap (covered by the local mirror):
     # indicator/fold variants whose operator machinery (candle windows,
     # pandas kernels, sorted-run folds) is already driver-green via

@@ -2435,3 +2435,68 @@ def q213_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd(fano, 6).alias("fano_factor"),
         (fano > 1.5).cast("int").alias("is_bursty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q217 weekly churn / retention flow
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q217_weekly_churn",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    ),
+    nxt AS (
+      SELECT a.week,
+             count(*) AS n_active,
+             count(b.user_id) AS n_retained
+      FROM uw a LEFT JOIN uw b
+        ON b.user_id = a.user_id
+       AND b.week = a.week + INTERVAL 7 DAY
+      GROUP BY a.week
+    )
+    SELECT strftime(week, '%Y-%m-%d') AS week,
+           n_active, n_retained,
+           n_active - n_retained AS n_churned,
+           floor((CAST(n_active - n_retained AS DOUBLE) / n_active) * 1000000.0 + 0.5001) / 1000000.0 AS churn_rate
+    FROM nxt
+    """,
+)
+def q217_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly churn flow: of the users active in week w, how many
+    return in w+1 — the retention counterpart q108's cohort matrix
+    doesn't give directly (it follows COHORTS; this follows the whole
+    active base week to week).
+
+    Active user-weeks are one DISTINCT aggregate; the flow is a
+    self equi-join on (user, week+7d) over that SMALL table. At scale
+    the user-week table is the retention workhorse — every
+    churn/resurrection/new-user split is a variant of this join."""
+    ev = table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    b = uw.select(
+        F.col("user_id").alias("uid_b"), F.col("week").alias("week_b")
+    )
+    j = uw.join(
+        b,
+        (F.col("uid_b") == F.col("user_id"))
+        & (F.col("week_b") == F.col("week") + F.expr("INTERVAL 7 DAYS")),
+        "left",
+    )
+    n_act = F.count("*")
+    n_ret = F.count("uid_b")
+    return (
+        j.groupBy(F.date_format("week", "yyyy-MM-dd").alias("week"))
+        .agg(
+            n_act.alias("n_active"),
+            n_ret.alias("n_retained"),
+            (n_act - n_ret).alias("n_churned"),
+            prnd(
+                (n_act - n_ret).cast("double") / n_act, 6
+            ).alias("churn_rate"),
+        )
+    )

@@ -3228,3 +3228,239 @@ def q206_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days",
         (F.col("bin") == F.col("poc_bin")).cast("int").alias("is_poc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q216 CAPM alpha/beta (full-period OLS with intercept)
+# ---------------------------------------------------------------------------
+
+
+def _q216_oracle() -> str:
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    r0 AS (SELECT id, dt, ln(close / lag(close) OVER ({_WIN})) AS ret FROM candles),
+    r1 AS (SELECT id, dt, ret FROM r0 WHERE ret IS NOT NULL),
+    mkt AS (SELECT dt, avg(ret) AS mret FROM r1 GROUP BY dt),
+    j AS (SELECT r1.id, r1.ret, mkt.mret FROM r1 JOIN mkt USING (dt)),
+    s AS (
+      SELECT id, count(*) AS n,
+             sum(mret) AS sx, sum(ret) AS sy,
+             sum(mret * ret) AS sxy, sum(mret * mret) AS sxx
+      FROM j GROUP BY id
+    )
+    SELECT id, CAST(n AS BIGINT) AS n_obs,
+           {o_rnd('(sxy - sx * sy / n) / (sxx - sx * sx / n)', 6)} AS beta,
+           {o_rnd('(sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n * 365.0', 6)} AS alpha_annual
+    FROM s
+    """
+
+
+@query("q216_capm_alpha", oracle=_q216_oracle())
+def q216_capm_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPM regression per symbol over the full period: beta (slope of
+    daily log return on the equal-weight market) and annualized alpha
+    (intercept x 365) — the attribution split between market exposure
+    and idiosyncratic edge; the STATIC companion to q155's rolling
+    beta. Pure algebraic sufficient sums after one lag + one dt join."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    r = c.select(
+        "id", "dt", F.log(F.col("close") / F.lag("close").over(w)).alias("ret")
+    ).filter(F.col("ret").isNotNull())
+    mkt = r.groupBy("dt").agg(F.avg("ret").alias("mret"))
+    j = r.join(F.broadcast(mkt), "dt")
+    s = j.groupBy("id").agg(
+        F.count("*").alias("n"),
+        F.sum("mret").alias("sx"),
+        F.sum("ret").alias("sy"),
+        F.sum(F.col("mret") * F.col("ret")).alias("sxy"),
+        F.sum(F.col("mret") * F.col("mret")).alias("sxx"),
+    )
+    beta = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    alpha = (F.col("sy") - beta * F.col("sx")) / F.col("n") * 365.0
+    return s.select(
+        "id",
+        F.col("n").cast("long").alias("n_obs"),
+        prnd(beta, 6).alias("beta"),
+        prnd(alpha, 6).alias("alpha_annual"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q218 price gap days
+# ---------------------------------------------------------------------------
+
+
+def _q218_oracle() -> str:
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    g AS (
+      SELECT id, dt, low, high,
+             lag(high) OVER ({_WIN}) AS ph,
+             lag(low)  OVER ({_WIN}) AS pl,
+             lag(close) OVER ({_WIN}) AS pc
+      FROM candles
+    )
+    SELECT id, dt,
+           CASE WHEN low > ph THEN 'gap_up' ELSE 'gap_down' END AS gap_type,
+           {o_rnd("CASE WHEN low > ph THEN (low - ph) / pc ELSE (pl - high) / pc END", 6)} AS gap_size
+    FROM g
+    WHERE pc IS NOT NULL AND (low > ph OR high < pl)
+    """
+
+
+@query("q218_gap_days", oracle=_q218_oracle())
+def q218_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-gap detection: days whose entire range trades ABOVE the
+    previous day's high (gap up) or BELOW its low (gap down), with the
+    gap size relative to the prior close — breakaway/exhaustion-gap
+    screening, a pure three-lag window filter on the shared per-id
+    sort (rare-event output: rows only for actual gaps)."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    g = c.select(
+        "id",
+        "dt",
+        "low",
+        "high",
+        F.lag("high").over(w).alias("ph"),
+        F.lag("low").over(w).alias("pl"),
+        F.lag("close").over(w).alias("pc"),
+    ).filter(F.col("pc").isNotNull())
+    up = F.col("low") > F.col("ph")
+    down = F.col("high") < F.col("pl")
+    return g.filter(up | down).select(
+        "id",
+        "dt",
+        F.when(up, "gap_up").otherwise("gap_down").alias("gap_type"),
+        prnd(
+            F.when(up, (F.col("low") - F.col("ph")) / F.col("pc")).otherwise(
+                (F.col("pl") - F.col("high")) / F.col("pc")
+            ),
+            6,
+        ).alias("gap_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q219 volatility regimes (gaps-and-islands over a median split)
+# ---------------------------------------------------------------------------
+
+
+def _q219_oracle() -> str:
+    fr = f"({_WIN} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)"
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    r AS (
+      SELECT id, dt, ln(close / lag(close) OVER ({_WIN})) AS ret FROM candles
+    ),
+    v AS (
+      SELECT id, dt,
+             stddev_pop(ret) OVER {fr} AS vol,
+             count(ret) OVER {fr} AS nw
+      FROM r WHERE ret IS NOT NULL
+    ),
+    vv AS (SELECT id, dt, vol FROM v WHERE nw = 20),
+    med AS (
+      SELECT id, vol, dt,
+             row_number() OVER (PARTITION BY id ORDER BY vol, dt) AS rn,
+             count(*) OVER (PARTITION BY id) AS n
+      FROM vv
+    ),
+    m AS (
+      SELECT id,
+             max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+                      THEN vol END) AS vmed
+      FROM med GROUP BY id
+    ),
+    flagged AS (
+      SELECT vv.id, vv.dt,
+             CAST(vv.vol > m.vmed AS INT) AS high_vol
+      FROM vv JOIN m USING (id)
+    ),
+    runs AS (
+      SELECT id, dt, high_vol,
+             CASE WHEN lag(high_vol) OVER ({_WIN}) IS NULL
+                    OR lag(high_vol) OVER ({_WIN}) <> high_vol
+                  THEN 1 ELSE 0 END AS chg
+      FROM flagged
+    ),
+    epochs AS (
+      SELECT id, dt, high_vol,
+             sum(chg) OVER ({_WIN} ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS epoch
+      FROM runs
+    )
+    SELECT id, CAST(epoch AS BIGINT) AS regime_no, max(high_vol) AS high_vol,
+           min(dt) AS start_dt, max(dt) AS end_dt, count(*) AS n_days
+    FROM epochs GROUP BY id, epoch
+    """
+
+
+@query("q219_volatility_regimes", oracle=_q219_oracle())
+def q219_volatility_regimes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volatility regime segmentation: 20-day rolling vol split at its
+    own per-symbol median into high/low states, then compressed into
+    contiguous regime intervals (gaps-and-islands) — the 2-state
+    regime table risk models condition on. The median is a
+    deterministic lower order statistic; regime runs use the q187
+    change-flag + running-sum epoch idiom on the shared per-id sort."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    fr = w.rowsBetween(-19, 0)
+    r = c.select(
+        "id", "dt", F.log(F.col("close") / F.lag("close").over(w)).alias("ret")
+    ).filter(F.col("ret").isNotNull())
+    v = r.select(
+        "id",
+        "dt",
+        F.stddev_pop("ret").over(fr).alias("vol"),
+        F.count("ret").over(fr).alias("nw"),
+    ).filter(F.col("nw") == 20)
+    mw = W.partitionBy("id").orderBy("vol", "dt")
+    med = v.select(
+        "id",
+        "vol",
+        F.row_number().over(mw).alias("rn"),
+        F.count("*").over(W.partitionBy("id")).alias("n"),
+    )
+    m = med.groupBy("id").agg(
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.floor(F.lit(0.5) * (F.col("n") - 1)).cast("long") + 1,
+                F.col("vol"),
+            )
+        ).alias("vmed")
+    )
+    flagged = v.join(F.broadcast(m), "id").select(
+        "id", "dt", (F.col("vol") > F.col("vmed")).cast("int").alias("high_vol")
+    )
+    lagf = F.lag("high_vol").over(w)
+    runs = flagged.select(
+        "id",
+        "dt",
+        "high_vol",
+        F.when(lagf.isNull() | (lagf != F.col("high_vol")), 1)
+        .otherwise(0)
+        .alias("chg"),
+    )
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    epochs = runs.select(
+        "id", "dt", "high_vol", F.sum("chg").over(cum).alias("epoch")
+    )
+    return epochs.groupBy("id", "epoch").agg(
+        F.max("high_vol").alias("high_vol"),
+        F.min("dt").alias("start_dt"),
+        F.max("dt").alias("end_dt"),
+        F.count("*").alias("n_days"),
+    ).select(
+        "id",
+        F.col("epoch").cast("long").alias("regime_no"),
+        "high_vol",
+        "start_dt",
+        "end_dt",
+        "n_days",
+    )

@@ -1102,3 +1102,52 @@ def q211_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(prev4 > 0.0, F.col("revenue") / prev4 - 1.0), 6
         ).alias("w4w_growth"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q220 price-ending clustering (round-number bias)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q220_price_endings",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(floor(o_totalprice * 100.0 + 0.5001) AS BIGINT) % 100 AS cents
+      FROM orders
+    ),
+    h AS (SELECT cents, count(*) AS n FROM c GROUP BY cents),
+    t AS (SELECT sum(n) AS total, count(*) AS n_bins FROM h)
+    SELECT h.cents, h.n,
+           {o_rnd('CAST(h.n AS DOUBLE) / t.total', 6)} AS observed,
+           {o_rnd('1.0 / t.n_bins', 6)} AS uniform_expected,
+           {o_rnd('CAST(h.n AS DOUBLE) / t.total * t.n_bins', 4)} AS bias_ratio
+    FROM h CROSS JOIN t
+    """,
+)
+def q220_price_endings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-ending clustering: the distribution of the cents digits
+    of order totals against uniform — real markets cluster quotes at
+    .00/.50 (round-number bias, a microstructure fact and a synthetic-
+    data tell, like q177's Benford screen for leading digits).
+
+    Cents extract via the SAME integer grid as the engine's monetary
+    rounding (floor(x*100 + eps)) so both engines bin identically; one
+    partial-agg groupBy of at most 100 bins + a 1-row totals join."""
+    o = table(spark, sf_dir, "orders")
+    c = o.select(
+        (
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5001).cast("long") % 100
+        ).alias("cents")
+    )
+    h = c.groupBy("cents").agg(F.count("*").alias("n"))
+    t = h.agg(F.sum("n").alias("total"), F.count("*").alias("n_bins"))
+    return h.crossJoin(F.broadcast(t)).select(
+        "cents",
+        "n",
+        prnd(F.col("n").cast("double") / F.col("total"), 6).alias("observed"),
+        prnd(F.lit(1.0) / F.col("n_bins"), 6).alias("uniform_expected"),
+        prnd(
+            F.col("n").cast("double") / F.col("total") * F.col("n_bins"), 4
+        ).alias("bias_ratio"),
+    )
