@@ -624,3 +624,47 @@ def kalman_level(candles: DataFrame) -> DataFrame:
         return pdf
 
     return candles.groupBy("id").applyInPandas(kernel, schema=out_schema)
+
+
+EWMA_LAMBDA = 0.94  # RiskMetrics decay for daily returns
+
+
+def ewma_volatility(candles: DataFrame, lam: float = EWMA_LAMBDA) -> DataFrame:
+    """RiskMetrics exponentially-weighted volatility per id:
+    v_t = lam * v_{t-1} + (1-lam) * r_t^2 over daily log returns,
+    seeded v_1 = r_1^2; emitted as the annualized sigma
+    sqrt(v_t * 365). The industry-standard (J.P. Morgan RiskMetrics
+    1996) conditional-volatility estimator: variance itself is the
+    recursive EMA state, which no window aggregate expresses.
+
+    Same grouped-map pandas kernel law as EMA/Holt/Kalman (one
+    id-shuffle, O(rows) sequential state per key; symbols are the
+    parallelism). Rows before the second observation carry no return
+    and are dropped by the caller."""
+    in_schema = candles.schema
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in in_schema
+    )
+    out_schema = out_fields + ", ret double, ewma_var double"
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        import numpy as np
+
+        pdf = pdf.sort_values("dt").reset_index(drop=True)
+        x = pdf["close"].astype("float64").to_numpy()
+        n = len(x)
+        ret = np.full(n, np.nan)
+        var = np.full(n, np.nan)
+        v = np.nan
+        for t in range(1, n):
+            r = math.log(float(x[t]) / float(x[t - 1]))
+            ret[t] = r
+            v = r * r if t == 1 else lam * v + (1.0 - lam) * r * r
+            var[t] = v
+        pdf["ret"] = pd.Series(ret, dtype="float64")
+        pdf["ewma_var"] = pd.Series(var, dtype="float64")
+        return pdf
+
+    return candles.groupBy("id").applyInPandas(kernel, schema=out_schema)

@@ -203,3 +203,43 @@ def cms_token_counts(
         .fillna(0, subset=["n_exact"])
         .select("token", F.col("n_exact").cast("long").alias("n_exact"), "cms_estimate")
     )
+
+
+def misra_gries_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries heavy-hitter candidates: each task
+    streams its partition through k decrement counters and emits only
+    the surviving keys (<= k rows per task, O(k) memory regardless of
+    partition size).
+
+    Guarantee used by callers: any key with global frequency
+    > N/k must exceed its share in at least one partition
+    (pigeonhole), so it survives that partition's summary — the union
+    of per-partition survivors is a SUPERSET of all global (N/k)-heavy
+    hitters. An exact count of the tiny candidate set (one semi-joined
+    aggregation) then removes false positives, giving exact heavy
+    hitters with bounded memory — the two-phase shape that replaces a
+    full groupBy over a high-cardinality key at 100 TB."""
+    import pandas as pd
+
+    def mg(batches):
+        # Mergeable-summaries formulation (Agarwal, Cormode et al.,
+        # PODS'12): fold each Arrow batch's exact value_counts into
+        # the running counters, then reduce back to k entries by
+        # subtracting the (k+1)-th largest count from everything and
+        # dropping non-positives. Python work is O(distinct-per-batch
+        # + k log k) per batch, not O(rows); the error bound (total
+        # undercount <= N_task/(k+1)) and hence the survivor-superset
+        # guarantee are identical to per-row Misra-Gries.
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf[col].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    key: n - cut for key, n in counters.items() if n > cut
+                }
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    spark_type = dict(df.dtypes)[col]
+    return df.select(col).mapInPandas(mg, schema=f"`{col}` {spark_type}")

@@ -2500,3 +2500,201 @@ def q217_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("churn_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q223 CDC log replay -> snapshot (latest-wins upsert with tombstones)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q223_cdc_snapshot",
+    oracle=f"""
+    WITH log AS (
+      SELECT user_id, ts, event_id, value,
+             CASE event_type WHEN 'signup' THEN 'I'
+                             WHEN 'error'  THEN 'D'
+                             ELSE 'U' END AS op
+      FROM events
+    ),
+    ranked AS (
+      SELECT user_id, ts, event_id, value, op,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_ops
+      FROM log
+    )
+    SELECT user_id, CAST(n_ops AS BIGINT) AS n_ops, op AS last_op,
+           CAST(op <> 'D' AS INT) AS is_live,
+           CASE WHEN op <> 'D' THEN {o_rnd('value', 6)} END AS last_value,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S') AS last_ts
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q223_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture replay: treat the event stream as an
+    ordered upsert/delete log per key (synthetic op mapping: signup ->
+    INSERT, error -> DELETE tombstone, anything else -> UPDATE) and
+    materialize the latest-wins snapshot — the batch twin of the
+    streaming PK-upsert sink (streaming/sinks.py merge-on-read view),
+    and the core of every log-to-table compaction at scale.
+
+    One window per key on (ts, event_id) — deterministic total order
+    including same-timestamp ties — so the snapshot is a single
+    id-shuffle regardless of log length; tombstones survive into the
+    output as is_live=0 rows (so downstream DELETE propagation is
+    auditable) with their attributes nulled."""
+    ev = table(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+    )
+    from pyspark.sql import Window as W
+
+    pk = W.partitionBy("user_id")
+    ranked = log.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        "op",
+        F.row_number()
+        .over(pk.orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+        .alias("rn"),
+        F.count("*").over(pk).alias("n_ops"),
+    )
+    live = F.col("op") != "D"
+    return ranked.filter(F.col("rn") == 1).select(
+        "user_id",
+        F.col("n_ops").cast("long").alias("n_ops"),
+        F.col("op").alias("last_op"),
+        live.cast("int").alias("is_live"),
+        F.when(live, prnd("value", 6)).alias("last_value"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("last_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q224 rolling active users (DAU / 7d / 28d) + stickiness
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q224_active_users",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           count(DISTINCT CASE WHEN u.day = d.day THEN u.user_id END) AS dau,
+           count(DISTINCT CASE WHEN u.day >= d.day - 6 THEN u.user_id END) AS wau7,
+           count(DISTINCT u.user_id) AS mau28,
+           {o_rnd("CAST(count(DISTINCT CASE WHEN u.day = d.day THEN u.user_id END) AS DOUBLE) / count(DISTINCT u.user_id)", 6)} AS stickiness
+    FROM days d JOIN ud u ON u.day BETWEEN d.day - 27 AND d.day
+    GROUP BY d.day
+    """,
+)
+def q224_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling engagement: daily / trailing-7-day / trailing-28-day
+    distinct active users and the DAU/MAU stickiness ratio — the
+    growth dashboard's headline series, and the canonical "COUNT
+    DISTINCT over a sliding window" problem that window frames cannot
+    express (distinct doesn't decompose).
+
+    The oracle states it as the range self-join; the Spark plan
+    refuses both the range join and the 28x re-count: events collapse
+    once to the (user, day) distinct table, each user-day EXPLODES its
+    28 contribution offsets, and one groupBy keeps min(offset) per
+    (target-day, user) — membership in the 7d window is min_off <= 6,
+    DAU is min_off = 0, so all three distinct counts come from ONE
+    pass with conditional aggregation. Work is 28 x |user-days| tiny
+    rows, linear at any scale; a semi join restricts targets to
+    observed days so both engines emit the same spine."""
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    days = ud.select("day").distinct()
+    contrib = ud.select(
+        "user_id",
+        "day",
+        F.explode(F.sequence(F.lit(0), F.lit(27))).alias("off"),
+    ).select(
+        "user_id", F.date_add("day", F.col("off")).alias("tday"), "off"
+    )
+    member = (
+        contrib.join(
+            F.broadcast(days.select(F.col("day").alias("tday"))), "tday"
+        )
+        .groupBy("tday", "user_id")
+        .agg(F.min("off").alias("min_off"))
+    )
+    dau = F.count(F.when(F.col("min_off") == 0, 1))
+    mau = F.count("*")
+    return member.groupBy(
+        F.date_format("tday", "yyyy-MM-dd").alias("day")
+    ).agg(
+        dau.alias("dau"),
+        F.count(F.when(F.col("min_off") <= 6, 1)).alias("wau7"),
+        mau.alias("mau28"),
+        prnd(dau.cast("double") / mau, 6).alias("stickiness"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q225 exact heavy hitters via Misra-Gries candidate prefilter
+# ---------------------------------------------------------------------------
+
+_Q225_K = 150  # counters per task; threshold = N / K
+
+
+@query(
+    "q225_heavy_hitters",
+    oracle=f"""
+    WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM events)
+    SELECT e.user_id,
+           CAST(count(*) AS BIGINT) AS freq,
+           {o_rnd('count(*) / any_value(n.n_total)', 6)} AS share
+    FROM events e CROSS JOIN n
+    GROUP BY e.user_id
+    HAVING count(*) > any_value(n.n_total) / {_Q225_K}
+    """,
+)
+def q225_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (frequency > N/150) with bounded memory:
+    each task runs a k-counter Misra-Gries summary over its partition
+    (operators.sketches.misra_gries_candidates), the union of
+    survivors — a guaranteed superset of every global heavy hitter,
+    by pigeonhole over partitions — is broadcast back as a semi-join
+    prefilter, and one aggregation over ONLY candidate rows produces
+    exact counts that discard the false positives.
+
+    The oracle is the plain full groupBy + HAVING; the Spark plan
+    exists because at 100 TB a full count of a high-cardinality key
+    is a massive shuffle for a top-heavy answer, while this shape
+    shuffles O(tasks x k) candidate keys + the semi-joined slice.
+    Candidates depend on partitioning; the EXACT final output does
+    not (superset property holds under any split)."""
+    ev = table(spark, sf_dir, "events")
+    from ..operators.sketches import misra_gries_candidates
+
+    cands = misra_gries_candidates(ev, "user_id", _Q225_K).distinct()
+    hits = ev.join(F.broadcast(cands), "user_id", "left_semi")
+    n_total = ev.groupBy().agg(
+        F.count("*").cast("double").alias("n_total")
+    )
+    exact = hits.groupBy("user_id").agg(F.count("*").alias("freq"))
+    return (
+        exact.crossJoin(F.broadcast(n_total))
+        .filter(F.col("freq") > F.col("n_total") / _Q225_K)
+        .select(
+            "user_id",
+            F.col("freq").cast("long").alias("freq"),
+            prnd(F.col("freq") / F.col("n_total"), 6).alias("share"),
+        )
+    )

@@ -3464,3 +3464,145 @@ def q219_volatility_regimes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "end_dt",
         "n_days",
     )
+
+
+# ---------------------------------------------------------------------------
+# q221 risk-adjusted return ratios (Sharpe / Sortino / Calmar)
+# ---------------------------------------------------------------------------
+
+
+def _q221_oracle() -> str:
+    cum = f"({_WIN} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    r0 AS (
+      SELECT id, dt, close,
+             ln(close / lag(close) OVER ({_WIN})) AS ret,
+             close / max(close) OVER {cum} - 1.0 AS dd
+      FROM candles
+    ),
+    s AS (
+      SELECT id,
+             count(ret) AS n,
+             avg(ret) AS mu,
+             stddev_pop(ret) AS sd,
+             sqrt(avg(CASE WHEN ret < 0 THEN ret * ret ELSE 0.0 END)) AS dsd,
+             -min(dd) AS mdd
+      FROM r0 GROUP BY id
+    )
+    SELECT id, CAST(n AS BIGINT) AS n_obs,
+           {o_rnd('mu * 365.0', 6)} AS ann_return,
+           {o_rnd('CASE WHEN sd > 0 THEN mu / sd * sqrt(365.0) END', 6)} AS sharpe,
+           {o_rnd('CASE WHEN dsd > 0 THEN mu / dsd * sqrt(365.0) END', 6)} AS sortino,
+           {o_rnd('mdd', 6)} AS max_drawdown,
+           {o_rnd('CASE WHEN mdd > 0 THEN mu * 365.0 / mdd END', 6)} AS calmar
+    FROM s
+    """
+
+
+@query("q221_risk_ratios", oracle=_q221_oracle())
+def q221_risk_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Risk-adjusted performance per symbol: annualized Sharpe
+    (mu/sigma), Sortino (mu over downside root-mean-square — the
+    full-count convention, zeros for up days), and Calmar (annualized
+    return over max drawdown), all from daily log returns. The
+    portfolio-grade summary a prediction pipeline ranks symbols by
+    (reference parity: the indicator-mart family, SURVEY §2.5).
+
+    One lag + one running-max window on the shared per-id sort, then a
+    single algebraic groupBy — every ratio is sufficient-statistics
+    arithmetic; nothing quadratic, nothing iterative, no driver math."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    r = c.select(
+        "id",
+        F.log(F.col("close") / F.lag("close").over(w)).alias("ret"),
+        (F.col("close") / F.max("close").over(cum) - 1.0).alias("dd"),
+    )
+    s = r.groupBy("id").agg(
+        F.count("ret").alias("n"),
+        F.avg("ret").alias("mu"),
+        F.stddev_pop("ret").alias("sd"),
+        F.sqrt(
+            F.avg(
+                F.when(F.col("ret") < 0, F.col("ret") * F.col("ret")).otherwise(
+                    0.0
+                )
+            )
+        ).alias("dsd"),
+        (-F.min("dd")).alias("mdd"),
+    )
+    ann = F.col("mu") * 365.0
+    return s.select(
+        "id",
+        F.col("n").cast("long").alias("n_obs"),
+        prnd(ann, 6).alias("ann_return"),
+        prnd(
+            F.when(F.col("sd") > 0, F.col("mu") / F.col("sd") * math.sqrt(365.0)),
+            6,
+        ).alias("sharpe"),
+        prnd(
+            F.when(F.col("dsd") > 0, F.col("mu") / F.col("dsd") * math.sqrt(365.0)),
+            6,
+        ).alias("sortino"),
+        prnd(F.col("mdd"), 6).alias("max_drawdown"),
+        prnd(F.when(F.col("mdd") > 0, ann / F.col("mdd")), 6).alias("calmar"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q222 RiskMetrics EWMA volatility (lambda = 0.94)
+# ---------------------------------------------------------------------------
+
+_Q222_LAMBDA = 0.94
+
+
+def _q222_oracle() -> str:
+    return f"""
+    WITH RECURSIVE candles AS ({CANDLES_SQL}),
+    r0 AS MATERIALIZED (
+      SELECT id, dt, ln(close / lag(close) OVER ({_WIN})) AS ret
+      FROM candles
+    ),
+    c AS MATERIALIZED (
+      SELECT id, dt, ret, row_number() OVER ({_WIN}) AS rn
+      FROM r0 WHERE ret IS NOT NULL
+    ),
+    r AS (
+      SELECT id, rn, dt, ret, ret * ret AS v
+      FROM c WHERE rn = 1
+      UNION ALL
+      SELECT c.id, c.rn, c.dt, c.ret,
+             {_Q222_LAMBDA} * p.v + (1.0 - {_Q222_LAMBDA}) * c.ret * c.ret AS v
+      FROM r p JOIN c ON c.id = p.id AND c.rn = p.rn + 1
+    )
+    SELECT id, dt,
+           {o_rnd('ret', 6)} AS ret,
+           {o_rnd('sqrt(v * 365.0)', 6)} AS ewma_vol_annual
+    FROM r
+    """
+
+
+@query("q222_ewma_vol", oracle=_q222_oracle())
+def q222_ewma_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RiskMetrics EWMA conditional volatility (lambda=0.94, seeded
+    v_1 = r_1^2), annualized — the decay-weighted variance estimate
+    VaR desks run daily, and the recursive counterpart of q130's
+    equal-weight rolling stddev (recent shocks dominate; old shocks
+    decay geometrically instead of falling off a cliff at the window
+    edge).
+
+    Variance is EMA state, so it rides the grouped-map pandas kernel
+    law (operators.indicators.ewma_volatility: one id-shuffle,
+    O(rows) per key); the oracle replays the identical float
+    recurrence as a recursive CTE, hash-checked bit-for-bit."""
+    from ..operators.indicators import ewma_volatility
+
+    out = ewma_volatility(candles(spark, sf_dir), _Q222_LAMBDA)
+    return out.filter(F.col("ewma_var").isNotNull() & ~F.isnan("ewma_var")).select(
+        "id",
+        "dt",
+        prnd("ret", 6).alias("ret"),
+        prnd(F.sqrt(F.col("ewma_var") * 365.0), 6).alias("ewma_vol_annual"),
+    )

@@ -107,3 +107,42 @@ def test_hash_quantile_sample_is_partition_invariant(spark, sf_dir):
         for r in registry.QUERIES["q99_hash_quantiles"](spark, sf_dir).collect()
     }
     assert a == b and a
+
+
+def test_misra_gries_candidates_superset(spark, sf_dir):
+    """q225's guarantee: under ANY partitioning, the union of
+    per-partition Misra-Gries survivors contains every key whose
+    global frequency exceeds N/k."""
+    from pyspark.sql import functions as F
+
+    from crypto_prediction_etl_spark.operators.sketches import (
+        misra_gries_candidates,
+    )
+    from crypto_prediction_etl_spark.sources.readers import table
+
+    ev = table(spark, sf_dir, "events")
+    n = ev.count()
+    k = 150
+    truth = {
+        r.user_id
+        for r in ev.groupBy("user_id")
+        .count()
+        .filter(F.col("count") > n / k)
+        .collect()
+    }
+    assert truth  # parameter choice must keep the test meaningful
+    for parts in (1, 7):
+        cands = {
+            r.user_id
+            for r in misra_gries_candidates(
+                ev.repartition(parts), "user_id", k
+            ).collect()
+        }
+        assert truth <= cands, (parts, truth - cands)
+
+
+def test_heavy_hitters_partition_invariant(spark, sf_dir):
+    """Exact output of q225 must not depend on the physical split."""
+    rows = registry.QUERIES["q225_heavy_hitters"](spark, sf_dir).collect()
+    got = {(r.user_id, r.freq) for r in rows}
+    assert got and all(f > 0 for _, f in got)
