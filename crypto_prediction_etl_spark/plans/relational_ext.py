@@ -1151,3 +1151,223 @@ def q220_price_endings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.col("total") * F.col("n_bins"), 4
         ).alias("bias_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q226 sole-late-supplier blame (TPC-H Q21 shape: EXISTS + NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+_Q226_LATE_DAYS = 90
+
+
+@query(
+    "q226_blame_supplier",
+    oracle=f"""
+    SELECT s.s_suppkey, s.s_name,
+           CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE l1.l_shipdate > o.o_orderdate + INTERVAL {_Q226_LATE_DAYS} DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL {_Q226_LATE_DAYS} DAY
+      )
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+)
+def q226_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's double-correlated existential (suppliers who were
+    the SOLE late shipper in a multi-supplier order — ship date more
+    than 90 days after the order date), completing the subquery family
+    q148-q151 started: one EXISTS plus one NOT EXISTS against the same
+    fact table.
+
+    The oracle states the correlated form; the Spark plan decorrelates
+    BOTH subqueries into a single per-(order, supplier) aggregation —
+    late flag per supplier-in-order, then supplier count + late count
+    per order — so the fact table is scanned once and shuffled once on
+    the join key it already groups by. EXISTS == (n_supp >= 2),
+    NOT EXISTS == (n_late == 1) given this supplier is late; the
+    100-row supplier dim broadcasts."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    s = table(spark, sf_dir, "supplier")
+    ls = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (
+                    F.col("l_shipdate")
+                    > F.date_add("o_orderdate", _Q226_LATE_DAYS)
+                ).cast("int")
+            ).alias("late")
+        )
+    )
+    per_order = ls.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    blamed = (
+        ls.filter(F.col("late") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    return (
+        blamed.join(
+            F.broadcast(s), blamed.l_suppkey == s.s_suppkey
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q227 small-file compaction planner (greedy sequential bin packing)
+# ---------------------------------------------------------------------------
+
+_Q227_ROW_BYTES = 64  # synthetic on-disk width per row
+_Q227_TARGET = 256_000  # target compacted file size (bytes)
+
+
+@query(
+    "q227_compaction_planner",
+    oracle=f"""
+    WITH files AS (
+      SELECT o_orderpriority AS pri,
+             strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mon,
+             CAST(count(*) * {_Q227_ROW_BYTES} AS BIGINT) AS bytes
+      FROM orders GROUP BY 1, 2
+    ),
+    placed AS (
+      SELECT pri, mon, bytes,
+             CAST(floor(CAST(sum(bytes) OVER (PARTITION BY pri ORDER BY mon
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bytes AS DOUBLE)
+                        / {_Q227_TARGET}) AS BIGINT) AS bin
+      FROM files
+    )
+    SELECT pri, bin,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(bytes) AS BIGINT) AS total_bytes,
+           min(mon) AS first_mon, max(mon) AS last_mon
+    FROM placed GROUP BY pri, bin
+    """,
+)
+def q227_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the maintenance pass every
+    partitioned lake needs (the reference's hot-table compaction,
+    streaming/sinks.py compact_hot_table, decides WHETHER; this
+    decides HOW): model each (partition, month) slice as a file of
+    rows x 64 bytes, then assign files to target-sized compaction
+    groups by greedy sequential packing — a file starts a new group
+    when the running total before it crosses a 256 KB boundary.
+
+    The packing is one cumulative-sum window per partition over the
+    file INVENTORY (metadata-scale: thousands of rows for petabyte
+    tables), never the data; each group is then one coalesced rewrite
+    job. Deterministic: month order fixes the sequence, floor(cum/
+    target) fixes the bins — both engines place identically."""
+    o = table(spark, sf_dir, "orders")
+    files = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "mon"
+        ),
+    ).agg((F.count("*") * _Q227_ROW_BYTES).cast("long").alias("bytes"))
+    w = (
+        W.partitionBy("pri")
+        .orderBy("mon")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    placed = files.select(
+        "pri",
+        "mon",
+        "bytes",
+        F.floor(
+            (F.sum("bytes").over(w) - F.col("bytes")).cast("double")
+            / _Q227_TARGET
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    return placed.groupBy("pri", "bin").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("bytes").cast("long").alias("total_bytes"),
+        F.min("mon").alias("first_mon"),
+        F.max("mon").alias("last_mon"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q228 k-anonymity audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+_Q228_K = 5
+
+
+@query(
+    "q228_k_anonymity",
+    oracle=f"""
+    WITH q AS (
+      SELECT c_mktsegment AS segment, c_nationkey AS nation,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket
+      FROM customer
+    ),
+    cls AS (
+      SELECT segment, nation, bal_bucket,
+             CAST(count(*) AS BIGINT) AS class_size
+      FROM q GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT CAST(sum(class_size) AS DOUBLE) AS n FROM cls)
+    SELECT segment, nation, bal_bucket, class_size,
+           CAST(class_size < {_Q228_K} AS INT) AS violates_k,
+           {o_rnd(f'CASE WHEN class_size < {_Q228_K} THEN class_size ELSE 0 END / any_value(tot.n)', 6)} AS reident_risk_share
+    FROM cls CROSS JOIN tot
+    GROUP BY segment, nation, bal_bucket, class_size
+    """,
+)
+def q228_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) over the customer quasi-identifier
+    tuple (market segment, nation, account-balance band): every
+    equivalence class with its size, a violation flag, and the share
+    of the population each violating class exposes to re-identification
+    — the privacy gate a training-data release pipeline runs before
+    shipping user-derived tables (companion to q77's PII content
+    filter, which looks INSIDE values; this audits the JOINT
+    distribution).
+
+    One partial-agg groupBy over the generalized tuple + a broadcast
+    1-row total; banding rides floor division so both engines cut
+    identical buckets. At scale the class table is tiny relative to
+    the input (generalization is compression), and suppression =
+    an anti join of violating classes back against the source."""
+    c = table(spark, sf_dir, "customer")
+    q = c.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nation"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_bucket"),
+    )
+    cls = q.groupBy("segment", "nation", "bal_bucket").agg(
+        F.count("*").cast("long").alias("class_size")
+    )
+    tot = cls.agg(F.sum("class_size").cast("double").alias("n"))
+    viol = F.col("class_size") < _Q228_K
+    return cls.crossJoin(F.broadcast(tot)).select(
+        "segment",
+        "nation",
+        "bal_bucket",
+        "class_size",
+        viol.cast("int").alias("violates_k"),
+        prnd(
+            F.when(viol, F.col("class_size")).otherwise(0).cast("double")
+            / F.col("n"),
+            6,
+        ).alias("reident_risk_share"),
+    )

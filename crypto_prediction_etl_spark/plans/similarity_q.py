@@ -1449,3 +1449,101 @@ def q212_mahalanobis_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd("md", 4).alias("mahalanobis"),
         (F.col("md") > thr).cast("int").alias("is_outlier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q231 hybrid retrieval: BM25 + cosine fused by reciprocal rank (RRF)
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # Cormack et al. (SIGIR'09) smoothing constant
+_RRF_DEPTH = 50  # per-channel candidate depth
+_RRF_TOPN = 10
+
+
+def _q231_oracle() -> str:
+    from .text_q import _bm25_oracle
+
+    return f"""
+    WITH lex AS (
+      SELECT doc_id, rank AS lex_rank
+      FROM ({_bm25_oracle()}) WHERE rank <= {_RRF_DEPTH}
+    ),
+    {_VECS_CTE.lstrip()},
+    q AS (SELECT * FROM e WHERE vec_id = 0),
+    sem0 AS (
+      SELECT c.vec_id AS doc_id,
+             CAST(row_number() OVER (
+               ORDER BY {o_rnd(_COS, 6)} DESC, c.vec_id) AS INTEGER) AS sem_rank
+      FROM q JOIN e c ON c.vec_id <> q.vec_id
+    ),
+    sem AS (SELECT * FROM sem0 WHERE sem_rank <= {_RRF_DEPTH}),
+    fused AS (
+      SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+             lex.lex_rank, sem.sem_rank,
+             {o_rnd(f'coalesce(1.0 / ({_RRF_K} + lex.lex_rank), 0.0) + coalesce(1.0 / ({_RRF_K} + sem.sem_rank), 0.0)', 6)} AS rrf_score
+      FROM lex FULL OUTER JOIN sem ON sem.doc_id = lex.doc_id
+    )
+    SELECT doc_id, lex_rank, sem_rank, rrf_score,
+           CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS fused_rank
+    FROM fused
+    QUALIFY fused_rank <= {_RRF_TOPN}
+    """
+
+
+@query("q231_rrf_fusion", oracle=_q231_oracle())
+def q231_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval, the RAG-serving shape: fuse the lexical BM25
+    channel (q75's scorer, fixed term query) with the semantic cosine
+    channel (q50's kernel, query = vector 0) by reciprocal-rank fusion
+    (Cormack et al., SIGIR'09: score = sum 1/(60+rank), depth 50 per
+    channel) and emit the top 10 — documents and embeddings share ids,
+    so this is the engine's end-to-end answer to "retrieve with both
+    indexes and merge".
+
+    Each channel keeps its own scale-safe plan (term-filtered posting
+    explode; broadcast query matmul); the fusion is a full outer join
+    of two DEPTH-row lists — driver-scale regardless of corpus size.
+    Rank arithmetic is integer-derived float division, bit-identical
+    across engines; the oracle replays both channels and the fusion in
+    one SQL statement."""
+    from ..operators.retrieval import bm25_scores
+    from .text_q import _BM25_B, _BM25_K1, _BM25_TERMS
+
+    docs = table(spark, sf_dir, "documents")
+    scored = bm25_scores(docs, list(_BM25_TERMS), _BM25_K1, _BM25_B)
+    from pyspark.sql import Window as W
+
+    lex = (
+        scored.withColumn("bm25", prnd(F.col("bm25"), 6))
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.col("bm25").desc(), "doc_id"))
+            .alias("lex_rank"),
+        )
+        .filter(F.col("lex_rank") <= _RRF_DEPTH)
+    )
+    vecs = _vecs(spark, sf_dir)
+    sem = (
+        cosine_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=_RRF_DEPTH)
+        .select(F.col("vec_id").alias("doc_id"), F.col("rank").alias("sem_rank"))
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        prnd(
+            F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("sem_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    return (
+        fused.withColumn(
+            "fused_rank",
+            F.row_number()
+            .over(W.orderBy(F.col("rrf_score").desc(), "doc_id"))
+            .cast("int"),
+        )
+        .filter(F.col("fused_rank") <= _RRF_TOPN)
+    )

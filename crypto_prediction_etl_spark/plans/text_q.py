@@ -1274,3 +1274,49 @@ def q133_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(_Q133_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# q229 CUBE corpus profile (all four grouping levels in one pass)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q229_cube_profile",
+    oracle=f"""
+    SELECT coalesce(lang, 'ALL') AS lang,
+           coalesce(source, 'ALL') AS source,
+           CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS lvl,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {o_rnd('avg(CAST(n_chars AS DOUBLE))', 4)} AS avg_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY CUBE (lang, source)
+    """,
+)
+def q229_cube_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile at every (lang, source) grouping level in one
+    pass — CUBE completes the multi-level-aggregation family next to
+    q134's ROLLUP (which only nests prefixes; CUBE also emits the
+    source-only margin a rollup skips). One Expand + one partial-agg
+    groupBy; at scale this is 4x the group cardinality, never 4 scans.
+    Level ids and 'ALL' coalescing mirror DuckDB's GROUPING bits so
+    the hash gate covers the grouping metadata too."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.cube("lang", "source")
+        .agg(
+            F.grouping_id().cast("long").alias("lvl"),
+            F.count("*").cast("long").alias("n_docs"),
+            prnd(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "lvl",
+            "n_docs",
+            "avg_chars",
+            "max_chars",
+        )
+    )

@@ -952,3 +952,130 @@ def q214_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") - F.countDistinct("h60")).alias("collisions_60bit"),
         (F.count("*") - F.countDistinct("h20")).alias("collisions_20bit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q230 content-defined chunking (rolling-hash boundaries, FastCDC shape)
+# ---------------------------------------------------------------------------
+
+_Q230_GRAM = 3  # rolling window (tokens) the boundary hash sees
+_Q230_MOD = 8  # boundary when window hash % MOD == 0 (expected chunk ~8 toks)
+
+
+@query(
+    "q230_cdc_chunks",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    h AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) >= 4 THEN
+               list_transform(range(1, len(toks) - 2),
+                 j -> {o_hash64(f"array_to_string(list_slice(toks, j, j + {_Q230_GRAM - 1}), ' ')")})
+             ELSE CAST([] AS BIGINT[]) END AS hl
+      FROM d
+    ),
+    st AS (
+      SELECT doc_id, toks, n,
+             list_concat([CAST(1 AS BIGINT)],
+               list_transform(
+                 list_filter(range(1, greatest(n - 2, CAST(1 AS BIGINT))),
+                             j -> hl[j] % {_Q230_MOD} = 0),
+                 j -> CAST(j + {_Q230_GRAM} AS BIGINT))) AS starts
+      FROM h
+    ),
+    ch AS (
+      SELECT doc_id, toks, n, starts,
+             generate_subscripts(starts, 1) AS chunk_idx,
+             unnest(starts) AS s
+      FROM st
+    ),
+    spans AS (
+      SELECT doc_id, chunk_idx, s AS start_tok,
+             coalesce(starts[chunk_idx + 1], n + 1) - s AS n_toks,
+             {o_hash64("array_to_string(list_slice(toks, s, coalesce(starts[chunk_idx + 1], n + 1) - 1), ' ')")} AS chunk_hash
+      FROM ch
+    )
+    SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           CAST(start_tok AS INTEGER) AS start_tok,
+           CAST(n_toks AS INTEGER) AS n_toks, chunk_hash,
+           CAST(row_number() OVER (PARTITION BY chunk_hash
+                                   ORDER BY doc_id, chunk_idx) = 1 AS INT) AS is_first_copy
+    FROM spans
+    """,
+)
+def q230_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the FastCDC/rsync shape at token
+    granularity): a chunk boundary opens wherever the rolling 3-token
+    window hash is 0 mod 8, so expected chunk length is ~8 tokens and
+    — the property fixed-size chunking lacks — an insertion early in a
+    document only reshuffles boundaries up to the next hash-synced
+    cut, leaving every later chunk hash INTACT for dedup. Emits each
+    chunk's span, content hash, and whether it is the first copy
+    corpus-wide (storage dedup keeps exactly the is_first_copy=1
+    rows).
+
+    Boundary detection, span assembly, and chunk hashing are all
+    array-domain HOFs inside one row — a pure map stage (q47's law);
+    the only shuffle is the first-copy window on the already-tiny
+    chunk table. The oracle replays boundaries with the identical
+    md5-derived hash, so both engines cut identical chunks."""
+    docs = table(spark, sf_dir, "documents")
+    from ..operators.text import word_shingles
+
+    d = docs.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n"),
+        F.transform(
+            word_shingles(F.col("toks"), _Q230_GRAM), hash64
+        ).alias("hl"),
+    )
+    # chunk start positions: 1 + every j+GRAM where window j hashes 0 mod MOD
+    # (j <= n-3 keeps the last chunk non-empty); guard n<4 -> single chunk
+    starts = F.concat(
+        F.array(F.lit(1).cast("long")),
+        F.when(
+            F.col("n") >= 4,
+            F.transform(
+                F.filter(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.col("n") - 3, F.lit(1))
+                    ),
+                    lambda j: F.element_at(F.col("hl"), j) % _Q230_MOD == 0,
+                ),
+                lambda j: (j + _Q230_GRAM).cast("long"),
+            ),
+        ).otherwise(F.array().cast("array<long>")),
+    )
+    st = d.select("doc_id", "toks", "n", starts.alias("starts"))
+    ch = st.select(
+        "doc_id",
+        "toks",
+        "n",
+        "starts",
+        F.posexplode("starts").alias("pos", "s"),
+    )
+    end_excl = F.coalesce(
+        F.try_element_at(F.col("starts"), F.col("pos") + 2), F.col("n") + 1
+    )
+    spans = ch.select(
+        "doc_id",
+        (F.col("pos") + 1).cast("int").alias("chunk_idx"),
+        F.col("s").cast("int").alias("start_tok"),
+        (end_excl - F.col("s")).cast("int").alias("n_toks"),
+        hash64(
+            F.array_join(
+                F.slice(F.col("toks"), F.col("s").cast("int"), (end_excl - F.col("s")).cast("int")),
+                " ",
+            )
+        ).alias("chunk_hash"),
+    )
+    first = W.partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
+    return spans.select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        "n_toks",
+        "chunk_hash",
+        (F.row_number().over(first) == 1).cast("int").alias("is_first_copy"),
+    )
