@@ -2698,3 +2698,255 @@ def q225_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             prnd(F.col("freq") / F.col("n_total"), 6).alias("share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q234 last-touch attribution (bounded backward as-of join)
+# ---------------------------------------------------------------------------
+
+_Q234_WINDOW_MIN = 30
+
+
+@query(
+    "q234_attribution_asof",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                 ORDER BY event_id DESC) = 1
+    ),
+    pur AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id,
+           {o_rnd('p.value', 6)} AS purchase_value,
+           c.event_id AS click_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) // 1000000 AS gap_s
+    FROM pur p LEFT JOIN LATERAL (
+      SELECT event_id, ts FROM clicks c
+      WHERE c.user_id = p.user_id
+        AND c.ts <= p.ts
+        AND c.ts >= p.ts - INTERVAL {_Q234_WINDOW_MIN} MINUTE
+      ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+    ) c ON true
+    """,
+)
+def q234_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase joined to the user's
+    most recent click within the preceding 30 minutes — the
+    marketing-attribution primitive, and a BOUNDED backward as-of
+    join (q163's cogroup as-of carries state indefinitely; this one
+    expires it).
+
+    The oracle states the per-purchase LATERAL subquery; the Spark
+    plan is the tagged-union carry-forward as-of
+    (operators/asof.py: one shuffle on user, one sort, last_value
+    IGNORE NULLS — O(n log n) total, never purchases x clicks), with
+    the 30-minute bound applied as a post-filter that nulls expired
+    carries. Clicks are deduped to one per (user, ts) first so the
+    carry is deterministic under timestamp ties."""
+    from pyspark.sql import Window as W
+
+    from ..operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        pur, clicks, on="ts", by="user_id", value_cols=["click_id", "click_ts"]
+    )
+    in_window = F.col("right_click_ts") >= (
+        F.col("ts") - F.expr(f"INTERVAL {_Q234_WINDOW_MIN} MINUTES")
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        prnd("value", 6).alias("purchase_value"),
+        F.when(in_window, F.col("right_click_id")).alias("click_id"),
+        F.when(
+            in_window,
+            (F.unix_micros("ts") - F.unix_micros("right_click_ts"))
+            .cast("long")
+            / F.lit(1000000),
+        )
+        .cast("long")
+        .alias("gap_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q235 time-weighted average (TWAP over irregular observations)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q235_twap",
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id, value,
+             lead(epoch_us(ts)) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                      ORDER BY ts, event_id) - epoch_us(ts) AS w_us
+      FROM events
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           {o_rnd('sum(value * w_us) / sum(w_us)', 6)} AS twap,
+           {o_rnd('avg(value)', 6)} AS plain_avg
+    FROM obs
+    WHERE w_us IS NOT NULL
+    GROUP BY event_type, day
+    HAVING sum(w_us) > 0
+    """,
+)
+def q235_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of an IRREGULARLY-sampled series (per
+    event type per day): each observation holds until the next one,
+    so its weight is the gap to the successor — the estimator that
+    de-biases burst sampling, where the plain mean double-counts
+    whatever was happening during the burst (both are emitted for
+    contrast). The standard reduction for sensor/quote data whose
+    arrival rate correlates with its value.
+
+    One lead() on the shared (type, day) sort — weights in exact
+    integer microseconds — then a single partial-agg groupBy. Ties on
+    ts get zero weight via the (ts, event_id) total order; the last
+    observation of each day has no successor and drops out (both
+    engines agree by construction)."""
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    grp = W.partitionBy("event_type", F.to_date("ts")).orderBy(
+        "ts", "event_id"
+    )
+    obs = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "value",
+        (F.lead(F.unix_micros("ts")).over(grp) - F.unix_micros("ts")).alias(
+            "w_us"
+        ),
+    ).filter(F.col("w_us").isNotNull())
+    return (
+        obs.groupBy("event_type", F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("n_obs"),
+            prnd(
+                F.sum(F.col("value") * F.col("w_us"))
+                / F.sum("w_us"),
+                6,
+            ).alias("twap"),
+            prnd(F.avg("value"), 6).alias("plain_avg"),
+            F.sum("w_us").alias("_sw"),
+        )
+        .filter(F.col("_sw") > 0)
+        .drop("_sw")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q236 RFM segmentation (recency / frequency / monetary quintiles)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q236_rfm_segments",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id,
+             max(CAST(ts AS DATE)) AS last_day,
+             CAST(count(*) AS BIGINT) AS freq,
+             sum(value) AS monetary
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    anchor AS (SELECT max(last_day) AS a FROM p),
+    scored AS (
+      SELECT user_id,
+             CAST(a - last_day AS BIGINT) AS recency_days,
+             freq, monetary,
+             ntile(5) OVER (ORDER BY a - last_day, user_id) AS r_score,
+             ntile(5) OVER (ORDER BY freq DESC, user_id) AS f_score,
+             ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m_score
+      FROM p CROSS JOIN anchor
+    )
+    SELECT user_id, recency_days, freq,
+           {o_rnd('monetary', 6)} AS monetary,
+           CAST(r_score AS INTEGER) AS r_score,
+           CAST(f_score AS INTEGER) AS f_score,
+           CAST(m_score AS INTEGER) AS m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS segment
+    FROM scored
+    """,
+)
+def q236_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per purchasing user, days since
+    last purchase (recency, anchored at the corpus's last purchase
+    day), purchase count (frequency), and spend (monetary), each cut
+    into quintiles by ntile(5) — the classic CRM segmentation grid
+    ('555' = best customers). Deterministic: every ntile ordering is
+    totalized with a user_id tie-break so both engines cut identical
+    quintile boundaries.
+
+    One purchase-filtered groupBy to user grain, a 1-row anchor
+    broadcast, three ntile windows over the small user-grain table.
+    At scale ntile's global sort is the cost — for a truly huge user
+    base the fences would come from q156's percentile machinery
+    instead; the window form is the exact reference semantics."""
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("last_day"),
+            F.count("*").cast("long").alias("freq"),
+            F.sum("value").alias("monetary"),
+        )
+    )
+    anchor = p.agg(F.max("last_day").alias("a"))
+    rec = F.datediff(F.col("a"), F.col("last_day")).cast("long")
+    scored = p.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        rec.alias("recency_days"),
+        "freq",
+        "monetary",
+        F.ntile(5).over(W.orderBy(rec, "user_id")).alias("r_score"),
+        F.ntile(5)
+        .over(W.orderBy(F.col("freq").desc(), "user_id"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(W.orderBy(F.col("monetary").desc(), "user_id"))
+        .alias("m_score"),
+    )
+    return scored.select(
+        "user_id",
+        "recency_days",
+        "freq",
+        prnd("monetary", 6).alias("monetary"),
+        F.col("r_score").cast("int").alias("r_score"),
+        F.col("f_score").cast("int").alias("f_score"),
+        F.col("m_score").cast("int").alias("m_score"),
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("segment"),
+    )

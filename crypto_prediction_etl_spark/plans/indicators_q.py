@@ -3606,3 +3606,68 @@ def q222_ewma_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd("ret", 6).alias("ret"),
         prnd(F.sqrt(F.col("ewma_var") * 365.0), 6).alias("ewma_vol_annual"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q233 volume-weighted median price (exact weighted quantile per group)
+# ---------------------------------------------------------------------------
+
+
+def _q233_oracle() -> str:
+    wmw = f"({_WIN.replace('ORDER BY dt', 'ORDER BY close, dt')} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    r AS (
+      SELECT id, dt, close, volume_cents,
+             sum(volume_cents) OVER {wmw} AS cumw,
+             sum(volume_cents) OVER (PARTITION BY id) AS totw,
+             count(*) OVER (PARTITION BY id) AS n_days
+      FROM candles
+    ),
+    hit AS (
+      SELECT id, close, n_days, totw,
+             row_number() OVER (PARTITION BY id ORDER BY close, dt) AS rn
+      FROM r WHERE CAST(cumw AS DOUBLE) >= CAST(totw AS DOUBLE) / 2.0
+    )
+    SELECT id, CAST(n_days AS BIGINT) AS n_days,
+           CAST(totw AS BIGINT) AS total_volume_cents,
+           {o_rnd('close', 2)} AS wmedian_close
+    FROM hit WHERE rn = 1
+    """
+
+
+@query("q233_weighted_median", oracle=_q233_oracle())
+def q233_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact volume-weighted median price per symbol: the price that
+    splits TRADED VOLUME in half (not trading days) — the robust
+    center of the volume profile (q206's POC is the modal bin; this
+    is the distributional median), immune to thin-volume outlier
+    days that drag the plain median.
+
+    Exact weighted quantiles need a per-group sort by VALUE with a
+    cumulative-weight crossing — one window over (id: close, dt) on
+    integer-cents weights (associativity-proof), then the first row
+    whose running weight reaches half the total. One shuffle, no
+    iteration; the (close, dt) order makes the crossing row unique in
+    both engines."""
+    c = candles(spark, sf_dir)
+    byval = W.partitionBy("id").orderBy("close", "dt")
+    cum = byval.rowsBetween(W.unboundedPreceding, W.currentRow)
+    whole = W.partitionBy("id")
+    r = c.select(
+        "id",
+        "dt",
+        "close",
+        F.sum("volume_cents").over(cum).alias("cumw"),
+        F.sum("volume_cents").over(whole).alias("totw"),
+        F.count("*").over(whole).alias("n_days"),
+    ).filter(
+        F.col("cumw").cast("double") >= F.col("totw").cast("double") / 2.0
+    )
+    hit = r.withColumn("rn", F.row_number().over(byval))
+    return hit.filter(F.col("rn") == 1).select(
+        "id",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("totw").cast("long").alias("total_volume_cents"),
+        prnd("close", 2).alias("wmedian_close"),
+    )

@@ -1547,3 +1547,126 @@ def q231_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("fused_rank") <= _RRF_TOPN)
     )
+
+
+# ---------------------------------------------------------------------------
+# q232 MMR diversified rerank (greedy, unrolled)
+# ---------------------------------------------------------------------------
+
+_MMR_LAMBDA = 0.7
+_MMR_POOL = 20  # relevance candidate pool
+_MMR_K = 5  # selections
+
+
+def _q232_oracle() -> str:
+    head = f"""
+    WITH {_VECS_CTE.lstrip()},
+    q AS (SELECT * FROM e WHERE vec_id = 0),
+    cand AS (
+      SELECT c.vec_id, {o_rnd(_COS, 6)} AS rel
+      FROM q JOIN e c ON c.vec_id <> q.vec_id
+      ORDER BY rel DESC, c.vec_id LIMIT {_MMR_POOL}
+    ),
+    sims AS (
+      SELECT qa.vec_id AS ia, qb.vec_id AS ib, {o_rnd(_COS_AB, 6)} AS sim
+      FROM cand a JOIN e qa ON qa.vec_id = a.vec_id
+      JOIN cand b ON b.vec_id <> a.vec_id
+      JOIN e qb ON qb.vec_id = b.vec_id
+    ),
+    s1 AS (SELECT vec_id, 1 AS step FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+    sel1 AS (SELECT * FROM s1)"""
+    parts = [head]
+    for t in range(2, _MMR_K + 1):
+        parts.append(f""",
+    p{t} AS (
+      SELECT c.vec_id,
+             {o_rnd(f'{_MMR_LAMBDA} * c.rel - {round(1 - _MMR_LAMBDA, 4)} * max(s.sim)', 6)} AS score
+      FROM cand c
+      JOIN sims s ON s.ia = c.vec_id
+      JOIN sel{t - 1} pv ON pv.vec_id = s.ib
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{t - 1})
+      GROUP BY c.vec_id, c.rel
+    ),
+    s{t} AS (SELECT vec_id, {t} AS step FROM p{t} ORDER BY score DESC, vec_id LIMIT 1),
+    sel{t} AS (SELECT * FROM sel{t - 1} UNION ALL SELECT * FROM s{t})""")
+    parts.append(f"""
+    SELECT CAST(step AS INTEGER) AS step, s.vec_id, c.rel
+    FROM sel{_MMR_K} s JOIN cand c ON c.vec_id = s.vec_id
+    """)
+    return "".join(parts)
+
+
+@query("q232_mmr_diversify", oracle=_q232_oracle())
+def q232_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein,
+    SIGIR'98): from the top-20 cosine candidates for query vector 0,
+    greedily select 5 — each step takes the item maximizing
+    0.7*relevance - 0.3*max-similarity-to-already-selected — the
+    diversification pass a RAG serving stack runs so the context
+    window isn't five paraphrases of one document.
+
+    Greedy selection is inherently sequential, but each step only
+    touches the CANDIDATE pool (20 rows), so the plan unrolls the 5
+    steps as declarative stages over driver-free tiny frames: the
+    corpus-scale work (relevance top-20 via q50's broadcast-matmul
+    kernel) happens once; the 20x20 pairwise sim table and every
+    argmax are bounded by the pool size, not the corpus. The oracle
+    replays the identical unrolled greedy with rounded scores, so the
+    gate hash-checks an iterative-algorithm trace."""
+    from pyspark.sql import Window as W
+
+    from ..operators.similarity import cosine
+
+    vecs = _vecs(spark, sf_dir)
+    qv = vecs.filter(F.col("vec_id") == 0)
+    cand = (
+        cosine_topk(vecs, qv, k=_MMR_POOL)
+        .select("vec_id", F.col("cos_sim").alias("rel"))
+    )
+    va = vecs.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    vb = vecs.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    ca = cand.select(F.col("vec_id").alias("ia"))
+    cb = cand.select(F.col("vec_id").alias("ib"))
+    sims = (
+        ca.join(cb, F.col("ia") != F.col("ib"))
+        .join(F.broadcast(va), "ia")
+        .join(F.broadcast(vb), "ib")
+        .select("ia", "ib", prnd(cosine(F.col("va"), F.col("vb")), 6).alias("sim"))
+    )
+    sims = sims.localCheckpoint(eager=True)  # pool^2 rows; reused 4x
+    cand = cand.localCheckpoint(eager=True)
+    top1 = W.orderBy(F.col("rel").desc(), "vec_id")
+    sel = (
+        cand.withColumn("_rn", F.row_number().over(top1))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", F.lit(1).alias("step"))
+    )
+    for t in range(2, _MMR_K + 1):
+        pen = (
+            cand.join(sel.select("vec_id"), "vec_id", "left_anti")
+            .join(sims, F.col("vec_id") == F.col("ia"))
+            .join(
+                sel.select(F.col("vec_id").alias("ib")).hint("broadcast"),
+                "ib",
+            )
+            .groupBy("vec_id", "rel")
+            .agg(F.max("sim").alias("maxsim"))
+            .select(
+                "vec_id",
+                prnd(
+                    F.lit(_MMR_LAMBDA) * F.col("rel")
+                    - F.lit(round(1 - _MMR_LAMBDA, 4)) * F.col("maxsim"),
+                    6,
+                ).alias("score"),
+            )
+        )
+        byscore = W.orderBy(F.col("score").desc(), "vec_id")
+        pick = (
+            pen.withColumn("_rn", F.row_number().over(byscore))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", F.lit(t).alias("step"))
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return sel.join(cand, "vec_id").select(
+        F.col("step").cast("int").alias("step"), "vec_id", "rel"
+    )
