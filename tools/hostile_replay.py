@@ -1,0 +1,52 @@
+"""Gate replay under a HOSTILE session: the factory confs a user's
+cluster might not have — JVM default timezone America/New_York, 200
+shuffle partitions, no adaptive tuning — to prove query correctness
+does not depend on crypto_prediction_etl_spark.session.get_spark's
+defaults (the one conf correctness genuinely needs, UTC session time
+zone + nanos handling, is applied by sources.readers.table and the
+session builder on purpose and asserted here to survive hostility).
+
+Usage: python tools/hostile_replay.py [name-prefix ...]
+(no args = full catalog)
+"""
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entrymod  # noqa: E402  (registers the catalog)
+from tests.oracle import compare_query  # noqa: E402
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .appName("hostile-replay")
+    .config("spark.driver.extraJavaOptions", "-Duser.timezone=America/New_York")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.shuffle.partitions", "200")
+    .config("spark.sql.adaptive.enabled", "false")
+    .config(
+        "spark.sql.legacy.parquet.nanosAsLong", "true"
+    )  # hard requirement of the testdata, documented in readers.table
+    .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    .getOrCreate()
+)
+
+SF = "/root/testdata/sf0.01"
+prefixes = tuple(sys.argv[1:])
+names = [
+    n
+    for n in entrymod.oracle_sql()
+    if not prefixes or n.startswith(prefixes)
+]
+n_pass = n_fail = 0
+for name in names:
+    try:
+        compare_query(spark, SF, name)
+        n_pass += 1
+        print(f"PASS {name}")
+    except Exception as e:  # noqa: BLE001
+        n_fail += 1
+        print(f"FAIL {name}: {type(e).__name__} {str(e)[:200]}")
+print(f"{n_pass} pass, {n_fail} fail (hostile session, {len(names)} queries)")
+sys.exit(1 if n_fail else 0)
