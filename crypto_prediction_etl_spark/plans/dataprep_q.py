@@ -378,3 +378,161 @@ def q94_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             prnd((F.col("pa") / F.col("z")) / F.col("share"), 6).alias("boost"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q237 weighted reservoir sample (Efraimidis-Spirakis A-Res)
+# ---------------------------------------------------------------------------
+
+_Q237_K = 50
+_HASH_SPACE_F = float(1 << 60)
+
+
+def _q237_oracle() -> str:
+    u = f"(CAST({o_hash64('doc_id')} AS DOUBLE) + 1.0) / ({_HASH_SPACE_F} + 1.0)"
+    key = f"-ln({u}) / CAST(n_chars AS DOUBLE)"
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars, {o_rnd(key, 9)} AS res_key
+      FROM documents
+    )
+    SELECT doc_id, n_chars, res_key,
+           CAST(row_number() OVER (ORDER BY res_key, doc_id) AS INTEGER) AS rank
+    FROM keyed
+    QUALIFY rank <= {_Q237_K}
+    """
+
+
+@query("q237_weighted_reservoir", oracle=_q237_oracle())
+def q237_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006, A-Res): each row draws key = -ln(u)/w from a deterministic
+    uniform u (portable 60-bit hash of its id) and the k smallest
+    keys are the sample — inclusion probability proportional to
+    weight (here document length), exactly the property a
+    train-mixture sampler needs and q154's systematic sampler (fixed
+    stride over cumulative weight) does not give per-item.
+
+    The keys are one map-side expression; selection is top-k by key —
+    at scale a per-partition partial top-k then a k x partitions
+    merge, never a global sort of the corpus (q50's top-k law; the
+    window form here is exact at test size). Keys are rounded to the
+    portable grid before ranking so both engines cut the same
+    boundary; re-running is reproducible by construction (seedless
+    hash), which makes the SAMPLE itself auditable."""
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    u = (hash64(F.col("doc_id")).cast("double") + 1.0) / (
+        _HASH_SPACE_F + 1.0
+    )
+    keyed = d.select(
+        "doc_id",
+        "n_chars",
+        prnd(-F.log(u) / F.col("n_chars").cast("double"), 9).alias("res_key"),
+    )
+    w = W.orderBy("res_key", "doc_id")
+    return (
+        keyed.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _Q237_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q238 hash-propose negative sampling (recommender training pairs)
+# ---------------------------------------------------------------------------
+
+_Q238_PROPOSALS = 8
+_Q238_KEEP = 3
+
+
+@query(
+    "q238_negative_sampling",
+    oracle=f"""
+    WITH inter AS (
+      SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    np AS (SELECT CAST(count(*) AS BIGINT) AS n_parts FROM part),
+    prop AS (
+      SELECT c.custkey, j.j,
+             {o_hash64("CAST(c.custkey AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)")} % any_value(np.n_parts) AS cand
+      FROM (SELECT DISTINCT custkey FROM inter) c
+      CROSS JOIN (SELECT unnest(range(1, {_Q238_PROPOSALS + 1})) AS j) j
+      CROSS JOIN np
+      GROUP BY c.custkey, j.j
+    ),
+    neg AS (
+      SELECT p.custkey, p.j, p.cand
+      FROM prop p LEFT JOIN inter i
+        ON i.custkey = p.custkey AND i.partkey = p.cand
+      WHERE i.partkey IS NULL
+    )
+    SELECT custkey, CAST(cand AS BIGINT) AS neg_partkey,
+           CAST(row_number() OVER (PARTITION BY custkey ORDER BY j) AS INTEGER) AS neg_no
+    FROM neg
+    QUALIFY neg_no <= {_Q238_KEEP}
+    """,
+)
+def q238_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative sampling for recommender/contrastive training: for
+    every customer, 3 parts they did NOT buy — generated by the
+    propose-then-reject shape that works at catalog scale: 8
+    deterministic hash proposals per customer (hash(cust:j) mod
+    |parts|), an anti join against the interaction table to reject
+    accidental positives, keep the first 3 surviving proposals.
+
+    The naive 'all parts minus bought parts' is |users| x |catalog|
+    and dead at scale; proposals are O(users x 8), and the anti join
+    is an equi join on the interaction table's own key. Determinism:
+    the proposal hash is seedless, so the training set is
+    reproducible run-over-run; part keys are contiguous 0..n-1 so
+    mod-n proposals are valid keys by construction (asserted by the
+    gate: every emitted neg_partkey exists)."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    inter = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("partkey"))
+        .distinct()
+    )
+    n_parts = p.agg(F.count("*").alias("n_parts"))
+    custs = inter.select("custkey").distinct()
+    prop = (
+        custs.crossJoin(F.broadcast(n_parts))
+        .select(
+            "custkey",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(_Q238_PROPOSALS))
+            ).alias("j"),
+            "n_parts",
+        )
+        .select(
+            "custkey",
+            "j",
+            (
+                hash64(
+                    F.concat(
+                        F.col("custkey").cast("string"),
+                        F.lit(":"),
+                        F.col("j").cast("string"),
+                    )
+                )
+                % F.col("n_parts")
+            ).alias("cand"),
+        )
+    )
+    neg = prop.join(
+        inter,
+        (prop.custkey == inter.custkey) & (prop.cand == inter.partkey),
+        "left_anti",
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("custkey").orderBy("j")
+    return (
+        neg.withColumn("neg_no", F.row_number().over(w).cast("int"))
+        .filter(F.col("neg_no") <= _Q238_KEEP)
+        .select("custkey", F.col("cand").cast("long").alias("neg_partkey"), "neg_no")
+    )

@@ -2950,3 +2950,62 @@ def q236_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ).alias("segment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q240 probability calibration bins (reliability diagram / ECE inputs)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q240_calibration_bins",
+    oracle=f"""
+    WITH scored AS (
+      SELECT {o_rnd('1.0 / (1.0 + exp(-(value - 50.0) / 25.0))', 6)} AS p,
+             CAST(event_type = 'purchase' AS INT) AS y
+      FROM events
+    ),
+    binned AS (
+      SELECT least(CAST(floor(p * 10.0) AS BIGINT), 9) AS bin, p, y
+      FROM scored
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n,
+           {o_rnd('avg(p)', 6)} AS avg_pred,
+           {o_rnd('avg(CAST(y AS DOUBLE))', 6)} AS actual_rate,
+           {o_rnd('abs(avg(p) - avg(CAST(y AS DOUBLE)))', 6)} AS gap
+    FROM binned GROUP BY bin
+    """,
+)
+def q240_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic classifier: score
+    every event with a sigmoid of its value (the stand-in model),
+    bucket predictions into 10 equal-width bins, and compare each
+    bin's mean predicted probability against the observed purchase
+    rate — the per-bin gaps are exactly the terms of Expected
+    Calibration Error, the metric that catches a model that RANKS
+    well but lies about its confidence (q167/q239 never would).
+
+    Pure map scoring + one 10-group partial aggregation — a single
+    scan at any scale. Predictions are rounded to the portable grid
+    BEFORE binning so a boundary-straddling ulp can't put the two
+    engines in different bins."""
+    ev = table(spark, sf_dir, "events")
+    p = prnd(
+        1.0 / (1.0 + F.exp(-(F.col("value") - 50.0) / 25.0)), 6
+    )
+    scored = ev.select(
+        p.alias("p"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    binned = scored.select(
+        F.least(F.floor(F.col("p") * 10.0).cast("long"), F.lit(9).cast("long")).alias("bin"),
+        "p",
+        "y",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        prnd(F.avg("p"), 6).alias("avg_pred"),
+        prnd(F.avg(F.col("y").cast("double")), 6).alias("actual_rate"),
+        prnd(F.abs(F.avg("p") - F.avg(F.col("y").cast("double"))), 6).alias("gap"),
+    )

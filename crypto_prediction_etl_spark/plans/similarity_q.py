@@ -1670,3 +1670,122 @@ def q232_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.join(cand, "vec_id").select(
         F.col("step").cast("int").alias("step"), "vec_id", "rel"
     )
+
+
+# ---------------------------------------------------------------------------
+# q239 retrieval quality: NDCG@10 of the exact cosine ranking
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 10
+
+
+def _q239_oracle() -> str:
+    return f"""
+    WITH {_VECS_CTE.lstrip()},
+    q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label AS qlabel, c.vec_id, c.label,
+             {o_rnd(_COS, 6)} AS cos_sim
+      FROM q JOIN e c ON c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, qlabel, label,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored
+    ),
+    dcg AS (
+      SELECT query_id, any_value(qlabel) AS qlabel,
+             sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS n_rel_top,
+             sum(CASE WHEN label = qlabel
+                      THEN 1.0 / log2(CAST(rank + 1 AS DOUBLE)) ELSE 0.0 END) AS dcg
+      FROM ranked WHERE rank <= {_NDCG_K}
+      GROUP BY query_id
+    ),
+    rel AS (
+      SELECT q.vec_id AS query_id, count(*) AS n_rel
+      FROM q JOIN e c ON c.label = q.label AND c.vec_id <> q.vec_id
+      GROUP BY q.vec_id
+    ),
+    ideal AS (
+      SELECT r.query_id,
+             sum(1.0 / log2(CAST(i + 1 AS DOUBLE))) AS idcg
+      FROM rel r CROSS JOIN LATERAL (
+        SELECT unnest(range(1, least(r.n_rel, {_NDCG_K}) + 1)) AS i
+      ) g
+      GROUP BY r.query_id
+    )
+    SELECT d.query_id,
+           CAST(r.n_rel AS BIGINT) AS n_rel_corpus,
+           CAST(d.n_rel_top AS BIGINT) AS n_rel_top10,
+           {o_rnd('d.dcg', 6)} AS dcg,
+           {o_rnd('i.idcg', 6)} AS idcg,
+           {o_rnd('d.dcg / i.idcg', 6)} AS ndcg
+    FROM dcg d JOIN rel r USING (query_id) JOIN ideal i USING (query_id)
+    """
+
+
+@query("q239_ndcg_eval", oracle=_q239_oracle())
+def q239_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the exact cosine retrieval (q50's ranking) against
+    label relevance — the GRADED ranking metric that closes the
+    retrieval-eval family (q167 scores the classifier's hit rate;
+    this scores WHERE in the list the hits land, log2-discounted, so
+    rank 1 is worth ~3x rank 9). Ideal DCG normalizes by the best
+    achievable list given how many relevant items exist.
+
+    The ranking is q50's broadcast-matmul kernel; both DCG terms are
+    conditional sums over the k-row-per-query top lists, and the
+    ideal list needs no sort — it's a sequence explode of
+    min(n_rel, 10) — so the evaluation costs one groupBy over tiny
+    frames on top of the retrieval itself."""
+    vecs = _vecs(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") % 50 == 0)
+    top = cosine_topk(vecs, queries, k=_NDCG_K)
+    labels = vecs.select("vec_id", "label")
+    qlab = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    ranked = (
+        top.join(F.broadcast(labels), "vec_id")
+        .join(F.broadcast(qlab), "query_id")
+    )
+    is_rel = (F.col("label") == F.col("qlabel")).cast("int")
+    dcg = ranked.groupBy("query_id").agg(
+        F.sum(is_rel).alias("n_rel_top"),
+        F.sum(
+            F.when(
+                F.col("label") == F.col("qlabel"),
+                1.0 / F.log2((F.col("rank") + 1).cast("double")),
+            ).otherwise(0.0)
+        ).alias("dcg"),
+    )
+    rel = (
+        qlab.join(
+            labels.select(F.col("vec_id").alias("cid"), "label"),
+            F.col("label") == F.col("qlabel"),
+        )
+        .filter(F.col("cid") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_rel"))
+    )
+    ideal = rel.select(
+        "query_id",
+        "n_rel",
+        F.explode(
+            F.sequence(F.lit(1), F.least(F.col("n_rel"), F.lit(_NDCG_K)))
+        ).alias("i"),
+    ).groupBy("query_id", "n_rel").agg(
+        F.sum(1.0 / F.log2((F.col("i") + 1).cast("double"))).alias("idcg")
+    )
+    return (
+        dcg.join(ideal, "query_id")
+        .select(
+            "query_id",
+            F.col("n_rel").cast("long").alias("n_rel_corpus"),
+            F.col("n_rel_top").cast("long").alias("n_rel_top10"),
+            prnd("dcg", 6).alias("dcg"),
+            prnd("idcg", 6).alias("idcg"),
+            prnd(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+        )
+    )
