@@ -3671,3 +3671,119 @@ def q233_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("totw").cast("long").alias("total_volume_cents"),
         prnd("close", 2).alias("wmedian_close"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q242 pairs cointegration screen (hedge OLS + residual mean reversion)
+# ---------------------------------------------------------------------------
+
+
+def _q242_oracle() -> str:
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    lc AS (SELECT id, dt, ln(close) AS lc FROM candles),
+    pj AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.dt, a.lc AS ya, b.lc AS yb
+      FROM lc a JOIN lc b ON b.dt = a.dt AND a.id < b.id
+    ),
+    ols AS (
+      SELECT id_a, id_b, count(*) AS n,
+             (sum(ya * yb) - sum(yb) * sum(ya) / count(*))
+               / (sum(yb * yb) - sum(yb) * sum(yb) / count(*)) AS beta,
+             avg(ya) AS mya, avg(yb) AS myb
+      FROM pj GROUP BY id_a, id_b
+    ),
+    resid AS (
+      SELECT p.id_a, p.id_b, p.dt, o.n, o.beta,
+             p.ya - o.beta * p.yb - (o.mya - o.beta * o.myb) AS e
+      FROM pj p JOIN ols o USING (id_a, id_b)
+    ),
+    lagd AS (
+      SELECT id_a, id_b, n, beta, e,
+             lag(e) OVER (PARTITION BY id_a, id_b ORDER BY dt) AS pe
+      FROM resid
+    ),
+    ar AS (
+      SELECT id_a, id_b, any_value(n) AS n, any_value(beta) AS beta,
+             (sum(e * pe) - sum(pe) * sum(e) / count(*))
+               / (sum(pe * pe) - sum(pe) * sum(pe) / count(*)) AS rho
+      FROM lagd WHERE pe IS NOT NULL GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, CAST(n AS BIGINT) AS n_days,
+           {o_rnd('beta', 6)} AS hedge_beta,
+           {o_rnd('rho', 6)} AS resid_rho,
+           {o_rnd('CASE WHEN rho > 0 AND rho < 1 THEN -ln(2.0) / ln(rho) END', 4)} AS half_life_days
+    FROM ar
+    """
+
+
+@query("q242_pairs_cointegration", oracle=_q242_oracle())
+def q242_pairs_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs-trading cointegration screen (Engle-Granger shape) for
+    every symbol pair: OLS hedge ratio of log prices, then the AR(1)
+    coefficient of the hedge residual and its mean-reversion
+    half-life -ln2/ln(rho) — the statistic that says whether the
+    spread snaps back fast enough to trade. Composes q216's OLS
+    sufficient-stats law with q205's AR(1) law at PAIR grain.
+
+    The pair join is a dt equi-join (q173's shape: k symbols -> k^2/2
+    pairs, each day joins within its date partition — never a
+    cross-product over rows); both regressions are algebraic
+    sufficient sums, so the whole screen is two groupBys and one lag
+    window over the pair-day table."""
+    c = candles(spark, sf_dir)
+    lc = c.select("id", "dt", F.log("close").alias("lc"))
+    a = lc.select(F.col("id").alias("id_a"), "dt", F.col("lc").alias("ya"))
+    b = lc.select(F.col("id").alias("id_b"), F.col("dt").alias("dtb"), F.col("lc").alias("yb"))
+    pj = a.join(
+        b, (F.col("dtb") == F.col("dt")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b", "dt", "ya", "yb")
+    cnt = F.count("*")
+    ols = pj.groupBy("id_a", "id_b").agg(
+        cnt.alias("n"),
+        (
+            (F.sum(F.col("ya") * F.col("yb")) - F.sum("yb") * F.sum("ya") / cnt)
+            / (F.sum(F.col("yb") * F.col("yb")) - F.sum("yb") * F.sum("yb") / cnt)
+        ).alias("beta"),
+        F.avg("ya").alias("mya"),
+        F.avg("yb").alias("myb"),
+    )
+    resid = pj.join(F.broadcast(ols), ["id_a", "id_b"]).select(
+        "id_a",
+        "id_b",
+        "dt",
+        "n",
+        "beta",
+        (
+            F.col("ya")
+            - F.col("beta") * F.col("yb")
+            - (F.col("mya") - F.col("beta") * F.col("myb"))
+        ).alias("e"),
+    )
+    wp = W.partitionBy("id_a", "id_b").orderBy("dt")
+    lagd = resid.select(
+        "id_a", "id_b", "n", "beta", "e", F.lag("e").over(wp).alias("pe")
+    ).filter(F.col("pe").isNotNull())
+    cnt2 = F.count("*")
+    ar = lagd.groupBy("id_a", "id_b").agg(
+        F.first("n").alias("n"),
+        F.first("beta").alias("beta"),
+        (
+            (F.sum(F.col("e") * F.col("pe")) - F.sum("pe") * F.sum("e") / cnt2)
+            / (F.sum(F.col("pe") * F.col("pe")) - F.sum("pe") * F.sum("pe") / cnt2)
+        ).alias("rho"),
+    )
+    return ar.select(
+        "id_a",
+        "id_b",
+        F.col("n").cast("long").alias("n_days"),
+        prnd("beta", 6).alias("hedge_beta"),
+        prnd("rho", 6).alias("resid_rho"),
+        prnd(
+            F.when(
+                (F.col("rho") > 0) & (F.col("rho") < 1),
+                -F.log(F.lit(2.0)) / F.log("rho"),
+            ),
+            4,
+        ).alias("half_life_days"),
+    )

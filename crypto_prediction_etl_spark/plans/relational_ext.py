@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.portable import o_rnd, prnd
+from ..functions.portable import hash64, o_hash64, o_rnd, prnd
 from ..sources.readers import table
 from .registry import query
 
@@ -1370,4 +1370,227 @@ def q228_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n"),
             6,
         ).alias("reident_risk_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q241 mergeable aggregation state (Chan/Welford shard merge == direct)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q241_state_merge",
+    oracle=f"""
+    WITH shard AS (
+      SELECT o_orderpriority AS pri, o_orderkey % 2 AS sh,
+             CAST(count(*) AS BIGINT) AS n,
+             avg(o_totalprice) AS mean,
+             var_pop(o_totalprice) * count(*) AS m2
+      FROM orders GROUP BY 1, 2
+    ),
+    merged AS (
+      SELECT a.pri,
+             a.n + b.n AS n,
+             (a.n * a.mean + b.n * b.mean) / (a.n + b.n) AS mean,
+             a.m2 + b.m2
+               + (b.mean - a.mean) * (b.mean - a.mean)
+                 * a.n * b.n / (a.n + b.n) AS m2
+      FROM shard a JOIN shard b ON b.pri = a.pri AND a.sh = 0 AND b.sh = 1
+    ),
+    direct AS (
+      SELECT o_orderpriority AS pri,
+             CAST(count(*) AS BIGINT) AS n,
+             avg(o_totalprice) AS mean,
+             var_pop(o_totalprice) AS v
+      FROM orders GROUP BY 1
+    )
+    SELECT m.pri, m.n,
+           {o_rnd('m.mean', 4)} AS merged_mean,
+           {o_rnd('m.m2 / m.n', 4)} AS merged_var,
+           {o_rnd('d.v', 4)} AS direct_var,
+           CAST({o_rnd('m.m2 / m.n', 4)} = {o_rnd('d.v', 4)} AND m.n = d.n AS INT) AS states_agree
+    FROM merged m JOIN direct d USING (pri)
+    """,
+)
+def q241_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable aggregation state, proven through the gate: compute
+    (n, mean, M2) moments independently on two disjoint shards (odd /
+    even order keys — stand-ins for yesterday's materialized state
+    and today's increment), merge them with the Chan/Welford parallel
+    formula (M2 = M2a + M2b + delta^2 * na*nb/n), and emit the merged
+    variance NEXT TO the direct single-pass variance with an equality
+    flag — the algebraic contract every incremental mart (L5
+    trailing-window dbt model, streaming foreachBatch upserts) relies
+    on: state merge must equal recompute.
+
+    Two partial-agg groupBys over the same scan + a 5-row self join;
+    at scale the shards are yesterday's STORED tiny state table and
+    the new partition, so the merge touches no history at all."""
+    o = table(spark, sf_dir, "orders")
+    shard = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        (F.col("o_orderkey") % 2).alias("sh"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg("o_totalprice").alias("mean"),
+        (F.var_pop("o_totalprice") * F.count("*")).alias("m2"),
+    )
+    a = shard.filter(F.col("sh") == 0).select(
+        "pri",
+        F.col("n").alias("na"),
+        F.col("mean").alias("ma"),
+        F.col("m2").alias("m2a"),
+    )
+    b = shard.filter(F.col("sh") == 1).select(
+        "pri",
+        F.col("n").alias("nb"),
+        F.col("mean").alias("mb"),
+        F.col("m2").alias("m2b"),
+    )
+    n = F.col("na") + F.col("nb")
+    delta = F.col("mb") - F.col("ma")
+    merged = a.join(b, "pri").select(
+        "pri",
+        n.alias("n"),
+        ((F.col("na") * F.col("ma") + F.col("nb") * F.col("mb")) / n).alias(
+            "mean"
+        ),
+        (
+            F.col("m2a")
+            + F.col("m2b")
+            + delta * delta * F.col("na") * F.col("nb") / n
+        ).alias("m2"),
+    )
+    direct = o.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.count("*").cast("long").alias("dn"),
+        F.var_pop("o_totalprice").alias("v"),
+    )
+    mv = prnd(F.col("m2") / F.col("n"), 4)
+    dv = prnd("v", 4)
+    return merged.join(direct, "pri").select(
+        "pri",
+        F.col("n").cast("long").alias("n"),
+        prnd("mean", 4).alias("merged_mean"),
+        mv.alias("merged_var"),
+        dv.alias("direct_var"),
+        ((mv == dv) & (F.col("n") == F.col("dn"))).cast("int").alias(
+            "states_agree"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q243 skyline / Pareto frontier (cheapest-vs-largest parts)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q243_skyline",
+    oracle=f"""
+    WITH g AS (
+      SELECT p_retailprice AS price, CAST(max(p_size) AS BIGINT) AS gmax
+      FROM part GROUP BY p_retailprice
+    ),
+    fr AS (
+      SELECT price, gmax,
+             max(gmax) OVER (ORDER BY price
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_lt
+      FROM g
+    )
+    SELECT p.p_partkey, p.p_name,
+           {o_rnd('p.p_retailprice', 2)} AS price,
+           CAST(p.p_size AS BIGINT) AS size
+    FROM part p JOIN fr ON fr.price = p.p_retailprice
+    WHERE (fr.m_lt IS NULL OR fr.m_lt < p.p_size)
+      AND fr.gmax <= p.p_size
+    """,
+)
+def q243_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) operator — parts not dominated on
+    (minimize price, maximize size): a part is OUT if some part is
+    cheaper-or-equal AND bigger-or-equal with one strict. The classic
+    multi-criteria shortlist the relational algebra lacks as a
+    primitive (Borzsony/Kossmann/Stocker, ICDE'01).
+
+    The naive formulation is an O(n^2) dominance self-join; the 2-D
+    identity collapses it to ONE sort: group to per-price max size,
+    running max over strictly-cheaper prices (window with 1 PRECEDING
+    excludes the tie group), and a row survives iff no cheaper group
+    reaches its size and it tops its own price group. One groupBy +
+    one ordered window over the (distinct-price) table — at scale the
+    frontier math runs on the group table, never the full catalog."""
+    p = table(spark, sf_dir, "part")
+    g = p.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").cast("long").alias("gmax")
+    )
+    w = W.orderBy("price").rowsBetween(W.unboundedPreceding, -1)
+    fr = g.select("price", "gmax", F.max("gmax").over(w).alias("m_lt"))
+    j = p.join(F.broadcast(fr), p.p_retailprice == fr.price)
+    return j.filter(
+        (F.col("m_lt").isNull() | (F.col("m_lt") < F.col("p_size")))
+        & (F.col("gmax") <= F.col("p_size"))
+    ).select(
+        "p_partkey",
+        "p_name",
+        prnd("p_retailprice", 2).alias("price"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q244 anti-entropy table checksum (order-insensitive partition digests)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q244_table_checksum",
+    oracle=f"""
+    WITH rows_h AS (
+      SELECT o_orderpriority AS pri, year(o_orderdate) AS yr,
+             {o_hash64("CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' || CAST(CAST(floor(o_totalprice * 100.0 + 0.5001) AS BIGINT) AS VARCHAR) || '|' || strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')")} AS h
+      FROM orders
+    )
+    SELECT pri, CAST(yr AS BIGINT) AS yr,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           bit_xor(h) AS checksum
+    FROM rows_h GROUP BY pri, yr
+    """,
+)
+def q244_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy partition digests: an order-insensitive checksum
+    (bit_xor of a canonical per-row hash) + row count per partition —
+    the replica-comparison primitive behind Cassandra-style repair
+    and cross-environment ELT verification (the reference reloads
+    windows delete-then-insert, S6/L3; digests are how you PROVE the
+    reload landed byte-equal without sorting or moving either copy).
+
+    XOR is commutative/associative, so the digest is independent of
+    row order, partitioning, and plan — one scan, one partial-agg
+    groupBy, 60 bits per partition over the wire. Floats enter the
+    canonical row string through the integer-cents grid, so both
+    engines (and any future replica) hash identical bytes. Divergence
+    localizes to the (pri, yr) partition, which is exactly the unit
+    the engine can re-reload."""
+    o = table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5001)
+        .cast("long")
+        .cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+    )
+    return (
+        o.select(
+            F.col("o_orderpriority").alias("pri"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+            hash64(canon).alias("h"),
+        )
+        .groupBy("pri", "yr")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.bit_xor("h").alias("checksum"),
+        )
     )
