@@ -3009,3 +3009,188 @@ def q240_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd(F.avg(F.col("y").cast("double")), 6).alias("actual_rate"),
         prnd(F.abs(F.avg("p") - F.avg(F.col("y").cast("double"))), 6).alias("gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q247 exact ROC AUC via rank statistics (Mann-Whitney U)
+# ---------------------------------------------------------------------------
+
+_Q247_P = "1.0 / (1.0 + exp(-(value - 50.0) / 25.0))"
+
+
+@query(
+    "q247_auc_roc",
+    oracle=f"""
+    WITH scored AS (
+      SELECT {o_rnd(_Q247_P, 6)} AS p,
+             CAST(event_type = 'purchase' AS INT) AS y
+      FROM events
+    ),
+    g AS (
+      SELECT p, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(y) AS BIGINT) AS pos
+      FROM scored GROUP BY p
+    ),
+    rk AS (
+      SELECT p, cnt, pos,
+             coalesce(sum(cnt) OVER (ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      FROM g
+    ),
+    s AS (
+      SELECT sum(pos * (below + (cnt + 1.0) / 2.0)) AS rank_sum_pos,
+             sum(pos) AS n_pos, sum(cnt - pos) AS n_neg
+      FROM rk
+    )
+    SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+           {o_rnd('(rank_sum_pos - n_pos * (n_pos + 1.0) / 2.0) / (n_pos * n_neg)', 6)} AS auc
+    FROM s
+    """,
+)
+def q247_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of the q240 stand-in classifier (purchase vs
+    rest) via the Mann-Whitney rank identity: AUC = (rank-sum of
+    positives - n_pos(n_pos+1)/2) / (n_pos * n_neg), with midrank tie
+    handling — the threshold-free ranking metric that completes the
+    eval suite (q167 P/R at k, q239 NDCG, q240 calibration; AUC is
+    what you compare MODELS by).
+
+    No per-row global sort: scores collapse to per-score groups
+    first (the portable 6-digit grid bounds distinct scores), midranks
+    come from ONE running-sum window over that small group table, and
+    everything stays integer-exact until the final division."""
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    scored = ev.select(
+        prnd(1.0 / (1.0 + F.exp(-(F.col("value") - 50.0) / 25.0)), 6).alias(
+            "p"
+        ),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    g = scored.groupBy("p").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    w = W.orderBy("p").rowsBetween(W.unboundedPreceding, -1)
+    rk = g.select(
+        "p",
+        "cnt",
+        "pos",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("below"),
+    )
+    s = rk.agg(
+        F.sum(
+            F.col("pos") * (F.col("below") + (F.col("cnt") + 1.0) / 2.0)
+        ).alias("rank_sum_pos"),
+        F.sum("pos").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos")).alias("n_neg"),
+    )
+    return s.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        prnd(
+            (
+                F.col("rank_sum_pos")
+                - F.col("n_pos") * (F.col("n_pos") + 1.0) / 2.0
+            )
+            / (F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q248 gains / lift deciles (campaign-targeting eval)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q248_gain_deciles",
+    oracle=f"""
+    WITH scored AS (
+      SELECT event_id, {o_rnd(_Q247_P, 6)} AS p,
+             CAST(event_type = 'purchase' AS INT) AS y
+      FROM events
+    ),
+    dec AS (
+      SELECT y, ntile(10) OVER (ORDER BY p DESC, event_id) AS decile
+      FROM scored
+    ),
+    d AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos
+      FROM dec GROUP BY decile
+    ),
+    t AS (
+      SELECT decile, n, n_pos,
+             sum(n_pos) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+             sum(n_pos) OVER () AS tot_pos,
+             sum(n) OVER () AS tot
+      FROM d
+    )
+    SELECT CAST(decile AS INTEGER) AS decile, n, n_pos,
+           {o_rnd('CAST(n_pos AS DOUBLE) / n', 6)} AS response_rate,
+           {o_rnd('CAST(cum_pos AS DOUBLE) / tot_pos', 6)} AS cum_capture,
+           {o_rnd('(CAST(n_pos AS DOUBLE) / n) / (CAST(tot_pos AS DOUBLE) / tot)', 6)} AS lift
+    FROM t
+    """,
+)
+def q248_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-gains / lift table: rank the population by model
+    score, cut into deciles, and report each decile's response rate,
+    cumulative capture of all positives, and lift over the base rate
+    — the campaign-targeting readout ('mail the top 2 deciles, get
+    54% of buyers') that AUC (q247) summarizes but cannot action.
+
+    The ntile runs over a totalized (score desc, event_id) order so
+    both engines cut identical deciles; everything after is one
+    10-row groupBy + running sums over the decile table. At scale the
+    decile fences would come from q99's hash-sampled quantiles
+    instead of a global sort — same downstream table either way."""
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    scored = ev.select(
+        "event_id",
+        prnd(1.0 / (1.0 + F.exp(-(F.col("value") - 50.0) / 25.0)), 6).alias(
+            "p"
+        ),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    dec = scored.select(
+        "y",
+        F.ntile(10)
+        .over(W.orderBy(F.col("p").desc(), "event_id"))
+        .alias("decile"),
+    )
+    d = dec.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    cum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    whole = W.orderBy("decile").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    t = d.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.sum("n_pos").over(cum).alias("cum_pos"),
+        F.sum("n_pos").over(whole).alias("tot_pos"),
+        F.sum("n").over(whole).alias("tot"),
+    )
+    rate = F.col("n_pos").cast("double") / F.col("n")
+    return t.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n",
+        "n_pos",
+        prnd(rate, 6).alias("response_rate"),
+        prnd(F.col("cum_pos").cast("double") / F.col("tot_pos"), 6).alias(
+            "cum_capture"
+        ),
+        prnd(
+            rate / (F.col("tot_pos").cast("double") / F.col("tot")), 6
+        ).alias("lift"),
+    )

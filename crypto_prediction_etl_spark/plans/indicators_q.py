@@ -3787,3 +3787,164 @@ def q242_pairs_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("half_life_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q245 realized variance vs bipower variation (jump detection)
+# ---------------------------------------------------------------------------
+
+_HALF_PI = 1.5707963267948966  # pi/2 as an exact double literal (both engines)
+
+
+def _q245_oracle() -> str:
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    r AS (
+      SELECT id, strftime(date_trunc('month', dt), '%Y-%m') AS mon, dt,
+             ln(close / lag(close) OVER ({_WIN})) AS ret
+      FROM candles
+    ),
+    p AS (
+      SELECT id, mon, ret,
+             lag(ret) OVER (PARTITION BY id, mon ORDER BY dt) AS pret
+      FROM r WHERE ret IS NOT NULL
+    ),
+    s AS (
+      SELECT id, mon,
+             count(*) AS n_days,
+             sum(ret * ret) AS rv,
+             {_HALF_PI} * sum(CASE WHEN pret IS NOT NULL
+                                   THEN abs(ret) * abs(pret) ELSE 0.0 END) AS bpv
+      FROM p GROUP BY id, mon
+    )
+    SELECT id, mon, CAST(n_days AS BIGINT) AS n_days,
+           {o_rnd('rv', 8)} AS realized_var,
+           {o_rnd('bpv', 8)} AS bipower_var,
+           {o_rnd('CASE WHEN rv > 0 THEN greatest((rv - bpv) / rv, 0.0) END', 6)} AS jump_share
+    FROM s WHERE n_days >= 5
+    """
+
+
+@query("q245_bipower_jumps", oracle=_q245_oracle())
+def q245_bipower_jumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jump detection per symbol-month (Barndorff-Nielsen & Shephard
+    2004): realized variance (sum of squared daily returns) against
+    bipower variation (pi/2 x sum of adjacent |return| products) —
+    bipower is robust to jumps, so the normalized gap (rv-bpv)/rv
+    estimates how much of the month's variance came from
+    DISCONTINUOUS moves rather than diffusion; the regime input a
+    volatility model needs before trusting q222's smooth EWMA.
+
+    Two lags on the shared per-id sort (the month-scoped second lag
+    restarts cleanly at month boundaries), one partial-agg groupBy;
+    pi/2 enters as the same 17-digit double literal in both engines."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    r = c.select(
+        "id",
+        F.date_format(F.date_trunc("month", "dt"), "yyyy-MM").alias("mon"),
+        "dt",
+        F.log(F.col("close") / F.lag("close").over(w)).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    wm = W.partitionBy("id", "mon").orderBy("dt")
+    p = r.select(
+        "id", "mon", "ret", F.lag("ret").over(wm).alias("pret")
+    )
+    s = p.groupBy("id", "mon").agg(
+        F.count("*").alias("n_days"),
+        F.sum(F.col("ret") * F.col("ret")).alias("rv"),
+        (
+            F.lit(_HALF_PI)
+            * F.sum(
+                F.when(
+                    F.col("pret").isNotNull(),
+                    F.abs("ret") * F.abs("pret"),
+                ).otherwise(0.0)
+            )
+        ).alias("bpv"),
+    )
+    return s.filter(F.col("n_days") >= 5).select(
+        "id",
+        "mon",
+        F.col("n_days").cast("long").alias("n_days"),
+        prnd("rv", 8).alias("realized_var"),
+        prnd("bpv", 8).alias("bipower_var"),
+        prnd(
+            F.when(
+                F.col("rv") > 0,
+                F.greatest(
+                    (F.col("rv") - F.col("bpv")) / F.col("rv"), F.lit(0.0)
+                ),
+            ),
+            6,
+        ).alias("jump_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q246 Roll implied spread (serial covariance of price changes)
+# ---------------------------------------------------------------------------
+
+
+def _q246_oracle() -> str:
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    d AS (
+      SELECT id, dt, close - lag(close) OVER ({_WIN}) AS dp
+      FROM candles
+    ),
+    p AS (
+      SELECT id, dp, lag(dp) OVER ({_WIN.replace('ORDER BY dt', 'ORDER BY dt')}) AS pdp
+      FROM (SELECT id, dt, dp FROM d WHERE dp IS NOT NULL)
+    ),
+    s AS (
+      SELECT id, count(*) AS n,
+             avg(dp * pdp) - avg(dp) * avg(pdp) AS autocov
+      FROM (SELECT id, dp, pdp FROM p WHERE pdp IS NOT NULL) GROUP BY id
+    )
+    SELECT id, CAST(n AS BIGINT) AS n_obs,
+           {o_rnd('autocov', 2)} AS autocov,
+           {o_rnd('CASE WHEN autocov < 0 THEN 2.0 * sqrt(-autocov) END', 4)} AS roll_spread
+    FROM s
+    """
+
+
+@query("q246_roll_spread", oracle=_q246_oracle())
+def q246_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roll's implied bid-ask spread (Roll 1984): transaction prices
+    bouncing between bid and ask induce NEGATIVE first-order serial
+    covariance in price changes, and the spread is 2*sqrt(-cov) — an
+    effective-cost estimate from trade prices alone, completing the
+    microstructure panel next to q185's tick rule and q186's Amihud
+    lambda (positive autocov -> estimator undefined -> NULL, the
+    standard convention).
+
+    Two stacked lags on the shared per-id sort, then population
+    covariance as algebraic sufficient sums — one groupBy, no
+    iteration."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    d = c.select(
+        "id", "dt", (F.col("close") - F.lag("close").over(w)).alias("dp")
+    ).filter(F.col("dp").isNotNull())
+    p = d.select("id", "dp", F.lag("dp").over(w).alias("pdp")).filter(
+        F.col("pdp").isNotNull()
+    )
+    s = p.groupBy("id").agg(
+        F.count("*").alias("n"),
+        (
+            F.avg(F.col("dp") * F.col("pdp"))
+            - F.avg("dp") * F.avg("pdp")
+        ).alias("autocov"),
+    )
+    return s.select(
+        "id",
+        F.col("n").cast("long").alias("n_obs"),
+        prnd("autocov", 2).alias("autocov"),
+        prnd(
+            F.when(
+                F.col("autocov") < 0, 2.0 * F.sqrt(-F.col("autocov"))
+            ),
+            4,
+        ).alias("roll_spread"),
+    )
