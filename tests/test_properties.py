@@ -228,3 +228,103 @@ def test_entropy_fold_matches_counter(spark, texts):
                 (c / n) * math.log2(c / n) for c in Counter(cs).values()
             )
             assert abs(ent - want_ent) < 1e-9
+
+
+def test_cdc_chunks_survive_prefix_edit(spark):
+    """q230's reason to exist: content-defined boundaries re-sync
+    after an edit, so chunks beyond the first post-edit boundary keep
+    their hashes (fixed-size chunking would shift every later chunk).
+    Verify on a document pair differing by a prefix insertion."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from crypto_prediction_etl_spark.plans import registry
+    from crypto_prediction_etl_spark.plans.registry import QUERIES
+
+    registry.load_all()
+
+    base = "alpha beta gamma delta " * 30
+    edited = "zero inserted words " + base
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [base, edited],
+            "lang": ["en", "en"],
+            "source": ["t", "t"],
+            "n_chars": [len(base), len(edited)],
+        }
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(pdf).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        rows = QUERIES["q230_cdc_chunks"](spark, d).collect()
+    by_doc = {0: set(), 1: set()}
+    for r in rows:
+        by_doc[r.doc_id].add(r.chunk_hash)
+    shared = by_doc[0] & by_doc[1]
+    # all but the first O(1) chunks of the base doc must reappear
+    assert len(shared) >= len(by_doc[0]) - 2, (
+        len(shared),
+        len(by_doc[0]),
+    )
+
+
+def test_skyline_matches_bruteforce(spark, sf_dir):
+    """q243's windowed frontier == the quadratic dominance definition."""
+    from crypto_prediction_etl_spark.plans import registry
+    from crypto_prediction_etl_spark.plans.registry import QUERIES
+
+    registry.load_all()
+    from crypto_prediction_etl_spark.sources.readers import table
+
+    pts = [
+        (r.p_partkey, r.p_retailprice, r.p_size)
+        for r in table(spark, sf_dir, "part").collect()
+    ]
+    def dominated(b):
+        return any(
+            (a[1] <= b[1] and a[2] >= b[2] and (a[1] < b[1] or a[2] > b[2]))
+            for a in pts
+        )
+    truth = {k for (k, p, s) in pts if not dominated((k, p, s))}
+    got = {r.p_partkey for r in QUERIES["q243_skyline"](spark, sf_dir).collect()}
+    assert got == truth
+
+
+def test_auc_matches_pair_counting(spark):
+    """q247's rank-sum AUC == direct P(score_pos > score_neg) + ties/2
+    at the smallest scale factor."""
+    from crypto_prediction_etl_spark.plans import registry
+    from crypto_prediction_etl_spark.plans.registry import QUERIES
+
+    registry.load_all()
+
+    sf = "/root/testdata/sf0.001"
+    row = QUERIES["q247_auc_roc"](spark, sf).collect()[0]
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'"
+    )
+    wins, ties, n_pos, n_neg = con.sql(
+        """
+        WITH s AS (
+          SELECT floor((1.0 / (1.0 + exp(-(value - 50.0) / 25.0))) * 1000000.0 + 0.5001) / 1000000.0 AS p,
+                 event_type = 'purchase' AS y
+          FROM events
+        )
+        SELECT sum(CASE WHEN a.p > b.p THEN 1 ELSE 0 END),
+               sum(CASE WHEN a.p = b.p THEN 1 ELSE 0 END),
+               (SELECT count(*) FROM s WHERE y),
+               (SELECT count(*) FROM s WHERE NOT y)
+        FROM (SELECT p FROM s WHERE y) a CROSS JOIN (SELECT p FROM s WHERE NOT y) b
+        """
+    ).fetchall()[0]
+    brute = (wins + 0.5 * ties) / (n_pos * n_neg)
+    assert row.n_pos == n_pos and row.n_neg == n_neg
+    assert abs(row.auc - brute) < 1e-6, (row.auc, brute)
