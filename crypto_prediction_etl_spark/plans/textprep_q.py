@@ -1079,3 +1079,188 @@ def q230_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_hash",
         (F.row_number().over(first) == 1).cast("int").alias("is_first_copy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q249 BPE merge training (3 rounds, exact greedy-overlap semantics)
+# ---------------------------------------------------------------------------
+
+_Q249_ROUNDS = 3
+
+
+def _q249_round_sql(r: int) -> str:
+    """CTEs for one merge round: pair counts -> top pair -> greedy
+    left-to-right merge with overlap resolution (odd positions of each
+    run of consecutive matches merge; even ones are consumed)."""
+    return f""",
+    pr{r} AS (
+      SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok
+      FROM toks{r}
+    ),
+    nb{r} AS (
+      SELECT doc_id, pos, tok,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      FROM pr{r}
+    ),
+    top{r} AS (
+      SELECT tok AS a, nxt AS b, CAST(count(*) AS BIGINT) AS n_occ
+      FROM nb{r} WHERE nxt IS NOT NULL
+      GROUP BY tok, nxt
+      ORDER BY n_occ DESC, a, b LIMIT 1
+    ),
+    mt{r} AS (
+      SELECT n.doc_id, n.pos
+      FROM nb{r} n JOIN top{r} t ON n.tok = t.a AND n.nxt = t.b
+    ),
+    isl{r} AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM mt{r}
+    ),
+    st{r} AS (
+      SELECT doc_id, pos
+      FROM (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY doc_id, grp ORDER BY pos) AS k
+        FROM isl{r}
+      ) WHERE k % 2 = 1
+    ),
+    rb{r} AS (
+      SELECT p.doc_id, p.pos,
+             CASE WHEN s1.pos IS NOT NULL THEN t.a || '~' || t.b
+                  ELSE p.tok END AS tok,
+             s2.pos IS NOT NULL AS dropped
+      FROM pr{r} p
+      CROSS JOIN top{r} t
+      LEFT JOIN st{r} s1 ON s1.doc_id = p.doc_id AND s1.pos = p.pos
+      LEFT JOIN st{r} s2 ON s2.doc_id = p.doc_id AND s2.pos = p.pos - 1
+    ),
+    toks{r + 1} AS (
+      SELECT doc_id, list(tok ORDER BY pos) AS toks
+      FROM rb{r} WHERE NOT dropped GROUP BY doc_id
+    ),
+    out{r} AS (
+      SELECT {r} AS round, t.a, t.b, t.n_occ,
+             (SELECT CAST(count(*) AS BIGINT) FROM st{r}) AS n_merges
+      FROM top{r} t
+    )"""
+
+
+def _q249_oracle() -> str:
+    rounds = "".join(_q249_round_sql(r) for r in range(1, _Q249_ROUNDS + 1))
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM out{r}" for r in range(1, _Q249_ROUNDS + 1)
+    )
+    return f"""
+    WITH toks1 AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+    {rounds}
+    SELECT CAST(round AS INTEGER) AS round, a, b, n_occ, n_merges
+    FROM ({unions})
+    """
+
+
+def _q249_spark_round(spark, toks_df, r):
+    """One merge round on a (doc_id, toks) frame; returns
+    (round_summary_df, next_toks_df)."""
+    from pyspark.sql import Window as W
+
+    pr = toks_df.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    nb = pr.select(
+        "doc_id", "pos", "tok", F.lead("tok").over(wdoc).alias("nxt")
+    )
+    top = (
+        nb.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("tok").alias("a"), F.col("nxt").alias("b"))
+        .agg(F.count("*").cast("long").alias("n_occ"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                W.orderBy(F.col("n_occ").desc(), "a", "b")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .localCheckpoint(eager=True)
+    )
+    mt = nb.join(
+        F.broadcast(top),
+        (F.col("tok") == F.col("a")) & (F.col("nxt") == F.col("b")),
+    ).select("doc_id", "pos")
+    isl = mt.select(
+        "doc_id",
+        "pos",
+        (F.col("pos") - F.row_number().over(wdoc)).alias("grp"),
+    )
+    wgrp = W.partitionBy("doc_id", "grp").orderBy("pos")
+    st = (
+        isl.withColumn("k", F.row_number().over(wgrp))
+        .filter(F.col("k") % 2 == 1)
+        .select("doc_id", "pos")
+        .localCheckpoint(eager=True)
+    )
+    s1 = st.select("doc_id", F.col("pos").alias("pos"), F.lit(1).alias("_m"))
+    s2 = st.select(
+        "doc_id", (F.col("pos") + 1).alias("pos"), F.lit(1).alias("_d")
+    )
+    rb = (
+        pr.crossJoin(F.broadcast(top.select("a", "b")))
+        .join(s1, ["doc_id", "pos"], "left")
+        .join(s2, ["doc_id", "pos"], "left")
+        .filter(F.col("_d").isNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.when(
+                F.col("_m").isNotNull(),
+                F.concat(F.col("a"), F.lit("~"), F.col("b")),
+            )
+            .otherwise(F.col("tok"))
+            .alias("tok"),
+        )
+    )
+    nxt_toks = rb.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+            lambda s: s["tok"],
+        ).alias("toks")
+    )
+    n_merges = st.groupBy().agg(F.count("*").cast("long").alias("n_merges"))
+    summary = top.crossJoin(F.broadcast(n_merges)).select(
+        F.lit(r).cast("int").alias("round"), "a", "b", "n_occ", "n_merges"
+    )
+    return summary, nxt_toks
+
+
+@query("q249_bpe_train", oracle=_q249_oracle())
+def q249_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge TRAINING, three rounds, fully declarative: each round
+    counts adjacent token pairs corpus-wide, picks the most frequent
+    (deterministic tie-break), and applies the merge with exact greedy
+    left-to-right semantics — overlapping matches (e.g. 'x x x' for
+    pair (x,x)) resolve by island parity: consecutive match runs merge
+    at odd offsets only, exactly what a sequential BPE trainer does.
+    Emits per round the chosen pair, its occurrence count, and the
+    number of merges actually applied (< occurrences when runs
+    overlap) — q133 scored ONE round of candidates; this trains.
+
+    Each round is: one pair-count groupBy (partial-agg), a 1-row top
+    broadcast, island/parity windows on the MATCH positions only, and
+    a per-doc array rebuild — all linear in corpus tokens; rounds
+    chain through localCheckpoints so plan depth stays bounded. The
+    oracle unrolls the identical three rounds (window-for-window) in
+    one SQL statement."""
+    docs = table(spark, sf_dir, "documents")
+    toks_df = docs.select("doc_id", tokens("text").alias("toks"))
+    outs = []
+    for r in range(1, _Q249_ROUNDS + 1):
+        summary, toks_df = _q249_spark_round(spark, toks_df, r)
+        outs.append(summary)
+        if r < _Q249_ROUNDS:
+            toks_df = toks_df.localCheckpoint(eager=True)
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

@@ -328,3 +328,59 @@ def test_auc_matches_pair_counting(spark):
     brute = (wins + 0.5 * ties) / (n_pos * n_neg)
     assert row.n_pos == n_pos and row.n_neg == n_neg
     assert abs(row.auc - brute) < 1e-6, (row.auc, brute)
+
+
+def test_bpe_round_matches_sequential_merge(spark):
+    """q249's island-parity merge must equal a sequential greedy BPE
+    pass on an overlap-heavy corpus ('x x x x x' chains)."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from crypto_prediction_etl_spark.plans import registry
+    from crypto_prediction_etl_spark.plans.registry import QUERIES
+
+    registry.load_all()
+
+    texts = [
+        "x x x x x",          # run of 5 -> 2 merges for pair (x,x)
+        "x x y x x",          # two runs of 2 -> 2 merges
+        "a x x b x x x",      # runs of 2 and 3 -> 2 merges
+    ]
+
+    def seq_merge_count(toks, a, b):
+        out, i, merges = [], 0, 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(a + "~" + b)
+                merges += 1
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        return merges
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["t"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(pdf).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        rows = QUERIES["q249_bpe_train"](spark, d).collect()
+    r1 = [r for r in rows if r.round == 1][0]
+    exp_occ = sum(
+        sum(1 for i in range(len(t.split(" ")) - 1)
+            if t.split(" ")[i] == "x" and t.split(" ")[i + 1] == "x")
+        for t in texts
+    )
+    assert (r1.a, r1.b) == ("x", "x") and r1.n_occ == exp_occ
+    expected = sum(seq_merge_count(t.split(" "), "x", "x") for t in texts)
+    assert r1.n_merges == expected, (r1.n_merges, expected)
