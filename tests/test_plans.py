@@ -770,3 +770,76 @@ def test_centroid_outliers_no_pairwise(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q188_centroid_outliers")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_blame_supplier_broadcasts_dim_no_subquery_reexec(spark, sf_dir):
+    """q226: both existentials decorrelate into one aggregation —
+    no nested-loop, supplier dim broadcast."""
+    plan = _plan(spark, sf_dir, "q226_blame_supplier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_heavy_hitters_candidates_broadcast_semi(spark, sf_dir):
+    """q225: the exact pass must be a broadcast semi join on the tiny
+    candidate set, not a full-key aggregation path."""
+    plan = _plan(spark, sf_dir, "q225_heavy_hitters")
+    assert "LeftSemi" in plan and "Broadcast" in plan
+
+
+def test_active_users_no_range_join(spark, sf_dir):
+    """q224: the sliding COUNT DISTINCT must run as the contribution
+    explode, never the oracle's range theta join."""
+    plan = _plan(spark, sf_dir, "q224_active_users")
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_attribution_asof_single_sort_no_range_join(spark, sf_dir):
+    """q234: bounded as-of = tagged union + carry-forward window; the
+    30-minute bound must be a filter, not a join predicate."""
+    plan = _plan(spark, sf_dir, "q234_attribution_asof")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") >= 1 and "Union" in plan
+
+
+def test_negative_sampling_anti_join_no_complement(spark, sf_dir):
+    """q238: rejection is an EQUI anti join (sort-merge or broadcast
+    hash); the only nested-loop allowed is the 1-row |parts| scalar
+    cross — the users x catalog complement must never appear."""
+    plan = _plan(spark, sf_dir, "q238_negative_sampling")
+    anti_lines = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti_lines and all(
+        "SortMergeJoin" in ln or "BroadcastHashJoin" in ln
+        for ln in anti_lines
+    ), anti_lines
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert "Cross" in ln  # scalar count broadcast only
+
+
+def test_skyline_no_dominance_self_join(spark, sf_dir):
+    """q243: frontier via one running-max window — the quadratic
+    dominance join must not exist in the plan."""
+    plan = _plan(spark, sf_dir, "q243_skyline")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_table_checksum_partial_agg(spark, sf_dir):
+    """q244: digests must partial-aggregate map-side (HashAggregate
+    appears twice per grouping: partial + final)."""
+    plan = _plan(spark, sf_dir, "q244_table_checksum")
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_cdc_chunks_single_shuffle(spark, sf_dir):
+    """q230: boundary detection and chunk hashing are per-row array
+    HOFs; the only exchange is the first-copy window on chunk grain."""
+    plan = _plan(spark, sf_dir, "q230_cdc_chunks")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
