@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..functions.portable import o_hash64, o_rnd, prnd
+from ..functions.portable import hash64, o_hash64, o_rnd, prnd
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
@@ -532,3 +532,87 @@ def q215_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_cand = cand.agg(F.count("*").alias("n_candidates"))
     n_rec = verified.agg(F.count("*").alias("n_recovered"))
     return n_exact.crossJoin(n_cand).crossJoin(n_rec)
+
+
+# ---------------------------------------------------------------------------
+# q250 train/test leakage audit: near-dup pairs straddling split fences
+# ---------------------------------------------------------------------------
+
+
+def _q250_oracle() -> str:
+    from .dataprep_q import _SPLIT_TRAIN, _SPLIT_VAL
+
+    split = f"""CASE WHEN ({o_hash64('doc_id')}) % 100 < {_SPLIT_TRAIN} THEN 'train'
+                  WHEN ({o_hash64('doc_id')}) % 100 < {_SPLIT_VAL} THEN 'val'
+                  ELSE 'test' END"""
+    return f"""
+    WITH pairs AS ({_minhash_oracle()}),
+    sp AS (SELECT doc_id, {split} AS split FROM documents),
+    j AS (
+      SELECT least(sa.split, sb.split) AS split_lo,
+             greatest(sa.split, sb.split) AS split_hi,
+             p.id_a, p.id_b
+      FROM pairs p
+      JOIN sp sa ON sa.doc_id = p.id_a
+      JOIN sp sb ON sb.doc_id = p.id_b
+    )
+    SELECT split_lo, split_hi,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(split_lo <> split_hi AS INT) AS is_leak,
+           CAST(min(id_a) AS BIGINT) AS example_id_a,
+           CAST(min(id_b) AS BIGINT) AS example_id_b
+    FROM j GROUP BY split_lo, split_hi
+    """
+
+
+@query("q250_split_leakage", oracle=_q250_oracle())
+def q250_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: cross-reference the verified
+    near-duplicate pair set (q45's MinHash+LSH pipeline, memoized)
+    with the hash-fence split assignment (q73) and count pairs whose
+    endpoints land in DIFFERENT splits — the leakage that silently
+    inflates eval metrics when dedup runs per-split instead of
+    corpus-wide (the reason dedup must happen BEFORE splitting).
+    q87 screens against an external benchmark; this closes the
+    internal train-vs-test loop.
+
+    Split assignment is a per-row hash expression (no shuffle); the
+    audit joins the tiny PAIR table to it twice and aggregates to the
+    split-pair matrix — cost is the dedup pipeline itself, already
+    shared across the q44-q48 family by session memoization."""
+    from .dataprep_q import _SPLIT_TRAIN, _SPLIT_VAL
+
+    pairs = corpus_minhash_pairs(spark, sf_dir, 0.8)
+    docs = table(spark, sf_dir, "documents")
+    bucket = hash64(F.col("doc_id")) % 100
+    sp = docs.select(
+        "doc_id",
+        F.when(bucket < _SPLIT_TRAIN, "train")
+        .when(bucket < _SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    sa = sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    sb = sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    j = (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            F.least("sa", "sb").alias("split_lo"),
+            F.greatest("sa", "sb").alias("split_hi"),
+            "id_a",
+            "id_b",
+        )
+    )
+    return j.groupBy("split_lo", "split_hi").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.min("id_a").cast("long").alias("example_id_a"),
+        F.min("id_b").cast("long").alias("example_id_b"),
+    ).select(
+        "split_lo",
+        "split_hi",
+        "n_pairs",
+        (F.col("split_lo") != F.col("split_hi")).cast("int").alias("is_leak"),
+        "example_id_a",
+        "example_id_b",
+    )

@@ -1789,3 +1789,119 @@ def q239_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             prnd(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q253 BFS reachability (3 hops over the mutual-kNN graph)
+# ---------------------------------------------------------------------------
+
+_Q253_SEED = 0
+_Q253_HOPS = 3
+
+
+def _q253_oracle() -> str:
+    head = f"""
+    WITH {_VECS_CTE.lstrip()},
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             {o_rnd(_COS, 6)} AS cos_sim
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored
+    ),
+    knn AS (SELECT query_id, vec_id FROM ranked WHERE rank <= 10),
+    mutual AS (
+      SELECT ab.query_id AS id_a, ab.vec_id AS id_b
+      FROM knn ab JOIN knn ba
+        ON ba.query_id = ab.vec_id AND ba.vec_id = ab.query_id
+      WHERE ab.query_id < ab.vec_id
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM mutual
+      UNION ALL SELECT id_b, id_a FROM mutual
+    ),
+    f0 AS (SELECT CAST({_Q253_SEED} AS BIGINT) AS vec_id, 0 AS hop),
+    v0 AS (SELECT vec_id FROM f0)"""
+    parts = [head]
+    for h in range(1, _Q253_HOPS + 1):
+        parts.append(f""",
+    f{h} AS (
+      SELECT DISTINCT e.v AS vec_id, {h} AS hop
+      FROM edges e JOIN f{h - 1} f ON f.vec_id = e.u
+      WHERE e.v NOT IN (SELECT vec_id FROM v{h - 1})
+    ),
+    v{h} AS (SELECT vec_id FROM v{h - 1} UNION ALL SELECT vec_id FROM f{h})""")
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM f{h}" for h in range(_Q253_HOPS + 1)
+    )
+    parts.append(f"""
+    SELECT vec_id, CAST(hop AS INTEGER) AS hop FROM ({unions})
+    """)
+    return "".join(parts)
+
+
+@query("q253_bfs_reachability", oracle=_q253_oracle())
+def q253_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first reachability, 3 hops from a seed vector over the
+    mutual-kNN graph (q143's edges) — frontier expansion with visited
+    pruning, the traversal primitive behind "find everything
+    transitively similar" (contamination spreading through near-dup
+    chains, q48's clusters seen incrementally from one node).
+
+    Each hop is one equi join frontier x edges + one anti join
+    against the visited set — per-hop cost scales with the FRONTIER,
+    not the graph, and the visited set is a checkpointed id list.
+    The oracle unrolls identical frontier CTEs; minimum-hop
+    uniqueness holds by construction (a node enters exactly one
+    frontier), so the trace hash-checks the traversal order itself."""
+    vecs = _vecs(spark, sf_dir)
+    knn = cosine_topk(vecs, _vecs(spark, sf_dir), k=10).select(
+        F.col("query_id").alias("id_a"), F.col("vec_id").alias("id_b")
+    )
+    rev = knn.select(
+        F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+    )
+    mutual = knn.join(rev, ["id_a", "id_b"]).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    edges = (
+        mutual.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionByName(
+            mutual.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = (
+        vecs.sparkSession.range(1)
+        .select(
+            F.lit(_Q253_SEED).cast("long").alias("vec_id"),
+            F.lit(0).alias("hop"),
+        )
+    )
+    visited = frontier.select("vec_id")
+    out = [frontier]
+    for h in range(1, _Q253_HOPS + 1):
+        nxt = (
+            edges.join(
+                frontier.select(F.col("vec_id").alias("u")).hint("broadcast"),
+                "u",
+            )
+            .select(F.col("v").alias("vec_id"))
+            .distinct()
+            .join(visited, "vec_id", "left_anti")
+            .select("vec_id", F.lit(h).alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+        out.append(nxt)
+        visited = visited.unionByName(nxt.select("vec_id")).localCheckpoint(
+            eager=True
+        )
+        frontier = nxt
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res.select("vec_id", F.col("hop").cast("int").alias("hop"))

@@ -1320,3 +1320,47 @@ def q229_cube_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_chars",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q251 unpivot / melt (wide profile -> long metric rows)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q251_unpivot_profile",
+    oracle=f"""
+    WITH wide AS (
+      SELECT lang,
+             CAST(count(*) AS DOUBLE) AS n_docs,
+             {o_rnd('avg(CAST(n_chars AS DOUBLE))', 4)} AS avg_chars,
+             CAST(max(n_chars) AS DOUBLE) AS max_chars
+      FROM documents GROUP BY lang
+    )
+    UNPIVOT wide ON n_docs, avg_chars, max_chars
+    INTO NAME metric VALUE value
+    """,
+)
+def q251_unpivot_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt — the inverse of q135's pivot, completing the
+    reshaping pair: a wide per-language profile (n_docs, avg_chars,
+    max_chars) melts into tidy (lang, metric, value) rows, the form
+    BI tools and chart layers consume and the form UNION-driven
+    metric stores ingest.
+
+    Spark's native unpivot (Expand under the hood) emits all metric
+    rows in ONE pass over the already-aggregated wide table — no
+    per-metric scans, no shuffle beyond the original groupBy; metrics
+    share one double-typed value column (the unpivot contract)."""
+    d = table(spark, sf_dir, "documents")
+    wide = d.groupBy("lang").agg(
+        F.count("*").cast("double").alias("n_docs"),
+        prnd(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+        F.max("n_chars").cast("double").alias("max_chars"),
+    )
+    return wide.unpivot(
+        ids=["lang"],
+        values=["n_docs", "avg_chars", "max_chars"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

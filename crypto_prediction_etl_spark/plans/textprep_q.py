@@ -1264,3 +1264,68 @@ def q249_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+# ---------------------------------------------------------------------------
+# q252 deterministic token dropout (augmentation with audit trail)
+# ---------------------------------------------------------------------------
+
+_Q252_DROP_MOD = 10  # drop ~1 in 10 tokens
+
+
+@query(
+    "q252_token_dropout",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    k AS (
+      SELECT doc_id, toks,
+             list_filter(toks, (x, i) ->
+               {o_hash64("CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")} % {_Q252_DROP_MOD} <> 0
+             ) AS kept
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(len(kept) AS INTEGER) AS n_kept,
+           {o_rnd('1.0 - CAST(len(kept) AS DOUBLE) / len(toks)', 6)} AS drop_share,
+           {o_hash64("array_to_string(kept, ' ')")} AS aug_fingerprint
+    FROM k
+    """,
+)
+def q252_token_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-dropout augmentation: drop every token
+    whose (doc, position) hash lands in 1-of-10 — the robustness
+    augmentation a training pipeline applies at the data layer, made
+    REPRODUCIBLE (seedless portable hash, so epoch N of any rerun
+    sees the same corruption) and auditable (the fingerprint of each
+    augmented document rides the gate, so both engines provably
+    produce byte-identical augmented text).
+
+    Pure per-row array HOF — zero shuffle, zero Python; position
+    enters the hash 0-based on both engines (Spark filter lambdas are
+    0-indexed, DuckDB list lambdas 1-indexed, reconciled here)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda x, i: hash64(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                i.cast("string"),
+            )
+        )
+        % _Q252_DROP_MOD
+        != 0,
+    )
+    k = d.select("doc_id", "toks", kept.alias("kept"))
+    return k.select(
+        "doc_id",
+        F.size("toks").cast("int").alias("n_tokens"),
+        F.size("kept").cast("int").alias("n_kept"),
+        prnd(
+            1.0 - F.size("kept").cast("double") / F.size("toks"), 6
+        ).alias("drop_share"),
+        hash64(F.array_join("kept", " ")).alias("aug_fingerprint"),
+    )
