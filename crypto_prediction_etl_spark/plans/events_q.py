@@ -3194,3 +3194,229 @@ def q248_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             rate / (F.col("tot_pos").cast("double") / F.col("tot")), 6
         ).alias("lift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q254 clustering effectiveness: Z-order vs linear layout bounding boxes
+# ---------------------------------------------------------------------------
+
+_Q254_FILE_ROWS = 250
+
+
+def _q254_oracle() -> str:
+    interleave = " + ".join(
+        f"((b1 >> {b}) & 1) * {1 << (2 * b + 1)} + ((b2 >> {b}) & 1) * {1 << (2 * b)}"
+        for b in range(_Z_BITS)
+    )
+    top = (1 << _Z_BITS) - 1
+    scale = float(1 << _Z_BITS)
+    return f"""
+    WITH src AS (
+      SELECT event_id, value,
+             CAST(CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE) AS sec
+      FROM events
+    ),
+    stats AS (SELECT min(value) AS min1, max(value) AS max1,
+                     min(sec) AS min2, max(sec) AS max2 FROM src),
+    bb AS (
+      SELECT event_id, sec,
+             CASE WHEN max1 - min1 = 0 THEN 0
+                  ELSE least({top}, greatest(0,
+                    CAST(floor((value - min1) / (max1 - min1) * {scale}) AS BIGINT)))
+             END AS b1,
+             CASE WHEN max2 - min2 = 0 THEN 0
+                  ELSE least({top}, greatest(0,
+                    CAST(floor((sec - min2) / (max2 - min2) * {scale}) AS BIGINT)))
+             END AS b2
+      FROM src CROSS JOIN stats
+    ),
+    zsrc AS (SELECT event_id, sec, b1, b2, {interleave} AS z FROM bb),
+    laid AS (
+      SELECT b1, b2,
+             CAST(floor((row_number() OVER (ORDER BY z, event_id) - 1)
+                  / {_Q254_FILE_ROWS}) AS BIGINT) AS zfile,
+             CAST(floor((row_number() OVER (ORDER BY sec, event_id) - 1)
+                  / {_Q254_FILE_ROWS}) AS BIGINT) AS lfile
+      FROM zsrc
+    ),
+    z AS (
+      SELECT 'zorder' AS layout, zfile AS file_no,
+             max(b1) - min(b1) AS r1, max(b2) - min(b2) AS r2
+      FROM laid GROUP BY zfile
+    ),
+    l AS (
+      SELECT 'linear' AS layout, lfile AS file_no,
+             max(b1) - min(b1) AS r1, max(b2) - min(b2) AS r2
+      FROM laid GROUP BY lfile
+    ),
+    u AS (SELECT * FROM z UNION ALL SELECT * FROM l)
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           {o_rnd(f'avg((r1 + 1.0) * (r2 + 1.0) / ({scale} * {scale}))', 6)} AS avg_bbox_vol,
+           {o_rnd(f'1.0 - avg((r1 + 1.0) / {scale})', 6)} AS est_skip_dim1,
+           {o_rnd(f'1.0 - avg((r2 + 1.0) / {scale})', 6)} AS est_skip_dim2
+    FROM u GROUP BY layout
+    """
+
+
+@query("q254_clustering_effectiveness", oracle=_q254_oracle())
+def q254_clustering_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping effectiveness audit: lay the events table out in
+    250-row files two ways — Z-order (q78's curve) vs linear
+    single-dimension sort — and measure each file's (value, time)
+    bounding box; the average normalized box volume and the implied
+    per-dimension skip rates ARE the min/max-stats pruning a lakehouse
+    scan gets from file footers. This turns 'Z-order helps
+    multi-dimensional predicates' from folklore into a number the
+    gate checks: linear files span the full range of the OTHER
+    dimension (skip~0), Z-order keeps both ranges narrow.
+
+    The audit runs on bucket ids, not data: two rank windows + two
+    250x-smaller groupBys. At scale the same query runs directly over
+    real file-footer stats instead of simulated files."""
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    from ..operators.layout import with_zvalue
+
+    src = ev.select(
+        "event_id",
+        "value",
+        F.floor(F.unix_micros("ts").cast("double") / 1e6)
+        .cast("double")
+        .alias("sec"),
+    )
+    z = with_zvalue(src, "value", "sec", bits=_Z_BITS).select(
+        "event_id", "sec", "z",
+        F.col("_b1").alias("b1"), F.col("_b2").alias("b2"),
+    )
+    laid = z.select(
+        "b1",
+        "b2",
+        F.floor(
+            (F.row_number().over(W.orderBy("z", "event_id")) - 1)
+            / _Q254_FILE_ROWS
+        )
+        .cast("long")
+        .alias("zfile"),
+        F.floor(
+            (F.row_number().over(W.orderBy("sec", "event_id")) - 1)
+            / _Q254_FILE_ROWS
+        )
+        .cast("long")
+        .alias("lfile"),
+    )
+    def boxes(file_col: str, label: str) -> DataFrame:
+        return laid.groupBy(file_col).agg(
+            (F.max("b1") - F.min("b1")).alias("r1"),
+            (F.max("b2") - F.min("b2")).alias("r2"),
+        ).select(F.lit(label).alias("layout"), "r1", "r2")
+
+    u = boxes("zfile", "zorder").unionByName(boxes("lfile", "linear"))
+    scale = float(1 << _Z_BITS)
+    return u.groupBy("layout").agg(
+        F.count("*").cast("long").alias("n_files"),
+        prnd(
+            F.avg((F.col("r1") + 1.0) * (F.col("r2") + 1.0) / (scale * scale)),
+            6,
+        ).alias("avg_bbox_vol"),
+        prnd(1.0 - F.avg((F.col("r1") + 1.0) / scale), 6).alias(
+            "est_skip_dim1"
+        ),
+        prnd(1.0 - F.avg((F.col("r2") + 1.0) / scale), 6).alias(
+            "est_skip_dim2"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q257 stratified treatment-effect estimate (observational)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q257_stratified_effect",
+    oracle=f"""
+    WITH act AS (
+      SELECT user_id, count(*) AS n_ev FROM events GROUP BY user_id
+    ),
+    strat AS (
+      SELECT user_id, ntile(3) OVER (ORDER BY n_ev, user_id) AS stratum
+      FROM act
+    ),
+    obs AS (
+      SELECT s.stratum,
+             CAST(hour(e.ts) >= 12 AS INT) AS treated,
+             CAST(e.event_type = 'purchase' AS INT) AS y
+      FROM events e JOIN strat s USING (user_id)
+    ),
+    cell AS (
+      SELECT stratum, treated,
+             CAST(count(*) AS BIGINT) AS n, avg(CAST(y AS DOUBLE)) AS rate
+      FROM obs GROUP BY stratum, treated
+    ),
+    wide AS (
+      SELECT stratum,
+             max(CASE WHEN treated = 1 THEN n END) AS n_t,
+             max(CASE WHEN treated = 0 THEN n END) AS n_c,
+             max(CASE WHEN treated = 1 THEN rate END) AS rate_t,
+             max(CASE WHEN treated = 0 THEN rate END) AS rate_c
+      FROM cell GROUP BY stratum
+    )
+    SELECT CAST(stratum AS INTEGER) AS stratum, n_t, n_c,
+           {o_rnd('rate_t', 6)} AS rate_t,
+           {o_rnd('rate_c', 6)} AS rate_c,
+           {o_rnd('rate_t - rate_c', 6)} AS risk_diff,
+           {o_rnd('sum((rate_t - rate_c) * (n_t + n_c)) OVER () / sum(n_t + n_c) OVER ()', 6)} AS pooled_effect
+    FROM wide
+    """,
+)
+def q257_stratified_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified treatment-effect estimate for OBSERVATIONAL data:
+    treatment = afternoon event, outcome = purchase, strata = user
+    activity terciles — per-stratum risk differences plus the
+    size-weighted pooled effect (the Cochran stratification that
+    deconfounds 'active users are both more afternoon-active AND buy
+    more', which the q168 A/B machinery may not assume away outside
+    a randomized experiment).
+
+    One user-grain aggregate + ntile over users, one broadcast join
+    back to events, a 6-cell contingency groupBy — the pooled effect
+    is a window over the 3-row stratum table."""
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    act = ev.groupBy("user_id").agg(F.count("*").alias("n_ev"))
+    strat = act.select(
+        "user_id",
+        F.ntile(3).over(W.orderBy("n_ev", "user_id")).alias("stratum"),
+    )
+    obs = ev.join(F.broadcast(strat), "user_id").select(
+        "stratum",
+        (F.hour("ts") >= 12).cast("int").alias("treated"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    cell = obs.groupBy("stratum", "treated").agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg(F.col("y").cast("double")).alias("rate"),
+    )
+    wide = cell.groupBy("stratum").agg(
+        F.max(F.when(F.col("treated") == 1, F.col("n"))).alias("n_t"),
+        F.max(F.when(F.col("treated") == 0, F.col("n"))).alias("n_c"),
+        F.max(F.when(F.col("treated") == 1, F.col("rate"))).alias("rate_t"),
+        F.max(F.when(F.col("treated") == 0, F.col("rate"))).alias("rate_c"),
+    )
+    whole = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    rd = F.col("rate_t") - F.col("rate_c")
+    nw = F.col("n_t") + F.col("n_c")
+    return wide.select(
+        F.col("stratum").cast("int").alias("stratum"),
+        "n_t",
+        "n_c",
+        prnd("rate_t", 6).alias("rate_t"),
+        prnd("rate_c", 6).alias("rate_c"),
+        prnd(rd, 6).alias("risk_diff"),
+        prnd(F.sum(rd * nw).over(whole) / F.sum(nw).over(whole), 6).alias(
+            "pooled_effect"
+        ),
+    )

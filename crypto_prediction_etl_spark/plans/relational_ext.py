@@ -1594,3 +1594,92 @@ def q244_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_xor("h").alias("checksum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q255 columnar encoding advisor (dict / RLE size estimates per column)
+# ---------------------------------------------------------------------------
+
+_Q255_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey")
+_Q255_PLAIN_BITS = 64.0
+
+
+def _q255_oracle() -> str:
+    branches = []
+    for c in _Q255_COLS:
+        branches.append(f"""
+      SELECT '{c}' AS col_name,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+             CAST(1 + sum(CASE WHEN v <> pv THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+      FROM (
+        SELECT CAST({c} AS VARCHAR) AS v,
+               lag(CAST({c} AS VARCHAR)) OVER (ORDER BY o_orderkey) AS pv
+        FROM orders
+      )""")
+    u = " UNION ALL ".join(branches)
+    return f"""
+    WITH s AS ({u})
+    SELECT col_name, n, n_distinct, n_runs,
+           CAST(ceil(ln(CAST(n_distinct AS DOUBLE)) / ln(2.0)) AS BIGINT) AS dict_bits,
+           {o_rnd('ceil(ln(CAST(n_distinct AS DOUBLE)) / ln(2.0)) / ' + str(_Q255_PLAIN_BITS), 6)} AS dict_ratio,
+           {o_rnd('(CAST(n_runs AS DOUBLE) * (ceil(ln(CAST(n_distinct AS DOUBLE)) / ln(2.0)) + 8.0)) / (CAST(n AS DOUBLE) * ' + str(_Q255_PLAIN_BITS) + ')', 6)} AS rle_ratio
+    FROM s
+    """
+
+
+@query("q255_encoding_advisor", oracle=_q255_oracle())
+def q255_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-encoding advisor: per column, the cardinality and
+    run-length statistics that decide parquet/ORC encoding choices —
+    dictionary bits (ceil log2 distinct), dictionary compression
+    ratio vs 64-bit plain, and run-length ratio in the table's
+    current sort order (runs x (dict_bits + 8-bit run header)). Low
+    rle_ratio says 'sort by this column before writing' — the advisor
+    behind q254's layout decision, at the column level.
+
+    One window + one aggregate per audited column over a shared scan;
+    at scale this is the profile a writer job computes per file group
+    anyway, here exposed as a queryable audit (companion to q199's
+    null/distinct profile)."""
+    o = table(spark, sf_dir, "orders")
+    outs = []
+    for c in _Q255_COLS:
+        w = W.orderBy("o_orderkey")
+        v = o.select(
+            F.col(c).cast("string").alias("v"),
+            F.lag(F.col(c).cast("string")).over(w).alias("pv"),
+        )
+        outs.append(
+            v.agg(
+                F.count("*").cast("long").alias("n"),
+                F.countDistinct("v").cast("long").alias("n_distinct"),
+                (
+                    1
+                    + F.sum(
+                        F.when(F.col("v") != F.col("pv"), 1).otherwise(0)
+                    )
+                )
+                .cast("long")
+                .alias("n_runs"),
+            ).select(F.lit(c).alias("col_name"), "n", "n_distinct", "n_runs")
+        )
+    s = outs[0]
+    for x in outs[1:]:
+        s = s.unionByName(x)
+    dict_bits = F.ceil(
+        F.log(F.col("n_distinct").cast("double")) / F.log(F.lit(2.0))
+    )
+    return s.select(
+        "col_name",
+        "n",
+        "n_distinct",
+        "n_runs",
+        dict_bits.cast("long").alias("dict_bits"),
+        prnd(dict_bits / _Q255_PLAIN_BITS, 6).alias("dict_ratio"),
+        prnd(
+            (F.col("n_runs").cast("double") * (dict_bits + 8.0))
+            / (F.col("n").cast("double") * _Q255_PLAIN_BITS),
+            6,
+        ).alias("rle_ratio"),
+    )

@@ -1364,3 +1364,85 @@ def q251_unpivot_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+# ---------------------------------------------------------------------------
+# q256 mutual information between categorical columns
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q256_mutual_information",
+    oracle=f"""
+    WITH j AS (
+      SELECT lang, source, CAST(count(*) AS DOUBLE) AS nxy
+      FROM documents GROUP BY lang, source
+    ),
+    t AS (SELECT sum(nxy) AS n FROM j),
+    mx AS (SELECT lang, sum(nxy) AS nx FROM j GROUP BY lang),
+    my AS (SELECT source, sum(nxy) AS ny FROM j GROUP BY source),
+    mi AS (
+      SELECT sum(j.nxy / t.n * ln(j.nxy * t.n / (mx.nx * my.ny))) AS mi_nats
+      FROM j JOIN mx USING (lang) JOIN my USING (source) CROSS JOIN t
+    ),
+    hx AS (SELECT -sum(nx / t.n * ln(nx / t.n)) AS h FROM mx CROSS JOIN t),
+    hy AS (SELECT -sum(ny / t.n * ln(ny / t.n)) AS h FROM my CROSS JOIN t)
+    SELECT {o_rnd('mi.mi_nats', 6)} AS mi_nats,
+           {o_rnd('hx.h', 6)} AS h_lang,
+           {o_rnd('hy.h', 6)} AS h_source,
+           {o_rnd('CASE WHEN least(hx.h, hy.h) > 0 THEN mi.mi_nats / least(hx.h, hy.h) ELSE 0.0 END', 6)} AS nmi
+    FROM mi CROSS JOIN hx CROSS JOIN hy
+    """,
+)
+def q256_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two categorical columns (lang,
+    source), plus both marginal entropies and the min-entropy
+    normalized MI — the dependence measure that catches associations
+    chi-square significance alone doesn't quantify (q208 tests; this
+    MEASURES, in nats). In a corpus pipeline: high lang-source NMI
+    means per-source sampling silently reweights languages.
+
+    Plug-in estimator over the CONTINGENCY table: one joint groupBy
+    (the only pass over data), marginals and entropies over the tiny
+    joint table, one scalar row out."""
+    d = table(spark, sf_dir, "documents")
+    j = d.groupBy("lang", "source").agg(
+        F.count("*").cast("double").alias("nxy")
+    )
+    t = j.agg(F.sum("nxy").alias("n"))
+    mx = j.groupBy("lang").agg(F.sum("nxy").alias("nx"))
+    my = j.groupBy("source").agg(F.sum("nxy").alias("ny"))
+    mi = (
+        j.join(F.broadcast(mx), "lang")
+        .join(F.broadcast(my), "source")
+        .crossJoin(F.broadcast(t))
+        .agg(
+            F.sum(
+                F.col("nxy")
+                / F.col("n")
+                * F.log(
+                    F.col("nxy") * F.col("n") / (F.col("nx") * F.col("ny"))
+                )
+            ).alias("mi_nats")
+        )
+    )
+    hx = mx.crossJoin(F.broadcast(t)).agg(
+        (-F.sum(F.col("nx") / F.col("n") * F.log(F.col("nx") / F.col("n")))).alias(
+            "h_lang"
+        )
+    )
+    hy = my.crossJoin(F.broadcast(t)).agg(
+        (-F.sum(F.col("ny") / F.col("n") * F.log(F.col("ny") / F.col("n")))).alias(
+            "h_source"
+        )
+    )
+    out = mi.crossJoin(F.broadcast(hx)).crossJoin(F.broadcast(hy))
+    minh = F.least("h_lang", "h_source")
+    return out.select(
+        prnd("mi_nats", 6).alias("mi_nats"),
+        prnd("h_lang", 6).alias("h_lang"),
+        prnd("h_source", 6).alias("h_source"),
+        prnd(
+            F.when(minh > 0, F.col("mi_nats") / minh).otherwise(0.0), 6
+        ).alias("nmi"),
+    )
