@@ -3420,3 +3420,138 @@ def q257_stratified_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pooled_effect"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q259 Kaplan-Meier survival: signup -> first purchase, right-censored
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q259_km_survival",
+    oracle=f"""
+    WITH anchor AS (SELECT max(ts) AS tmax FROM events),
+    su AS (
+      SELECT user_id, min(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    fp AS (
+      SELECT s.user_id, s.signup_ts, min(e.ts) AS purchase_ts
+      FROM su s LEFT JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'purchase'
+       AND e.ts >= s.signup_ts
+      GROUP BY s.user_id, s.signup_ts
+    ),
+    dur AS (
+      SELECT user_id,
+             CAST(purchase_ts IS NOT NULL AS INT) AS died,
+             CASE WHEN purchase_ts IS NOT NULL
+                  THEN date_diff('day', CAST(signup_ts AS DATE), CAST(purchase_ts AS DATE))
+                  ELSE date_diff('day', CAST(signup_ts AS DATE), CAST(any_value(tmax) OVER () AS DATE))
+             END AS days
+      FROM fp CROSS JOIN anchor
+    ),
+    day_tab AS (
+      SELECT days,
+             CAST(sum(died) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS leaving
+      FROM dur GROUP BY days
+    ),
+    risk AS (
+      SELECT days, d,
+             (SELECT count(*) FROM dur) -
+             coalesce(sum(leaving) OVER (ORDER BY days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      FROM day_tab
+    ),
+    km AS (
+      SELECT days, d, n_risk,
+             exp(sum(CASE WHEN d < n_risk THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                          ELSE -690.0 END)
+                 OVER (ORDER BY days
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+      FROM risk WHERE d > 0
+    )
+    SELECT CAST(days AS BIGINT) AS days, CAST(n_risk AS BIGINT) AS n_at_risk,
+           d AS n_events, {o_rnd('s', 6)} AS survival
+    FROM km
+    """,
+)
+def q259_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of 'time from signup to first purchase',
+    right-censored at the corpus horizon — the estimator that uses
+    users who NEVER bought correctly (they inform the at-risk
+    denominator until their censoring day; dropping them biases
+    conversion-time low, which is exactly the mistake q98's plain
+    funnel makes when windows are short).
+
+    Events collapse to a user-grain duration table; the KM product
+    over event days is exp(running sum of ln(1 - d/n)) — one ordered
+    window over the tiny day table, with at-risk counts derived from
+    a cumulative count of everyone who left earlier."""
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    anchor = ev.agg(F.max("ts").alias("tmax"))
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("uid"), F.col("ts").alias("pts")
+    )
+    fp = (
+        su.join(
+            pur,
+            (F.col("uid") == F.col("user_id"))
+            & (F.col("pts") >= F.col("signup_ts")),
+            "left",
+        )
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("pts").alias("purchase_ts"))
+    )
+    dur = fp.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.col("purchase_ts").isNotNull().cast("int").alias("died"),
+        F.when(
+            F.col("purchase_ts").isNotNull(),
+            F.datediff(F.to_date("purchase_ts"), F.to_date("signup_ts")),
+        )
+        .otherwise(F.datediff(F.to_date("tmax"), F.to_date("signup_ts")))
+        .alias("days"),
+    )
+    day_tab = dur.groupBy("days").agg(
+        F.sum("died").cast("long").alias("d"),
+        F.count("*").cast("long").alias("leaving"),
+    )
+    total = dur.agg(F.count("*").alias("n_total"))
+    prev = W.orderBy("days").rowsBetween(W.unboundedPreceding, -1)
+    risk = day_tab.crossJoin(F.broadcast(total)).select(
+        "days",
+        "d",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("leaving").over(prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    cum = W.orderBy("days").rowsBetween(W.unboundedPreceding, W.currentRow)
+    km = risk.filter(F.col("d") > 0).select(
+        "days",
+        "d",
+        "n_risk",
+        F.exp(
+            F.sum(
+                F.when(
+                    F.col("d") < F.col("n_risk"),
+                    F.log(1.0 - F.col("d").cast("double") / F.col("n_risk")),
+                ).otherwise(-690.0)
+            ).over(cum)
+        ).alias("s"),
+    )
+    return km.select(
+        F.col("days").cast("long").alias("days"),
+        F.col("n_risk").cast("long").alias("n_at_risk"),
+        F.col("d").alias("n_events"),
+        prnd("s", 6).alias("survival"),
+    )

@@ -3948,3 +3948,184 @@ def q246_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("roll_spread"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q258 binary-segmentation changepoints (2 levels, 3 segments)
+# ---------------------------------------------------------------------------
+
+
+def _q258_oracle() -> str:
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    m1 AS (
+      SELECT id, dt, close, avg(close) OVER (PARTITION BY id) AS mu
+      FROM candles
+    ),
+    c1 AS (
+      SELECT id, dt,
+             sum(close - mu) OVER ({_WIN} ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cusum
+      FROM m1
+    ),
+    cp1 AS (
+      SELECT id, dt AS cp_dt, abs(cusum) AS score
+      FROM (
+        SELECT id, dt, cusum,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY abs(cusum) DESC, dt) AS rk
+        FROM c1
+      ) WHERE rk = 1
+    ),
+    sided AS (
+      SELECT c.id, c.dt, c.close,
+             CASE WHEN c.dt <= p.cp_dt THEN 'L' ELSE 'R' END AS side
+      FROM candles c JOIN cp1 p USING (id)
+    ),
+    m2 AS (
+      SELECT id, side, dt, close,
+             avg(close) OVER (PARTITION BY id, side) AS mu
+      FROM sided
+    ),
+    c2 AS (
+      SELECT id, side, dt,
+             sum(close - mu) OVER (PARTITION BY id, side ORDER BY dt
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cusum
+      FROM m2
+    ),
+    cp2 AS (
+      SELECT id, side, dt AS cp_dt, abs(cusum) AS score
+      FROM (
+        SELECT id, side, dt, cusum,
+               row_number() OVER (PARTITION BY id, side
+                                  ORDER BY abs(cusum) DESC, dt) AS rk
+        FROM c2
+      ) WHERE rk = 1
+    )
+    SELECT id, 1 AS level, 'ALL' AS side, cp_dt, {o_rnd('score', 2)} AS score
+    FROM cp1
+    UNION ALL
+    SELECT id, 2 AS level, side, cp_dt, {o_rnd('score', 2)} AS score
+    FROM cp2
+    """
+
+
+@query("q258_binary_segmentation", oracle=_q258_oracle())
+def q258_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical changepoint detection by binary segmentation: the
+    level-1 CUSUM argmax (q175) splits each series, then the SAME
+    locator runs independently on each half — two levels, up to three
+    regimes per symbol, the classic recursive segmentation unrolled
+    into declarative stages (Scott & Knott / binseg shape).
+
+    Level 2 needs no new machinery: side labels come from one
+    broadcast join of the 5-row level-1 table, and every window
+    simply gains `side` in its partition key — recursion by
+    partition-key refinement, each level one shuffle."""
+    c = candles(spark, sf_dir)
+    def cusum_argmax(df: DataFrame, keys: list[str]) -> DataFrame:
+        part = W.partitionBy(*keys)
+        cum = part.orderBy("dt").rowsBetween(W.unboundedPreceding, W.currentRow)
+        cs = df.select(
+            *keys,
+            "dt",
+            F.sum(F.col("close") - F.avg("close").over(part))
+            .over(cum)
+            .alias("cusum"),
+        )
+        rk = cs.withColumn(
+            "rk",
+            F.row_number().over(
+                part.orderBy(F.abs("cusum").desc(), "dt")
+            ),
+        )
+        return rk.filter(F.col("rk") == 1).select(
+            *keys,
+            F.col("dt").alias("cp_dt"),
+            F.abs("cusum").alias("score"),
+        )
+
+    cp1 = cusum_argmax(c, ["id"])
+    sided = c.join(F.broadcast(cp1.select("id", "cp_dt")), "id").select(
+        "id",
+        "dt",
+        "close",
+        F.when(F.col("dt") <= F.col("cp_dt"), "L").otherwise("R").alias(
+            "side"
+        ),
+    )
+    cp2 = cusum_argmax(sided, ["id", "side"])
+    l1 = cp1.select(
+        "id",
+        F.lit(1).alias("level"),
+        F.lit("ALL").alias("side"),
+        "cp_dt",
+        prnd("score", 2).alias("score"),
+    )
+    l2 = cp2.select(
+        "id", F.lit(2).alias("level"), "side", "cp_dt",
+        prnd("score", 2).alias("score"),
+    )
+    return l1.unionByName(l2)
+
+
+# ---------------------------------------------------------------------------
+# q260 seasonal-naive forecast baseline + MASE
+# ---------------------------------------------------------------------------
+
+
+def _q260_oracle() -> str:
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    lagd AS (
+      SELECT id, dt, close,
+             lag(close, 1) OVER ({_WIN}) AS l1,
+             lag(close, 7) OVER ({_WIN}) AS l7
+      FROM candles
+    ),
+    s AS (
+      SELECT id, count(*) AS n,
+             avg(abs(close - l1)) AS mae1,
+             avg(abs(close - l7)) AS mae7
+      FROM lagd WHERE l7 IS NOT NULL GROUP BY id
+    )
+    SELECT id, CAST(n AS BIGINT) AS n_obs,
+           {o_rnd('mae1', 4)} AS mae_naive1,
+           {o_rnd('mae7', 4)} AS mae_snaive7,
+           {o_rnd('mae7 / mae1', 6)} AS mase
+    FROM s
+    """
+
+
+@query("q260_seasonal_naive_mase", oracle=_q260_oracle())
+def q260_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting floor + scale-free error: the seasonal-naive
+    baseline (predict last week's value) scored by MASE — its MAE
+    over the one-step naive's MAE (Hyndman & Koehler 2006). MASE < 1
+    means weekly structure genuinely predicts (and any real model
+    must beat BOTH baselines before its metrics mean anything); this
+    is the eval floor for q100/q174's forecasting family.
+
+    Two lags on the shared per-id sort, restricted to the common
+    support where both baselines exist, one algebraic groupBy."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    lagd = c.select(
+        "id",
+        "close",
+        F.lag("close", 1).over(w).alias("l1"),
+        F.lag("close", 7).over(w).alias("l7"),
+    ).filter(F.col("l7").isNotNull())
+    s = lagd.groupBy("id").agg(
+        F.count("*").alias("n"),
+        F.avg(F.abs(F.col("close") - F.col("l1"))).alias("mae1"),
+        F.avg(F.abs(F.col("close") - F.col("l7"))).alias("mae7"),
+    )
+    return s.select(
+        "id",
+        F.col("n").cast("long").alias("n_obs"),
+        prnd("mae1", 4).alias("mae_naive1"),
+        prnd("mae7", 4).alias("mae_snaive7"),
+        prnd(F.col("mae7") / F.col("mae1"), 6).alias("mase"),
+    )
