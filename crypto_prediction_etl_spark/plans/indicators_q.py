@@ -4129,3 +4129,176 @@ def q260_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd("mae7", 4).alias("mae_snaive7"),
         prnd(F.col("mae7") / F.col("mae1"), 6).alias("mase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q262 linear interpolation of calendar gaps
+# ---------------------------------------------------------------------------
+
+
+def _q262_oracle() -> str:
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    spine AS (
+      SELECT id, unnest(generate_series(dmin, dmax, INTERVAL 1 DAY))::DATE AS dt
+      FROM (SELECT id, min(dt) AS dmin, max(dt) AS dmax FROM candles GROUP BY id)
+    ),
+    j AS (
+      SELECT s.id, s.dt, c.close,
+             CAST(c.close IS NOT NULL AS INT) AS observed
+      FROM spine s LEFT JOIN candles c ON c.id = s.id AND c.dt = s.dt
+    ),
+    fences AS (
+      SELECT id, dt, close, observed,
+             last_value(CASE WHEN observed = 1 THEN close END IGNORE NULLS)
+               OVER (PARTITION BY id ORDER BY dt
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc,
+             last_value(CASE WHEN observed = 1 THEN dt END IGNORE NULLS)
+               OVER (PARTITION BY id ORDER BY dt
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             first_value(CASE WHEN observed = 1 THEN close END IGNORE NULLS)
+               OVER (PARTITION BY id ORDER BY dt
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc,
+             first_value(CASE WHEN observed = 1 THEN dt END IGNORE NULLS)
+               OVER (PARTITION BY id ORDER BY dt
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM j
+    )
+    SELECT id, strftime(dt, '%Y-%m-%d') AS dt, observed,
+           {o_rnd("CASE WHEN observed = 1 THEN close ELSE pc + (nc - pc) * CAST(date_diff('day', pd, dt) AS DOUBLE) / date_diff('day', pd, nd) END", 4)} AS close_filled
+    FROM fences
+    WHERE observed = 1 OR (pc IS NOT NULL AND nc IS NOT NULL)
+    """
+
+
+@query("q262_linear_interpolation", oracle=_q262_oracle())
+def q262_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing calendar days — the gap-repair
+    that the calendar-spine densify (J2/q25) intentionally does NOT
+    do (it carries forward): interior gaps fill on the straight line
+    between the surrounding observations, weighted by day distance;
+    leading/trailing gaps (no fence on one side) stay absent. The
+    sensor-series repair op, with the observed flag kept so
+    downstream models can discount imputed points.
+
+    One per-id spine explode, then TWO carry windows (last observed
+    backward, first observed forward) on the single per-id sort —
+    the interpolation weight is pure date arithmetic; no self-join,
+    no per-gap iteration."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    back = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    fwd = w.rowsBetween(W.currentRow, W.unboundedFollowing)
+    spine = (
+        c.groupBy("id")
+        .agg(F.min("dt").alias("dmin"), F.max("dt").alias("dmax"))
+        .select(
+            "id",
+            F.explode(
+                F.sequence("dmin", "dmax", F.expr("INTERVAL 1 DAY"))
+            ).alias("dt"),
+        )
+    )
+    j = spine.join(c.select("id", "dt", "close"), ["id", "dt"], "left").select(
+        "id",
+        "dt",
+        "close",
+        F.col("close").isNotNull().cast("int").alias("observed"),
+    )
+    obs_c = F.when(F.col("observed") == 1, F.col("close"))
+    obs_d = F.when(F.col("observed") == 1, F.col("dt"))
+    fences = j.select(
+        "id",
+        "dt",
+        "close",
+        "observed",
+        F.last(obs_c, ignorenulls=True).over(back).alias("pc"),
+        F.last(obs_d, ignorenulls=True).over(back).alias("pd"),
+        F.first(obs_c, ignorenulls=True).over(fwd).alias("nc"),
+        F.first(obs_d, ignorenulls=True).over(fwd).alias("nd"),
+    )
+    interp = F.col("pc") + (F.col("nc") - F.col("pc")) * F.datediff(
+        "dt", "pd"
+    ).cast("double") / F.datediff("nd", "pd")
+    return fences.filter(
+        (F.col("observed") == 1)
+        | (F.col("pc").isNotNull() & F.col("nc").isNotNull())
+    ).select(
+        "id",
+        F.date_format("dt", "yyyy-MM-dd").alias("dt"),
+        "observed",
+        prnd(
+            F.when(F.col("observed") == 1, F.col("close")).otherwise(interp),
+            4,
+        ).alias("close_filled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q263 winsorized and trimmed means (P5/P95 fences per symbol)
+# ---------------------------------------------------------------------------
+
+
+def _q263_oracle() -> str:
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    f AS (
+      SELECT id,
+             quantile_cont(close, 0.05) AS lo,
+             quantile_cont(close, 0.95) AS hi
+      FROM candles GROUP BY id
+    ),
+    s AS (
+      SELECT c.id,
+             count(*) AS n,
+             avg(c.close) AS mean_raw,
+             avg(least(greatest(c.close, f.lo), f.hi)) AS mean_winsor,
+             avg(CASE WHEN c.close BETWEEN f.lo AND f.hi THEN c.close END) AS mean_trim,
+             sum(CASE WHEN c.close < f.lo OR c.close > f.hi THEN 1 ELSE 0 END) AS n_clamped
+      FROM candles c JOIN f USING (id)
+      GROUP BY c.id
+    )
+    SELECT id, CAST(n AS BIGINT) AS n_days,
+           CAST(n_clamped AS BIGINT) AS n_clamped,
+           {o_rnd('mean_raw', 4)} AS mean_raw,
+           {o_rnd('mean_winsor', 4)} AS mean_winsor,
+           {o_rnd('mean_trim', 4)} AS mean_trim
+    FROM s
+    """
+
+
+@query("q263_winsorized_mean", oracle=_q263_oracle())
+def q263_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized vs trimmed vs raw mean per symbol with exact P5/P95
+    fences — the outlier-robust estimators between the raw mean and
+    q196's median: winsorizing CLAMPS the tails to the fences (keeps
+    n), trimming DROPS them; the n_clamped count audits how much tail
+    each series carries.
+
+    Exact per-group percentiles via one sort-based aggregate
+    (percentile, the q156 machinery), fences broadcast back by key,
+    then one conditional aggregate — two passes total, both
+    partial-agg friendly."""
+    c = candles(spark, sf_dir)
+    f = c.groupBy("id").agg(
+        F.expr("percentile(close, 0.05)").alias("lo"),
+        F.expr("percentile(close, 0.95)").alias("hi"),
+    )
+    jn = c.join(F.broadcast(f), "id")
+    clamped = F.least(F.greatest(F.col("close"), F.col("lo")), F.col("hi"))
+    inside = F.col("close").between(F.col("lo"), F.col("hi"))
+    s = jn.groupBy("id").agg(
+        F.count("*").alias("n"),
+        F.avg("close").alias("mean_raw"),
+        F.avg(clamped).alias("mean_winsor"),
+        F.avg(F.when(inside, F.col("close"))).alias("mean_trim"),
+        F.sum((~inside).cast("int")).alias("n_clamped"),
+    )
+    return s.select(
+        "id",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("n_clamped").cast("long").alias("n_clamped"),
+        prnd("mean_raw", 4).alias("mean_raw"),
+        prnd("mean_winsor", 4).alias("mean_winsor"),
+        prnd("mean_trim", 4).alias("mean_trim"),
+    )
