@@ -616,3 +616,73 @@ def q250_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "example_id_a",
         "example_id_b",
     )
+
+
+# ---------------------------------------------------------------------------
+# q265 near-dup pair explanation (shingle set difference)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q265_dedup_explain",
+    oracle=f"""
+    WITH pairs AS ({_minhash_oracle()}),
+    d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    shm AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                  ELSE CAST([] AS VARCHAR[]) END AS shs
+      FROM d
+    )
+    SELECT p.id_a, p.id_b, p.jaccard,
+           CAST(len(list_intersect(a.shs, b.shs)) AS BIGINT) AS n_common,
+           CAST(len(list_filter(a.shs, s -> NOT list_contains(b.shs, s))) AS BIGINT) AS n_only_a,
+           CAST(len(list_filter(b.shs, s -> NOT list_contains(a.shs, s))) AS BIGINT) AS n_only_b,
+           list_sort(list_filter(a.shs, s -> NOT list_contains(b.shs, s)))[1:3] AS sample_only_a
+    FROM pairs p
+    JOIN shm a ON a.doc_id = p.id_a
+    JOIN shm b ON b.doc_id = p.id_b
+    """,
+)
+def q265_dedup_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup EXPLAINABILITY: for every verified near-dup pair (q45's
+    output), the shingle-set overlap decomposition — how many 3-gram
+    shingles are shared, how many are unique to each side, and a
+    deterministic 3-shingle sample of what differs — the evidence a
+    human reviewer (or an appeal process) needs before a document is
+    dropped; dedup decisions that can't be explained don't survive
+    data-governance review.
+
+    The pair table is tiny; explanations join it to per-doc DISTINCT
+    shingle arrays and run set ops as array HOFs per pair — cost is
+    proportional to the PAIRS, not the corpus."""
+    from ..operators.text import word_shingles
+
+    pairs = corpus_minhash_pairs(spark, sf_dir, 0.8)
+    docs = table(spark, sf_dir, "documents")
+    from ..operators.text import tokens as _tokens
+
+    shm = docs.select(
+        "doc_id",
+        F.array_distinct(word_shingles(_tokens("text"), 3)).alias("shs"),
+    )
+    a = shm.select(F.col("doc_id").alias("id_a"), F.col("shs").alias("sa"))
+    b = shm.select(F.col("doc_id").alias("id_b"), F.col("shs").alias("sb"))
+    j = pairs.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
+    only_a = F.filter(
+        F.col("sa"), lambda s: ~F.array_contains(F.col("sb"), s)
+    )
+    only_b = F.filter(
+        F.col("sb"), lambda s: ~F.array_contains(F.col("sa"), s)
+    )
+    return j.select(
+        "id_a",
+        "id_b",
+        prnd("jaccard", 6).alias("jaccard"),
+        F.size(F.array_intersect("sa", "sb")).cast("long").alias("n_common"),
+        F.size(only_a).cast("long").alias("n_only_a"),
+        F.size(only_b).cast("long").alias("n_only_b"),
+        F.slice(F.array_sort(only_a), 1, 3).alias("sample_only_a"),
+    )

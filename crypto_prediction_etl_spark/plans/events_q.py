@@ -3672,3 +3672,109 @@ def q261_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd(vc, 4).alias("var_cuped"),
         prnd(1.0 - vc / F.first("vy"), 6).alias("variance_reduction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q267 sweep-line concurrency (max concurrent user sessions per day)
+# ---------------------------------------------------------------------------
+
+_Q267_GAP_MIN = 30  # session gap rule, matches q63's sessionization
+
+
+@query(
+    "q267_concurrency_sweep",
+    oracle=f"""
+    WITH marks AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL {_Q267_GAP_MIN} MINUTE
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id,
+             min(ts) AS t_start,
+             max(ts) + INTERVAL {_Q267_GAP_MIN} MINUTE AS t_end
+      FROM (
+        SELECT user_id, ts,
+               sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+        FROM marks
+      )
+      GROUP BY user_id, sess_no
+    ),
+    deltas AS (
+      SELECT t_start AS ts, 1 AS delta FROM sess
+      UNION ALL
+      SELECT t_end, -1 FROM sess
+    ),
+    sweep AS (
+      SELECT ts, CAST(ts AS DATE) AS day,
+             sum(delta) OVER (ORDER BY ts, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+      FROM deltas
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(max(live) AS BIGINT) AS peak_concurrency,
+           CAST(count(*) AS BIGINT) AS n_boundary_events
+    FROM sweep GROUP BY day
+    """,
+)
+def q267_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency by sweep line: sessionize (q63's 30-minute
+    gap rule), convert each session to a +1 start / -1 end boundary
+    event, and take the running sum over the global boundary order —
+    its daily max is the peak number of simultaneously-active
+    sessions, the capacity number an ops team sizes for. The
+    classic interval problem that naive per-minute-per-session
+    explosion answers at 1440x the cost.
+
+    Sessionization is the shared per-user sort; the sweep is ONE
+    ordered running sum over the session-boundary table (2 rows per
+    session — tiny). Ends sort before starts at identical timestamps
+    (delta ascending), the standard half-open convention, and the
+    boundary count per day audits the volume."""
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr(f"INTERVAL {_Q267_GAP_MIN} MINUTES")
+    marks = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(wu).isNull()
+            | (F.col("ts") - F.lag("ts").over(wu) > gap),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    cum = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sess = (
+        marks.withColumn("sess_no", F.sum("is_start").over(cum))
+        .groupBy("user_id", "sess_no")
+        .agg(
+            F.min("ts").alias("t_start"),
+            (F.max("ts") + gap).alias("t_end"),
+        )
+    )
+    deltas = sess.select(
+        F.col("t_start").alias("ts"), F.lit(1).alias("delta")
+    ).unionByName(sess.select(F.col("t_end").alias("ts"), F.lit(-1).alias("delta")))
+    sw = W.orderBy("ts", "delta").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sweep = deltas.select(
+        F.to_date("ts").alias("day"), F.sum("delta").over(sw).alias("live")
+    )
+    return sweep.groupBy(
+        F.date_format("day", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.max("live").cast("long").alias("peak_concurrency"),
+        F.count("*").cast("long").alias("n_boundary_events"),
+    )

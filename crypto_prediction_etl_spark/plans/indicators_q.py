@@ -4302,3 +4302,71 @@ def q263_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd("mean_winsor", 4).alias("mean_winsor"),
         prnd("mean_trim", 4).alias("mean_trim"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q266 Theil-Sen robust trend (median of pairwise slopes, monthly grain)
+# ---------------------------------------------------------------------------
+
+
+def _q266_oracle() -> str:
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    m AS (
+      SELECT id, date_trunc('month', dt) AS mon, avg(close) AS close,
+             row_number() OVER (PARTITION BY id ORDER BY date_trunc('month', dt)) AS t
+      FROM candles GROUP BY id, date_trunc('month', dt)
+    ),
+    slopes AS (
+      SELECT a.id, (b.close - a.close) / (b.t - a.t) AS slope
+      FROM m a JOIN m b ON b.id = a.id AND b.t > a.t
+    )
+    SELECT id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           {o_rnd('quantile_cont(slope, 0.5)', 4)} AS theil_sen_slope
+    FROM slopes GROUP BY id
+    """
+
+
+@query("q266_theil_sen", oracle=_q266_oracle())
+def q266_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per symbol: the MEDIAN of all pairwise
+    slopes — up to 29% contaminated observations cannot move it,
+    where q106's OLS slope follows any fat-fingered spike. Run at
+    MONTHLY grain by design: the estimator is inherently quadratic in
+    points, so the scale-correct recipe is aggregate-first (k months
+    -> k^2/2 pairs per symbol, bounded regardless of daily row
+    count); the daily-grain variant would be the q51-style mistake.
+
+    One month-grain aggregate, a per-id pair equi-join on the TINY
+    monthly table, one exact median."""
+    c = candles(spark, sf_dir)
+    m = (
+        c.groupBy("id", F.date_trunc("month", "dt").alias("mon"))
+        .agg(F.avg("close").alias("close"))
+        .select(
+            "id",
+            "close",
+            F.row_number()
+            .over(W.partitionBy("id").orderBy("mon"))
+            .alias("t"),
+        )
+    )
+    a = m.select("id", F.col("close").alias("ca"), F.col("t").alias("ta"))
+    b = m.select(
+        F.col("id").alias("idb"),
+        F.col("close").alias("cb"),
+        F.col("t").alias("tb"),
+    )
+    slopes = a.join(
+        b, (F.col("idb") == F.col("id")) & (F.col("tb") > F.col("ta"))
+    ).select(
+        "id",
+        ((F.col("cb") - F.col("ca")) / (F.col("tb") - F.col("ta"))).alias(
+            "slope"
+        ),
+    )
+    return slopes.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        prnd(F.expr("percentile(slope, 0.5)"), 4).alias("theil_sen_slope"),
+    )

@@ -1446,3 +1446,96 @@ def q256_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(minh > 0, F.col("mi_nats") / minh).otherwise(0.0), 6
         ).alias("nmi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q264 Zipf-law fit of the token frequency spectrum
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q264_zipf_fit",
+    oracle=f"""
+    WITH tf AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_TOKS_SQL}) AS term FROM documents)
+      GROUP BY term
+    ),
+    ranked AS (
+      SELECT freq,
+             row_number() OVER (ORDER BY freq DESC, term) AS rnk
+      FROM tf
+    ),
+    pts AS (
+      SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+      FROM ranked
+    ),
+    s AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx,
+             sum(y * y) AS syy
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           {o_rnd('(sxy - sx * sy / n) / (sxx - sx * sx / n)', 6)} AS zipf_slope,
+           {o_rnd('(sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n', 6)} AS intercept,
+           {o_rnd('(sxy - sx * sy / n) * (sxy - sx * sy / n) / ((sxx - sx * sx / n) * (syy - sy * sy / n))', 6)} AS r2
+    FROM s
+    """,
+)
+def q264_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus token spectrum: OLS of log-frequency
+    on log-rank (slope ~ -1 for natural language; much flatter or
+    steeper flags synthetic, templated, or truncated text) with the
+    fit R^2 as the health score — the one-row corpus fingerprint a
+    data-quality dashboard tracks release-over-release.
+
+    One token-explode groupBy (the only heavy pass), one global rank
+    over the VOCABULARY (small), then algebraic OLS sums — the q216
+    sufficient-stats law applied to the frequency spectrum itself."""
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    tf = (
+        spread_small_scan(d)
+        .select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    ranked = tf.select(
+        "freq",
+        F.row_number()
+        .over(W.orderBy(F.col("freq").desc(), "term"))
+        .alias("rnk"),
+    )
+    pts = ranked.select(
+        F.log(F.col("rnk").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        prnd(slope, 6).alias("zipf_slope"),
+        prnd(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
+        ).alias("intercept"),
+        prnd(
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            * (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (
+                (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                * (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))
+            ),
+            6,
+        ).alias("r2"),
+    )
