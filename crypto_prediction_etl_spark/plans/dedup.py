@@ -686,3 +686,100 @@ def q265_dedup_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(only_b).cast("long").alias("n_only_b"),
         F.slice(F.array_sort(only_a), 1, 3).alias("sample_only_a"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q270 LSH parameter planner (S-curves for every (bands, rows) split)
+# ---------------------------------------------------------------------------
+
+_Q270_PERMS = 16
+_Q270_TARGET = 0.8
+_Q270_SPLITS = [(1, 16), (2, 8), (4, 4), (8, 2), (16, 1)]
+_Q270_GRID = [i / 20.0 for i in range(1, 20)]  # s = 0.05 .. 0.95
+
+
+def _q270_oracle() -> str:
+    rows = ", ".join(f"({b}, {r})" for b, r in _Q270_SPLITS)
+    grid = ", ".join(f"({s})" for s in _Q270_GRID)
+    return f"""
+    WITH cfg(b, r) AS (VALUES {rows}),
+    grid(s) AS (VALUES {grid}),
+    curve AS (
+      SELECT cfg.b, cfg.r, grid.s,
+             1.0 - pow(1.0 - pow(grid.s, cfg.r), cfg.b) AS p
+      FROM cfg CROSS JOIN grid
+    ),
+    agg AS (
+      SELECT b, r,
+             sum(CASE WHEN s <  {_Q270_TARGET} THEN p ELSE 0.0 END) / 20.0 AS fp_mass,
+             sum(CASE WHEN s >= {_Q270_TARGET} THEN 1.0 - p ELSE 0.0 END) / 20.0 AS fn_mass
+      FROM curve GROUP BY b, r
+    )
+    SELECT CAST(b AS INTEGER) AS bands, CAST(r AS INTEGER) AS rows_per_band,
+           {o_rnd('pow(1.0 / b, 1.0 / r)', 6)} AS s_half,
+           {o_rnd('fp_mass', 6)} AS fp_mass,
+           {o_rnd('fn_mass', 6)} AS fn_mass,
+           {o_rnd('fp_mass + fn_mass', 6)} AS total_loss,
+           CAST(row_number() OVER (ORDER BY fp_mass + fn_mass, b) = 1 AS INT) AS recommended
+    FROM agg
+    """
+
+
+@query("q270_lsh_planner", oracle=_q270_oracle())
+def q270_lsh_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH self-configuration: for every way to split the 16 MinHash
+    permutations into (bands x rows), the S-curve candidate
+    probability p(s) = 1-(1-s^r)^b integrated into false-positive
+    mass (below the 0.8 dedup threshold) and false-negative mass
+    (above it), the half-probability similarity (1/b)^(1/r), and the
+    loss-minimizing choice flagged — the tuning table that justifies
+    q45's 4x4 configuration with NUMBERS instead of folklore
+    (Leskovec/Rajaraman/Ullman, MMDS ch.3).
+
+    Pure literal-grid math (5 configs x 19 grid points) — the
+    planner costs nothing and runs before the expensive pipeline it
+    configures; the engine evaluating its own index parameters
+    through the hash gate is the point."""
+    from pyspark.sql import Window as W
+
+    cfg = spark.createDataFrame(_Q270_SPLITS, "b INT, r INT")
+    grid = spark.createDataFrame(
+        [(s,) for s in _Q270_GRID], "s DOUBLE"
+    )
+    curve = cfg.crossJoin(grid).select(
+        "b",
+        "r",
+        "s",
+        (
+            1.0
+            - F.pow(1.0 - F.pow(F.col("s"), F.col("r")), F.col("b"))
+        ).alias("p"),
+    )
+    agg = curve.groupBy("b", "r").agg(
+        (
+            F.sum(
+                F.when(F.col("s") < _Q270_TARGET, F.col("p")).otherwise(0.0)
+            )
+            / 20.0
+        ).alias("fp_mass"),
+        (
+            F.sum(
+                F.when(F.col("s") >= _Q270_TARGET, 1.0 - F.col("p")).otherwise(
+                    0.0
+                )
+            )
+            / 20.0
+        ).alias("fn_mass"),
+    )
+    loss = F.col("fp_mass") + F.col("fn_mass")
+    return agg.select(
+        F.col("b").cast("int").alias("bands"),
+        F.col("r").cast("int").alias("rows_per_band"),
+        prnd(F.pow(1.0 / F.col("b"), 1.0 / F.col("r")), 6).alias("s_half"),
+        prnd("fp_mass", 6).alias("fp_mass"),
+        prnd("fn_mass", 6).alias("fn_mass"),
+        prnd(loss, 6).alias("total_loss"),
+        (
+            F.row_number().over(W.orderBy(loss, "b")) == 1
+        ).cast("int").alias("recommended"),
+    )

@@ -1683,3 +1683,215 @@ def q255_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rle_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q268 / q269: item-item recommender — co-occurrence model + temporal eval
+# ---------------------------------------------------------------------------
+
+_REC_CUTOFF = "2000-01-01"  # train < cutoff <= test
+_REC_K = 3  # neighbors per item / recommendations per customer
+
+_REC_TRAIN_CTE = f"""
+    inter AS (
+      SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey,
+             o.o_orderkey AS orderkey, o.o_orderdate < DATE '{_REC_CUTOFF}' AS is_train
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    copair AS (
+      SELECT a.partkey AS pa, b.partkey AS pb, CAST(count(*) AS BIGINT) AS n_co
+      FROM inter a JOIN inter b
+        ON b.orderkey = a.orderkey AND b.partkey <> a.partkey
+      WHERE a.is_train AND b.is_train
+      GROUP BY a.partkey, b.partkey
+    ),
+    nbr AS (
+      SELECT pa, pb, n_co,
+             row_number() OVER (PARTITION BY pa
+                                ORDER BY n_co DESC, pb) AS rk
+      FROM copair
+    )"""
+
+
+@query(
+    "q268_item_cooccurrence",
+    oracle=f"""
+    WITH {_REC_TRAIN_CTE}
+    SELECT pa AS partkey, pb AS neighbor, n_co, CAST(rk AS INTEGER) AS rk
+    FROM nbr WHERE rk <= {_REC_K}
+    """,
+)
+def q268_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence model: for every part, the top-3
+    parts most often bought in the SAME order (train period only) —
+    the 'customers also bought' neighbor lists, the workhorse
+    collaborative-filtering model that needs no training loop.
+
+    The pair join is per-ORDER (each order joins only its own lines,
+    quadratic in basket size like q204, never in catalog size); one
+    groupBy + one per-item top-k window over the co-pair table. At
+    100 TB the co-pair table is the thing to prune — min-support
+    HAVING or basket-size caps slot in before the window unchanged."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    inter = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("partkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            (F.col("o_orderdate") < F.lit(_REC_CUTOFF).cast("date")).alias(
+                "is_train"
+            ),
+        )
+        .distinct()
+    )
+    tr = inter.filter("is_train")
+    a = tr.select(F.col("orderkey"), F.col("partkey").alias("pa"))
+    b = tr.select(
+        F.col("orderkey").alias("okb"), F.col("partkey").alias("pb")
+    )
+    copair = (
+        a.join(b, (F.col("okb") == F.col("orderkey")) & (F.col("pb") != F.col("pa")))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").cast("long").alias("n_co"))
+    )
+    nbr = copair.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("pa").orderBy(F.col("n_co").desc(), "pb")
+        ),
+    )
+    return nbr.filter(F.col("rk") <= _REC_K).select(
+        F.col("pa").alias("partkey"),
+        F.col("pb").alias("neighbor"),
+        "n_co",
+        F.col("rk").cast("int").alias("rk"),
+    )
+
+
+@query(
+    "q269_recsys_hitrate",
+    oracle=f"""
+    WITH {_REC_TRAIN_CTE},
+    topn AS (SELECT pa, pb, n_co FROM nbr WHERE rk <= {_REC_K}),
+    hist AS (
+      SELECT DISTINCT custkey, partkey FROM inter WHERE is_train
+    ),
+    test AS (
+      SELECT DISTINCT custkey, partkey FROM inter WHERE NOT is_train
+    ),
+    scored AS (
+      SELECT h.custkey, t.pb AS rec, sum(t.n_co) AS score
+      FROM hist h JOIN topn t ON t.pa = h.partkey
+      WHERE NOT EXISTS (SELECT 1 FROM hist h2
+                        WHERE h2.custkey = h.custkey AND h2.partkey = t.pb)
+      GROUP BY h.custkey, t.pb
+    ),
+    recs AS (
+      SELECT custkey, rec,
+             row_number() OVER (PARTITION BY custkey
+                                ORDER BY score DESC, rec) AS rk
+      FROM scored
+    ),
+    hits AS (
+      SELECT r.custkey,
+             max(CASE WHEN te.partkey IS NOT NULL THEN 1 ELSE 0 END) AS hit
+      FROM recs r LEFT JOIN test te
+        ON te.custkey = r.custkey AND te.partkey = r.rec
+      WHERE r.rk <= {_REC_K}
+        AND EXISTS (SELECT 1 FROM test t2 WHERE t2.custkey = r.custkey)
+      GROUP BY r.custkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(hit) AS BIGINT) AS n_hit,
+           {o_rnd('avg(CAST(hit AS DOUBLE))', 6)} AS hitrate_at_3
+    FROM hits
+    """,
+)
+def q269_recsys_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end recommender evaluation with a LEAK-FREE temporal
+    split: train co-occurrence neighbors (q268) strictly before the
+    cutoff, recommend each customer the 3 highest-scoring unseen
+    parts (summed neighbor counts over their train history, anti-join
+    removes already-bought), and score hit-rate@3 against what they
+    ACTUALLY bought after the cutoff — the offline metric that
+    gates a recommender deploy.
+
+    Every stage is an equi join or groupBy on natural keys
+    (customer, part, order); the candidate space is history x top-3
+    neighbors, never customer x catalog (q238's propose law). The
+    oracle replays the full train-score-rank-evaluate chain in one
+    statement, so the gate hash-checks a complete ML workflow."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    inter = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("partkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            (F.col("o_orderdate") < F.lit(_REC_CUTOFF).cast("date")).alias(
+                "is_train"
+            ),
+        )
+        .distinct()
+    )
+    tr = inter.filter("is_train")
+    a = tr.select("orderkey", F.col("partkey").alias("pa"))
+    b = tr.select(
+        F.col("orderkey").alias("okb"), F.col("partkey").alias("pb")
+    )
+    copair = (
+        a.join(b, (F.col("okb") == F.col("orderkey")) & (F.col("pb") != F.col("pa")))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").cast("long").alias("n_co"))
+    )
+    topn = (
+        copair.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("pa").orderBy(F.col("n_co").desc(), "pb")
+            ),
+        )
+        .filter(F.col("rk") <= _REC_K)
+        .select("pa", "pb", "n_co")
+    )
+    hist = tr.select("custkey", "partkey").distinct()
+    test = inter.filter(~F.col("is_train")).select("custkey", "partkey").distinct()
+    cand = hist.join(F.broadcast(topn), hist.partkey == topn.pa).select(
+        "custkey", F.col("pb").alias("rec"), "n_co"
+    )
+    unseen = cand.join(
+        hist.select("custkey", F.col("partkey").alias("rec")),
+        ["custkey", "rec"],
+        "left_anti",
+    )
+    scored = unseen.groupBy("custkey", "rec").agg(
+        F.sum("n_co").alias("score")
+    )
+    recs = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("custkey").orderBy(F.col("score").desc(), "rec")
+        ),
+    ).filter(F.col("rk") <= _REC_K)
+    evald = recs.join(
+        test.select("custkey").distinct(), "custkey", "left_semi"
+    )
+    hits = (
+        evald.join(
+            test.select("custkey", F.col("partkey").alias("rec")).withColumn(
+                "_hit", F.lit(1)
+            ),
+            ["custkey", "rec"],
+            "left",
+        )
+        .groupBy("custkey")
+        .agg(F.max(F.coalesce(F.col("_hit"), F.lit(0))).alias("hit"))
+    )
+    return hits.agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("hit").cast("long").alias("n_hit"),
+        prnd(F.avg(F.col("hit").cast("double")), 6).alias("hitrate_at_3"),
+    )
