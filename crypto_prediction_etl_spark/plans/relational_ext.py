@@ -1895,3 +1895,179 @@ def q269_recsys_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("hit").cast("long").alias("n_hit"),
         prnd(F.avg(F.col("hit").cast("double")), 6).alias("hitrate_at_3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q271-q273: TPC-H Q7 / Q8 / Q9 join shapes on the available schema
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q271_nation_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS l_year,
+           {o_rnd('sum(l.l_extendedprice * (1 - l.l_discount))', 2)} AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_nationkey = 1 AND n2.n_nationkey = 2)
+        OR (n1.n_nationkey = 2 AND n2.n_nationkey = 1))
+    GROUP BY n1.n_name, n2.n_name, year(o.o_orderdate)
+    """,
+)
+def q271_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — bilateral trade volume: revenue shipped
+    between two specific nations, split by direction and year. The
+    canonical 6-table snowflake join with a DISJUNCTIVE cross-dim
+    predicate (either direction of the pair).
+
+    The two nation dims and supplier/customer broadcast; lineitem
+    joins orders on its own key; the disjunction is evaluated after
+    the cheap dim joins, never as a union of two scans."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .filter(
+            ((F.col("nk1") == 1) & (F.col("nk2") == 2))
+            | ((F.col("nk1") == 2) & (F.col("nk2") == 1))
+        )
+    )
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("o_orderdate").cast("long").alias("l_year"),
+    ).agg(
+        prnd(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+@query(
+    "q272_market_share",
+    oracle=f"""
+    WITH allrev AS (
+      SELECT year(o.o_orderdate) AS yr,
+             n.n_nationkey AS supp_nation,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_regionkey = 0
+      GROUP BY year(o.o_orderdate), n.n_nationkey
+    )
+    SELECT CAST(yr AS BIGINT) AS yr,
+           {o_rnd('sum(CASE WHEN supp_nation = 1 THEN rev ELSE 0.0 END)', 2)} AS nation_rev,
+           {o_rnd('sum(rev)', 2)} AS region_rev,
+           {o_rnd('sum(CASE WHEN supp_nation = 1 THEN rev ELSE 0.0 END) / sum(rev)', 6)} AS mkt_share
+    FROM allrev GROUP BY yr
+    """,
+)
+def q272_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — market share: one nation's fraction of its
+    region's supplier revenue per year. The conditional-share
+    aggregation (share = conditional sum over total within group)
+    computed in ONE pass, not a self-join of two aggregates.
+
+    Region filter prunes at the nation dim (broadcast), so the fact
+    scan only keeps matching suppliers' lines; the share division
+    happens on the tiny (year, nation) aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    dims = (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_regionkey") == 0)
+        .select("s_suppkey", "n_nationkey")
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+    )
+    allrev = j.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.col("n_nationkey").alias("supp_nation"),
+    ).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "rev"
+        )
+    )
+    nat = F.sum(
+        F.when(F.col("supp_nation") == 1, F.col("rev")).otherwise(0.0)
+    )
+    tot = F.sum("rev")
+    return allrev.groupBy(F.col("yr").cast("long").alias("yr")).agg(
+        prnd(nat, 2).alias("nation_rev"),
+        prnd(tot, 2).alias("region_rev"),
+        prnd(nat / tot, 6).alias("mkt_share"),
+    )
+
+
+@query(
+    "q273_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           {o_rnd('sum(l.l_extendedprice * (1 - l.l_discount) - 0.6 * p.p_retailprice * l.l_quantity)', 2)} AS profit
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_type = 'ECONOMY'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)
+def q273_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — product-line profit by supplier nation and
+    year: revenue minus modeled supply cost (60% of retail price x
+    quantity stands in for ps_supplycost, which this schema lacks),
+    filtered to one product type. The five-table star with an
+    ARITHMETIC measure across fact and dim columns.
+
+    Part/supplier/nation broadcast (with the p_type filter pushed
+    into the part scan before broadcast); the single wide fact join
+    feeds one partial-agg groupBy."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
+    profit = F.sum(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("long").alias("o_year"),
+    ).agg(prnd(profit, 2).alias("profit"))
