@@ -3778,3 +3778,111 @@ def q267_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("live").cast("long").alias("peak_concurrency"),
         F.count("*").cast("long").alias("n_boundary_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q275 sequential probability ratio test (SPRT) per variant
+# ---------------------------------------------------------------------------
+
+_Q275_P0, _Q275_P1 = 0.19, 0.21
+_Q275_BOUND = 2.9444389791664403  # ln(19): alpha = beta = 0.05
+
+
+@query(
+    "q275_sequential_sprt",
+    oracle=f"""
+    WITH obs AS (
+      SELECT user_id % 2 AS variant, ts, event_id,
+             CAST(event_type = 'purchase' AS INT) AS y
+      FROM events
+    ),
+    llr AS (
+      SELECT variant, ts, event_id, y,
+             row_number() OVER (PARTITION BY variant ORDER BY ts, event_id) AS rn,
+             sum(y * ln({_Q275_P1} / {_Q275_P0})
+                 + (1 - y) * ln((1.0 - {_Q275_P1}) / (1.0 - {_Q275_P0})))
+               OVER (PARTITION BY variant ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM obs
+    ),
+    crossing AS (
+      SELECT variant, rn, s,
+             row_number() OVER (PARTITION BY variant ORDER BY rn) AS k
+      FROM llr WHERE s >= {_Q275_BOUND} OR s <= -{_Q275_BOUND}
+    ),
+    first_x AS (SELECT variant, rn, s FROM crossing WHERE k = 1),
+    final AS (
+      SELECT variant, max(rn) AS n_obs,
+             max_by(s, rn) AS final_llr
+      FROM llr GROUP BY variant
+    )
+    SELECT CAST(f.variant AS INTEGER) AS variant,
+           CAST(f.n_obs AS BIGINT) AS n_obs,
+           {o_rnd('f.final_llr', 6)} AS final_llr,
+           CASE WHEN x.rn IS NULL THEN 'continue'
+                WHEN x.s >= {_Q275_BOUND} THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision,
+           CAST(x.rn AS BIGINT) AS n_at_decision
+    FROM final f LEFT JOIN first_x x USING (variant)
+    """,
+)
+def q275_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's SPRT run over each variant's event stream (assignment =
+    user hash parity, conversion = purchase; H0 p=0.19 vs H1 p=0.21,
+    alpha = beta = 0.05): the cumulative log-likelihood ratio walks
+    until it crosses +-ln(19), and the first crossing is the
+    SEQUENTIAL stopping decision — the always-valid monitoring that
+    lets an experiment stop EARLY without p-hacking, where q168's
+    fixed-horizon t-test must wait out its sample size.
+
+    One ordered running sum per variant + an argmin over crossing
+    rows — the full LLR trajectory never leaves the engine, and the
+    emitted n_at_decision says how much traffic sequential testing
+    saved."""
+    ev = table(spark, sf_dir, "events")
+    from math import log
+
+    from pyspark.sql import Window as W
+
+    w_inc = log(_Q275_P1 / _Q275_P0)
+    l_inc = log((1.0 - _Q275_P1) / (1.0 - _Q275_P0))
+    obs = ev.select(
+        (F.col("user_id") % 2).alias("variant"),
+        "ts",
+        "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    wv = W.partitionBy("variant").orderBy("ts", "event_id")
+    cum = wv.rowsBetween(W.unboundedPreceding, W.currentRow)
+    llr = obs.select(
+        "variant",
+        F.row_number().over(wv).alias("rn"),
+        F.sum(
+            F.col("y") * w_inc + (1 - F.col("y")) * l_inc
+        ).over(cum).alias("s"),
+    )
+    crossing = (
+        llr.filter(
+            (F.col("s") >= _Q275_BOUND) | (F.col("s") <= -_Q275_BOUND)
+        )
+        .withColumn(
+            "k", F.row_number().over(W.partitionBy("variant").orderBy("rn"))
+        )
+        .filter(F.col("k") == 1)
+        .select("variant", F.col("rn").alias("xrn"), F.col("s").alias("xs"))
+    )
+    final = llr.groupBy("variant").agg(
+        F.max("rn").alias("n_obs"),
+        F.max_by("s", "rn").alias("final_llr"),
+    )
+    j = final.join(F.broadcast(crossing), "variant", "left")
+    return j.select(
+        F.col("variant").cast("int").alias("variant"),
+        F.col("n_obs").cast("long").alias("n_obs"),
+        prnd("final_llr", 6).alias("final_llr"),
+        F.when(F.col("xrn").isNull(), "continue")
+        .when(F.col("xs") >= _Q275_BOUND, "accept_h1")
+        .otherwise("accept_h0")
+        .alias("decision"),
+        F.col("xrn").cast("long").alias("n_at_decision"),
+    )

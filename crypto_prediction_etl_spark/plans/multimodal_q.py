@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.portable import prnd
+from ..functions.portable import o_rnd, prnd
 from ..operators.multimodal import (
     decode_features,
     payload_metadata,
@@ -151,4 +151,98 @@ def q103_audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_samples",
         prnd(F.col("rms"), 6).alias("rms"),
         "zero_crossings",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q274 energy-threshold VAD segments over decoded PCM windows
+# ---------------------------------------------------------------------------
+
+
+def _q274_oracle() -> str:
+    from ..operators.multimodal import PCM_BASE_SAMPLES, PCM_WINDOW
+
+    b, w = PCM_BASE_SAMPLES, PCM_WINDOW
+    return f"""
+    WITH d AS (SELECT doc_id, {b} + doc_id % {b} AS n FROM documents),
+    s AS (
+      SELECT doc_id, i, i // {w} AS window_id,
+             (doc_id * 7919 + i * 104729) % 65536 - 32768 AS x
+      FROM (SELECT doc_id, unnest(range(0, n)) AS i FROM d)
+    ),
+    wf AS (
+      SELECT doc_id, window_id,
+             floor(sqrt(CAST(sum(x * x) AS DOUBLE) / count(*)) * 1000000.0 + 0.5001) / 1000000.0 AS rms
+      FROM s GROUP BY doc_id, window_id
+    ),
+    thr AS (
+      SELECT doc_id, window_id, rms,
+             CAST(rms >= avg(rms) OVER (PARTITION BY doc_id) AS INT) AS active
+      FROM wf
+    ),
+    isl AS (
+      SELECT doc_id, window_id, rms, active,
+             window_id - row_number() OVER (PARTITION BY doc_id, active
+                                            ORDER BY window_id) AS grp
+      FROM thr
+    )
+    SELECT doc_id,
+           CAST(min(window_id) AS INTEGER) AS seg_start,
+           CAST(max(window_id) AS INTEGER) AS seg_end,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           {o_rnd('avg(rms)', 6)} AS avg_rms
+    FROM isl WHERE active = 1
+    GROUP BY doc_id, grp
+    """
+
+
+@query("q274_audio_vad_segments", oracle=_q274_oracle())
+def q274_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity-detection segments over DECODED audio: q103's
+    per-window RMS energies, thresholded at each clip's mean energy,
+    merged into contiguous active segments by gaps-and-islands — the
+    speech-pipeline preprocessing that cuts silence before
+    transcription/feature extraction, run end-to-end from the int16
+    PCM BYTES (the decode is under the hash gate; only the synthetic
+    waveform is fake, the plumbing is the production path).
+
+    Decode + window features are the q103 mapInPandas kernel (zero
+    shuffle); thresholding and islands are two windows over the
+    already-tiny (doc, window) table."""
+    from pyspark.sql import Window as W
+
+    from ..operators.multimodal import pcm_window_features, synthetic_pcm_payload
+
+    feats = pcm_window_features(
+        synthetic_pcm_payload(table(spark, sf_dir, "documents"))
+    ).select("doc_id", "window_id", prnd("rms", 6).alias("rms"))
+    byd = W.partitionBy("doc_id")
+    thr = feats.select(
+        "doc_id",
+        "window_id",
+        "rms",
+        (F.col("rms") >= F.avg("rms").over(byd)).cast("int").alias("active"),
+    )
+    isl = thr.select(
+        "doc_id",
+        "window_id",
+        "rms",
+        "active",
+        (
+            F.col("window_id")
+            - F.row_number().over(
+                W.partitionBy("doc_id", "active").orderBy("window_id")
+            )
+        ).alias("grp"),
+    )
+    return (
+        isl.filter(F.col("active") == 1)
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("window_id").cast("int").alias("seg_start"),
+            F.max("window_id").cast("int").alias("seg_end"),
+            F.count("*").cast("long").alias("n_windows"),
+            prnd(F.avg("rms"), 6).alias("avg_rms"),
+        )
+        .drop("grp")
     )

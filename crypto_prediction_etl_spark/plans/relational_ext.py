@@ -2071,3 +2071,63 @@ def q273_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("nation"),
         F.year("o_orderdate").cast("long").alias("o_year"),
     ).agg(prnd(profit, 2).alias("profit"))
+
+
+# ---------------------------------------------------------------------------
+# q276 schema-evolution union (by-name alignment with null backfill)
+# ---------------------------------------------------------------------------
+
+_Q276_CUT = "1998-01-01"  # "v1 files" before, "v2 files" (new column) after
+
+
+@query(
+    "q276_schema_evolution_union",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice, 'v1' AS file_version
+      FROM orders WHERE o_orderdate < DATE '{_Q276_CUT}'
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority, 'v2' AS file_version
+      FROM orders WHERE o_orderdate >= DATE '{_Q276_CUT}'
+    ),
+    unioned AS (
+      SELECT * FROM v1 UNION ALL BY NAME SELECT * FROM v2
+    )
+    SELECT file_version,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_priority,
+           {o_rnd('sum(o_totalprice)', 2)} AS total_price
+    FROM unioned GROUP BY file_version
+    """,
+)
+def q276_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: old files lack a column that newer
+    files carry (simulated by a date cut on orders), and the engine
+    must union them BY NAME with null backfill — the everyday
+    lakehouse situation after an ADD COLUMN, where positional UNION
+    silently misaligns. The per-version null audit shows exactly
+    what backfill a retro-fill job would touch.
+
+    Spark's unionByName(allowMissingColumns=True) is the native
+    alignment; both branches prune to their own column set at scan
+    (v1 never reads the new column), and the audit is one groupBy."""
+    o = table(spark, sf_dir, "orders")
+    cut = F.lit(_Q276_CUT).cast("date")
+    v1 = o.filter(F.col("o_orderdate") < cut).select(
+        "o_orderkey", "o_totalprice", F.lit("v1").alias("file_version")
+    )
+    v2 = o.filter(F.col("o_orderdate") >= cut).select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderpriority",
+        F.lit("v2").alias("file_version"),
+    )
+    unioned = v1.unionByName(v2, allowMissingColumns=True)
+    return unioned.groupBy("file_version").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col("o_orderpriority").isNull().cast("int"))
+        .cast("long")
+        .alias("n_null_priority"),
+        prnd(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
