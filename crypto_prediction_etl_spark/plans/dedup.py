@@ -783,3 +783,86 @@ def q270_lsh_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(W.orderBy(loss, "b")) == 1
         ).cast("int").alias("recommended"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q278 MinHash estimator-bias audit (estimate vs exact Jaccard per pair)
+# ---------------------------------------------------------------------------
+
+
+def _q278_oracle() -> str:
+    p = MINHASH_PRIME
+    from ..operators.dedup import MINHASH_PERMS
+
+    mh_cols = ",\n             ".join(
+        f"min((CAST({a} AS BIGINT) * hh + {b}) % {p}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+        for i in range(len(MINHASH_PERMS))
+    )
+    n_perms = len(MINHASH_PERMS)
+    return f"""
+    WITH pairs AS ({_minhash_oracle()}),
+    {_BASE_SH_CTE.lstrip().rstrip().rstrip(',')},
+    h AS (SELECT doc_id, ({o_hash64('shingle')}) % {p} AS hh FROM sh),
+    sig AS (SELECT doc_id, {mh_cols} FROM h GROUP BY doc_id)
+    SELECT pr.id_a, pr.id_b, pr.jaccard,
+           CAST(({agree}) AS BIGINT) AS n_agree,
+           {o_rnd(f'({agree}) / {float(n_perms)}', 6)} AS mh_estimate,
+           {o_rnd(f'abs(({agree}) / {float(n_perms)} - pr.jaccard)', 6)} AS abs_err
+    FROM pairs pr
+    JOIN sig sa ON sa.doc_id = pr.id_a
+    JOIN sig sb ON sb.doc_id = pr.id_b
+    """
+
+
+@query("q278_minhash_error_audit", oracle=_q278_oracle())
+def q278_minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR audit: for every verified near-dup pair, the
+    16-permutation agreement fraction (the similarity MinHash would
+    report) next to the exact Jaccard and the absolute error — the
+    per-pair evidence behind the sketch's +-1/sqrt(16) error budget,
+    and the audit that justifies verifying candidates with exact
+    Jaccard instead of trusting the estimate (q215 audits RECALL of
+    the bands; this audits the ESTIMATE itself).
+
+    Signatures and the pair set are both session-memoized corpus
+    derivations; the audit is two signature joins on the tiny pair
+    list and 16 column equalities per row."""
+    from ..operators.dedup import (
+        MINHASH_PERMS,
+        corpus_shingle_arrays,
+        minhash_signatures,
+    )
+
+    pairs = corpus_minhash_pairs(spark, sf_dir, 0.8)
+    arrays = corpus_shingle_arrays(spark, sf_dir)
+    shingled = arrays.select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    sig = minhash_signatures(shingled)
+    n_perms = len(MINHASH_PERMS)
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(n_perms)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(n_perms)],
+    )
+    j = pairs.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+    agree = None
+    for i in range(n_perms):
+        term = (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        agree = term if agree is None else agree + term
+    est = agree.cast("double") / float(n_perms)
+    return j.select(
+        "id_a",
+        "id_b",
+        prnd("jaccard", 6).alias("jaccard"),
+        agree.cast("long").alias("n_agree"),
+        prnd(est, 6).alias("mh_estimate"),
+        prnd(F.abs(est - F.col("jaccard")), 6).alias("abs_err"),
+    )

@@ -3886,3 +3886,238 @@ def q275_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("decision"),
         F.col("xrn").cast("long").alias("n_at_decision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q277 hour x weekday activity heatmap
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q277_activity_heatmap",
+    oracle=f"""
+    WITH cell AS (
+      SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+             CAST(hour(ts) AS INTEGER) AS hod,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT sum(n) AS tot FROM cell)
+    SELECT dow, hod, n, n_users,
+           {o_rnd('CAST(n AS DOUBLE) / any_value(t.tot)', 6)} AS share
+    FROM cell CROSS JOIN t
+    GROUP BY dow, hod, n, n_users
+    """,
+)
+def q277_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day x day-of-week activity heatmap (counts, distinct
+    users, traffic share per cell) — the load-shape readout capacity
+    planning and anomaly eyeballing start from, and the 2-D
+    companion to q120's 1-D weekday seasonality. One partial-agg
+    groupBy to 168 cells; day-of-week comes from the UTC session
+    clock on both engines (hostile-timezone safe by construction)."""
+    ev = table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    t = cell.agg(F.sum("n").alias("tot"))
+    return cell.crossJoin(F.broadcast(t)).select(
+        "dow",
+        "hod",
+        "n",
+        "n_users",
+        prnd(F.col("n").cast("double") / F.col("tot"), 6).alias("share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q280 interval coverage (active-time share per day, sweep-line)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q280_interval_coverage",
+    oracle=f"""
+    WITH marks AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL {_Q267_GAP_MIN} MINUTE
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, min(ts) AS t_start,
+             max(ts) + INTERVAL {_Q267_GAP_MIN} MINUTE AS t_end
+      FROM (
+        SELECT user_id, ts,
+               sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+        FROM marks
+      ) GROUP BY user_id, sess_no
+    ),
+    deltas AS (
+      SELECT t_start AS ts, 1 AS delta FROM sess
+      UNION ALL SELECT t_end, -1 FROM sess
+    ),
+    sweep AS (
+      SELECT ts, delta,
+             sum(delta) OVER (ORDER BY ts, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live,
+             lead(ts) OVER (ORDER BY ts, delta) AS nts
+      FROM deltas
+    ),
+    covered AS (
+      SELECT CAST(ts AS DATE) AS day,
+             sum(CASE WHEN live > 0 AND nts IS NOT NULL
+                      THEN epoch_us(nts) - epoch_us(ts) ELSE 0 END) AS cov_us
+      FROM sweep GROUP BY CAST(ts AS DATE)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(cov_us // 1000000 AS BIGINT) AS covered_seconds
+    FROM covered
+    """,
+)
+def q280_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-intervals coverage: seconds per day during which AT
+    LEAST one session is active — the complement of q267's peak (that
+    asks how high the concurrency spikes; this asks how much of the
+    clock is busy at all, the utilization number an SLA report
+    carries). Overlapping sessions must not double-count, which is
+    exactly what the sweep line gives for free: between consecutive
+    boundary events the live count is constant, so covered time is
+    the sum of inter-boundary gaps where live > 0.
+
+    Same session + boundary machinery as q267 plus ONE lead() over
+    the boundary order — still 2 rows per session. Gap spans are
+    attributed to the day of their left boundary (both engines
+    agree by construction)."""
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr(f"INTERVAL {_Q267_GAP_MIN} MINUTES")
+    marks = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(wu).isNull()
+            | (F.col("ts") - F.lag("ts").over(wu) > gap),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    cum = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sess = (
+        marks.withColumn("sess_no", F.sum("is_start").over(cum))
+        .groupBy("user_id", "sess_no")
+        .agg(F.min("ts").alias("t_start"), (F.max("ts") + gap).alias("t_end"))
+    )
+    deltas = sess.select(
+        F.col("t_start").alias("ts"), F.lit(1).alias("delta")
+    ).unionByName(
+        sess.select(F.col("t_end").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    sw = W.orderBy("ts", "delta")
+    cumw = sw.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sweep = deltas.select(
+        "ts",
+        F.sum("delta").over(cumw).alias("live"),
+        F.lead("ts").over(sw).alias("nts"),
+    )
+    covered = sweep.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.when(
+                (F.col("live") > 0) & F.col("nts").isNotNull(),
+                F.unix_micros("nts") - F.unix_micros("ts"),
+            ).otherwise(0)
+        ).alias("cov_us")
+    )
+    return covered.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.floor(F.col("cov_us") / 1000000).cast("long").alias(
+            "covered_seconds"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q279 shuffle-partition skew planner (predicted reducer imbalance)
+# ---------------------------------------------------------------------------
+
+_Q279_CHOICES = (8, 32, 128)
+
+
+def _q279_oracle() -> str:
+    rows = ", ".join(f"({n})" for n in _Q279_CHOICES)
+    return f"""
+    WITH kh AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY user_id
+    ),
+    cfg(np) AS (VALUES {rows}),
+    assigned AS (
+      SELECT cfg.np, ({o_hash64('kh.user_id')}) % cfg.np AS part,
+             kh.n_rows
+      FROM kh CROSS JOIN cfg
+    ),
+    load AS (
+      SELECT np, part, sum(n_rows) AS rows_in_part
+      FROM assigned GROUP BY np, part
+    )
+    SELECT CAST(np AS INTEGER) AS n_partitions,
+           CAST(count(*) AS BIGINT) AS n_used_partitions,
+           CAST(max(rows_in_part) AS BIGINT) AS max_load,
+           {o_rnd('avg(CAST(rows_in_part AS DOUBLE))', 2)} AS avg_load,
+           {o_rnd('max(rows_in_part) / avg(CAST(rows_in_part AS DOUBLE))', 4)} AS skew_ratio
+    FROM load GROUP BY np
+    """
+
+
+@query("q279_partition_skew_planner", oracle=_q279_oracle())
+def q279_partition_skew_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-partition planning from the key histogram: simulate
+    hash-partitioning the user_id key set at 8 / 32 / 128 reducers
+    and report the predicted max-over-avg load (straggler factor) —
+    the number that says whether raising
+    spark.sql.shuffle.partitions will actually help or whether one
+    hot key pins the stage regardless (then q96's salting is the
+    fix, not more partitions). q159 profiles WHICH keys are hot; this
+    predicts what the cluster will DO about it.
+
+    Runs entirely on the key HISTOGRAM (|keys| rows, not |events|):
+    one groupBy over data, then a keys x 3 literal cross and two tiny
+    aggregations — the planner is free relative to the shuffle it
+    plans."""
+    ev = table(spark, sf_dir, "events")
+    kh = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("n_rows"))
+    cfg = spark.createDataFrame([(n,) for n in _Q279_CHOICES], "np INT")
+    assigned = kh.crossJoin(F.broadcast(cfg)).select(
+        "np",
+        (hash64(F.col("user_id")) % F.col("np")).alias("part"),
+        "n_rows",
+    )
+    load = assigned.groupBy("np", "part").agg(
+        F.sum("n_rows").alias("rows_in_part")
+    )
+    return load.groupBy(F.col("np").cast("int").alias("n_partitions")).agg(
+        F.count("*").cast("long").alias("n_used_partitions"),
+        F.max("rows_in_part").cast("long").alias("max_load"),
+        prnd(F.avg(F.col("rows_in_part").cast("double")), 2).alias(
+            "avg_load"
+        ),
+        prnd(
+            F.max("rows_in_part")
+            / F.avg(F.col("rows_in_part").cast("double")),
+            4,
+        ).alias("skew_ratio"),
+    )
