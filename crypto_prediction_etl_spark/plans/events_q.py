@@ -4121,3 +4121,187 @@ def q279_partition_skew_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("skew_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q281 identity resolution (rare-attribute linkage + label propagation)
+# ---------------------------------------------------------------------------
+
+_Q281_MAX_SHARERS = 3  # k value counts as identifying if <= 3 users share it
+_Q281_ROUNDS = 3
+
+
+def _q281_round_sql(r: int) -> str:
+    return f""",
+    lbl{r} AS (
+      SELECT n.user_id,
+             least(n.lbl, coalesce(min(o.lbl), n.lbl)) AS lbl
+      FROM lbl{r - 1} n
+      LEFT JOIN edges e ON e.ua = n.user_id
+      LEFT JOIN lbl{r - 1} o ON o.user_id = e.ub
+      GROUP BY n.user_id, n.lbl
+    )"""
+
+
+def _q281_oracle() -> str:
+    rounds = "".join(_q281_round_sql(r) for r in range(1, _Q281_ROUNDS + 1))
+    return f"""
+    WITH uk AS (
+      SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    ),
+    rare AS (
+      SELECT k FROM uk GROUP BY k
+      HAVING count(*) BETWEEN 2 AND {_Q281_MAX_SHARERS}
+    ),
+    edges0 AS (
+      SELECT a.user_id AS ua, b.user_id AS ub
+      FROM uk a JOIN rare USING (k) JOIN uk b USING (k)
+      WHERE b.user_id <> a.user_id
+    ),
+    edges AS (SELECT DISTINCT ua, ub FROM edges0),
+    lbl0 AS (SELECT DISTINCT user_id, user_id AS lbl FROM uk)
+    {rounds}
+    SELECT a.user_id, a.lbl AS identity_root,
+           CAST(a.lbl = b.lbl AS INT) AS converged
+    FROM lbl{_Q281_ROUNDS} a JOIN lbl{_Q281_ROUNDS - 1} b USING (user_id)
+    """
+
+
+@query("q281_identity_resolution", oracle=_q281_oracle())
+def q281_identity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity resolution: users sharing a RARE attribute value
+    (props.k held by <= 3 users — common values are non-identifying
+    and pruned, the blocking rule every ER system needs) are linked,
+    and identities merge by iterative min-label propagation (3
+    unrolled rounds, the q48 fixpoint law with an explicit
+    per-node convergence flag instead of an asserted fixpoint).
+
+    Edges come from an equi self-join THROUGH the rare-value block
+    list (never user x user); each round is one join + groupBy on
+    the label table. Bounded rounds are the honest contract at
+    scale: the flag tells downstream exactly which nodes were still
+    moving."""
+    ev = table(spark, sf_dir, "events")
+    uk = ev.select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    ).distinct()
+    rare = uk.groupBy("k").count().filter(
+        (F.col("count") >= 2) & (F.col("count") <= _Q281_MAX_SHARERS)
+    ).select("k")
+    a = uk.join(F.broadcast(rare), "k").select(
+        F.col("user_id").alias("ua"), "k"
+    )
+    b = uk.join(F.broadcast(rare), "k").select(
+        F.col("user_id").alias("ub"), F.col("k").alias("kb")
+    )
+    edges = (
+        a.join(b, (F.col("kb") == F.col("k")) & (F.col("ub") != F.col("ua")))
+        .select("ua", "ub")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lbl_prev = None
+    lbl = uk.select("user_id").distinct().select(
+        "user_id", F.col("user_id").alias("lbl")
+    ).localCheckpoint(eager=True)
+    for _ in range(_Q281_ROUNDS):
+        lbl_prev = lbl
+        nbr = (
+            lbl.join(edges, lbl.user_id == edges.ua)
+            .join(
+                lbl_prev.select(
+                    F.col("user_id").alias("ub"), F.col("lbl").alias("olbl")
+                ),
+                "ub",
+            )
+            .groupBy(F.col("ua").alias("user_id"))
+            .agg(F.min("olbl").alias("nlbl"))
+        )
+        lbl = (
+            lbl.join(nbr, "user_id", "left")
+            .select(
+                "user_id",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return lbl.join(
+        lbl_prev.select("user_id", F.col("lbl").alias("plbl")), "user_id"
+    ).select(
+        "user_id",
+        F.col("lbl").alias("identity_root"),
+        (F.col("lbl") == F.col("plbl")).cast("int").alias("converged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q283 entropy rate of the behavioral sequence
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q283_entropy_rate",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    pairs AS (
+      SELECT cur, nxt, CAST(count(*) AS DOUBLE) AS n_xy
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    marg AS (SELECT cur, sum(n_xy) AS n_x FROM pairs GROUP BY cur),
+    tot AS (SELECT sum(n_xy) AS n FROM pairs),
+    parts AS (
+      SELECT p.n_xy / tot.n AS p_xy, p.n_xy / m.n_x AS p_cond
+      FROM pairs p JOIN marg m USING (cur) CROSS JOIN tot
+    )
+    SELECT {o_rnd('-sum(p_xy * ln(p_cond))', 6)} AS entropy_rate,
+           {o_rnd('-sum(p_xy * ln(p_xy))', 6)} AS joint_entropy,
+           {o_rnd('(-sum(p_xy * ln(p_xy))) - (-sum(p_xy * ln(p_cond)))', 6)} AS marginal_entropy
+    FROM parts
+    """,
+)
+def q283_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy RATE of the behavioral process: H(next | current) over
+    per-user event-type transitions — how unpredictable the next
+    action is GIVEN the current one, in nats. Against q191's
+    marginal entropy it quantifies how much the Markov structure
+    (q142's matrix) actually buys a predictor; near-zero rate with
+    high marginal entropy = rigid flows, equal values = memoryless
+    users.
+
+    One lead() on the shared per-user sort, one pair groupBy (25
+    cells), conditional probabilities from the marginal join —
+    information theory as three tiny aggregates."""
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(wu).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    pairs = seq.groupBy("cur", "nxt").agg(
+        F.count("*").cast("double").alias("n_xy")
+    )
+    marg = pairs.groupBy("cur").agg(F.sum("n_xy").alias("n_x"))
+    tot = pairs.agg(F.sum("n_xy").alias("n"))
+    parts = pairs.join(F.broadcast(marg), "cur").crossJoin(F.broadcast(tot)).select(
+        (F.col("n_xy") / F.col("n")).alias("p_xy"),
+        (F.col("n_xy") / F.col("n_x")).alias("p_cond"),
+    )
+    h_rate = -F.sum(F.col("p_xy") * F.log("p_cond"))
+    h_joint = -F.sum(F.col("p_xy") * F.log("p_xy"))
+    return parts.agg(
+        prnd(h_rate, 6).alias("entropy_rate"),
+        prnd(h_joint, 6).alias("joint_entropy"),
+        prnd(h_joint - h_rate, 6).alias("marginal_entropy"),
+    )

@@ -4370,3 +4370,79 @@ def q266_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_pairs"),
         prnd(F.expr("percentile(slope, 0.5)"), 4).alias("theil_sen_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q282 dollar bars (value-clock resampling, de Prado)
+# ---------------------------------------------------------------------------
+
+_Q282_BAR_CENTS = 50_000_000_00  # bar closes when cum traded value crosses
+
+
+def _q282_oracle() -> str:
+    cum = f"({_WIN} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    v AS (
+      SELECT id, dt, high, low, close, volume_cents,
+             CAST(floor(CAST(sum(volume_cents) OVER {cum} - volume_cents AS DOUBLE)
+                  / {_Q282_BAR_CENTS}) AS BIGINT) AS bar_no
+      FROM candles
+    )
+    SELECT id, bar_no,
+           CAST(count(*) AS BIGINT) AS n_days,
+           strftime(min(dt), '%Y-%m-%d') AS bar_start,
+           strftime(max(dt), '%Y-%m-%d') AS bar_end,
+           {o_rnd('max(high)', 2)} AS bar_high,
+           {o_rnd('min(low)', 2)} AS bar_low,
+           {o_rnd('max_by(close, dt)', 2)} AS bar_close,
+           CAST(sum(volume_cents) AS BIGINT) AS bar_volume_cents
+    FROM v GROUP BY id, bar_no
+    """
+
+
+@query("q282_dollar_bars", oracle=_q282_oracle())
+def q282_dollar_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dollar bars (Lopez de Prado): resample each series on the
+    VALUE clock — a bar closes whenever cumulative traded value
+    crosses the threshold — instead of the wall clock, so bars carry
+    comparable information content and return distributions get
+    closer to IID (the sampling layer quant ML preps on; q80's OHLC
+    resample is the time-clock twin). A day joins the bar where its
+    running value STARTS, q227's greedy-packing law applied to
+    market value.
+
+    One cumulative-sum window on exact integer cents + one
+    partial-agg groupBy for the bar OHLCV — same cost shape as any
+    calendar resample."""
+    c = candles(spark, sf_dir)
+    cum = (
+        W.partitionBy("id")
+        .orderBy("dt")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    v = c.select(
+        "id",
+        "dt",
+        "high",
+        "low",
+        "close",
+        "volume_cents",
+        F.floor(
+            (F.sum("volume_cents").over(cum) - F.col("volume_cents")).cast(
+                "double"
+            )
+            / _Q282_BAR_CENTS
+        )
+        .cast("long")
+        .alias("bar_no"),
+    )
+    return v.groupBy("id", "bar_no").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.date_format(F.min("dt"), "yyyy-MM-dd").alias("bar_start"),
+        F.date_format(F.max("dt"), "yyyy-MM-dd").alias("bar_end"),
+        prnd(F.max("high"), 2).alias("bar_high"),
+        prnd(F.min("low"), 2).alias("bar_low"),
+        prnd(F.max_by("close", "dt"), 2).alias("bar_close"),
+        F.sum("volume_cents").cast("long").alias("bar_volume_cents"),
+    )
