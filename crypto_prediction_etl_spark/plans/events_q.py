@@ -4305,3 +4305,268 @@ def q283_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd(h_joint, 6).alias("joint_entropy"),
         prnd(h_joint - h_rate, 6).alias("marginal_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q284 cluster-sampling design effect (ICC + deff)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q284_design_effect",
+    oracle=f"""
+    WITH cl AS (
+      SELECT user_id, CAST(count(*) AS DOUBLE) AS m, avg(value) AS ybar,
+             sum(value * value) AS ss, sum(value) AS s
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT count(*) AS k, sum(m) AS n,
+             sum(s) / sum(m) AS gy,
+             sum(m * m) AS sm2
+      FROM cl
+    ),
+    comp AS (
+      SELECT any_value(g.k) AS k, any_value(g.n) AS n, any_value(g.sm2) AS sm2,
+             sum(cl.m * (cl.ybar - g.gy) * (cl.ybar - g.gy)) AS ssb,
+             sum(cl.ss - cl.m * cl.ybar * cl.ybar) AS ssw
+      FROM cl CROSS JOIN g
+    ),
+    est AS (
+      SELECT k, n,
+             ssb / (k - 1) AS msb,
+             ssw / (n - k) AS msw,
+             (n - sm2 / n) / (k - 1) AS m0
+      FROM comp
+    )
+    SELECT CAST(k AS BIGINT) AS n_clusters, CAST(n AS BIGINT) AS n_obs,
+           {o_rnd('(msb - msw) / (msb + (m0 - 1.0) * msw)', 6)} AS icc,
+           {o_rnd('1.0 + (m0 - 1.0) * ((msb - msw) / (msb + (m0 - 1.0) * msw))', 6)} AS deff
+    FROM est
+    """,
+)
+def q284_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-sampling design effect: one-way ANOVA intraclass
+    correlation of event values within users (clusters) and the
+    Kish design effect deff = 1 + (m0 - 1) ICC — the variance
+    inflation you pay when you sample USERS and keep all their events
+    instead of sampling events independently. deff = 3 means your
+    'million-event sample' carries a third of a million events'
+    information: the number that sizes q237/q154's sampling designs
+    honestly.
+
+    Per-cluster moments in one groupBy, between/within sums of
+    squares from the cluster table + a 1-row grand frame — exact
+    ANOVA algebra, no resampling."""
+    ev = table(spark, sf_dir, "events")
+    cl = ev.groupBy("user_id").agg(
+        F.count("*").cast("double").alias("m"),
+        F.avg("value").alias("ybar"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+        F.sum("value").alias("s"),
+    )
+    g = cl.agg(
+        F.count("*").alias("k"),
+        F.sum("m").alias("n"),
+        (F.sum("s") / F.sum("m")).alias("gy"),
+        F.sum(F.col("m") * F.col("m")).alias("sm2"),
+    )
+    comp = cl.crossJoin(F.broadcast(g)).agg(
+        F.first("k").alias("k"),
+        F.first("n").alias("n"),
+        F.first("sm2").alias("sm2"),
+        F.sum(
+            F.col("m")
+            * (F.col("ybar") - F.col("gy"))
+            * (F.col("ybar") - F.col("gy"))
+        ).alias("ssb"),
+        F.sum(
+            F.col("ss") - F.col("m") * F.col("ybar") * F.col("ybar")
+        ).alias("ssw"),
+    )
+    msb = F.col("ssb") / (F.col("k") - 1)
+    msw = F.col("ssw") / (F.col("n") - F.col("k"))
+    m0 = (F.col("n") - F.col("sm2") / F.col("n")) / (F.col("k") - 1)
+    icc = (msb - msw) / (msb + (m0 - 1.0) * msw)
+    return comp.select(
+        F.col("k").cast("long").alias("n_clusters"),
+        F.col("n").cast("long").alias("n_obs"),
+        prnd(icc, 6).alias("icc"),
+        prnd(1.0 + (m0 - 1.0) * icc, 6).alias("deff"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q285 Simpson's-paradox detector over the stratified effect
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q285_simpson_detector",
+    oracle=f"""
+    WITH act AS (
+      SELECT user_id, count(*) AS n_ev FROM events GROUP BY user_id
+    ),
+    strat AS (
+      SELECT user_id, ntile(3) OVER (ORDER BY n_ev, user_id) AS stratum
+      FROM act
+    ),
+    obs AS (
+      SELECT s.stratum,
+             CAST(hour(e.ts) >= 12 AS INT) AS treated,
+             CAST(e.event_type = 'purchase' AS INT) AS y
+      FROM events e JOIN strat s USING (user_id)
+    ),
+    cell AS (
+      SELECT stratum, treated, CAST(count(*) AS BIGINT) AS n,
+             avg(CAST(y AS DOUBLE)) AS rate
+      FROM obs GROUP BY stratum, treated
+    ),
+    per_stratum AS (
+      SELECT stratum,
+             max(CASE WHEN treated = 1 THEN rate END)
+               - max(CASE WHEN treated = 0 THEN rate END) AS rd
+      FROM cell GROUP BY stratum
+    ),
+    pooled AS (
+      SELECT sum(CASE WHEN treated = 1 THEN rate * n END) / sum(CASE WHEN treated = 1 THEN n END)
+             - sum(CASE WHEN treated = 0 THEN rate * n END) / sum(CASE WHEN treated = 0 THEN n END) AS rd
+      FROM cell
+    )
+    SELECT {o_rnd('any_value(pooled.rd)', 6)} AS pooled_rd,
+           CAST(count(*) AS BIGINT) AS n_strata,
+           CAST(sum(CASE WHEN sign(s.rd) <> sign(pooled.rd) THEN 1 ELSE 0 END) AS BIGINT) AS n_reversed,
+           CAST(max(CASE WHEN sign(s.rd) <> sign(pooled.rd) THEN 1 ELSE 0 END) AS INT) AS paradox_flag
+    FROM per_stratum s CROSS JOIN pooled
+    """,
+)
+def q285_simpson_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox guardrail: compare the POOLED treatment
+    effect (ignoring strata) against each stratum's effect sign —
+    when any stratum reverses the pooled sign, the aggregate number
+    is confounded and must not ship (the automated check behind
+    q257's stratified estimate; dashboards that skip it publish
+    effects with the wrong SIGN).
+
+    Reuses the 6-cell contingency table; the detector itself is sign
+    arithmetic over 3 + 1 rows."""
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    act = ev.groupBy("user_id").agg(F.count("*").alias("n_ev"))
+    strat = act.select(
+        "user_id",
+        F.ntile(3).over(W.orderBy("n_ev", "user_id")).alias("stratum"),
+    )
+    obs = ev.join(F.broadcast(strat), "user_id").select(
+        "stratum",
+        (F.hour("ts") >= 12).cast("int").alias("treated"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    cell = obs.groupBy("stratum", "treated").agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg(F.col("y").cast("double")).alias("rate"),
+    )
+    per_stratum = cell.groupBy("stratum").agg(
+        (
+            F.max(F.when(F.col("treated") == 1, F.col("rate")))
+            - F.max(F.when(F.col("treated") == 0, F.col("rate")))
+        ).alias("rd")
+    )
+    t1 = F.when(F.col("treated") == 1, F.col("rate") * F.col("n"))
+    t0 = F.when(F.col("treated") == 0, F.col("rate") * F.col("n"))
+    n1 = F.when(F.col("treated") == 1, F.col("n"))
+    n0 = F.when(F.col("treated") == 0, F.col("n"))
+    pooled = cell.agg(
+        (F.sum(t1) / F.sum(n1) - F.sum(t0) / F.sum(n0)).alias("prd")
+    )
+    j = per_stratum.crossJoin(F.broadcast(pooled))
+    rev = (F.signum("rd") != F.signum("prd")).cast("int")
+    return j.agg(
+        prnd(F.first("prd"), 6).alias("pooled_rd"),
+        F.count("*").cast("long").alias("n_strata"),
+        F.sum(rev).cast("long").alias("n_reversed"),
+        F.max(rev).cast("int").alias("paradox_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q286 KMV sketch union-merge (mergeable distinct-count states)
+# ---------------------------------------------------------------------------
+
+_Q286_K = 64
+
+
+@query(
+    "q286_kmv_union_merge",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT CAST(user_id AS VARCHAR) || '@'
+             || strftime(date_trunc('minute', ts), '%Y-%m-%dT%H:%M') AS item,
+             event_id % 2 AS shard
+      FROM events
+    ),
+    h AS (SELECT DISTINCT {o_hash64('item')} AS hv, shard FROM items),
+    sk AS (
+      SELECT shard, hv,
+             row_number() OVER (PARTITION BY shard ORDER BY hv) AS rn
+      FROM h
+    ),
+    sketches AS (SELECT shard, hv FROM sk WHERE rn <= {_Q286_K}),
+    merged AS (
+      SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+      FROM (SELECT DISTINCT hv FROM sketches)
+    ),
+    kth AS (SELECT hv FROM merged WHERE rn = {_Q286_K}),
+    exact AS (SELECT count(DISTINCT item) AS nd FROM items)
+    SELECT CAST(any_value(exact.nd) AS BIGINT) AS n_exact,
+           {o_rnd(f'({_Q286_K} - 1.0) * {float(HASH_SPACE)} / any_value(kth.hv)', 2)} AS kmv_union_estimate,
+           {o_rnd(f'abs(({_Q286_K} - 1.0) * {float(HASH_SPACE)} / any_value(kth.hv) - any_value(exact.nd)) / any_value(exact.nd)', 6)} AS rel_err
+    FROM exact CROSS JOIN kth
+    """,
+)
+def q286_kmv_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KMV distinct-count states: two shards each keep only
+    their 64 smallest item hashes, the UNION of sketches is re-cut to
+    the 64 smallest, and the merged k-th minimum estimates the
+    distinct user-minutes of BOTH shards combined — the property that
+    lets per-partition / per-day distinct sketches roll up without
+    touching raw data, q241's merge law for cardinality instead of
+    moments (items seen by both shards dedupe inside the merge, which
+    is exactly what makes sketch union ≠ sum of counts).
+
+    Everything after the one distinct-items pass runs on 2 x 64
+    hashes; the exact count rides along as the audit column with the
+    realized relative error."""
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    from ..operators.sketches import HASH_SPACE as _HS
+
+    items = ev.select(
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit("@"),
+            F.date_format(
+                F.date_trunc("minute", "ts"), "yyyy-MM-dd'T'HH:mm"
+            ),
+        ).alias("item"),
+        (F.col("event_id") % 2).alias("shard"),
+    ).distinct()
+    h = items.select(hash64("item").alias("hv"), "shard").distinct()
+    sk = h.withColumn(
+        "rn", F.row_number().over(W.partitionBy("shard").orderBy("hv"))
+    ).filter(F.col("rn") <= _Q286_K)
+    merged = (
+        sk.select("hv")
+        .distinct()
+        .withColumn("rn", F.row_number().over(W.orderBy("hv")))
+    )
+    kth = merged.filter(F.col("rn") == _Q286_K).select("hv")
+    exact = items.agg(F.countDistinct("item").alias("nd"))
+    est = (_Q286_K - 1.0) * float(_HS) / F.col("hv").cast("double")
+    return exact.crossJoin(F.broadcast(kth)).select(
+        F.col("nd").cast("long").alias("n_exact"),
+        prnd(est, 2).alias("kmv_union_estimate"),
+        prnd(F.abs(est - F.col("nd")) / F.col("nd"), 6).alias("rel_err"),
+    )
