@@ -4570,3 +4570,91 @@ def q286_kmv_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd(est, 2).alias("kmv_union_estimate"),
         prnd(F.abs(est - F.col("nd")) / F.col("nd"), 6).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q290 feature-store assembly (user-grain wide feature vector, one pass)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q290_user_features",
+    oracle=f"""
+    WITH anchor AS (SELECT max(CAST(ts AS DATE)) AS amax FROM events),
+    u AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_active_days,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+             sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS spend,
+             CAST(any_value(a.amax) - max(CAST(ts AS DATE)) AS BIGINT) AS recency_days,
+             avg(CASE WHEN hour(ts) >= 12 THEN 1.0 ELSE 0.0 END) AS pm_share,
+             count(DISTINCT event_type) AS n_types
+      FROM events CROSS JOIN anchor a
+      GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_active_days, n_purchases,
+           {o_rnd('spend', 4)} AS spend,
+           recency_days,
+           {o_rnd('pm_share', 6)} AS pm_share,
+           CAST(n_types AS INTEGER) AS n_types,
+           {o_rnd('CAST(n_purchases AS DOUBLE) / n_events', 6)} AS purchase_rate,
+           {o_rnd('CAST(n_events AS DOUBLE) / n_active_days', 4)} AS events_per_active_day
+    FROM u
+    """,
+)
+def q290_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store materialization: the user-grain wide feature
+    vector (activity counts, purchase behavior, recency, time-of-day
+    mix, type breadth, derived rates) assembled in ONE conditional
+    aggregate — the point-in-time table a churn/LTV model trains on,
+    and the sink where q236's segments, q290's features and q172's
+    market features meet the same key.
+
+    Every feature is a conditional expression inside a single
+    groupBy (two distinct-counts ride the same hash aggregate); no
+    per-feature scans, no joins until models need cross-entity
+    features. The scale law of feature stores: wide beats repeated."""
+    ev = table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.to_date("ts")).alias("amax"))
+    u = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct(F.to_date("ts")).cast("long").alias(
+                "n_active_days"
+            ),
+            F.sum((F.col("event_type") == "purchase").cast("int"))
+            .cast("long")
+            .alias("n_purchases"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("value")
+                ).otherwise(0.0)
+            ).alias("spend"),
+            F.datediff(F.first("amax"), F.max(F.to_date("ts")))
+            .cast("long")
+            .alias("recency_days"),
+            F.avg(
+                F.when(F.hour("ts") >= 12, 1.0).otherwise(0.0)
+            ).alias("pm_share"),
+            F.countDistinct("event_type").cast("int").alias("n_types"),
+        )
+    )
+    return u.select(
+        "user_id",
+        "n_events",
+        "n_active_days",
+        "n_purchases",
+        prnd("spend", 4).alias("spend"),
+        "recency_days",
+        prnd("pm_share", 6).alias("pm_share"),
+        "n_types",
+        prnd(
+            F.col("n_purchases").cast("double") / F.col("n_events"), 6
+        ).alias("purchase_rate"),
+        prnd(
+            F.col("n_events").cast("double") / F.col("n_active_days"), 4
+        ).alias("events_per_active_day"),
+    )

@@ -4446,3 +4446,156 @@ def q282_dollar_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd(F.max_by("close", "dt"), 2).alias("bar_close"),
         F.sum("volume_cents").cast("long").alias("bar_volume_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q287 empirical forecast-interval backtest (80% band coverage)
+# ---------------------------------------------------------------------------
+
+_Q287_TRAIN_FRAC = 0.7
+
+
+def _q287_oracle() -> str:
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    r AS (
+      SELECT id, dt, ln(close / lag(close) OVER ({_WIN})) AS ret,
+             row_number() OVER ({_WIN}) AS rn,
+             count(*) OVER (PARTITION BY id) AS n
+      FROM candles
+    ),
+    r2 AS (SELECT * FROM r WHERE ret IS NOT NULL),
+    band AS (
+      SELECT id,
+             quantile_cont(ret, 0.1) AS lo,
+             quantile_cont(ret, 0.9) AS hi,
+             count(*) AS n_train
+      FROM r2 WHERE rn <= CAST(floor(n * {_Q287_TRAIN_FRAC}) AS BIGINT)
+      GROUP BY id
+    ),
+    test AS (
+      SELECT r2.id, r2.ret, b.lo, b.hi
+      FROM r2 JOIN band b USING (id)
+      WHERE r2.rn > CAST(floor(r2.n * {_Q287_TRAIN_FRAC}) AS BIGINT)
+    )
+    SELECT t.id,
+           CAST(any_value(b2.n_train) AS BIGINT) AS n_train,
+           CAST(count(*) AS BIGINT) AS n_test,
+           {o_rnd('any_value(t.lo)', 6)} AS band_lo,
+           {o_rnd('any_value(t.hi)', 6)} AS band_hi,
+           {o_rnd('avg(CASE WHEN t.ret BETWEEN t.lo AND t.hi THEN 1.0 ELSE 0.0 END)', 6)} AS coverage
+    FROM test t JOIN band b2 ON b2.id = t.id
+    GROUP BY t.id
+    """
+
+
+@query("q287_interval_backtest", oracle=_q287_oracle())
+def q287_interval_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-interval backtest: fit an empirical 80% return band
+    (P10-P90) on the first 70% of each series, then measure how often
+    the held-out 30% actually lands inside — realized coverage far
+    from 0.8 means the band (and any VaR built like it, q222) is
+    mis-calibrated for that symbol. The prediction-interval
+    counterpart of q240's probability calibration.
+
+    One lag + rank windows on the shared per-id sort, exact train
+    percentiles per key, a broadcast band join, one conditional
+    aggregate — a complete backtest in three shuffles."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    r = c.select(
+        "id",
+        F.log(F.col("close") / F.lag("close").over(w)).alias("ret"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("id")).alias("n"),
+    ).filter(F.col("ret").isNotNull())
+    cut = F.floor(F.col("n") * _Q287_TRAIN_FRAC).cast("long")
+    band = (
+        r.filter(F.col("rn") <= cut)
+        .groupBy("id")
+        .agg(
+            F.expr("percentile(ret, 0.1)").alias("lo"),
+            F.expr("percentile(ret, 0.9)").alias("hi"),
+            F.count("*").alias("n_train"),
+        )
+    )
+    test = r.filter(F.col("rn") > cut).join(F.broadcast(band), "id")
+    return test.groupBy("id").agg(
+        F.first("n_train").cast("long").alias("n_train"),
+        F.count("*").cast("long").alias("n_test"),
+        prnd(F.first("lo"), 6).alias("band_lo"),
+        prnd(F.first("hi"), 6).alias("band_hi"),
+        prnd(
+            F.avg(
+                F.when(
+                    F.col("ret").between(F.col("lo"), F.col("hi")), 1.0
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("coverage"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q288 stale-feed audit (runs of unchanged prices)
+# ---------------------------------------------------------------------------
+
+
+def _q288_oracle() -> str:
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    m AS (
+      SELECT id, dt, close,
+             CASE WHEN close = lag(close) OVER ({_WIN}) THEN 0 ELSE 1 END AS chg
+      FROM candles
+    ),
+    runs AS (
+      SELECT id, dt, chg,
+             sum(chg) OVER ({_WIN} ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS run_id
+      FROM m
+    ),
+    rl AS (
+      SELECT id, run_id, count(*) AS run_len
+      FROM runs GROUP BY id, run_id
+    )
+    SELECT id,
+           CAST(sum(run_len) AS BIGINT) AS n_days,
+           CAST(sum(run_len - 1) AS BIGINT) AS n_stale_days,
+           {o_rnd('sum(run_len - 1.0) / sum(run_len)', 6)} AS stale_share,
+           CAST(max(run_len) AS BIGINT) AS max_run
+    FROM rl GROUP BY id
+    """
+
+
+@query("q288_stale_price_audit", oracle=_q288_oracle())
+def q288_stale_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stale-feed detection: runs of IDENTICAL consecutive closes per
+    symbol — repeated values are how a dead upstream feed looks
+    downstream (the reference's freshness probe, quality/checks.py,
+    catches missing rows; this catches rows that arrive but don't
+    MOVE). Emits the stale-day share and the longest flat run; a max
+    run of 5+ business days is a paused feed, not a calm market.
+
+    One lag + one running-sum (gaps-and-islands run ids) on the
+    shared per-id sort, then two tiny aggregates."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    m = c.select(
+        "id",
+        "dt",
+        F.when(F.col("close") == F.lag("close").over(w), 0)
+        .otherwise(1)
+        .alias("chg"),
+    )
+    runs = m.select("id", F.sum("chg").over(cum).alias("run_id"))
+    rl = runs.groupBy("id", "run_id").agg(F.count("*").alias("run_len"))
+    return rl.groupBy("id").agg(
+        F.sum("run_len").cast("long").alias("n_days"),
+        F.sum(F.col("run_len") - 1).cast("long").alias("n_stale_days"),
+        prnd(
+            F.sum(F.col("run_len") - 1.0) / F.sum("run_len"), 6
+        ).alias("stale_share"),
+        F.max("run_len").cast("long").alias("max_run"),
+    )

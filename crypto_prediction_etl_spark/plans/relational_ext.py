@@ -2131,3 +2131,111 @@ def q276_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_null_priority"),
         prnd(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q289 recommender coverage / popularity-bias eval
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q289_rec_coverage_bias",
+    oracle=f"""
+    WITH {_REC_TRAIN_CTE},
+    topn AS (SELECT pa, pb FROM nbr WHERE rk <= {_REC_K}),
+    pop AS (
+      SELECT partkey, CAST(count(*) AS BIGINT) AS n_buys,
+             row_number() OVER (ORDER BY count(*) DESC, partkey) AS pop_rank
+      FROM inter WHERE is_train GROUP BY partkey
+    ),
+    cat AS (SELECT CAST(count(*) AS DOUBLE) AS n_cat FROM part),
+    recd AS (SELECT DISTINCT pb AS partkey FROM topn),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_recommended,
+             avg(CAST(p.pop_rank AS DOUBLE)) AS avg_pop_rank_rec
+      FROM recd JOIN pop p USING (partkey)
+    ),
+    base AS (SELECT avg(CAST(pop_rank AS DOUBLE)) AS avg_pop_rank_all FROM pop)
+    SELECT s.n_recommended,
+           {o_rnd('s.n_recommended / any_value(c.n_cat)', 6)} AS catalog_coverage,
+           {o_rnd('s.avg_pop_rank_rec', 2)} AS avg_pop_rank_rec,
+           {o_rnd('any_value(b.avg_pop_rank_all)', 2)} AS avg_pop_rank_all,
+           {o_rnd('s.avg_pop_rank_rec / any_value(b.avg_pop_rank_all)', 6)} AS popularity_bias
+    FROM stats s CROSS JOIN cat c CROSS JOIN base b
+    GROUP BY s.n_recommended, s.avg_pop_rank_rec
+    """,
+)
+def q289_rec_coverage_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommender health beyond accuracy: CATALOG COVERAGE (what
+    share of parts can ever be recommended by q268's neighbor lists)
+    and POPULARITY BIAS (mean popularity rank of recommended items
+    over the catalog mean — below 1.0 means the model amplifies
+    bestsellers, the feedback loop that slowly collapses a catalog).
+    q269 asks 'is it accurate'; this asks 'is it diverse enough to
+    keep being accurate next quarter'.
+
+    All inputs are the already-small model artifacts (neighbor
+    lists, per-item popularity); three scalar frames cross-joined at
+    the end."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    inter = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("partkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            (F.col("o_orderdate") < F.lit(_REC_CUTOFF).cast("date")).alias(
+                "is_train"
+            ),
+        )
+        .distinct()
+    )
+    tr = inter.filter("is_train")
+    a = tr.select("orderkey", F.col("partkey").alias("pa"))
+    b = tr.select(
+        F.col("orderkey").alias("okb"), F.col("partkey").alias("pb")
+    )
+    topn = (
+        a.join(b, (F.col("okb") == F.col("orderkey")) & (F.col("pb") != F.col("pa")))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_co"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("pa").orderBy(F.col("n_co").desc(), "pb")
+            ),
+        )
+        .filter(F.col("rk") <= _REC_K)
+    )
+    pop = tr.groupBy("partkey").agg(F.count("*").alias("n_buys")).select(
+        "partkey",
+        F.row_number()
+        .over(W.orderBy(F.col("n_buys").desc(), "partkey"))
+        .alias("pop_rank"),
+    )
+    cat = p.agg(F.count("*").cast("double").alias("n_cat"))
+    recd = topn.select(F.col("pb").alias("partkey")).distinct()
+    stats = recd.join(pop, "partkey").agg(
+        F.count("*").cast("long").alias("n_recommended"),
+        F.avg(F.col("pop_rank").cast("double")).alias("avg_pop_rank_rec"),
+    )
+    base = pop.agg(
+        F.avg(F.col("pop_rank").cast("double")).alias("avg_pop_rank_all")
+    )
+    return (
+        stats.crossJoin(F.broadcast(cat))
+        .crossJoin(F.broadcast(base))
+        .select(
+            "n_recommended",
+            prnd(F.col("n_recommended") / F.col("n_cat"), 6).alias(
+                "catalog_coverage"
+            ),
+            prnd("avg_pop_rank_rec", 2).alias("avg_pop_rank_rec"),
+            prnd("avg_pop_rank_all", 2).alias("avg_pop_rank_all"),
+            prnd(
+                F.col("avg_pop_rank_rec") / F.col("avg_pop_rank_all"), 6
+            ).alias("popularity_bias"),
+        )
+    )
