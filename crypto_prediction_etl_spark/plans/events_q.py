@@ -4658,3 +4658,164 @@ def q290_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").cast("double") / F.col("n_active_days"), 4
         ).alias("events_per_active_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q294 attribution model disagreement (first-touch vs last-touch)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q294_attribution_compare",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                 ORDER BY event_id DESC) = 1
+    ),
+    pur AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ),
+    matched AS (
+      SELECT p.event_id, p.user_id,
+             min_by(c.event_id, c.ts) AS first_click,
+             max_by(c.event_id, c.ts) AS last_click,
+             CAST(count(c.event_id) AS BIGINT) AS n_clicks_in_window
+      FROM pur p LEFT JOIN clicks c
+        ON c.user_id = p.user_id
+       AND c.ts <= p.ts
+       AND c.ts >= p.ts - INTERVAL {_Q234_WINDOW_MIN} MINUTE
+      GROUP BY p.event_id, p.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CASE WHEN n_clicks_in_window > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+           CAST(sum(CASE WHEN n_clicks_in_window > 1
+                          AND first_click <> last_click THEN 1 ELSE 0 END) AS BIGINT) AS n_model_disagree,
+           {o_rnd('sum(CASE WHEN n_clicks_in_window > 0 AND first_click <> last_click THEN 1.0 ELSE 0.0 END) / nullif(sum(CASE WHEN n_clicks_in_window > 0 THEN 1.0 ELSE 0.0 END), 0.0)', 6)} AS disagree_share
+    FROM matched
+    """,
+)
+def q294_attribution_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-model sensitivity: for purchases with clicks in
+    the 30-minute window, how often FIRST-touch and LAST-touch credit
+    DIFFERENT clicks — the share of marketing spend that would move
+    between channels purely by changing the attribution rule (q234
+    ships last-touch; this measures how much that choice matters
+    before anyone argues about it).
+
+    One bounded interval join per purchase (same window as q234),
+    min_by/max_by pick both touches in a single aggregation — the
+    disagreement audit costs one extra aggregate over the same scan."""
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("user_id", "ts").orderBy(
+                    F.col("event_id").desc()
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("user_id").alias("cu"),
+            F.col("ts").alias("cts"),
+            F.col("event_id").alias("cid"),
+        )
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    j = pur.join(
+        clicks,
+        (F.col("cu") == F.col("user_id"))
+        & (F.col("cts") <= F.col("ts"))
+        & (
+            F.col("cts")
+            >= F.col("ts") - F.expr(f"INTERVAL {_Q234_WINDOW_MIN} MINUTES")
+        ),
+        "left",
+    )
+    matched = j.groupBy("event_id", "user_id").agg(
+        F.min_by("cid", "cts").alias("first_click"),
+        F.max_by("cid", "cts").alias("last_click"),
+        F.count("cid").cast("long").alias("n_clicks_in_window"),
+    )
+    has = F.col("n_clicks_in_window") > 0
+    dis = has & (F.col("first_click") != F.col("last_click"))
+    return matched.agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        F.sum(has.cast("int")).cast("long").alias("n_attributed"),
+        F.sum(
+            ((F.col("n_clicks_in_window") > 1) & dis).cast("int")
+        )
+        .cast("long")
+        .alias("n_model_disagree"),
+        prnd(
+            F.sum(F.when(dis, 1.0).otherwise(0.0))
+            / F.nullif(F.sum(F.when(has, 1.0).otherwise(0.0)), F.lit(0.0)),
+            6,
+        ).alias("disagree_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q295 inter-arrival latency percentiles per event type
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q295_interarrival_percentiles",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY event_type
+                                                   ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           {o_rnd('quantile_cont(gap_us / 1000000.0, 0.5)', 4)} AS p50_s,
+           {o_rnd('quantile_cont(gap_us / 1000000.0, 0.95)', 4)} AS p95_s,
+           {o_rnd('quantile_cont(gap_us / 1000000.0, 0.99)', 4)} AS p99_s,
+           {o_rnd('max(gap_us / 1000000.0)', 4)} AS max_s
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q295_interarrival_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival latency distribution per stream: P50/P95/P99/max
+    gaps between consecutive events of each type — the tail-latency
+    readout that sets freshness SLAs and watermark delays from DATA
+    (q162 justifies the watermark from out-of-orderness; this sets
+    the alert threshold from arrival cadence: alert at p99, not at
+    the mean, or you page every night).
+
+    One lag on the per-type sort, exact percentiles via the same
+    sort-based aggregate as q156; gaps ride integer microseconds
+    until the final division."""
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    wt = W.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wt))
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    g_s = F.col("gap_us") / 1000000.0
+    return gaps.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        prnd(F.expr("percentile(gap_us / 1000000.0, 0.5)"), 4).alias("p50_s"),
+        prnd(F.expr("percentile(gap_us / 1000000.0, 0.95)"), 4).alias(
+            "p95_s"
+        ),
+        prnd(F.expr("percentile(gap_us / 1000000.0, 0.99)"), 4).alias(
+            "p99_s"
+        ),
+        prnd(F.max(g_s), 4).alias("max_s"),
+    )

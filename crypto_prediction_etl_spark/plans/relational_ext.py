@@ -2239,3 +2239,75 @@ def q289_rec_coverage_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("popularity_bias"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q291 l-diversity audit (sensitive-attribute diversity per anonymity class)
+# ---------------------------------------------------------------------------
+
+_Q291_L = 2
+
+
+@query(
+    "q291_l_diversity",
+    oracle=f"""
+    WITH q AS (
+      SELECT c_nationkey AS nation,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+             c_mktsegment AS sensitive
+      FROM customer
+    ),
+    cls AS (
+      SELECT nation, bal_bucket,
+             CAST(count(*) AS BIGINT) AS class_size,
+             CAST(count(DISTINCT sensitive) AS BIGINT) AS l_distinct,
+             CAST(max(cnt) AS BIGINT) AS max_sensitive
+      FROM (
+        SELECT nation, bal_bucket, sensitive,
+               count(*) OVER (PARTITION BY nation, bal_bucket, sensitive) AS cnt
+        FROM q
+      )
+      GROUP BY nation, bal_bucket
+    )
+    SELECT nation, bal_bucket, class_size, l_distinct,
+           CAST(l_distinct < {_Q291_L} AS INT) AS violates_l,
+           {o_rnd('CAST(max_sensitive AS DOUBLE) / class_size', 6)} AS top_sensitive_share
+    FROM cls
+    """,
+)
+def q291_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (l=2), the attack q228's k-anonymity misses:
+    a class can hold 50 people and still leak if they ALL share the
+    same sensitive value (here market segment) — homogeneity makes
+    re-identification unnecessary. Emits per-class distinct-sensitive
+    counts, the violation flag, and the top sensitive value's share
+    (the probabilistic-disclosure risk even when l passes).
+
+    One window + one groupBy over the generalized tuple — same cost
+    law as q228; together they form the release gate."""
+    c = table(spark, sf_dir, "customer")
+    q = c.select(
+        F.col("c_nationkey").alias("nation"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_bucket"),
+        F.col("c_mktsegment").alias("sensitive"),
+    )
+    wcl = W.partitionBy("nation", "bal_bucket", "sensitive")
+    cls = (
+        q.withColumn("cnt", F.count("*").over(wcl))
+        .groupBy("nation", "bal_bucket")
+        .agg(
+            F.count("*").cast("long").alias("class_size"),
+            F.countDistinct("sensitive").cast("long").alias("l_distinct"),
+            F.max("cnt").cast("long").alias("max_sensitive"),
+        )
+    )
+    return cls.select(
+        "nation",
+        "bal_bucket",
+        "class_size",
+        "l_distinct",
+        (F.col("l_distinct") < _Q291_L).cast("int").alias("violates_l"),
+        prnd(
+            F.col("max_sensitive").cast("double") / F.col("class_size"), 6
+        ).alias("top_sensitive_share"),
+    )

@@ -1539,3 +1539,154 @@ def q264_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q292 code-switching / language-mix detection per document
+# ---------------------------------------------------------------------------
+
+
+def _q292_oracle() -> str:
+    langs = sorted(LANG_MARKERS)
+    scores = ",\n             ".join(
+        f"len(list_filter(toks, t -> t IN {_in_list(LANG_MARKERS[lang])})) AS s_{lang}"
+        for lang in langs
+    )
+    nonzero = " + ".join(
+        f"CASE WHEN s_{lang} > 0 THEN 1 ELSE 0 END" for lang in langs
+    )
+    total = " + ".join(f"s_{lang}" for lang in langs)
+    top = f"greatest({', '.join(f's_{lang}' for lang in langs)})"
+    return f"""
+    WITH d AS (SELECT doc_id, lang AS label, {_TOKS_SQL} AS toks FROM documents),
+    sc AS (
+      SELECT doc_id, label,
+             {scores}
+      FROM d
+    )
+    SELECT doc_id, label,
+           CAST(({nonzero}) AS INTEGER) AS n_langs_hit,
+           CAST(({total}) AS BIGINT) AS n_marker_toks,
+           {o_rnd(f'CASE WHEN ({total}) > 0 THEN 1.0 - CAST({top} AS DOUBLE) / ({total}) ELSE 0.0 END', 6)} AS mix_score,
+           CAST(({nonzero}) >= 2 AND ({total}) >= 4 AS INT) AS is_code_switched
+    FROM sc
+    """
+
+
+@query("q292_code_switching", oracle=_q292_oracle())
+def q292_code_switching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switching detection: documents whose marker tokens hit
+    TWO OR MORE language inventories (with a minimum marker count),
+    scored by the share of markers OUTSIDE the dominant language —
+    the corpus screen that catches mixed-language pages a single
+    argmax label (q41) silently mislabels, which matters because
+    mixed documents poison per-language training mixtures (q88).
+
+    Same marker machinery as the q41 classifier, evaluated per
+    document as pure array HOFs — zero shuffle, one scan."""
+    d = table(spark, sf_dir, "documents")
+    langs = sorted(LANG_MARKERS)
+    toks = tokens("text")
+    base = spread_small_scan(d).select(
+        "doc_id", F.col("lang").alias("label"), toks.alias("toks")
+    )
+    def _marker_filter(markers):
+        return lambda t: F.array_contains(markers, t)
+
+    for lang in langs:
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        base = base.withColumn(
+            f"s_{lang}",
+            F.size(F.filter(F.col("toks"), _marker_filter(markers))),
+        )
+    nonzero = None
+    total = None
+    for lang in langs:
+        nz = (F.col(f"s_{lang}") > 0).cast("int")
+        nonzero = nz if nonzero is None else nonzero + nz
+        total = (
+            F.col(f"s_{lang}")
+            if total is None
+            else total + F.col(f"s_{lang}")
+        )
+    top = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
+    return base.select(
+        "doc_id",
+        "label",
+        nonzero.cast("int").alias("n_langs_hit"),
+        total.cast("long").alias("n_marker_toks"),
+        prnd(
+            F.when(
+                total > 0, 1.0 - top.cast("double") / total
+            ).otherwise(0.0),
+            6,
+        ).alias("mix_score"),
+        ((nonzero >= 2) & (total >= 4)).cast("int").alias(
+            "is_code_switched"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q293 data-contract fill rates per source
+# ---------------------------------------------------------------------------
+
+_Q293_MIN_CHARS = 40  # contract: documents shorter than this are "thin"
+
+
+@query(
+    "q293_contract_fill_rates",
+    oracle=f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {o_rnd("avg(CASE WHEN text IS NULL OR text = '' THEN 1.0 ELSE 0.0 END)", 6)} AS empty_text_rate,
+           {o_rnd("avg(CASE WHEN lang IS NULL OR lang = '' THEN 1.0 ELSE 0.0 END)", 6)} AS missing_lang_rate,
+           {o_rnd(f'avg(CASE WHEN n_chars < {_Q293_MIN_CHARS} THEN 1.0 ELSE 0.0 END)', 6)} AS thin_doc_rate,
+           {o_rnd('avg(CASE WHEN CAST(length(text) AS BIGINT) = n_chars THEN 1.0 ELSE 0.0 END)', 6)} AS n_chars_consistency
+    FROM documents GROUP BY source
+    """,
+)
+def q293_contract_fill_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract monitor per SOURCE: empty-text rate, missing
+    language tags, thin-document share, and the n_chars-vs-length
+    consistency check — the per-supplier scorecard that turns 'the
+    corpus got worse' into 'source X started shipping empty bodies
+    on Tuesday' (q199 profiles columns globally; contracts are
+    enforced per PRODUCER).
+
+    One conditional aggregate per source — each contract clause is a
+    CASE expression riding the same partial-agg groupBy."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        prnd(
+            F.avg(
+                F.when(
+                    F.col("text").isNull() | (F.col("text") == ""), 1.0
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("empty_text_rate"),
+        prnd(
+            F.avg(
+                F.when(
+                    F.col("lang").isNull() | (F.col("lang") == ""), 1.0
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("missing_lang_rate"),
+        prnd(
+            F.avg(
+                F.when(F.col("n_chars") < _Q293_MIN_CHARS, 1.0).otherwise(0.0)
+            ),
+            6,
+        ).alias("thin_doc_rate"),
+        prnd(
+            F.avg(
+                F.when(
+                    F.length("text").cast("long") == F.col("n_chars"), 1.0
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("n_chars_consistency"),
+    )
