@@ -668,3 +668,65 @@ def ewma_volatility(candles: DataFrame, lam: float = EWMA_LAMBDA) -> DataFrame:
         return pdf
 
     return candles.groupBy("id").applyInPandas(kernel, schema=out_schema)
+
+
+HW_ALPHA, HW_BETA, HW_GAMMA, HW_PERIOD = 0.3, 0.1, 0.2, 7
+
+
+def holt_winters_additive(candles: DataFrame) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing) per id,
+    weekly period m=7: level/trend as in Holt (q100) plus a seasonal
+    state vector updated one slot per step — the classical seasonal
+    forecaster (Winters 1960). Init: level = mean of the first m
+    closes, trend = 0, seasonals = first-m deviations from that mean;
+    the recursion starts at t = m+1 and earlier rows emit NULLs.
+
+    Same grouped-map kernel law as EMA/Holt/Kalman: one id-shuffle,
+    O(rows) sequential state per key, m extra floats of state."""
+    in_schema = candles.schema
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in in_schema
+    )
+    out_schema = (
+        out_fields
+        + ", hw_level double, hw_trend double, hw_season double,"
+        + " hw_forecast double"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        m = HW_PERIOD
+        pdf = pdf.sort_values("dt").reset_index(drop=True)
+        x = pdf["close"].astype("float64").to_numpy()
+        n = len(x)
+        lvl_o = np.full(n, np.nan)
+        tr_o = np.full(n, np.nan)
+        se_o = np.full(n, np.nan)
+        fc_o = np.full(n, np.nan)
+        if n > m:
+            lvl = float(np.mean(x[:m]))
+            tr = 0.0
+            season = [float(x[i]) - lvl for i in range(m)]
+            for t in range(m, n):
+                s_prev = season[0]
+                fc_o[t] = lvl + tr + s_prev
+                new_l = HW_ALPHA * (float(x[t]) - s_prev) + (
+                    1.0 - HW_ALPHA
+                ) * (lvl + tr)
+                tr = HW_BETA * (new_l - lvl) + (1.0 - HW_BETA) * tr
+                s_new = HW_GAMMA * (float(x[t]) - new_l) + (
+                    1.0 - HW_GAMMA
+                ) * s_prev
+                lvl = new_l
+                season = season[1:] + [s_new]
+                lvl_o[t] = lvl
+                tr_o[t] = tr
+                se_o[t] = s_new
+        pdf["hw_level"] = pd.Series(lvl_o, dtype="float64")
+        pdf["hw_trend"] = pd.Series(tr_o, dtype="float64")
+        pdf["hw_season"] = pd.Series(se_o, dtype="float64")
+        pdf["hw_forecast"] = pd.Series(fc_o, dtype="float64")
+        return pdf
+
+    return candles.groupBy("id").applyInPandas(kernel, schema=out_schema)

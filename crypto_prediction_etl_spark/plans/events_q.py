@@ -4819,3 +4819,230 @@ def q295_interarrival_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
         prnd(F.max(g_s), 4).alias("max_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q296 deterministic permutation test (hash sign-flip resampling)
+# ---------------------------------------------------------------------------
+
+_Q296_PERMS = 64
+
+
+@query(
+    "q296_permutation_test",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS grp, avg(value) AS y
+      FROM events GROUP BY user_id
+    ),
+    obs AS (
+      SELECT avg(CASE WHEN grp = 1 THEN y END)
+             - avg(CASE WHEN grp = 0 THEN y END) AS d_obs
+      FROM u
+    ),
+    perms AS (
+      SELECT p.p,
+             avg(CASE WHEN ({o_hash64("CAST(u.user_id AS VARCHAR) || '#' || CAST(p.p AS VARCHAR)")}) % 2 = 1 THEN u.y END)
+             - avg(CASE WHEN ({o_hash64("CAST(u.user_id AS VARCHAR) || '#' || CAST(p.p AS VARCHAR)")}) % 2 = 0 THEN u.y END) AS d_perm
+      FROM u CROSS JOIN (SELECT unnest(range(1, {_Q296_PERMS + 1})) AS p) p
+      GROUP BY p.p
+    )
+    SELECT CAST((SELECT count(*) FROM u) AS BIGINT) AS n_units,
+           {o_rnd('any_value(obs.d_obs)', 6)} AS observed_diff,
+           CAST(sum(CASE WHEN abs(perms.d_perm) >= abs(obs.d_obs) THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+           {o_rnd(f'(sum(CASE WHEN abs(perms.d_perm) >= abs(obs.d_obs) THEN 1.0 ELSE 0.0 END) + 1.0) / ({_Q296_PERMS} + 1.0)', 6)} AS p_value
+    FROM perms CROSS JOIN obs
+    """,
+)
+def q296_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test of the A/B mean difference with DETERMINISTIC
+    resampling: 64 pseudo-permutations reassign each user to a group
+    by hashing (user, perm_id), and the p-value is the share of
+    permuted |differences| at least as extreme as observed (with the
+    +1 smoothing of Phipson & Smyth) — distribution-free inference
+    that q168's Welch t buys only under normality, reproducible
+    run-over-run because the 'randomness' is the portable hash.
+
+    Permutations explode the USER-grain table (units x 64, not
+    events x 64); each permuted statistic is one conditional
+    aggregate — resampling as a groupBy, no driver loop."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        (F.col("user_id") % 2).alias("grp"), F.avg("value").alias("y")
+    ).select("user_id", "grp", "y")
+    obs = u.agg(
+        (
+            F.avg(F.when(F.col("grp") == 1, F.col("y")))
+            - F.avg(F.when(F.col("grp") == 0, F.col("y")))
+        ).alias("d_obs")
+    )
+    perms = (
+        u.select(
+            "user_id",
+            "y",
+            F.explode(F.sequence(F.lit(1), F.lit(_Q296_PERMS))).alias("p"),
+        )
+        .select(
+            "p",
+            "y",
+            (
+                hash64(
+                    F.concat(
+                        F.col("user_id").cast("string"),
+                        F.lit("#"),
+                        F.col("p").cast("string"),
+                    )
+                )
+                % 2
+            ).alias("pg"),
+        )
+        .groupBy("p")
+        .agg(
+            (
+                F.avg(F.when(F.col("pg") == 1, F.col("y")))
+                - F.avg(F.when(F.col("pg") == 0, F.col("y")))
+            ).alias("d_perm")
+        )
+    )
+    n_units = u.agg(F.count("*").cast("long").alias("n_units"))
+    extreme = (F.abs(F.col("d_perm")) >= F.abs(F.col("d_obs"))).cast("int")
+    return (
+        perms.crossJoin(F.broadcast(obs))
+        .crossJoin(F.broadcast(n_units))
+        .agg(
+            F.first("n_units").alias("n_units"),
+            prnd(F.first("d_obs"), 6).alias("observed_diff"),
+            F.sum(extreme).cast("long").alias("n_extreme"),
+            prnd(
+                (F.sum(extreme) + 1.0) / (_Q296_PERMS + 1.0), 6
+            ).alias("p_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q297 identity-graph component size distribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q297_component_sizes",
+    oracle=f"""
+    WITH uk AS (
+      SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    ),
+    rare AS (
+      SELECT k FROM uk GROUP BY k
+      HAVING count(*) BETWEEN 2 AND {_Q281_MAX_SHARERS}
+    ),
+    edges0 AS (
+      SELECT a.user_id AS ua, b.user_id AS ub
+      FROM uk a JOIN rare USING (k) JOIN uk b USING (k)
+      WHERE b.user_id <> a.user_id
+    ),
+    edges AS (SELECT DISTINCT ua, ub FROM edges0),
+    lbl0 AS (SELECT DISTINCT user_id, user_id AS lbl FROM uk)
+    {"".join(_q281_round_sql(r) for r in range(1, _Q281_ROUNDS + 1))},
+    comp AS (
+      SELECT lbl AS root, CAST(count(*) AS BIGINT) AS size
+      FROM lbl{_Q281_ROUNDS} GROUP BY lbl
+    )
+    SELECT size AS component_size,
+           CAST(count(*) AS BIGINT) AS n_components,
+           CAST(size * count(*) AS BIGINT) AS n_users_covered
+    FROM comp GROUP BY size
+    """,
+)
+def q297_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity-graph health: the component SIZE DISTRIBUTION after
+    q281's label propagation — singleton count (unlinked users), the
+    typical merge size, and whether a mega-component formed (the
+    classic ER failure: one over-shared attribute value snowballs
+    half the user base into a single 'identity', which is why the
+    rare-value block filter exists). The histogram is the one-line
+    check that the blocking rule held.
+
+    Reuses the q281 machinery and adds two tiny groupBys over the
+    label table."""
+    lbl = q281_identity_resolution(spark, sf_dir).select(
+        "user_id", F.col("identity_root").alias("lbl")
+    )
+    comp = lbl.groupBy("lbl").agg(F.count("*").cast("long").alias("size"))
+    return comp.groupBy(F.col("size").alias("component_size")).agg(
+        F.count("*").cast("long").alias("n_components"),
+        (F.col("component_size") * F.count("*"))
+        .cast("long")
+        .alias("n_users_covered"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q298 cache-size planner (ideal-LFU hit rates from the access histogram)
+# ---------------------------------------------------------------------------
+
+_Q298_SIZES = (10, 25, 50, 100)
+
+
+def _q298_oracle() -> str:
+    rows = ", ".join(f"({c})" for c in _Q298_SIZES)
+    return f"""
+    WITH acc AS (
+      SELECT user_id AS item, CAST(count(*) AS BIGINT) AS n_acc
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT item, n_acc,
+             row_number() OVER (ORDER BY n_acc DESC, item) AS rk,
+             sum(n_acc) OVER () AS total
+      FROM acc
+    ),
+    cfg(c) AS (VALUES {rows})
+    SELECT CAST(cfg.c AS INTEGER) AS cache_size,
+           CAST(count(*) AS BIGINT) AS n_cached_items,
+           CAST(sum(r.n_acc) AS BIGINT) AS hits,
+           {o_rnd('sum(r.n_acc) / any_value(CAST(r.total AS DOUBLE))', 6)} AS hit_rate
+    FROM cfg JOIN ranked r ON r.rk <= cfg.c
+    GROUP BY cfg.c
+    """
+
+
+@query("q298_cache_planner", oracle=_q298_oracle())
+def q298_cache_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cache-size planning from the access histogram: the ideal-LFU
+    hit rate at 10/25/50/100 cached keys (share of accesses landing
+    on the top-C hottest items) — the upper bound any LRU/LFU
+    implementation can reach, read straight off the key-frequency
+    curve. Where the curve flattens is where more cache stops paying;
+    the broadcast-dimension and hot-key-salting decisions (q96/q111)
+    are this same curve read at cluster scale.
+
+    One groupBy to the access histogram, one rank window over ITEMS,
+    a 4-row config join — the planner never rescans accesses."""
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    acc = ev.groupBy(F.col("user_id").alias("item")).agg(
+        F.count("*").cast("long").alias("n_acc")
+    )
+    whole = W.orderBy(F.col("n_acc").desc(), "item").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    ranked = acc.select(
+        "item",
+        "n_acc",
+        F.row_number()
+        .over(W.orderBy(F.col("n_acc").desc(), "item"))
+        .alias("rk"),
+        F.sum("n_acc").over(whole).alias("total"),
+    )
+    cfg = spark.createDataFrame([(c,) for c in _Q298_SIZES], "c INT")
+    j = F.broadcast(cfg).join(ranked, ranked.rk <= cfg.c)
+    return j.groupBy(F.col("c").cast("int").alias("cache_size")).agg(
+        F.count("*").cast("long").alias("n_cached_items"),
+        F.sum("n_acc").cast("long").alias("hits"),
+        prnd(
+            F.sum("n_acc") / F.first(F.col("total").cast("double")), 6
+        ).alias("hit_rate"),
+    )

@@ -4599,3 +4599,189 @@ def q288_stale_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("stale_share"),
         F.max("run_len").cast("long").alias("max_run"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q299 Holt-Winters additive seasonal smoothing (weekly period)
+# ---------------------------------------------------------------------------
+
+
+def _q299_oracle() -> str:
+    from ..operators.indicators import HW_ALPHA, HW_BETA, HW_GAMMA, HW_PERIOD
+
+    a, b, g, m = HW_ALPHA, HW_BETA, HW_GAMMA, HW_PERIOD
+    return f"""
+    WITH RECURSIVE candles AS ({CANDLES_SQL}),
+    c AS MATERIALIZED (
+      SELECT id, dt, close, row_number() OVER ({_WIN}) AS rn FROM candles
+    ),
+    init AS (
+      SELECT id, avg(close) AS l0,
+             list(close - l ORDER BY rn) AS s0
+      FROM (
+        SELECT id, rn, close,
+               avg(close) OVER (PARTITION BY id) AS l
+        FROM c WHERE rn <= {m}
+      ) GROUP BY id
+    ),
+    r AS (
+      SELECT id, CAST({m} AS BIGINT) AS rn,
+             l0 AS l, CAST(0.0 AS DOUBLE) AS b, s0 AS season,
+             CAST(NULL AS DOUBLE) AS s_emit, CAST(NULL AS DOUBLE) AS fc
+      FROM init
+      UNION ALL
+      SELECT id, rn, new_l AS l,
+             {b} * (new_l - l) + (1.0 - {b}) * b AS b,
+             list_append(season[2:{m}], {g} * (x - new_l) + (1.0 - {g}) * season[1]) AS season,
+             {g} * (x - new_l) + (1.0 - {g}) * season[1] AS s_emit,
+             l + b + season[1] AS fc
+      FROM (
+        SELECT c.id, c.rn, c.close AS x, p.l, p.b, p.season,
+               {a} * (c.close - p.season[1]) + (1.0 - {a}) * (p.l + p.b) AS new_l
+        FROM r p JOIN c ON c.id = p.id AND c.rn = p.rn + 1
+      )
+    )
+    SELECT r.id, c.dt,
+           {o_rnd('r.l', 4)} AS hw_level,
+           {o_rnd('r.b', 4)} AS hw_trend,
+           {o_rnd('r.s_emit', 4)} AS hw_season,
+           {o_rnd('r.fc', 4)} AS hw_forecast
+    FROM r JOIN c ON c.id = r.id AND c.rn = r.rn
+    WHERE r.s_emit IS NOT NULL
+    """
+
+
+@query("q299_holt_winters", oracle=_q299_oracle())
+def q299_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters with weekly seasonality (alpha=.3,
+    beta=.1, gamma=.2, m=7): level + trend + a rotating 7-slot
+    seasonal state, emitting the one-step-ahead forecast — the
+    seasonal forecaster that closes the smoothing ladder
+    EMA (q37) -> Holt (q100) -> Holt-Winters, and the model q260's
+    MASE baseline exists to beat.
+
+    The seasonal state makes the recursion vector-valued: the pandas
+    kernel carries m floats per key (operators.indicators
+    .holt_winters_additive), and the oracle's recursive CTE carries
+    the SAME state as a LIST column, shifted one slot per step — a
+    vector-state recurrence hash-checked bit-for-bit."""
+    from ..operators.indicators import holt_winters_additive
+
+    out = holt_winters_additive(candles(spark, sf_dir))
+    return out.filter(
+        F.col("hw_season").isNotNull() & ~F.isnan("hw_season")
+    ).select(
+        "id",
+        "dt",
+        prnd("hw_level", 4).alias("hw_level"),
+        prnd("hw_trend", 4).alias("hw_trend"),
+        prnd("hw_season", 4).alias("hw_season"),
+        prnd("hw_forecast", 4).alias("hw_forecast"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q300 momentum strategy backtest (leak-free monthly rebalance)
+# ---------------------------------------------------------------------------
+
+_Q300_LOOKBACK = 3  # signal: trailing 3-month return
+_Q300_TOP = 2  # hold the top-2 symbols
+
+
+def _q300_oracle() -> str:
+    mw = "PARTITION BY id ORDER BY mon"
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    mc AS (
+      SELECT id, strftime(date_trunc('month', dt), '%Y-%m') AS mon,
+             max_by(close, dt) AS close
+      FROM candles GROUP BY id, date_trunc('month', dt)
+    ),
+    mr AS (
+      SELECT id, mon, close,
+             close / lag(close) OVER ({mw}) - 1.0 AS ret,
+             lag(close, 1) OVER ({mw})
+               / lag(close, {_Q300_LOOKBACK + 1}) OVER ({mw}) - 1.0 AS signal
+      FROM mc
+    ),
+    sel AS (
+      SELECT id, mon, ret, signal,
+             row_number() OVER (PARTITION BY mon
+                                ORDER BY signal DESC, id) AS rk,
+             count(signal) OVER (PARTITION BY mon) AS n_sig
+      FROM mr WHERE ret IS NOT NULL AND signal IS NOT NULL
+    ),
+    monthly AS (
+      SELECT mon,
+             {o_rnd(f'avg(CASE WHEN rk <= {_Q300_TOP} THEN ret END)', 6)} AS strat_ret,
+             {o_rnd('avg(ret)', 6)} AS bench_ret
+      FROM sel WHERE n_sig >= {_Q300_TOP}
+      GROUP BY mon
+    )
+    SELECT mon,
+           strat_ret,
+           bench_ret,
+           {o_rnd("sum(ln(1.0 + strat_ret)) OVER (ORDER BY mon ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 6)} AS strat_log_equity,
+           {o_rnd("sum(ln(1.0 + bench_ret)) OVER (ORDER BY mon ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 6)} AS bench_log_equity
+    FROM monthly
+    """
+
+
+@query("q300_momentum_backtest", oracle=_q300_oracle())
+def q300_momentum_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sectional momentum backtest, the capstone the
+    reference's prediction warehouse feeds: each month, rank symbols
+    by their trailing 3-month return AS OF THE PRIOR MONTH-END (both
+    lags start at lag-1, so the signal never sees the month it
+    trades — the leak-freedom q172's feature matrix enforces
+    row-wise, enforced here at the REBALANCE boundary), hold the
+    top 2 equal-weighted, and compound both the strategy and the
+    equal-weight benchmark into LOG equity curves (log space keeps
+    long-horizon compounding on an fp-stable magnitude).
+
+    Month-end closes via max_by, signals and selection as windows on
+    the tiny monthly panel, compounding as exp-sum-log (exact given
+    the rounded monthly returns) — a full backtest in three windows
+    and two groupBys, no driver loop."""
+    c = candles(spark, sf_dir)
+    mc = c.groupBy(
+        "id",
+        F.date_format(F.date_trunc("month", "dt"), "yyyy-MM").alias("mon"),
+    ).agg(F.max_by("close", "dt").alias("close"))
+    mw = W.partitionBy("id").orderBy("mon")
+    mr = mc.select(
+        "id",
+        "mon",
+        (F.col("close") / F.lag("close").over(mw) - 1.0).alias("ret"),
+        (
+            F.lag("close", 1).over(mw)
+            / F.lag("close", _Q300_LOOKBACK + 1).over(mw)
+            - 1.0
+        ).alias("signal"),
+    ).filter(F.col("ret").isNotNull() & F.col("signal").isNotNull())
+    sel = mr.select(
+        "mon",
+        "ret",
+        F.row_number()
+        .over(W.partitionBy("mon").orderBy(F.col("signal").desc(), "id"))
+        .alias("rk"),
+        F.count("signal").over(W.partitionBy("mon")).alias("n_sig"),
+    ).filter(F.col("n_sig") >= _Q300_TOP)
+    monthly = sel.groupBy("mon").agg(
+        prnd(
+            F.avg(F.when(F.col("rk") <= _Q300_TOP, F.col("ret"))), 6
+        ).alias("strat_ret"),
+        prnd(F.avg("ret"), 6).alias("bench_ret"),
+    )
+    cum = W.orderBy("mon").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return monthly.select(
+        "mon",
+        "strat_ret",
+        "bench_ret",
+        prnd(
+            F.sum(F.log(1.0 + F.col("strat_ret"))).over(cum), 6
+        ).alias("strat_log_equity"),
+        prnd(
+            F.sum(F.log(1.0 + F.col("bench_ret"))).over(cum), 6
+        ).alias("bench_log_equity"),
+    )
