@@ -742,9 +742,26 @@ def q270_lsh_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the hash gate is the point."""
     from pyspark.sql import Window as W
 
-    cfg = spark.createDataFrame(_Q270_SPLITS, "b INT, r INT")
-    grid = spark.createDataFrame(
-        [(s,) for s in _Q270_GRID], "s DOUBLE"
+    # literal frames as LocalRelations (explode of literal arrays):
+    # a parallelized-RDD createDataFrame would schedule parallelism^2
+    # empty tasks through the cross product
+    cfg = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("b"),
+                        F.lit(r).cast("int").alias("r"),
+                    )
+                    for b, r in _Q270_SPLITS
+                ]
+            )
+        ).alias("x")
+    ).select("x.*")
+    grid = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(s).cast("double") for s in _Q270_GRID])
+        ).alias("s")
     )
     curve = cfg.crossJoin(grid).select(
         "b",
