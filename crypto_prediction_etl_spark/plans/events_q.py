@@ -5046,3 +5046,159 @@ def q298_cache_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_acc") / F.first(F.col("total").cast("double")), 6
         ).alias("hit_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q301 max-min fair-share allocation (water-filling, closed form)
+# ---------------------------------------------------------------------------
+
+_Q301_CAP_FRAC = 0.5  # capacity = half the total demand (rationing always on)
+
+
+@query(
+    "q301_fair_share",
+    oracle=f"""
+    WITH demand AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS d
+      FROM events GROUP BY user_id
+    ),
+    cap AS (SELECT floor(sum(d) * {_Q301_CAP_FRAC}) AS c FROM demand),
+    ranked AS (
+      SELECT user_id, d, (SELECT c FROM cap) AS c,
+             row_number() OVER (ORDER BY d, user_id) AS rk,
+             count(*) OVER () AS n,
+             sum(d) OVER (ORDER BY d, user_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM demand
+    ),
+    lvl AS (
+      SELECT max(CAST(c - (cum - d) AS DOUBLE) / (n - rk + 1)) AS water
+      FROM ranked
+      WHERE CAST(c - (cum - d) AS DOUBLE) / (n - rk + 1) >= d
+    ),
+    alloc AS (
+      SELECT r.user_id, r.d,
+             least(CAST(r.d AS DOUBLE),
+                   coalesce(l.water, CAST(r.c AS DOUBLE) / r.n)) AS share
+      FROM ranked r CROSS JOIN lvl l
+    )
+    SELECT user_id, d AS demand,
+           {o_rnd('share', 4)} AS allocation,
+           CAST(share >= d AS INT) AS fully_served
+    FROM alloc
+    """,
+)
+def q301_fair_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min fair allocation of a capacity budget (half the total
+    demand, so rationing is always active) across competing users
+    (water-filling): everyone below the water level gets their
+    full demand, everyone above gets exactly the level, and the level
+    is the highest value the budget supports — the scheduler math
+    behind multi-tenant rate limits and shuffle-slot sharing, solved
+    in CLOSED FORM: sort demands ascending and take the max feasible
+    level (capacity - smaller-demands-served) / remaining-users over
+    prefixes where the level still covers the boundary demand.
+
+    The iterative water-filling loop becomes one sort window + one
+    filtered max over the user-grain demand table — another
+    fixpoint-to-closed-form conversion (q192's Gini, q233's weighted
+    median are the same move)."""
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    demand = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("d")
+    )
+    cap = demand.agg(F.floor(F.sum("d") * _Q301_CAP_FRAC).alias("c"))
+    byd = W.orderBy("d", "user_id")
+    whole = byd.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    cum = byd.rowsBetween(W.unboundedPreceding, W.currentRow)
+    ranked = demand.crossJoin(F.broadcast(cap)).select(
+        "user_id",
+        "d",
+        "c",
+        F.row_number().over(byd).alias("rk"),
+        F.count("*").over(whole).alias("n"),
+        F.sum("d").over(cum).alias("cum"),
+    )
+    level = (
+        (F.col("c") - (F.col("cum") - F.col("d"))).cast("double")
+        / (F.col("n") - F.col("rk") + 1)
+    )
+    lvl = ranked.filter(level >= F.col("d")).agg(
+        F.max(level).alias("water")
+    )
+    alloc = ranked.crossJoin(F.broadcast(lvl)).select(
+        "user_id",
+        "d",
+        F.least(
+            F.col("d").cast("double"),
+            F.coalesce(
+                F.col("water"), F.col("c").cast("double") / F.col("n")
+            ),
+        ).alias("share"),
+    )
+    return alloc.select(
+        "user_id",
+        F.col("d").alias("demand"),
+        prnd("share", 4).alias("allocation"),
+        (F.col("share") >= F.col("d")).cast("int").alias("fully_served"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q302 tail attribution (who drives the global P99)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q302_p99_attribution",
+    oracle=f"""
+    WITH fence AS (
+      SELECT quantile_cont(value, 0.99) AS p99 FROM events
+    ),
+    tail AS (
+      SELECT e.event_type, e.value
+      FROM events e CROSS JOIN fence f
+      WHERE e.value > f.p99
+    ),
+    t AS (SELECT CAST(count(*) AS DOUBLE) AS n_tail FROM tail)
+    SELECT tail.event_type,
+           CAST(count(*) AS BIGINT) AS n_tail_events,
+           {o_rnd('count(*) / any_value(t.n_tail)', 6)} AS tail_share,
+           {o_rnd('avg(tail.value)', 4)} AS avg_tail_value
+    FROM tail CROSS JOIN t
+    GROUP BY tail.event_type
+    """,
+)
+def q302_p99_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail attribution: which event types own the global P99 —
+    the question an SLO breach postmortem actually asks (the p99
+    moved: WHOSE traffic is in the tail?). Complements q295 (per-type
+    tails) by slicing the one GLOBAL tail by contributor.
+
+    Exact global fence once (scalar broadcast), map-side tail filter,
+    one small groupBy — attribution costs one extra scan of the tail
+    slice only."""
+    ev = table(spark, sf_dir, "events")
+    fence = ev.agg(F.expr("percentile(value, 0.99)").alias("p99"))
+    tail = ev.crossJoin(F.broadcast(fence)).filter(
+        F.col("value") > F.col("p99")
+    )
+    t = tail.agg(F.count("*").cast("double").alias("n_tail"))
+    return (
+        tail.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_tail_events"),
+            F.avg("value").alias("_avg"),
+        )
+        .crossJoin(F.broadcast(t))
+        .select(
+            "event_type",
+            "n_tail_events",
+            prnd(F.col("n_tail_events") / F.col("n_tail"), 6).alias(
+                "tail_share"
+            ),
+            prnd("_avg", 4).alias("avg_tail_value"),
+        )
+    )

@@ -1905,3 +1905,68 @@ def q253_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in out[1:]:
         res = res.unionByName(o)
     return res.select("vec_id", F.col("hop").cast("int").alias("hop"))
+
+
+# ---------------------------------------------------------------------------
+# q303 per-label covariance matrices (whitening inputs, d x d per class)
+# ---------------------------------------------------------------------------
+
+_Q303_DIMS = 8  # leading subspace materialized (full d x d = same plan)
+
+
+@query(
+    "q303_covariance_matrix",
+    oracle=f"""
+    WITH {_VECS_CTE},
+    cells AS (
+      SELECT label, gi.i AS i, gj.j AS j,
+             v[gi.i] AS xi, v[gj.j] AS xj
+      FROM e
+      CROSS JOIN (SELECT unnest(range(1, {_Q303_DIMS + 1})) AS i) gi
+      CROSS JOIN (SELECT unnest(range(1, {_Q303_DIMS + 1})) AS j) gj
+      WHERE gj.j >= gi.i
+    )
+    SELECT label, CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+           CAST(count(*) AS BIGINT) AS n,
+           {o_rnd('avg(xi * xj) - avg(xi) * avg(xj)', 6)} AS cov
+    FROM cells GROUP BY label, i, j
+    """,
+)
+def q303_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class covariance matrix materialization (upper triangle of
+    the leading 8x8 subspace; the full d x d runs the identical
+    plan): the input every whitening / Mahalanobis / LDA step needs —
+    q212 used the DIAGONAL only; the off-diagonal cells are what
+    catch correlated drift between embedding dimensions.
+
+    The matrix is an outer-product aggregation (q210's covariance
+    law, done per label): each vector explodes its dim-pair grid
+    map-side, and one partial-agg groupBy reduces (label, i, j)
+    cells — data crosses the shuffle as d^2 running sums per label,
+    never as vectors. Symmetry halves the explode."""
+    vecs = _vecs(spark, sf_dir)
+    pairs = vecs.select(
+        "label",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(_Q303_DIMS))
+        ).alias("i"),
+        "v",
+    ).select(
+        "label",
+        "i",
+        F.explode(F.sequence(F.col("i"), F.lit(_Q303_DIMS))).alias("j"),
+        F.element_at("v", F.col("i")).alias("xi"),
+        F.element_at("v", F.col("j")).alias("xj"),
+    )
+    return pairs.groupBy(
+        "label",
+        F.col("i").cast("int").alias("i"),
+        F.col("j").cast("int").alias("j"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        prnd(
+            F.avg(F.col("xi") * F.col("xj"))
+            - F.avg("xi") * F.avg("xj"),
+            6,
+        ).alias("cov"),
+    )

@@ -384,3 +384,23 @@ def test_bpe_round_matches_sequential_merge(spark):
     assert (r1.a, r1.b) == ("x", "x") and r1.n_occ == exp_occ
     expected = sum(seq_merge_count(t.split(" "), "x", "x") for t in texts)
     assert r1.n_merges == expected, (r1.n_merges, expected)
+
+
+def test_fair_share_conserves_capacity(spark, sf_dir):
+    """q301: when total demand exceeds capacity, allocations must sum
+    to (almost exactly) the capacity, never exceed any demand, and be
+    monotone in demand."""
+    from crypto_prediction_etl_spark.plans import registry
+    from crypto_prediction_etl_spark.plans.registry import QUERIES
+
+    registry.load_all()
+    rows = QUERIES["q301_fair_share"](spark, sf_dir).collect()
+    total_alloc = sum(r.allocation for r in rows)
+    total_demand = sum(r.demand for r in rows)
+    capacity = total_demand // 2  # q301 derives capacity as half demand
+    assert total_demand > capacity  # rationing must be active
+    assert abs(total_alloc - capacity) < 1.0, (total_alloc, capacity)
+    assert all(r.allocation <= r.demand + 1e-9 for r in rows)
+    by_demand = sorted(rows, key=lambda r: (r.demand, r.user_id))
+    allocs = [r.allocation for r in by_demand]
+    assert all(a <= b + 1e-9 for a, b in zip(allocs, allocs[1:]))
