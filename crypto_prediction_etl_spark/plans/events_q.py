@@ -5202,3 +5202,115 @@ def q302_p99_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             prnd("_avg", 4).alias("avg_tail_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q304 absorbing-chain analytics (expected visits before purchase)
+# ---------------------------------------------------------------------------
+
+_Q304_TERMS = 24  # Neumann-series truncation: sum_{k<=24} Q^k
+
+
+def _q304_oracle() -> str:
+    head = f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    q0 AS (
+      SELECT cur, nxt, CAST(count(*) AS DOUBLE)
+             / sum(count(*)) OVER (PARTITION BY cur) AS p
+      FROM seq WHERE nxt IS NOT NULL AND cur <> 'purchase'
+      GROUP BY cur, nxt
+    ),
+    q AS (SELECT cur, nxt, p FROM q0 WHERE nxt <> 'purchase'),
+    n1 AS MATERIALIZED (
+      SELECT cur, nxt, p AS v FROM q
+    ),
+    acc1 AS MATERIALIZED (
+      SELECT cur, nxt, v FROM n1
+    )"""
+    parts = [head]
+    # MATERIALIZED: each term is referenced by both the next term and
+    # the accumulator; default CTE inlining would expand the chain
+    # exponentially
+    for k in range(2, _Q304_TERMS + 1):
+        parts.append(f""",
+    n{k} AS MATERIALIZED (
+      SELECT a.cur, q.nxt, sum(a.v * q.p) AS v
+      FROM n{k - 1} a JOIN q ON q.cur = a.nxt
+      GROUP BY a.cur, q.nxt
+    ),
+    acc{k} AS MATERIALIZED (
+      SELECT cur, nxt, sum(v) AS v FROM (
+        SELECT cur, nxt, v FROM acc{k - 1}
+        UNION ALL SELECT cur, nxt, v FROM n{k}
+      ) GROUP BY cur, nxt
+    )""")
+    parts.append(f"""
+    SELECT cur AS start_state,
+           {{o_rnd}}
+    FROM (
+      SELECT cur, 1.0 + sum(v) AS esteps FROM acc{_Q304_TERMS} GROUP BY cur
+    )
+    """)
+    sql = "".join(parts)
+    return sql.replace(
+        "{o_rnd}", f"{o_rnd('esteps', 4)} AS expected_steps_to_purchase"
+    )
+
+
+@query("q304_absorbing_markov", oracle=_q304_oracle())
+def q304_absorbing_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absorbing-chain analytics: expected number of steps a user
+    takes before the next PURCHASE, from each starting event type —
+    the fundamental-matrix quantity N = (I-Q)^(-1) 1 of the behavior
+    chain (purchase = absorbing state), computed as the truncated
+    Neumann series 1 + sum Q^k 1 (24 terms; the chain's spectral
+    radius makes the tail geometric, same truncation law as the EMA
+    closed-form oracles). Funnel metrics (q114) count who arrives;
+    this says HOW LONG the journey is from every entry point.
+
+    Each series term is one 4x4-matrix join + groupBy (q164's
+    PageRank law); the transition matrix comes from the shared
+    per-user sort. Matrix inversion never happens — iterated tiny
+    equi joins replace linear algebra."""
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(wu).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull() & (F.col("cur") != "purchase"))
+    counts = seq.groupBy("cur", "nxt").agg(F.count("*").alias("c"))
+    tot = W.partitionBy("cur")
+    q0 = counts.select(
+        "cur",
+        "nxt",
+        (F.col("c").cast("double") / F.sum("c").over(tot)).alias("p"),
+    )
+    qm = q0.filter(F.col("nxt") != "purchase").localCheckpoint(eager=True)
+    term = qm.select("cur", "nxt", F.col("p").alias("v"))
+    acc = term
+    for _ in range(2, _Q304_TERMS + 1):
+        term = (
+            term.join(
+                qm.select(
+                    F.col("cur").alias("jc"), F.col("nxt").alias("jn"), "p"
+                ),
+                F.col("nxt") == F.col("jc"),
+            )
+            .groupBy("cur", F.col("jn").alias("nxt2"))
+            .agg(F.sum(F.col("v") * F.col("p")).alias("v"))
+            .select("cur", F.col("nxt2").alias("nxt"), "v")
+        )
+        term = term.localCheckpoint(eager=True)
+        # acc stays lazy: it is a shallow union tree over checkpointed
+        # terms, collapsed by one final groupBy
+        acc = acc.unionByName(term)
+    return acc.groupBy(F.col("cur").alias("start_state")).agg(
+        prnd(1.0 + F.sum("v"), 4).alias("expected_steps_to_purchase")
+    )

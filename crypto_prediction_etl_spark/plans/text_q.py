@@ -1690,3 +1690,64 @@ def q293_contract_fill_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("n_chars_consistency"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q305 term burstiness (Church-Gale: within-document clumping)
+# ---------------------------------------------------------------------------
+
+_Q305_MIN_DF = 5
+
+
+@query(
+    "q305_term_burstiness",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS f
+      FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents)
+      GROUP BY doc_id, term
+    ),
+    s AS (
+      SELECT term,
+             CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(f) AS BIGINT) AS cf,
+             avg(CAST(f AS DOUBLE)) AS mean_in_doc
+      FROM tf GROUP BY term
+      HAVING count(*) >= {_Q305_MIN_DF}
+    )
+    SELECT term, df, cf,
+           {o_rnd('CAST(cf AS DOUBLE) / df', 6)} AS burstiness,
+           CAST(CAST(cf AS DOUBLE) / df > 1.5 AS INT) AS is_bursty
+    FROM s
+    """,
+)
+def q305_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Church & Gale 1995): collection frequency
+    over document frequency — once a word appears in a document it
+    tends to appear AGAIN (content words clump; function words
+    spread), so cf/df far above 1 marks topical terms and cf/df ~ 1
+    marks glue. The corpus-linguistics statistic behind stopword
+    induction and q201's keyword quality, and the per-TERM twin of
+    q213's temporal Fano factor.
+
+    One token-explode groupBy to (doc, term), one groupBy to terms
+    with a min-df support cut — both partial-agg friendly."""
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        spread_small_scan(d)
+        .select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    s = tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("f").cast("long").alias("cf"),
+    ).filter(F.col("df") >= _Q305_MIN_DF)
+    b = F.col("cf").cast("double") / F.col("df")
+    return s.select(
+        "term",
+        "df",
+        "cf",
+        prnd(b, 6).alias("burstiness"),
+        (b > 1.5).cast("int").alias("is_bursty"),
+    )
