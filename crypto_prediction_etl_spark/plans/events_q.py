@@ -5314,3 +5314,86 @@ def q304_absorbing_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acc.groupBy(F.col("cur").alias("start_state")).agg(
         prnd(1.0 + F.sum("v"), 4).alias("expected_steps_to_purchase")
     )
+
+
+# ---------------------------------------------------------------------------
+# q306 population estimation from partial observation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q306_population_estimates",
+    oracle=f"""
+    WITH sample_a AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    ),
+    sample_b AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+    ),
+    tank AS (
+      SELECT max(user_id) AS m, CAST(count(*) AS BIGINT) AS k
+      FROM sample_a
+    ),
+    lp AS (
+      SELECT (SELECT count(*) FROM sample_a) AS na,
+             (SELECT count(*) FROM sample_b) AS nb,
+             (SELECT count(*) FROM sample_a a
+              WHERE EXISTS (SELECT 1 FROM sample_b b
+                            WHERE b.user_id = a.user_id)) AS nab
+    ),
+    truth AS (SELECT count(DISTINCT user_id) AS n_true FROM events)
+    SELECT CAST(truth.n_true AS BIGINT) AS n_true,
+           CAST(lp.na AS BIGINT) AS n_sample_a,
+           CAST(lp.nb AS BIGINT) AS n_sample_b,
+           CAST(lp.nab AS BIGINT) AS n_overlap,
+           {o_rnd('(CAST(lp.na AS DOUBLE) * lp.nb) / lp.nab', 2)} AS lincoln_petersen,
+           {o_rnd('CAST(tank.m AS DOUBLE) + CAST(tank.m AS DOUBLE) / tank.k - 1.0', 2)} AS german_tank
+    FROM truth CROSS JOIN lp CROSS JOIN tank
+    """,
+)
+def q306_population_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-size estimation from PARTIAL observation, two
+    classic estimators side by side with the ground truth: Lincoln-
+    Petersen capture-recapture (two independent samplers — clickers
+    and viewers — estimate the total user base from their overlap:
+    N ~ na*nb/nab) and the German-tank / maximum-spacing estimator
+    (sequential ids: N ~ m + m/k - 1 from the sample maximum). The
+    ops questions these answer daily: how many users does the
+    UNSAMPLED firehose really have; how many ids exist behind a
+    partner's API given the ids we've seen.
+
+    Three distinct-aggregates and a semi-join overlap count — every
+    estimator input is a scalar."""
+    ev = table(spark, sf_dir, "events")
+    sa = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    sb = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    tank = sa.agg(
+        F.max("user_id").alias("m"), F.count("*").cast("long").alias("k")
+    )
+    na = sa.agg(F.count("*").alias("na"))
+    nb = sb.agg(F.count("*").alias("nb"))
+    nab = sa.join(sb, "user_id", "left_semi").agg(
+        F.count("*").alias("nab")
+    )
+    truth = ev.agg(F.countDistinct("user_id").alias("n_true"))
+    j = (
+        truth.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nab))
+        .crossJoin(F.broadcast(tank))
+    )
+    return j.select(
+        F.col("n_true").cast("long").alias("n_true"),
+        F.col("na").cast("long").alias("n_sample_a"),
+        F.col("nb").cast("long").alias("n_sample_b"),
+        F.col("nab").cast("long").alias("n_overlap"),
+        prnd(
+            (F.col("na").cast("double") * F.col("nb")) / F.col("nab"), 2
+        ).alias("lincoln_petersen"),
+        prnd(
+            F.col("m").cast("double")
+            + F.col("m").cast("double") / F.col("k")
+            - 1.0,
+            2,
+        ).alias("german_tank"),
+    )
