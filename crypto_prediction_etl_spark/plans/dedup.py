@@ -883,3 +883,83 @@ def q278_minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd(est, 6).alias("mh_estimate"),
         prnd(F.abs(est - F.col("jaccard")), 6).alias("abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q307 duplicate rate by provenance (which source ships copies)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q307_dup_rate_by_source",
+    oracle=f"""
+    WITH pairs AS ({_minhash_oracle()}),
+    dup_docs AS (
+      SELECT id_a AS doc_id FROM pairs
+      UNION SELECT id_b FROM pairs
+    ),
+    exact_dup AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn > 1
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN ed.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+           CAST(sum(CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+           {o_rnd('avg(CASE WHEN nd.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END)', 6)} AS near_dup_rate
+    FROM documents d
+    LEFT JOIN exact_dup ed ON ed.doc_id = d.doc_id
+    LEFT JOIN dup_docs nd ON nd.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def q307_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate rate by PROVENANCE: per source, how many documents
+    are exact copies (non-canonical md5 twins) and how many sit in a
+    verified near-dup pair — the supplier scorecard that turns
+    corpus-wide dedup stats (q43-q48) into an actionable 'source X
+    ships 30% recycled content' conversation, the same per-producer
+    slicing q293 applies to contracts.
+
+    Both dup sets are memoized/cheap derivations; the rollup is two
+    broadcast membership joins + one groupBy over documents."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = corpus_minhash_pairs(spark, sf_dir, 0.8)
+    dup_docs = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_nd", F.lit(1))
+    )
+    from pyspark.sql import Window as W
+
+    exact_dup = (
+        docs.withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy(F.md5("text")).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("_rn") > 1)
+        .select("doc_id")
+        .withColumn("_ed", F.lit(1))
+    )
+    j = docs.join(F.broadcast(exact_dup), "doc_id", "left").join(
+        F.broadcast(dup_docs), "doc_id", "left"
+    )
+    return j.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("_ed").isNotNull().cast("int"))
+        .cast("long")
+        .alias("n_exact_dup"),
+        F.sum(F.col("_nd").isNotNull().cast("int"))
+        .cast("long")
+        .alias("n_near_dup"),
+        prnd(
+            F.avg(F.col("_nd").isNotNull().cast("double")), 6
+        ).alias("near_dup_rate"),
+    )

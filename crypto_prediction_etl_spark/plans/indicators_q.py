@@ -4785,3 +4785,93 @@ def q300_momentum_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.log(1.0 + F.col("bench_ret"))).over(cum), 6
         ).alias("bench_log_equity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q308 Wald-Wolfowitz runs test (randomness of return signs)
+# ---------------------------------------------------------------------------
+
+
+def _q308_oracle() -> str:
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    r AS (
+      SELECT id, dt,
+             CASE WHEN close > lag(close) OVER ({_WIN}) THEN 1
+                  WHEN close < lag(close) OVER ({_WIN}) THEN 0 END AS up
+      FROM candles
+    ),
+    s AS (
+      SELECT id, dt, up,
+             CASE WHEN lag(up) OVER ({_WIN}) IS NULL
+                   OR up <> lag(up) OVER ({_WIN}) THEN 1 ELSE 0 END AS new_run
+      FROM r WHERE up IS NOT NULL
+    ),
+    agg AS (
+      SELECT id,
+             CAST(sum(new_run) AS DOUBLE) AS runs,
+             CAST(sum(up) AS DOUBLE) AS n_up,
+             CAST(count(*) - sum(up) AS DOUBLE) AS n_dn,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM s GROUP BY id
+    )
+    SELECT id, CAST(n AS BIGINT) AS n_obs, CAST(runs AS BIGINT) AS n_runs,
+           {o_rnd('2.0 * n_up * n_dn / n + 1.0', 4)} AS expected_runs,
+           {o_rnd('(runs - (2.0 * n_up * n_dn / n + 1.0)) / sqrt(2.0 * n_up * n_dn * (2.0 * n_up * n_dn - n) / (n * n * (n - 1.0)))', 4)} AS z_score
+    FROM agg
+    """
+
+
+@query("q308_runs_test", oracle=_q308_oracle())
+def q308_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on daily return signs: the observed
+    number of up/down runs against its null expectation
+    2*n+*n-/n + 1, z-scored — too FEW runs means trending
+    (momentum, q300's premise), too MANY means mean-reversion
+    (q205's premise); the 3-line hypothesis test that says which
+    of the engine's two strategy families a series even supports.
+
+    One lag for signs, one lag for run boundaries, one algebraic
+    groupBy — all on the shared per-id sort (flat days drop out,
+    the standard two-category reduction)."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    r = c.select(
+        "id",
+        "dt",
+        F.when(F.col("close") > F.lag("close").over(w), 1)
+        .when(F.col("close") < F.lag("close").over(w), 0)
+        .alias("up"),
+    ).filter(F.col("up").isNotNull())
+    s = r.select(
+        "id",
+        "up",
+        F.when(
+            F.lag("up").over(w).isNull()
+            | (F.col("up") != F.lag("up").over(w)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = s.groupBy("id").agg(
+        F.sum("new_run").cast("double").alias("runs"),
+        F.sum("up").cast("double").alias("n_up"),
+        (F.count("*") - F.sum("up")).cast("double").alias("n_dn"),
+        F.count("*").cast("double").alias("n"),
+    )
+    exp_runs = 2.0 * F.col("n_up") * F.col("n_dn") / F.col("n") + 1.0
+    var = (
+        2.0
+        * F.col("n_up")
+        * F.col("n_dn")
+        * (2.0 * F.col("n_up") * F.col("n_dn") - F.col("n"))
+        / (F.col("n") * F.col("n") * (F.col("n") - 1.0))
+    )
+    return agg.select(
+        "id",
+        F.col("n").cast("long").alias("n_obs"),
+        F.col("runs").cast("long").alias("n_runs"),
+        prnd(exp_runs, 4).alias("expected_runs"),
+        prnd((F.col("runs") - exp_runs) / F.sqrt(var), 4).alias("z_score"),
+    )
