@@ -4875,3 +4875,88 @@ def q308_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd(exp_runs, 4).alias("expected_runs"),
         prnd((F.col("runs") - exp_runs) / F.sqrt(var), 4).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q309 effective sample size from return autocorrelation
+# ---------------------------------------------------------------------------
+
+_Q309_MAX_LAG = 5
+
+
+def _q309_oracle() -> str:
+    lag_terms = []
+    for k in range(1, _Q309_MAX_LAG + 1):
+        lag_terms.append(f"""
+      SELECT id, {k} AS k,
+             (avg(ret * ret_l) - avg(ret) * avg(ret_l))
+               / nullif(sqrt((avg(ret * ret) - avg(ret) * avg(ret))
+                       * (avg(ret_l * ret_l) - avg(ret_l) * avg(ret_l))), 0.0) AS rho
+      FROM (
+        SELECT id, ret, lag(ret, {k}) OVER ({_WIN.replace("ORDER BY dt", "ORDER BY dt")}) AS ret_l
+        FROM rets
+      ) WHERE ret_l IS NOT NULL
+      GROUP BY id""")
+    u = " UNION ALL ".join(lag_terms)
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    rets AS (
+      SELECT id, dt, ln(close / lag(close) OVER ({_WIN})) AS ret
+      FROM candles QUALIFY ret IS NOT NULL
+    ),
+    rhos AS ({u}),
+    n_tab AS (SELECT id, CAST(count(*) AS DOUBLE) AS n FROM rets GROUP BY id)
+    SELECT r.id, CAST(any_value(n_tab.n) AS BIGINT) AS n_obs,
+           {o_rnd('sum(r.rho)', 6)} AS sum_rho,
+           {o_rnd('any_value(n_tab.n) / (1.0 + 2.0 * sum(r.rho))', 2)} AS ess,
+           {o_rnd('1.0 / (1.0 + 2.0 * sum(r.rho))', 6)} AS efficiency
+    FROM rhos r JOIN n_tab ON n_tab.id = r.id
+    GROUP BY r.id
+    """
+
+
+@query("q309_effective_sample_size", oracle=_q309_oracle())
+def q309_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of each return series: n / (1 + 2 sum
+    rho_k), truncated at lag 5 — the honest observation count when
+    samples are serially correlated (q284 corrects for CLUSTER
+    structure; this corrects for TIME structure). Every t-statistic
+    and standard error over these series (q168, q216) implicitly
+    claims n independent draws; ESS says how many they really have.
+
+    Five lag windows on the shared per-id sort (one per
+    autocorrelation term), each reduced by algebraic correlation
+    sums, then a 5-row-per-id rollup."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    rets = c.select(
+        "id", "dt", F.log(F.col("close") / F.lag("close").over(w)).alias("ret")
+    ).filter(F.col("ret").isNotNull())
+    rho_frames = []
+    for k in range(1, _Q309_MAX_LAG + 1):
+        lagd = rets.select(
+            "id", "ret", F.lag("ret", k).over(w).alias("ret_l")
+        ).filter(F.col("ret_l").isNotNull())
+        cov = F.avg(F.col("ret") * F.col("ret_l")) - F.avg("ret") * F.avg(
+            "ret_l"
+        )
+        va = F.avg(F.col("ret") * F.col("ret")) - F.avg("ret") * F.avg("ret")
+        vb = F.avg(F.col("ret_l") * F.col("ret_l")) - F.avg("ret_l") * F.avg(
+            "ret_l"
+        )
+        rho_frames.append(
+            lagd.groupBy("id").agg(
+                (cov / F.nullif(F.sqrt(va * vb), F.lit(0.0))).alias("rho")
+            )
+        )
+    rhos = rho_frames[0]
+    for fr in rho_frames[1:]:
+        rhos = rhos.unionByName(fr)
+    n_tab = rets.groupBy("id").agg(F.count("*").cast("double").alias("n"))
+    j = rhos.join(n_tab, "id")
+    return j.groupBy("id").agg(
+        F.first("n").cast("long").alias("n_obs"),
+        prnd(F.sum("rho"), 6).alias("sum_rho"),
+        prnd(F.first("n") / (1.0 + 2.0 * F.sum("rho")), 2).alias("ess"),
+        prnd(1.0 / (1.0 + 2.0 * F.sum("rho")), 6).alias("efficiency"),
+    )
