@@ -4960,3 +4960,97 @@ def q309_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd(F.first("n") / (1.0 + 2.0 * F.sum("rho")), 2).alias("ess"),
         prnd(1.0 / (1.0 + 2.0 * F.sum("rho")), 6).alias("efficiency"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q310 Holm-Bonferroni multiplicity control over per-symbol tests
+# ---------------------------------------------------------------------------
+
+# two-sided N(0,1) critical values for Holm step-down at alpha=0.05, m=5:
+# rank k tests against alpha / (m - k + 1) (precomputed via erfc bisection;
+# shared literals keep both engines on identical thresholds)
+_Q310_CRITS = [2.575829, 2.497705, 2.39398, 2.241403, 1.959964]
+
+
+def _q310_oracle() -> str:
+    crit_cases = " ".join(
+        f"WHEN {k + 1} THEN {c}" for k, c in enumerate(_Q310_CRITS)
+    )
+    return f"""
+    WITH base AS ({_q308_oracle()}),
+    ranked AS (
+      SELECT id, n_obs, z_score,
+             row_number() OVER (ORDER BY abs(z_score) DESC, id) AS rk
+      FROM base
+    ),
+    tested AS (
+      SELECT id, n_obs, z_score, rk,
+             CASE rk {crit_cases} END AS z_crit,
+             CASE WHEN abs(z_score) > (CASE rk {crit_cases} END)
+                  THEN 1 ELSE 0 END AS passes_own
+      FROM ranked
+    )
+    SELECT id, n_obs,
+           {o_rnd('z_score', 4)} AS z_score,
+           CAST(rk AS INTEGER) AS holm_rank,
+           {o_rnd('z_crit', 6)} AS z_crit,
+           CAST(min(passes_own) OVER (ORDER BY rk
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS significant,
+           CAST(abs(z_score) > {_Q310_CRITS[0]} AS INT) AS bonferroni_significant
+    FROM tested
+    """
+
+
+@query("q310_holm_correction", oracle=_q310_oracle())
+def q310_holm_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing control over the per-symbol randomness tests
+    (q308's z-scores): Holm's step-down — rank by |z|, test rank k
+    against alpha/(m-k+1), and STOP at the first failure (the
+    running-min flag), next to plain Bonferroni for contrast. Run 5
+    symbols' tests at raw alpha=0.05 and on average one 'discovery'
+    per 20 dashboards is noise; multiplicity control is what makes a
+    screen's alerts trustworthy, and it closes the inference family
+    (q168/q275/q296/q309).
+
+    The step-down 'stop at first failure' is a running min over the
+    rank order — sequential semantics as one window; critical values
+    are shared precomputed literals (no inverse-normal needed in
+    either engine)."""
+    base = q308_runs_test(spark, sf_dir)
+    ranked = base.select(
+        "id",
+        "n_obs",
+        "z_score",
+        F.row_number()
+        .over(W.orderBy(F.abs("z_score").desc(), "id"))
+        .alias("rk"),
+    )
+    crit = F.col("rk")
+    crit_expr = None
+    for k, c in enumerate(_Q310_CRITS):
+        cond = F.when(F.col("rk") == k + 1, F.lit(c))
+        crit_expr = cond if crit_expr is None else crit_expr.when(
+            F.col("rk") == k + 1, F.lit(c)
+        )
+    tested = ranked.select(
+        "id",
+        "n_obs",
+        "z_score",
+        "rk",
+        crit_expr.alias("z_crit"),
+    ).withColumn(
+        "passes_own",
+        (F.abs("z_score") > F.col("z_crit")).cast("int"),
+    )
+    chain = W.orderBy("rk").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return tested.select(
+        "id",
+        "n_obs",
+        prnd("z_score", 4).alias("z_score"),
+        F.col("rk").cast("int").alias("holm_rank"),
+        prnd("z_crit", 6).alias("z_crit"),
+        F.min("passes_own").over(chain).cast("int").alias("significant"),
+        (F.abs("z_score") > _Q310_CRITS[0]).cast("int").alias(
+            "bonferroni_significant"
+        ),
+    )
