@@ -266,7 +266,11 @@ def q11_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q12_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi / left-anti joins (EXISTS / NOT EXISTS) + union (§2.7)."""
+    """Left-semi / left-anti joins (EXISTS / NOT EXISTS) + union
+    (SURVEY §2.7): customers WITH orders and customers WITHOUT,
+    labeled and unioned — existence tests as join types, so neither
+    branch materializes order payloads (the semi/anti forms prune to
+    the key columns at the scan)."""
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders").select("o_custkey")
     semi = (

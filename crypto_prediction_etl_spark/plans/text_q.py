@@ -82,7 +82,11 @@ def _lang_oracle() -> str:
 
 @query("q41_lang_id", oracle=_lang_oracle())
 def q41_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-marker language ID with deterministic priority argmax."""
+    """Stopword-marker language ID with deterministic priority
+    argmax: per-language marker-token counts (array HOFs, zero
+    shuffle) and a fixed tie-break order so both engines classify
+    identically — the q202 confusion matrix and q292 code-switching
+    screens evaluate THIS classifier."""
     docs = spread_small_scan(table(spark, sf_dir, "documents"))
     toks = tokens("text")
     s = lang_scores(toks)
