@@ -42,67 +42,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver adjudicates exactly the first 50 ``queries()`` entries per
-# round (CORRECTNESS_r01/r02.json each hold rows for positions 1..50 and
-# none after).  Rotation for round 3: q74 first (its r2 row recorded a
-# hash mismatch whose fix — HUGEINT->BIGINT oracle cast — landed after
-# the r2 gate ran), then every query that has never received a driver
-# verdict (the round-3 additions q91..q123 and anything newer), then
-# refresh slots for round-3-touched r2-green queries; the remainder
-# (driver-green in r01/r02, unchanged) follow in registry order and stay
-# covered by the local mirror (tests/test_oracle_parity.py).
+# round.  Rotation for round 4 (VERDICT r3 item 1): the catalog tail
+# q124+ had never received a driver verdict — the window now holds the
+# 47 oldest never-adjudicated names (numeric order) plus the three
+# queries upgraded this round from rows-only to oracle-backed
+# (q23 portable KMV/sampled-quantile profile, q55 unrolled-Lloyd
+# k-means, q71 hash-checked multimodal decode), so CORRECTNESS_r04
+# records first verdicts / first hash checks for all 50.  The
+# remaining never-adjudicated names follow in numeric order (next
+# rounds rotate them in); everything else keeps its r1-r3 green row
+# and stays covered by the local mirror (tests/test_oracle_parity.py
+# + tools/driver_replay.py).
 _ADJUDICATE_FIRST = [
-    "q74_sequence_packing",
-    "q93_length_buckets",
-    "q94_temperature_mixture",
-    "q112_prefix_filter_join",
-    "q113_containment_dedup",
-    "q91_hll_distinct",
-    "q92_rollup_tail_merge",
-    "q96_salted_hot_agg",
-    "q98_conversion_funnel",
-    "q99_hash_quantiles",
-    "q105_windowed_hll",
-    "q107_cumulative_uniques",
-    "q108_retention_cohorts",
-    "q111_salted_join",
-    "q114_ordered_funnel",
-    "q100_holt_linear",
-    "q106_ols_trend",
-    "q115_return_correlation",
-    "q116_max_drawdown",
-    "q118_vwap",
-    "q119_lead_lag_correlation",
-    "q120_dow_seasonality",
-    "q121_atr",
-    "q122_williams_r",
-    "q123_candle_patterns",
-    "q103_audio_pcm_features",
-    "q110_bloom_membership",
-    "q97_product_quantization",
-    "q101_semdedup",
-    "q117_book_imbalance",
-    "q95_unigram_nll",
-    "q102_chunk_retrieval",
-    "q104_pmi_collocations",
-    "q109_count_min_sketch",
-    "q129_heikin_ashi",
-    "q130_rolling_volatility",
-    "q131_keltner",
-    "q132_event_rate_anomaly",
-    "q133_bpe_merge_candidates",
-    "q134_grouping_sets",
-    "q135_pivot_matrix",
-    "q136_distribution_windows",
-    "q137_disjunctive_pred",
-    "q138_dormant_customers",
-    "q139_segment_dedup",
-    "q140_vocab_oov",
-    "q141_edit_distance_pairs",
-    "q142_event_transitions",
-    "q143_mutual_knn",
-    "q144_jl_projection",
-    # Beyond the 50-row driver cap (covered by the local mirror) —
-    # first in line for the round-4 rotation:
+    "q124_mfi",
+    "q125_donchian",
+    "q126_chaikin_adl",
+    "q127_pivot_points",
+    "q128_char_entropy",
     "q145_adx",
     "q146_trix",
     "q147_cci",
@@ -145,6 +101,9 @@ _ADJUDICATE_FIRST = [
     "q184_group_hash_sample",
     "q185_tick_rule_flow",
     "q186_amihud_illiquidity",
+    "q23_approx_aggregates",
+    "q55_kmeans_clusters",
+    "q71_multimodal_features",
     "q187_underwater_streaks",
     "q188_centroid_outliers",
     "q189_hurst_exponent",
@@ -179,20 +138,96 @@ _ADJUDICATE_FIRST = [
     "q218_gap_days",
     "q219_volatility_regimes",
     "q220_price_endings",
-    # Beyond the 50-row driver cap (covered by the local mirror):
-    # indicator/fold variants whose operator machinery (candle windows,
-    # pandas kernels, sorted-run folds) is already driver-green via
-    # q30-q39/q86, and the round-2-green refresh slots touched by the
-    # memoization change.
-    "q124_mfi",
-    "q125_donchian",
-    "q126_chaikin_adl",
-    "q127_pivot_points",
-    "q128_char_entropy",
-    "q89_passage_overlap",
-    "q44_ngram_jaccard_pairs",
-    "q45_minhash_lsh_pairs",
-    "q46_simhash",
+    "q221_risk_ratios",
+    "q222_ewma_vol",
+    "q223_cdc_snapshot",
+    "q224_active_users",
+    "q225_heavy_hitters",
+    "q226_blame_supplier",
+    "q227_compaction_planner",
+    "q228_k_anonymity",
+    "q229_cube_profile",
+    "q230_cdc_chunks",
+    "q231_rrf_fusion",
+    "q232_mmr_diversify",
+    "q233_weighted_median",
+    "q234_attribution_asof",
+    "q235_twap",
+    "q236_rfm_segments",
+    "q237_weighted_reservoir",
+    "q238_negative_sampling",
+    "q239_ndcg_eval",
+    "q240_calibration_bins",
+    "q241_state_merge",
+    "q242_pairs_cointegration",
+    "q243_skyline",
+    "q244_table_checksum",
+    "q245_bipower_jumps",
+    "q246_roll_spread",
+    "q247_auc_roc",
+    "q248_gain_deciles",
+    "q249_bpe_train",
+    "q250_split_leakage",
+    "q251_unpivot_profile",
+    "q252_token_dropout",
+    "q253_bfs_reachability",
+    "q254_clustering_effectiveness",
+    "q255_encoding_advisor",
+    "q256_mutual_information",
+    "q257_stratified_effect",
+    "q258_binary_segmentation",
+    "q259_km_survival",
+    "q260_seasonal_naive_mase",
+    "q261_cuped_adjustment",
+    "q262_linear_interpolation",
+    "q263_winsorized_mean",
+    "q264_zipf_fit",
+    "q265_dedup_explain",
+    "q266_theil_sen",
+    "q267_concurrency_sweep",
+    "q268_item_cooccurrence",
+    "q269_recsys_hitrate",
+    "q270_lsh_planner",
+    "q271_nation_volume",
+    "q272_market_share",
+    "q273_product_profit",
+    "q274_audio_vad_segments",
+    "q275_sequential_sprt",
+    "q276_schema_evolution_union",
+    "q277_activity_heatmap",
+    "q278_minhash_error_audit",
+    "q279_partition_skew_planner",
+    "q280_interval_coverage",
+    "q281_identity_resolution",
+    "q282_dollar_bars",
+    "q283_entropy_rate",
+    "q284_design_effect",
+    "q285_simpson_detector",
+    "q286_kmv_union_merge",
+    "q287_interval_backtest",
+    "q288_stale_price_audit",
+    "q289_rec_coverage_bias",
+    "q290_user_features",
+    "q291_l_diversity",
+    "q292_code_switching",
+    "q293_contract_fill_rates",
+    "q294_attribution_compare",
+    "q295_interarrival_percentiles",
+    "q296_permutation_test",
+    "q297_component_sizes",
+    "q298_cache_planner",
+    "q299_holt_winters",
+    "q300_momentum_backtest",
+    "q301_fair_share",
+    "q302_p99_attribution",
+    "q303_covariance_matrix",
+    "q304_absorbing_markov",
+    "q305_term_burstiness",
+    "q306_population_estimates",
+    "q307_dup_rate_by_source",
+    "q308_runs_test",
+    "q309_effective_sample_size",
+    "q310_holm_correction",
 ]
 
 # Superseded round-2 rotation, kept for the audit trail.

@@ -9,10 +9,20 @@ partial per-cluster sums).
 
 Deterministic by construction: centroids initialize from the k
 smallest ids, distance ties break toward the lower cluster index, and
-elementwise centroid means are exact sums / counts.
+elementwise centroid means are (grid-rounded sums) / counts.
+
+The per-(cluster, dim) sums are snapped to the portable 1e-6 rounding
+grid before the divide: a float sum over a shuffle is order-dependent
+at ~1e-13 relative, which would make centroids — and therefore every
+downstream distance — differ bit-wise between runs/engines. On the
+grid the drift vanishes, so a DuckDB replay of the same unrolled
+iterations (q55's oracle) reproduces the centroids EXACTLY and the
+whole iterative algorithm becomes hash-checkable cross-engine.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -84,7 +94,10 @@ def kmeans(
         acc: dict[int, list[float]] = {}
         cnt: dict[int, int] = {}
         for r in stats:
-            acc.setdefault(r.cluster, [0.0] * dim)[r.pos] = r.s
+            # portable-grid snap (same IEEE ops as functions.portable.prnd)
+            acc.setdefault(r.cluster, [0.0] * dim)[r.pos] = (
+                math.floor(r.s * 1e6 + 0.5001) / 1e6
+            )
             cnt[r.cluster] = r.n
         for c, sums in acc.items():
             new_centroids[c] = [s / cnt[c] for s in sums]

@@ -173,6 +173,8 @@ def bucketed_ann_topk(
     near-isotropic embeddings need a wide ball — bits=6, multiprobe=3
     for ~90% recall@5; clustered real corpora keep recall with far
     fewer probes and more bits)."""
+    import pandas as pd
+
     c = corpus.withColumn("_bkt", sign_bucket_int(F.col(vec_col), bits))
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -188,10 +190,33 @@ def bucketed_ann_topk(
         F.col(id_col) != F.col("query_id")
     )
     sim = prnd(cosine(F.col("_qv"), F.col(vec_col)), round_to)
+    scored = joined.select("query_id", id_col, sim.alias("cos_sim"))
+
+    # Map-side partial top-k (the q50 kernel's trick applied after the
+    # bucket join): the broadcast-hash join emits candidates inside the
+    # corpus scan's partitions, so reducing each partition to its k
+    # best rows per query BEFORE the global rank bounds the shuffle to
+    # k * n_queries * n_partitions rows instead of every candidate the
+    # probe ball produced.  Ordering key = (rounded sim desc, id asc) —
+    # sims are already on the portable grid, so the partition-local
+    # head-k is provably a superset of the global top-k.
+    def partial_topk(batches):
+        for pdf in batches:
+            yield (
+                pdf.sort_values(
+                    ["query_id", "cos_sim", id_col],
+                    ascending=[True, False, True],
+                )
+                .groupby("query_id", sort=False)
+                .head(k)
+            )
+
+    pruned = scored.mapInPandas(
+        partial_topk, schema=f"query_id long, {id_col} long, cos_sim double"
+    )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (
-        joined.select("query_id", id_col, sim.alias("cos_sim"))
-        .withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 

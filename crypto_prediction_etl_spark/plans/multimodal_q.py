@@ -51,12 +51,39 @@ def q70_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q71_multimodal_features")  # rows-only: pandas kernel output
+@query(
+    "q71_multimodal_features",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, text,
+             CAST(doc_id % 64 + 16 AS INT) AS width,
+             CAST(doc_id % 48 + 16 AS INT) AS height,
+             list_transform(range(1, length(text) + 1),
+                            i -> ord(substr(text, i, 1))) AS bytes
+      FROM documents
+    )
+    SELECT doc_id, width, height,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE floor((CAST(list_aggregate(bytes, 'sum') AS DOUBLE)
+                            / length(text)) * 10000.0 + 0.5001) / 10000.0
+           END AS mean_byte,
+           CAST(coalesce(list_aggregate(bytes, 'max'), 0) AS INT) AS max_byte,
+           md5(text) AS body_checksum
+    FROM b
+    """,
+)
 def q71_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction over binary payloads (Arrow
     batches, deterministic fake decode): width/height/byte stats +
-    body checksum. No SQL oracle (Python kernel); exactness is covered
-    by tests/test_multimodal.py against a local recompute."""
+    body checksum, computed IN THE KERNEL from the payload bytes. The
+    oracle regenerates the ground truth from the source text the
+    payload embeds — the body is ASCII, so per-byte values are
+    ``ord`` over characters and the md5 of the text equals the md5 of
+    the body bytes — putting the Python decode kernel itself under the
+    exact hash gate (the q103 technique applied to the image-shaped
+    payload; only a real PNG/JPEG codec remains stubbed, PIL being
+    absent from the container)."""
     payloads = synthetic_payload(table(spark, sf_dir, "documents"))
     feats = decode_features(payloads)
     return feats.select(

@@ -235,17 +235,82 @@ def q54_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q55_kmeans_clusters")  # rows-only: iterative, not SQL-expressible
+_Q55_K, _Q55_ITERS, _Q55_DIM = 4, 5, 64
+
+
+def _q55_oracle(k: int = _Q55_K, iters: int = _Q55_ITERS, dim: int = _Q55_DIM) -> str:
+    """Unrolled Lloyd iterations as a chained-CTE DuckDB replay (the
+    q100/q176 recursion technique applied to k-means). Exact parity
+    holds because (a) the seed centroids are the k smallest-id vectors
+    on both sides, (b) per-(cluster, dim) sums snap to the 1e-6
+    portable grid before the divide (operators/clustering.py), making
+    the centroid doubles bit-identical despite shuffle-order float
+    addition, and (c) both engines fold the squared-distance terms
+    sequentially over identical doubles."""
+
+    def sq(a: str, c: str) -> str:
+        return (
+            f"list_aggregate(list_transform(range(1, {dim + 1}), "
+            f"i -> ({a}.v[i] - {c}.v[i]) * ({a}.v[i] - {c}.v[i])), 'sum')"
+        )
+
+    parts = [
+        _VECS_CTE.strip(),
+        f"""c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
+      FROM e ORDER BY vec_id LIMIT {k})""",
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        parts.append(f"""a{it} AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT x.vec_id, x.v, c.j AS cluster,
+               row_number() OVER (PARTITION BY x.vec_id
+                                  ORDER BY {sq("x", "c")}, c.j) AS rn
+        FROM e x CROSS JOIN {prev} c) t WHERE rn = 1)""")
+        parts.append(f"""s{it} AS (
+      SELECT cluster, pos,
+             floor(sum(val) * 1000000.0 + 0.5001) / 1000000.0 AS s,
+             count(*) AS n
+      FROM (SELECT cluster, unnest(v) AS val,
+                   unnest(range(1, len(v) + 1)) AS pos FROM a{it})
+      GROUP BY cluster, pos)""")
+        parts.append(f"""c{it} AS (
+      SELECT p.j, coalesce(u.nv, p.v) AS v
+      FROM {prev} p LEFT JOIN (
+        SELECT cluster AS j, list(s / n ORDER BY pos) AS nv
+        FROM s{it} GROUP BY cluster) u ON u.j = p.j)""")
+        prev = f"c{it}"
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT vec_id, CAST(cluster AS INT) AS cluster,
+           {o_rnd("sqd", 4)} AS sq_dist
+    FROM (
+      SELECT x.vec_id, c.j AS cluster, {sq("x", "c")} AS sqd,
+             row_number() OVER (PARTITION BY x.vec_id
+                                ORDER BY {sq("x", "c")}, c.j) AS rn
+      FROM e x CROSS JOIN {prev} c) t WHERE rn = 1
+    """
+    )
+
+
+@query("q55_kmeans_clusters", oracle=_q55_oracle())
 def q55_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means(4, 5 iterations) over the embeddings — the iterative-
     algorithm pattern (declarative per-iteration passes; only the k x d
-    centroid matrix crosses the driver between iterations). Rows-only:
-    the fixpoint loop is not single-statement SQL; determinism and
-    inertia monotonicity are asserted in tests/test_clustering.py."""
+    centroid matrix crosses the driver between iterations, with the
+    per-dim sums snapped to the 1e-6 portable grid so the centroids are
+    bit-reproducible across runs AND engines). The oracle unrolls the
+    same 5 Lloyd iterations as chained CTEs, so the full iterative
+    algorithm — not just its row count — sits under the exact hash
+    gate; determinism and inertia monotonicity are additionally
+    asserted in tests/test_plans.py."""
     from ..functions.portable import prnd as _prnd
     from ..operators.clustering import kmeans
 
-    assigned, _ = kmeans(_vecs(spark, sf_dir), k=4, iters=5)
+    assigned, _ = kmeans(_vecs(spark, sf_dir), k=_Q55_K, iters=_Q55_ITERS)
     return assigned.select(
         "vec_id", "cluster", _prnd(F.col("sq_dist"), 4).alias("sq_dist")
     )

@@ -78,12 +78,43 @@ def test_whole_stage_codegen_active(spark, sf_dir):
 
 
 def test_approx_aggregates_error_bounds(spark, sf_dir):
+    """q23's portable sketches must stay honest approximations: KMV
+    distinct within its k=256 error envelope, sampled quantiles within
+    a few percent of the exact percentiles (and the engine-native
+    HLL++ sketch — not registered because it can't hash-match across
+    engines — is asserted here against the same exact columns)."""
+    from pyspark.sql import functions as F
+
+    from crypto_prediction_etl_spark.sources.readers import table
+
     rows = registry.QUERIES["q23_approx_aggregates"](spark, sf_dir).collect()
     assert rows
+    exact_q = {
+        r.l_returnflag: (r.m, r.p)
+        for r in table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("m"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("p"),
+        )
+        .collect()
+    }
     for r in rows:
-        rel_err = abs(r.approx_parts - r.exact_parts) / max(r.exact_parts, 1)
-        assert rel_err < 0.05, r
+        rel_err = abs(r.kmv_parts - r.exact_parts) / max(r.exact_parts, 1)
+        assert rel_err < 0.06, r
         assert r.median_price <= r.p95_price
+        em, ep = exact_q[r.l_returnflag]
+        assert abs(r.median_price - em) / em < 0.05
+        assert abs(r.p95_price - ep) / ep < 0.05
+    native = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("a"))
+        .collect()
+    )
+    exact_parts = {r.l_returnflag: r.exact_parts for r in rows}
+    for r in native:
+        assert abs(r.a - exact_parts[r.l_returnflag]) / exact_parts[r.l_returnflag] < 0.05
 
 
 def test_asof_join_semantics(spark):

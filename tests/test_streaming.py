@@ -443,6 +443,71 @@ def test_kafka_source_option_surface(spark, workdir):
     assert spark.read.parquet(os.path.join(workdir, "seam_out")).count() == 1
 
 
+def test_kafka_options_pass_through_to_reader(spark, workdir, monkeypatch):
+    """Contract test for the S1 Kafka branch (no broker in the sandbox):
+    start_stream_pipeline with format="kafka" must push every
+    kafka_source_options entry onto the DataStreamReader verbatim and
+    call load() with NO path (Kafka sources take none). The reader is
+    intercepted at the PySpark API boundary — format/option calls are
+    recorded, then load() serves a real file stream so the rest of the
+    wiring (pipeline -> foreachBatch upsert sink -> checkpoint) executes
+    exactly as the production Kafka path would (both sources hand the
+    pipeline a `value` column; reference: read_stream.py:6-19)."""
+    from pyspark.sql.streaming import readwriter as srw
+
+    from crypto_prediction_etl_spark.streaming.sinks import (
+        kafka_source_options,
+        start_stream_pipeline,
+    )
+
+    src = os.path.join(workdir, "kafka_fake_src")
+    os.makedirs(src)
+    with open(os.path.join(src, "b0.jsonl"), "w") as f:
+        f.write(_candle_msg("BTC_USDT", BASE_TS, BASE_TS + 59) + "\n")
+
+    recorded = {"format": None, "options": {}, "load_path": "UNSET"}
+    real_format = srw.DataStreamReader.format
+    real_option = srw.DataStreamReader.option
+    real_load = srw.DataStreamReader.load
+
+    def fake_format(self, source):
+        recorded["format"] = source
+        return real_format(self, source)
+
+    def fake_option(self, key, value):
+        recorded["options"][key] = value
+        return real_option(self, key, value)
+
+    def fake_load(self, path=None, **kw):
+        recorded["load_path"] = path
+        # serve the pipeline a real unresolved streaming relation in
+        # place of the broker-backed one (same `value` column contract)
+        return real_load(real_format(spark.readStream, "text"), src)
+
+    monkeypatch.setattr(srw.DataStreamReader, "format", fake_format)
+    monkeypatch.setattr(srw.DataStreamReader, "option", fake_option)
+    monkeypatch.setattr(srw.DataStreamReader, "load", fake_load)
+
+    opts = kafka_source_options("kafka0:9092", "crypto.candles_minute")
+    q = start_stream_pipeline(
+        spark,
+        candles_pipeline,
+        os.path.join(workdir, "kafka_fake_out"),
+        os.path.join(workdir, "kafka_fake_ckpt"),
+        source_format="kafka",
+        source_options=opts,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert recorded["format"] == "kafka"
+    assert recorded["load_path"] is None  # kafka branch: load() without path
+    for k, v in opts.items():
+        assert recorded["options"].get(k) == v, (k, recorded["options"])
+    out = spark.read.parquet(os.path.join(workdir, "kafka_fake_out"))
+    assert out.count() == 1  # the wiring behind the seam ran end-to-end
+
+
 def test_streaming_exact_dedup(spark, workdir):
     """Duplicate content arriving in a later micro-batch (inside the
     watermark window) is dropped; distinct content passes; whitespace/
