@@ -23,6 +23,18 @@ sys.path.insert(0, REPO_ROOT)
 from crypto_prediction_etl_spark.plans import registry  # noqa: E402
 from crypto_prediction_etl_spark.session import get_spark  # noqa: E402
 
+# Second panel (VERDICT r3 item 8): the heaviest round-2/3 additions,
+# benchmarked with their own anchors so regressions in the newer operator
+# families are visible without disturbing the r1-comparable 21-query
+# headline. Anchors (quiet host, sf0.1, local[32], round 4 first
+# recording): see BENCH_NOTES.md "Round 4".
+PANEL2 = [
+    "q97_product_quantization",
+    "q101_semdedup",
+    "q48_dedup_clusters",
+    "q112_prefix_filter_join",
+]
+
 HEADLINE = [
     "q01_pricing_summary",
     "q02_filtered_revenue",
@@ -75,12 +87,17 @@ def main() -> None:
     # dedup intermediates
     spark.range(32).localCheckpoint(eager=True)
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = registry.QUERIES[name]
-        t0 = time.monotonic()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+    def run_panel(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            fn = registry.QUERIES[name]
+            t0 = time.monotonic()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            out[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    timings = run_panel(HEADLINE)
+    panel2 = run_panel(PANEL2)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -90,6 +107,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "panel2_total": round(sum(panel2.values()), 3),
+                "panel2": panel2,
                 "sf": sf,
             }
         )
