@@ -730,3 +730,63 @@ def holt_winters_additive(candles: DataFrame) -> DataFrame:
         return pdf
 
     return candles.groupBy("id").applyInPandas(kernel, schema=out_schema)
+
+
+GARCH_ALPHA, GARCH_BETA = 0.08, 0.90
+
+
+def garch_filter(
+    candles: DataFrame, alpha: float = GARCH_ALPHA, beta: float = GARCH_BETA
+) -> DataFrame:
+    """GARCH(1,1) conditional-variance filtering per id with pinned
+    (alpha, beta) and variance targeting: omega = (1-alpha-beta)*vbar
+    where vbar is the series' mean squared log return — the
+    mean-reverting generalization of q222's RiskMetrics EWMA (which is
+    the omega=0, alpha+beta=1 edge case). Recursion: v_1 = vbar, then
+    v_t = omega + alpha*r_{t-1}^2 + beta*v_{t-1}.
+
+    vbar snaps to the 1e-10 portable grid before use (the q55 centroid
+    trick): a float mean over an arbitrary-order aggregation differs
+    across engines at ~1e-18, which the recursion would amplify — on
+    the grid both engines seed from the identical double and the whole
+    state trajectory stays bit-identical. Parameter estimation (MLE)
+    is out of scope by design: filtering with pinned params is the
+    deterministic, hash-checkable core; the estimation loop would ride
+    the same kernel. Same grouped-map law as EMA/Holt/Kalman: one
+    id-shuffle, O(rows) sequential state per key."""
+    import math
+
+    import numpy as np
+
+    in_schema = candles.schema
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in in_schema
+    )
+    out_schema = out_fields + ", ret double, garch_var double"
+    a, b = alpha, beta
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("dt").reset_index(drop=True)
+        x = pdf["close"].astype("float64").to_numpy()
+        n = len(x)
+        ret = np.full(n, np.nan)
+        var = np.full(n, np.nan)
+        if n > 1:
+            for t in range(1, n):
+                ret[t] = math.log(float(x[t]) / float(x[t - 1]))
+            r = ret[1:]
+            vbar = 0.0
+            for v in r:  # sequential sum, then grid-snap the mean
+                vbar += v * v
+            vbar = math.floor(vbar / len(r) * 1e10 + 0.5001) / 1e10
+            omega = (1.0 - a - b) * vbar
+            v = vbar
+            var[1] = v
+            for t in range(2, n):
+                v = omega + a * ret[t - 1] * ret[t - 1] + b * v
+                var[t] = v
+        pdf["ret"] = pd.Series(ret, dtype="float64")
+        pdf["garch_var"] = pd.Series(var, dtype="float64")
+        return pdf
+
+    return candles.groupBy("id").applyInPandas(kernel, schema=out_schema)

@@ -5054,3 +5054,290 @@ def q310_holm_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bonferroni_significant"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q312 GARCH(1,1) conditional volatility (pinned params, variance target)
+# ---------------------------------------------------------------------------
+
+
+def _q312_oracle() -> str:
+    from ..operators.indicators import GARCH_ALPHA, GARCH_BETA
+
+    a, b = GARCH_ALPHA, GARCH_BETA
+    return f"""
+    WITH RECURSIVE candles AS ({CANDLES_SQL}),
+    r0 AS MATERIALIZED (
+      SELECT id, dt, ln(close / lag(close) OVER ({_WIN})) AS ret
+      FROM candles
+    ),
+    c AS MATERIALIZED (
+      SELECT id, dt, ret, row_number() OVER ({_WIN}) AS rn
+      FROM r0 WHERE ret IS NOT NULL
+    ),
+    vb AS MATERIALIZED (
+      SELECT id, floor(avg(ret * ret) * 10000000000.0 + 0.5001)
+                 / 10000000000.0 AS vbar
+      FROM c GROUP BY id
+    ),
+    r AS (
+      SELECT c.id, c.rn, c.dt, c.ret, vb.vbar AS v, vb.vbar
+      FROM c JOIN vb USING (id) WHERE c.rn = 1
+      UNION ALL
+      SELECT c.id, c.rn, c.dt, c.ret,
+             (1.0 - {a} - {b}) * p.vbar + {a} * p.ret * p.ret + {b} * p.v AS v,
+             p.vbar
+      FROM r p JOIN c ON c.id = p.id AND c.rn = p.rn + 1
+    )
+    SELECT id, dt,
+           {o_rnd('ret', 6)} AS ret,
+           {o_rnd('sqrt(v * 365.0)', 6)} AS garch_vol_annual
+    FROM r
+    """
+
+
+@query("q312_garch_filter", oracle=_q312_oracle())
+def q312_garch_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GARCH(1,1) conditional volatility with pinned (0.08, 0.90) and
+    variance targeting (omega = 0.02 * mean squared return), annualized
+    — the mean-reverting risk model next to q222's EWMA edge case:
+    shocks decay toward the series' long-run variance instead of
+    persisting forever. Two-regime behaviour (spike on shock, geometric
+    relaxation to vbar) is exactly what volatility-regime features
+    (q219) consume upstream.
+
+    Execution: the grouped-map kernel law (one id-shuffle, O(rows)
+    state per key); the unconditional variance seeds on the 1e-10
+    portable grid so the recursion stays bit-identical cross-engine,
+    and the oracle replays it as a recursive CTE joined to the
+    grid-rounded per-id variance (reference family:
+    calculate_market_indicators.py volatility consumers)."""
+    from ..operators.indicators import garch_filter
+
+    out = garch_filter(candles(spark, sf_dir))
+    return out.filter(
+        F.col("garch_var").isNotNull() & ~F.isnan("garch_var")
+    ).select(
+        "id",
+        "dt",
+        prnd("ret", 6).alias("ret"),
+        prnd(F.sqrt(F.col("garch_var") * 365.0), 6).alias("garch_vol_annual"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q313 range-based volatility estimators (Parkinson / Garman-Klass /
+# Rogers-Satchell)
+# ---------------------------------------------------------------------------
+
+_Q313_N = 20
+_Q313_LN2 = 0.6931471805599453  # repr round-trips exactly on both engines
+
+
+def _q313_oracle() -> str:
+    frame = f"OVER ({_WIN} ROWS BETWEEN {_Q313_N - 1} PRECEDING AND CURRENT ROW)"
+    hl = "ln(high / low)"
+    co = "ln(close / open)"
+    park_m = f"avg({hl} * {hl}) {frame}"
+    gk_m = (
+        f"avg(0.5 * {hl} * {hl} - (2.0 * {_Q313_LN2} - 1.0) * {co} * {co}) {frame}"
+    )
+    rs_m = (
+        f"avg(ln(high / close) * ln(high / open)"
+        f" + ln(low / close) * ln(low / open)) {frame}"
+    )
+    guard = f"count(open) {frame} >= {_Q313_N}"
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    o AS (
+      SELECT id, dt, high, low, close,
+             lag(close) OVER ({_WIN}) AS open
+      FROM candles
+    ),
+    m AS (
+      SELECT id, dt,
+             CASE WHEN {guard} THEN {park_m} END AS park_m,
+             CASE WHEN {guard} THEN {gk_m} END AS gk_m,
+             CASE WHEN {guard} THEN {rs_m} END AS rs_m
+      FROM o WHERE open IS NOT NULL
+    )
+    SELECT id, dt,
+           {o_rnd(f'sqrt(park_m / (4.0 * {_Q313_LN2}) * 365.0)', 6)} AS parkinson_ann,
+           {o_rnd('CASE WHEN gk_m > 0 THEN sqrt(gk_m * 365.0) END', 6)} AS garman_klass_ann,
+           {o_rnd('CASE WHEN rs_m > 0 THEN sqrt(rs_m * 365.0) END', 6)} AS rogers_satchell_ann
+    FROM m WHERE park_m IS NOT NULL
+    """
+
+
+@query("q313_range_volatility", oracle=_q313_oracle())
+def q313_range_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-based volatility estimators over a 20-bar window,
+    annualized: Parkinson (high/low range only, ~5x more efficient
+    than close-to-close), Garman-Klass (adds open/close, can go
+    negative on close-dominated bars — guarded to NULL like the
+    library's NaN), and Rogers-Satchell (drift-independent). Open
+    derives as the prior close (the q129 Heikin-Ashi convention for
+    this daily series). These are the estimators a 100 TB OHLC store
+    computes in one window pass where realized-vol from ticks would
+    need the raw trades — pure guarded window aggregates on the shared
+    per-id sort, whole-stage codegen, one shuffle."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    o = c.select(
+        "id", "dt", "high", "low", "close",
+        F.lag("close").over(w).alias("open"),
+    ).filter(F.col("open").isNotNull())
+    frame = w.rowsBetween(-(_Q313_N - 1), 0)
+    hl = F.log(F.col("high") / F.col("low"))
+    co = F.log(F.col("close") / F.col("open"))
+    guard = F.count("open").over(frame) >= _Q313_N
+    park_m = F.when(guard, F.avg(hl * hl).over(frame))
+    gk_m = F.when(
+        guard,
+        F.avg(
+            0.5 * hl * hl - (2.0 * _Q313_LN2 - 1.0) * co * co
+        ).over(frame),
+    )
+    rs_m = F.when(
+        guard,
+        F.avg(
+            F.log(F.col("high") / F.col("close"))
+            * F.log(F.col("high") / F.col("open"))
+            + F.log(F.col("low") / F.col("close"))
+            * F.log(F.col("low") / F.col("open"))
+        ).over(frame),
+    )
+    m = o.select(
+        "id", "dt",
+        park_m.alias("park_m"), gk_m.alias("gk_m"), rs_m.alias("rs_m"),
+    ).filter(F.col("park_m").isNotNull())
+    return m.select(
+        "id",
+        "dt",
+        prnd(F.sqrt(F.col("park_m") / (4.0 * _Q313_LN2) * 365.0), 6).alias(
+            "parkinson_ann"
+        ),
+        prnd(
+            F.when(F.col("gk_m") > 0, F.sqrt(F.col("gk_m") * 365.0)), 6
+        ).alias("garman_klass_ann"),
+        prnd(
+            F.when(F.col("rs_m") > 0, F.sqrt(F.col("rs_m") * 365.0)), 6
+        ).alias("rogers_satchell_ann"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q316 Jensen-Shannon drift between early/late close distributions
+# ---------------------------------------------------------------------------
+
+_Q316_BINS = 20
+
+
+def _q316_oracle() -> str:
+    nb = _Q316_BINS
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    r AS (
+      SELECT id, close,
+             row_number() OVER ({_WIN}) AS rn,
+             count(*) OVER (PARTITION BY id) AS n,
+             min(close) OVER (PARTITION BY id) AS mn,
+             max(close) OVER (PARTITION BY id) AS mx
+      FROM candles
+    ),
+    b AS (
+      SELECT id, n,
+             CASE WHEN rn <= n // 2 THEN 0 ELSE 1 END AS period,
+             least({nb - 1}, CAST(floor((close - mn) / (mx - mn) * {nb}.0)
+                                  AS INTEGER)) AS bin
+      FROM r WHERE mx > mn
+    ),
+    c AS (
+      SELECT id, bin,
+             count(*) FILTER (WHERE period = 0) AS cp,
+             count(*) FILTER (WHERE period = 1) AS cq
+      FROM b GROUP BY id, bin
+    ),
+    t AS (
+      SELECT id, sum(cp) AS np, sum(cq) AS nq FROM c GROUP BY id
+    ),
+    probs AS (
+      SELECT c.id, c.bin,
+             CAST(c.cp AS DOUBLE) / t.np AS p,
+             CAST(c.cq AS DOUBLE) / t.nq AS q
+      FROM c JOIN t USING (id)
+    )
+    SELECT id,
+           {o_rnd('''sum(CASE WHEN p > 0 THEN 0.5 * p * ln(2.0 * p / (p + q)) ELSE 0.0 END
+                 + CASE WHEN q > 0 THEN 0.5 * q * ln(2.0 * q / (p + q)) ELSE 0.0 END)''', 6)} AS js_divergence,
+           CAST(count(*) AS INTEGER) AS n_bins_used
+    FROM probs GROUP BY id
+    """
+
+
+@query("q316_js_divergence", oracle=_q316_oracle())
+def q316_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between each symbol's early-half and
+    late-half close distributions (20 equal-width bins over the
+    symbol's own range) — the bounded, symmetric drift metric next to
+    q194's PSI (PSI explodes on empty bins and is asymmetric; JS is
+    [0, ln 2] and zero-bin-safe, the form train/serve skew monitors
+    report). Zero-probability terms contribute exactly 0 on both
+    engines (guarded, no epsilon smoothing to argue about).
+
+    One pass builds rank/extent windows, binning is closed-form float
+    arithmetic, probabilities are exact integer counts over exact
+    totals, and the divergence is one grouped sum — at 100 TB this is
+    two shuffles (id window sort + bin agg) regardless of row count.
+    The sum order across 20 bins is shuffle-dependent but the 1e-6
+    grid absorbs the ~1e-17 drift (term magnitudes are <= ln 2)."""
+    c = candles(spark, sf_dir)
+    nb = _Q316_BINS
+    w = W.partitionBy("id").orderBy("dt")
+    byid = W.partitionBy("id")
+    r = c.select(
+        "id",
+        "close",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(byid).alias("n"),
+        F.min("close").over(byid).alias("mn"),
+        F.max("close").over(byid).alias("mx"),
+    ).filter(F.col("mx") > F.col("mn"))
+    b = r.select(
+        "id",
+        "n",
+        F.when(F.col("rn") <= F.floor(F.col("n") / 2), 0)
+        .otherwise(1)
+        .alias("period"),
+        F.least(
+            F.lit(nb - 1),
+            F.floor(
+                (F.col("close") - F.col("mn"))
+                / (F.col("mx") - F.col("mn"))
+                * float(nb)
+            ).cast("int"),
+        ).alias("bin"),
+    )
+    cnt = b.groupBy("id", "bin").agg(
+        F.count(F.when(F.col("period") == 0, 1)).alias("cp"),
+        F.count(F.when(F.col("period") == 1, 1)).alias("cq"),
+    )
+    t = cnt.groupBy("id").agg(
+        F.sum("cp").alias("np"), F.sum("cq").alias("nq")
+    )
+    probs = cnt.join(t, "id").select(
+        "id",
+        (F.col("cp").cast("double") / F.col("np")).alias("p"),
+        (F.col("cq").cast("double") / F.col("nq")).alias("q"),
+    )
+    term = F.when(
+        F.col("p") > 0,
+        0.5 * F.col("p") * F.log(2.0 * F.col("p") / (F.col("p") + F.col("q"))),
+    ).otherwise(0.0) + F.when(
+        F.col("q") > 0,
+        0.5 * F.col("q") * F.log(2.0 * F.col("q") / (F.col("p") + F.col("q"))),
+    ).otherwise(0.0)
+    return probs.groupBy("id").agg(
+        prnd(F.sum(term), 6).alias("js_divergence"),
+        F.count("*").cast("int").alias("n_bins_used"),
+    )

@@ -2311,3 +2311,186 @@ def q291_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_sensitive").cast("double") / F.col("class_size"), 6
         ).alias("top_sensitive_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q311 map-typed higher-order functions
+# ---------------------------------------------------------------------------
+
+_Q311_PROBE = "join"
+
+
+@query(
+    "q311_map_functions",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    ),
+    cnts AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INTEGER) AS n_keys,
+           CAST(coalesce(max(CASE WHEN tok = '{_Q311_PROBE}' THEN c END), 0)
+                AS BIGINT) AS probe_count,
+           max(c) AS max_count,
+           CAST(count(*) FILTER (WHERE c = 1) AS INTEGER) AS n_singletons,
+           CAST(sum(c * length(tok)) AS BIGINT) AS weighted_len
+    FROM cnts GROUP BY doc_id
+    """,
+)
+def q311_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface (§2.8 completion next to q54's arrays):
+    per-document token->count maps built with ``map_from_entries`` and
+    interrogated entirely through map higher-order functions —
+    ``size``/``try_element_at`` (ANSI-safe missing-key probe),
+    ``map_values``+``array_max``, ``map_filter`` (hapax count), and
+    ``transform_values`` folded via ``aggregate(map_entries(...))``
+    into an exact integer total (order-independent by construction, so
+    map iteration order can't leak into the hash gate). The oracle
+    replays every map op relationally over the exploded (doc, token,
+    count) set — same numbers, no map type needed. At scale the map
+    column is a per-row container (map-side only, no shuffle after the
+    count aggregation); the pattern is how feature stores carry sparse
+    per-entity feature bags (reference's ANSI surface:
+    query_scripts/trino/*.sql)."""
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("tok"),
+    )
+    cnts = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    m = cnts.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("tok", "c"))).alias("m")
+    )
+    weighted = F.aggregate(
+        F.map_entries(F.transform_values("m", lambda k, v: v * F.length(k))),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + e["value"],
+    )
+    return m.select(
+        "doc_id",
+        F.size("m").alias("n_keys"),
+        F.coalesce(
+            F.try_element_at("m", F.lit(_Q311_PROBE)), F.lit(0).cast("long")
+        ).alias("probe_count"),
+        F.array_max(F.map_values("m")).alias("max_count"),
+        F.size(F.map_filter("m", lambda k, v: v == 1)).alias("n_singletons"),
+        weighted.alias("weighted_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q315 Poisson-bootstrap confidence intervals
+# ---------------------------------------------------------------------------
+
+_Q315_B = 100
+# Poisson(1) CDF thresholds (exact doubles; repr round-trips identically
+# in Python, Spark literals and DuckDB SQL text)
+_Q315_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def _q315_oracle() -> str:
+    from ..operators.sketches import HASH_SPACE
+
+    k = "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)"
+    seeded = k + " || '#' || CAST(b AS VARCHAR)"
+    u = f"CAST(({o_hash64(seeded)}) AS DOUBLE) / {HASH_SPACE}"
+    case = "CASE " + " ".join(
+        f"WHEN u < {t!r} THEN {i}" for i, t in enumerate(_Q315_CDF)
+    ) + " ELSE 6 END"
+    return f"""
+    WITH e AS (
+      SELECT l_returnflag, l_extendedprice AS x,
+             unnest(range(0, {_Q315_B})) AS b,
+             {u} AS u
+      FROM lineitem
+    ),
+    w AS (SELECT l_returnflag, b, x, {case} AS w FROM e),
+    m AS (
+      SELECT l_returnflag, b,
+             {o_rnd('sum(w * x) / sum(w)', 4)} AS mb
+      FROM w GROUP BY l_returnflag, b
+      HAVING sum(w) > 0
+    ),
+    pt AS (
+      SELECT l_returnflag, {o_rnd('avg(l_extendedprice)', 4)} AS point_mean
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT pt.l_returnflag, pt.point_mean,
+           {o_rnd('quantile_cont(m.mb, 0.025)', 4)} AS ci_lo,
+           {o_rnd('quantile_cont(m.mb, 0.975)', 4)} AS ci_hi,
+           CAST(count(*) AS BIGINT) AS n_resamples
+    FROM pt JOIN m USING (l_returnflag)
+    GROUP BY pt.l_returnflag, pt.point_mean
+    """
+
+
+@query("q315_poisson_bootstrap", oracle=_q315_oracle())
+def q315_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% confidence interval for the mean price per
+    returnflag: each of B=100 resamples weights every row by a
+    Poisson(1) draw — the resampling scheme that WORKS distributed
+    (classic bootstrap needs sampling with replacement from the full
+    dataset, impossible map-side; Poissonization makes each row's
+    weight independent, so resampling is a map + one aggregation at any
+    scale). Draws are deterministic and cross-engine exact: the
+    portable md5 hash of (row key, replicate) maps through the
+    Poisson(1) inverse CDF as literal double thresholds, so both
+    engines produce identical weight tables; resample means snap to
+    the 1e-4 grid before the exact interpolated percentile (q29's
+    proven convention) picks the CI bounds.
+
+    Shape at 100 TB: the replicate explode is map-side (B rows out per
+    row in, no shuffle until the (group, b) partial agg), resample
+    state is B floats per group, and the CI quantile runs over B rows
+    per group — constant memory in data size."""
+    from ..operators.sketches import HASH_SPACE
+
+    li = table(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    )
+    e = li.select(
+        "l_returnflag", F.col("l_extendedprice").alias("x"), key.alias("k")
+    ).withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(_Q315_B - 1))))
+    u = hash64(
+        F.concat(F.col("k"), F.lit("#"), F.col("b").cast("string"))
+    ).cast("double") / F.lit(HASH_SPACE)
+    w = F.lit(6)
+    for i in range(len(_Q315_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_Q315_CDF[i]), F.lit(i)).otherwise(w)
+    m = (
+        e.withColumn("w", w)
+        .groupBy("l_returnflag", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("x")).alias("_swx"),
+            F.sum("w").alias("_sw"),
+        )
+        .filter(F.col("_sw") > 0)
+        .select(
+            "l_returnflag",
+            prnd(F.col("_swx") / F.col("_sw"), 4).alias("mb"),
+        )
+    )
+    pt = li.groupBy("l_returnflag").agg(
+        prnd(F.avg("l_extendedprice"), 4).alias("point_mean")
+    )
+    ci = m.groupBy("l_returnflag").agg(
+        prnd(F.expr("percentile(mb, 0.025)"), 4).alias("ci_lo"),
+        prnd(F.expr("percentile(mb, 0.975)"), 4).alias("ci_hi"),
+        F.count("*").alias("n_resamples"),
+    )
+    return pt.join(ci, "l_returnflag")

@@ -579,53 +579,65 @@ def q97_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     Codebooks here are the subvectors of the 16 smallest-id vectors so
     the oracle replays the quantizer bit-exactly (q56's convention);
     production swaps in per-subspace k-means (operators/clustering)
-    without changing the plan. Execution is a pure map: the k x d
-    codebook enters as literals, each row computes 8x16 rounded
-    distances via the same sequential-fold dot product the cosine
-    family uses, argmin per subspace is one array_min over (d, j)
-    structs — no shuffle, no UDF, the scan stays whole-stage-codegen.
-    Distance identity d2 = <a,a> - 2<a,b> + <b,b> keeps both engines
-    on composition-of-dot-products arithmetic (a fold of squared
-    diffs would round differently)."""
-    from ..operators.similarity import dot
+    without changing the plan. Execution is a pure map — the corpus
+    never shuffles: the (m, k, subdim) codebook broadcasts as a numpy
+    tensor and one mapInPandas kernel scores each Arrow batch with a
+    BLAS matmul per subspace (the q50 pattern), distances snapped to
+    the 1e-6 portable grid BEFORE the argmin so code assignment is the
+    exact rounded-distance ordering the oracle replays (np.argmin ties
+    resolve to the first = smallest code, matching the oracle's
+    ORDER BY d, j). A literal-codebook codegen formulation was ~3x
+    slower at small SF — the 8x16 rounded-distance expression tree put
+    seconds of driver-side analysis+codegen ahead of milliseconds of
+    data; the kernel keeps the identical map-only 100 TB shape with
+    none of that fixed cost. Distance identity d2 = <a,a> - 2<a,b> +
+    <b,b> keeps both engines on composition-of-dot-products
+    arithmetic; the 1e-6 grid absorbs the matmul-vs-sequential-fold
+    accumulation difference (q50's proven convention)."""
+    import numpy as np
+    import pandas as pd
 
     vecs = _vecs(spark, sf_dir)
     seed_rows = vecs.orderBy("vec_id").limit(_Q97_K).select("v").collect()
-    seeds = [list(r[0]) for r in seed_rows]
-    # bind each subvector and its self-dot to real columns first: every
-    # (subspace, code) distance then references them instead of
-    # re-expanding the slice+fold subtree 16x per subspace — the
-    # literal-codebook expression tree is the whole cost of this query
-    # at small SF (driver-side analysis + codegen), and this halves it
-    pre_cols = [F.col("vec_id")]
-    for s in range(_Q97_M):
-        lo = s * _Q97_SUBDIM + 1
-        sub = F.slice(F.col("v"), lo, _Q97_SUBDIM)
-        pre_cols.append(sub.alias(f"_sub{s}"))
-        pre_cols.append(dot(sub, sub).alias(f"_ss{s}"))
-    pre = vecs.select(*pre_cols)
-    out_cols = [F.col("vec_id")]
-    dparts = []
-    for s in range(_Q97_M):
-        lo = s * _Q97_SUBDIM + 1
-        sub = F.col(f"_sub{s}")
-        structs = []
-        for j in range(_Q97_K):
-            sv = seeds[j][lo - 1 : lo - 1 + _Q97_SUBDIM]
-            lit = F.array(*[F.lit(float(x)) for x in sv])
-            snorm = sum(x * x for x in (float(v) for v in sv))
-            d2 = F.col(f"_ss{s}") - F.lit(2.0) * dot(sub, lit) + F.lit(snorm)
-            structs.append(
-                F.struct(prnd(d2, 6).alias("d"), F.lit(j).alias("j"))
-            )
-        best = F.array_min(F.array(*structs))
-        out_cols.append(best.getField("j").cast("int").alias(f"code{s}"))
-        dparts.append(best.getField("d"))
-    total = dparts[0]
-    for d in dparts[1:]:
-        total = total + d
-    out_cols.append(prnd(total, 5).alias("recon_d2"))
-    return pre.select(*out_cols)
+    cb = np.stack(
+        [np.asarray(r[0], dtype="float64") for r in seed_rows]
+    ).reshape(_Q97_K, _Q97_M, _Q97_SUBDIM).transpose(1, 0, 2)  # (m, k, sub)
+    bc = spark.sparkContext.broadcast(cb)
+    m, subdim = _Q97_M, _Q97_SUBDIM
+
+    def kernel(batches):
+        codebook = bc.value  # (m, k, subdim)
+        cb_norms = (codebook * codebook).sum(axis=2)  # (m, k)
+        for pdf in batches:
+            vm = np.stack(
+                [np.asarray(v, dtype="float64") for v in pdf["v"]]
+            ).reshape(len(pdf), m, subdim)
+            out = {"vec_id": pdf["vec_id"].to_numpy()}
+            recon = np.zeros(len(pdf))
+            for s in range(m):
+                sub = vm[:, s, :]  # (n, subdim)
+                d2 = (
+                    (sub * sub).sum(axis=1, keepdims=True)
+                    - 2.0 * (sub @ codebook[s].T)
+                    + cb_norms[s][None, :]
+                )
+                d2 = np.floor(d2 * 1e6 + 0.5001) / 1e6  # portable grid
+                code = np.argmin(d2, axis=1)  # first min = smallest j
+                out[f"code{s}"] = code.astype("int32")
+                recon += d2[np.arange(len(pdf)), code]
+            out["recon_d2"] = np.floor(recon * 1e5 + 0.5001) / 1e5
+            yield pd.DataFrame(out)
+
+    from ..sources.readers import spread_small_scan
+
+    schema = (
+        "vec_id long, "
+        + ", ".join(f"code{s} int" for s in range(m))
+        + ", recon_d2 double"
+    )
+    return spread_small_scan(vecs.select("vec_id", "v")).mapInPandas(
+        kernel, schema=schema
+    )
 
 
 _Q101_K_CELLS, _Q101_T = 8, 0.4
@@ -683,20 +695,31 @@ def q101_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is a plain equi-join on cell — no all-pairs cross product
     anywhere in the plan. Output: every vector with its cell, its
     canonical duplicate (or NULL), and the keep flag."""
-    from ..operators.similarity import cosine, ivf_assign
+    from ..operators.similarity import dot, ivf_assign, norm
 
     vecs = _vecs(spark, sf_dir)
     seed_rows = vecs.orderBy("vec_id").limit(_Q101_K_CELLS).select("v").collect()
     seeds = [list(r[0]) for r in seed_rows]
     asg = ivf_assign(vecs, seeds)
-    a = asg.select(F.col("vec_id"), F.col("cell"), F.col("v").alias("_va"))
-    b = asg.select(
-        F.col("vec_id").alias("_vid_b"), F.col("cell"), F.col("v").alias("_vb")
+    # bind each row's norm ONCE before the pair join: the per-pair
+    # predicate then costs one 64-dim fold (the cross dot) instead of
+    # three — same doubles as cosine() (sqrt of the self-dot computed
+    # per row vs per pair is the identical IEEE value), 3x less work
+    # on the |cell|^2 candidate volume that dominates this query
+    asg_n = asg.withColumn("_nrm", norm(F.col("v")))
+    a = asg_n.select(
+        F.col("vec_id"), F.col("cell"), F.col("v").alias("_va"),
+        F.col("_nrm").alias("_na"),
     )
+    b = asg_n.select(
+        F.col("vec_id").alias("_vid_b"), F.col("cell"),
+        F.col("v").alias("_vb"), F.col("_nrm").alias("_nb"),
+    )
+    pair_cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     dup = (
         a.join(b, "cell")
         .filter(F.col("_vid_b") < F.col("vec_id"))
-        .filter(prnd(cosine(F.col("_va"), F.col("_vb")), 6) >= _Q101_T)
+        .filter(prnd(pair_cos, 6) >= _Q101_T)
         .groupBy("vec_id")
         .agg(F.min("_vid_b").alias("dup_of"))
     )
@@ -2034,4 +2057,159 @@ def q303_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.avg("xi") * F.avg("xj"),
             6,
         ).alias("cov"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q314 k-core decomposition (bounded peeling) on the mutual-kNN graph
+# ---------------------------------------------------------------------------
+
+_Q314_KNN, _Q314_CORE_K, _Q314_ROUNDS = 10, 8, 4
+
+
+def _q314_oracle() -> str:
+    parts = [
+        _VECS_CTE.strip(),
+        f"""scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             {o_rnd(_COS, 6)} AS cos_sim
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+    )""",
+        f"""ranked AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored
+    )""",
+        f"knn AS (SELECT * FROM ranked WHERE rank <= {_Q314_KNN})",
+        """mut AS (
+      SELECT ab.query_id AS a, ab.vec_id AS b
+      FROM knn ab JOIN knn ba
+        ON ba.query_id = ab.vec_id AND ba.vec_id = ab.query_id
+      WHERE ab.query_id < ab.vec_id
+    )""",
+        "dir0 AS (SELECT a AS src, b AS dst FROM mut UNION ALL SELECT b, a FROM mut)",
+        "d0 AS (SELECT src, count(*) AS c FROM dir0 GROUP BY src)",
+    ]
+    prev_dir = "dir0"
+    for r in range(1, _Q314_ROUNDS + 1):
+        deg = "d0" if r == 1 else f"dg{r - 1}"
+        parts.append(
+            f"a{r} AS (SELECT src FROM {deg} WHERE c >= {_Q314_CORE_K})"
+        )
+        parts.append(
+            f"""dir{r} AS (
+      SELECT p.src, p.dst FROM {prev_dir} p
+      JOIN a{r} s ON p.src = s.src JOIN a{r} t ON p.dst = t.src
+    )"""
+        )
+        if r < _Q314_ROUNDS:
+            parts.append(
+                f"dg{r} AS (SELECT src, count(*) AS c FROM dir{r} GROUP BY src)"
+            )
+        prev_dir = f"dir{r}"
+    parts.append(
+        f"dcore AS (SELECT src, count(*) AS c FROM {prev_dir} GROUP BY src)"
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT e.vec_id,
+           CAST(coalesce(d0.c, 0) AS INTEGER) AS deg0,
+           CAST(a{_Q314_ROUNDS}.src IS NOT NULL AS INT) AS in_core,
+           CAST(dcore.c AS INTEGER) AS deg_core
+    FROM e
+    LEFT JOIN d0 ON d0.src = e.vec_id
+    LEFT JOIN a{_Q314_ROUNDS} ON a{_Q314_ROUNDS}.src = e.vec_id
+    LEFT JOIN dcore ON dcore.src = e.vec_id
+    """
+    )
+
+
+@query("q314_kcore_decomposition", oracle=_q314_oracle())
+def q314_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (k=8, 4 bounded rounds) on the mutual-kNN graph:
+    each round drops every node whose degree in the surviving subgraph
+    is below k, the standard density filter that isolates the
+    tightly-connected "core" a near-dup or community analysis keeps
+    (mutual-kNN rejects hub edges first, q143; k-core then rejects
+    weakly-embedded nodes). Bounded rounds make the iteration
+    deterministic and SQL-replayable (the q48 label-prop convention —
+    full convergence is the same loop run to fixpoint with a
+    checkpoint per round at scale).
+
+    Execution: edges come from q50's exact top-k kernel + one reversed
+    equi self-join (k*N rows, never N^2); each peel round is a groupBy
+    degree count + two broadcast-able semi joins on the shrinking
+    survivor set. Output: every vector with its mutual degree, core
+    membership after 4 rounds, and its degree inside the core."""
+    from ..operators.similarity import cosine_topk
+
+    vecs = _vecs(spark, sf_dir)
+    topk = cosine_topk(vecs, vecs, k=_Q314_KNN)
+    knn = topk.select("query_id", "vec_id", "rank")
+    ab = knn.select(
+        F.col("query_id").alias("a"), F.col("vec_id").alias("b")
+    )
+    ba = knn.select(
+        F.col("vec_id").alias("a"), F.col("query_id").alias("b")
+    )
+    mut = ab.join(ba, ["a", "b"]).filter(F.col("a") < F.col("b")).distinct()
+    dir0 = mut.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        mut.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    d0 = dir0.groupBy("src").agg(F.count("*").alias("c"))
+    # truncate lineage once before the loop and once per round: each
+    # round references the previous round's edges three times (degree
+    # count + two semi joins), so an un-checkpointed loop grows the
+    # logical plan ~3^rounds — the checkpoint is the standard guard
+    # for iterative graph passes (q48 convention), and the edge list
+    # is k*N bounded so materializing it is cheap at any scale
+    dir0 = dir0.localCheckpoint(eager=False)
+    d0 = d0.localCheckpoint(eager=False)
+    edges, deg = dir0, d0
+    alive = None
+    for _ in range(_Q314_ROUNDS):
+        alive = deg.filter(F.col("c") >= _Q314_CORE_K).select("src")
+        edges = (
+            edges.join(F.broadcast(alive), "src", "left_semi")
+            .join(
+                F.broadcast(alive.select(F.col("src").alias("dst"))),
+                "dst",
+                "left_semi",
+            )
+            .localCheckpoint(eager=False)
+        )
+        deg = edges.groupBy("src").agg(F.count("*").alias("c"))
+    # in_core is membership in the FINAL survivor set, not "has a
+    # surviving edge": a round-4 survivor whose neighbors all fell in
+    # round 4 is in the core with deg_core NULL (matches the oracle)
+    core_nodes = alive
+    dcore = deg.select("src", F.col("c").alias("deg_core"))
+    return (
+        vecs.select("vec_id")
+        .join(
+            d0.select(F.col("src").alias("vec_id"), F.col("c").alias("_d0")),
+            "vec_id",
+            "left",
+        )
+        .join(
+            core_nodes.select(
+                F.col("src").alias("vec_id"), F.lit(1).alias("_core")
+            ),
+            "vec_id",
+            "left",
+        )
+        .join(
+            dcore.select(F.col("src").alias("vec_id"), "deg_core"),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.coalesce(F.col("_d0"), F.lit(0)).cast("int").alias("deg0"),
+            F.col("_core").isNotNull().cast("int").alias("in_core"),
+            F.col("deg_core").cast("int").alias("deg_core"),
+        )
     )

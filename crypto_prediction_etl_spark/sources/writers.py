@@ -43,9 +43,21 @@ def write_partitioned(
     path: str,
     partition_cols: tuple[str, ...] = DEFAULT_PARTITION_COLS,
     mode: str = "append",
+    fmt: str = "parquet",
+    compression: str | None = None,
 ) -> None:
-    """Partitioned parquet write (S4/S5 sink)."""
-    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    """Partitioned columnar write (S4/S5 sink).
+
+    ``fmt="orc", compression="snappy"`` reproduces the reference's raw
+    candle storage exactly (``STORED AS ORC`` +
+    ``orc.compress=SNAPPY``, ddl/hive/crypto_raw/candles_day.ddl:29-31)
+    — Spark's native ORC writer needs no extra package, so the raw
+    layer can be byte-compatible with a Hive/Trino reader while the
+    mart layer stays parquet."""
+    w = df.write.mode(mode).partitionBy(*partition_cols).format(fmt)
+    if compression is not None:
+        w = w.option("compression", compression)
+    w.save(path)
 
 
 def reload_window(

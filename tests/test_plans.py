@@ -874,3 +874,66 @@ def test_cdc_chunks_single_shuffle(spark, sf_dir):
     HOFs; the only exchange is the first-copy window on chunk grain."""
     plan = _plan(spark, sf_dir, "q230_cdc_chunks")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pq_kernel_is_map_only(spark, sf_dir):
+    """q97: PQ coding is a pure map over the corpus scan — the codebook
+    broadcasts, so no hash exchange may appear anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "q97_product_quantization")
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
+    assert "MapInPandas" in plan
+
+
+def test_bucketed_ann_partial_topk_before_rank(spark, sf_dir):
+    """q52: the map-side partial top-k must sit between the bucket join
+    and the global rank window — candidates are pruned to k rows per
+    query per batch BEFORE the only hash exchange (the window's)."""
+    plan = _plan(spark, sf_dir, "q52_bucketed_ann")
+    assert "MapInPandas" in plan
+    # partial top-k output is the only thing shuffled to the rank window
+    assert plan.index("MapInPandas") > plan.index("Exchange hashpartitioning"), (
+        "physical plans print top-down: the exchange must CONSUME the "
+        "kernel output, i.e. appear above it in the plan text"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_poisson_bootstrap_explode_is_map_side(spark, sf_dir):
+    """q315: the B-replicate explode happens inside the scan stage; the
+    first exchange is the (group, b) partial aggregation — replicas
+    never shuffle raw."""
+    plan = _plan(spark, sf_dir, "q315_poisson_bootstrap")
+    # generator (explode) runs below the first exchange in execution
+    # order => appears after it in top-down plan text
+    first_ex = plan.index("Exchange hashpartitioning")
+    assert plan.index("Generate explode", first_ex) > first_ex
+    assert "CartesianProduct" not in plan
+
+
+def test_kcore_rounds_are_bounded_and_broadcast(spark, sf_dir):
+    """q314: every peel round filters the edge list through BROADCAST
+    semi joins on the shrinking survivor set — no shuffled join of the
+    edge list against itself, no cartesian anywhere."""
+    plan = _plan(spark, sf_dir, "q314_kcore_decomposition")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_garch_kernel_single_id_shuffle(spark, sf_dir):
+    """q312: the GARCH recursion is one grouped-map pandas kernel over
+    one id-shuffle (the EMA/Holt kernel law)."""
+    plan = _plan(spark, sf_dir, "q312_garch_filter")
+    assert "FlatMapGroupsInPandas" in plan
+    # one exchange builds the candles (groupBy id, dt), one feeds the
+    # kernel's id partitioning — nothing else may shuffle
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:3000]
+
+
+def test_range_volatility_shares_one_window_sort(spark, sf_dir):
+    """q313: all three estimators ride the same (id, dt) window sort —
+    one exchange for the candle aggregation, one for the shared window
+    partitioning, and exactly one Sort serving every window."""
+    plan = _plan(spark, sf_dir, "q313_range_volatility")
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:3000]
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("+- Sort ") == 1, final[:3000]
