@@ -5397,3 +5397,185 @@ def q306_population_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("german_tank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q321 as-of join with freshness tolerance (feature TTL)
+# ---------------------------------------------------------------------------
+
+_Q321_TTL_DAYS = 3
+
+
+@query(
+    "q321_asof_tolerance",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type AS id, CAST(ts AS DATE) AS dt, avg(value) AS close
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    l AS (
+      SELECT event_id, event_type, CAST(ts AS DATE) AS edt
+      FROM events WHERE event_id % 11 = 0
+    ),
+    j AS (
+      SELECT l.event_id, l.event_type, l.edt, c.close, c.dt AS cdt
+      FROM l ASOF LEFT JOIN c ON l.event_type = c.id AND l.edt >= c.dt
+    )
+    SELECT event_id, event_type, edt,
+           CAST(date_diff('day', cdt, edt) AS INTEGER) AS staleness_days,
+           CASE WHEN cdt IS NOT NULL
+                 AND date_diff('day', cdt, edt) <= {_Q321_TTL_DAYS}
+                THEN floor(close * 10000.0 + 0.5001) / 10000.0 END AS fresh_close,
+           CAST(cdt IS NULL
+                OR date_diff('day', cdt, edt) > {_Q321_TTL_DAYS} AS INT) AS is_stale
+    FROM j
+    """,
+)
+def q321_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join with a freshness TTL — the feature-store
+    contract beyond plain as-of (q19): a feature older than the
+    tolerance is WRONG to serve, so matches staler than 3 days are
+    rejected (NULL) and flagged rather than silently attached. Same
+    single-shuffle tagged-union carry-forward plan as q19; the TTL is
+    a post-join predicate, so the 100 TB shape is unchanged (no range
+    explosion — tolerance does NOT become a join condition)."""
+    from ..operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
+    left = ev.select(
+        "event_id",
+        F.col("event_type").alias("id"),
+        F.to_date("ts").alias("edt"),
+    )
+    right = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("id"), F.to_date("ts").alias("edt")
+        )
+        .agg(F.avg("value").alias("close"))
+        .select("id", "edt", "close", F.col("edt").alias("cdt"))
+    )
+    j = asof_join(left, right, on="edt", by="id", value_cols=["close", "cdt"])
+    stale_days = F.datediff(F.col("edt"), F.col("right_cdt"))
+    is_stale = (
+        F.col("right_cdt").isNull() | (stale_days > _Q321_TTL_DAYS)
+    ).cast("int")
+    return j.select(
+        "event_id",
+        F.col("id").alias("event_type"),
+        "edt",
+        stale_days.cast("int").alias("staleness_days"),
+        F.when(
+            F.col("right_cdt").isNotNull()
+            & (stale_days <= _Q321_TTL_DAYS),
+            prnd(F.col("right_close"), 4),
+        ).alias("fresh_close"),
+        is_stale.alias("is_stale"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q322 point-in-time multi-feature materialization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q322_point_in_time_features",
+    oracle="""
+    WITH c AS (
+      SELECT event_type AS id, CAST(ts AS DATE) AS dt, avg(value) AS close
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    r5 AS (
+      SELECT id, dt,
+             avg(close) OVER (PARTITION BY id ORDER BY dt
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll5
+      FROM c
+    ),
+    hist AS (
+      SELECT event_id, user_id, event_type, ts, CAST(ts AS DATE) AS edt,
+             count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS user_prior_events
+      FROM events
+    ),
+    l AS (SELECT * FROM hist WHERE event_id % 7 = 0),
+    f1 AS (
+      SELECT l.event_id, l.user_id, l.event_type, l.edt,
+             l.user_prior_events, c.close AS asof_close, c.dt AS asof_dt
+      FROM l ASOF LEFT JOIN c ON l.event_type = c.id AND l.edt >= c.dt
+    )
+    SELECT f1.event_id, f1.user_id, f1.event_type, f1.edt,
+           CAST(f1.user_prior_events AS BIGINT) AS user_prior_events,
+           floor(f1.asof_close * 10000.0 + 0.5001) / 10000.0 AS asof_close,
+           f1.asof_dt,
+           floor(r5.roll5 * 10000.0 + 0.5001) / 10000.0 AS asof_roll5
+    FROM f1 ASOF LEFT JOIN r5
+      ON f1.event_type = r5.id AND f1.edt >= r5.dt
+    """,
+)
+def q322_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct multi-feature materialization — the
+    feature-store centerpiece: for each (sampled) event, attach (a)
+    the latest daily close at or before the event day, (b) the latest
+    5-day rolling mean at or before it, and (c) the user's own strict
+    prior event count — three features, every one leak-free by
+    construction (as-of joins look only backward; the user history
+    window ends at 1 PRECEDING with a deterministic (ts, event_id)
+    order). This is the exact join discipline that prevents
+    train-serve skew in training-data generation at 100 TB: two
+    carry-forward as-of passes (each one shuffle on the entity key,
+    q19 plan) + one cumulative window, never a per-row point lookup."""
+    from pyspark.sql import Window as W
+
+    from ..operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    c = (
+        ev.groupBy(F.col("event_type").alias("id"), F.to_date("ts").alias("dt"))
+        .agg(F.avg("value").alias("close"))
+    )
+    wid = W.partitionBy("id").orderBy("dt")
+    r5 = c.select(
+        "id", "dt", F.avg("close").over(wid.rowsBetween(-4, 0)).alias("roll5")
+    )
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = ev.select(
+        "event_id",
+        "user_id",
+        F.col("event_type").alias("id"),
+        "ts",
+        F.to_date("ts").alias("edt"),
+        F.count("*")
+        .over(wu.rowsBetween(W.unboundedPreceding, -1))
+        .alias("user_prior_events"),
+    )
+    left = hist.filter(F.col("event_id") % 7 == 0).drop("ts")
+    f1 = asof_join(
+        left,
+        c.select("id", F.col("dt").alias("edt"), "close", F.col("dt").alias("cdt")),
+        on="edt",
+        by="id",
+        value_cols=["close", "cdt"],
+    ).select(
+        "event_id", "user_id", "id", "edt", "user_prior_events",
+        F.col("right_close").alias("asof_close"),
+        F.col("right_cdt").alias("asof_dt"),
+    )
+    f2 = asof_join(
+        f1,
+        r5.select("id", F.col("dt").alias("edt"), "roll5"),
+        on="edt",
+        by="id",
+        value_cols=["roll5"],
+    )
+    return f2.select(
+        "event_id",
+        "user_id",
+        F.col("id").alias("event_type"),
+        "edt",
+        F.col("user_prior_events").cast("long").alias("user_prior_events"),
+        prnd(F.col("asof_close"), 4).alias("asof_close"),
+        "asof_dt",
+        prnd(F.col("right_roll5"), 4).alias("asof_roll5"),
+    )

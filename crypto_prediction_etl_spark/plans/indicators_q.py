@@ -5341,3 +5341,391 @@ def q316_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd(F.sum(term), 6).alias("js_divergence"),
         F.count("*").cast("int").alias("n_bins_used"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q317 volatility cones
+# ---------------------------------------------------------------------------
+
+_Q317_HORIZONS = (5, 10, 20)
+
+
+def _q317_oracle() -> str:
+    arms = []
+    for h in _Q317_HORIZONS:
+        frame = f"OVER ({_WIN} ROWS BETWEEN {h - 1} PRECEDING AND CURRENT ROW)"
+        arms.append(f"""
+    SELECT id, {h} AS horizon,
+           CASE WHEN count(ret) {frame} >= {h}
+                THEN sqrt(var_pop(ret) {frame} * 365.0) END AS rv,
+           row_number() OVER ({_WIN}) AS rn,
+           count(*) OVER (PARTITION BY id) AS n
+    FROM r""")
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    r AS (
+      SELECT id, dt, ln(close / lag(close) OVER ({_WIN})) AS ret
+      FROM candles
+    ),
+    rv AS ({" UNION ALL ".join(arms)})
+    SELECT id, CAST(horizon AS INTEGER) AS horizon,
+           {o_rnd('min(rv)', 6)} AS vol_min,
+           {o_rnd('quantile_cont(rv, 0.25)', 6)} AS vol_p25,
+           {o_rnd('quantile_cont(rv, 0.5)', 6)} AS vol_median,
+           {o_rnd('quantile_cont(rv, 0.75)', 6)} AS vol_p75,
+           {o_rnd('max(rv)', 6)} AS vol_max,
+           {o_rnd('max(CASE WHEN rn = n THEN rv END)', 6)} AS vol_now
+    FROM rv WHERE rv IS NOT NULL
+    GROUP BY id, horizon
+    """
+
+
+@query("q317_volatility_cones", oracle=_q317_oracle())
+def q317_volatility_cones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volatility cones: for each symbol and horizon (5/10/20 bars),
+    the historical distribution of annualized rolling volatility
+    (min / quartiles / max) next to the CURRENT reading — the classic
+    options-desk display answering "is today's vol rich or cheap vs
+    this horizon's own history". Multi-horizon rolling stddevs all
+    ride one (id, dt) window sort; the cone summary is exact
+    interpolated percentiles per (id, horizon) (q29 convention).
+
+    Scale: horizons fan out as a union over the SAME windowed frame
+    (scan reused, no re-shuffle per horizon beyond the window
+    exchange), and the percentile pass sees one row per bar per
+    horizon — linear in data, constant output."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    byid = W.partitionBy("id")
+    r = c.select(
+        "id", "dt",
+        F.log(F.col("close") / F.lag("close").over(w)).alias("ret"),
+    )
+    arms = []
+    for h in _Q317_HORIZONS:
+        frame = w.rowsBetween(-(h - 1), 0)
+        rv = F.when(
+            F.count("ret").over(frame) >= h,
+            F.sqrt(F.var_pop("ret").over(frame) * 365.0),
+        )
+        arms.append(
+            r.select(
+                "id",
+                F.lit(h).alias("horizon"),
+                rv.alias("rv"),
+                F.row_number().over(w).alias("rn"),
+                F.count("*").over(byid).alias("n"),
+            )
+        )
+    rv_all = arms[0]
+    for a in arms[1:]:
+        rv_all = rv_all.union(a)
+    return (
+        rv_all.filter(F.col("rv").isNotNull())
+        .groupBy("id", F.col("horizon").cast("int").alias("horizon"))
+        .agg(
+            prnd(F.min("rv"), 6).alias("vol_min"),
+            prnd(F.expr("percentile(rv, 0.25)"), 6).alias("vol_p25"),
+            prnd(F.expr("percentile(rv, 0.5)"), 6).alias("vol_median"),
+            prnd(F.expr("percentile(rv, 0.75)"), 6).alias("vol_p75"),
+            prnd(F.max("rv"), 6).alias("vol_max"),
+            prnd(
+                F.max(F.when(F.col("rn") == F.col("n"), F.col("rv"))), 6
+            ).alias("vol_now"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q318 Ljung-Box autocorrelation test
+# ---------------------------------------------------------------------------
+
+_Q318_LAGS = 10
+_Q318_CHI2_CRIT = 18.307038053275146  # chi2.ppf(0.95, df=10)
+
+
+def _q318_oracle() -> str:
+    lag_cols = ",\n             ".join(
+        f"lag(ret, {k}) OVER ({_WIN}) AS l{k}" for k in range(1, _Q318_LAGS + 1)
+    )
+    rho_terms = []
+    for k in range(1, _Q318_LAGS + 1):
+        rho_terms.append(
+            f"power(sum((ret - mu) * (l{k} - mu)) FILTER (WHERE l{k} IS NOT NULL)"
+            f" / sum((ret - mu) * (ret - mu)), 2) / (max(n) - {k})"
+        )
+    qsum = " + ".join(rho_terms)
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    r0 AS (
+      SELECT id, dt, ln(close / lag(close) OVER ({_WIN})) AS ret
+      FROM candles
+    ),
+    r1 AS (
+      SELECT id, ret,
+             {lag_cols}
+      FROM (SELECT id, dt, ret FROM r0 WHERE ret IS NOT NULL) t
+    ),
+    m AS (
+      SELECT id, avg(ret) AS mu, count(*) AS n FROM r1 GROUP BY id
+    ),
+    j AS (SELECT r1.*, m.mu, m.n FROM r1 JOIN m USING (id))
+    SELECT id,
+           CAST(max(n) AS BIGINT) AS n_obs,
+           {o_rnd(f'max(n) * (max(n) + 2.0) * ({qsum})', 6)} AS lb_q,
+           CAST({_Q318_LAGS} AS INTEGER) AS df,
+           CAST((max(n) * (max(n) + 2.0) * ({qsum})) > {_Q318_CHI2_CRIT!r} AS INT)
+             AS reject_iid
+    FROM j GROUP BY id
+    """
+
+
+@query("q318_ljung_box", oracle=_q318_oracle())
+def q318_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on daily log returns (lags 1..10):
+    Q = n(n+2) * sum_k rho_k^2/(n-k) against the chi-square(10) 95%
+    critical value — the standard "is this series white noise"
+    diagnostic run before fitting any AR/GARCH model (complements
+    q308's distribution-free runs test and q203's single-lag ACF with
+    a joint multi-lag statistic).
+
+    One id-window builds all 10 lag columns off the shared sort, the
+    per-id mean joins back broadcast, and the statistic is a single
+    algebraic aggregation — sums of products whose cross-engine
+    accumulation drift (~1e-15 relative) the 1e-6 output grid
+    absorbs."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    r0 = c.select(
+        "id", "dt",
+        F.log(F.col("close") / F.lag("close").over(w)).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    lagged = r0.select(
+        "id",
+        "ret",
+        *[
+            F.lag("ret", k).over(w).alias(f"l{k}")
+            for k in range(1, _Q318_LAGS + 1)
+        ],
+    )
+    m = lagged.groupBy("id").agg(
+        F.avg("ret").alias("mu"), F.count("*").alias("n")
+    )
+    j = lagged.join(F.broadcast(m), "id")
+    dc = F.col("ret") - F.col("mu")
+    denom = F.sum(dc * dc)
+    rho_sq_terms = []
+    for k in range(1, _Q318_LAGS + 1):
+        num = F.sum(
+            F.when(
+                F.col(f"l{k}").isNotNull(),
+                dc * (F.col(f"l{k}") - F.col("mu")),
+            )
+        )
+        rho_sq_terms.append(
+            F.pow(num / denom, 2) / (F.max("n") - F.lit(k))
+        )
+    qsum = rho_sq_terms[0]
+    for t in rho_sq_terms[1:]:
+        qsum = qsum + t
+    lb = F.max("n") * (F.max("n") + F.lit(2.0)) * qsum
+    return j.groupBy("id").agg(
+        F.max("n").cast("long").alias("n_obs"),
+        prnd(lb, 6).alias("lb_q"),
+        F.lit(_Q318_LAGS).cast("int").alias("df"),
+        (lb > F.lit(_Q318_CHI2_CRIT)).cast("int").alias("reject_iid"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q319 rolling higher moments (skewness / excess kurtosis)
+# ---------------------------------------------------------------------------
+
+_Q319_N = 20
+
+
+def _q319_oracle() -> str:
+    frame = f"OVER ({_WIN} ROWS BETWEEN {_Q319_N - 1} PRECEDING AND CURRENT ROW)"
+    m1 = f"avg(ret) {frame}"
+    m2r = f"avg(ret * ret) {frame}"
+    m3r = f"avg(ret * ret * ret) {frame}"
+    m4r = f"avg(ret * ret * ret * ret) {frame}"
+    guard = f"count(ret) {frame} >= {_Q319_N}"
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    r AS (
+      SELECT id, dt, ln(close / lag(close) OVER ({_WIN})) AS ret
+      FROM candles
+    ),
+    m AS (
+      SELECT id, dt,
+             CASE WHEN {guard} THEN {m1} END AS m1,
+             CASE WHEN {guard} THEN {m2r} END AS m2r,
+             CASE WHEN {guard} THEN {m3r} END AS m3r,
+             CASE WHEN {guard} THEN {m4r} END AS m4r
+      FROM r WHERE ret IS NOT NULL
+    ),
+    c2 AS (
+      SELECT id, dt,
+             m2r - m1 * m1 AS v,
+             m3r - 3.0 * m1 * m2r + 2.0 * m1 * m1 * m1 AS c3,
+             m4r - 4.0 * m1 * m3r + 6.0 * m1 * m1 * m2r
+                 - 3.0 * m1 * m1 * m1 * m1 AS c4
+      FROM m WHERE m1 IS NOT NULL
+    )
+    SELECT id, dt,
+           {o_rnd('CASE WHEN v > 0 THEN c3 / power(v, 1.5) END', 6)} AS roll_skew,
+           {o_rnd('CASE WHEN v > 0 THEN c4 / (v * v) - 3.0 END', 6)} AS roll_exkurt
+    FROM c2
+    """
+
+
+@query("q319_rolling_moments", oracle=_q319_oracle())
+def q319_rolling_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 20-bar skewness and excess kurtosis of daily log
+    returns — the tail-shape features (crash asymmetry, fat tails)
+    volatility models and risk filters consume beyond plain variance
+    (q130). Central moments come from raw-moment window averages via
+    the standard binomial expansion, so everything is four avg windows
+    on ONE shared (id, dt) sort — no second pass to subtract a mean,
+    no UDF; both engines evaluate the identical closed-form polynomial
+    and the 1e-6 grid absorbs window-accumulation drift."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    r = c.select(
+        "id", "dt",
+        F.log(F.col("close") / F.lag("close").over(w)).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    frame = w.rowsBetween(-(_Q319_N - 1), 0)
+    guard = F.count("ret").over(frame) >= _Q319_N
+    ret = F.col("ret")
+    m1 = F.when(guard, F.avg(ret).over(frame))
+    m2r = F.when(guard, F.avg(ret * ret).over(frame))
+    m3r = F.when(guard, F.avg(ret * ret * ret).over(frame))
+    m4r = F.when(guard, F.avg(ret * ret * ret * ret).over(frame))
+    m = r.select(
+        "id", "dt",
+        m1.alias("m1"), m2r.alias("m2r"), m3r.alias("m3r"), m4r.alias("m4r"),
+    ).filter(F.col("m1").isNotNull())
+    v = F.col("m2r") - F.col("m1") * F.col("m1")
+    c3 = (
+        F.col("m3r")
+        - 3.0 * F.col("m1") * F.col("m2r")
+        + 2.0 * F.col("m1") * F.col("m1") * F.col("m1")
+    )
+    c4 = (
+        F.col("m4r")
+        - 4.0 * F.col("m1") * F.col("m3r")
+        + 6.0 * F.col("m1") * F.col("m1") * F.col("m2r")
+        - 3.0 * F.col("m1") * F.col("m1") * F.col("m1") * F.col("m1")
+    )
+    c2 = m.select("id", "dt", v.alias("v"), c3.alias("c3"), c4.alias("c4"))
+    return c2.select(
+        "id",
+        "dt",
+        prnd(
+            F.when(F.col("v") > 0, F.col("c3") / F.pow(F.col("v"), 1.5)), 6
+        ).alias("roll_skew"),
+        prnd(
+            F.when(
+                F.col("v") > 0, F.col("c4") / (F.col("v") * F.col("v")) - 3.0
+            ),
+            6,
+        ).alias("roll_exkurt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q323 purged + embargoed forward labels
+# ---------------------------------------------------------------------------
+
+_Q323_HORIZON = 5  # label = forward 5-bar log return
+_Q323_EMBARGO = 10
+_Q323_TEST_LO, _Q323_TEST_HI = "1998-01-01", "1998-12-31"
+
+
+def _q323_oracle() -> str:
+    h, e = _Q323_HORIZON, _Q323_EMBARGO
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    r AS (
+      SELECT id, dt, close,
+             row_number() OVER ({_WIN}) AS rn,
+             lead(close, {h}) OVER ({_WIN}) AS fwd_close
+      FROM candles
+    ),
+    b AS (
+      SELECT id,
+             min(CASE WHEN dt >= DATE '{_Q323_TEST_LO}' THEN rn END) AS t_lo,
+             max(CASE WHEN dt <= DATE '{_Q323_TEST_HI}' THEN rn END) AS t_hi
+      FROM r GROUP BY id
+    )
+    SELECT r.id, r.dt,
+           {o_rnd('ln(fwd_close / close)', 6)} AS fwd_ret_{h},
+           CASE
+             WHEN r.rn >= b.t_lo AND r.rn <= b.t_hi THEN 'test'
+             WHEN r.rn < b.t_lo AND r.rn + {h} >= b.t_lo THEN 'purged'
+             WHEN r.rn > b.t_hi AND r.rn <= b.t_hi + {e} THEN 'embargo'
+             ELSE 'train'
+           END AS role
+    FROM r JOIN b USING (id)
+    """
+
+
+@query("q323_purged_labels", oracle=_q323_oracle())
+def q323_purged_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-free supervised labels for financial training data: the
+    label is the FORWARD 5-bar log return (null near series end), and
+    every bar gets a role under a purged + embargoed split (Lopez de
+    Prado's protocol): bars inside the 1998 test year are 'test';
+    train bars whose 5-bar label window REACHES INTO the test region
+    are 'purged' (their label contains test-period information — the
+    classic leakage q250 screens for, prevented here at labeling
+    time); the 10 bars after the test region are 'embargo' (serial
+    correlation leaks backward); everything else is clean 'train'.
+
+    One (id, dt) window pass builds row numbers + forward closes; the
+    per-id test-region bounds are a 5-row conditional aggregate joined
+    back broadcast — two shuffles total at any scale."""
+    h, e = _Q323_HORIZON, _Q323_EMBARGO
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    r = c.select(
+        "id", "dt", "close",
+        F.row_number().over(w).alias("rn"),
+        F.lead("close", h).over(w).alias("fwd_close"),
+    )
+    b = r.groupBy("id").agg(
+        F.min(
+            F.when(F.col("dt") >= F.lit(_Q323_TEST_LO).cast("date"), F.col("rn"))
+        ).alias("t_lo"),
+        F.max(
+            F.when(F.col("dt") <= F.lit(_Q323_TEST_HI).cast("date"), F.col("rn"))
+        ).alias("t_hi"),
+    )
+    j = r.join(F.broadcast(b), "id")
+    role = (
+        F.when(
+            (F.col("rn") >= F.col("t_lo")) & (F.col("rn") <= F.col("t_hi")),
+            "test",
+        )
+        .when(
+            (F.col("rn") < F.col("t_lo"))
+            & (F.col("rn") + h >= F.col("t_lo")),
+            "purged",
+        )
+        .when(
+            (F.col("rn") > F.col("t_hi"))
+            & (F.col("rn") <= F.col("t_hi") + e),
+            "embargo",
+        )
+        .otherwise("train")
+    )
+    return j.select(
+        "id",
+        "dt",
+        prnd(F.log(F.col("fwd_close") / F.col("close")), 6).alias(
+            f"fwd_ret_{h}"
+        ),
+        role.alias("role"),
+    )

@@ -1755,3 +1755,93 @@ def q305_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd(b, 6).alias("burstiness"),
         (b > 1.5).cast("int").alias("is_bursty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q320 hashed linear quality classifier (fasttext-style plumbing)
+# ---------------------------------------------------------------------------
+
+_Q320_BUCKETS = 512
+_Q320_THRESH = 0.5
+
+
+def _q320_oracle() -> str:
+    from ..functions.portable import o_hash64
+
+    bkt = f"({o_hash64('tok')}) % {_Q320_BUCKETS}"
+    wkey = "'w:' || CAST(bkt AS VARCHAR)"
+    wexpr = f"(({o_hash64(wkey)}) % 2001 - 1000) / 1000.0"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, {bkt} AS bkt, count(*) AS cnt
+      FROM toks GROUP BY doc_id, {bkt}
+    ),
+    scored AS (
+      SELECT doc_id,
+             sum(cnt * ({wexpr})) / sum(cnt) AS score,
+             CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS INTEGER) AS n_active_buckets
+      FROM feats GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_active_buckets,
+           {o_rnd('score', 6)} AS score,
+           {o_rnd('1.0 / (1.0 + exp(-score))', 6)} AS prob_keep,
+           CAST({o_rnd('1.0 / (1.0 + exp(-score))', 6)} >= {_Q320_THRESH} AS INT)
+             AS keep
+    FROM scored
+    """
+
+
+@query("q320_hashed_linear_classifier", oracle=_q320_oracle())
+def q320_hashed_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering plumbing (the fastText/CCNet slot
+    in an LLM curation pipeline): bag-of-words hashed to 512 feature
+    buckets, scored by a linear model, squashed through a sigmoid,
+    thresholded into a keep decision. No ML runtime exists in this
+    container, so the weight vector is a deterministic function of the
+    bucket id (md5 -> [-1, 1]) — the SERVING path (feature hashing,
+    sparse dot product, calibration, thresholding) is real and
+    hash-checked end-to-end; training would only replace the weight
+    literal source. The keep flag thresholds the GRID-ROUNDED
+    probability so the decision is identical on both engines even at
+    the boundary.
+
+    Scale: feature hashing is a map; the sparse dot product is one
+    (doc, bucket) partial aggregation + one doc aggregation — the
+    same two-shuffle shape as plain token counting, independent of
+    model width (weights derive per-row from the bucket id; a learned
+    model would broadcast its 512 floats)."""
+    from ..functions.portable import hash64
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("tok"),
+    )
+    feats = toks.select(
+        "doc_id", (hash64(F.col("tok")) % _Q320_BUCKETS).alias("bkt")
+    ).groupBy("doc_id", "bkt").agg(F.count("*").alias("cnt"))
+    wcol = (
+        hash64(F.concat(F.lit("w:"), F.col("bkt").cast("string"))) % 2001
+        - 1000
+    ) / 1000.0
+    scored = feats.groupBy("doc_id").agg(
+        (F.sum(F.col("cnt") * wcol) / F.sum("cnt")).alias("score"),
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count("*").cast("int").alias("n_active_buckets"),
+    )
+    prob = prnd(1.0 / (1.0 + F.exp(-F.col("score"))), 6)
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "n_active_buckets",
+        prnd(F.col("score"), 6).alias("score"),
+        prob.alias("prob_keep"),
+        (prob >= _Q320_THRESH).cast("int").alias("keep"),
+    )
