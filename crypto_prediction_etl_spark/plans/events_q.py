@@ -5579,3 +5579,67 @@ def q322_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asof_dt",
         prnd(F.col("right_roll5"), 4).alias("asof_roll5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q327 experiment sample-size / MDE planner
+# ---------------------------------------------------------------------------
+
+_Q327_Z_ALPHA = 1.959963984540054  # Phi^-1(0.975), two-sided alpha=0.05
+_Q327_Z_BETA = 0.8416212335729143  # Phi^-1(0.8), power=0.8
+_Q327_N_PLAN = 10000
+_Q327_REL_EFFECT = 0.01
+
+
+def _q327_oracle() -> str:
+    z2 = f"({_Q327_Z_ALPHA!r} + {_Q327_Z_BETA!r})"
+    return f"""
+    WITH s AS (
+      SELECT event_type,
+             count(*) AS n, avg(value) AS mu, var_pop(value) AS v
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_obs,
+           {o_rnd('mu', 6)} AS mean_value,
+           {o_rnd('v', 6)} AS var_value,
+           {o_rnd(f'{z2} * sqrt(2.0 * v / {_Q327_N_PLAN})', 6)} AS mde_at_10k,
+           CAST(ceil(2.0 * v * {z2} * {z2}
+                     / (({_Q327_REL_EFFECT} * mu) * ({_Q327_REL_EFFECT} * mu)))
+                AS BIGINT) AS n_per_arm_1pct
+    FROM s
+    """
+
+
+@query("q327_mde_planner", oracle=_q327_oracle())
+def q327_mde_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment-design planner from observed metric moments: per
+    event type, the minimum detectable effect at n=10k/arm and the
+    required n per arm to detect a 1% relative lift (two-sample
+    normal approximation, alpha=0.05 two-sided, power=0.8 — z values
+    pinned as exact double literals). The planning counterpart of the
+    post-hoc tests (q168 t-test, q208 SRM, q275 SPRT): every
+    experimentation platform runs THIS query against historical data
+    before any experiment starts. Pure sufficient-statistics algebra
+    — one aggregation, closed-form arithmetic, identical at any
+    scale."""
+    ev = table(spark, sf_dir, "events")
+    z2 = _Q327_Z_ALPHA + _Q327_Z_BETA
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.avg("value").alias("mu"),
+        F.var_pop("value").alias("v"),
+    )
+    delta = _Q327_REL_EFFECT * F.col("mu")
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_obs"),
+        prnd(F.col("mu"), 6).alias("mean_value"),
+        prnd(F.col("v"), 6).alias("var_value"),
+        prnd(
+            F.lit(z2) * F.sqrt(2.0 * F.col("v") / _Q327_N_PLAN), 6
+        ).alias("mde_at_10k"),
+        F.ceil(
+            2.0 * F.col("v") * F.lit(z2) * F.lit(z2) / (delta * delta)
+        ).cast("long").alias("n_per_arm_1pct"),
+    )

@@ -5729,3 +5729,242 @@ def q323_purged_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         role.alias("role"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q324 portfolio VaR / expected shortfall (historical simulation)
+# ---------------------------------------------------------------------------
+
+
+def _q324_oracle() -> str:
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    r AS (
+      SELECT id, dt, ln(close / lag(close) OVER ({_WIN})) AS ret
+      FROM candles
+    ),
+    p AS (
+      SELECT dt, avg(ret) AS port_ret, count(*) AS n_ids
+      FROM r WHERE ret IS NOT NULL
+      GROUP BY dt HAVING count(*) >= 2
+    ),
+    q AS (
+      SELECT {o_rnd('quantile_cont(port_ret, 0.05)', 6)} AS q05 FROM p
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           {o_rnd('-max(q.q05)', 6)} AS var95,
+           {o_rnd('-avg(port_ret) FILTER (WHERE port_ret <= q.q05)', 6)} AS es95,
+           {o_rnd('min(port_ret)', 6)} AS worst_ret,
+           min_by(dt, port_ret) AS worst_dt
+    FROM p CROSS JOIN q
+    """
+
+
+@query("q324_portfolio_var_es", oracle=_q324_oracle())
+def q324_portfolio_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical-simulation portfolio risk: equal-weight the five
+    symbols' daily log returns into one portfolio series, then report
+    95% Value-at-Risk (negated 5th percentile), expected shortfall
+    (mean loss BEYOND the VaR cut — the coherent tail measure Basel
+    moved to), the worst day and its date. The tail membership test
+    compares against the GRID-ROUNDED quantile so both engines select
+    the identical exceedance set (no epsilon disagreement at the
+    cut). Shape: one window pass for returns, one date aggregation,
+    one scalar quantile broadcast back — nothing quadratic."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    r = c.select(
+        "id", "dt", F.log(F.col("close") / F.lag("close").over(w)).alias("ret")
+    ).filter(F.col("ret").isNotNull())
+    p = (
+        r.groupBy("dt")
+        .agg(F.avg("ret").alias("port_ret"), F.count("*").alias("n_ids"))
+        .filter(F.col("n_ids") >= 2)
+    )
+    q = p.agg(prnd(F.expr("percentile(port_ret, 0.05)"), 6).alias("q05"))
+    return (
+        p.crossJoin(F.broadcast(q))
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            prnd(-F.max("q05"), 6).alias("var95"),
+            prnd(
+                -F.avg(
+                    F.when(
+                        F.col("port_ret") <= F.col("q05"), F.col("port_ret")
+                    )
+                ),
+                6,
+            ).alias("es95"),
+            prnd(F.min("port_ret"), 6).alias("worst_ret"),
+            F.expr("min_by(dt, port_ret)").alias("worst_dt"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q325 empirical tail dependence between symbol pairs
+# ---------------------------------------------------------------------------
+
+_Q325_TAIL = 0.1
+
+
+def _q325_oracle() -> str:
+    t = _Q325_TAIL
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    r AS (
+      SELECT id, dt, ln(close / lag(close) OVER ({_WIN})) AS ret
+      FROM candles
+    ),
+    pr AS (
+      SELECT id, dt, ret,
+             percent_rank() OVER (PARTITION BY id ORDER BY ret, dt) AS u
+      FROM r WHERE ret IS NOT NULL
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(count(*) FILTER (WHERE a.u <= {t} AND b.u <= {t}) AS BIGINT)
+             AS joint_lower,
+           {o_rnd(f'(count(*) FILTER (WHERE a.u <= {t} AND b.u <= {t}))'
+                  f' / (count(*) * {t})', 6)} AS lower_tail_dep,
+           {o_rnd(f'(count(*) FILTER (WHERE a.u >= {1.0 - t} AND b.u >= {1.0 - t}))'
+                  f' / (count(*) * {t})', 6)} AS upper_tail_dep
+    FROM pr a JOIN pr b ON a.dt = b.dt AND a.id < b.id
+    GROUP BY a.id, b.id
+    """
+
+
+@query("q325_tail_dependence", oracle=_q325_oracle())
+def q325_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical tail-dependence coefficients per symbol pair: the
+    probability both symbols land in their own worst (best) decile on
+    the SAME day, normalized by the independence baseline — the
+    copula-level diversification check correlation misses (Gaussian
+    correlation says nothing about joint crashes; tail dependence is
+    exactly that). percent_rank with a (ret, dt) tie-break makes the
+    marginal transform deterministic on both engines.
+
+    Shape: one window pass for per-symbol ranks, then a dt equi-join
+    of the 5-symbol panel against itself (10 pairs — the pair fanout
+    is #symbols^2, never #rows^2) and one grouped conditional count."""
+    t = _Q325_TAIL
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    r = c.select(
+        "id", "dt", F.log(F.col("close") / F.lag("close").over(w)).alias("ret")
+    ).filter(F.col("ret").isNotNull())
+    pr = r.select(
+        "id", "dt",
+        F.percent_rank().over(W.partitionBy("id").orderBy("ret", "dt")).alias("u"),
+    )
+    a = pr.select(F.col("id").alias("id_a"), "dt", F.col("u").alias("ua"))
+    b = pr.select(F.col("id").alias("id_b"), "dt", F.col("u").alias("ub"))
+    j = a.join(b, "dt").filter(F.col("id_a") < F.col("id_b"))
+    joint_lo = F.count(
+        F.when((F.col("ua") <= t) & (F.col("ub") <= t), 1)
+    )
+    joint_hi = F.count(
+        F.when((F.col("ua") >= 1.0 - t) & (F.col("ub") >= 1.0 - t), 1)
+    )
+    return j.groupBy("id_a", "id_b").agg(
+        F.count("*").cast("long").alias("n_days"),
+        joint_lo.cast("long").alias("joint_lower"),
+        prnd(joint_lo / (F.count("*") * t), 6).alias("lower_tail_dep"),
+        prnd(joint_hi / (F.count("*") * t), 6).alias("upper_tail_dep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q326 day-of-week ANOVA (seasonality F-test)
+# ---------------------------------------------------------------------------
+
+
+def _q326_oracle() -> str:
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    r AS (
+      SELECT id, dt, dayofweek(dt) AS dow,
+             ln(close / lag(close) OVER ({_WIN})) AS ret
+      FROM candles
+    ),
+    g AS (
+      SELECT id, dow, count(*) AS ng, avg(ret) AS mg
+      FROM r WHERE ret IS NOT NULL GROUP BY id, dow
+    ),
+    tot AS (
+      SELECT id, count(*) AS n, avg(ret) AS mu,
+             sum(ret * ret) AS ss
+      FROM r WHERE ret IS NOT NULL GROUP BY id
+    ),
+    parts AS (
+      SELECT g.id,
+             count(*) AS k,
+             sum(g.ng * (g.mg - tot.mu) * (g.mg - tot.mu)) AS ssb,
+             max(tot.n) AS n,
+             max(tot.ss - tot.n * tot.mu * tot.mu) AS sst
+      FROM g JOIN tot USING (id)
+      GROUP BY g.id
+    )
+    SELECT id,
+           CAST(n AS BIGINT) AS n_obs,
+           CAST(k AS INTEGER) AS n_groups,
+           {o_rnd('ssb', 8)} AS ss_between,
+           {o_rnd('sst - ssb', 8)} AS ss_within,
+           {o_rnd('(ssb / (k - 1)) / ((sst - ssb) / (n - k))', 6)} AS f_stat
+    FROM parts
+    """
+
+
+@query("q326_seasonality_anova", oracle=_q326_oracle())
+def q326_seasonality_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of daily returns by day-of-week: between-group vs
+    within-group variance and the F statistic — the formal test behind
+    q120's descriptive day-of-week means (is the weekday effect larger
+    than chance?). Everything is sufficient-statistics algebra (group
+    sums + totals, SST decomposed as SSB + SSW), so the whole test is
+    two partial-aggregations and a broadcast join at any scale.
+    Day-of-week uses Spark ``dayofweek()-1`` to match DuckDB's 0-based
+    convention (the known cross-engine offset trap)."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    r = c.select(
+        "id", "dt",
+        (F.dayofweek("dt") - 1).alias("dow"),
+        F.log(F.col("close") / F.lag("close").over(w)).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    g = r.groupBy("id", "dow").agg(
+        F.count("*").alias("ng"), F.avg("ret").alias("mg")
+    )
+    tot = r.groupBy("id").agg(
+        F.count("*").alias("n"),
+        F.avg("ret").alias("mu"),
+        F.sum(F.col("ret") * F.col("ret")).alias("ss"),
+    )
+    parts = (
+        g.join(F.broadcast(tot), "id")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("k"),
+            F.sum(
+                F.col("ng")
+                * (F.col("mg") - F.col("mu"))
+                * (F.col("mg") - F.col("mu"))
+            ).alias("ssb"),
+            F.max("n").alias("n"),
+            F.max(
+                F.col("ss") - F.col("n") * F.col("mu") * F.col("mu")
+            ).alias("sst"),
+        )
+    )
+    return parts.select(
+        "id",
+        F.col("n").cast("long").alias("n_obs"),
+        F.col("k").cast("int").alias("n_groups"),
+        prnd(F.col("ssb"), 8).alias("ss_between"),
+        prnd(F.col("sst") - F.col("ssb"), 8).alias("ss_within"),
+        prnd(
+            (F.col("ssb") / (F.col("k") - 1))
+            / ((F.col("sst") - F.col("ssb")) / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+    )
