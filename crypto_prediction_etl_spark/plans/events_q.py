@@ -5643,3 +5643,77 @@ def q327_mde_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             2.0 * F.col("v") * F.lit(z2) * F.lit(z2) / (delta * delta)
         ).cast("long").alias("n_per_arm_1pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q329 exact rolling distinct users (7-day sliding window)
+# ---------------------------------------------------------------------------
+
+_Q329_WINDOW_DAYS = 7
+
+
+@query(
+    "q329_rolling_uniques_exact",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT event_type, user_id, CAST(ts AS DATE) AS d
+      FROM events
+    ),
+    days AS (SELECT DISTINCT event_type, d FROM du),
+    contrib AS (
+      SELECT event_type, user_id,
+             d + CAST(o AS INTEGER) AS win_end
+      FROM du, unnest(range(0, {_Q329_WINDOW_DAYS})) t(o)
+    ),
+    cnt AS (
+      SELECT event_type, win_end,
+             count(DISTINCT user_id) AS uniques
+      FROM contrib GROUP BY event_type, win_end
+    )
+    SELECT days.event_type, days.d AS dt,
+           CAST(cnt.uniques AS BIGINT) AS uniques_7d
+    FROM days JOIN cnt
+      ON cnt.event_type = days.event_type AND cnt.win_end = days.d
+    """,
+)
+def q329_rolling_uniques_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT sliding-window distinct users (7 days) per event type —
+    the precise counterpart of q105's windowed HLL. Distinct-in-window
+    is not a window aggregate (COUNT(DISTINCT) OVER a frame is
+    unsupported and would hold per-frame sets anyway); the scalable
+    formulation: dedup to (type, user, day) once, then each active day
+    CONTRIBUTES to the 7 window-ends it falls into (a bounded explode
+    = window_days fanout, not rows^2), and one distinct-count per
+    (type, window_end) finishes. Reported only for days the type was
+    actually active (same spine as the raw data).
+
+    At 100 TB: the pre-dedup collapses the event volume to active
+    (user, day) pairs before any fanout; the x7 explode is map-side;
+    both shuffles key on (type, day-ish) — linear end to end."""
+    ev = table(spark, sf_dir, "events")
+    du = ev.select(
+        "event_type", "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    days = du.select("event_type", "d").distinct()
+    contrib = du.withColumn(
+        "win_end",
+        F.explode(
+            F.array(
+                *[
+                    F.date_add(F.col("d"), o)
+                    for o in range(_Q329_WINDOW_DAYS)
+                ]
+            )
+        ),
+    )
+    cnt = contrib.groupBy("event_type", "win_end").agg(
+        F.countDistinct("user_id").alias("uniques")
+    )
+    return days.join(
+        cnt,
+        (cnt.event_type == days.event_type) & (cnt.win_end == days.d),
+    ).select(
+        days.event_type,
+        days.d.alias("dt"),
+        F.col("uniques").cast("long").alias("uniques_7d"),
+    )

@@ -1845,3 +1845,61 @@ def q320_hashed_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame
         prob.alias("prob_keep"),
         (prob >= _Q320_THRESH).cast("int").alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q328 soft-dedup sampling weights
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q328_soft_dedup_weights",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    ),
+    grp AS (
+      SELECT fingerprint, count(*) AS n_copies
+      FROM fp GROUP BY fingerprint
+    ),
+    wts AS (
+      SELECT f.doc_id, g.n_copies,
+             1.0 / g.n_copies AS w_uniform,
+             1.0 / sqrt(CAST(g.n_copies AS DOUBLE)) AS w_sqrt
+      FROM fp f JOIN grp g USING (fingerprint)
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_copies AS BIGINT) AS n_copies,
+           floor(w_uniform * 1000000.0 + 0.5001) / 1000000.0 AS w_uniform,
+           floor(w_sqrt * 1000000.0 + 0.5001) / 1000000.0 AS w_sqrt
+    FROM wts
+    """,
+)
+def q328_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: instead of DROPPING exact duplicates (q43),
+    downweight them — every copy of a document repeated n times gets
+    sampling weight 1/n (sum over copies = one effective document) or
+    the gentler 1/sqrt(n) (repeated text is partially informative —
+    the convention several LLM corpus recipes use for
+    near-boilerplate). Training-data samplers consume these weights
+    directly; the hard-dedup keep/drop decision becomes the w=1/n,
+    keep-all special case.
+
+    Shape: the q43 fingerprint groupBy (one 128-bit-key shuffle) plus
+    a broadcast-able size join — no new scale surface."""
+    docs = table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+        ).alias("fingerprint"),
+    )
+    grp = fp.groupBy("fingerprint").agg(F.count("*").alias("n_copies"))
+    return fp.join(grp, "fingerprint").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_copies").cast("long").alias("n_copies"),
+        prnd(1.0 / F.col("n_copies"), 6).alias("w_uniform"),
+        prnd(1.0 / F.sqrt(F.col("n_copies").cast("double")), 6).alias("w_sqrt"),
+    )

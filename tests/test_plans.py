@@ -937,3 +937,42 @@ def test_range_volatility_shares_one_window_sort(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 2, plan[:3000]
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("+- Sort ") == 1, final[:3000]
+
+
+def test_point_in_time_features_no_range_explosion(spark, sf_dir):
+    """q322: both as-of passes are tagged-union window carry-forwards —
+    no range-condition join (no BroadcastNestedLoopJoin / cartesian)
+    anywhere despite two temporal joins + a history window."""
+    plan = _plan(spark, sf_dir, "q322_point_in_time_features")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rolling_uniques_fanout_is_bounded_explode(spark, sf_dir):
+    """q329: the sliding-window contribution fanout is a map-side
+    explode of exactly window_days offsets (bounded), never a
+    day-range theta join."""
+    plan = _plan(spark, sf_dir, "q329_rolling_uniques_exact")
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tail_dependence_join_keyed_on_date(spark, sf_dir):
+    """q325: the pair join is an equi join on dt (panel self-join whose
+    fanout is symbols^2 per day), not an all-rows product."""
+    plan = _plan(spark, sf_dir, "q325_tail_dependence")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_poisson_bootstrap_ci_brackets_point(spark, sf_dir):
+    """q315 statistical sanity: with B=100 replicates the 95% CI must
+    bracket the sample mean and be properly ordered (deterministic
+    data -> pinned behavior, not a flaky stochastic assertion)."""
+    rows = registry.QUERIES["q315_poisson_bootstrap"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.ci_lo < r.ci_hi
+        assert r.ci_lo <= r.point_mean <= r.ci_hi, r
+        assert r.n_resamples == 100
