@@ -194,3 +194,71 @@ def continuous_aggregate(
     aggregate table and re-scanning the full history per query; the
     union itself adds no shuffle (both sides arrive pre-aggregated)."""
     return rollup.unionByName(raw_tail)
+
+
+HAWKES_MU = 0.001
+HAWKES_ALPHA = 0.5
+HAWKES_TAU_S = 3600.0  # decay time constant (beta = 1/tau)
+
+
+def hawkes_intensity(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Hawkes self-exciting intensity per event stream: at each event,
+    the exponentially-decayed count of all earlier events
+    A_k = exp(-dt_k / tau) * (A_{k-1} + 1) (A_1 = 0) and the implied
+    conditional intensity lambda_k = mu + alpha/tau * A_k — the
+    standard model for clustered arrivals (bursty trades, cascading
+    errors). The naive definition is an O(n^2) sum over all past
+    events; the exponential kernel makes it a one-float recursion, so
+    it rides the grouped-map kernel law (one key-shuffle, O(rows)
+    sequential state per stream).
+
+    Cross-engine exactness: inter-arrival times are EXACT integer
+    epoch-micros differences divided by 1e6; the kernel's
+    ``math.exp`` is C libm — the same correctly-rounded exp DuckDB
+    calls — so the recursive-CTE oracle replays the identical float
+    sequence with no grid-snap needed inside the recursion."""
+    import math
+
+    import pandas as pd
+
+    out_schema = (
+        f"{key_col} string, {id_col} long, rn long, "
+        "decayed_count double, intensity double"
+    )
+    inv_tau = 1.0 / HAWKES_TAU_S
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col]).reset_index(drop=True)
+        us = pdf["_us"].to_numpy()
+        n = len(us)
+        a = [0.0] * n
+        lam = [0.0] * n
+        prev_a = 0.0
+        for k in range(n):
+            if k == 0:
+                prev_a = 0.0
+            else:
+                dt_s = (int(us[k]) - int(us[k - 1])) / 1e6
+                prev_a = math.exp(-dt_s / HAWKES_TAU_S) * (prev_a + 1.0)
+            a[k] = prev_a
+            lam[k] = HAWKES_MU + HAWKES_ALPHA * inv_tau * prev_a
+        out = pd.DataFrame(
+            {
+                key_col: pdf[key_col],
+                id_col: pdf[id_col],
+                "rn": range(1, n + 1),
+                "decayed_count": a,
+                "intensity": lam,
+            }
+        )
+        return out
+
+    prepped = events.select(
+        key_col, id_col, ts_col, F.unix_micros(F.col(ts_col)).alias("_us")
+    )
+    return prepped.groupBy(key_col).applyInPandas(kernel, schema=out_schema)

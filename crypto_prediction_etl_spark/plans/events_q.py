@@ -5717,3 +5717,190 @@ def q329_rolling_uniques_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         days.d.alias("dt"),
         F.col("uniques").cast("long").alias("uniques_7d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q330 difference-in-differences estimator
+# ---------------------------------------------------------------------------
+
+_Q330_CUTOFF = "2024-01-16"
+_Q330_TREAT = ("purchase", "signup")
+_Q330_CONTROL = ("view", "click")
+
+
+def _q330_oracle() -> str:
+    tr = ", ".join(f"'{t}'" for t in _Q330_TREAT)
+    ct = ", ".join(f"'{c}'" for c in _Q330_CONTROL)
+    return f"""
+    WITH e AS (
+      SELECT CASE WHEN event_type IN ({tr}) THEN 1 ELSE 0 END AS treated,
+             CASE WHEN CAST(ts AS DATE) >= DATE '{_Q330_CUTOFF}'
+                  THEN 1 ELSE 0 END AS post,
+             value
+      FROM events
+      WHERE event_type IN ({tr}, {ct})
+    ),
+    cells AS (
+      SELECT treated, post,
+             count(*) AS n, avg(value) AS mu, var_pop(value) AS v
+      FROM e GROUP BY treated, post
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN treated = 1 AND post = 1 THEN mu END) AS t_post,
+        max(CASE WHEN treated = 1 AND post = 0 THEN mu END) AS t_pre,
+        max(CASE WHEN treated = 0 AND post = 1 THEN mu END) AS c_post,
+        max(CASE WHEN treated = 0 AND post = 0 THEN mu END) AS c_pre,
+        max(CASE WHEN treated = 1 AND post = 1 THEN v / n END) AS vt1,
+        max(CASE WHEN treated = 1 AND post = 0 THEN v / n END) AS vt0,
+        max(CASE WHEN treated = 0 AND post = 1 THEN v / n END) AS vc1,
+        max(CASE WHEN treated = 0 AND post = 0 THEN v / n END) AS vc0,
+        CAST(sum(n) AS BIGINT) AS n_total
+      FROM cells
+    )
+    SELECT n_total,
+           {o_rnd('t_post - t_pre', 6)} AS treated_delta,
+           {o_rnd('c_post - c_pre', 6)} AS control_delta,
+           {o_rnd('(t_post - t_pre) - (c_post - c_pre)', 6)} AS did_estimate,
+           {o_rnd('sqrt(vt1 + vt0 + vc1 + vc0)', 6)} AS did_se,
+           CAST(abs((t_post - t_pre) - (c_post - c_pre))
+                / sqrt(vt1 + vt0 + vc1 + vc0) > 1.959963984540054 AS INT)
+             AS significant
+    FROM wide
+    """
+
+
+@query("q330_diff_in_diff", oracle=_q330_oracle())
+def q330_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the workhorse quasi-experimental
+    estimator when randomization is impossible — treated streams'
+    post-minus-pre change, net of the control streams' change over the
+    same cutoff, with a normal-approximation SE from the four cell
+    variances (parallel-trends is the identifying assumption; the
+    pre-period deltas q211/q120 describe are the diagnostics).
+    Everything is four-cell sufficient statistics: one conditional
+    aggregation + one pivot-to-scalars pass, identical at any scale."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(*(_Q330_TREAT + _Q330_CONTROL))
+    )
+    e = ev.select(
+        F.col("event_type").isin(*_Q330_TREAT).cast("int").alias("treated"),
+        (F.to_date("ts") >= F.lit(_Q330_CUTOFF).cast("date"))
+        .cast("int")
+        .alias("post"),
+        "value",
+    )
+    cells = e.groupBy("treated", "post").agg(
+        F.count("*").alias("n"),
+        F.avg("value").alias("mu"),
+        F.var_pop("value").alias("v"),
+    )
+
+    def cell(tr, po, col):
+        return F.max(
+            F.when((F.col("treated") == tr) & (F.col("post") == po), F.col(col))
+        )
+
+    wide = cells.agg(
+        cell(1, 1, "mu").alias("t_post"),
+        cell(1, 0, "mu").alias("t_pre"),
+        cell(0, 1, "mu").alias("c_post"),
+        cell(0, 0, "mu").alias("c_pre"),
+        F.max(
+            F.when(
+                (F.col("treated") == 1) & (F.col("post") == 1),
+                F.col("v") / F.col("n"),
+            )
+        ).alias("vt1"),
+        F.max(
+            F.when(
+                (F.col("treated") == 1) & (F.col("post") == 0),
+                F.col("v") / F.col("n"),
+            )
+        ).alias("vt0"),
+        F.max(
+            F.when(
+                (F.col("treated") == 0) & (F.col("post") == 1),
+                F.col("v") / F.col("n"),
+            )
+        ).alias("vc1"),
+        F.max(
+            F.when(
+                (F.col("treated") == 0) & (F.col("post") == 0),
+                F.col("v") / F.col("n"),
+            )
+        ).alias("vc0"),
+        F.sum("n").cast("long").alias("n_total"),
+    )
+    did = (F.col("t_post") - F.col("t_pre")) - (
+        F.col("c_post") - F.col("c_pre")
+    )
+    se = F.sqrt(
+        F.col("vt1") + F.col("vt0") + F.col("vc1") + F.col("vc0")
+    )
+    return wide.select(
+        "n_total",
+        prnd(F.col("t_post") - F.col("t_pre"), 6).alias("treated_delta"),
+        prnd(F.col("c_post") - F.col("c_pre"), 6).alias("control_delta"),
+        prnd(did, 6).alias("did_estimate"),
+        prnd(se, 6).alias("did_se"),
+        (F.abs(did) / se > 1.959963984540054).cast("int").alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q332 Hawkes self-exciting intensity
+# ---------------------------------------------------------------------------
+
+
+def _q332_oracle() -> str:
+    from ..operators.timeseries import HAWKES_ALPHA, HAWKES_MU, HAWKES_TAU_S
+
+    return f"""
+    WITH RECURSIVE c AS MATERIALIZED (
+      SELECT event_type, event_id, epoch_us(ts) AS us,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, event_id, rn, us, CAST(0.0 AS DOUBLE) AS a
+      FROM c WHERE rn = 1
+      UNION ALL
+      SELECT c.event_type, c.event_id, c.rn, c.us,
+             exp(-((c.us - p.us) / 1000000.0) / {HAWKES_TAU_S!r}) * (p.a + 1.0) AS a
+      FROM r p JOIN c ON c.event_type = p.event_type AND c.rn = p.rn + 1
+    )
+    SELECT event_type, event_id, CAST(rn AS BIGINT) AS rn,
+           {o_rnd('a', 6)} AS decayed_count,
+           {o_rnd(f'{HAWKES_MU!r} + {HAWKES_ALPHA!r} * (1.0 / {HAWKES_TAU_S!r}) * a', 9)}
+             AS intensity
+    FROM r
+    """
+
+
+@query("q332_hawkes_intensity", oracle=_q332_oracle())
+def q332_hawkes_intensity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hawkes self-exciting process intensity at every event: the
+    exponentially-decayed count of all prior events in the stream and
+    the implied conditional intensity — THE model for clustered
+    arrivals (bursty error cascades, momentum trading); its O(n^2)
+    kernel sum collapses to a one-float recursion under the
+    exponential kernel (operators/timeseries.hawkes_intensity).
+    Complements the descriptive burstiness statistic (q213) with the
+    generative model's state variable.
+
+    Recursion state is exp-products of EXACT integer micros deltas —
+    C-libm exp on both sides — so the oracle's recursive CTE replays
+    it bit-for-bit (no grid snaps inside the loop, grouped-map kernel
+    law: one key-shuffle, O(rows) per stream)."""
+    from ..operators.timeseries import hawkes_intensity
+
+    out = hawkes_intensity(table(spark, sf_dir, "events"))
+    return out.select(
+        "event_type",
+        "event_id",
+        F.col("rn").cast("long").alias("rn"),
+        prnd(F.col("decayed_count"), 6).alias("decayed_count"),
+        prnd(F.col("intensity"), 9).alias("intensity"),
+    )

@@ -5968,3 +5968,79 @@ def q326_seasonality_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q331 Kyle's lambda (price-impact regression)
+# ---------------------------------------------------------------------------
+
+
+def _q331_oracle() -> str:
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    r AS (
+      SELECT id, dt,
+             ln(close / lag(close) OVER ({_WIN})) AS ret,
+             CASE WHEN close > lag(close) OVER ({_WIN}) THEN volume
+                  WHEN close < lag(close) OVER ({_WIN}) THEN -volume
+                  ELSE 0.0 END AS sv
+      FROM (SELECT id, dt, close,
+                   CAST(volume_cents AS DOUBLE) / 100.0 AS volume
+            FROM candles) t
+    ),
+    s AS (
+      SELECT id, count(*) AS n, avg(ret) AS mr, avg(sv) AS mv,
+             sum(ret * sv) AS srv, sum(sv * sv) AS svv,
+             sum(ret * ret) AS srr
+      FROM r WHERE ret IS NOT NULL GROUP BY id
+    )
+    SELECT id,
+           CAST(n AS BIGINT) AS n_obs,
+           {o_rnd('(srv - n * mr * mv) / (svv - n * mv * mv) * 1000000.0', 6)}
+             AS kyle_lambda_ppm,
+           {o_rnd('''power(srv - n * mr * mv, 2)
+                  / ((svv - n * mv * mv) * (srr - n * mr * mr))''', 6)} AS r_squared
+    FROM s
+    """
+
+
+@query("q331_kyle_lambda", oracle=_q331_oracle())
+def q331_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kyle's lambda — price impact per unit of signed volume: the OLS
+    slope of daily log returns on tick-rule signed volume (q185's flow
+    sign convention), scaled to parts-per-million, with the regression
+    R^2. The microstructure liquidity measure next to Amihud (q186):
+    Amihud is |ret|/volume averaged; lambda is the REGRESSION impact
+    coefficient a market maker quotes around. Pure sufficient
+    statistics (five sums per symbol) — one window pass + one
+    aggregation at any scale."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    prev = F.lag("close").over(w)
+    vol = F.col("volume_cents").cast("double") / 100.0
+    r = c.select(
+        "id",
+        "dt",
+        F.log(F.col("close") / prev).alias("ret"),
+        F.when(F.col("close") > prev, vol)
+        .when(F.col("close") < prev, -vol)
+        .otherwise(0.0)
+        .alias("sv"),
+    ).filter(F.col("ret").isNotNull())
+    s = r.groupBy("id").agg(
+        F.count("*").alias("n"),
+        F.avg("ret").alias("mr"),
+        F.avg("sv").alias("mv"),
+        F.sum(F.col("ret") * F.col("sv")).alias("srv"),
+        F.sum(F.col("sv") * F.col("sv")).alias("svv"),
+        F.sum(F.col("ret") * F.col("ret")).alias("srr"),
+    )
+    cov = F.col("srv") - F.col("n") * F.col("mr") * F.col("mv")
+    varv = F.col("svv") - F.col("n") * F.col("mv") * F.col("mv")
+    varr = F.col("srr") - F.col("n") * F.col("mr") * F.col("mr")
+    return s.select(
+        "id",
+        F.col("n").cast("long").alias("n_obs"),
+        prnd(cov / varv * 1000000.0, 6).alias("kyle_lambda_ppm"),
+        prnd(F.pow(cov, 2) / (varv * varr), 6).alias("r_squared"),
+    )
