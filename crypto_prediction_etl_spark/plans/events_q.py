@@ -5904,3 +5904,85 @@ def q332_hawkes_intensity(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd(F.col("decayed_count"), 6).alias("decayed_count"),
         prnd(F.col("intensity"), 9).alias("intensity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q333 weight-of-evidence / information-value binning
+# ---------------------------------------------------------------------------
+
+_Q333_BINS = 10
+_Q333_TARGET = "purchase"
+
+
+def _q333_oracle() -> str:
+    return f"""
+    WITH e AS (
+      SELECT event_id, value,
+             CASE WHEN event_type = '{_Q333_TARGET}' THEN 1 ELSE 0 END AS y,
+             ntile({_Q333_BINS}) OVER (ORDER BY value, event_id) AS bin
+      FROM events
+    ),
+    b AS (
+      SELECT bin, count(*) AS n,
+             sum(y) AS n_pos, count(*) - sum(y) AS n_neg
+      FROM e GROUP BY bin
+    ),
+    t AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn FROM b)
+    SELECT CAST(b.bin AS INTEGER) AS bin,
+           CAST(b.n AS BIGINT) AS n,
+           CAST(b.n_pos AS BIGINT) AS n_pos,
+           {o_rnd('CAST(b.n_pos AS DOUBLE) / t.tp', 6)} AS pos_share,
+           {o_rnd('CAST(b.n_neg AS DOUBLE) / t.tn', 6)} AS neg_share,
+           {o_rnd('ln((CAST(b.n_pos AS DOUBLE) / t.tp) / (CAST(b.n_neg AS DOUBLE) / t.tn))', 6)} AS woe,
+           {o_rnd('''(CAST(b.n_pos AS DOUBLE) / t.tp - CAST(b.n_neg AS DOUBLE) / t.tn)
+                  * ln((CAST(b.n_pos AS DOUBLE) / t.tp) / (CAST(b.n_neg AS DOUBLE) / t.tn))''', 6)} AS iv_contrib
+    FROM b CROSS JOIN t
+    """
+
+
+@query("q333_woe_iv_binning", oracle=_q333_oracle())
+def q333_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value supervised binning: the
+    `value` feature cut into 10 equal-frequency bins (ntile with a
+    deterministic (value, event_id) tie-break), each bin's share of
+    positives vs negatives (target = purchase events), its WOE
+    ln(pos_share/neg_share) and IV contribution — the credit-scoring
+    feature-engineering standard for monotonic-risk encoding and
+    feature screening (IV > 0.3 = strong), sitting next to the
+    hash-target encoder (q179) as the SUPERVISED binning path.
+
+    ntile is one global sort window (documented single-partition on
+    the sort — at scale this becomes range-partitioned percentiles,
+    q99's machinery); everything after is exact integer counts."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "value",
+        (F.col("event_type") == _Q333_TARGET).cast("int").alias("y"),
+    ).withColumn(
+        "bin",
+        F.ntile(_Q333_BINS).over(W.orderBy("value", "event_id")),
+    )
+    b = e.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("n_pos"),
+        (F.count("*") - F.sum("y")).alias("n_neg"),
+    )
+    t = b.agg(
+        F.sum("n_pos").alias("tp"), F.sum("n_neg").alias("tn")
+    )
+    j = b.crossJoin(F.broadcast(t))
+    ps = F.col("n_pos").cast("double") / F.col("tp")
+    ns = F.col("n_neg").cast("double") / F.col("tn")
+    woe = F.log(ps / ns)
+    return j.select(
+        F.col("bin").cast("int").alias("bin"),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        prnd(ps, 6).alias("pos_share"),
+        prnd(ns, 6).alias("neg_share"),
+        prnd(woe, 6).alias("woe"),
+        prnd((ps - ns) * woe, 6).alias("iv_contrib"),
+    )

@@ -6044,3 +6044,93 @@ def q331_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd(cov / varv * 1000000.0, 6).alias("kyle_lambda_ppm"),
         prnd(F.pow(cov, 2) / (varv * varr), 6).alias("r_squared"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q335 Spearman rank correlation between symbol pairs
+# ---------------------------------------------------------------------------
+
+
+def _q335_oracle() -> str:
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    r AS (
+      SELECT id, dt, ln(close / lag(close) OVER ({_WIN})) AS ret
+      FROM candles
+    ),
+    rk AS (
+      SELECT id, dt,
+             CAST(row_number() OVER (PARTITION BY id ORDER BY ret, dt)
+                  AS DOUBLE) AS rnk
+      FROM r WHERE ret IS NOT NULL
+    ),
+    s AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n,
+             avg(a.rnk) AS ma, avg(b.rnk) AS mb,
+             sum(a.rnk * b.rnk) AS sab,
+             sum(a.rnk * a.rnk) AS saa,
+             sum(b.rnk * b.rnk) AS sbb
+      FROM rk a JOIN rk b ON a.dt = b.dt AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, CAST(n AS BIGINT) AS n_days,
+           {o_rnd('''(sab - n * ma * mb)
+                  / sqrt((saa - n * ma * ma) * (sbb - n * mb * mb))''', 6)}
+             AS spearman_rho
+    FROM s
+    """
+
+
+@query("q335_spearman_rho", oracle=_q335_oracle())
+def q335_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per symbol pair — Pearson on the
+    per-symbol return RANKS (deterministic (ret, dt) tie-break gives
+    distinct integer ranks, so no tie-correction ambiguity): the
+    monotone-dependence measure robust to the fat tails that distort
+    q115's linear correlation; with q325's tail dependence it
+    completes the dependence-structure toolkit (linear / monotone /
+    extreme).
+
+    NOTE the ranks come from each symbol's FULL sample, so the
+    pairwise Pearson over matched days is the standard panel
+    approximation. Shape: one rank window per symbol, a dt equi-join
+    bounded by symbols^2 per day, sufficient-statistics algebra."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    r = c.select(
+        "id", "dt", F.log(F.col("close") / F.lag("close").over(w)).alias("ret")
+    ).filter(F.col("ret").isNotNull())
+    rk = r.select(
+        "id",
+        "dt",
+        F.row_number()
+        .over(W.partitionBy("id").orderBy("ret", "dt"))
+        .cast("double")
+        .alias("rnk"),
+    )
+    a = rk.select(F.col("id").alias("id_a"), "dt", F.col("rnk").alias("ra"))
+    b = rk.select(F.col("id").alias("id_b"), "dt", F.col("rnk").alias("rb"))
+    s = (
+        a.join(b, "dt")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("ra").alias("ma"),
+            F.avg("rb").alias("mb"),
+            F.sum(F.col("ra") * F.col("rb")).alias("sab"),
+            F.sum(F.col("ra") * F.col("ra")).alias("saa"),
+            F.sum(F.col("rb") * F.col("rb")).alias("sbb"),
+        )
+    )
+    num = F.col("sab") - F.col("n") * F.col("ma") * F.col("mb")
+    den = F.sqrt(
+        (F.col("saa") - F.col("n") * F.col("ma") * F.col("ma"))
+        * (F.col("sbb") - F.col("n") * F.col("mb") * F.col("mb"))
+    )
+    return s.select(
+        "id_a",
+        "id_b",
+        F.col("n").cast("long").alias("n_days"),
+        prnd(num / den, 6).alias("spearman_rho"),
+    )

@@ -1903,3 +1903,139 @@ def q328_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd(1.0 / F.col("n_copies"), 6).alias("w_uniform"),
         prnd(1.0 / F.sqrt(F.col("n_copies").cast("double")), 6).alias("w_sqrt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q334 classifier threshold sweep (precision / recall / F1 table)
+# ---------------------------------------------------------------------------
+
+_Q334_THRESHOLDS = (0.45, 0.475, 0.5, 0.525, 0.55)
+
+
+def _q334_oracle() -> str:
+    from ..functions.portable import o_hash64
+
+    bkt = f"({o_hash64('tok')}) % {_Q320_BUCKETS}"
+    wkey = "'w:' || CAST(bkt AS VARCHAR)"
+    wexpr = f"(({o_hash64(wkey)}) % 2001 - 1000) / 1000.0"
+    th_rows = ", ".join(f"({t!r})" for t in _Q334_THRESHOLDS)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    ),
+    lbl AS (
+      SELECT doc_id,
+             CAST(max(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) AS INT) AS y
+      FROM toks GROUP BY doc_id
+    ),
+    feats AS (
+      SELECT doc_id, {bkt} AS bkt, count(*) AS cnt
+      FROM toks GROUP BY doc_id, {bkt}
+    ),
+    scored AS (
+      SELECT doc_id,
+             {o_rnd('1.0 / (1.0 + exp(-(sum(cnt * (' + wexpr + ')) / sum(cnt))))', 6)} AS prob
+      FROM feats GROUP BY doc_id
+    ),
+    th(t) AS (VALUES {th_rows}),
+    cells AS (
+      SELECT th.t,
+             sum(CASE WHEN s.prob >= th.t AND l.y = 1 THEN 1 ELSE 0 END) AS tp,
+             sum(CASE WHEN s.prob >= th.t AND l.y = 0 THEN 1 ELSE 0 END) AS fp,
+             sum(CASE WHEN s.prob < th.t AND l.y = 1 THEN 1 ELSE 0 END) AS fn
+      FROM scored s JOIN lbl l USING (doc_id) CROSS JOIN th
+      GROUP BY th.t
+    )
+    SELECT {o_rnd('t', 6)} AS threshold,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           {o_rnd('CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END', 6)} AS precision_,
+           {o_rnd('CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END', 6)} AS recall_,
+           {o_rnd('CASE WHEN 2 * tp + fp + fn > 0 THEN 2.0 * tp / (2 * tp + fp + fn) END', 6)} AS f1
+    FROM cells
+    """
+
+
+@query("q334_threshold_sweep", oracle=_q334_oracle())
+def q334_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point selection for the q320 quality classifier: a
+    precision / recall / F1 table over a threshold grid against a
+    deterministic ground-truth label (documents containing the probe
+    token) — the sweep every curation pipeline runs to pick its keep
+    cut (q247's AUC summarizes ranking quality; shipping needs ONE
+    threshold, chosen from exactly this table). Probabilities are
+    grid-rounded before comparison so both engines make identical
+    boundary decisions.
+
+    Shape: scores and labels are each one aggregation over the token
+    explode; the sweep is a broadcast cross join against a 5-row
+    literal grid — cost is linear in documents, constant in grid."""
+    from ..functions.portable import hash64
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("tok"),
+    )
+    lbl = toks.groupBy("doc_id").agg(
+        F.max((F.col("tok") == "join").cast("int")).cast("int").alias("y")
+    )
+    feats = toks.select(
+        "doc_id", (hash64(F.col("tok")) % _Q320_BUCKETS).alias("bkt")
+    ).groupBy("doc_id", "bkt").agg(F.count("*").alias("cnt"))
+    wcol = (
+        hash64(F.concat(F.lit("w:"), F.col("bkt").cast("string"))) % 2001
+        - 1000
+    ) / 1000.0
+    scored = feats.groupBy("doc_id").agg(
+        prnd(
+            1.0
+            / (1.0 + F.exp(-(F.sum(F.col("cnt") * wcol) / F.sum("cnt")))),
+            6,
+        ).alias("prob")
+    )
+    th = docs.sparkSession.createDataFrame(
+        [(t,) for t in _Q334_THRESHOLDS], "t double"
+    )
+    j = scored.join(lbl, "doc_id").crossJoin(F.broadcast(th))
+    cells = j.groupBy("t").agg(
+        F.sum(
+            F.when((F.col("prob") >= F.col("t")) & (F.col("y") == 1), 1).otherwise(0)
+        ).alias("tp"),
+        F.sum(
+            F.when((F.col("prob") >= F.col("t")) & (F.col("y") == 0), 1).otherwise(0)
+        ).alias("fp"),
+        F.sum(
+            F.when((F.col("prob") < F.col("t")) & (F.col("y") == 1), 1).otherwise(0)
+        ).alias("fn"),
+    )
+    return cells.select(
+        prnd(F.col("t"), 6).alias("threshold"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        prnd(
+            F.when(
+                F.col("tp") + F.col("fp") > 0,
+                F.col("tp").cast("double") / (F.col("tp") + F.col("fp")),
+            ),
+            6,
+        ).alias("precision_"),
+        prnd(
+            F.when(
+                F.col("tp") + F.col("fn") > 0,
+                F.col("tp").cast("double") / (F.col("tp") + F.col("fn")),
+            ),
+            6,
+        ).alias("recall_"),
+        prnd(
+            F.when(
+                2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+                2.0 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+            ),
+            6,
+        ).alias("f1"),
+    )
