@@ -6134,3 +6134,626 @@ def q335_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_days"),
         prnd(num / den, 6).alias("spearman_rho"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q336 triple-barrier labels (de Prado) over the candle series
+# ---------------------------------------------------------------------------
+
+_TB_H = 10          # vertical barrier: 10 bars ahead
+_TB_UP = 1.02       # +2% profit-take barrier
+_TB_DN = 0.98       # -2% stop-loss barrier
+
+
+def _q336_oracle() -> str:
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    base AS (
+      SELECT id, dt,
+             row_number() OVER ({_WIN}) AS rn,
+             {o_rnd('close', 2)} AS entry,
+             high, low,
+             count(*) OVER (PARTITION BY id) AS nrows
+      FROM candles
+    ),
+    a AS (SELECT * FROM base WHERE rn <= nrows - {_TB_H}),
+    j AS (
+      SELECT a.id, a.rn, a.entry,
+             b.rn - a.rn AS off,
+             b.high AS h_b, b.low AS l_b, b.entry AS exit
+      FROM a JOIN base b
+        ON b.id = a.id AND b.rn - a.rn BETWEEN 1 AND {_TB_H}
+    ),
+    coded AS (
+      SELECT id, rn, entry, off, exit,
+             CASE
+               WHEN h_b >= entry * {_TB_UP} AND l_b <= entry * {_TB_DN} THEN 0
+               WHEN h_b >= entry * {_TB_UP} THEN 1
+               WHEN l_b <= entry * {_TB_DN} THEN -1
+             END AS code
+      FROM j
+    ),
+    per_anchor AS (
+      SELECT id, rn,
+             min(CASE WHEN code IS NOT NULL
+                      THEN off * 4 + (code + 1) END) AS enc,
+             max(CASE WHEN off = {_TB_H} THEN exit END) / any_value(entry)
+               - 1.0 AS ret_v
+      FROM coded
+      GROUP BY id, rn
+    ),
+    labeled AS (
+      SELECT id,
+             CAST(COALESCE(enc % 4 - 1, 0) AS BIGINT) AS label,
+             CAST(enc // 4 AS BIGINT) AS days_to_hit,
+             ret_v
+      FROM per_anchor
+    )
+    SELECT id, label,
+           CAST(count(*) AS BIGINT) AS n_anchors,
+           {o_rnd('avg(days_to_hit)', 6)} AS avg_days_to_hit,
+           {o_rnd('avg(ret_v)', 6)} AS avg_vertical_ret
+    FROM labeled
+    GROUP BY id, label
+    """
+
+
+@query("q336_triple_barrier", oracle=_q336_oracle())
+def q336_triple_barrier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triple-barrier event labels (de Prado, *Advances in Financial
+    ML* ch.3) — the supervised-learning label generator for the
+    prediction models the reference's marts feed (its indicator marts
+    are the feature side; this is the target side). Each anchor bar
+    gets +1 / -1 / 0 by which barrier the path touches FIRST within a
+    10-bar horizon: +2% profit-take (future high), -2% stop (future
+    low), else the vertical barrier (label 0, sign-free). Same-bar
+    double-touch is ambiguous and coded 0. Entry prices are grid-
+    quantized BEFORE the barrier compare so both engines test the
+    exact same doubles. Shape: the horizon join is an equi-join on
+    (id, rn+off) from a 10-way offset explode — per-row fan-out is the
+    constant H, never a range scan, so it survives 100 TB; first-touch
+    selection is an integer min over off*4+code encoding (no min_by
+    null-key semantics to trip on)."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    base = c.select(
+        "id",
+        "dt",
+        F.row_number().over(w).alias("rn"),
+        prnd("close", 2).alias("entry"),
+        "high",
+        "low",
+        F.count("*").over(W.partitionBy("id")).alias("nrows"),
+    )
+    a = base.filter(F.col("rn") <= F.col("nrows") - _TB_H).select(
+        "id", "rn", "entry"
+    )
+    offs = a.withColumn(
+        "off", F.explode(F.array(*[F.lit(i) for i in range(1, _TB_H + 1)]))
+    ).withColumn("rn_b", F.col("rn") + F.col("off"))
+    b = base.select(
+        "id",
+        F.col("rn").alias("rn_b"),
+        F.col("high").alias("h_b"),
+        F.col("low").alias("l_b"),
+        F.col("entry").alias("exit"),
+    )
+    j = offs.join(b, ["id", "rn_b"])
+    up = F.col("h_b") >= F.col("entry") * _TB_UP
+    dn = F.col("l_b") <= F.col("entry") * _TB_DN
+    coded = j.withColumn(
+        "code", F.when(up & dn, 0).when(up, 1).when(dn, -1)
+    )
+    per_anchor = coded.groupBy("id", "rn").agg(
+        F.min(
+            F.when(
+                F.col("code").isNotNull(),
+                F.col("off") * 4 + (F.col("code") + 1),
+            )
+        ).alias("enc"),
+        (
+            F.max(F.when(F.col("off") == _TB_H, F.col("exit")))
+            / F.any_value("entry")
+            - 1.0
+        ).alias("ret_v"),
+    )
+    labeled = per_anchor.select(
+        "id",
+        F.coalesce(F.col("enc") % 4 - 1, F.lit(0)).cast("long").alias("label"),
+        F.floor(F.col("enc") / 4).cast("long").alias("days_to_hit"),
+        "ret_v",
+    )
+    return labeled.groupBy("id", "label").agg(
+        F.count("*").cast("long").alias("n_anchors"),
+        prnd(F.avg("days_to_hit"), 6).alias("avg_days_to_hit"),
+        prnd(F.avg("ret_v"), 6).alias("avg_vertical_ret"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q337 VPIN — volume-synchronized probability of informed trading
+# ---------------------------------------------------------------------------
+
+_VPIN_BUCKET_CENTS = 1_000_000_000  # 10M-currency volume buckets
+
+
+def _q337_oracle() -> str:
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    signed AS (
+      SELECT id, dt, volume_cents,
+             CASE
+               WHEN close > lag(close) OVER ({_WIN}) THEN 1
+               WHEN close < lag(close) OVER ({_WIN}) THEN -1
+               ELSE 0
+             END AS sgn,
+             sum(volume_cents) OVER ({_WIN}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_vol
+      FROM candles
+    ),
+    buckets AS (
+      SELECT id,
+             (cum_vol - volume_cents) // {_VPIN_BUCKET_CENTS} AS bucket,
+             sum(sgn * volume_cents) AS signed_vol,
+             sum(volume_cents) AS tot_vol
+      FROM signed
+      GROUP BY id, (cum_vol - volume_cents) // {_VPIN_BUCKET_CENTS}
+    )
+    SELECT id,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           {o_rnd('avg(abs(signed_vol) * 1.0 / tot_vol)', 6)} AS avg_vpin,
+           {o_rnd('max(abs(signed_vol) * 1.0 / tot_vol)', 6)} AS max_vpin
+    FROM buckets
+    GROUP BY id
+    """
+
+
+@query("q337_vpin", oracle=_q337_oracle())
+def q337_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VPIN (Easley/Lopez de Prado/O'Hara 2012) — order-flow toxicity
+    as |buy - sell| volume imbalance inside equal-VOLUME buckets, the
+    flash-crash early-warning metric; complements q331's Kyle lambda
+    (price impact per unit flow) with a flow-composition view. Days
+    are tick-rule classified (close vs prior close, all-or-nothing at
+    daily granularity, documented approximation of the intra-bar BVC
+    split); buckets come from integer-cents cumulative volume floor-
+    divided by a fixed bucket size, so bucketing and the imbalance
+    ratio are EXACT integer arithmetic in both engines — a whole day's
+    volume lands in the bucket where its first cent falls. Shape: one
+    running-sum window per id then a hash groupBy on (id, bucket);
+    map-side partial aggs, no self-join, scales linearly."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    prev = F.lag("close").over(w)
+    signed = c.select(
+        "id",
+        "volume_cents",
+        F.when(F.col("close") > prev, 1)
+        .when(F.col("close") < prev, -1)
+        .otherwise(0)
+        .alias("sgn"),
+        F.sum("volume_cents")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum_vol"),
+    )
+    buckets = (
+        signed.withColumn(
+            "bucket",
+            F.floor(
+                (F.col("cum_vol") - F.col("volume_cents"))
+                / F.lit(_VPIN_BUCKET_CENTS)
+            ),
+        )
+        .groupBy("id", "bucket")
+        .agg(
+            F.sum(F.col("sgn") * F.col("volume_cents")).alias("signed_vol"),
+            F.sum("volume_cents").alias("tot_vol"),
+        )
+    )
+    vpin = F.abs(F.col("signed_vol")) * 1.0 / F.col("tot_vol")
+    return buckets.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        prnd(F.avg(vpin), 6).alias("avg_vpin"),
+        prnd(F.max(vpin), 6).alias("max_vpin"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q338 fixed-window fractional differencing (de Prado FFD)
+# ---------------------------------------------------------------------------
+
+_FFD_D = 0.4
+_FFD_K = 20
+
+
+def _ffd_weights() -> list[float]:
+    """Binomial-series FFD weights w_0=1, w_k = -w_{k-1}(d-k+1)/k.
+
+    Computed once in driver Python and embedded as repr() literals in
+    BOTH engines' expressions — repr round-trips doubles exactly, so
+    the two engines multiply by bit-identical coefficients."""
+    w = [1.0]
+    for k in range(1, _FFD_K):
+        w.append(-w[-1] * (_FFD_D - k + 1) / k)
+    return w
+
+
+def _q338_oracle() -> str:
+    ws = _ffd_weights()
+    terms = " + ".join(
+        f"({w!r}) * lag(c2, {k}) OVER ({_WIN})" for k, w in enumerate(ws)
+    )
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    q AS (
+      SELECT id, dt, {o_rnd('close', 2)} AS c2,
+             row_number() OVER ({_WIN}) AS rn
+      FROM candles
+    ),
+    fd AS (
+      SELECT id, dt, rn, {terms} AS ffd
+      FROM q
+    )
+    SELECT id, dt, {o_rnd('ffd', 6)} AS ffd_close
+    FROM fd
+    WHERE rn >= {_FFD_K} AND rn % 97 = 1
+    """
+
+
+@query("q338_fracdiff", oracle=_q338_oracle())
+def q338_fracdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window fractional differencing (de Prado FFD, d=0.4,
+    K=20) — the memory-preserving stationarity transform for ML
+    features: integer differencing (q36's ROC) erases long memory,
+    while FFD keeps it by applying truncated binomial-series weights
+    to the last K closes. Closes are grid-quantized FIRST and the
+    weights are repr()-embedded literals, so the 20-term weighted sum
+    is bit-identical IEEE arithmetic in both engines (same operand
+    order, left-associated). Rows before the window fills (rn < K)
+    are dropped, and the output samples every 97th bar to keep the
+    verified surface small while spanning the whole series. Shape:
+    one window per id with K lag taps — no self-join, no shuffle
+    beyond the per-id sort, linear at 100 TB."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    q = c.select(
+        "id",
+        "dt",
+        prnd("close", 2).alias("c2"),
+        F.row_number().over(w).alias("rn"),
+    )
+    ws = _ffd_weights()
+    expr = F.lit(ws[0]) * F.col("c2")
+    for k in range(1, _FFD_K):
+        expr = expr + F.lit(ws[k]) * F.lag("c2", k).over(w)
+    fd = q.select("id", "dt", "rn", expr.alias("ffd"))
+    return fd.filter(
+        (F.col("rn") >= _FFD_K) & (F.col("rn") % 97 == 1)
+    ).select("id", "dt", prnd("ffd", 6).alias("ffd_close"))
+
+
+# ---------------------------------------------------------------------------
+# q339 Corwin-Schultz high-low spread estimator
+# ---------------------------------------------------------------------------
+
+_CS_KDEN = 3.0 - 2.0 * math.sqrt(2.0)
+
+
+def _q339_oracle() -> str:
+    kd = repr(_CS_KDEN)
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    p AS (
+      SELECT id, dt, high, low,
+             lead(high) OVER ({_WIN}) AS h1,
+             lead(low)  OVER ({_WIN}) AS l1
+      FROM candles
+    ),
+    cs AS (
+      SELECT id,
+             pow(ln(high / low), 2) + pow(ln(h1 / l1), 2) AS beta,
+             pow(ln(greatest(high, h1) / least(low, l1)), 2) AS gamma
+      FROM p WHERE h1 IS NOT NULL
+    ),
+    a AS (
+      SELECT id,
+             (sqrt(2.0 * beta) - sqrt(beta)) / ({kd})
+               - sqrt(gamma / ({kd})) AS alpha
+      FROM cs
+    ),
+    s AS (
+      SELECT id, alpha,
+             2.0 * (exp(alpha) - 1.0) / (1.0 + exp(alpha)) AS spread
+      FROM a
+    )
+    SELECT id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           {o_rnd('avg(CASE WHEN spread > 0.0 THEN spread ELSE 0.0 END)', 6)}
+             AS mean_spread,
+           {o_rnd('avg(CASE WHEN alpha < 0.0 THEN 1.0 ELSE 0.0 END)', 6)}
+             AS negative_share,
+           {o_rnd('max(spread)', 6)} AS max_spread
+    FROM s
+    GROUP BY id
+    """
+
+
+@query("q339_corwin_schultz", oracle=_q339_oracle())
+def q339_corwin_schultz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corwin-Schultz (JF 2012) bid-ask spread estimator from daily
+    high/low ranges — with q246's Roll autocovariance spread and
+    q331's Kyle lambda this completes the classic liquidity triad,
+    each recoverable from candles alone (no quote feed, which the
+    reference's pipeline also lacks). Uses the 2-day decomposition:
+    beta (sum of squared single-day log ranges) reflects variance +
+    2x spread, gamma (squared 2-day range) variance + spread, so
+    their difference isolates the spread; negative alphas (noise
+    days) are clipped to zero for the mean as the paper prescribes
+    and reported as negative_share. High/low come from exact max/min
+    aggregates, so only ln/sqrt/exp ulp noise crosses engines — far
+    under the 1e-6 grid. Shape: one lead() window per id, then a hash
+    agg; no join, linear scan at any scale."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    p = c.select(
+        "id",
+        "high",
+        "low",
+        F.lead("high").over(w).alias("h1"),
+        F.lead("low").over(w).alias("l1"),
+    ).filter(F.col("h1").isNotNull())
+    beta = F.pow(F.log(F.col("high") / F.col("low")), 2) + F.pow(
+        F.log(F.col("h1") / F.col("l1")), 2
+    )
+    gamma = F.pow(
+        F.log(
+            F.greatest("high", "h1") / F.least("low", "l1")
+        ),
+        2,
+    )
+    cs = p.select("id", beta.alias("beta"), gamma.alias("gamma"))
+    alpha = (F.sqrt(2.0 * F.col("beta")) - F.sqrt("beta")) / F.lit(
+        _CS_KDEN
+    ) - F.sqrt(F.col("gamma") / F.lit(_CS_KDEN))
+    s = cs.select("id", alpha.alias("alpha")).withColumn(
+        "spread",
+        2.0 * (F.exp("alpha") - 1.0) / (1.0 + F.exp("alpha")),
+    )
+    return s.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        prnd(
+            F.avg(F.when(F.col("spread") > 0.0, F.col("spread")).otherwise(0.0)),
+            6,
+        ).alias("mean_spread"),
+        prnd(
+            F.avg(F.when(F.col("alpha") < 0.0, 1.0).otherwise(0.0)), 6
+        ).alias("negative_share"),
+        prnd(F.max("spread"), 6).alias("max_spread"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q342 Kendall tau-b rank correlation on monthly returns
+# ---------------------------------------------------------------------------
+
+
+def _q342_oracle() -> str:
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    m AS (
+      SELECT id, date_trunc('month', dt) AS mth,
+             {o_rnd('arg_max(close, dt)', 2)} AS c2
+      FROM candles GROUP BY id, date_trunc('month', dt)
+    ),
+    r AS (
+      SELECT id, mth,
+             {o_rnd("ln(c2 / lag(c2) OVER (PARTITION BY id ORDER BY mth))",
+                    9)} AS ret
+      FROM m
+    ),
+    matched AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.mth,
+             a.ret AS ra, b.ret AS rb
+      FROM r a JOIN r b ON a.mth = b.mth AND a.id < b.id
+      WHERE a.ret IS NOT NULL AND b.ret IS NOT NULL
+    ),
+    pairs AS (
+      SELECT x.id_a, x.id_b,
+             sign(x.ra - y.ra) AS sa, sign(x.rb - y.rb) AS sb
+      FROM matched x JOIN matched y
+        ON x.id_a = y.id_a AND x.id_b = y.id_b AND x.mth < y.mth
+    ),
+    agg AS (
+      SELECT id_a, id_b,
+             count(*) AS n0,
+             sum(CASE WHEN sa * sb > 0 THEN 1 ELSE 0 END) AS conc,
+             sum(CASE WHEN sa * sb < 0 THEN 1 ELSE 0 END) AS disc,
+             sum(CASE WHEN sa = 0 THEN 1 ELSE 0 END) AS ties_a,
+             sum(CASE WHEN sb = 0 THEN 1 ELSE 0 END) AS ties_b
+      FROM pairs GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b,
+           CAST(n0 AS BIGINT) AS n_pairs,
+           CAST(conc AS BIGINT) AS concordant,
+           CAST(disc AS BIGINT) AS discordant,
+           {o_rnd('''(conc - disc) * 1.0
+                  / sqrt((n0 - ties_a * 1.0) * (n0 - ties_b * 1.0))''',
+                  6)} AS tau_b
+    FROM agg
+    """
+
+
+@query("q342_kendall_tau", oracle=_q342_oracle())
+def q342_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between symbol pairs' MONTHLY returns — the
+    third dependence measure after Pearson (q115) and Spearman
+    (q335): tau's concordant-vs-discordant pair counting is the most
+    outlier-robust of the three and has the cleanest interpretation
+    (P[agree] - P[disagree]). The pair enumeration is inherently
+    O(n^2) per series, so the series is CALENDAR-COARSENED to months
+    first (~80 points -> ~3k pairs per symbol pair, bounded by the
+    calendar regardless of row scale — the documented way to run
+    tau at 100 TB; for full-resolution tau you'd switch to q335's
+    rank machinery or a merge-sort inversion count). Returns are
+    grid-quantized to 9 decimals BEFORE differencing so sign() sees
+    bit-identical doubles in both engines; tau-b's tie terms then
+    make the .5-boundary-free integer arithmetic exact."""
+    c = candles(spark, sf_dir)
+    m = c.groupBy(
+        "id", F.date_trunc("month", F.col("dt").cast("timestamp")).alias("mth")
+    ).agg(prnd(F.max_by("close", "dt"), 2).alias("c2"))
+    w = W.partitionBy("id").orderBy("mth")
+    r = m.select(
+        "id",
+        "mth",
+        prnd(F.log(F.col("c2") / F.lag("c2").over(w)), 9).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    a = r.select(F.col("id").alias("id_a"), "mth", F.col("ret").alias("ra"))
+    b = r.select(F.col("id").alias("id_b"), "mth", F.col("ret").alias("rb"))
+    matched = a.join(b, "mth").filter(F.col("id_a") < F.col("id_b"))
+    x = matched.select("id_a", "id_b", F.col("mth").alias("m_x"), "ra", "rb")
+    y = matched.select(
+        "id_a",
+        "id_b",
+        F.col("mth").alias("m_y"),
+        F.col("ra").alias("ra_y"),
+        F.col("rb").alias("rb_y"),
+    )
+    pairs = (
+        x.join(y, ["id_a", "id_b"])
+        .filter(F.col("m_x") < F.col("m_y"))
+        .select(
+            "id_a",
+            "id_b",
+            F.signum(F.col("ra") - F.col("ra_y")).alias("sa"),
+            F.signum(F.col("rb") - F.col("rb_y")).alias("sb"),
+        )
+    )
+    agg = pairs.groupBy("id_a", "id_b").agg(
+        F.count("*").alias("n0"),
+        F.sum(F.when(F.col("sa") * F.col("sb") > 0, 1).otherwise(0)).alias("conc"),
+        F.sum(F.when(F.col("sa") * F.col("sb") < 0, 1).otherwise(0)).alias("disc"),
+        F.sum(F.when(F.col("sa") == 0, 1).otherwise(0)).alias("ties_a"),
+        F.sum(F.when(F.col("sb") == 0, 1).otherwise(0)).alias("ties_b"),
+    )
+    return agg.select(
+        "id_a",
+        "id_b",
+        F.col("n0").cast("long").alias("n_pairs"),
+        F.col("conc").cast("long").alias("concordant"),
+        F.col("disc").cast("long").alias("discordant"),
+        prnd(
+            (F.col("conc") - F.col("disc"))
+            * 1.0
+            / F.sqrt(
+                (F.col("n0") - F.col("ties_a") * 1.0)
+                * (F.col("n0") - F.col("ties_b") * 1.0)
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q343 Wasserstein-1 distance between return distributions
+# ---------------------------------------------------------------------------
+
+_W1_GRID = 200
+
+
+def _q343_oracle() -> str:
+    m = _W1_GRID
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    r AS (
+      SELECT id,
+             {o_rnd(f"ln(close / lag(close) OVER ({_WIN}))", 9)} AS ret,
+             dt
+      FROM candles
+    ),
+    ranked AS (
+      SELECT id, ret,
+             row_number() OVER (PARTITION BY id ORDER BY ret, dt) AS rn,
+             count(*) OVER (PARTITION BY id) AS n
+      FROM r WHERE ret IS NOT NULL
+    ),
+    grid AS (
+      SELECT DISTINCT id, n FROM ranked
+    ),
+    targets AS (
+      SELECT g.id, k.k,
+             ((2 * k.k - 1) * g.n + {2 * m} - 1) // {2 * m} AS rk
+      FROM grid g, (SELECT unnest(generate_series(1, {m})) AS k) k
+    ),
+    qv AS (
+      SELECT t.id, t.k, r2.ret AS q
+      FROM targets t JOIN ranked r2 ON r2.id = t.id AND r2.rn = t.rk
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST({m} AS BIGINT) AS grid_points,
+           {o_rnd('avg(abs(a.q - b.q))', 9)} AS w1_distance
+    FROM qv a JOIN qv b ON a.k = b.k AND a.id < b.id
+    GROUP BY a.id, b.id
+    """
+
+
+@query("q343_wasserstein", oracle=_q343_oracle())
+def q343_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth-mover) distance between every symbol
+    pair's daily-return distributions — the drift metric that, unlike
+    q193's KS statistic (sup of CDF gap) or q316's Jensen-Shannon
+    divergence (binned densities), is expressed in RETURN UNITS: "how
+    far must probability mass move", the quantity distributional
+    backtests and regime monitors threshold on. Uses the 1-D closed
+    form W1 = E_q|F_a^-1(q) - F_b^-1(q)| on a fixed 200-point
+    mid-quantile grid with pure-integer rank targets ceil((2k-1)n/2m)
+    — no interpolation, so the sampled quantiles are exact data
+    values (returns pre-quantized to the 1e-9 grid). Shape: one rank
+    window per id, a broadcast-sized (ids x 200) target table joined
+    back by (id, rn) equi-keys, then a k-grid equi self-join — the
+    raw series is scanned once and the pair join touches only
+    ids x 200 rows, independent of data scale."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    m = _W1_GRID
+    r = c.select(
+        "id",
+        "dt",
+        prnd(F.log(F.col("close") / F.lag("close").over(w)), 9).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    ranked = r.select(
+        "id",
+        "ret",
+        F.row_number().over(W.partitionBy("id").orderBy("ret", "dt")).alias("rn"),
+        F.count("*").over(W.partitionBy("id")).alias("n"),
+    )
+    grid = ranked.select("id", "n").distinct()
+    targets = grid.select(
+        "id",
+        "n",
+        F.explode(F.sequence(F.lit(1), F.lit(m))).alias("k"),
+    ).select(
+        "id",
+        "k",
+        F.floor(
+            ((2 * F.col("k") - 1) * F.col("n") + (2 * m - 1)) / (2 * m)
+        ).alias("rk"),
+    )
+    qv = F.broadcast(targets).join(
+        ranked.select("id", F.col("rn").alias("rk"), F.col("ret").alias("q")),
+        ["id", "rk"],
+    ).select("id", "k", "q")
+    a = qv.select(F.col("id").alias("id_a"), "k", F.col("q").alias("qa"))
+    b = qv.select(F.col("id").alias("id_b"), "k", F.col("q").alias("qb"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.lit(m).cast("long").alias("grid_points"),
+            prnd(F.avg(F.abs(F.col("qa") - F.col("qb"))), 9).alias(
+                "w1_distance"
+            ),
+        )
+    )

@@ -2494,3 +2494,89 @@ def q315_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_resamples"),
     )
     return pt.join(ci, "l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# q341 chi-square test of independence: order status x priority
+# ---------------------------------------------------------------------------
+
+
+def _q341_oracle() -> str:
+    return f"""
+    WITH cells AS (
+      SELECT o_orderstatus AS s, o_orderpriority AS p,
+             CAST(count(*) AS DOUBLE) AS obs
+      FROM orders GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT s, p, obs,
+             sum(obs) OVER (PARTITION BY s) AS row_tot,
+             sum(obs) OVER (PARTITION BY p) AS col_tot,
+             sum(obs) OVER () AS n
+      FROM cells
+    ),
+    chi AS (
+      SELECT any_value(n) AS n,
+             CAST(count(DISTINCT s) AS BIGINT) AS r,
+             CAST(count(DISTINCT p) AS BIGINT) AS c,
+             sum(pow(obs - row_tot * col_tot / n, 2)
+                 / (row_tot * col_tot / n)) AS chi2
+      FROM tot
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+           {o_rnd('chi2', 6)} AS chi2,
+           {o_rnd('''sqrt(chi2 / (n * CAST(least(r - 1, c - 1) AS DOUBLE)))''',
+                  6)} AS cramers_v
+    FROM chi
+    """
+
+
+@query("q341_chi_square", oracle=_q341_oracle())
+def q341_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence on the status x priority
+    contingency table, plus Cramér's V effect size — the categorical
+    counterpart to q326's ANOVA (numeric-vs-categorical) and q256's
+    mutual information (which measures the same dependence in nats;
+    V normalizes to [0,1] with a sampling distribution). Expected
+    counts come from the rank-1 margin product row_tot*col_tot/N.
+    Shape: one hash groupBy to the r*c cell table (map-side partial),
+    margins via windows over the TINY cell table (15 rows) — the raw
+    table is touched exactly once regardless of scale; the chi2 sum
+    spans r*c cells so cross-engine summation-order drift is ~1e-15
+    relative, absorbed by the 1e-6 grid."""
+    cells = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderstatus").alias("s"),
+            F.col("o_orderpriority").alias("p"),
+        )
+        .agg(F.count("*").cast("double").alias("obs"))
+    )
+    tot = cells.select(
+        "s",
+        "p",
+        "obs",
+        F.sum("obs").over(W.partitionBy("s")).alias("row_tot"),
+        F.sum("obs").over(W.partitionBy("p")).alias("col_tot"),
+        F.sum("obs").over(W.partitionBy()).alias("n"),
+    )
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    chi = tot.agg(
+        F.any_value("n").alias("n"),
+        F.count_distinct("s").alias("r"),
+        F.count_distinct("p").alias("c"),
+        F.sum(F.pow(F.col("obs") - exp, 2) / exp).alias("chi2"),
+    )
+    return chi.select(
+        F.col("n").cast("long").alias("n_orders"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        prnd("chi2", 6).alias("chi2"),
+        prnd(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1).cast("double"))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

@@ -3,7 +3,7 @@ scoring, token counting, fingerprinting) with bit-exact DuckDB oracles."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.portable import o_hash64, o_rnd, prnd
@@ -2038,4 +2038,138 @@ def q334_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("f1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q340 Mann-Whitney U test on document lengths between language pairs
+# ---------------------------------------------------------------------------
+
+
+def _q340_oracle() -> str:
+    return f"""
+    WITH langs AS (SELECT DISTINCT lang FROM documents),
+    pairs AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b
+      FROM langs a JOIN langs b ON a.lang < b.lang
+    ),
+    member AS (
+      SELECT p.lang_a, p.lang_b, 'a' AS side, d.n_chars
+      FROM pairs p JOIN documents d ON d.lang = p.lang_a
+      UNION ALL
+      SELECT p.lang_a, p.lang_b, 'b' AS side, d.n_chars
+      FROM pairs p JOIN documents d ON d.lang = p.lang_b
+    ),
+    ranked AS (
+      SELECT lang_a, lang_b, side, n_chars,
+             rank() OVER (PARTITION BY lang_a, lang_b
+                          ORDER BY n_chars) AS rk,
+             count(*) OVER (PARTITION BY lang_a, lang_b, n_chars) AS teq
+      FROM member
+    ),
+    stats AS (
+      SELECT lang_a, lang_b,
+             sum(CASE WHEN side = 'a'
+                      THEN rk + (teq - 1) / 2.0 ELSE 0.0 END) AS r_a,
+             sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS n_b
+      FROM ranked GROUP BY lang_a, lang_b
+    ),
+    tg AS (
+      SELECT lang_a, lang_b, sum(t * t * t - t) AS tie_sum
+      FROM (
+        SELECT lang_a, lang_b, n_chars, count(*) AS t
+        FROM member GROUP BY lang_a, lang_b, n_chars
+      ) GROUP BY lang_a, lang_b
+    )
+    SELECT s.lang_a, s.lang_b,
+           CAST(s.n_a AS BIGINT) AS n_a,
+           CAST(s.n_b AS BIGINT) AS n_b,
+           {o_rnd('s.r_a - s.n_a * (s.n_a + 1) / 2.0', 6)} AS u_stat,
+           {o_rnd('''(s.r_a - s.n_a * (s.n_a + 1) / 2.0
+                      - s.n_a * s.n_b / 2.0)
+                  / sqrt(s.n_a * s.n_b / 12.0
+                         * ((s.n_a + s.n_b + 1.0)
+                            - t.tie_sum * 1.0
+                              / ((s.n_a + s.n_b)
+                                 * (s.n_a + s.n_b - 1.0))))''', 6)} AS z_score
+    FROM stats s
+    JOIN tg t ON s.lang_a = t.lang_a AND s.lang_b = t.lang_b
+    """
+
+
+@query("q340_mann_whitney", oracle=_q340_oracle())
+def q340_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test between every language pair's
+    document-length distributions — the nonparametric two-sample
+    location test a curation pipeline reaches for before trusting a
+    per-language length-filter threshold (q193's KS test checks shape,
+    this checks median shift; q326's ANOVA assumes normality, this
+    does not). Uses average ranks for ties (rank() + (teq-1)/2, exact
+    .5-increment doubles from integer n_chars) and the tie-corrected
+    normal approximation sigma^2 = n_a n_b/12 ((N+1) - sum(t^3-t)/
+    (N(N-1))). Shape: a 10-row broadcast pair list fans documents out
+    per pair (bounded langs^2 blowup), then one rank window per pair
+    and hash aggs — all-integer rank arithmetic, engine-exact."""
+    d = table(spark, sf_dir, "documents").select("lang", "n_chars")
+    langs = d.select("lang").distinct()
+    pairs = (
+        langs.select(F.col("lang").alias("lang_a"))
+        .crossJoin(langs.select(F.col("lang").alias("lang_b")))
+        .filter(F.col("lang_a") < F.col("lang_b"))
+    )
+    side_a = F.broadcast(pairs).join(
+        d, pairs.lang_a == d.lang
+    ).select("lang_a", "lang_b", F.lit("a").alias("side"), "n_chars")
+    side_b = F.broadcast(pairs).join(
+        d, pairs.lang_b == d.lang
+    ).select("lang_a", "lang_b", F.lit("b").alias("side"), "n_chars")
+    member = side_a.unionAll(side_b)
+    ranked = member.select(
+        "lang_a",
+        "lang_b",
+        "side",
+        "n_chars",
+        F.rank()
+        .over(W.partitionBy("lang_a", "lang_b").orderBy("n_chars"))
+        .alias("rk"),
+        F.count("*")
+        .over(W.partitionBy("lang_a", "lang_b", "n_chars"))
+        .alias("teq"),
+    )
+    stats = ranked.groupBy("lang_a", "lang_b").agg(
+        F.sum(
+            F.when(
+                F.col("side") == "a",
+                F.col("rk") + (F.col("teq") - 1) / 2.0,
+            ).otherwise(0.0)
+        ).alias("r_a"),
+        F.sum(F.when(F.col("side") == "a", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("side") == "b", 1).otherwise(0)).alias("n_b"),
+    )
+    tg = (
+        member.groupBy("lang_a", "lang_b", "n_chars")
+        .agg(F.count("*").alias("t"))
+        .groupBy("lang_a", "lang_b")
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            ).alias("tie_sum")
+        )
+    )
+    j = stats.join(tg, ["lang_a", "lang_b"])
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    u = F.col("r_a") - n_a * (n_a + 1) / 2.0
+    nn = n_a + n_b
+    sigma = F.sqrt(
+        n_a * n_b / 12.0
+        * ((nn + 1.0) - F.col("tie_sum") * 1.0 / (nn * (nn - 1.0)))
+    )
+    return j.select(
+        "lang_a",
+        "lang_b",
+        n_a.cast("long").alias("n_a"),
+        n_b.cast("long").alias("n_b"),
+        prnd(u, 6).alias("u_stat"),
+        prnd((u - n_a * n_b / 2.0) / sigma, 6).alias("z_score"),
     )
