@@ -6757,3 +6757,345 @@ def q343_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q346 partial autocorrelation (PACF) via unrolled Durbin-Levinson
+# ---------------------------------------------------------------------------
+
+
+def _q346_oracle() -> str:
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    r AS (
+      SELECT id, dt,
+             {o_rnd(f"ln(close / lag(close) OVER ({_WIN}))", 9)} AS ret
+      FROM candles
+    ),
+    x AS (SELECT id, dt, ret FROM r WHERE ret IS NOT NULL),
+    mu AS (SELECT id, avg(ret) AS m, count(*) AS n FROM x GROUP BY id),
+    lagged AS (
+      SELECT x.id, x.ret - mu.m AS d0,
+             lag(x.ret, 1) OVER (PARTITION BY x.id ORDER BY x.dt) - mu.m AS d1,
+             lag(x.ret, 2) OVER (PARTITION BY x.id ORDER BY x.dt) - mu.m AS d2,
+             lag(x.ret, 3) OVER (PARTITION BY x.id ORDER BY x.dt) - mu.m AS d3,
+             lag(x.ret, 4) OVER (PARTITION BY x.id ORDER BY x.dt) - mu.m AS d4
+      FROM x JOIN mu ON mu.id = x.id
+    ),
+    acf AS (
+      SELECT id,
+             sum(d0 * d1) / sum(d0 * d0) AS r1,
+             sum(d0 * d2) / sum(d0 * d0) AS r2,
+             sum(d0 * d3) / sum(d0 * d0) AS r3,
+             sum(d0 * d4) / sum(d0 * d0) AS r4
+      FROM lagged GROUP BY id
+    ),
+    l2 AS (
+      SELECT id, r1, r2, r3, r4,
+             (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22
+      FROM acf
+    ),
+    l2b AS (
+      SELECT *, r1 - p22 * r1 AS p21 FROM l2
+    ),
+    l3 AS (
+      SELECT *,
+             (r3 - (p21 * r2 + p22 * r1))
+               / (1.0 - (p21 * r1 + p22 * r2)) AS p33
+      FROM l2b
+    ),
+    l3b AS (
+      SELECT *, p21 - p33 * p22 AS p31, p22 - p33 * p21 AS p32 FROM l3
+    ),
+    l4 AS (
+      SELECT *,
+             (r4 - (p31 * r3 + p32 * r2 + p33 * r1))
+               / (1.0 - (p31 * r1 + p32 * r2 + p33 * r3)) AS p44
+      FROM l3b
+    )
+    SELECT id,
+           {o_rnd('r1', 6)} AS pacf_1,
+           {o_rnd('p22', 6)} AS pacf_2,
+           {o_rnd('p33', 6)} AS pacf_3,
+           {o_rnd('p44', 6)} AS pacf_4
+    FROM l4
+    """
+
+
+@query("q346_pacf_durbin", oracle=_q346_oracle())
+def q346_pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation function at lags 1-4 per symbol via the
+    Durbin-Levinson recursion unrolled into closed-form algebra — the
+    AR-order selection diagnostic that complements q203's plain ACF
+    (which conflates direct and propagated dependence) and q205's AR(1)
+    fit (PACF says whether AR(1) is ENOUGH: pacf_k ~ 0 for k>p under
+    an AR(p)). Sample ACF uses the standard biased estimator (d0-sum
+    denominator) on mean-centered, 1e-9-grid-quantized log returns;
+    levels 2-4 of the recursion are literal column algebra on the
+    five sufficient statistics, textually identical in both engines.
+    Shape: one lag window + one hash agg per id, then scalar algebra
+    on a 5-row frame — single scan regardless of scale."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    r = c.select(
+        "id",
+        "dt",
+        prnd(F.log(F.col("close") / F.lag("close").over(w)), 9).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    mu = r.groupBy("id").agg(F.avg("ret").alias("m"))
+    lagged = r.join(mu, "id").select(
+        "id",
+        (F.col("ret") - F.col("m")).alias("d0"),
+        *[
+            (F.lag("ret", k).over(w) - F.col("m")).alias(f"d{k}")
+            for k in (1, 2, 3, 4)
+        ],
+    )
+    acf = lagged.groupBy("id").agg(
+        *[
+            (
+                F.sum(F.col("d0") * F.col(f"d{k}"))
+                / F.sum(F.col("d0") * F.col("d0"))
+            ).alias(f"r{k}")
+            for k in (1, 2, 3, 4)
+        ]
+    )
+    r1, r2, r3, r4 = (F.col(f"r{k}") for k in (1, 2, 3, 4))
+    l2 = acf.withColumn("p22", (r2 - r1 * r1) / (F.lit(1.0) - r1 * r1))
+    l2b = l2.withColumn("p21", r1 - F.col("p22") * r1)
+    p21, p22 = F.col("p21"), F.col("p22")
+    l3 = l2b.withColumn(
+        "p33",
+        (r3 - (p21 * r2 + p22 * r1)) / (F.lit(1.0) - (p21 * r1 + p22 * r2)),
+    )
+    p33 = F.col("p33")
+    l3b = l3.withColumn("p31", p21 - p33 * p22).withColumn(
+        "p32", p22 - p33 * p21
+    )
+    p31, p32 = F.col("p31"), F.col("p32")
+    l4 = l3b.withColumn(
+        "p44",
+        (r4 - (p31 * r3 + p32 * r2 + p33 * r1))
+        / (F.lit(1.0) - (p31 * r1 + p32 * r2 + p33 * r3)),
+    )
+    return l4.select(
+        "id",
+        prnd(r1, 6).alias("pacf_1"),
+        prnd(p22, 6).alias("pacf_2"),
+        prnd(p33, 6).alias("pacf_3"),
+        prnd(F.col("p44"), 6).alias("pacf_4"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q347 Haar wavelet energy decomposition of the return series
+# ---------------------------------------------------------------------------
+
+_HAAR_LEVELS = 4
+
+
+def _q347_oracle() -> str:
+    # Block averages at sizes 2^0..2^4, detail energy per level.
+    ctes = [
+        f"""b0 AS (
+      SELECT id,
+             row_number() OVER ({_WIN}) - 1 AS i,
+             ret AS a,
+             count(*) OVER (PARTITION BY id) AS n
+      FROM rq
+    ),
+    t0 AS (
+      SELECT id, i, a FROM b0
+      WHERE i < n - (n % {2 ** _HAAR_LEVELS})
+    )"""
+    ]
+    for j in range(1, _HAAR_LEVELS + 1):
+        ctes.append(
+            f"""b{j} AS (
+      SELECT id, i // 2 AS i,
+             (max(CASE WHEN i % 2 = 0 THEN a END)
+              + max(CASE WHEN i % 2 = 1 THEN a END)) / 2.0 AS a,
+             (max(CASE WHEN i % 2 = 0 THEN a END)
+              - max(CASE WHEN i % 2 = 1 THEN a END)) / 2.0 AS d
+      FROM {'t0' if j == 1 else f'b{j - 1}'}
+      GROUP BY id, i // 2
+    )"""
+        )
+    energy = ",\n           ".join(
+        f"(SELECT {o_rnd('sum(d * d)', 9)} FROM b{j} e"
+        f" WHERE e.id = ids.id) AS energy_l{j}"
+        for j in range(1, _HAAR_LEVELS + 1)
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    r AS (
+      SELECT id, dt,
+             {o_rnd(f"ln(close / lag(close) OVER ({_WIN}))", 9)} AS ret
+      FROM candles
+    ),
+    rq AS (SELECT id, dt, ret FROM r WHERE ret IS NOT NULL),
+    {joined},
+    ids AS (SELECT DISTINCT id FROM t0)
+    SELECT ids.id,
+           {energy}
+    FROM ids
+    """
+
+
+@query("q347_haar_energy", oracle=_q347_oracle())
+def q347_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet multiresolution energy of each symbol's return
+    series (levels 1-4 = 2/4/8/16-bar oscillations) — the scale-by-
+    scale variance decomposition traders read as "where does the
+    volatility live": day-to-day noise (level 1) vs multi-week swings
+    (level 4); complements q174's seasonal decomposition (fixed
+    period) with a dyadic, period-free one. The pyramid is computed
+    by repeated pairwise groupBy on the halved block index — approx
+    coefficient a = (even+odd)/2, detail d = (even-odd)/2, energy =
+    sum d^2 per level — on 1e-9-quantized returns, with the series
+    truncated to a multiple of 2^4 so every block is full. Shape:
+    log2(n) tiny hash aggs per id (each a map-side pairwise combine),
+    no window after the first ranking, no joins — at 100 TB each
+    level halves the data, so total work is ~2x one scan."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    r = c.select(
+        "id",
+        "dt",
+        prnd(F.log(F.col("close") / F.lag("close").over(w)), 9).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    b0 = r.select(
+        "id",
+        (F.row_number().over(w) - 1).alias("i"),
+        F.col("ret").alias("a"),
+        F.count("*").over(W.partitionBy("id")).alias("n"),
+    )
+    cur = b0.filter(
+        F.col("i") < F.col("n") - (F.col("n") % (2 ** _HAAR_LEVELS))
+    ).select("id", "i", "a")
+    energies = []
+    for j in range(1, _HAAR_LEVELS + 1):
+        paired = cur.groupBy(
+            "id", F.floor(F.col("i") / 2).alias("i")
+        ).agg(
+            (
+                (
+                    F.max(F.when(F.col("i") % 2 == 0, F.col("a")))
+                    + F.max(F.when(F.col("i") % 2 == 1, F.col("a")))
+                )
+                / 2.0
+            ).alias("a"),
+            (
+                (
+                    F.max(F.when(F.col("i") % 2 == 0, F.col("a")))
+                    - F.max(F.when(F.col("i") % 2 == 1, F.col("a")))
+                )
+                / 2.0
+            ).alias("d"),
+        )
+        energies.append(
+            paired.groupBy("id").agg(
+                prnd(F.sum(F.col("d") * F.col("d")), 9).alias(f"energy_l{j}")
+            )
+        )
+        cur = paired.select("id", "i", "a")
+    out = energies[0]
+    for e in energies[1:]:
+        out = out.join(e, "id")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# q350 Hill tail-index estimator on absolute returns
+# ---------------------------------------------------------------------------
+
+_HILL_K = 100
+
+
+def _q350_oracle() -> str:
+    k = _HILL_K
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    r AS (
+      SELECT id, dt,
+             {o_rnd(f"abs(ln(close / lag(close) OVER ({_WIN})))", 9)} AS aret
+      FROM candles
+    ),
+    ranked AS (
+      SELECT id, aret,
+             row_number() OVER (PARTITION BY id
+                                ORDER BY aret DESC, dt) AS rn
+      FROM r WHERE aret IS NOT NULL AND aret > 0.0
+    ),
+    cut AS (
+      SELECT id, max(CASE WHEN rn = {k + 1} THEN aret END) AS x_k1
+      FROM ranked WHERE rn <= {k + 1} GROUP BY id
+    ),
+    hill AS (
+      SELECT ranked.id,
+             avg(ln(ranked.aret / cut.x_k1)) AS h
+      FROM ranked JOIN cut ON cut.id = ranked.id
+      WHERE ranked.rn <= {k}
+      GROUP BY ranked.id
+    )
+    SELECT hill.id,
+           CAST({k} AS BIGINT) AS k_order_stats,
+           {o_rnd('cut.x_k1', 9)} AS tail_threshold,
+           {o_rnd('h', 6)} AS hill_h,
+           {o_rnd('1.0 / h', 6)} AS tail_alpha
+    FROM hill JOIN cut ON cut.id = hill.id
+    """
+
+
+@query("q350_hill_tail_index", oracle=_q350_oracle())
+def q350_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the power-law tail index on absolute log
+    returns (k=100 upper order statistics) — the standard answer to
+    "how fat are the tails, as a NUMBER": alpha ~ 3 is the classic
+    equity inverse-cubic law, alpha < 2 means infinite variance and
+    invalidates every sqrt-time VaR scaling (q324's historical VaR
+    stays valid, its Gaussian scaling does not); complements q325
+    (tail DEPENDENCE between symbols) with per-symbol tail WEIGHT.
+    H = mean ln(X_(i)/X_(k+1)) over the top k, alpha = 1/H, on
+    1e-9-grid-quantized returns so the descending (aret, dt) rank is
+    engine-deterministic. Shape: per-id rank window, the k+1 cut is a
+    1-row-per-id broadcastable frame, one equi-join back — at 100 TB
+    the rank becomes a per-partition top-(k+1) + merge (same pattern
+    as q50's partial top-k), everything downstream unchanged."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    k = _HILL_K
+    r = c.select(
+        "id",
+        "dt",
+        prnd(
+            F.abs(F.log(F.col("close") / F.lag("close").over(w))), 9
+        ).alias("aret"),
+    ).filter(F.col("aret").isNotNull() & (F.col("aret") > 0.0))
+    ranked = r.select(
+        "id",
+        "aret",
+        F.row_number()
+        .over(W.partitionBy("id").orderBy(F.desc("aret"), "dt"))
+        .alias("rn"),
+    ).filter(F.col("rn") <= k + 1)
+    cut = ranked.groupBy("id").agg(
+        F.max(F.when(F.col("rn") == k + 1, F.col("aret"))).alias("x_k1")
+    )
+    hill = (
+        ranked.filter(F.col("rn") <= k)
+        .join(F.broadcast(cut), "id")
+        .groupBy("id")
+        .agg(
+            F.avg(F.log(F.col("aret") / F.col("x_k1"))).alias("h"),
+            F.any_value("x_k1").alias("x_k1"),
+        )
+    )
+    return hill.select(
+        "id",
+        F.lit(k).cast("long").alias("k_order_stats"),
+        prnd("x_k1", 9).alias("tail_threshold"),
+        prnd("h", 6).alias("hill_h"),
+        prnd(F.lit(1.0) / F.col("h"), 6).alias("tail_alpha"),
+    )

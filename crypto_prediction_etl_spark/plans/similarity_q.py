@@ -8,13 +8,14 @@ the portable grid before ranking so ranks hash identically.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.portable import o_rnd, prnd
 from ..operators.similarity import (
     as_double_vec,
     bucketed_ann_topk,
+    cosine,
     cosine_topk,
     near_dup_pairs_lsh,
 )
@@ -2211,5 +2212,224 @@ def q314_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("_d0"), F.lit(0)).cast("int").alias("deg0"),
             F.col("_core").isNotNull().cast("int").alias("in_core"),
             F.col("deg_core").cast("int").alias("deg_core"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q348 local outlier factor (LOF, k=10) over the embedding corpus
+# ---------------------------------------------------------------------------
+
+_LOF_K = 10
+
+
+def _q348_oracle() -> str:
+    k = _LOF_K
+    return f"""
+    WITH {_VECS_CTE},
+    pairs AS (
+      SELECT q.vec_id AS pid, c.vec_id AS nid,
+             {o_rnd(f'1.0 - ({_COS})', 6)} AS dist
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT pid, nid, dist,
+             row_number() OVER (PARTITION BY pid
+                                ORDER BY dist, nid) AS rn
+      FROM pairs
+    ),
+    knn AS (SELECT pid, nid, dist FROM ranked WHERE rn <= {k}),
+    kd AS (SELECT pid, max(dist) AS kdist FROM knn GROUP BY pid),
+    reach AS (
+      SELECT knn.pid, knn.nid,
+             greatest(kd.kdist, knn.dist) AS rdist
+      FROM knn JOIN kd ON kd.pid = knn.nid
+    ),
+    lrd AS (
+      SELECT pid, {k}.0 / sum(rdist) AS lrd FROM reach GROUP BY pid
+    ),
+    lof AS (
+      SELECT knn.pid,
+             avg(ln.lrd) / any_value(lp.lrd) AS lof
+      FROM knn
+      JOIN lrd ln ON ln.pid = knn.nid
+      JOIN lrd lp ON lp.pid = knn.pid
+      GROUP BY knn.pid
+    )
+    SELECT l.pid AS vec_id,
+           {o_rnd('kd.kdist', 6)} AS k_distance,
+           {o_rnd('lp.lrd', 6)} AS lrd,
+           {o_rnd('l.lof', 6)} AS lof
+    FROM lof l
+    JOIN kd ON kd.pid = l.pid
+    JOIN lrd lp ON lp.pid = l.pid
+    WHERE l.pid % 5 = 0
+    """
+
+
+@query("q348_lof_outliers", oracle=_q348_oracle())
+def q348_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local outlier factor (Breunig et al. 2000, k=10) over cosine
+    distance on the embedding corpus — the DENSITY-RATIO outlier
+    score: a point is anomalous if its local reachability density is
+    low relative to its own neighbors', which catches outliers that
+    q188's global centroid distance misses (a point can sit near the
+    centroid yet be alone in its neighborhood, and a far-out but
+    tight cluster is NOT anomalous). Distances are grid-quantized
+    before ranking (deterministic (dist, nid) order), k-distances and
+    reachability distances follow the paper exactly, and the final
+    score is avg(lrd(neighbor))/lrd(point). The kNN graph here is the
+    exact all-pairs one (n=500); at 100 TB you swap the pairs CTE for
+    q52/q56's bucketed-ANN candidates and keep everything downstream
+    unchanged — LOF only consumes (pid, nid, dist) edges. Joins after
+    the kNN cut are equi-joins on vec_id, k-bounded fan-out."""
+    e = _vecs(spark, sf_dir)
+    q = e.select(F.col("vec_id").alias("pid"), F.col("v").alias("qv"))
+    c = e.select(F.col("vec_id").alias("nid"), F.col("v").alias("cv"))
+    pairs = q.join(c, F.col("pid") != F.col("nid")).select(
+        "pid",
+        "nid",
+        prnd(1.0 - cosine(F.col("qv"), F.col("cv")), 6).alias("dist"),
+    )
+    ranked = pairs.select(
+        "pid",
+        "nid",
+        "dist",
+        F.row_number()
+        .over(W.partitionBy("pid").orderBy("dist", "nid"))
+        .alias("rn"),
+    )
+    knn = ranked.filter(F.col("rn") <= _LOF_K).select("pid", "nid", "dist")
+    kd = knn.groupBy("pid").agg(F.max("dist").alias("kdist"))
+    reach = knn.join(
+        kd.select(F.col("pid").alias("nid"), "kdist"), "nid"
+    ).select(
+        "pid", "nid", F.greatest("kdist", "dist").alias("rdist")
+    )
+    lrd = reach.groupBy("pid").agg(
+        (F.lit(float(_LOF_K)) / F.sum("rdist")).alias("lrd")
+    )
+    lof = (
+        knn.join(
+            lrd.select(F.col("pid").alias("nid"), F.col("lrd").alias("lrd_n")),
+            "nid",
+        )
+        .join(lrd, "pid")
+        .groupBy("pid")
+        .agg((F.avg("lrd_n") / F.any_value("lrd")).alias("lof"))
+    )
+    return (
+        lof.join(kd, "pid")
+        .join(lrd, "pid")
+        .filter(F.col("pid") % 5 == 0)
+        .select(
+            F.col("pid").alias("vec_id"),
+            prnd("kdist", 6).alias("k_distance"),
+            prnd("lrd", 6).alias("lrd"),
+            prnd("lof", 6).alias("lof"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q351 kernel MMD two-sample test between embedding label groups
+# ---------------------------------------------------------------------------
+
+
+def _q351_oracle() -> str:
+    return f"""
+    WITH {_VECS_CTE},
+    el AS (SELECT e.vec_id, e.v, emb.label
+           FROM e JOIN embeddings emb ON emb.vec_id = e.vec_id),
+    p AS (
+      SELECT a.label AS la, b.label AS lb,
+             {o_rnd('''list_dot_product(a.v, a.v)
+                    - 2.0 * list_dot_product(a.v, b.v)
+                    + list_dot_product(b.v, b.v)''', 9)} AS sqd
+      FROM el a JOIN el b ON a.vec_id <> b.vec_id
+    ),
+    bw AS (SELECT 1.0 / avg(sqd) AS gamma FROM p),
+    kmat AS (
+      SELECT la, lb,
+             avg(exp(-bw.gamma * sqd)) AS kbar,
+             count(*) AS n_terms
+      FROM p CROSS JOIN bw
+      GROUP BY la, lb
+    )
+    SELECT xx.la AS label_a, yy.la AS label_b,
+           CAST(xy.n_terms AS BIGINT) AS cross_terms,
+           {o_rnd('xx.kbar + yy.kbar - 2.0 * xy.kbar', 8)} AS mmd2
+    FROM kmat xx
+    JOIN kmat yy ON xx.la = xx.lb AND yy.la = yy.lb AND xx.la < yy.la
+    JOIN kmat xy ON xy.la = xx.la AND xy.lb = yy.la
+    """
+
+
+@query("q351_mmd_two_sample", oracle=_q351_oracle())
+def q351_mmd_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel maximum mean discrepancy (Gretton et al. 2012) between
+    every pair of embedding label groups — the HIGH-DIMENSIONAL
+    two-sample test: q343's Wasserstein and q193's KS compare scalar
+    distributions, MMD compares distributions of 64-d vectors
+    directly, which is how embedding-space dataset drift (new scrape
+    vs old corpus) is actually detected in LLM data pipelines. RBF
+    kernel with the mean-squared-distance bandwidth heuristic (one
+    global 1-row frame, cross-joined); unbiased U-statistic terms
+    from ordered i<>j pairs; MMD^2 = E[k(x,x')] + E[k(y,y')] -
+    2E[k(x,y)]. Shape: ONE all-pairs kernel pass grouped by (label_a,
+    label_b) — the n^2 is over the SAMPLE (500 here); at 100 TB you
+    run it on a per-class reservoir (q237) since MMD estimates don't
+    improve past ~10k points per group; downstream algebra is on the
+    labels^2 table."""
+    e = _vecs(spark, sf_dir)
+    a = e.select(
+        F.col("vec_id").alias("ida"), F.col("label").alias("la"), F.col("v").alias("va")
+    )
+    b = e.select(
+        F.col("vec_id").alias("idb"), F.col("label").alias("lb"), F.col("v").alias("vb")
+    )
+    from ..operators.similarity import dot
+
+    p = a.join(b, F.col("ida") != F.col("idb")).select(
+        "la",
+        "lb",
+        prnd(
+            dot(F.col("va"), F.col("va"))
+            - 2.0 * dot(F.col("va"), F.col("vb"))
+            + dot(F.col("vb"), F.col("vb")),
+            9,
+        ).alias("sqd"),
+    )
+    bw = p.agg((F.lit(1.0) / F.avg("sqd")).alias("gamma"))
+    kmat = (
+        p.crossJoin(F.broadcast(bw))
+        .groupBy("la", "lb")
+        .agg(
+            F.avg(F.exp(-F.col("gamma") * F.col("sqd"))).alias("kbar"),
+            F.count("*").alias("n_terms"),
+        )
+    )
+    xx = kmat.filter(F.col("la") == F.col("lb")).select(
+        F.col("la").alias("label_a"), F.col("kbar").alias("kxx")
+    )
+    yy = kmat.filter(F.col("la") == F.col("lb")).select(
+        F.col("la").alias("label_b"), F.col("kbar").alias("kyy")
+    )
+    xy = kmat.select(
+        F.col("la").alias("label_a"),
+        F.col("lb").alias("label_b"),
+        F.col("kbar").alias("kxy"),
+        F.col("n_terms").alias("cross_terms"),
+    )
+    return (
+        xx.join(yy, F.col("label_a") < F.col("label_b"))
+        .join(xy, ["label_a", "label_b"])
+        .select(
+            "label_a",
+            "label_b",
+            F.col("cross_terms").cast("long").alias("cross_terms"),
+            prnd(
+                F.col("kxx") + F.col("kyy") - 2.0 * F.col("kxy"), 8
+            ).alias("mmd2"),
         )
     )

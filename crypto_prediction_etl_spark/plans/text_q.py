@@ -2173,3 +2173,317 @@ def q340_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd(u, 6).alias("u_stat"),
         prnd((u - n_a * n_b / 2.0) / sigma, 6).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q344 DSIR-style importance-resampling weights (target = English docs)
+# ---------------------------------------------------------------------------
+
+
+def _q344_oracle() -> str:
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    vocab AS (
+      SELECT tok,
+             count(*) AS c_src,
+             count(*) FILTER (WHERE lang = 'en') AS c_tgt
+      FROM tok GROUP BY tok
+    ),
+    totals AS (
+      SELECT sum(c_src) AS n_src, sum(c_tgt) AS n_tgt,
+             count(*) AS v
+      FROM vocab
+    ),
+    weighted AS (
+      SELECT t.doc_id,
+             count(*) AS n_toks,
+             sum(ln(((vb.c_tgt + 1.0) / (tt.n_tgt + tt.v))
+                    / ((vb.c_src + 1.0) / (tt.n_src + tt.v)))) AS llr
+      FROM tok t
+      JOIN vocab vb ON vb.tok = t.tok
+      CROSS JOIN totals tt
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_toks AS BIGINT) AS n_toks,
+           {o_rnd('llr', 6)} AS dsir_log_weight,
+           {o_rnd('llr / n_toks', 6)} AS per_token_log_weight
+    FROM weighted
+    WHERE doc_id % 7 = 0
+    """
+
+
+@query("q344_dsir_weights", oracle=_q344_oracle())
+def q344_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data-selection weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): each
+    document scores sum_t log(p_target(t)/p_source(t)) under add-1-
+    smoothed unigram models, here with target = the English slice and
+    source = the whole corpus — the importance weights that skew a
+    pretraining sample toward a target domain; pairs with q328's
+    soft-dedup weights (that one downweights duplicates, this one
+    upweights domain match). Shape: one token explode, a hash-grouped
+    vocab with both counts in ONE pass (conditional count, no second
+    scan), a broadcastable 1-row totals frame, then a vocab equi-join
+    back to the token stream — at 100 TB the vocab table is the only
+    shuffled state and it's Zipf-bounded; per-doc log sums are
+    order-drift-safe far below the 1e-6 grid."""
+    tok = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok"))
+    )
+    vocab = tok.groupBy("tok").agg(
+        F.count("*").alias("c_src"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("c_tgt"),
+    )
+    totals = vocab.agg(
+        F.sum("c_src").alias("n_src"),
+        F.sum("c_tgt").alias("n_tgt"),
+        F.count("*").alias("v"),
+    )
+    p_tgt = (F.col("c_tgt") + 1.0) / (F.col("n_tgt") + F.col("v"))
+    p_src = (F.col("c_src") + 1.0) / (F.col("n_src") + F.col("v"))
+    weighted = (
+        tok.join(vocab, "tok")  # AQE broadcasts while vocab is small;
+        # at 100 TB this stays a shuffle join on the Zipf-bounded vocab
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.sum(F.log(p_tgt / p_src)).alias("llr"),
+        )
+    )
+    return weighted.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.col("n_toks").cast("long").alias("n_toks"),
+        prnd("llr", 6).alias("dsir_log_weight"),
+        prnd(F.col("llr") / F.col("n_toks"), 6).alias("per_token_log_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q345 Heaps'-law vocabulary growth per source
+# ---------------------------------------------------------------------------
+
+_HEAPS_STEP = 200
+
+
+def _q345_oracle() -> str:
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, source, t.tok, t.pos
+      FROM documents,
+           (SELECT unnest({_TOKS_SQL}) AS tok,
+                   unnest(range(1, len({_TOKS_SQL}) + 1)) AS pos) t
+    ),
+    flagged AS (
+      SELECT source, doc_id, pos, tok,
+             CASE WHEN row_number() OVER (
+                    PARTITION BY source, tok ORDER BY doc_id, pos) = 1
+                  THEN 1 ELSE 0 END AS first_occ
+      FROM tok
+    ),
+    stream AS (
+      SELECT source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY doc_id, pos, tok) AS n,
+             sum(first_occ) OVER (PARTITION BY source
+                                  ORDER BY doc_id, pos, tok
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+      FROM flagged
+    ),
+    pts AS (
+      SELECT source, ln(CAST(n AS DOUBLE)) AS x, ln(CAST(v AS DOUBLE)) AS y
+      FROM stream WHERE n % {_HEAPS_STEP} = 0
+    ),
+    fit AS (
+      SELECT source, count(*) AS m,
+             avg(x) AS mx, avg(y) AS my,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM pts GROUP BY source
+    )
+    SELECT source,
+           CAST(m AS BIGINT) AS n_points,
+           {o_rnd('(sxy - m * mx * my) / (sxx - m * mx * mx)', 6)}
+             AS heaps_beta,
+           {o_rnd('''exp(my - (sxy - m * mx * my) / (sxx - m * mx * mx)
+                          * mx)''', 6)} AS heaps_k
+    FROM fit
+    """
+
+
+@query("q345_heaps_law", oracle=_q345_oracle())
+def q345_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V(N) = k N^beta of vocabulary growth per source
+    — the companion to q264's Zipf fit (the two laws are duals): a
+    curation pipeline uses beta to project tokenizer-vocab coverage
+    and dedup yield to corpus sizes far beyond the sample, and a
+    source whose beta is anomalously high is machine-generated noise
+    (unbounded novel tokens). First occurrences are flagged with a
+    rank-1 test per (source, token) in reading order (doc_id, pos),
+    the running vocab size is a prefix sum, checkpoints every 200
+    tokens become (ln N, ln V) points, and OLS in log space runs on
+    sufficient statistics. Shape: one window per (source, token) and
+    one per source — token streams never join each other; the OLS is
+    a 5-number hash agg per source."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(tokens(F.col("text"))).alias("pos0", "tok"),
+    ).select("doc_id", "source", (F.col("pos0") + 1).alias("pos"), "tok")
+    flagged = tok.select(
+        "source",
+        "doc_id",
+        "pos",
+        "tok",
+        F.when(
+            F.row_number().over(
+                W.partitionBy("source", "tok").orderBy("doc_id", "pos")
+            )
+            == 1,
+            1,
+        )
+        .otherwise(0)
+        .alias("first_occ"),
+    )
+    ws = W.partitionBy("source").orderBy("doc_id", "pos", "tok")
+    stream = flagged.select(
+        "source",
+        F.row_number().over(ws).alias("n"),
+        F.sum("first_occ")
+        .over(ws.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("v"),
+    )
+    pts = stream.filter(F.col("n") % _HEAPS_STEP == 0).select(
+        "source",
+        F.log(F.col("n").cast("double")).alias("x"),
+        F.log(F.col("v").cast("double")).alias("y"),
+    )
+    fit = pts.groupBy("source").agg(
+        F.count("*").alias("m"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    beta = (F.col("sxy") - F.col("m") * F.col("mx") * F.col("my")) / (
+        F.col("sxx") - F.col("m") * F.col("mx") * F.col("mx")
+    )
+    return fit.select(
+        "source",
+        F.col("m").cast("long").alias("n_points"),
+        prnd(beta, 6).alias("heaps_beta"),
+        prnd(F.exp(F.col("my") - beta * F.col("mx")), 6).alias("heaps_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q349 paragraph-level dedup (C4-style keep-first) with corpus accounting
+# ---------------------------------------------------------------------------
+
+_PARA_W = 10  # tokens per pseudo-paragraph
+
+
+def _q349_oracle() -> str:
+    w = _PARA_W
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, source, t.tok, t.pos
+      FROM documents,
+           (SELECT unnest({_TOKS_SQL}) AS tok,
+                   unnest(range(1, len({_TOKS_SQL}) + 1)) AS pos) t
+    ),
+    chunks AS (
+      SELECT doc_id, source, (pos - 1) // {w} AS chunk_idx,
+             count(*) AS n_toks,
+             string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+      FROM tok GROUP BY doc_id, source, (pos - 1) // {w}
+    ),
+    flagged AS (
+      SELECT source, doc_id, chunk_idx, n_toks,
+             CASE WHEN row_number() OVER (
+                    PARTITION BY chunk_text
+                    ORDER BY doc_id, chunk_idx) = 1
+                  THEN 1 ELSE 0 END AS keep
+      FROM chunks
+    )
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(1 - keep) AS BIGINT) AS dup_chunks,
+           {o_rnd('sum((1 - keep) * n_toks) * 1.0 / sum(n_toks)', 6)}
+             AS dup_token_share
+    FROM flagged
+    GROUP BY source
+    """
+
+
+@query("q349_paragraph_dedup", oracle=_q349_oracle())
+def q349_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup with keep-first semantics — the
+    C4/RefinedWeb intra-corpus transform that q43 (whole-document
+    fingerprints) cannot express: boilerplate repeats INSIDE otherwise
+    unique documents, so dedup must operate on sub-document units and
+    then account for what survives. Documents are chunked into
+    10-token pseudo-paragraphs (order-exact string_agg / sorted-struct
+    reconstruction), the first occurrence in (doc_id, chunk_idx)
+    order is kept, and the per-source report gives the duplicated-
+    token share a curation run would reclaim. Shape: the dedup is one
+    hash groupBy-window on the chunk text (at 100 TB: on its 64-bit
+    hash, same plan as q43, map-side partial) — no pairwise joins
+    anywhere; chunk reconstruction is a sorted-struct transform, all
+    JVM-side."""
+    w = _PARA_W
+    tok = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.posexplode(tokens(F.col("text"))).alias("pos0", "tok"),
+    )
+    chunks = (
+        tok.groupBy(
+            "doc_id",
+            "source",
+            F.floor(F.col("pos0") / w).alias("chunk_idx"),
+        )
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos0", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )
+    flagged = chunks.select(
+        "source",
+        "doc_id",
+        "chunk_idx",
+        "n_toks",
+        F.when(
+            F.row_number().over(
+                W.partitionBy("chunk_text").orderBy("doc_id", "chunk_idx")
+            )
+            == 1,
+            1,
+        )
+        .otherwise(0)
+        .alias("keep"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(1 - F.col("keep")).cast("long").alias("dup_chunks"),
+        prnd(
+            F.sum((1 - F.col("keep")) * F.col("n_toks"))
+            * 1.0
+            / F.sum("n_toks"),
+            6,
+        ).alias("dup_token_share"),
+    )
