@@ -42,68 +42,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver adjudicates exactly the first 50 ``queries()`` entries per
-# round.  Rotation for round 4 (VERDICT r3 item 1): the catalog tail
-# q124+ had never received a driver verdict — the window now holds the
-# 47 oldest never-adjudicated names (numeric order) plus the three
-# queries upgraded this round from rows-only to oracle-backed
-# (q23 portable KMV/sampled-quantile profile, q55 unrolled-Lloyd
-# k-means, q71 hash-checked multimodal decode), so CORRECTNESS_r04
-# records first verdicts / first hash checks for all 50.  The
-# remaining never-adjudicated names follow in numeric order (next
-# rounds rotate them in); everything else keeps its r1-r3 green row
-# and stays covered by the local mirror (tests/test_oracle_parity.py
-# + tools/driver_replay.py).
+# round.  Rotation for round 5 (VERDICT r4 items 2-3): the two r4
+# failures lead the window so the driver re-verdicts them after their
+# canonicalization fixes (q154: oracle windowed sum CAST to BIGINT so
+# pandas no longer floats the HUGEINT; q157: ids_head emitted as a
+# joined string on both sides so the driver's frame sort can't throw
+# on a list column), followed by the 48 oldest never-adjudicated
+# names in numeric order (q187-q234, which includes the fixed q200).
+# The remaining never-adjudicated tail (q235+, q311+) follows in
+# numeric order for the r6/r7 windows; everything else keeps its
+# r1-r4 green row and stays covered by the local mirror
+# (tests/test_oracle_parity.py + tools/driver_replay.py, which as of
+# r5 canonicalizes through pandas exactly like the driver).
 _ADJUDICATE_FIRST = [
-    "q124_mfi",
-    "q125_donchian",
-    "q126_chaikin_adl",
-    "q127_pivot_points",
-    "q128_char_entropy",
-    "q145_adx",
-    "q146_trix",
-    "q147_cci",
-    "q148_top_supplier",
-    "q149_supplier_diversity",
-    "q150_small_quantity_revenue",
-    "q151_large_orders",
-    "q152_weighted_jaccard",
-    "q153_curriculum_shards",
     "q154_systematic_sample",
-    "q155_rolling_beta",
-    "q156_percentile_cont",
     "q157_token_ids",
-    "q158_bigram_nll",
-    "q159_key_skew_profile",
-    "q160_snapshot_diff",
-    "q161_scd2_intervals",
-    "q162_out_of_order",
-    "q163_cogrouped_adjust",
-    "q164_pagerank",
-    "q165_triangle_count",
-    "q166_feature_hashing",
-    "q167_knn_eval",
-    "q168_ab_test_stats",
-    "q169_histogram",
-    "q170_embedding_dim_stats",
-    "q171_quantile_transform",
-    "q172_feature_matrix",
-    "q173_rolling_pair_corr",
-    "q174_seasonal_decompose",
-    "q175_cusum_changepoint",
-    "q176_kalman_level",
-    "q177_benford_digits",
-    "q178_revenue_concentration",
-    "q179_target_encoding",
-    "q180_session_paths",
-    "q181_sequence_anomaly",
-    "q182_temporal_dim_join",
-    "q183_cohort_ltv",
-    "q184_group_hash_sample",
-    "q185_tick_rule_flow",
-    "q186_amihud_illiquidity",
-    "q23_approx_aggregates",
-    "q55_kmeans_clusters",
-    "q71_multimodal_features",
     "q187_underwater_streaks",
     "q188_centroid_outliers",
     "q189_hurst_exponent",
@@ -152,82 +105,6 @@ _ADJUDICATE_FIRST = [
     "q232_mmr_diversify",
     "q233_weighted_median",
     "q234_attribution_asof",
-    "q235_twap",
-    "q236_rfm_segments",
-    "q237_weighted_reservoir",
-    "q238_negative_sampling",
-    "q239_ndcg_eval",
-    "q240_calibration_bins",
-    "q241_state_merge",
-    "q242_pairs_cointegration",
-    "q243_skyline",
-    "q244_table_checksum",
-    "q245_bipower_jumps",
-    "q246_roll_spread",
-    "q247_auc_roc",
-    "q248_gain_deciles",
-    "q249_bpe_train",
-    "q250_split_leakage",
-    "q251_unpivot_profile",
-    "q252_token_dropout",
-    "q253_bfs_reachability",
-    "q254_clustering_effectiveness",
-    "q255_encoding_advisor",
-    "q256_mutual_information",
-    "q257_stratified_effect",
-    "q258_binary_segmentation",
-    "q259_km_survival",
-    "q260_seasonal_naive_mase",
-    "q261_cuped_adjustment",
-    "q262_linear_interpolation",
-    "q263_winsorized_mean",
-    "q264_zipf_fit",
-    "q265_dedup_explain",
-    "q266_theil_sen",
-    "q267_concurrency_sweep",
-    "q268_item_cooccurrence",
-    "q269_recsys_hitrate",
-    "q270_lsh_planner",
-    "q271_nation_volume",
-    "q272_market_share",
-    "q273_product_profit",
-    "q274_audio_vad_segments",
-    "q275_sequential_sprt",
-    "q276_schema_evolution_union",
-    "q277_activity_heatmap",
-    "q278_minhash_error_audit",
-    "q279_partition_skew_planner",
-    "q280_interval_coverage",
-    "q281_identity_resolution",
-    "q282_dollar_bars",
-    "q283_entropy_rate",
-    "q284_design_effect",
-    "q285_simpson_detector",
-    "q286_kmv_union_merge",
-    "q287_interval_backtest",
-    "q288_stale_price_audit",
-    "q289_rec_coverage_bias",
-    "q290_user_features",
-    "q291_l_diversity",
-    "q292_code_switching",
-    "q293_contract_fill_rates",
-    "q294_attribution_compare",
-    "q295_interarrival_percentiles",
-    "q296_permutation_test",
-    "q297_component_sizes",
-    "q298_cache_planner",
-    "q299_holt_winters",
-    "q300_momentum_backtest",
-    "q301_fair_share",
-    "q302_p99_attribution",
-    "q303_covariance_matrix",
-    "q304_absorbing_markov",
-    "q305_term_burstiness",
-    "q306_population_estimates",
-    "q307_dup_rate_by_source",
-    "q308_runs_test",
-    "q309_effective_sample_size",
-    "q310_holm_correction",
 ]
 
 # Superseded round-2 rotation, kept for the audit trail.

@@ -1,0 +1,138 @@
+"""Distributed global rank / running-sum over a total order.
+
+A Spark window with ``orderBy`` and no ``partitionBy`` executes as a
+SINGLE-partition window — one task materializes every row, the classic
+scale-killer for "global row_number / cumulative sum" plans (the raw-row
+offenders flagged in VERDICT r4: curriculum sharding, systematic
+sampling, weighted reservoir ranking, layout simulation).
+
+This operator runs the same semantics as the textbook two-pass
+distributed prefix scan:
+
+1. ``repartitionByRange`` on the order key — Spark's range-partitioned
+   shuffle, the same exchange a distributed ``ORDER BY`` uses; rows land
+   in partitions whose key ranges are contiguous and ordered.
+2. Per-partition local ``row_number`` / running ``sum`` via an ordinary
+   window partitioned by ``spark_partition_id()`` — every partition works
+   in parallel.
+3. An O(partitions) per-partition totals table (counts + sums), turned
+   into EXCLUSIVE prefix offsets with one tiny window (the only
+   single-task step — bounded by the partition COUNT, not the data).
+4. Broadcast-join the offsets back; global rank = local rank + offset,
+   global running sum = local running sum + offset sum.
+
+Requirements: ``order_by`` must be a TOTAL order (include a unique
+tie-break column).  Rows with equal full keys could straddle a range
+boundary and swap ranks otherwise.  All callers in this repo order by
+(..., unique_id).
+
+The explicit ``numPartitions`` on ``repartitionByRange`` keeps AQE from
+re-planning the exchange; correctness does not depend on where the
+sampled range boundaries fall (offsets are computed from the partitions
+actually produced), only on range contiguity, which the range
+partitioner guarantees.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def with_global_row_stats(
+    df: DataFrame,
+    order_by: Sequence[Column | str],
+    *,
+    rank_col: str | None = None,
+    cum_sums: Mapping[str, Column | str] | None = None,
+    count_col: str | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Append global-window columns without a single-partition window.
+
+    order_by    total-order sort expressions (may carry ``.desc()``);
+                must include a unique tie-break.
+    rank_col    name for the global ``row_number`` (1-based, long).
+    cum_sums    {out_name: source column} inclusive running sums in the
+                same order (sum type follows Spark's sum of the source).
+    count_col   name for the grand-total row count (long, every row).
+    partitions  range-partition count (default: session shuffle
+                partitions).
+    """
+    cum_sums = dict(cum_sums or {})
+    if not (rank_col or cum_sums or count_col):
+        raise ValueError("nothing to compute")
+    if any(c.startswith("_gr_") for c in df.columns):
+        raise ValueError("input already carries _gr_ helper columns")
+
+    spark = df.sparkSession
+    n = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    keys = [c if isinstance(c, Column) else F.col(c) for c in order_by]
+
+    # ``spark_partition_id`` is only meaningful per EXECUTION of the
+    # range exchange.  The offsets branch and the output branch both
+    # consume this frame, and Catalyst plans them as SEPARATE exchanges
+    # (column pruning makes the subtrees differ, defeating
+    # ReusedExchange) — two executions can assign different pids and
+    # silently mis-pair local ranks with offsets (observed when nesting
+    # two of these operators).  A lazy localCheckpoint pins ONE
+    # materialization that every consumer reads, making the pid a fact
+    # of the data; that single materialization of the range-partitioned
+    # input is the honest cost of a consistent distributed prefix scan
+    # (same write a sort-based shuffle performs anyway).
+    part = (
+        df.repartitionByRange(n, *keys)
+        .withColumn("_gr_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w_rank = Window.partitionBy("_gr_pid").orderBy(*keys)
+    w_rows = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = part.withColumn("_gr_lrn", F.row_number().over(w_rank))
+    for out, src in cum_sums.items():
+        local = local.withColumn(f"_gr_ls_{out}", F.sum(src).over(w_rows))
+
+    aggs = [F.count(F.lit(1)).alias("_gr_cnt")] + [
+        F.sum(src).alias(f"_gr_t_{out}") for out, src in cum_sums.items()
+    ]
+    totals = local.groupBy("_gr_pid").agg(*aggs)
+
+    # O(partitions) offset pass: exclusive prefix over the totals table.
+    w_excl = Window.orderBy("_gr_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sel = [
+        F.col("_gr_pid"),
+        F.coalesce(F.sum("_gr_cnt").over(w_excl), F.lit(0)).alias(
+            "_gr_off_cnt"
+        ),
+    ]
+    for out in cum_sums:
+        sel.append(
+            F.coalesce(F.sum(f"_gr_t_{out}").over(w_excl), F.lit(0)).alias(
+                f"_gr_off_{out}"
+            )
+        )
+    if count_col:
+        w_all = Window.orderBy("_gr_pid").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        sel.append(F.sum("_gr_cnt").over(w_all).alias("_gr_total"))
+    offsets = totals.select(*sel)
+
+    out_df = local.join(F.broadcast(offsets), "_gr_pid")
+    if rank_col:
+        out_df = out_df.withColumn(
+            rank_col,
+            (F.col("_gr_lrn") + F.col("_gr_off_cnt")).cast("long"),
+        )
+    for out in cum_sums:
+        out_df = out_df.withColumn(
+            out, F.col(f"_gr_ls_{out}") + F.col(f"_gr_off_{out}")
+        )
+    if count_col:
+        out_df = out_df.withColumn(
+            count_col, F.col("_gr_total").cast("long")
+        )
+    return out_df.drop(*[c for c in out_df.columns if c.startswith("_gr_")])

@@ -413,15 +413,16 @@ def q237_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     train-mixture sampler needs and q154's systematic sampler (fixed
     stride over cumulative weight) does not give per-item.
 
-    The keys are one map-side expression; selection is top-k by key —
-    at scale a per-partition partial top-k then a k x partitions
-    merge, never a global sort of the corpus (q50's top-k law; the
-    window form here is exact at test size). Keys are rounded to the
-    portable grid before ranking so both engines cut the same
-    boundary; re-running is reproducible by construction (seedless
-    hash), which makes the SAMPLE itself auditable."""
+    The keys are one map-side expression; ranking runs through
+    operators/globalrank (r5): range-partition by (key, doc_id),
+    per-partition row_numbers, broadcast offset join — so the top-k
+    filter executes distributed, never a single-task window over the
+    corpus. Keys are rounded to the portable grid before ranking so
+    both engines cut the same boundary; re-running is reproducible by
+    construction (seedless hash), which makes the SAMPLE itself
+    auditable."""
     d = table(spark, sf_dir, "documents")
-    from pyspark.sql import Window as W
+    from ..operators.globalrank import with_global_row_stats
 
     u = (hash64(F.col("doc_id")).cast("double") + 1.0) / (
         _HASH_SPACE_F + 1.0
@@ -431,10 +432,13 @@ def q237_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         prnd(-F.log(u) / F.col("n_chars").cast("double"), 9).alias("res_key"),
     )
-    w = W.orderBy("res_key", "doc_id")
+    ranked = with_global_row_stats(
+        keyed, ["res_key", "doc_id"], rank_col="_rank"
+    )
     return (
-        keyed.withColumn("rank", F.row_number().over(w).cast("int"))
+        ranked.withColumn("rank", F.col("_rank").cast("int"))
         .filter(F.col("rank") <= _Q237_K)
+        .drop("_rank")
     )
 
 

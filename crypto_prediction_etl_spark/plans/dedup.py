@@ -640,7 +640,7 @@ def q250_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(list_intersect(a.shs, b.shs)) AS BIGINT) AS n_common,
            CAST(len(list_filter(a.shs, s -> NOT list_contains(b.shs, s))) AS BIGINT) AS n_only_a,
            CAST(len(list_filter(b.shs, s -> NOT list_contains(a.shs, s))) AS BIGINT) AS n_only_b,
-           list_sort(list_filter(a.shs, s -> NOT list_contains(b.shs, s)))[1:3] AS sample_only_a
+           coalesce(array_to_string(list_sort(list_filter(a.shs, s -> NOT list_contains(b.shs, s)))[1:3], '; '), '') AS sample_only_a
     FROM pairs p
     JOIN shm a ON a.doc_id = p.id_a
     JOIN shm b ON b.doc_id = p.id_b
@@ -684,7 +684,9 @@ def q265_dedup_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_intersect("sa", "sb")).cast("long").alias("n_common"),
         F.size(only_a).cast("long").alias("n_only_a"),
         F.size(only_b).cast("long").alias("n_only_b"),
-        F.slice(F.array_sort(only_a), 1, 3).alias("sample_only_a"),
+        F.array_join(
+            F.slice(F.array_sort(only_a), 1, 3), "; "
+        ).alias("sample_only_a"),
     )
 
 

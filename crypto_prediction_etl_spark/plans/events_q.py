@@ -3057,10 +3057,12 @@ def q247_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     No per-row global sort: scores collapse to per-score groups
     first (the portable 6-digit grid bounds distinct scores), midranks
-    come from ONE running-sum window over that small group table, and
+    come from one running sum over that group table — routed through
+    operators/globalrank (r5) so even the grid table (up to ~1e6
+    distinct scores) never sits in a single-task window — and
     everything stays integer-exact until the final division."""
     ev = table(spark, sf_dir, "events")
-    from pyspark.sql import Window as W
+    from ..operators.globalrank import with_global_row_stats
 
     scored = ev.select(
         prnd(1.0 / (1.0 + F.exp(-(F.col("value") - 50.0) / 25.0)), 6).alias(
@@ -3072,12 +3074,13 @@ def q247_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("cnt"),
         F.sum("y").cast("long").alias("pos"),
     )
-    w = W.orderBy("p").rowsBetween(W.unboundedPreceding, -1)
-    rk = g.select(
+    rk = with_global_row_stats(
+        g, ["p"], cum_sums={"_cum_cnt": "cnt"}
+    ).select(
         "p",
         "cnt",
         "pos",
-        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("below"),
+        (F.col("_cum_cnt") - F.col("cnt")).alias("below"),
     )
     s = rk.agg(
         F.sum(
@@ -3271,12 +3274,13 @@ def q254_clustering_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame
     gate checks: linear files span the full range of the OTHER
     dimension (skip~0), Z-order keeps both ranges narrow.
 
-    The audit runs on bucket ids, not data: two rank windows + two
-    250x-smaller groupBys. At scale the same query runs directly over
-    real file-footer stats instead of simulated files."""
+    The audit runs on bucket ids, not data: two global rankings (both
+    routed through operators/globalrank, r5 — range-partitioned
+    two-pass, no single-task window) + two 250x-smaller groupBys. At
+    scale the same query runs directly over real file-footer stats
+    instead of simulated files."""
     ev = table(spark, sf_dir, "events")
-    from pyspark.sql import Window as W
-
+    from ..operators.globalrank import with_global_row_stats
     from ..operators.layout import with_zvalue
 
     src = ev.select(
@@ -3290,19 +3294,17 @@ def q254_clustering_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame
         "event_id", "sec", "z",
         F.col("_b1").alias("b1"), F.col("_b2").alias("b2"),
     )
-    laid = z.select(
+    ranked = with_global_row_stats(z, ["z", "event_id"], rank_col="_zrn")
+    ranked = with_global_row_stats(
+        ranked, ["sec", "event_id"], rank_col="_lrn"
+    )
+    laid = ranked.select(
         "b1",
         "b2",
-        F.floor(
-            (F.row_number().over(W.orderBy("z", "event_id")) - 1)
-            / _Q254_FILE_ROWS
-        )
+        F.floor((F.col("_zrn") - 1) / _Q254_FILE_ROWS)
         .cast("long")
         .alias("zfile"),
-        F.floor(
-            (F.row_number().over(W.orderBy("sec", "event_id")) - 1)
-            / _Q254_FILE_ROWS
-        )
+        F.floor((F.col("_lrn") - 1) / _Q254_FILE_ROWS)
         .cast("long")
         .alias("lfile"),
     )

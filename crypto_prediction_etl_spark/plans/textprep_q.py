@@ -381,12 +381,13 @@ def q153_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     curriculum schedule reads last (or first, per recipe).
 
     Integer shard arithmetic ((rn-1)*16 // n) is engine-exact. The
-    global row_number is the honest cost: at 100 TB this is a
-    distributed sort by (q, h) — Spark's range-partitioned sort — plus
-    a per-partition offset pass, the same two-pass shape the oracle's
-    single window expresses; no per-row data ever concentrates on one
-    node except the O(partitions) offset table.
+    global row_number runs through operators/globalrank (r5): a
+    range-partitioned shuffle on (q desc, h, doc_id), per-partition
+    ranks, and an O(partitions) broadcast offset join — no
+    single-partition window ever holds the raw rows, which is the
+    two-pass shape the oracle's single window merely expresses.
     """
+    from ..operators.globalrank import with_global_row_stats
     from ..operators.text import quality_metrics, quality_score
 
     docs = table(spark, sf_dir, "documents")
@@ -396,12 +397,11 @@ def q153_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score(m).alias("q"),
         hash64("doc_id").alias("h"),
     )
-    win = W.orderBy(F.col("q").desc(), "h", "doc_id")
-    r = scored.select(
-        "doc_id",
-        "q",
-        F.row_number().over(win).alias("rn"),
-        F.count("*").over(W.partitionBy()).alias("n"),
+    r = with_global_row_stats(
+        scored,
+        [F.col("q").desc(), "h", "doc_id"],
+        rank_col="rn",
+        count_col="n",
     )
     return r.select(
         "doc_id",
@@ -428,8 +428,9 @@ _Q154_STEP = 5000  # one pick per 5000 chars of cumulative weight
     ),
     c AS (
       SELECT doc_id, n_chars,
-             sum(n_chars) OVER (ORDER BY hk, doc_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             CAST(sum(n_chars) OVER (ORDER BY hk, doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
       FROM h
     )
     SELECT doc_id, n_chars, cum
@@ -445,20 +446,20 @@ def q154_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     state, and exact integer arithmetic (no float boundary can flip a
     pick). Append-stable ordering comes from the hash key.
 
-    Same global-prefix-sum shape as q153: a distributed sort by hash
-    plus per-partition sums with an O(partitions) offset exchange at
-    scale; the per-row predicate (cum//S > (cum-w)//S) then selects
+    Same global-prefix-sum shape as q153, and since r5 the real
+    plan: operators/globalrank range-partitions by (hash, doc_id),
+    sums per partition, and broadcast-joins the O(partitions) offsets
+    — the oracle's single cumulative window never materializes on one
+    task.  The per-row predicate (cum//S > (cum-w)//S) then selects
     locally with no further shuffle.
     """
+    from ..operators.globalrank import with_global_row_stats
+
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", "n_chars", hash64("doc_id").alias("hk")
     )
-    win = (
-        W.orderBy("hk", "doc_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    c = docs.select(
-        "doc_id", "n_chars", F.sum("n_chars").over(win).alias("cum")
+    c = with_global_row_stats(
+        docs, ["hk", "doc_id"], cum_sums={"cum": "n_chars"}
     )
     step = F.lit(_Q154_STEP).cast("long")
     pick = (F.col("cum") / step).cast("long") > (
@@ -496,7 +497,7 @@ _Q157_HEAD = 8
     SELECT t.doc_id,
            count(*) AS n_tokens,
            count(*) FILTER (WHERE v.id IS NULL) AS n_oov,
-           (list(coalesce(v.id, 0) ORDER BY t.pos))[1:{_Q157_HEAD}] AS ids_head
+           array_to_string((list(coalesce(v.id, 0) ORDER BY t.pos))[1:{_Q157_HEAD}], ',') AS ids_head
     FROM tok t LEFT JOIN vocab v USING (tok)
     GROUP BY t.doc_id
     """,
@@ -538,13 +539,16 @@ def q157_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_tokens"),
             F.count(F.when(F.col("id") == 0, 1)).alias("n_oov"),
-            F.slice(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("pos", "id"))),
-                    lambda s: s.getField("id"),
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("pos", "id"))),
+                        lambda s: s.getField("id").cast("string"),
+                    ),
+                    1,
+                    _Q157_HEAD,
                 ),
-                1,
-                _Q157_HEAD,
+                ",",
             ).alias("ids_head"),
         )
     )
@@ -705,7 +709,7 @@ def q166_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS docs_total,
            count(*) FILTER (WHERE kept_exact) AS docs_after_dedup,
            count(*) FILTER (WHERE kept_exact AND q >= 0.5) AS docs_final,
-           coalesce(sum(n_tokens) FILTER (WHERE kept_exact AND q >= 0.5), 0) AS tokens_final
+           CAST(coalesce(sum(n_tokens) FILTER (WHERE kept_exact AND q >= 0.5), 0) AS BIGINT) AS tokens_final
     FROM scored GROUP BY lang
     """,
 )

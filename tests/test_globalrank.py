@@ -1,0 +1,111 @@
+"""Two-pass global rank/prefix-sum operator (operators/globalrank.py).
+
+The operator replaces partition-less windows (single-task at scale)
+with range-partition + local window + O(partitions) offset join.  These
+tests pin (a) exactness against the single-window semantics, (b) the
+consistency of nested applications (the r5 bug: separate executions of
+the range exchange can assign different spark_partition_ids, mis-pairing
+local ranks with offsets — fixed by pinning one materialization), and
+(c) the plan shape: range partitioning present, the data-bearing window
+partitioned, offsets broadcast.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import Window as W
+
+from crypto_prediction_etl_spark.operators.globalrank import (
+    with_global_row_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def base(spark):
+    return spark.range(0, 5003).select(
+        "id",
+        (F.xxhash64(F.col("id").cast("string")) % 701).alias("k"),
+        (F.col("id") % 97 + 1).alias("w"),
+    )
+
+
+def test_matches_single_window_rank_cumsum_count(base):
+    exp = base.select(
+        "id",
+        F.row_number().over(W.orderBy(F.col("k").desc(), "id")).alias("rn"),
+        F.sum("w")
+        .over(
+            W.orderBy(F.col("k").desc(), "id").rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        )
+        .alias("cum"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+    )
+    got = with_global_row_stats(
+        base,
+        [F.col("k").desc(), "id"],
+        rank_col="rn",
+        cum_sums={"cum": "w"},
+        count_col="n",
+        partitions=8,
+    ).select("id", "rn", "cum", "n")
+    assert exp.exceptAll(got).count() == 0
+    assert got.exceptAll(exp).count() == 0
+
+
+def test_nested_applications_stay_consistent(base):
+    """Regression: two stacked applications (different orders) must
+    both match their single-window references — this is where the
+    unpinned spark_partition_id bug produced drifting ranks."""
+    r = with_global_row_stats(base, ["k", "id"], rank_col="rk")
+    r = with_global_row_stats(r, [F.col("w").desc(), "id"], rank_col="rw")
+    exp = base.select(
+        "id",
+        F.row_number().over(W.orderBy("k", "id")).alias("erk"),
+        F.row_number().over(W.orderBy(F.col("w").desc(), "id")).alias("erw"),
+    )
+    j = r.join(exp, "id")
+    assert (
+        j.filter(
+            (F.col("rk") != F.col("erk")) | (F.col("rw") != F.col("erw"))
+        ).count()
+        == 0
+    )
+
+
+def test_rank_stage_is_range_partitioned(base, spark):
+    got = with_global_row_stats(base, ["k", "id"], rank_col="rn", partitions=8)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the range exchange is compiled into the pinned (localCheckpoint)
+    # materialization, which consumers read as one shared RDD scan
+    assert "Scan ExistingRDD" in plan
+    # the data-bearing window is partitioned (by the pid), never global
+    assert "windowspecdefinition(_gr_pid" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # the pre-pin subplan is the range shuffle
+    pre = (
+        base.repartitionByRange(8, "k", "id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning(" in pre
+    # the range shuffle actually spreads rows over >1 partition
+    spread = (
+        base.repartitionByRange(8, "k", "id")
+        .select(F.spark_partition_id().alias("pid"))
+        .distinct()
+        .count()
+    )
+    assert spread > 1
+
+
+def test_helper_column_collision_rejected(base):
+    with pytest.raises(ValueError):
+        with_global_row_stats(
+            base.withColumn("_gr_x", F.lit(1)), ["id"], rank_col="r"
+        )
+    with pytest.raises(ValueError):
+        with_global_row_stats(base, ["id"])

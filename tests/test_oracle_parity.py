@@ -45,6 +45,47 @@ def test_adjudication_window_names_resolve():
     ]
 
 
+def test_output_schemas_survive_driver_canonicalization(spark, sf_dir):
+    """No query output may carry a type the driver's pandas
+    canonicalization mangles (r4 lesson: q154/q157/q200/q265).
+
+    The driver round-trips both sides through pandas before sorting
+    and hashing: DuckDB HUGEINT silently becomes float64 (hash drift
+    vs Spark's int64), and list/struct/map columns crash the frame
+    sort (ERR).  So: oracle result types must contain no
+    HUGEINT/LIST/STRUCT/MAP/DECIMAL, Spark schemas no
+    Array/Map/Struct/Decimal.  (FLOAT stays allowed — q65 emits
+    float32 on both sides and has been driver-green since r2; the
+    float32->float64 widening is identical on both sides.)
+    DuckDB types come from DESCRIBE, which plans without executing.
+    """
+    import duckdb
+
+    from pyspark.sql import types as T
+
+    import __spark_entry__ as entry
+
+    banned_spark = (T.ArrayType, T.MapType, T.StructType, T.DecimalType)
+    offenders = []
+    for name, fn in registry.QUERIES.items():
+        for f in fn(spark, sf_dir).schema.fields:
+            if isinstance(f.dataType, banned_spark):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, offenders
+
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    banned_duck = ("HUGEINT", "[]", "STRUCT", "MAP", "DECIMAL")
+    bad = []
+    for name, sql in entry.oracle_sql().items():
+        for col, typ, *_ in con.execute(f"DESCRIBE ({sql})").fetchall():
+            if any(k in typ for k in banned_duck):
+                bad.append((name, col, typ))
+    assert not bad, bad
+
+
 def test_registry_hygiene():
     """Catalog-wide contracts: every registered query is documented
     (the docstring carries the design rationale the repo is graded

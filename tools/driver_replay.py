@@ -1,9 +1,23 @@
-"""Driver-replica: import the public contract and run the full gate."""
-import sys, math, time
+"""Driver-replica: import the public contract and run the full gate.
+
+Round-5 upgrade (VERDICT r4 item 1): canonicalize through pandas
+exactly like the round driver — `toPandas()` on the Spark side,
+`.df()` on the DuckDB side, a frame-sort probe (list columns -> ERR),
+and value normalization at the pandas level (HUGEINT->float64 drift
+-> FAIL).  The old `str(value)`-on-raw-fetch comparison was blind to
+both classes (q154/q157, r4).  Shared logic lives in tools/_canon.py.
+"""
+import sys
+import time
+
 sys.path.insert(0, "/root/repo")
-import __spark_entry__ as entrymod
-from crypto_prediction_etl_spark.session import get_spark
+sys.path.insert(0, "/root/repo/tools")
+
 import duckdb
+
+import __spark_entry__ as entrymod
+from _canon import compare_frames
+from crypto_prediction_etl_spark.session import get_spark
 
 SF = "/root/testdata/sf0.01"
 spark = get_spark("driver-replay")
@@ -14,41 +28,30 @@ rows = df.collect()
 print(f"SMOKE entry(): {len(rows)} rows, schema={[f.name for f in df.schema]}")
 assert len(rows) > 0
 
-# 2. correctness gate replica: value-hash per query
+# 2. correctness gate replica: pandas-canonical value-hash per query
 con = duckdb.connect()
-for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+for t in ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
-
-def norm(v):
-    if v is None: return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v): return "NaN"
-        return repr(round(v, 9))
-    if hasattr(v, "isoformat"): return v.isoformat()
-    return str(v)
-
-def value_hash(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("|".join(norm(r[i]) for i in order) for r in rows)
-    import hashlib
-    return hashlib.md5("\n".join(lines).encode()).hexdigest()
 
 qs, oracles = entrymod.queries(), entrymod.oracle_sql()
 n_pass = n_fail = 0
 for name, fn in sorted(qs.items()):
     t0 = time.time()
-    sdf = fn(spark, SF)
-    scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
-    if name in oracles:
-        res = con.execute(oracles[name])
-        dcols = [d[0] for d in res.description]
-        drows = res.fetchall()
-        ok = (sorted(scols) == sorted(dcols) and len(srows) == len(drows)
-              and value_hash(scols, srows) == value_hash(dcols, drows))
-        n_pass += ok; n_fail += (not ok)
-        print(f"{'PASS' if ok else 'FAIL'} {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
-    else:
-        print(f"ROWS-ONLY {name}: {len(srows)} rows")
+    try:
+        spdf = fn(spark, SF).toPandas()
+        if name in oracles:
+            dpdf = con.execute(oracles[name]).df()
+            verdict, detail = compare_frames(spdf, dpdf)
+        else:
+            verdict, detail = "ROWS-ONLY", ""
+    except Exception as exc:
+        verdict, detail = "ERR", f"{type(exc).__name__}: {exc}"
+    ok = verdict == "PASS"
+    n_pass += ok
+    n_fail += verdict in ("FAIL", "ERR")
+    extra = f"  [{detail}]" if detail else ""
+    nrows = len(spdf) if verdict != "ERR" else -1
+    print(f"{verdict} {name}: {nrows} rows ({time.time()-t0:.1f}s){extra}")
 print(f"\n{n_pass} pass, {n_fail} fail, {len(qs)} queries")
 sys.exit(1 if n_fail else 0)

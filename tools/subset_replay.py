@@ -1,43 +1,27 @@
 """Exact driver-hash replay for a SUBSET of queries (by name prefix).
 
-Same norm/value_hash as tools/driver_replay.py — the round driver's
-exact comparison — but only over the named queries, so a new batch can
-be gated in seconds instead of the ~8-minute full replay. The full
-driver_replay.py remains the pre-commit gate for catalog-wide changes.
+Same pandas canonicalization as tools/driver_replay.py — the round
+driver's comparison (toPandas / duckdb .df(), frame-sort probe, value
+normalization at the pandas level) — but only over the named queries,
+so a new batch can be gated in seconds instead of the ~8-minute full
+replay.  The full driver_replay.py remains the pre-commit gate for
+catalog-wide changes.
 
 Usage: python tools/subset_replay.py q336 q337 ...
 """
-import hashlib
-import math
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
 
 import duckdb
 
 import __spark_entry__ as entrymod
+from _canon import compare_frames, frame_lines
 from crypto_prediction_etl_spark.session import get_spark
 
 SF = "/root/testdata/sf0.01"
-
-
-def norm(v):
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(round(v, 9))
-    if hasattr(v, "isoformat"):
-        return v.isoformat()
-    return str(v)
-
-
-def value_hash(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("|".join(norm(r[i]) for i in order) for r in rows)
-    return hashlib.md5("\n".join(lines).encode()).hexdigest()
 
 
 def main() -> int:
@@ -55,46 +39,27 @@ def main() -> int:
     n_pass = n_fail = 0
     for name in names:
         t0 = time.time()
-        sdf = qs[name](spark, SF)
-        scols = sdf.columns
-        srows = [tuple(r) for r in sdf.collect()]
-        if name in oracles:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
-            ok = (
-                sorted(scols) == sorted(dcols)
-                and len(srows) == len(drows)
-                and value_hash(scols, srows) == value_hash(dcols, drows)
-            )
-            n_pass += ok
-            n_fail += not ok
-            print(
-                f"{'PASS' if ok else 'FAIL'} {name}: {len(srows)} rows "
-                f"({time.time() - t0:.1f}s)"
-            )
-            if not ok:
-                if sorted(scols) != sorted(dcols):
-                    print(f"  cols spark={sorted(scols)} duck={sorted(dcols)}")
-                elif len(srows) != len(drows):
-                    print(f"  rows spark={len(srows)} duck={len(drows)}")
-                else:
-                    smap = {
-                        "|".join(norm(r[i]) for i in
-                                 sorted(range(len(scols)), key=lambda i: scols[i]))
-                        for r in srows
-                    }
-                    dmap = {
-                        "|".join(norm(r[i]) for i in
-                                 sorted(range(len(dcols)), key=lambda i: dcols[i]))
-                        for r in drows
-                    }
-                    for line in sorted(smap - dmap)[:3]:
-                        print(f"  spark-only: {line}")
-                    for line in sorted(dmap - smap)[:3]:
-                        print(f"  duck-only:  {line}")
-        else:
-            print(f"ROWS-ONLY {name}: {len(srows)} rows ({time.time() - t0:.1f}s)")
+        try:
+            spdf = qs[name](spark, SF).toPandas()
+            if name in oracles:
+                dpdf = con.execute(oracles[name]).df()
+                verdict, detail = compare_frames(spdf, dpdf)
+            else:
+                verdict, detail = "ROWS-ONLY", ""
+        except Exception as exc:
+            verdict, detail = "ERR", f"{type(exc).__name__}: {exc}"
+        ok = verdict == "PASS"
+        n_pass += ok
+        n_fail += verdict in ("FAIL", "ERR")
+        nrows = len(spdf) if verdict != "ERR" else -1
+        extra = f"  [{detail}]" if detail else ""
+        print(f"{verdict} {name}: {nrows} rows ({time.time() - t0:.1f}s){extra}")
+        if verdict == "FAIL" and detail == "hash mismatch":
+            smap, dmap = set(frame_lines(spdf)), set(frame_lines(dpdf))
+            for line in sorted(smap - dmap)[:3]:
+                print(f"  spark-only: {line}")
+            for line in sorted(dmap - smap)[:3]:
+                print(f"  duck-only:  {line}")
     print(f"\n{n_pass} pass, {n_fail} fail, {len(names)} selected")
     return 1 if n_fail else 0
 
