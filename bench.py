@@ -33,6 +33,12 @@ PANEL2 = [
     "q101_semdedup",
     "q48_dedup_clusters",
     "q112_prefix_filter_join",
+    # r5 additions (VERDICT r4 item 7): the iterative / quadratic
+    # kernels get their own anchors — k-core's checkpointed peeling
+    # rounds and LOF's exact all-pairs kNN are fixed costs that the
+    # headline panel would never surface if they regressed.
+    "q314_kcore_decomposition",
+    "q348_lof_outliers",
 ]
 
 HEADLINE = [

@@ -7099,3 +7099,367 @@ def q350_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd("h", 6).alias("hill_h"),
         prnd(F.lit(1.0) / F.col("h"), 6).alias("tail_alpha"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q352 realized-volatility signature plot (subsampling grid)
+# ---------------------------------------------------------------------------
+
+_Q352_STRIDES = (1, 2, 5, 10)
+
+
+def _q352_oracle() -> str:
+    branches = []
+    for k in _Q352_STRIDES:
+        branches.append(f"""
+      SELECT id, {k} AS stride, ret
+      FROM (
+        SELECT id, ln(close / lag(close) OVER ({_WIN})) AS ret
+        FROM (SELECT id, dt, close FROM base WHERE (rn - 1) % {k} = 0)
+      ) WHERE ret IS NOT NULL""")
+    u = "\n      UNION ALL\n      ".join(branches)
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    base AS (
+      SELECT id, dt, close, row_number() OVER ({_WIN}) AS rn
+      FROM candles
+    ),
+    rets AS (
+      {u}
+    )
+    SELECT id, CAST(stride AS INTEGER) AS stride,
+           CAST(count(*) AS BIGINT) AS n_rets,
+           {o_rnd('sum(ret * ret)', 6)} AS rv,
+           {o_rnd('sum(ret * ret) / count(*)', 9)} AS var_per_bar
+    FROM rets GROUP BY id, stride
+    """
+
+
+@query("q352_rv_signature", oracle=_q352_oracle())
+def q352_rv_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized-volatility signature plot (Andersen/Bollerslev/
+    Diebold/Labys family): realized variance recomputed on
+    subsampled grids (every 1st/2nd/5th/10th bar).  On real tick data
+    RV explodes as the stride shrinks when microstructure noise
+    dominates; the signature plot is how you pick the sampling
+    frequency where noise and signal balance, a required diagnostic
+    before any RV-based model (q130/q313/q317 consumers).
+
+    One per-id row_number window shared by all strides (the sampled
+    series are filters over the SAME sorted frame, not re-sorts);
+    each stride's lag/return is a window over the filtered frame and
+    the four branches union into one partial-agg groupBy.  At 100 TB:
+    one sort per id amortized across the whole grid, no shuffle per
+    stride."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    base = c.select("id", "dt", "close", F.row_number().over(w).alias("rn"))
+    frames = []
+    for k in _Q352_STRIDES:
+        sampled = base.filter((F.col("rn") - 1) % k == 0)
+        ret = F.log(F.col("close") / F.lag("close").over(w)).alias("ret")
+        frames.append(
+            sampled.select("id", "dt", ret)
+            .filter(F.col("ret").isNotNull())
+            .select("id", F.lit(k).alias("stride"), "ret")
+        )
+    rets = frames[0]
+    for fr in frames[1:]:
+        rets = rets.unionByName(fr)
+    return rets.groupBy("id", "stride").agg(
+        F.count("*").cast("long").alias("n_rets"),
+        prnd(F.sum(F.col("ret") * F.col("ret")), 6).alias("rv"),
+        prnd(F.sum(F.col("ret") * F.col("ret")) / F.count("*"), 9).alias(
+            "var_per_bar"
+        ),
+    ).select(
+        "id", F.col("stride").cast("int").alias("stride"),
+        "n_rets", "rv", "var_per_bar",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q353 order-sign autocorrelation (flow persistence)
+# ---------------------------------------------------------------------------
+
+_Q353_LAGS = (1, 2, 3, 4, 5)
+
+
+def _q353_oracle() -> str:
+    cum = f"({_WIN} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    branches = []
+    for lag in _Q353_LAGS:
+        branches.append(f"""
+      SELECT id, {lag} AS lag, tick, lag(tick, {lag}) OVER ({_WIN}) AS tick_l
+      FROM s""")
+    u = "\n      UNION ALL\n      ".join(branches)
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    t AS (
+      SELECT id, dt,
+             CASE WHEN close > lag(close) OVER ({_WIN}) THEN 1
+                  WHEN close < lag(close) OVER ({_WIN}) THEN -1
+             END AS tick_raw
+      FROM candles
+    ),
+    s AS (
+      SELECT id, dt,
+             CAST(last_value(tick_raw IGNORE NULLS) OVER {cum} AS DOUBLE) AS tick
+      FROM t
+      QUALIFY tick IS NOT NULL
+    ),
+    lagged AS (
+      {u}
+    ),
+    m AS (
+      SELECT id, lag,
+             CAST(count(*) AS BIGINT) AS n,
+             avg(tick) AS ma, avg(tick_l) AS mb,
+             avg(tick * tick_l) AS mab,
+             avg(tick * tick) AS maa, avg(tick_l * tick_l) AS mbb
+      FROM lagged WHERE tick_l IS NOT NULL
+      GROUP BY id, lag
+    )
+    SELECT id, CAST(lag AS INTEGER) AS lag, n,
+           {o_rnd('(mab - ma * mb) / (sqrt(maa - ma * ma) * sqrt(mbb - mb * mb))', 6)} AS rho
+    FROM m
+    """
+
+
+@query("q353_sign_autocorr", oracle=_q353_oracle())
+def q353_sign_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sign autocorrelation at lags 1-5: the persistence of the
+    tick-rule sign series (q185's zero-tick-carried flow signs) —
+    empirically the most robust stylized fact of market microstructure
+    (order flow is long-memory; Bouchaud/Farmer/Lillo) and the input
+    to impact-model calibration alongside Kyle's lambda (q331).
+
+    The sign series is built once (one per-id sort, the q185 idiom);
+    each lag is a window over the SAME sort and the branches union
+    into one moment groupBy — Pearson rho from sufficient statistics,
+    never a per-pair join.  Signs are +/-1 doubles so every moment is
+    exactly representable; only the final ratio needs the portable
+    grid."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    lagc = F.lag("close").over(w)
+    t = c.select(
+        "id",
+        "dt",
+        F.when(F.col("close") > lagc, 1)
+        .when(F.col("close") < lagc, -1)
+        .alias("tick_raw"),
+    )
+    s = t.select(
+        "id",
+        "dt",
+        F.last("tick_raw", ignorenulls=True)
+        .over(cum)
+        .cast("double")
+        .alias("tick"),
+    ).filter(F.col("tick").isNotNull())
+    frames = []
+    for lag in _Q353_LAGS:
+        frames.append(
+            s.select(
+                "id",
+                F.lit(lag).alias("lag"),
+                "tick",
+                F.lag("tick", lag).over(w).alias("tick_l"),
+            ).filter(F.col("tick_l").isNotNull())
+        )
+    lagged = frames[0]
+    for fr in frames[1:]:
+        lagged = lagged.unionByName(fr)
+    m = lagged.groupBy("id", "lag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg("tick").alias("ma"),
+        F.avg("tick_l").alias("mb"),
+        F.avg(F.col("tick") * F.col("tick_l")).alias("mab"),
+        F.avg(F.col("tick") * F.col("tick")).alias("maa"),
+        F.avg(F.col("tick_l") * F.col("tick_l")).alias("mbb"),
+    )
+    rho = (F.col("mab") - F.col("ma") * F.col("mb")) / (
+        F.sqrt(F.col("maa") - F.col("ma") * F.col("ma"))
+        * F.sqrt(F.col("mbb") - F.col("mb") * F.col("mb"))
+    )
+    return m.select(
+        "id", F.col("lag").cast("int").alias("lag"), "n",
+        prnd(rho, 6).alias("rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q354 signed realized semivariance (downside/upside decomposition)
+# ---------------------------------------------------------------------------
+
+_Q354_N = 20
+
+
+def _q354_oracle() -> str:
+    fr = f"({_WIN} ROWS BETWEEN {_Q354_N - 1} PRECEDING AND CURRENT ROW)"
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    r AS (
+      SELECT id, dt, ln(close / lag(close) OVER ({_WIN})) AS ret
+      FROM candles
+    ),
+    sq AS (
+      SELECT id, dt,
+             CASE WHEN ret < 0 THEN ret * ret ELSE 0.0 END AS dsq,
+             CASE WHEN ret > 0 THEN ret * ret ELSE 0.0 END AS usq,
+             ret * ret AS sq
+      FROM r WHERE ret IS NOT NULL
+    ),
+    w AS (
+      SELECT id, dt,
+             count(*) OVER {fr} AS n,
+             sum(dsq) OVER {fr} AS rs_down,
+             sum(usq) OVER {fr} AS rs_up,
+             sum(sq) OVER {fr} AS rv
+      FROM sq
+    )
+    SELECT id, dt,
+           {o_rnd('rs_down', 8)} AS rs_down,
+           {o_rnd('rs_up', 8)} AS rs_up,
+           {o_rnd('rs_up - rs_down', 8)} AS signed_jump,
+           {o_rnd('rs_down / rv', 6)} AS downside_share
+    FROM w WHERE n = {_Q354_N}
+    """
+
+
+@query("q354_semivariance", oracle=_q354_oracle())
+def q354_semivariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed realized semivariance (Barndorff-Nielsen, Kinnebrock &
+    Shephard 2010): the rolling-20 realized variance split into its
+    downside (ret<0) and upside (ret>0) halves, plus the signed-jump
+    statistic RS+ - RS- and the downside share — downside
+    semivariance forecasts future volatility far better than total RV
+    and is the standard asymmetry feature in vol models (feeds the
+    same consumers as q130/q319).
+
+    One per-id sort shared by the return lag and all four rolling
+    sums (the multi-frame-one-sort law, q30); the conditional squares
+    are map-side CASE expressions so every window input is a plain
+    column."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    fr = w.rowsBetween(-(_Q354_N - 1), W.currentRow)
+    r = c.select(
+        "id", "dt", F.log(F.col("close") / F.lag("close").over(w)).alias("ret")
+    ).filter(F.col("ret").isNotNull())
+    sq = r.select(
+        "id",
+        "dt",
+        F.when(F.col("ret") < 0, F.col("ret") * F.col("ret"))
+        .otherwise(0.0)
+        .alias("dsq"),
+        F.when(F.col("ret") > 0, F.col("ret") * F.col("ret"))
+        .otherwise(0.0)
+        .alias("usq"),
+        (F.col("ret") * F.col("ret")).alias("sq"),
+    )
+    out = sq.select(
+        "id",
+        "dt",
+        F.count("*").over(fr).alias("n"),
+        F.sum("dsq").over(fr).alias("rs_down"),
+        F.sum("usq").over(fr).alias("rs_up"),
+        F.sum("sq").over(fr).alias("rv"),
+    ).filter(F.col("n") == _Q354_N)
+    return out.select(
+        "id",
+        "dt",
+        prnd("rs_down", 8).alias("rs_down"),
+        prnd("rs_up", 8).alias("rs_up"),
+        prnd(F.col("rs_up") - F.col("rs_down"), 8).alias("signed_jump"),
+        prnd(F.col("rs_down") / F.col("rv"), 6).alias("downside_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q355 Benjamini-Hochberg FDR step-up over the per-symbol tests
+# ---------------------------------------------------------------------------
+
+# two-sided N(0,1) critical values for BH at alpha=0.05, m=5: rank k
+# (by largest |z| = smallest p) tests against alpha*k/m, i.e.
+# z_crit(k) = Phi^-1(1 - 0.05*k/(2*5)) (precomputed literals, the
+# q310 convention — no inverse-normal needed in either engine)
+_Q355_CRITS = [2.575829, 2.326348, 2.170090, 2.053749, 1.959964]
+
+
+def _q355_oracle() -> str:
+    crit_cases = " ".join(
+        f"WHEN {k + 1} THEN {c}" for k, c in enumerate(_Q355_CRITS)
+    )
+    return f"""
+    WITH base AS ({_q308_oracle()}),
+    ranked AS (
+      SELECT id, n_obs, z_score,
+             row_number() OVER (ORDER BY abs(z_score) DESC, id) AS rk
+      FROM base
+    ),
+    tested AS (
+      SELECT id, n_obs, z_score, rk,
+             CASE rk {crit_cases} END AS z_crit,
+             CASE WHEN abs(z_score) > (CASE rk {crit_cases} END)
+                  THEN rk ELSE 0 END AS passing_rank
+      FROM ranked
+    ),
+    cut AS (SELECT max(passing_rank) AS k_star FROM tested)
+    SELECT t.id, t.n_obs,
+           {o_rnd('t.z_score', 4)} AS z_score,
+           CAST(t.rk AS INTEGER) AS bh_rank,
+           {o_rnd('t.z_crit', 6)} AS z_crit,
+           CAST(t.rk <= c.k_star AS INT) AS significant
+    FROM tested t CROSS JOIN cut c
+    """
+
+
+@query("q355_bh_fdr", oracle=_q355_oracle())
+def q355_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR step-UP over the per-symbol randomness
+    tests (q308's z-scores) — the other half of the multiplicity
+    family next to q310's Holm step-down: find the LARGEST rank k
+    whose p-value clears alpha*k/m and reject everything ranked at or
+    below it, controlling the false-discovery RATE rather than
+    familywise error (what a screen with hundreds of signals actually
+    wants: a bounded fraction of false alerts, not near-zero power).
+
+    The step-up cut is a scalar max over the tiny ranked test table
+    broadcast back (the scalar-subquery idiom, q14); critical values
+    are precomputed two-sided normal literals shared by both engines
+    (q310 convention)."""
+    base = q308_runs_test(spark, sf_dir)
+    ranked = base.select(
+        "id",
+        "n_obs",
+        "z_score",
+        F.row_number()
+        .over(W.orderBy(F.abs("z_score").desc(), "id"))
+        .alias("rk"),
+    )
+    crit_expr = None
+    for k, c in enumerate(_Q355_CRITS):
+        cond = F.col("rk") == k + 1
+        crit_expr = (
+            F.when(cond, F.lit(c))
+            if crit_expr is None
+            else crit_expr.when(cond, F.lit(c))
+        )
+    tested = ranked.select(
+        "id", "n_obs", "z_score", "rk", crit_expr.alias("z_crit")
+    ).withColumn(
+        "passing_rank",
+        F.when(F.abs("z_score") > F.col("z_crit"), F.col("rk")).otherwise(0),
+    )
+    cut = tested.agg(F.max("passing_rank").alias("k_star"))
+    return tested.crossJoin(F.broadcast(cut)).select(
+        "id",
+        "n_obs",
+        prnd("z_score", 4).alias("z_score"),
+        F.col("rk").cast("int").alias("bh_rank"),
+        prnd("z_crit", 6).alias("z_crit"),
+        (F.col("rk") <= F.col("k_star")).cast("int").alias("significant"),
+    )

@@ -6,12 +6,30 @@ defaults (the one conf correctness genuinely needs, UTC session time
 zone + nanos handling, is applied by sources.readers.table and the
 session builder on purpose and asserted here to survive hostility).
 
-Usage: python tools/hostile_replay.py [name-prefix ...]
-(no args = full catalog)
+Usage:
+  python tools/hostile_replay.py [name-prefix ...]     (no args = full catalog)
+  python tools/hostile_replay.py --sample N SALT       (sampled cadence)
+
+The --sample mode (VERDICT r4 item 8) draws a deterministic
+pseudo-random N-query subset keyed by SALT (use the round tag, e.g.
+"r5"), so successive rounds cover different slices of the catalog
+while staying reproducible, and ALWAYS adds the partition-count-
+sensitive global-rank family (q153/q154/q237/q247/q254) — hostile
+shuffle.partitions=200 is exactly the knob that family's range
+partitioning must be invariant to.
 """
+import hashlib
 import sys
 
 sys.path.insert(0, "/root/repo")
+
+ALWAYS = [
+    "q153_curriculum_shards",
+    "q154_systematic_sample",
+    "q237_weighted_reservoir",
+    "q247_auc_roc",
+    "q254_clustering_effectiveness",
+]
 
 from pyspark.sql import SparkSession
 
@@ -33,12 +51,19 @@ spark = (
 )
 
 SF = "/root/testdata/sf0.01"
-prefixes = tuple(sys.argv[1:])
-names = [
-    n
-    for n in entrymod.oracle_sql()
-    if not prefixes or n.startswith(prefixes)
-]
+args = sys.argv[1:]
+all_names = list(entrymod.oracle_sql())
+if args[:1] == ["--sample"]:
+    k = int(args[1])
+    salt = args[2] if len(args) > 2 else "r0"
+    ranked = sorted(
+        all_names,
+        key=lambda n: hashlib.md5(f"{salt}:{n}".encode()).hexdigest(),
+    )
+    names = sorted(set(ranked[:k]) | set(ALWAYS))
+else:
+    prefixes = tuple(args)
+    names = [n for n in all_names if not prefixes or n.startswith(prefixes)]
 n_pass = n_fail = 0
 for name in names:
     try:
