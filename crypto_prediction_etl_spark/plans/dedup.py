@@ -965,3 +965,81 @@ def q307_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.col("_nd").isNotNull().cast("double")), 6
         ).alias("near_dup_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q359 dedup threshold operating curve (governance sweep)
+# ---------------------------------------------------------------------------
+
+_Q359_THRESHOLDS = (0.80, 0.85, 0.90, 0.95)
+
+
+def _q359_oracle() -> str:
+    vals = ", ".join(f"({t})" for t in _Q359_THRESHOLDS)
+    return f"""
+    WITH pairs AS ({_minhash_oracle()}),
+    cfg(t) AS (VALUES {vals}),
+    hits AS (
+      SELECT cfg.t, p.id_a, p.id_b, p.jaccard
+      FROM cfg JOIN pairs p ON p.jaccard >= cfg.t
+    ),
+    ids AS (
+      SELECT t, id_a AS doc_id FROM hits
+      UNION
+      SELECT t, id_b AS doc_id FROM hits
+    ),
+    docs AS (SELECT t, count(*) AS n_docs FROM ids GROUP BY t),
+    agg AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS n_pairs,
+             avg(jaccard) AS mean_j
+      FROM hits GROUP BY t
+    )
+    SELECT {o_rnd('a.t', 2)} AS threshold,
+           a.n_pairs,
+           CAST(d.n_docs AS BIGINT) AS n_docs_affected,
+           {o_rnd('a.mean_j', 6)} AS mean_jaccard
+    FROM agg a JOIN docs d USING (t)
+    """
+
+
+@query("q359_dedup_threshold_sweep", oracle=_q359_oracle())
+def q359_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold operating curve: from ONE MinHash+verify pass
+    (the memoized q45 pair set), the pair count, affected-document
+    count, and mean verified Jaccard at each candidate similarity
+    cutoff (0.80-0.95) — the table a data-governance review reads to
+    pick the dedup threshold, seeing exactly how much corpus each
+    notch removes BEFORE committing to a rerun.  The sweep costs four
+    filters over an already-verified pair table, not four dedup runs.
+
+    Jaccard is compared on the shared 6-digit portable grid (the pair
+    set itself is grid-rounded in both engines), so a threshold
+    landing on a boundary picks identical pairs everywhere.  At
+    100 TB the pair table is orders of magnitude smaller than the
+    corpus — the sweep is a dashboard query over it."""
+    pairs = corpus_minhash_pairs(spark, sf_dir, 0.8).select(
+        "id_a", "id_b", prnd("jaccard", 6).alias("j")
+    )
+    frames = []
+    for t in _Q359_THRESHOLDS:
+        hits = pairs.filter(F.col("j") >= t)
+        agg = hits.agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.avg("j").alias("mean_j"),
+        ).select(F.lit(t).alias("t"), "n_pairs", "mean_j")
+        ids = hits.select(F.col("id_a").alias("doc_id")).unionByName(
+            hits.select(F.col("id_b").alias("doc_id"))
+        )
+        docs = ids.agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs_affected")
+        ).select(F.lit(t).alias("t"), "n_docs_affected")
+        frames.append(agg.join(docs, "t"))
+    u = frames[0]
+    for fr in frames[1:]:
+        u = u.unionByName(fr)
+    return u.select(
+        prnd("t", 2).alias("threshold"),
+        "n_pairs",
+        "n_docs_affected",
+        prnd("mean_j", 6).alias("mean_jaccard"),
+    )

@@ -2433,3 +2433,96 @@ def q351_mmd_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mmd2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q358 matryoshka truncation audit (prefix-dim cosine preservation)
+# ---------------------------------------------------------------------------
+
+_Q358_DIMS = (4, 8, 16, 32, 64)
+_Q358_FULL = 64
+
+
+def _q358_oracle() -> str:
+    def cos(d: int) -> str:
+        a = f"list_slice(a.v, 1, {d})"
+        b = f"list_slice(b.v, 1, {d})"
+        return (
+            f"list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * "
+            f"sqrt(list_dot_product({b}, {b})))"
+        )
+
+    branches = "\n      UNION ALL\n      ".join(
+        f"SELECT {d} AS dim, {cos(d)} AS cos_d, {cos(_Q358_FULL)} AS cos_full"
+        f" FROM pairs a JOIN e b ON b.vec_id = a.vec_id + 1"
+        for d in _Q358_DIMS
+    )
+    return f"""
+    WITH {_VECS_CTE},
+    pairs AS (SELECT vec_id, v FROM e),
+    c AS (
+      {branches}
+    )
+    SELECT CAST(dim AS INTEGER) AS dim,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           {o_rnd('avg(cos_d)', 6)} AS mean_cos,
+           {o_rnd('avg(abs(cos_d - cos_full))', 6)} AS mean_abs_err,
+           {o_rnd('max(abs(cos_d - cos_full))', 6)} AS max_abs_err
+    FROM c GROUP BY dim
+    """
+
+
+@query("q358_matryoshka_audit", oracle=_q358_oracle())
+def q358_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation audit (Kusupati et al. 2022): how well do
+    PREFIX slices of the embedding (dims 4/8/16/32/64) preserve the
+    full-dim cosine structure, measured on the deterministic
+    adjacent-id pair sample — mean cosine, mean and max absolute
+    cosine error per prefix width.  This is the retrieval-quality /
+    storage-cost curve that decides how many dims the ANN index
+    (q52/q56) actually needs; pairs with the error curve ARE the
+    evidence for shipping a truncated index.
+
+    Pair generation is an equi self-join on vec_id+1 (no sampling
+    RNG, no cross join); every prefix cosine reuses the same joined
+    row, so the corpus is scanned once and the audit's cost is
+    |pairs| x |dims| arithmetic.  The dims fan-out is a union of
+    selects over the SAME join — Catalyst collapses the scan, and at
+    100 TB the join stays co-partitioned on vec_id."""
+    e = _vecs(spark, sf_dir)
+    a = e.select(F.col("vec_id"), F.col("v").alias("va"))
+    b = e.select(
+        (F.col("vec_id") - 1).alias("vec_id"), F.col("v").alias("vb")
+    )
+    pairs = a.join(b, "vec_id")
+
+    def cos(d: int) -> "F.Column":
+        from ..operators.similarity import cosine
+
+        return cosine(F.slice("va", 1, d), F.slice("vb", 1, d))
+
+    frames = [
+        pairs.select(
+            F.lit(d).alias("dim"),
+            cos(d).alias("cos_d"),
+            cos(_Q358_FULL).alias("cos_full"),
+        )
+        for d in _Q358_DIMS
+    ]
+    u = frames[0]
+    for fr in frames[1:]:
+        u = u.unionByName(fr)
+    return u.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        prnd(F.avg("cos_d"), 6).alias("mean_cos"),
+        prnd(F.avg(F.abs(F.col("cos_d") - F.col("cos_full"))), 6).alias(
+            "mean_abs_err"
+        ),
+        prnd(F.max(F.abs(F.col("cos_d") - F.col("cos_full"))), 6).alias(
+            "max_abs_err"
+        ),
+    ).select(
+        F.col("dim").cast("int").alias("dim"),
+        "n_pairs", "mean_cos", "mean_abs_err", "max_abs_err",
+    )

@@ -2487,3 +2487,177 @@ def q349_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_token_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q356 tokenizer fertility audit (dataset-card tokenization economics)
+# ---------------------------------------------------------------------------
+
+_Q356_PIECE = 4  # fixed-width subword chunk (chars) for the fertility proxy
+_Q356_LONG = 7  # tokens at or above this length are "long"
+
+
+@query(
+    "q356_tokenizer_fertility",
+    oracle=f"""
+    WITH d AS (
+      SELECT lang, n_chars, {_TOKS_SQL} AS toks FROM documents
+    ),
+    docs AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS chars_total,
+             CAST(sum(len(toks)) AS BIGINT) AS tokens_total
+      FROM d GROUP BY lang
+    ),
+    tok AS (
+      SELECT lang, unnest(toks) AS tok FROM d
+    ),
+    tstats AS (
+      SELECT lang,
+             CAST(sum(CAST(ceil(length(tok) / {_Q356_PIECE}.0) AS BIGINT)) AS BIGINT) AS pieces_total,
+             CAST(count(*) FILTER (WHERE length(tok) >= {_Q356_LONG}) AS BIGINT) AS long_tokens
+      FROM tok GROUP BY lang
+    )
+    SELECT d.lang, d.n_docs, d.tokens_total,
+           {o_rnd('CAST(d.chars_total AS DOUBLE) / d.tokens_total', 6)} AS chars_per_token,
+           {o_rnd('CAST(t.pieces_total AS DOUBLE) / d.tokens_total', 6)} AS subword_fertility,
+           {o_rnd('CAST(t.long_tokens AS DOUBLE) / d.tokens_total', 6)} AS long_token_frac,
+           {o_rnd('CAST(d.tokens_total AS DOUBLE) / d.n_docs', 6)} AS tokens_per_doc
+    FROM docs d JOIN tstats t USING (lang)
+    """,
+)
+def q356_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per language — the dataset-card
+    economics of tokenization: chars per whitespace token, subword
+    fertility under a fixed-width 4-char chunker (pieces per token —
+    the metric real BPE tokenizers report per language to expose
+    under-served scripts), long-token fraction, and tokens per doc.
+    Fertility differences ARE the compute-cost differences between
+    languages in a multilingual training run.
+
+    Two partial-agg passes (doc-level and token-level, both keyed by
+    lang) joined on the tiny lang dimension; the token explosion is
+    map-side and every statistic is integer until the final ratios.
+    At 100 TB: the same two groupBys, no shuffle wider than
+    |languages| rows."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select("lang", "n_chars", tokens("text").alias("toks"))
+    doc_agg = d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+        F.sum(F.size("toks")).cast("long").alias("tokens_total"),
+    )
+    tok = d.select("lang", F.explode("toks").alias("tok"))
+    tstats = tok.groupBy("lang").agg(
+        F.sum(F.ceil(F.length("tok") / float(_Q356_PIECE)).cast("long"))
+        .cast("long")
+        .alias("pieces_total"),
+        F.count(F.when(F.length("tok") >= _Q356_LONG, 1))
+        .cast("long")
+        .alias("long_tokens"),
+    )
+    j = doc_agg.join(tstats, "lang")
+    return j.select(
+        "lang",
+        "n_docs",
+        "tokens_total",
+        prnd(
+            F.col("chars_total").cast("double") / F.col("tokens_total"), 6
+        ).alias("chars_per_token"),
+        prnd(
+            F.col("pieces_total").cast("double") / F.col("tokens_total"), 6
+        ).alias("subword_fertility"),
+        prnd(
+            F.col("long_tokens").cast("double") / F.col("tokens_total"), 6
+        ).alias("long_token_frac"),
+        prnd(
+            F.col("tokens_total").cast("double") / F.col("n_docs"), 6
+        ).alias("tokens_per_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q357 cross-split n-gram novelty (memorization exposure audit)
+# ---------------------------------------------------------------------------
+
+_Q357_N = 4  # shingle width
+_Q357_TRAIN_BUCKETS = 8  # hash buckets 0-7 of 10 -> train, 8-9 -> test
+
+
+@query(
+    "q357_ngram_novelty",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, {_TOKS_SQL} AS toks,
+             ({o_hash64('CAST(doc_id AS VARCHAR)')}) % 10 < {_Q357_TRAIN_BUCKETS} AS is_train
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, lang, is_train, unnest(
+        CASE WHEN len(toks) >= {_Q357_N}
+             THEN list_distinct(list_transform(
+                    range(1, len(toks) - {_Q357_N - 2}),
+                    i -> array_to_string(list_slice(toks, i, i + {_Q357_N - 1}), ' ')))
+             ELSE CAST([] AS VARCHAR[]) END) AS s
+      FROM d
+    ),
+    train_set AS (SELECT DISTINCT s FROM sh WHERE is_train),
+    test AS (
+      SELECT sh.lang, sh.s, (t.s IS NOT NULL) AS seen
+      FROM sh LEFT JOIN train_set t USING (s)
+      WHERE NOT sh.is_train
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS test_ngrams,
+           CAST(count(*) FILTER (WHERE NOT seen) AS BIGINT) AS novel_ngrams,
+           {o_rnd('CAST(count(*) FILTER (WHERE NOT seen) AS DOUBLE) / count(*)', 6)} AS novelty_rate
+    FROM test GROUP BY lang
+    """,
+)
+def q357_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split n-gram novelty: hash-split the corpus 80/20, build
+    the train split's distinct 4-gram set, and measure what fraction
+    of each language's test-split 4-grams never appear in train — the
+    memorization-exposure audit (low novelty = the held-out split can
+    be 'predicted' by copying; also the denominator style used for
+    generation-novelty metrics a la RAVEN/Copying studies).
+
+    Scale shape: shingle explosion is map-side (per-doc distinct
+    arrays bound duplicates), the train set is a hash groupBy
+    DISTINCT, and membership is ONE left join on the shingle string —
+    at 100 TB this is the contamination-screen join (q87) pointed at
+    the pipeline's own split instead of an external benchmark.  The
+    deterministic doc_id hash split reproduces q73's split law, so
+    the same rows land train/test in any engine."""
+    from ..functions.portable import hash64
+    from ..operators.text import word_shingles
+
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        (hash64("doc_id") % 10 < _Q357_TRAIN_BUCKETS).alias("is_train"),
+        F.array_distinct(word_shingles(tokens("text"), _Q357_N)).alias(
+            "shs"
+        ),
+    )
+    sh = d.select(
+        "lang", "is_train", F.explode("shs").alias("s")
+    )
+    train_set = (
+        sh.filter(F.col("is_train")).select("s").distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    test = sh.filter(~F.col("is_train")).join(train_set, "s", "left")
+    return test.groupBy("lang").agg(
+        F.count("*").cast("long").alias("test_ngrams"),
+        F.count(F.when(F.col("seen").isNull(), 1))
+        .cast("long")
+        .alias("novel_ngrams"),
+        prnd(
+            F.count(F.when(F.col("seen").isNull(), 1)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("novelty_rate"),
+    )
