@@ -2278,28 +2278,19 @@ def q348_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tight cluster is NOT anomalous). Distances are grid-quantized
     before ranking (deterministic (dist, nid) order), k-distances and
     reachability distances follow the paper exactly, and the final
-    score is avg(lrd(neighbor))/lrd(point). The kNN graph here is the
-    exact all-pairs one (n=500); at 100 TB you swap the pairs CTE for
-    q52/q56's bucketed-ANN candidates and keep everything downstream
-    unchanged — LOF only consumes (pid, nid, dist) edges. Joins after
-    the kNN cut are equi-joins on vec_id, k-bounded fan-out."""
+    score is avg(lrd(neighbor))/lrd(point). The exact kNN edges come
+    from the q50 BLAS kernel (broadcast normalized matrix + one
+    matmul per Arrow batch, k smallest (dist, nid) emitted complete
+    per row — operators/similarity.knn_dist_edges; the r5 rewrite of
+    the theta-join all-pairs form that cost 75 s at sf0.1); at 100 TB
+    you swap those edges for q52/q56's bucketed-ANN candidates and
+    keep everything downstream unchanged — LOF only consumes
+    (pid, nid, dist) edges. Joins after the kNN cut are equi-joins on
+    vec_id, k-bounded fan-out."""
+    from ..operators.similarity import knn_dist_edges
+
     e = _vecs(spark, sf_dir)
-    q = e.select(F.col("vec_id").alias("pid"), F.col("v").alias("qv"))
-    c = e.select(F.col("vec_id").alias("nid"), F.col("v").alias("cv"))
-    pairs = q.join(c, F.col("pid") != F.col("nid")).select(
-        "pid",
-        "nid",
-        prnd(1.0 - cosine(F.col("qv"), F.col("cv")), 6).alias("dist"),
-    )
-    ranked = pairs.select(
-        "pid",
-        "nid",
-        "dist",
-        F.row_number()
-        .over(W.partitionBy("pid").orderBy("dist", "nid"))
-        .alias("rn"),
-    )
-    knn = ranked.filter(F.col("rn") <= _LOF_K).select("pid", "nid", "dist")
+    knn = knn_dist_edges(e, _LOF_K)
     kd = knn.groupBy("pid").agg(F.max("dist").alias("kdist"))
     reach = knn.join(
         kd.select(F.col("pid").alias("nid"), "kdist"), "nid"
@@ -2380,34 +2371,75 @@ def q351_mmd_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     label_b) — the n^2 is over the SAMPLE (500 here); at 100 TB you
     run it on a per-class reservoir (q237) since MMD estimates don't
     improve past ~10k points per group; downstream algebra is on the
-    labels^2 table."""
-    e = _vecs(spark, sf_dir)
-    a = e.select(
-        F.col("vec_id").alias("ida"), F.col("label").alias("la"), F.col("v").alias("va")
-    )
-    b = e.select(
-        F.col("vec_id").alias("idb"), F.col("label").alias("lb"), F.col("v").alias("vb")
-    )
-    from ..operators.similarity import dot
+    labels^2 table.
 
-    p = a.join(b, F.col("ida") != F.col("idb")).select(
-        "la",
-        "lb",
-        prnd(
-            dot(F.col("va"), F.col("va"))
-            - 2.0 * dot(F.col("va"), F.col("vb"))
-            + dot(F.col("vb"), F.col("vb")),
-            9,
-        ).alias("sqd"),
+    r5 rewrite: the ordered-pair kernel sums come from a broadcast
+    BLAS kernel (same law as q50/q348 — one matmul per Arrow batch,
+    per-(label_a,label_b) PARTIAL sums emitted, never per-pair rows;
+    the theta-join form cost 143 s at sf0.1, this runs in seconds).
+    Pass 1 accumulates (n, sum_sqd) for the bandwidth heuristic;
+    gamma is a scalar collect; pass 2 accumulates sum(exp(-gamma*
+    sqd)).  Squared distances are grid-rounded (9dp) inside the
+    kernel exactly like the oracle's pair CTE."""
+    import numpy as np
+    import pandas as pd
+
+    from ..sources.readers import spread_small_scan
+
+    e = _vecs(spark, sf_dir)
+    rows = e.select("vec_id", "label", "v").collect()
+    all_ids = np.array([r[0] for r in rows], dtype="int64")
+    all_lab = np.array([r[1] for r in rows], dtype="int64")
+    mat = np.stack([np.asarray(r[2], dtype="float64") for r in rows])
+    sqn = np.einsum("ij,ij->i", mat, mat)
+    bc = spark.sparkContext.broadcast((all_ids, all_lab, mat, sqn))
+    labels = np.unique(all_lab)
+    lab_index = {int(l): i for i, l in enumerate(labels)}
+    n_lab = len(labels)
+
+    def partials(batches, gamma=None):
+        ids, lab, m, sn = bc.value
+        for pdf in batches:
+            pm = np.stack([np.asarray(v, dtype="float64") for v in pdf["v"]])
+            pids = pdf["vec_id"].to_numpy()
+            plab = pdf["label"].to_numpy()
+            for lo in range(0, len(pids), 1024):
+                hi = min(lo + 1024, len(pids))
+                blk = pm[lo:hi]
+                bsq = np.einsum("ij,ij->i", blk, blk)
+                sqd = bsq[:, None] - 2.0 * (blk @ m.T) + sn[None, :]
+                sqd = np.floor(sqd * 1e9 + 0.5001) / 1e9
+                term = np.exp(-gamma * sqd) if gamma is not None else sqd
+                cnt = np.zeros((n_lab, n_lab), dtype="int64")
+                acc = np.zeros((n_lab, n_lab), dtype="float64")
+                for i in range(hi - lo):
+                    row_ok = ids != pids[lo + i]
+                    li = lab_index[int(plab[lo + i])]
+                    for lj, ljv in enumerate(labels):
+                        mask = row_ok & (lab == ljv)
+                        cnt[li, lj] += int(mask.sum())
+                        acc[li, lj] += float(term[i][mask].sum())
+                la_idx, lb_idx = np.nonzero(cnt)
+                yield pd.DataFrame(
+                    {
+                        "la": labels[la_idx],
+                        "lb": labels[lb_idx],
+                        "n": cnt[la_idx, lb_idx],
+                        "s": acc[la_idx, lb_idx],
+                    }
+                )
+
+    src = spread_small_scan(e.select("vec_id", "label", "v"))
+    schema = "la long, lb long, n long, s double"
+    p1 = src.mapInPandas(lambda it: partials(it), schema=schema)
+    tot = p1.agg(F.sum("n").alias("n"), F.sum("s").alias("ss")).collect()[0]
+    gamma = float(tot["n"]) / float(tot["ss"])  # 1 / avg(sqd)
+    p2 = src.mapInPandas(
+        lambda it, g=gamma: partials(it, gamma=g), schema=schema
     )
-    bw = p.agg((F.lit(1.0) / F.avg("sqd")).alias("gamma"))
-    kmat = (
-        p.crossJoin(F.broadcast(bw))
-        .groupBy("la", "lb")
-        .agg(
-            F.avg(F.exp(-F.col("gamma") * F.col("sqd"))).alias("kbar"),
-            F.count("*").alias("n_terms"),
-        )
+    kmat = p2.groupBy("la", "lb").agg(
+        (F.sum("s") / F.sum("n")).alias("kbar"),
+        F.sum("n").alias("n_terms"),
     )
     xx = kmat.filter(F.col("la") == F.col("lb")).select(
         F.col("la").alias("label_a"), F.col("kbar").alias("kxx")
