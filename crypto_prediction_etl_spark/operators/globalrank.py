@@ -47,6 +47,7 @@ def with_global_row_stats(
     *,
     rank_col: str | None = None,
     cum_sums: Mapping[str, Column | str] | None = None,
+    cum_maxs: Mapping[str, Column | str] | None = None,
     count_col: str | None = None,
     partitions: int | None = None,
 ) -> DataFrame:
@@ -57,12 +58,17 @@ def with_global_row_stats(
     rank_col    name for the global ``row_number`` (1-based, long).
     cum_sums    {out_name: source column} inclusive running sums in the
                 same order (sum type follows Spark's sum of the source).
+    cum_maxs    {out_name: source column} inclusive running maxima
+                (max is associative, so the offset combine is
+                ``greatest(local running max, max of earlier
+                partitions)``).
     count_col   name for the grand-total row count (long, every row).
     partitions  range-partition count (default: session shuffle
                 partitions).
     """
     cum_sums = dict(cum_sums or {})
-    if not (rank_col or cum_sums or count_col):
+    cum_maxs = dict(cum_maxs or {})
+    if not (rank_col or cum_sums or cum_maxs or count_col):
         raise ValueError("nothing to compute")
     if any(c.startswith("_gr_") for c in df.columns):
         raise ValueError("input already carries _gr_ helper columns")
@@ -92,9 +98,15 @@ def with_global_row_stats(
     local = part.withColumn("_gr_lrn", F.row_number().over(w_rank))
     for out, src in cum_sums.items():
         local = local.withColumn(f"_gr_ls_{out}", F.sum(src).over(w_rows))
+    for out, src in cum_maxs.items():
+        local = local.withColumn(f"_gr_lm_{out}", F.max(src).over(w_rows))
 
-    aggs = [F.count(F.lit(1)).alias("_gr_cnt")] + [
+    aggs = [F.count(F.lit(1)).alias("_gr_cnt")]
+    aggs += [
         F.sum(src).alias(f"_gr_t_{out}") for out, src in cum_sums.items()
+    ]
+    aggs += [
+        F.max(src).alias(f"_gr_tm_{out}") for out, src in cum_maxs.items()
     ]
     totals = local.groupBy("_gr_pid").agg(*aggs)
 
@@ -114,6 +126,10 @@ def with_global_row_stats(
                 f"_gr_off_{out}"
             )
         )
+    for out in cum_maxs:
+        sel.append(
+            F.max(f"_gr_tm_{out}").over(w_excl).alias(f"_gr_offm_{out}")
+        )
     if count_col:
         w_all = Window.orderBy("_gr_pid").rowsBetween(
             Window.unboundedPreceding, Window.unboundedFollowing
@@ -130,6 +146,13 @@ def with_global_row_stats(
     for out in cum_sums:
         out_df = out_df.withColumn(
             out, F.col(f"_gr_ls_{out}") + F.col(f"_gr_off_{out}")
+        )
+    for out in cum_maxs:
+        # greatest(NULL, x) = x, so the first partition (no offset)
+        # keeps its local running max untouched
+        out_df = out_df.withColumn(
+            out,
+            F.greatest(F.col(f"_gr_lm_{out}"), F.col(f"_gr_offm_{out}")),
         )
     if count_col:
         out_df = out_df.withColumn(

@@ -540,3 +540,142 @@ def q238_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("neg_no") <= _Q238_KEEP)
         .select("custkey", F.col("cand").cast("long").alias("neg_partkey"), "neg_no")
     )
+
+
+# ---------------------------------------------------------------------------
+# q361 reshard movement audit: mod-N vs rendezvous (HRW) hashing
+# ---------------------------------------------------------------------------
+
+_Q361_N = 16  # shard count before; reshard adds one -> N+1
+
+
+def _q361_oracle() -> str:
+    n = _Q361_N
+    score = o_hash64("CAST(doc_id AS VARCHAR) || ':' || CAST(g.shard AS VARCHAR)")
+    return f"""
+    WITH keys AS (SELECT doc_id FROM documents),
+    g AS (SELECT unnest(range(0, {n + 1})) AS shard),
+    sc AS (
+      SELECT k.doc_id, g.shard, {score} AS score
+      FROM keys k CROSS JOIN g
+    ),
+    mx16 AS (
+      SELECT doc_id, max(score) AS ms FROM sc WHERE shard < {n}
+      GROUP BY doc_id
+    ),
+    hrw16 AS (
+      SELECT sc.doc_id, min(sc.shard) AS shard
+      FROM sc JOIN mx16 ON mx16.doc_id = sc.doc_id AND sc.score = mx16.ms
+      WHERE sc.shard < {n}
+      GROUP BY sc.doc_id
+    ),
+    mx17 AS (SELECT doc_id, max(score) AS ms FROM sc GROUP BY doc_id),
+    hrw17 AS (
+      SELECT sc.doc_id, min(sc.shard) AS shard
+      FROM sc JOIN mx17 ON mx17.doc_id = sc.doc_id AND sc.score = mx17.ms
+      GROUP BY sc.doc_id
+    ),
+    modk AS (
+      SELECT doc_id,
+             ({o_hash64('doc_id')}) % {n} AS m16,
+             ({o_hash64('doc_id')}) % {n + 1} AS m17
+      FROM keys
+    ),
+    assign AS (
+      SELECT 'mod' AS strategy, m.doc_id, m.m16 AS before, m.m17 AS after
+      FROM modk m
+      UNION ALL
+      SELECT 'rendezvous', a.doc_id, a.shard, b.shard
+      FROM hrw16 a JOIN hrw17 b USING (doc_id)
+    ),
+    load AS (
+      SELECT strategy, before AS shard, count(*) AS l
+      FROM assign GROUP BY strategy, before
+    ),
+    bal AS (
+      SELECT strategy,
+             CAST(max(l) AS DOUBLE) / (sum(l) / {n}.0) AS max_over_avg
+      FROM load GROUP BY strategy
+    )
+    SELECT a.strategy,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(count(*) FILTER (WHERE before <> after) AS BIGINT) AS n_moved,
+           {o_rnd("CAST(count(*) FILTER (WHERE before <> after) AS DOUBLE) / count(*)", 6)} AS moved_frac,
+           {o_rnd('any_value(b.max_over_avg)', 4)} AS load_max_over_avg
+    FROM assign a JOIN bal b USING (strategy)
+    GROUP BY a.strategy
+    """
+
+
+@query("q361_reshard_audit", oracle=_q361_oracle())
+def q361_reshard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reshard movement audit: when a 16-shard layout grows to 17,
+    what fraction of keys MOVE under (a) mod-N hashing (~N/(N+1), the
+    full-reshuffle catastrophe) vs (b) rendezvous/HRW hashing
+    (argmax over hash(key:shard); only keys the NEW shard wins move,
+    ~1/(N+1)) — plus each strategy's load balance (max/avg shard
+    load).  This is the table that justifies consistent placement for
+    stateful services, shuffle files, and feature-store partitions
+    before a 100 TB re-layout is scheduled.
+
+    Everything is map-side portable-hash arithmetic: the HRW argmax
+    is an array expression per key (max score, first-index tie-break
+    = smallest shard, mirrored by the oracle's two-step max/min), the
+    mod assignment a single remainder; the only aggregation is the
+    per-strategy movement/load rollup.  No shuffle touches the keys
+    beyond one groupBy, at any scale."""
+    n = _Q361_N
+    keys = table(spark, sf_dir, "documents").select("doc_id")
+    scores17 = F.array(
+        *[
+            hash64(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.lit(str(i)),
+                )
+            )
+            for i in range(n + 1)
+        ]
+    )
+    sc = keys.select("doc_id", scores17.alias("s17"))
+    sc = sc.withColumn("s16", F.slice("s17", 1, n))
+    hrw = sc.select(
+        "doc_id",
+        (F.array_position(F.col("s16"), F.array_max("s16")) - 1).alias(
+            "before"
+        ),
+        (F.array_position(F.col("s17"), F.array_max("s17")) - 1).alias(
+            "after"
+        ),
+    ).select("doc_id", F.lit("rendezvous").alias("strategy"), "before", "after")
+    modk = keys.select(
+        "doc_id",
+        F.lit("mod").alias("strategy"),
+        (hash64("doc_id") % n).alias("before"),
+        (hash64("doc_id") % (n + 1)).alias("after"),
+    )
+    assign = modk.unionByName(hrw.select("doc_id", "strategy", "before", "after"))
+    load = assign.groupBy("strategy", "before").agg(F.count("*").alias("l"))
+    bal = load.groupBy("strategy").agg(
+        (F.max("l").cast("double") / (F.sum("l") / float(n))).alias(
+            "max_over_avg"
+        )
+    )
+    moved = F.count(F.when(F.col("before") != F.col("after"), 1))
+    return (
+        assign.groupBy("strategy")
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            moved.cast("long").alias("n_moved"),
+            prnd(moved.cast("double") / F.count("*"), 6).alias("moved_frac"),
+        )
+        .join(F.broadcast(bal), "strategy")
+        .select(
+            "strategy",
+            "n_keys",
+            "n_moved",
+            "moved_frac",
+            prnd("max_over_avg", 4).alias("load_max_over_avg"),
+        )
+    )

@@ -5988,3 +5988,78 @@ def q333_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd(woe, 6).alias("woe"),
         prnd((ps - ns) * woe, 6).alias("iv_contrib"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q360 watermark sweep (late-event drop-rate curve)
+# ---------------------------------------------------------------------------
+
+_Q360_WATERMARKS_S = (0, 60, 300, 3600)
+
+
+def _q360_oracle() -> str:
+    vals = ", ".join(f"({w})" for w in _Q360_WATERMARKS_S)
+    return f"""
+    WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+    c AS (
+      SELECT event_id, us,
+             max(us) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hw
+      FROM e
+    ),
+    l AS (SELECT us, hw - us AS late_us FROM c),
+    cfg(w) AS (VALUES {vals})
+    SELECT CAST(cfg.w AS INTEGER) AS watermark_s,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (WHERE late_us > 0) AS BIGINT) AS n_late,
+           CAST(count(*) FILTER (WHERE late_us > CAST(cfg.w AS BIGINT) * 1000000)
+                AS BIGINT) AS n_dropped,
+           {o_rnd("CAST(count(*) FILTER (WHERE late_us > CAST(cfg.w AS BIGINT) * 1000000) AS DOUBLE) / count(*)", 6)} AS drop_rate,
+           CAST(max(late_us) AS BIGINT) AS max_late_us
+    FROM l CROSS JOIN cfg GROUP BY cfg.w
+    """
+
+
+@query("q360_watermark_sweep", oracle=_q360_oracle())
+def q360_watermark_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark planning sweep: for candidate watermark delays
+    (0s/1m/5m/1h), how many events would a streaming job drop as
+    too-late — each event's lateness measured against the running
+    event-time high-water mark in ARRIVAL order (event_id), exactly
+    the `withWatermark` drop rule of Structured Streaming
+    (streaming/pipelines.py consumers).  q162 audits per-type
+    disorder; this is the GLOBAL curve an SRE reads to set the
+    watermark: the drop-rate-vs-delay trade, before committing state
+    size to a longer watermark.
+
+    The arrival-order running max routes through
+    operators/globalrank's cum_maxs (r5 extension) — range-partition
+    on event_id, per-partition running max, O(partitions) offset
+    maxima combined with greatest() — so the raw stream never sits in
+    a single-task window; the 4-notch sweep is a broadcast cross join
+    over per-event lateness.  All arithmetic in exact integer
+    microseconds (the q162 law)."""
+    from ..operators.globalrank import with_global_row_stats
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("us")
+    )
+    c = with_global_row_stats(ev, ["event_id"], cum_maxs={"hw": "us"})
+    late = c.select((F.col("hw") - F.col("us")).alias("late_us"))
+    cfg = spark.createDataFrame(
+        [(w,) for w in _Q360_WATERMARKS_S], "w int"
+    )
+    j = late.crossJoin(F.broadcast(cfg))
+    dropped = F.col("late_us") > F.col("w").cast("long") * 1000000
+    return j.groupBy("w").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.count(F.when(F.col("late_us") > 0, 1)).cast("long").alias("n_late"),
+        F.count(F.when(dropped, 1)).cast("long").alias("n_dropped"),
+        prnd(
+            F.count(F.when(dropped, 1)).cast("double") / F.count("*"), 6
+        ).alias("drop_rate"),
+        F.max("late_us").cast("long").alias("max_late_us"),
+    ).select(
+        F.col("w").cast("int").alias("watermark_s"),
+        "n_events", "n_late", "n_dropped", "drop_rate", "max_late_us",
+    )

@@ -109,3 +109,21 @@ def test_helper_column_collision_rejected(base):
         )
     with pytest.raises(ValueError):
         with_global_row_stats(base, ["id"])
+
+
+def test_cum_max_matches_single_window(base):
+    exp = base.select(
+        "id",
+        F.max("w")
+        .over(
+            W.orderBy("k", "id").rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        )
+        .alias("mx"),
+    )
+    got = with_global_row_stats(
+        base, ["k", "id"], cum_maxs={"mx": "w"}, partitions=8
+    ).select("id", "mx")
+    assert exp.exceptAll(got).count() == 0
+    assert got.exceptAll(exp).count() == 0
