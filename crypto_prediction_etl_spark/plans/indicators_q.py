@@ -7145,27 +7145,43 @@ def q352_rv_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency where noise and signal balance, a required diagnostic
     before any RV-based model (q130/q313/q317 consumers).
 
-    One per-id row_number window shared by all strides (the sampled
-    series are filters over the SAME sorted frame, not re-sorts);
-    each stride's lag/return is a window over the filtered frame and
-    the four branches union into one partial-agg groupBy.  At 100 TB:
-    one sort per id amortized across the whole grid, no shuffle per
-    stride."""
+    ONE per-id window pass serves every stride: on the stride-k grid,
+    consecutive sampled rows are exactly k positions apart, so the
+    sampled-series return is lag(close, k) over the full frame gated
+    by (rn-1) % k = 0 — all four lags come from the same sort, then
+    an explode unpivots (stride, ret) rows into one partial-agg
+    groupBy.  At 100 TB: one sort per id for the whole grid
+    (plan-asserted: a single hash exchange feeds the window stage),
+    no shuffle per stride."""
     c = candles(spark, sf_dir)
     w = W.partitionBy("id").orderBy("dt")
-    base = c.select("id", "dt", "close", F.row_number().over(w).alias("rn"))
-    frames = []
-    for k in _Q352_STRIDES:
-        sampled = base.filter((F.col("rn") - 1) % k == 0)
-        ret = F.log(F.col("close") / F.lag("close").over(w)).alias("ret")
-        frames.append(
-            sampled.select("id", "dt", ret)
-            .filter(F.col("ret").isNotNull())
-            .select("id", F.lit(k).alias("stride"), "ret")
-        )
-    rets = frames[0]
-    for fr in frames[1:]:
-        rets = rets.unionByName(fr)
+    rn = F.row_number().over(w)
+    base = c.select(
+        "id",
+        "close",
+        rn.alias("rn"),
+        *[
+            F.lag("close", k).over(w).alias(f"lag_{k}")
+            for k in _Q352_STRIDES
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("stride"),
+                F.when(
+                    (F.col("rn") - 1) % k == 0,
+                    F.log(F.col("close") / F.col(f"lag_{k}")),
+                ).alias("ret"),
+            )
+            for k in _Q352_STRIDES
+        ]
+    )
+    rets = (
+        base.select(F.col("id"), F.explode(pairs).alias("p"))
+        .select("id", F.col("p.stride").alias("stride"), F.col("p.ret").alias("ret"))
+        .filter(F.col("ret").isNotNull())
+    )
     return rets.groupBy("id", "stride").agg(
         F.count("*").cast("long").alias("n_rets"),
         prnd(F.sum(F.col("ret") * F.col("ret")), 6).alias("rv"),
@@ -7235,11 +7251,12 @@ def q353_sign_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     to impact-model calibration alongside Kyle's lambda (q331).
 
     The sign series is built once (one per-id sort, the q185 idiom);
-    each lag is a window over the SAME sort and the branches union
-    into one moment groupBy — Pearson rho from sufficient statistics,
-    never a per-pair join.  Signs are +/-1 doubles so every moment is
-    exactly representable; only the final ratio needs the portable
-    grid."""
+    ALL five lags are columns of that same window pass, unpivoted by
+    one explode into the moment groupBy — Pearson rho from sufficient
+    statistics, never a per-pair join and never a shuffle per lag
+    (plan-asserted single window exchange).  Signs are +/-1 doubles
+    so every moment is exactly representable; only the final ratio
+    needs the portable grid."""
     c = candles(spark, sf_dir)
     w = W.partitionBy("id").orderBy("dt")
     cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
@@ -7259,19 +7276,34 @@ def q353_sign_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("tick"),
     ).filter(F.col("tick").isNotNull())
-    frames = []
-    for lag in _Q353_LAGS:
-        frames.append(
-            s.select(
-                "id",
+    wide = s.select(
+        "id",
+        "tick",
+        *[
+            F.lag("tick", lag).over(w).alias(f"tick_l{lag}")
+            for lag in _Q353_LAGS
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
                 F.lit(lag).alias("lag"),
-                "tick",
-                F.lag("tick", lag).over(w).alias("tick_l"),
-            ).filter(F.col("tick_l").isNotNull())
+                F.col("tick").alias("tick"),
+                F.col(f"tick_l{lag}").alias("tick_l"),
+            )
+            for lag in _Q353_LAGS
+        ]
+    )
+    lagged = (
+        wide.select(F.col("id"), F.explode(pairs).alias("p"))
+        .select(
+            "id",
+            F.col("p.lag").alias("lag"),
+            F.col("p.tick").alias("tick"),
+            F.col("p.tick_l").alias("tick_l"),
         )
-    lagged = frames[0]
-    for fr in frames[1:]:
-        lagged = lagged.unionByName(fr)
+        .filter(F.col("tick_l").isNotNull())
+    )
     m = lagged.groupBy("id", "lag").agg(
         F.count("*").cast("long").alias("n"),
         F.avg("tick").alias("ma"),

@@ -976,3 +976,29 @@ def test_poisson_bootstrap_ci_brackets_point(spark, sf_dir):
         assert r.ci_lo < r.ci_hi
         assert r.ci_lo <= r.point_mean <= r.ci_hi, r
         assert r.n_resamples == 100
+
+
+def test_r5_batch_single_window_exchange(spark, sf_dir):
+    """q352/q353 compute every stride/lag from ONE per-id window pass
+    (lag columns + explode unpivot) — a per-branch union would show
+    one hash exchange per stride/lag (8-10); the law is <= 2 (window
+    + final groupBy)."""
+    for name in ("q352_rv_signature", "q353_sign_autocorr"):
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("Exchange hashpartitioning") <= 2, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_r5_batch_no_cartesian_no_python_rowudf(spark, sf_dir):
+    for name in (
+        "q354_semivariance",
+        "q356_tokenizer_fertility",
+        "q357_ngram_novelty",
+        "q358_matryoshka_audit",
+        "q359_dedup_threshold_sweep",
+        "q360_watermark_sweep",
+        "q361_reshard_audit",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
