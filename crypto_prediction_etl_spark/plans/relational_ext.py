@@ -2400,23 +2400,39 @@ _Q315_CDF = (
 )
 
 
-def _q315_oracle() -> str:
-    from ..operators.sketches import HASH_SPACE
+_Q315_M = 2147483647  # Mersenne prime 2^31-1: LCG modulus
+_Q315_STRIDE = 2654435761  # Knuth multiplicative-hash constant
+_Q315_MULT = 1103515245  # glibc LCG multiplier
 
+
+def _q315_oracle() -> str:
     k = "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)"
-    seeded = k + " || '#' || CAST(b AS VARCHAR)"
-    u = f"CAST(({o_hash64(seeded)}) AS DOUBLE) / {HASH_SPACE}"
+    # ONE portable md5 per ROW; per-replicate draws come from an exact
+    # int64 LCG over (row hash, replicate) — md5 per (row, replicate)
+    # was 100x the hash work (108 s at sf0.1) for the same statistical
+    # purpose. All intermediates < 2^63, so both engines compute the
+    # identical integer sequence.
+    u = (
+        f"CAST((((h1 + b * {_Q315_STRIDE}) % {_Q315_M}) * {_Q315_MULT})"
+        f" % {_Q315_M} AS DOUBLE) / {_Q315_M}"
+    )
     case = "CASE " + " ".join(
         f"WHEN u < {t!r} THEN {i}" for i, t in enumerate(_Q315_CDF)
     ) + " ELSE 6 END"
     return f"""
-    WITH e AS (
+    WITH r AS (
       SELECT l_returnflag, l_extendedprice AS x,
-             unnest(range(0, {_Q315_B})) AS b,
-             {u} AS u
+             ({o_hash64(k)}) % {_Q315_M} AS h1
       FROM lineitem
     ),
-    w AS (SELECT l_returnflag, b, x, {case} AS w FROM e),
+    e AS (
+      SELECT l_returnflag, x,
+             unnest(range(0, {_Q315_B})) AS b,
+             h1
+      FROM r
+    ),
+    eu AS (SELECT l_returnflag, x, b, {u} AS u FROM e),
+    w AS (SELECT l_returnflag, b, x, {case} AS w FROM eu),
     m AS (
       SELECT l_returnflag, b,
              {o_rnd('sum(w * x) / sum(w)', 4)} AS mb
@@ -2454,9 +2470,11 @@ def q315_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape at 100 TB: the replicate explode is map-side (B rows out per
     row in, no shuffle until the (group, b) partial agg), resample
     state is B floats per group, and the CI quantile runs over B rows
-    per group — constant memory in data size."""
-    from ..operators.sketches import HASH_SPACE
-
+    per group — constant memory in data size.  Hash budget: ONE md5
+    per row; the B per-replicate uniforms are an exact int64 LCG over
+    (row hash, replicate) — identical integers in both engines, and
+    100x less hashing than an md5 per (row, replicate) (the r5 sweep
+    caught the original at 108 s / sf0.1)."""
     li = table(spark, sf_dir, "lineitem")
     key = F.concat(
         F.col("l_orderkey").cast("string"),
@@ -2464,11 +2482,17 @@ def q315_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linenumber").cast("string"),
     )
     e = li.select(
-        "l_returnflag", F.col("l_extendedprice").alias("x"), key.alias("k")
+        "l_returnflag",
+        F.col("l_extendedprice").alias("x"),
+        (hash64(key) % _Q315_M).alias("h1"),
     ).withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(_Q315_B - 1))))
-    u = hash64(
-        F.concat(F.col("k"), F.lit("#"), F.col("b").cast("string"))
-    ).cast("double") / F.lit(HASH_SPACE)
+    u = (
+        (
+            ((F.col("h1") + F.col("b") * F.lit(_Q315_STRIDE)) % _Q315_M)
+            * F.lit(_Q315_MULT)
+        )
+        % _Q315_M
+    ).cast("double") / F.lit(float(_Q315_M))
     w = F.lit(6)
     for i in range(len(_Q315_CDF) - 1, -1, -1):
         w = F.when(u < F.lit(_Q315_CDF[i]), F.lit(i)).otherwise(w)

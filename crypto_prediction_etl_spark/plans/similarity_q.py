@@ -1421,52 +1421,79 @@ def q210_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.posexplode("v").alias("dim0", "val")
     ).select("vec_id", (F.col("dim0") + 1).alias("dim"), "val")
     mu = x.groupBy("dim").agg(F.avg("val").alias("m"))
-    xc = x.join(F.broadcast(mu), "dim").select(
-        "vec_id", "dim", (F.col("val") - F.col("m")).alias("val")
-    )
-    nn = vecs.agg(F.count("*").alias("n"))
-    a = xc.select("vec_id", F.col("dim").alias("di"), F.col("val").alias("va"))
-    b = xc.select("vec_id", F.col("dim").alias("dj"), F.col("val").alias("vb"))
-    cov = (
-        a.join(b, "vec_id")
-        .crossJoin(F.broadcast(nn))
-        .groupBy("di", "dj")
-        .agg(
-            (F.sum(F.col("va") * F.col("vb")) / (F.max("n") - 1)).alias("cij")
+    # r5: the d x d covariance partials come from a BLAS kernel — the
+    # exploded (vec_id, dim, val) self-join shuffles |V| * d^2 rows
+    # (20M at sf0.1, 23 s); the kernel emits one centered X^T X block
+    # per Arrow batch instead (map-side, d^2 cells per batch), the
+    # same per-group-partial-sums law as q351's MMD kernel.
+    import numpy as np
+    import pandas as pd
+
+    from ..sources.readers import spread_small_scan
+
+    mu_rows = mu.orderBy("dim").collect()
+    mu_vec = np.array([r["m"] for r in mu_rows], dtype="float64")
+    bc_mu = spark.sparkContext.broadcast(mu_vec)
+
+    def cov_partials(batches):
+        m = bc_mu.value
+        d = len(m)
+        di, dj = np.meshgrid(
+            np.arange(1, d + 1), np.arange(1, d + 1), indexing="ij"
         )
-    )
-    w = (
-        vecs.sparkSession.range(1, _Q210_D + 1)
-        .select(
-            F.col("id").alias("dim"),
-            F.lit(1.0 / float(_Q210_D) ** 0.5).alias("w"),
-        )
-    )
-    s_final = None
-    for _ in range(_Q210_ITERS):
-        y = (
-            cov.join(
-                F.broadcast(w.withColumnRenamed("dim", "dj")), "dj"
+        for pdf in batches:
+            xm = np.stack(
+                [np.asarray(v, dtype="float64") for v in pdf["v"]]
+            ) - m[None, :]
+            block = xm.T @ xm
+            yield pd.DataFrame(
+                {
+                    "di": di.reshape(-1),
+                    "dj": dj.reshape(-1),
+                    "s": block.reshape(-1),
+                }
             )
-            .groupBy(F.col("di").alias("dim"))
-            .agg(F.sum(F.col("cij") * F.col("w")).alias("y"))
-        )
-        nrm = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("s"))
-        w = y.crossJoin(F.broadcast(nrm)).select(
-            "dim", (F.col("y") / F.col("s")).alias("w")
-        )
-        s_final = nrm
-    sign_src = w.filter(F.col("dim") == 1).select(
-        F.col("w").alias("w_first")
+
+    nn = vecs.agg(F.count("*").alias("n"))
+    partials = spread_small_scan(vecs.select("v")).mapInPandas(
+        cov_partials, schema="di long, dj long, s double"
     )
-    return (
-        w.crossJoin(F.broadcast(s_final))
-        .crossJoin(F.broadcast(sign_src))
-        .select(
-            "dim",
-            prnd(F.signum("w_first") * F.col("w"), 5).alias("pc1"),
-            prnd("s", 4).alias("eigenvalue"),
-        )
+    cov = (
+        partials.crossJoin(F.broadcast(nn))
+        .groupBy("di", "dj")
+        .agg((F.sum("s") / (F.max("n") - 1)).alias("cij"))
+        # d^2 rows, consumed by all five unrolled iterations + the
+        # final select: pin one materialization or every iteration
+        # re-runs the covariance pass over the corpus
+        .localCheckpoint(eager=False)
+    )
+    # The five matvec+renormalize stages run on the DRIVER over the
+    # collected d x d table (4096 doubles — the scalar/codebook-
+    # bounded-collect allowance): as unrolled DataFrame stages each
+    # iteration scheduled 4 tiny jobs and the chain cost ~8 s of pure
+    # overhead at any sf.  The distributed work (the covariance pass
+    # over the corpus) is untouched.
+    cov_rows = cov.collect()
+    C = np.zeros((_Q210_D, _Q210_D), dtype="float64")
+    for r in cov_rows:
+        C[r["di"] - 1, r["dj"] - 1] = r["cij"]
+    wv = np.full(_Q210_D, 1.0 / float(_Q210_D) ** 0.5, dtype="float64")
+    s = 0.0
+    for _ in range(_Q210_ITERS):
+        y = C @ wv
+        s = float(np.sqrt(np.sum(y * y)))
+        wv = y / s
+    sign = 1.0 if wv[0] >= 0 else -1.0
+
+    def _prnd(x: float, d: int) -> float:
+        return float(np.floor(x * 10**d + 0.5001) / 10**d)
+
+    out = [
+        (i + 1, _prnd(sign * wv[i], 5), _prnd(s, 4))
+        for i in range(_Q210_D)
+    ]
+    return spark.createDataFrame(
+        out, "dim long, pc1 double, eigenvalue double"
     )
 
 

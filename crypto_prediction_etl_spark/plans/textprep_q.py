@@ -1051,7 +1051,14 @@ def q230_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.array().cast("array<long>")),
     )
-    st = d.select("doc_id", "toks", "n", starts.alias("starts"))
+    # Pin the boundary table before exploding: Spark's generate path
+    # re-evaluates the generator input's expression chain (the rolling
+    # window hashes + boundary filter, all interpreted HOFs) per
+    # OUTPUT chunk row — measured 41 s at sf0.1 vs 0.1 s when the
+    # pre-explode frame is materialized once (r5 sweep find).
+    st = d.select(
+        "doc_id", "toks", "n", starts.alias("starts")
+    ).localCheckpoint(eager=False)
     ch = st.select(
         "doc_id",
         "toks",
