@@ -404,3 +404,101 @@ def test_fair_share_conserves_capacity(spark, sf_dir):
     by_demand = sorted(rows, key=lambda r: (r.demand, r.user_id))
     allocs = [r.allocation for r in by_demand]
     assert all(a <= b + 1e-9 for a, b in zip(allocs, allocs[1:]))
+
+
+@given(
+    n=st.integers(min_value=1, max_value=200),
+    parts=st.integers(min_value=1, max_value=9),
+)
+@settings(**{**SETTINGS, "max_examples": 4})
+def test_global_row_stats_partition_invariance(spark, n, parts):
+    """The two-pass global rank/cumsum/cummax must be EXACTLY invariant
+    to the range-partition count — the knob the hostile session (200
+    shuffle partitions) turns, and the axis the r5 pid-pinning bug
+    lived on."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    from crypto_prediction_etl_spark.operators.globalrank import (
+        with_global_row_stats,
+    )
+
+    df = spark.range(0, n).select(
+        "id",
+        (F.xxhash64(F.col("id").cast("string")) % 13).alias("k"),
+        (F.col("id") % 7 + 1).alias("w"),
+    )
+    exp = df.select(
+        "id",
+        F.row_number().over(W.orderBy("k", "id")).alias("rn"),
+        F.sum("w")
+        .over(
+            W.orderBy("k", "id").rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        )
+        .alias("cs"),
+        F.max("w")
+        .over(
+            W.orderBy("k", "id").rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        )
+        .alias("cm"),
+    )
+    got = with_global_row_stats(
+        df,
+        ["k", "id"],
+        rank_col="rn",
+        cum_sums={"cs": "w"},
+        cum_maxs={"cm": "w"},
+        partitions=parts,
+    ).select("id", "rn", "cs", "cm")
+    assert exp.exceptAll(got).count() == 0
+    assert got.exceptAll(exp).count() == 0
+
+
+@given(
+    k=st.integers(min_value=1, max_value=6),
+    n=st.integers(min_value=3, max_value=40),
+)
+@settings(**{**SETTINGS, "max_examples": 4})
+def test_knn_dist_edges_matches_pairwise(spark, k, n):
+    """BLAS kNN edges == the naive all-pairs window definition on
+    random unit-ish vectors (any k, any corpus size, k clamped by
+    availability)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    from crypto_prediction_etl_spark.operators.similarity import (
+        cosine,
+        knn_dist_edges,
+    )
+
+    rng = np.random.RandomState(n * 31 + k)
+    rows = [
+        (int(i), [float(x) for x in rng.randn(8)]) for i in range(n)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    got = knn_dist_edges(vecs, k)
+    a = vecs.select(F.col("vec_id").alias("pid"), F.col("v").alias("qv"))
+    b = vecs.select(F.col("vec_id").alias("nid"), F.col("v").alias("cv"))
+    scale = 10**6
+    dist = F.floor(
+        (1.0 - cosine(F.col("qv"), F.col("cv"))) * scale + 0.5001
+    ) / scale
+    exp = (
+        a.join(b, F.col("pid") != F.col("nid"))
+        .select("pid", "nid", dist.alias("dist"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("pid").orderBy("dist", "nid")
+            ),
+        )
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    assert exp.exceptAll(got).count() == 0
+    assert got.exceptAll(exp).count() == 0
