@@ -2661,3 +2661,78 @@ def q357_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("novelty_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q362 weighted-lexicon content screen (blocklist / toxicity stage)
+# ---------------------------------------------------------------------------
+
+# (term, severity) — the deterministic stand-in for a toxicity/blocklist
+# lexicon; weights make the screen graded, not binary
+_Q362_LEXICON = (("slow", 1), ("big", 1), ("dup", 3))
+_Q362_FLAG_AT = 4  # weighted hits at/above this flag the document
+
+
+def _q362_oracle() -> str:
+    vals = ", ".join(f"('{t}', {w})" for t, w in _Q362_LEXICON)
+    return f"""
+    WITH lex(term, sev) AS (VALUES {vals}),
+    tok AS (
+      SELECT doc_id, source, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    hits AS (
+      SELECT t.doc_id, t.source,
+             count(l.term) AS n_hits,
+             coalesce(sum(l.sev), 0) AS sev_sum
+      FROM tok t LEFT JOIN lex l ON l.term = t.tok
+      GROUP BY t.doc_id, t.source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS docs_total,
+           CAST(count(*) FILTER (WHERE sev_sum >= {_Q362_FLAG_AT}) AS BIGINT) AS docs_flagged,
+           {o_rnd(f'CAST(count(*) FILTER (WHERE sev_sum >= {_Q362_FLAG_AT}) AS DOUBLE) / count(*)', 6)} AS flag_rate,
+           {o_rnd('avg(CAST(sev_sum AS DOUBLE))', 6)} AS avg_severity,
+           CAST(max(sev_sum) AS BIGINT) AS max_severity
+    FROM hits GROUP BY source
+    """
+
+
+@query("q362_content_screen", oracle=_q362_oracle())
+def q362_content_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-lexicon content screen — the blocklist/toxicity stage
+    of a curation pipeline: every token joins a tiny severity-weighted
+    lexicon, per-document weighted hit mass flags documents at a
+    threshold, and per-SOURCE exposure rates (flag rate, mean/max
+    severity) feed the dataset card and the decision of which sources
+    need human review.  The lexicon here is a deterministic stand-in;
+    swapping in a real blocklist changes one literal table and nothing
+    else.
+
+    Scale shape: the lexicon is a broadcast literal; the token
+    explosion is map-side and the hit counting is one partial-agg
+    groupBy per doc then per source — the same two-rollup shape as
+    q356.  No shuffle carries token rows beyond the doc rollup."""
+    lex = spark.createDataFrame(
+        list(_Q362_LEXICON), "term string, sev int"
+    )
+    tok = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.explode(tokens("text")).alias("tok")
+    )
+    hits = (
+        tok.join(F.broadcast(lex), tok.tok == lex.term, "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("term").alias("n_hits"),
+            F.coalesce(F.sum("sev"), F.lit(0)).cast("long").alias("sev_sum"),
+        )
+    )
+    flagged = F.col("sev_sum") >= _Q362_FLAG_AT
+    return hits.groupBy("source").agg(
+        F.count("*").cast("long").alias("docs_total"),
+        F.count(F.when(flagged, 1)).cast("long").alias("docs_flagged"),
+        prnd(
+            F.count(F.when(flagged, 1)).cast("double") / F.count("*"), 6
+        ).alias("flag_rate"),
+        prnd(F.avg(F.col("sev_sum").cast("double")), 6).alias("avg_severity"),
+        F.max("sev_sum").cast("long").alias("max_severity"),
+    )
