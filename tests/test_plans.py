@@ -1002,3 +1002,22 @@ def test_r5_batch_no_cartesian_no_python_rowudf(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_catalog_wide_no_cartesian_no_row_python(spark, sf_dir):
+    """Catalog-wide anti-pattern guard: NO registered query may plan a
+    CartesianProduct or a row-at-a-time Python UDF (BatchEvalPython).
+    Scalar-subquery broadcasts plan as BroadcastNestedLoopJoin over
+    1-row frames and pool-bounded theta joins (q232's 20x20 MMR pool)
+    also avoid CartesianProduct, so the clean slate is enforceable
+    with no whitelist — any new offender is a scale bug on arrival.
+    (Build cost ~3 min for 362 plans; this is the catalog's single
+    most valuable structural invariant.)"""
+    offenders = []
+    for name, fn in sorted(registry.QUERIES.items()):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan:
+            offenders.append((name, "BatchEvalPython"))
+    assert not offenders, offenders
