@@ -1340,3 +1340,148 @@ def q252_token_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("drop_share"),
         hash64(F.array_join("kept", " ")).alias("aug_fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q363 per-source dataset card (full curation composition)
+# ---------------------------------------------------------------------------
+
+_Q363_LEXICON = (("slow", 1), ("big", 1), ("dup", 3))
+_Q363_FLAG_AT = 4
+
+
+def _q363_oracle() -> str:
+    lex_vals = ", ".join(f"('{t}', {w})" for t, w in _Q363_LEXICON)
+    qscore = f"""(CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 0.25 ELSE 0.0 END
+              + CASE WHEN CAST(len(list_filter({_TOKS_SQL}, t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE) / len({_TOKS_SQL}) >= 0.01 THEN 0.25 ELSE 0.0 END
+              + CASE WHEN CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) >= 0.6 THEN 0.25 ELSE 0.0 END
+              + CASE WHEN CAST(length(text) - length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) / len({_TOKS_SQL}) BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END)"""
+    return f"""
+    WITH lex(term, sev) AS (VALUES {lex_vals}),
+    fp AS (
+      SELECT doc_id, source, lang, text,
+             md5(lower(text)) AS fingerprint,
+             len({_TOKS_SQL}) AS n_tokens
+      FROM documents
+    ),
+    keep AS (
+      SELECT *, row_number() OVER (PARTITION BY fingerprint
+                                   ORDER BY doc_id) = 1 AS kept_exact
+      FROM fp
+    ),
+    sev AS (
+      SELECT t.doc_id, coalesce(sum(l.sev), 0) AS sev_sum
+      FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents) t
+      LEFT JOIN lex l ON l.term = t.tok
+      GROUP BY t.doc_id
+    ),
+    scored AS (
+      SELECT k.source, k.lang, k.n_tokens, k.kept_exact,
+             {qscore} AS q,
+             (s.sev_sum >= {_Q363_FLAG_AT}) AS flagged
+      FROM keep k JOIN sev s USING (doc_id)
+    ),
+    card AS (
+      SELECT source,
+             count(*) AS docs_total,
+             CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+             count(*) FILTER (WHERE kept_exact) AS docs_after_dedup,
+             count(*) FILTER (WHERE flagged) AS docs_flagged,
+             count(*) FILTER (WHERE lang = 'en') AS docs_en,
+             count(*) FILTER (WHERE kept_exact AND q >= 0.5 AND NOT flagged) AS docs_final,
+             CAST(coalesce(sum(n_tokens) FILTER (WHERE kept_exact AND q >= 0.5 AND NOT flagged), 0) AS BIGINT) AS tokens_final
+      FROM scored GROUP BY source
+    )
+    SELECT source,
+           CAST(docs_total AS BIGINT) AS docs_total,
+           tokens_total,
+           CAST(docs_after_dedup AS BIGINT) AS docs_after_dedup,
+           CAST(docs_final AS BIGINT) AS docs_final,
+           tokens_final,
+           {o_rnd('CAST(docs_flagged AS DOUBLE) / docs_total', 6)} AS flag_rate,
+           {o_rnd('CAST(docs_en AS DOUBLE) / docs_total', 6)} AS en_share,
+           {o_rnd('CAST(docs_final AS DOUBLE) / docs_total', 6)} AS keep_rate
+    FROM card
+    """
+
+
+@query("q363_dataset_card", oracle=_q363_oracle())
+def q363_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE dataset card — the release artifact of the whole
+    curation pipeline in ONE declarative query: exact-dedup survivors
+    (q43's fingerprint keep-first), quality fence (q42's composite
+    score), lexicon content screen (q362), language share, and the
+    final kept-doc/kept-token counts with keep rate.  This is the
+    table a corpus release publishes per source, and because it runs
+    over the SAME lineage as the individual operators, the published
+    numbers provably reconcile with each stage's own audit query.
+
+    Composition without materialization: one fingerprint window, one
+    token-explosion rollup (severity), map-side scoring, and a single
+    per-source conditional aggregation — three shuffles total at any
+    scale, none carrying token-level rows past the doc rollup."""
+    from ..operators.text import quality_metrics, quality_score, tokens
+
+    docs = table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "text",
+        F.md5(F.lower("text")).alias("fingerprint"),
+        F.size(tokens("text")).alias("n_tokens"),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("fingerprint").orderBy("doc_id")
+    )
+    keep = fp.select(
+        "doc_id", "source", "lang", "text", "n_tokens",
+        (rk == 1).alias("kept_exact"),
+    )
+    lex = spark.createDataFrame(list(_Q363_LEXICON), "term string, sev int")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    sev = (
+        tok.join(F.broadcast(lex), tok.tok == lex.term, "left")
+        .groupBy("doc_id")
+        .agg(F.coalesce(F.sum("sev"), F.lit(0)).alias("sev_sum"))
+    )
+    m = quality_metrics("text")
+    scored = keep.join(sev, "doc_id").select(
+        "source",
+        "lang",
+        "n_tokens",
+        "kept_exact",
+        quality_score(m).alias("q"),
+        (F.col("sev_sum") >= _Q363_FLAG_AT).alias("flagged"),
+    )
+    final = F.col("kept_exact") & (F.col("q") >= 0.5) & ~F.col("flagged")
+    card = scored.groupBy("source").agg(
+        F.count("*").cast("long").alias("docs_total"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"),
+        F.count(F.when(F.col("kept_exact"), 1))
+        .cast("long")
+        .alias("docs_after_dedup"),
+        F.count(F.when(final, 1)).cast("long").alias("docs_final"),
+        F.coalesce(F.sum(F.when(final, F.col("n_tokens"))), F.lit(0))
+        .cast("long")
+        .alias("tokens_final"),
+        F.count(F.when(F.col("flagged"), 1)).alias("_n_flag"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("_n_en"),
+    )
+    return card.select(
+        "source",
+        "docs_total",
+        "tokens_total",
+        "docs_after_dedup",
+        "docs_final",
+        "tokens_final",
+        prnd(F.col("_n_flag").cast("double") / F.col("docs_total"), 6).alias(
+            "flag_rate"
+        ),
+        prnd(F.col("_n_en").cast("double") / F.col("docs_total"), 6).alias(
+            "en_share"
+        ),
+        prnd(
+            F.col("docs_final").cast("double") / F.col("docs_total"), 6
+        ).alias("keep_rate"),
+    )

@@ -67,8 +67,11 @@ def test_output_schemas_survive_driver_canonicalization(spark, sf_dir):
 
     banned_spark = (T.ArrayType, T.MapType, T.StructType, T.DecimalType)
     offenders = []
+    spark_cols: dict[str, list[str]] = {}
     for name, fn in registry.QUERIES.items():
-        for f in fn(spark, sf_dir).schema.fields:
+        df = fn(spark, sf_dir)
+        spark_cols[name] = df.columns
+        for f in df.schema.fields:
             if isinstance(f.dataType, banned_spark):
                 offenders.append((name, f.name, f.dataType.simpleString()))
     assert not offenders, offenders
@@ -79,11 +82,19 @@ def test_output_schemas_survive_driver_canonicalization(spark, sf_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     banned_duck = ("HUGEINT", "[]", "STRUCT", "MAP", "DECIMAL")
     bad = []
+    name_drift = []
     for name, sql in entry.oracle_sql().items():
-        for col, typ, *_ in con.execute(f"DESCRIBE ({sql})").fetchall():
+        desc = con.execute(f"DESCRIBE ({sql})").fetchall()
+        for col, typ, *_ in desc:
             if any(k in typ for k in banned_duck):
                 bad.append((name, col, typ))
+        # alias drift between the Spark plan and the oracle is a
+        # guaranteed driver schema-FAIL; catch it without executing
+        dcols = sorted(d[0] for d in desc)
+        if dcols != sorted(spark_cols[name]):
+            name_drift.append((name, sorted(spark_cols[name]), dcols))
     assert not bad, bad
+    assert not name_drift, name_drift
 
 
 def test_registry_hygiene():
