@@ -31,6 +31,15 @@ re-planning the exchange; correctness does not depend on where the
 sampled range boundaries fall (offsets are computed from the partitions
 actually produced), only on range contiguity, which the range
 partitioner guarantees.
+
+Fault-tolerance note for cluster runs: ``localCheckpoint`` truncates
+lineage, so losing an executor that held pinned blocks FAILS the job
+instead of silently recomputing the exchange with possibly different
+partition ids — fail-stop is the correct failure mode for an operator
+whose offsets must match one specific materialization.  A deployment
+that needs executor-loss tolerance swaps in reliable
+``checkpoint()`` (HDFS-backed) at the same call site; the algorithm is
+unchanged.
 """
 
 from __future__ import annotations

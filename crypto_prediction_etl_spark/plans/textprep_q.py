@@ -507,7 +507,10 @@ def q157_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     the frequency-ranked top-256 vocabulary (OOV -> 0), preserving
     document order — the encode step that turns a curated corpus into
     model input, here emitting each doc's token/OOV counts and the
-    first 8 ids as the hash-checkable witness of the full encoding.
+    first 8 ids as the hash-checkable witness of the full encoding
+    (emitted as a comma-joined STRING on both sides — container
+    output columns crash the driver's pandas frame sort, the r4
+    lesson).
 
     The vocab (id = rank by frequency desc, token asc — a total order)
     broadcasts; position comes from posexplode so reassembly is an
