@@ -39,6 +39,10 @@ PANEL2 = [
     # headline panel would never surface if they regressed.
     "q314_kcore_decomposition",
     "q348_lof_outliers",
+    # r5 sweep find: MMD's per-group partial-sum kernel replaced a
+    # 143 s all-pairs theta join — anchored so the kernel law can't
+    # silently regress back to pair materialization.
+    "q351_mmd_two_sample",
 ]
 
 HEADLINE = [
