@@ -7495,3 +7495,82 @@ def q355_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd("z_crit", 6).alias("z_crit"),
         (F.col("rk") <= F.col("k_star")).cast("int").alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q364 Lo-MacKinlay variance-ratio test
+# ---------------------------------------------------------------------------
+
+_Q364_HORIZONS = (2, 4, 8)
+
+
+def _q364_oracle() -> str:
+    lag_cols = ",\n             ".join(
+        f"ln(close / lag(close, {k}) OVER w) AS r{k}"
+        for k in (1, *_Q364_HORIZONS)
+    )
+    out = []
+    for k in _Q364_HORIZONS:
+        vr = f"var_pop(r{k}) / ({k} * var_pop(r1))"
+        z = (
+            f"(({vr}) - 1.0) / sqrt(2.0 * {2 * k - 1} * {k - 1}"
+            f" / (3.0 * {k} * count(r1)))"
+        )
+        out.append(f"{o_rnd(vr, 6)} AS vr_{k}")
+        out.append(f"{o_rnd(z, 4)} AS z_{k}")
+    cols = ",\n           ".join(out)
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    r AS (
+      SELECT id,
+             {lag_cols}
+      FROM candles WINDOW w AS (PARTITION BY id ORDER BY dt)
+    )
+    SELECT id, CAST(count(r1) AS BIGINT) AS n_obs,
+           {cols}
+    FROM r GROUP BY id
+    """
+
+
+@query("q364_variance_ratio", oracle=_q364_oracle())
+def q364_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test per symbol: VR(k) =
+    Var(k-period log return) / (k * Var(1-period)) for k in 2/4/8,
+    with the homoskedastic z-statistic z = (VR-1) /
+    sqrt(2(2k-1)(k-1)/(3kn)).  VR near 1 is a random walk; VR < 1
+    mean-reversion, VR > 1 momentum — the standard pre-test before
+    fitting any autoregressive alpha model (complements q203's
+    autocorrelation and q189's Hurst exponent with an actual test
+    statistic).
+
+    The k-period overlapping return IS ln(close/lag(close,k)), so
+    every horizon is one more lag over the SAME per-id sort — one
+    window pass, then a single algebraic groupBy; variances are
+    var_pop in both engines (q30 stddev_pop convention).  At 100 TB
+    this is a per-symbol sort + partial agg: no joins, no iteration,
+    nothing quadratic."""
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    r = c.select(
+        "id",
+        *[
+            F.log(F.col("close") / F.lag("close", k).over(w)).alias(f"r{k}")
+            for k in (1, *_Q364_HORIZONS)
+        ],
+    )
+    aggs = [
+        F.count("r1").alias("n"),
+        F.var_pop("r1").alias("v1"),
+        *[F.var_pop(f"r{k}").alias(f"v{k}") for k in _Q364_HORIZONS],
+    ]
+    g = r.groupBy("id").agg(*aggs)
+    out = [F.col("n").cast("long").alias("n_obs")]
+    for k in _Q364_HORIZONS:
+        vr = F.col(f"v{k}") / (F.lit(float(k)) * F.col("v1"))
+        z = (vr - F.lit(1.0)) / F.sqrt(
+            F.lit(2.0 * (2 * k - 1) * (k - 1))
+            / (F.lit(3.0 * k) * F.col("n"))
+        )
+        out.append(prnd(vr, 6).alias(f"vr_{k}"))
+        out.append(prnd(z, 4).alias(f"z_{k}"))
+    return g.select("id", *out)

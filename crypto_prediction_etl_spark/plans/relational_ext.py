@@ -2604,3 +2604,93 @@ def q341_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q365 Adamic-Adar link prediction over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_Q365_DEG_CAP = 48   # df-cap: drop promiscuous neighbors (bounds pairs/cust)
+_Q365_MIN_COMMON = 2
+_Q365_TOP = 20
+
+
+def _q365_oracle() -> str:
+    aa = "sum(1.0 / ln(a.d))"
+    return f"""
+    WITH cp AS (
+      SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    deg AS (SELECT cust, count(*) AS d FROM cp GROUP BY cust),
+    el AS (
+      SELECT cp.cust, cp.part, deg.d
+      FROM cp JOIN deg USING (cust)
+      WHERE deg.d BETWEEN 2 AND {_Q365_DEG_CAP}
+    ),
+    pairs AS (
+      SELECT a.part AS part_a, b.part AS part_b,
+             count(*) AS n_common, {aa} AS aa
+      FROM el a JOIN el b ON a.cust = b.cust AND a.part < b.part
+      GROUP BY a.part, b.part
+      HAVING count(*) >= {_Q365_MIN_COMMON}
+    )
+    SELECT CAST(part_a AS BIGINT) AS part_a,
+           CAST(part_b AS BIGINT) AS part_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           {o_rnd('aa', 6)} AS aa_score
+    FROM pairs
+    ORDER BY {o_rnd('aa', 6)} DESC, part_a, part_b
+    LIMIT {_Q365_TOP}
+    """
+
+
+@query("q365_adamic_adar", oracle=_q365_oracle())
+def q365_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the part/customer co-purchase
+    graph: two parts are likely related if they share customers, and
+    a shared customer counts 1/ln(degree) — common neighbors who buy
+    everything carry almost no signal, selective ones carry a lot.
+    The classic link-prediction score (Adamic & Adar 2003), one rung
+    above q268's raw co-occurrence counts and the feature a recsys
+    candidate generator would precompute.
+
+    Scale shape: the pair generator is a per-CUSTOMER self-join, so
+    cost is sum(deg^2), and the degree band [2, 48] is the df-cap
+    law (q44/q89): a promiscuous neighbor contributes ~nothing to the
+    score (1/ln d -> 0) but everything to the blowup, so dropping it
+    is both the perf fix and nearly score-neutral.  Min-support
+    prunes the pair table before the deterministic rounded-score
+    top-k; at 100 TB the final ORDER BY+LIMIT becomes per-partition
+    partial top-k + one small merge (q18 law)."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    cp = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    deg = cp.groupBy("cust").agg(F.count("*").alias("d"))
+    el = cp.join(deg, "cust").filter(
+        (F.col("d") >= 2) & (F.col("d") <= _Q365_DEG_CAP)
+    )
+    a = el.alias("a")
+    b = el.select("cust", F.col("part").alias("part_b")).alias("b")
+    pairs = (
+        a.join(b, (F.col("a.cust") == F.col("b.cust")) & (F.col("a.part") < F.col("part_b")))
+        .groupBy(F.col("a.part").alias("part_a"), "part_b")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.sum(F.lit(1.0) / F.log(F.col("a.d").cast("double"))).alias("aa"),
+        )
+        .filter(F.col("n_common") >= _Q365_MIN_COMMON)
+    )
+    scored = pairs.select(
+        F.col("part_a").cast("long"),
+        F.col("part_b").cast("long"),
+        F.col("n_common").cast("long"),
+        prnd("aa", 6).alias("aa_score"),
+    )
+    return scored.orderBy(
+        F.col("aa_score").desc(), "part_a", "part_b"
+    ).limit(_Q365_TOP)

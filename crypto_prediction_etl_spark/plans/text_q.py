@@ -2736,3 +2736,171 @@ def q362_content_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd(F.avg(F.col("sev_sum").cast("double")), 6).alias("avg_severity"),
         F.max("sev_sum").cast("long").alias("max_severity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q366 Flesch readability per source
+# ---------------------------------------------------------------------------
+
+_Q366_HARD_AT = 30.0  # Flesch reading-ease below this = "very difficult"
+
+
+def _q366_oracle() -> str:
+    w = "greatest(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')))"
+    syl = "greatest(1, len(regexp_extract_all(lower(text), '[aeiouy]+')))"
+    s = "greatest(1, len(regexp_extract_all(text, '[.!?]+')))"
+    ease = (
+        f"206.835 - 1.015 * (CAST({w} AS DOUBLE) / {s})"
+        f" - 84.6 * (CAST({syl} AS DOUBLE) / {w})"
+    )
+    grade = (
+        f"0.39 * (CAST({w} AS DOUBLE) / {s})"
+        f" + 11.8 * (CAST({syl} AS DOUBLE) / {w}) - 15.59"
+    )
+    return f"""
+    WITH d AS (
+      SELECT source, {ease} AS ease, {grade} AS grade FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS docs,
+           {o_rnd('avg(ease)', 4)} AS avg_ease,
+           {o_rnd('avg(grade)', 4)} AS avg_grade,
+           {o_rnd(f'CAST(count(*) FILTER (WHERE ease < {_Q366_HARD_AT}) AS DOUBLE) / count(*)', 6)} AS hard_rate
+    FROM d GROUP BY source
+    """
+
+
+@query("q366_readability", oracle=_q366_oracle())
+def q366_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease / Flesch-Kincaid grade per source — the
+    classic readability screen a curation pipeline runs next to
+    quality scoring (q42): word count from alphanumeric runs,
+    syllables from vowel-group runs (the standard dictionary-free
+    estimate; vowel runs never cross a space so one whole-text regex
+    equals the per-word sum), sentences from terminal-punctuation
+    runs, all clamped to >= 1 so degenerate docs stay finite.
+
+    Pure codegen'd regexp counting in the scan — no explode, no
+    shuffle beyond the final per-source partial agg; at 100 TB this
+    is a map-only pass like q40."""
+    low = F.lower(F.col("text"))
+    w = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(low, F.lit("[a-z0-9]+"), F.lit(0)))
+    ).cast("double")
+    syl = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(low, F.lit("[aeiouy]+"), F.lit(0)))
+    ).cast("double")
+    s = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), F.lit(0))),
+    ).cast("double")
+    ease = F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (syl / w)
+    grade = F.lit(0.39) * (w / s) + F.lit(11.8) * (syl / w) - F.lit(15.59)
+    d = spread_small_scan(table(spark, sf_dir, "documents")).select(
+        "source", ease.alias("ease"), grade.alias("grade")
+    )
+    return d.groupBy("source").agg(
+        F.count("*").cast("long").alias("docs"),
+        prnd(F.avg("ease"), 4).alias("avg_ease"),
+        prnd(F.avg("grade"), 4).alias("avg_grade"),
+        prnd(
+            F.count(F.when(F.col("ease") < _Q366_HARD_AT, 1)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("hard_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q367 duplicated-span coverage (exact substring dedup audit)
+# ---------------------------------------------------------------------------
+
+_Q367_K = 8  # span length in tokens (Lee et al. use 50 BPE tokens; scaled)
+
+
+def _q367_oracle() -> str:
+    k = _Q367_K
+    sh_str = f"array_to_string(list_slice(toks, i, i + {k - 1}), ' ')"
+    return f"""
+    WITH d AS (
+      SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, source, unnest(range(1, len(toks) - {k - 2})) AS i, toks
+      FROM d WHERE len(toks) >= {k}
+    ),
+    sh AS (
+      SELECT doc_id, source, {o_hash64(sh_str)} AS h FROM pos
+    ),
+    nd AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM sh GROUP BY h),
+    per_doc AS (
+      SELECT sh.doc_id, any_value(sh.source) AS source,
+             count(*) AS n_pos,
+             count(*) FILTER (WHERE nd.ndocs >= 2) AS dup_pos
+      FROM sh JOIN nd USING (h) GROUP BY sh.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS docs_measured,
+           {o_rnd('avg(CAST(dup_pos AS DOUBLE) / n_pos)', 6)} AS avg_dup_rate,
+           {o_rnd('max(CAST(dup_pos AS DOUBLE) / n_pos)', 6)} AS max_dup_rate,
+           CAST(count(*) FILTER (WHERE dup_pos * 2 >= n_pos) AS BIGINT) AS docs_flagged
+    FROM per_doc GROUP BY source
+    """
+
+
+@query("q367_span_dedup", oracle=_q367_oracle())
+def q367_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span coverage audit (the ExactSubstr dedup signal of
+    Lee et al. 2022 'Deduplicating Training Data Makes Language
+    Models Better', scaled to 8-token spans): every token position
+    opens a k-token span; a position is DUPLICATED if its span occurs
+    in at least one other document.  Per-source mean/max coverage and
+    a >= 50%-covered flag count tell you which sources are boilerplate
+    farms — finer-grained than doc-level (q43) or paragraph-level
+    (q349) dedup, which both miss long shared runs embedded in
+    otherwise-unique pages.
+
+    Scale shape: span keys are 64-bit hashes, duplication is one
+    hash groupBy (count distinct docs) and one equi join back on the
+    hash — never pairwise doc comparison; the same
+    shingle-as-inverted-index law as q89, with per-position (not
+    distinct) rows kept so coverage is measured in token positions.
+    At 100 TB both shuffles key on the span hash — uniform by
+    construction."""
+    from ..functions.portable import hash64
+    from ..operators.text import word_shingles
+
+    docs = spread_small_scan(table(spark, sf_dir, "documents"))
+    sh = (
+        docs.select(
+            "doc_id",
+            "source",
+            word_shingles(tokens("text"), _Q367_K).alias("shs"),
+        )
+        .filter(F.size("shs") >= 1)
+        .select(
+            "doc_id", "source", F.explode("shs").alias("s")
+        )
+        .select("doc_id", "source", hash64("s").alias("h"))
+    )
+    nd = sh.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    )
+    per_doc = (
+        sh.join(nd, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.first("source").alias("source"),
+            F.count("*").alias("n_pos"),
+            F.count(F.when(F.col("ndocs") >= 2, 1)).alias("dup_pos"),
+        )
+    )
+    rate = F.col("dup_pos").cast("double") / F.col("n_pos")
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("docs_measured"),
+        prnd(F.avg(rate), 6).alias("avg_dup_rate"),
+        prnd(F.max(rate), 6).alias("max_dup_rate"),
+        F.count(F.when(F.col("dup_pos") * 2 >= F.col("n_pos"), 1))
+        .cast("long")
+        .alias("docs_flagged"),
+    )

@@ -1021,3 +1021,38 @@ def test_catalog_wide_no_cartesian_no_row_python(spark, sf_dir):
         if "BatchEvalPython" in plan:
             offenders.append((name, "BatchEvalPython"))
     assert not offenders, offenders
+
+
+def test_q364_variance_ratio_one_window_pass(spark, sf_dir):
+    """All VR horizons are lags over the SAME per-id sort: one hash
+    exchange feeds the window stage, one more for the final groupBy."""
+    plan = _plan(spark, sf_dir, "q364_variance_ratio")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q365_adamic_adar_pairs_are_equi_join(spark, sf_dir):
+    """The AA pair generator must be a per-customer equi self-join
+    (SortMergeJoin/ShuffledHashJoin on cust), never a cartesian, and
+    the part< part filter rides the join condition."""
+    plan = _plan(spark, sf_dir, "q365_adamic_adar")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q366_readability_is_map_only_scan(spark, sf_dir):
+    """Readability is codegen'd regexp counting in the scan: exactly
+    one shuffle (the per-source partial agg), no join, no explode."""
+    plan = _plan(spark, sf_dir, "q366_readability")
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "Join" not in plan
+    assert "Generate" not in plan
+
+
+def test_q367_span_dedup_joins_on_hash_not_pairwise(spark, sf_dir):
+    """Span duplication is inverted-index shaped: group + join keyed
+    on the span hash; no doc-to-doc pairwise join may appear."""
+    plan = _plan(spark, sf_dir, "q367_span_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
