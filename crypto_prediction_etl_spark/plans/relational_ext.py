@@ -2694,3 +2694,151 @@ def q365_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("aa_score").desc(), "part_a", "part_b"
     ).limit(_Q365_TOP)
+
+
+# ---------------------------------------------------------------------------
+# q370 approximate functional-dependency audit (g3 measure)
+# ---------------------------------------------------------------------------
+
+# candidate FDs as (table, lhs, rhs); n_name -> n_regionkey holds
+# (n_name is a key), the part-table candidates are expected violated
+_Q370_FDS = (
+    ("nation", "n_name", "n_regionkey"),
+    ("part", "p_name", "p_brand"),
+    ("part", "p_brand", "p_type"),
+    ("part", "p_type", "p_size"),
+)
+
+
+def _q370_oracle() -> str:
+    parts = []
+    for tbl, lhs, rhs in _Q370_FDS:
+        parts.append(f"""
+        SELECT '{tbl}.{lhs}' AS lhs, '{rhs}' AS rhs,
+               CAST(count(*) AS BIGINT) AS n_lhs_groups,
+               CAST(sum(n) AS BIGINT) AS n_rows,
+               CAST(sum(n) - sum(mx) AS BIGINT) AS n_violating,
+               {o_rnd('1.0 - CAST(sum(mx) AS DOUBLE) / sum(n)', 6)} AS g3_rate,
+               CAST(sum(n) = sum(mx) AS INT) AS holds
+        FROM (
+          SELECT {lhs}, sum(c) AS n, max(c) AS mx
+          FROM (SELECT {lhs}, {rhs}, count(*) AS c FROM {tbl} GROUP BY {lhs}, {rhs})
+          GROUP BY {lhs}
+        )""")
+    return " UNION ALL ".join(parts)
+
+
+@query("q370_fd_violations", oracle=_q370_oracle())
+def q370_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate functional-dependency audit with the g3 measure
+    (Kivinen & Mannila): for each candidate FD lhs -> rhs, g3 = the
+    minimum fraction of rows that must be removed for the FD to hold
+    exactly = 1 - sum(per-lhs max rhs-group count) / N.  The
+    profiling primitive behind schema inference, key discovery and
+    data-contract monitoring (a sibling of q199's column profile and
+    q198's referential-integrity audit; TPC-H's p_brand -> p_mfgr
+    holds by construction, the control row).
+
+    Scale shape per FD: one (lhs, rhs) hash groupBy (partial-agg,
+    count only), then a second groupBy on lhs over the already-tiny
+    group table — counts cross the shuffle, never rows; the four FDs
+    union independent subplans (shared scan at 100 TB via exchange
+    reuse / one multi-FD pass if needed)."""
+    outs = []
+    for tbl, lhs, rhs in _Q370_FDS:
+        g = (
+            table(spark, sf_dir, tbl).groupBy(lhs, rhs)
+            .agg(F.count("*").alias("c"))
+            .groupBy(lhs)
+            .agg(F.sum("c").alias("n"), F.max("c").alias("mx"))
+        )
+        outs.append(
+            g.agg(
+                F.lit(f"{tbl}.{lhs}").alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                F.count("*").cast("long").alias("n_lhs_groups"),
+                F.sum("n").cast("long").alias("n_rows"),
+                (F.sum("n") - F.sum("mx")).cast("long").alias("n_violating"),
+                prnd(
+                    F.lit(1.0)
+                    - F.sum("mx").cast("double") / F.sum("n"),
+                    6,
+                ).alias("g3_rate"),
+                (F.sum("n") == F.sum("mx")).cast("int").alias("holds"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+# ---------------------------------------------------------------------------
+# q371 Bloom-filter sizing advisor (per partition file)
+# ---------------------------------------------------------------------------
+
+_Q371_FPP = 0.01
+# ln(1/0.01), ln(2)^2, ln(2) as shared literals: libm ln() is not
+# guaranteed identical across engines, pinned constants are
+_Q371_LN_INV_P = 4.605170185988091
+_Q371_LN2_SQ = 0.4804530139182014
+_Q371_LN2 = 0.6931471805599453
+
+
+def _q371_oracle() -> str:
+    m = f"ceil(CAST(ndv AS DOUBLE) * {_Q371_LN_INV_P} / {_Q371_LN2_SQ})"
+    k = f"greatest(1, floor({m} / ndv * {_Q371_LN2} + 0.5))"
+    return f"""
+    WITH p AS (
+      SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+             count(*) AS n_rows,
+             count(DISTINCT l_partkey) AS ndv
+      FROM lineitem GROUP BY strftime(l_shipdate, '%Y-%m')
+    )
+    SELECT ship_month,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(ndv AS BIGINT) AS ndv,
+           CAST({m} AS BIGINT) AS bloom_bits,
+           CAST({k} AS INTEGER) AS n_hashes,
+           CAST(ceil({m} / 8192.0) AS BIGINT) AS kib
+    FROM p
+    """
+
+
+@query("q371_bloom_sizing", oracle=_q371_oracle())
+def q371_bloom_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter sizing advisor: per ship-month partition file,
+    the exact part-key NDV and the optimal filter geometry for a 1%
+    FPP — bits m = ceil(n ln(1/p) / ln(2)^2), hashes k =
+    round(m/n ln 2), and the KiB the filter costs in the footer.
+    The planner that sizes what q110 consumes (parquet bloom
+    filters for selective point-lookup pruning); ln constants are
+    pinned literals because libm is not bit-identical across
+    engines.
+
+    Scale shape: one hash groupBy with an exact count-distinct
+    (expands to the two-level distinct aggregate; swap
+    approx_count_distinct in at 100 TB, same plan shape) and pure
+    scalar arithmetic after — per-partition work, no joins."""
+    li = table(spark, sf_dir, "lineitem")
+    p = li.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_partkey").alias("ndv"),
+    )
+    m = F.ceil(
+        F.col("ndv").cast("double") * _Q371_LN_INV_P / _Q371_LN2_SQ
+    ).cast("double")
+    k = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor(m / F.col("ndv") * _Q371_LN2 + 0.5),
+    )
+    return p.select(
+        "ship_month",
+        F.col("n_rows").cast("long"),
+        F.col("ndv").cast("long"),
+        m.cast("long").alias("bloom_bits"),
+        k.cast("int").alias("n_hashes"),
+        F.ceil(m / 8192.0).cast("long").alias("kib"),
+    )

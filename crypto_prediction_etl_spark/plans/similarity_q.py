@@ -2585,3 +2585,95 @@ def q358_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim").cast("int").alias("dim"),
         "n_pairs", "mean_cos", "mean_abs_err", "max_abs_err",
     )
+
+
+# ---------------------------------------------------------------------------
+# q368 linear CKA between embedding halves (representation redundancy)
+# ---------------------------------------------------------------------------
+
+_Q368_P = 16  # dims per view: X = dims 1..16, Y = dims 49..64
+
+
+def _q368_oracle() -> str:
+    p = _Q368_P
+    src = f"CASE WHEN {{g}} <= {p} THEN {{g}} ELSE {{g}} + {64 - 2 * p} END"
+    xi = f"v[{src.format(g='gi.d')}]"
+    xj = f"v[{src.format(g='gj.d')}]"
+    return f"""
+    WITH {_VECS_CTE},
+    g AS (SELECT unnest(range(1, {2 * p + 1})) AS d),
+    cells AS (
+      SELECT gi.d AS i, gj.d AS j,
+             avg({xi} * {xj}) - avg({xi}) * avg({xj}) AS c
+      FROM e CROSS JOIN g gi CROSS JOIN g gj
+      GROUP BY gi.d, gj.d
+    ),
+    a AS (
+      SELECT sum(CASE WHEN i <= {p} AND j > {p} THEN c * c END) AS num,
+             sum(CASE WHEN i <= {p} AND j <= {p} THEN c * c END) AS dxx,
+             sum(CASE WHEN i > {p} AND j > {p} THEN c * c END) AS dyy
+      FROM cells
+    )
+    SELECT CAST({p} AS INTEGER) AS dims_per_view,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_vecs,
+           {o_rnd('num / sqrt(dxx * dyy)', 6)} AS cka,
+           {o_rnd('sqrt(num)', 6)} AS fro_xy,
+           {o_rnd('sqrt(dxx)', 6)} AS fro_xx,
+           {o_rnd('sqrt(dyy)', 6)} AS fro_yy
+    FROM a
+    """
+
+
+@query("q368_cka_alignment", oracle=_q368_oracle())
+def q368_cka_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear CKA (centered kernel alignment, Kornblith et al. 2019)
+    between two views of the embedding — the leading 16 dims vs the
+    trailing 16 — the representation-redundancy audit: CKA near 1
+    means the tail dims re-encode the head (truncation is safe, cf.
+    q358's matryoshka audit, which measures per-PAIR cosine drift;
+    CKA measures the SUBSPACE overlap in one scalar).  Feature form:
+    CKA = ||Cov_xy||_F^2 / (||Cov_xx||_F ||Cov_yy||_F), covariances
+    centered algebraically (avg(xy) - avg(x)avg(y), q303's law).
+
+    Scale shape: the dim-pair grid explodes map-side (32x32 cells per
+    vector), one partial-agg groupBy reduces (i, j) cells — data
+    crosses the shuffle as d^2 running sums, never as vectors — and
+    the final CKA is a scalar fold over the 1024-cell frame.  No
+    n x n kernel matrix is ever formed (the feature-space identity
+    makes gram-CKA's O(n^2) unnecessary)."""
+    p = _Q368_P
+    vecs = _vecs(spark, sf_dir)
+    src = lambda g: F.when(g <= p, g).otherwise(g + (64 - 2 * p))
+    cells = (
+        vecs.select(
+            F.explode(F.sequence(F.lit(1), F.lit(2 * p))).alias("i"), "v"
+        )
+        .select(
+            "i",
+            F.explode(F.sequence(F.lit(1), F.lit(2 * p))).alias("j"),
+            F.element_at("v", src(F.col("i"))).alias("xi"),
+            F.element_at("v", src(F.col("j"))).alias("xj"),
+        )
+        .groupBy("i", "j")
+        .agg(
+            (
+                F.avg(F.col("xi") * F.col("xj"))
+                - F.avg("xi") * F.avg("xj")
+            ).alias("c")
+        )
+    )
+    c2 = F.col("c") * F.col("c")
+    a = cells.agg(
+        F.sum(F.when((F.col("i") <= p) & (F.col("j") > p), c2)).alias("num"),
+        F.sum(F.when((F.col("i") <= p) & (F.col("j") <= p), c2)).alias("dxx"),
+        F.sum(F.when((F.col("i") > p) & (F.col("j") > p), c2)).alias("dyy"),
+    )
+    n = vecs.agg(F.count("*").cast("long").alias("n_vecs"))
+    return a.crossJoin(F.broadcast(n)).select(
+        F.lit(p).cast("int").alias("dims_per_view"),
+        "n_vecs",
+        prnd(F.col("num") / F.sqrt(F.col("dxx") * F.col("dyy")), 6).alias("cka"),
+        prnd(F.sqrt("num"), 6).alias("fro_xy"),
+        prnd(F.sqrt("dxx"), 6).alias("fro_xx"),
+        prnd(F.sqrt("dyy"), 6).alias("fro_yy"),
+    )

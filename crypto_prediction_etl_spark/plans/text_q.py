@@ -2904,3 +2904,160 @@ def q367_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("docs_flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q369 RAKE keyphrase extraction per source
+# ---------------------------------------------------------------------------
+
+# delimiter lexicon: all language-ID markers + common EN function words;
+# any token outside ^[a-z0-9]+$ (punctuation-bearing) also splits phrases
+_Q369_STOP = tuple(
+    sorted(
+        {t for ms in LANG_MARKERS.values() for t in ms}
+        | {
+            "an", "in", "on", "for", "with", "that", "it", "as", "at",
+            "by", "be", "are", "was", "or", "this", "from",
+        }
+    )
+)
+_Q369_MIN_LEN, _Q369_MAX_LEN, _Q369_TOP = 2, 4, 3
+
+
+def _q369_oracle() -> str:
+    stop = _in_list(_Q369_STOP)
+    return f"""
+    WITH d AS (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents),
+    t0 AS (
+      SELECT doc_id, source, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS i
+      FROM d
+    ),
+    cand AS (
+      SELECT doc_id, source, i, tok FROM t0
+      WHERE tok NOT IN {stop} AND regexp_matches(tok, '^[a-z0-9]+$')
+    ),
+    runs AS (
+      SELECT doc_id, source, i, tok,
+             i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS run
+      FROM cand
+    ),
+    ph AS (
+      SELECT doc_id, run, count(*) AS plen FROM runs GROUP BY doc_id, run
+    ),
+    tokp AS (
+      SELECT r.doc_id, r.source, r.run, r.i, r.tok, p.plen
+      FROM runs r JOIN ph p ON p.doc_id = r.doc_id AND p.run = r.run
+    ),
+    ws AS (
+      SELECT doc_id, tok, count(*) AS freq, sum(plen) AS deg
+      FROM tokp GROUP BY doc_id, tok
+    ),
+    scored AS (
+      SELECT t.doc_id, t.source, t.run,
+             string_agg(t.tok, ' ' ORDER BY t.i) AS phrase,
+             count(*) AS plen,
+             sum(CAST(w.deg AS DOUBLE) / w.freq) AS score
+      FROM tokp t JOIN ws w ON w.doc_id = t.doc_id AND w.tok = t.tok
+      GROUP BY t.doc_id, t.source, t.run
+    ),
+    best AS (
+      SELECT source, phrase, max(plen) AS plen, max(score) AS score
+      FROM scored
+      WHERE plen BETWEEN {_Q369_MIN_LEN} AND {_Q369_MAX_LEN}
+      GROUP BY source, phrase
+    ),
+    ranked AS (
+      SELECT source, phrase, plen, score,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY {o_rnd('score', 4)} DESC, phrase) AS rk
+      FROM best
+    )
+    SELECT source, phrase,
+           CAST(plen AS INTEGER) AS phrase_len,
+           {o_rnd('score', 4)} AS rake_score,
+           CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= {_Q369_TOP}
+    """
+
+
+@query("q369_rake_keyphrases", oracle=_q369_oracle())
+def q369_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal token runs between stopwords/punctuation; word score
+    deg/freq (deg = summed length of phrases containing the word,
+    freq = occurrences) and phrase score = sum of word scores, all
+    PER DOCUMENT as RAKE defines; top-3 phrases per source by best
+    score.  The cheap extractive-keyword stage of a curation
+    pipeline (feeds topic inventories on dataset cards, q363).
+
+    Scale shape: everything is keyed by doc_id — the run-id window,
+    the phrase-length rollup, the word-stat groupBy and both joins —
+    so the whole extraction is embarrassingly doc-parallel with
+    uniform keys; only the final per-source top-3 (tiny after the
+    phrase dedup rollup) crosses documents.  Ordered phrase
+    reassembly is sort_array(collect_list(struct(i, tok))) — no
+    window re-sort."""
+    docs = spread_small_scan(table(spark, sf_dir, "documents"))
+    t0 = docs.select(
+        "doc_id", "source",
+        F.posexplode(tokens("text")).alias("i", "tok"),
+    )
+    cand = t0.filter(
+        ~F.col("tok").isin(*_Q369_STOP)
+        & F.col("tok").rlike("^[a-z0-9]+$")
+    )
+    runs = cand.select(
+        "doc_id", "source", "i", "tok",
+        (
+            F.col("i")
+            - F.row_number().over(
+                W.partitionBy("doc_id").orderBy("i")
+            )
+        ).alias("run"),
+    )
+    ph = runs.groupBy("doc_id", "run").agg(F.count("*").alias("plen"))
+    tokp = runs.join(ph, ["doc_id", "run"])
+    ws = tokp.groupBy("doc_id", "tok").agg(
+        F.count("*").alias("freq"), F.sum("plen").alias("deg")
+    )
+    scored = (
+        tokp.join(ws, ["doc_id", "tok"])
+        .groupBy("doc_id", "source", "run")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("i", "tok"))
+                    ),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").alias("plen"),
+            F.sum(F.col("deg").cast("double") / F.col("freq")).alias("score"),
+        )
+    )
+    best = (
+        scored.filter(
+            F.col("plen").between(_Q369_MIN_LEN, _Q369_MAX_LEN)
+        )
+        .groupBy("source", "phrase")
+        .agg(F.max("plen").alias("plen"), F.max("score").alias("score"))
+    )
+    ranked = best.select(
+        "source", "phrase", "plen", "score",
+        F.row_number()
+        .over(
+            W.partitionBy("source").orderBy(
+                prnd("score", 4).desc(), "phrase"
+            )
+        )
+        .alias("rk"),
+    )
+    return ranked.filter(F.col("rk") <= _Q369_TOP).select(
+        "source", "phrase",
+        F.col("plen").cast("int").alias("phrase_len"),
+        prnd("score", 4).alias("rake_score"),
+        F.col("rk").cast("int").alias("rk"),
+    )

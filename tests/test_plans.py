@@ -1056,3 +1056,35 @@ def test_q367_span_dedup_joins_on_hash_not_pairwise(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_q368_cka_no_kernel_matrix(spark, sf_dir):
+    """CKA must use the feature-space identity: no n x n join may
+    appear — only the dim-pair explode + two groupBys."""
+    plan = _plan(spark, sf_dir, "q368_cka_alignment")
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q369_rake_all_joins_doc_keyed(spark, sf_dir):
+    """RAKE is doc-parallel: no cartesian / broadcast-nested-loop;
+    the phrase-length and word-score joins are equi on doc_id."""
+    plan = _plan(spark, sf_dir, "q369_rake_keyphrases")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q370_fd_counts_cross_shuffle_not_rows(spark, sf_dir):
+    """Each FD is two stacked hash aggregates (rows never cross the
+    second shuffle) and there is no join anywhere."""
+    plan = _plan(spark, sf_dir, "q370_fd_violations")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q371_bloom_sizing_single_groupby(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q371_bloom_sizing")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
