@@ -7574,3 +7574,164 @@ def q364_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.append(prnd(vr, 6).alias(f"vr_{k}"))
         out.append(prnd(z, 4).alias(f"z_{k}"))
     return g.select("id", *out)
+
+
+# ---------------------------------------------------------------------------
+# q374 SAX symbolic motifs (PAA + discretize + word counts)
+# ---------------------------------------------------------------------------
+
+_Q374_PAA = 5        # days per PAA segment
+_Q374_WORD = 3       # symbols per motif word
+# alphabet-4 Gaussian breakpoints, pinned literals (libm-free)
+_Q374_BPS = (-0.6745, 0.0, 0.6745)
+
+
+def _q374_sym_sql(z: str) -> str:
+    b1, b2, b3 = _Q374_BPS
+    return (
+        f"CASE WHEN {z} < {b1} THEN 'a' WHEN {z} < {b2} THEN 'b' "
+        f"WHEN {z} < {b3} THEN 'c' ELSE 'd' END"
+    )
+
+
+def _q374_oracle() -> str:
+    p, wlen = _Q374_PAA, _Q374_WORD
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    rn AS (
+      SELECT id, close,
+             CAST(floor((row_number() OVER (PARTITION BY id ORDER BY dt) - 1)
+                        / {p}) AS BIGINT) AS seg
+      FROM candles
+    ),
+    paa AS (
+      SELECT id, seg, avg(close) AS m
+      FROM rn GROUP BY id, seg HAVING count(*) = {p}
+    ),
+    z AS (
+      SELECT id, seg,
+             (m - avg(m) OVER (PARTITION BY id))
+               / stddev_pop(m) OVER (PARTITION BY id) AS z
+      FROM paa
+    ),
+    sym AS (
+      SELECT id, seg, {_q374_sym_sql('z')} AS s FROM z
+    ),
+    words AS (
+      SELECT id,
+             lag(s, 2) OVER w || lag(s, 1) OVER w || s AS word
+      FROM sym WINDOW w AS (PARTITION BY id ORDER BY seg)
+      QUALIFY lag(s, 2) OVER w IS NOT NULL
+    ),
+    wc AS (SELECT id, word, count(*) AS n FROM words GROUP BY id, word),
+    tot AS (
+      SELECT id, sum(n) AS n_words, count(*) AS distinct_words
+      FROM wc GROUP BY id
+    ),
+    ent AS (
+      SELECT id,
+             -sum((CAST(n AS DOUBLE) / t.n_words)
+                  * ln(CAST(n AS DOUBLE) / t.n_words)) AS h
+      FROM wc JOIN (SELECT id, CAST(sum(n) AS DOUBLE) AS n_words
+                    FROM wc GROUP BY id) t USING (id)
+      GROUP BY id
+    ),
+    top AS (
+      SELECT id, word, n,
+             row_number() OVER (PARTITION BY id ORDER BY n DESC, word) AS rk
+      FROM wc
+    )
+    SELECT t.id,
+           CAST(t.n_words AS BIGINT) AS n_words,
+           CAST(t.distinct_words AS BIGINT) AS distinct_words,
+           p.word AS top_word,
+           CAST(p.n AS BIGINT) AS top_count,
+           {o_rnd('e.h', 6)} AS word_entropy
+    FROM tot t JOIN top p ON p.id = t.id AND p.rk = 1
+    JOIN ent e ON e.id = t.id
+    """
+
+
+@query("q374_sax_motifs", oracle=_q374_oracle())
+def q374_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX motif discovery (Lin/Keogh symbolic aggregate
+    approximation): PAA-compress each symbol's close series (5-day
+    segment means), z-normalize per id, discretize on the pinned
+    alphabet-4 Gaussian breakpoints, form 3-symbol words by lag
+    concatenation, and report the dominant motif + word entropy per
+    id — the classic cheap shape-index for time series (motif/
+    discord mining, the symbolic counterpart of q123's rule-based
+    candle patterns; low entropy = trending/repetitive regime).
+
+    Scale shape: everything is keyed by id — the row-number window,
+    the PAA groupBy, the z-score window over the ~480x-smaller
+    segment frame, the word lags and the word-count groupBy — one
+    raw-row sort per id, every later pass post-compression.  The
+    breakpoints are literals so no libm quantile call exists in
+    either engine."""
+    p, wl = _Q374_PAA, _Q374_WORD
+    c = candles(spark, sf_dir)
+    w = W.partitionBy("id").orderBy("dt")
+    rn = c.select(
+        "id", "close",
+        F.floor((F.row_number().over(w) - 1) / p).alias("seg"),
+    )
+    paa = (
+        rn.groupBy("id", "seg")
+        .agg(F.avg("close").alias("m"), F.count("*").alias("cnt"))
+        .filter(F.col("cnt") == p)
+    )
+    wid = W.partitionBy("id")
+    z = paa.select(
+        "id", "seg",
+        (
+            (F.col("m") - F.avg("m").over(wid))
+            / F.stddev_pop("m").over(wid)
+        ).alias("z"),
+    )
+    b1, b2, b3 = _Q374_BPS
+    sym = z.select(
+        "id", "seg",
+        F.when(F.col("z") < b1, "a")
+        .when(F.col("z") < b2, "b")
+        .when(F.col("z") < b3, "c")
+        .otherwise("d")
+        .alias("s"),
+    )
+    ws = W.partitionBy("id").orderBy("seg")
+    words = sym.select(
+        "id",
+        F.concat(
+            F.lag("s", 2).over(ws), F.lag("s", 1).over(ws), F.col("s")
+        ).alias("word"),
+    ).filter(F.col("word").isNotNull())
+    wc = words.groupBy("id", "word").agg(F.count("*").alias("n"))
+    tot = wc.groupBy("id").agg(
+        F.sum("n").cast("long").alias("n_words"),
+        F.count("*").cast("long").alias("distinct_words"),
+    )
+    pr = F.col("n").cast("double") / F.col("nw")
+    ent = (
+        wc.join(
+            wc.groupBy("id").agg(F.sum("n").cast("double").alias("nw")),
+            "id",
+        )
+        .groupBy("id")
+        .agg((-F.sum(pr * F.log(pr))).alias("h"))
+    )
+    top = wc.select(
+        "id", "word", "n",
+        F.row_number()
+        .over(W.partitionBy("id").orderBy(F.col("n").desc(), "word"))
+        .alias("rk"),
+    ).filter(F.col("rk") == 1)
+    return (
+        tot.join(top, "id")
+        .join(ent, "id")
+        .select(
+            "id", "n_words", "distinct_words",
+            F.col("word").alias("top_word"),
+            F.col("n").cast("long").alias("top_count"),
+            prnd("h", 6).alias("word_entropy"),
+        )
+    )

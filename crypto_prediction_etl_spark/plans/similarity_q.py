@@ -2677,3 +2677,149 @@ def q368_cka_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd(F.sqrt("dxx"), 6).alias("fro_xx"),
         prnd(F.sqrt("dyy"), 6).alias("fro_yy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q372 label modularity on the mutual-kNN graph
+# ---------------------------------------------------------------------------
+
+
+def _q372_oracle() -> str:
+    return f"""
+    WITH {_VECS_CTE},
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             {o_rnd(_COS, 6)} AS cos_sim
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored
+    ),
+    knn AS (SELECT query_id, vec_id FROM ranked WHERE rank <= {_Q143_K}),
+    mut AS (
+      SELECT ab.query_id AS id_a, ab.vec_id AS id_b
+      FROM knn ab JOIN knn ba
+        ON ba.query_id = ab.vec_id AND ba.vec_id = ab.query_id
+      WHERE ab.query_id < ab.vec_id
+    ),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    ed AS (
+      SELECT la.label AS label_a, lb.label AS label_b
+      FROM mut JOIN lab la ON la.vec_id = mut.id_a
+               JOIN lab lb ON lb.vec_id = mut.id_b
+    ),
+    mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM ed),
+    degs AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS deg_sum
+      FROM (
+        SELECT label_a AS label FROM ed
+        UNION ALL SELECT label_b AS label FROM ed
+      ) GROUP BY label
+    ),
+    nodes AS (SELECT label, count(*) AS n_nodes FROM lab GROUP BY label),
+    intra AS (
+      SELECT label_a AS label, count(*) AS internal_edges
+      FROM ed WHERE label_a = label_b GROUP BY label_a
+    ),
+    per AS (
+      SELECT n.label, n.n_nodes,
+             coalesce(i.internal_edges, 0) AS internal_edges,
+             coalesce(d.deg_sum, 0) AS deg_sum,
+             coalesce(i.internal_edges, 0) / mm.m AS e_share,
+             coalesce(d.deg_sum, 0) / (2.0 * mm.m) AS a_share
+      FROM nodes n
+      LEFT JOIN intra i ON i.label = n.label
+      LEFT JOIN degs d ON d.label = n.label
+      CROSS JOIN mm
+    )
+    SELECT CAST(label AS INTEGER) AS label,
+           CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(internal_edges AS BIGINT) AS internal_edges,
+           CAST(deg_sum AS BIGINT) AS deg_sum,
+           {o_rnd('e_share', 6)} AS e_share,
+           {o_rnd('a_share', 6)} AS a_share,
+           {o_rnd('e_share - a_share * a_share', 6)} AS q_contrib,
+           {o_rnd('sum(e_share - a_share * a_share) OVER ()', 6)} AS q_total
+    FROM per
+    """
+
+
+@query("q372_label_modularity", oracle=_q372_oracle())
+def q372_label_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LABEL partition on the mutual-kNN
+    graph: per community c, Q_c = e_c/m - (deg_c/2m)^2 and the total
+    Q — the standard 'do the labels match the geometry' score that
+    complements q254 (silhouette-style centroid cohesion) with a
+    GRAPH-side verdict, and grades any clustering (swap labels for
+    q55's k-means assignment) without touching distances twice.
+
+    Composes q143's mutual-kNN edges (broadcast-matrix BLAS kernel +
+    k*N equi self-join — never N^2 rows) with label lookups that are
+    two joins keyed on vec_id, then pure per-label partial aggs; the
+    modularity fold is over a #labels-row frame with a single global
+    window (tiny, post-aggregate — the q355 scalar law)."""
+    edges = q143_mutual_knn(spark, sf_dir).select("id_a", "id_b")
+    lab = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    ed = (
+        edges.join(
+            lab.select(
+                F.col("vec_id").alias("id_a"),
+                F.col("label").alias("label_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("id_b"),
+                F.col("label").alias("label_b"),
+            ),
+            "id_b",
+        )
+        .select("label_a", "label_b")
+    )
+    mm = ed.agg(F.count("*").cast("double").alias("m"))
+    degs = (
+        ed.select(F.col("label_a").alias("label"))
+        .unionAll(ed.select(F.col("label_b").alias("label")))
+        .groupBy("label")
+        .agg(F.count("*").cast("long").alias("deg_sum"))
+    )
+    nodes = lab.groupBy("label").agg(F.count("*").alias("n_nodes"))
+    intra = (
+        ed.filter(F.col("label_a") == F.col("label_b"))
+        .groupBy(F.col("label_a").alias("label"))
+        .agg(F.count("*").alias("internal_edges"))
+    )
+    per = (
+        nodes.join(intra, "label", "left")
+        .join(degs, "label", "left")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "label",
+            "n_nodes",
+            F.coalesce("internal_edges", F.lit(0)).alias("internal_edges"),
+            F.coalesce("deg_sum", F.lit(0)).alias("deg_sum"),
+            (F.coalesce("internal_edges", F.lit(0)) / F.col("m")).alias(
+                "e_share"
+            ),
+            (
+                F.coalesce("deg_sum", F.lit(0)) / (F.lit(2.0) * F.col("m"))
+            ).alias("a_share"),
+        )
+    )
+    qc = F.col("e_share") - F.col("a_share") * F.col("a_share")
+    return per.select(
+        F.col("label").cast("int").alias("label"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("internal_edges").cast("long").alias("internal_edges"),
+        F.col("deg_sum").cast("long").alias("deg_sum"),
+        prnd("e_share", 6).alias("e_share"),
+        prnd("a_share", 6).alias("a_share"),
+        prnd(qc, 6).alias("q_contrib"),
+        prnd(
+            F.sum(qc).over(W.partitionBy(F.lit(1))), 6
+        ).alias("q_total"),
+    )

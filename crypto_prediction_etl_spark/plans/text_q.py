@@ -3061,3 +3061,121 @@ def q369_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd("score", 4).alias("rake_score"),
         F.col("rk").cast("int").alias("rk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q373 Kneser-Ney bigram language model (per-language NLL / perplexity)
+# ---------------------------------------------------------------------------
+
+_Q373_D = 0.75  # absolute discount
+
+
+def _q373_oracle() -> str:
+    d = _Q373_D
+    return f"""
+    WITH docs2 AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+    bg AS (
+      SELECT lang,
+             unnest(CASE WHEN len(toks) >= 2 THEN
+                list_transform(range(1, len(toks)),
+                    i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+             ELSE CAST([] AS VARCHAR[]) END) AS s
+      FROM docs2
+    ),
+    sp AS (
+      SELECT lang, s, string_split(s, ' ')[1] AS v, string_split(s, ' ')[2] AS w
+      FROM bg
+    ),
+    big AS (
+      SELECT lang, s, any_value(v) AS v, any_value(w) AS w, count(*) AS n
+      FROM sp GROUP BY lang, s
+    ),
+    hist AS (
+      SELECT lang, v, CAST(sum(n) AS DOUBLE) AS c_v, count(*) AS n1p_fwd
+      FROM big GROUP BY lang, v
+    ),
+    cont AS (SELECT lang, w, count(*) AS n1p_back FROM big GROUP BY lang, w),
+    tot AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n_types FROM big GROUP BY lang),
+    p AS (
+      SELECT b.lang, b.n,
+             (greatest(b.n - {d}, 0.0) / h.c_v)
+             + ({d} * h.n1p_fwd / h.c_v) * (c.n1p_back / t.n_types) AS pkn
+      FROM big b
+      JOIN hist h ON h.lang = b.lang AND h.v = b.v
+      JOIN cont c ON c.lang = b.lang AND c.w = b.w
+      JOIN tot t ON t.lang = b.lang
+    )
+    SELECT lang,
+           CAST(sum(n) AS BIGINT) AS n_bigrams,
+           CAST(count(*) AS BIGINT) AS n_types,
+           {o_rnd('-sum(n * ln(pkn)) / sum(n)', 6)} AS nll,
+           {o_rnd('exp(-sum(n * ln(pkn)) / sum(n))', 4)} AS perplexity
+    FROM p GROUP BY lang
+    """
+
+
+@query("q373_kneser_ney", oracle=_q373_oracle())
+def q373_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM per language (absolute
+    discount D = 0.75): P(w|v) = max(c(vw)-D,0)/c(v) +
+    D*N1+(v.)/c(v) * N1+(.w)/|bigram types| — THE canonical n-gram
+    smoothing; corpus self-NLL and perplexity per language.  One rung
+    above q158's raw bigram NLL: the continuation counts N1+ are what
+    distinguish KN (novel-continuation mass goes to words seen in
+    many CONTEXTS, not many times).  Train = eval corpus, the
+    standard in-corpus fluency diagnostic for curation (a source
+    whose perplexity under its own-language model is high is noisy).
+
+    Scale shape: bigrams ride the q357 shingle law (map-side
+    explode); every model table (bigram counts, history mass,
+    continuation counts, type totals) is a hash groupBy keyed by
+    (lang, token...), and scoring is three equi joins back on those
+    keys — counts cross shuffles, never token streams.  No driver
+    math, no iteration."""
+    from ..operators.text import word_shingles
+
+    docs = spread_small_scan(table(spark, sf_dir, "documents"))
+    bg = docs.select(
+        "lang",
+        F.explode(word_shingles(tokens("text"), 2)).alias("s"),
+    )
+    sp = bg.select(
+        "lang", "s",
+        F.split_part(F.col("s"), F.lit(" "), F.lit(1)).alias("v"),
+        F.split_part(F.col("s"), F.lit(" "), F.lit(2)).alias("w"),
+    )
+    big = sp.groupBy("lang", "s").agg(
+        F.first("v").alias("v"),
+        F.first("w").alias("w"),
+        F.count("*").alias("n"),
+    )
+    hist = big.groupBy("lang", "v").agg(
+        F.sum("n").cast("double").alias("c_v"),
+        F.count("*").alias("n1p_fwd"),
+    )
+    cont = big.groupBy("lang", "w").agg(F.count("*").alias("n1p_back"))
+    tot = big.groupBy("lang").agg(
+        F.count("*").cast("double").alias("n_types_d")
+    )
+    d = _Q373_D
+    p = (
+        big.join(hist, ["lang", "v"])
+        .join(cont, ["lang", "w"])
+        .join(tot, "lang")
+        .select(
+            "lang",
+            "n",
+            (
+                F.greatest(F.col("n") - d, F.lit(0.0)) / F.col("c_v")
+                + (F.lit(d) * F.col("n1p_fwd") / F.col("c_v"))
+                * (F.col("n1p_back") / F.col("n_types_d"))
+            ).alias("pkn"),
+        )
+    )
+    nll = -F.sum(F.col("n") * F.log("pkn")) / F.sum("n")
+    return p.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("n_bigrams"),
+        F.count("*").cast("long").alias("n_types"),
+        prnd(nll, 6).alias("nll"),
+        prnd(F.exp(nll), 4).alias("perplexity"),
+    )

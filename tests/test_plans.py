@@ -1088,3 +1088,23 @@ def test_q371_bloom_sizing_single_groupby(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q371_bloom_sizing")
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_q373_kneser_ney_model_tables_are_hash_aggs(spark, sf_dir):
+    """KN scoring is equi joins on (lang, token) keys — no cartesian,
+    no row-Python; bigram explode is map-side (Generate before any
+    exchange consumes it)."""
+    plan = _plan(spark, sf_dir, "q373_kneser_ney")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q374_sax_all_windows_id_partitioned(spark, sf_dir):
+    """SAX never plans a partition-less window: every window spec
+    carries the id partition key (no single-task global sort)."""
+    plan = _plan(spark, sf_dir, "q374_sax_motifs")
+    assert "CartesianProduct" not in plan
+    import re
+    for wspec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "id" in wspec, wspec
