@@ -6063,3 +6063,240 @@ def q360_watermark_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w").cast("int").alias("watermark_s"),
         "n_events", "n_late", "n_dropped", "drop_rate", "max_late_us",
     )
+
+
+# ---------------------------------------------------------------------------
+# q375 quantile treatment effects (per-decile A/B lift)
+# ---------------------------------------------------------------------------
+
+_Q375_DECILES = tuple(range(1, 10))
+
+
+def _q375_oracle() -> str:
+    sel = []
+    for d in _Q375_DECILES:
+        q = d / 10.0
+        lo = f"CAST(floor({q} * (n - 1)) AS BIGINT) + 1"
+        hi = f"CAST(ceil({q} * (n - 1)) AS BIGINT) + 1"
+        sel.append(f"max(CASE WHEN rn = {lo} THEN metric END) AS vlo_{d}")
+        sel.append(f"max(CASE WHEN rn = {hi} THEN metric END) AS vhi_{d}")
+    rows = []
+    for d in _Q375_DECILES:
+        q = d / 10.0
+        qa = (f"a0.vlo_{d} + (({q} * (a0.n - 1)) - floor({q} * (a0.n - 1)))"
+              f" * (a0.vhi_{d} - a0.vlo_{d})")
+        qb = (f"a1.vlo_{d} + (({q} * (a1.n - 1)) - floor({q} * (a1.n - 1)))"
+              f" * (a1.vhi_{d} - a1.vlo_{d})")
+        rows.append(f"""
+        SELECT CAST({d} AS INTEGER) AS decile,
+               CAST(a0.n AS BIGINT) AS n_a, CAST(a1.n AS BIGINT) AS n_b,
+               {o_rnd(qa, 4)} AS q_a, {o_rnd(qb, 4)} AS q_b,
+               {o_rnd(f'({qb}) - ({qa})', 4)} AS qte
+        FROM a0, a1""")
+    return f"""
+    WITH m AS (
+      SELECT user_id, user_id % 2 AS grp, sum(value) AS metric
+      FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT grp, metric, user_id,
+             row_number() OVER (PARTITION BY grp
+                                ORDER BY metric, user_id) AS rn,
+             count(*) OVER (PARTITION BY grp) AS n
+      FROM m
+    ),
+    a AS (SELECT grp, max(n) AS n, {", ".join(sel)} FROM r GROUP BY grp),
+    a0 AS (SELECT * FROM a WHERE grp = 0),
+    a1 AS (SELECT * FROM a WHERE grp = 1)
+    {" UNION ALL ".join(rows)}
+    """
+
+
+@query("q375_quantile_effects", oracle=_q375_oracle())
+def q375_quantile_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects: per-user spend under the hash
+    split (q168's user_id % 2 arms), exact PERCENTILE_CONT at every
+    decile per arm (q156's straddling-rank law), and QTE_d = q_B -
+    q_A — where the distributional story lives that q168's Welch t
+    on means cannot see (an experiment that moves only the top
+    decile has mean lift but flat medians).
+
+    Scale shape: per-user metrics come from one partial-agg groupBy;
+    the per-arm rank that exact percentiles need is the TWO-PASS
+    distributed global rank (operators/globalrank.py — composite
+    (grp, metric, user) total order, range partitioning, broadcast
+    offset table), NOT a per-arm window, which would put each arm's
+    millions of users in one task; in-arm rank falls out as global
+    rank minus the arm's broadcast base.  Decile extraction is
+    conditional aggregation over ranked rows — no driver math."""
+    from ..operators.globalrank import with_global_row_stats
+
+    ev = table(spark, sf_dir, "events")
+    m = ev.groupBy("user_id").agg(F.sum("value").alias("metric")).select(
+        (F.col("user_id") % 2).alias("grp"), "metric", "user_id"
+    )
+    ranked = with_global_row_stats(
+        m, order_by=["grp", "metric", "user_id"], rank_col="grn"
+    )
+    base = ranked.groupBy("grp").agg(
+        F.min("grn").alias("base"), F.count("*").alias("n")
+    )
+    r = ranked.join(F.broadcast(base), "grp").select(
+        "grp", "metric",
+        (F.col("grn") - F.col("base") + 1).alias("rn"),
+        "n",
+    )
+    aggs = [F.max("n").alias("n")]
+    for d in _Q375_DECILES:
+        q = d / 10.0
+        pos = F.lit(q) * (F.col("n") - 1)
+        lo = F.floor(pos).cast("long") + 1
+        hi = F.ceil(pos).cast("long") + 1
+        aggs.append(
+            F.max(F.when(F.col("rn") == lo, F.col("metric"))).alias(f"vlo_{d}")
+        )
+        aggs.append(
+            F.max(F.when(F.col("rn") == hi, F.col("metric"))).alias(f"vhi_{d}")
+        )
+    a = r.groupBy("grp").agg(*aggs)
+    a0 = a.filter(F.col("grp") == 0).drop("grp")
+    a1 = a.filter(F.col("grp") == 1).drop("grp")
+    wide = F.broadcast(a0.select(
+        F.col("n").alias("n_a"),
+        *[F.col(f"vlo_{d}").alias(f"alo_{d}") for d in _Q375_DECILES],
+        *[F.col(f"vhi_{d}").alias(f"ahi_{d}") for d in _Q375_DECILES],
+    )).crossJoin(F.broadcast(a1.select(
+        F.col("n").alias("n_b"),
+        *[F.col(f"vlo_{d}").alias(f"blo_{d}") for d in _Q375_DECILES],
+        *[F.col(f"vhi_{d}").alias(f"bhi_{d}") for d in _Q375_DECILES],
+    )))
+
+    def interp(n_col, lo_col, hi_col, q):
+        pos = F.lit(q) * (F.col(n_col) - 1)
+        return F.col(lo_col) + (pos - F.floor(pos)) * (
+            F.col(hi_col) - F.col(lo_col)
+        )
+
+    structs = []
+    for d in _Q375_DECILES:
+        q = d / 10.0
+        qa = interp("n_a", f"alo_{d}", f"ahi_{d}", q)
+        qb = interp("n_b", f"blo_{d}", f"bhi_{d}", q)
+        structs.append(
+            F.struct(
+                F.lit(d).cast("int").alias("decile"),
+                F.col("n_a").cast("long").alias("n_a"),
+                F.col("n_b").cast("long").alias("n_b"),
+                prnd(qa, 4).alias("q_a"),
+                prnd(qb, 4).alias("q_b"),
+                prnd(qb - qa, 4).alias("qte"),
+            )
+        )
+    return wide.select(
+        F.explode(F.array(*structs)).alias("x")
+    ).select("x.*")
+
+
+# ---------------------------------------------------------------------------
+# q377 Freedman-Diaconis bin-width advisor
+# ---------------------------------------------------------------------------
+
+
+def _q377_oracle() -> str:
+    # exact IQR via straddling-rank interpolation (q156 law)
+    sel = []
+    for q, tag in ((0.25, "q1"), (0.75, "q3")):
+        lo = f"CAST(floor({q} * (n - 1)) AS BIGINT) + 1"
+        hi = f"CAST(ceil({q} * (n - 1)) AS BIGINT) + 1"
+        sel.append(f"max(CASE WHEN rn = {lo} THEN value END) AS vlo_{tag}")
+        sel.append(f"max(CASE WHEN rn = {hi} THEN value END) AS vhi_{tag}")
+    def interp(q, tag):
+        pos = f"{q} * (n_rows - 1)"
+        return (f"(vlo_{tag} + (({pos}) - floor({pos}))"
+                f" * (vhi_{tag} - vlo_{tag}))")
+    iqr = f"({interp(0.75, 'q3')} - {interp(0.25, 'q1')})"
+    width = f"(2.0 * {iqr} / pow(n_rows, 1.0 / 3.0))"
+    width_r = o_rnd(width, 6)
+    return f"""
+    WITH r AS (
+      SELECT event_type, value, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    a AS (
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n_rows,
+             min(value) AS vmin, max(value) AS vmax,
+             {", ".join(sel)}
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           {o_rnd(iqr, 6)} AS iqr,
+           {width_r} AS fd_width,
+           CAST(ceil((vmax - vmin) / ({width_r})) AS BIGINT) AS n_bins
+    FROM a
+    """
+
+
+@query("q377_fd_binwidth", oracle=_q377_oracle())
+def q377_fd_binwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freedman-Diaconis bin-width advisor per event type: width =
+    2*IQR/n^(1/3) from the EXACT interquartile range (q156's
+    straddling-rank interpolation, not an engine sketch), plus the
+    implied bin count over the observed range — the principled input
+    q169's histogram needs instead of a hand-picked bucket count.
+    The bin count divides by the ROUNDED width so the ceil boundary
+    is grid-pinned, never decided by cross-engine fp drift.
+
+    Scale shape: one per-type rank window (at 100 TB the per-type
+    sort is the honest cost of exact quantiles; the q375 globalrank
+    two-pass applies if one type dominates), then conditional
+    aggregation — two shuffles total, no joins."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    r = ev.select(
+        "event_type", "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("event_type")).alias("n"),
+    )
+    aggs = [
+        F.max("n").cast("long").alias("n_rows"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    ]
+    for q, tag in ((0.25, "q1"), (0.75, "q3")):
+        pos = F.lit(q) * (F.col("n") - 1)
+        lo = F.floor(pos).cast("long") + 1
+        hi = F.ceil(pos).cast("long") + 1
+        aggs.append(
+            F.max(F.when(F.col("rn") == lo, F.col("value"))).alias(f"vlo_{tag}")
+        )
+        aggs.append(
+            F.max(F.when(F.col("rn") == hi, F.col("value"))).alias(f"vhi_{tag}")
+        )
+    a = r.groupBy("event_type").agg(*aggs)
+
+    def interp(q, tag):
+        pos = F.lit(q) * (F.col("n_rows") - 1)
+        return F.col(f"vlo_{tag}") + (pos - F.floor(pos)) * (
+            F.col(f"vhi_{tag}") - F.col(f"vlo_{tag}")
+        )
+
+    iqr = interp(0.75, "q3") - interp(0.25, "q1")
+    width_r = prnd(
+        F.lit(2.0) * iqr / F.pow(F.col("n_rows").cast("double"), 1.0 / 3.0),
+        6,
+    )
+    return a.select(
+        "event_type",
+        "n_rows",
+        prnd(iqr, 6).alias("iqr"),
+        width_r.alias("fd_width"),
+        F.ceil((F.col("vmax") - F.col("vmin")) / width_r)
+        .cast("long")
+        .alias("n_bins"),
+    )

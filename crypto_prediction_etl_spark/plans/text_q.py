@@ -3179,3 +3179,107 @@ def q373_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd(nll, 6).alias("nll"),
         prnd(F.exp(nll), 4).alias("perplexity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q376 Burrows' Delta stylometry between sources
+# ---------------------------------------------------------------------------
+
+# function-word panel (marker vocabulary; stylometry uses the most
+# frequent function words, not content words)
+_Q376_WORDS = tuple(
+    sorted({t for ms in LANG_MARKERS.values() for t in ms})
+)
+
+
+def _q376_oracle() -> str:
+    wl = _in_list(_Q376_WORDS)
+    return f"""
+    WITH tok AS (
+      SELECT source, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    tots AS (SELECT source, count(*) AS n_tok FROM tok GROUP BY source),
+    freq AS (
+      SELECT t.source, t.tok AS w,
+             CAST(count(*) AS DOUBLE) / any_value(s.n_tok) AS f
+      FROM tok t JOIN tots s ON s.source = t.source
+      WHERE t.tok IN {wl}
+      GROUP BY t.source, t.tok
+    ),
+    grid AS (
+      SELECT s.source, w.w, coalesce(f.f, 0.0) AS f
+      FROM (SELECT source FROM tots) s
+      CROSS JOIN (SELECT DISTINCT w FROM freq) w
+      LEFT JOIN freq f ON f.source = s.source AND f.w = w.w
+    ),
+    stats AS (
+      SELECT w, avg(f) AS mu, stddev_pop(f) AS sd
+      FROM grid GROUP BY w HAVING stddev_pop(f) > 0
+    ),
+    z AS (
+      SELECT g.source, g.w, (g.f - s.mu) / s.sd AS z
+      FROM grid g JOIN stats s ON s.w = g.w
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_words,
+           {o_rnd('avg(abs(a.z - b.z))', 6)} AS delta
+    FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+    GROUP BY a.source, b.source
+    """
+
+
+@query("q376_burrows_delta", oracle=_q376_oracle())
+def q376_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta (2002) — the standard stylometric distance:
+    per-source relative frequencies of a function-word panel,
+    z-scored against the cross-source distribution per word, and
+    Delta(s1, s2) = mean |z1 - z2|.  The authorship/register
+    fingerprint between SOURCES: two crawls with near-zero Delta are
+    stylistic clones (likely mirrors even when content dedup misses
+    them), high Delta flags register shifts — a corpus-composition
+    signal next to q363's dataset card.
+
+    Scale shape: token counting is a map-side filtered groupBy; the
+    dense (source x word) grid is sources x panel-size rows (tiny —
+    the corpus never materializes a grid), word stats are a groupBy
+    over that grid, and the pairwise join is over the POST-AGGREGATE
+    z frame keyed on the word — at 100 TB everything after the first
+    rollup is dashboard-sized."""
+    docs = spread_small_scan(table(spark, sf_dir, "documents"))
+    tok = docs.select("source", F.explode(tokens("text")).alias("tok"))
+    tots = tok.groupBy("source").agg(F.count("*").alias("n_tok"))
+    freq = (
+        tok.filter(F.col("tok").isin(*_Q376_WORDS))
+        .groupBy("source", F.col("tok").alias("w"))
+        .agg(F.count("*").alias("c"))
+        .join(tots, "source")
+        .select(
+            "source", "w",
+            (F.col("c").cast("double") / F.col("n_tok")).alias("f"),
+        )
+    )
+    grid = (
+        tots.select("source")
+        .crossJoin(F.broadcast(freq.select("w").distinct()))
+        .join(freq, ["source", "w"], "left")
+        .select("source", "w", F.coalesce("f", F.lit(0.0)).alias("f"))
+    )
+    stats = (
+        grid.groupBy("w")
+        .agg(F.avg("f").alias("mu"), F.stddev_pop("f").alias("sd"))
+        .filter(F.col("sd") > 0)
+    )
+    z = grid.join(stats, "w").select(
+        "source", "w", ((F.col("f") - F.col("mu")) / F.col("sd")).alias("z")
+    )
+    a = z.select(F.col("source").alias("source_a"), "w", F.col("z").alias("za"))
+    b = z.select(F.col("source").alias("source_b"), "w", F.col("z").alias("zb"))
+    return (
+        a.join(b, "w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            prnd(F.avg(F.abs(F.col("za") - F.col("zb"))), 6).alias("delta"),
+        )
+    )

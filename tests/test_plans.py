@@ -1108,3 +1108,29 @@ def test_q374_sax_all_windows_id_partitioned(spark, sf_dir):
     import re
     for wspec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
         assert "id" in wspec, wspec
+
+
+def test_q375_qte_rank_is_distributed(spark, sf_dir):
+    """The per-arm rank must ride the two-pass globalrank, not a
+    2-partition window over raw users.  The range exchange itself
+    hides behind the operator's pid-pinning localCheckpoint, so the
+    visible signature is its _gr_pid partition key feeding the local
+    rank window."""
+    plan = _plan(spark, sf_dir, "q375_quantile_effects")
+    assert "_gr_pid" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q376_burrows_pairs_post_aggregate(spark, sf_dir):
+    """The stylometric pair join runs over the z frame (sources x
+    panel words), never over token rows: no cartesian, and the only
+    self-join key is the word."""
+    plan = _plan(spark, sf_dir, "q376_burrows_delta")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q377_fd_binwidth_two_shuffles_no_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q377_fd_binwidth")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
