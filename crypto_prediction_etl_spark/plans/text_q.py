@@ -3283,3 +3283,250 @@ def q376_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             prnd(F.avg(F.abs(F.col("za") - F.col("zb"))), 6).alias("delta"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q378 CCNet-style perplexity buckets (head / middle / tail per language)
+# ---------------------------------------------------------------------------
+
+
+def _q378_oracle() -> str:
+    d = _Q373_D
+    return f"""
+    WITH docs2 AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+    bgd AS (
+      SELECT doc_id, lang,
+             unnest(CASE WHEN len(toks) >= 2 THEN
+                list_transform(range(1, len(toks)),
+                    i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+             ELSE CAST([] AS VARCHAR[]) END) AS s
+      FROM docs2
+    ),
+    ev AS (SELECT doc_id, lang, s, count(*) AS n FROM bgd GROUP BY doc_id, lang, s),
+    big AS (
+      SELECT lang, s,
+             string_split(s, ' ')[1] AS v, string_split(s, ' ')[2] AS w,
+             sum(n) AS n
+      FROM ev GROUP BY lang, s
+    ),
+    hist AS (
+      SELECT lang, v, CAST(sum(n) AS DOUBLE) AS c_v, count(*) AS n1p_fwd
+      FROM big GROUP BY lang, v
+    ),
+    cont AS (SELECT lang, w, count(*) AS n1p_back FROM big GROUP BY lang, w),
+    tot AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n_types FROM big GROUP BY lang),
+    model AS (
+      SELECT b.lang, b.s,
+             (greatest(b.n - {d}, 0.0) / h.c_v)
+             + ({d} * h.n1p_fwd / h.c_v) * (c.n1p_back / t.n_types) AS pkn
+      FROM big b
+      JOIN hist h ON h.lang = b.lang AND h.v = b.v
+      JOIN cont c ON c.lang = b.lang AND c.w = b.w
+      JOIN tot t ON t.lang = b.lang
+    ),
+    dnll AS (
+      SELECT e.doc_id, e.lang,
+             -sum(e.n * ln(m.pkn)) / sum(e.n) AS nll
+      FROM ev e JOIN model m ON m.lang = e.lang AND m.s = e.s
+      GROUP BY e.doc_id, e.lang
+    ),
+    b AS (
+      SELECT lang, nll,
+             ntile(3) OVER (PARTITION BY lang ORDER BY nll, doc_id) AS bucket
+      FROM dnll
+    )
+    SELECT lang,
+           CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {o_rnd('avg(nll)', 6)} AS avg_nll,
+           {o_rnd('avg(exp(nll))', 4)} AS avg_ppl
+    FROM b GROUP BY lang, bucket
+    """
+
+
+@query("q378_ccnet_buckets", oracle=_q378_oracle())
+def q378_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality split (Wenzek et al. 2020): score every
+    document's perplexity under ITS language's Kneser-Ney bigram LM
+    (q373's model tables) and cut each language into head / middle /
+    tail tertiles — the canonical LM-based curation stage (head =
+    fluent text kept for pretraining, tail = noisy candidates for
+    filtering), operating per-language so a hard language is not
+    globally punished.
+
+    Scale shape: the model tables are per-language hash groupBys;
+    per-doc scoring is ONE equi join of (doc, bigram, count) eval
+    rows against the (lang, bigram) model — bigram token streams
+    never cross a shuffle unsummarized.  The tertile ntile runs over
+    the per-DOC frame (corpus-size / ~500 rows); at extreme doc
+    counts the q375 globalrank two-pass swaps in for the per-lang
+    window unchanged."""
+    from ..operators.text import word_shingles
+
+    d = _Q373_D
+    docs = spread_small_scan(table(spark, sf_dir, "documents"))
+    bgd = docs.select(
+        "doc_id", "lang",
+        F.explode(word_shingles(tokens("text"), 2)).alias("s"),
+    )
+    ev = bgd.groupBy("doc_id", "lang", "s").agg(F.count("*").alias("n"))
+    big = ev.groupBy("lang", "s").agg(
+        F.sum("n").alias("n"),
+        F.first(F.split_part(F.col("s"), F.lit(" "), F.lit(1))).alias("v"),
+        F.first(F.split_part(F.col("s"), F.lit(" "), F.lit(2))).alias("w"),
+    )
+    hist = big.groupBy("lang", "v").agg(
+        F.sum("n").cast("double").alias("c_v"),
+        F.count("*").alias("n1p_fwd"),
+    )
+    cont = big.groupBy("lang", "w").agg(F.count("*").alias("n1p_back"))
+    tot = big.groupBy("lang").agg(
+        F.count("*").cast("double").alias("n_types_d")
+    )
+    model = (
+        big.join(hist, ["lang", "v"])
+        .join(cont, ["lang", "w"])
+        .join(tot, "lang")
+        .select(
+            "lang", "s",
+            (
+                F.greatest(F.col("n") - d, F.lit(0.0)) / F.col("c_v")
+                + (F.lit(d) * F.col("n1p_fwd") / F.col("c_v"))
+                * (F.col("n1p_back") / F.col("n_types_d"))
+            ).alias("pkn"),
+        )
+    )
+    dnll = (
+        ev.join(model, ["lang", "s"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            (-F.sum(F.col("n") * F.log("pkn")) / F.sum("n")).alias("nll")
+        )
+    )
+    b = dnll.select(
+        "lang", "nll",
+        F.ntile(3)
+        .over(W.partitionBy("lang").orderBy("nll", "doc_id"))
+        .alias("bucket"),
+    )
+    return b.groupBy(
+        "lang",
+        F.when(F.col("bucket") == 1, "head")
+        .when(F.col("bucket") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        prnd(F.avg("nll"), 6).alias("avg_nll"),
+        prnd(F.avg(F.exp("nll")), 4).alias("avg_ppl"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q379 Self-BLEU corpus-diversity audit
+# ---------------------------------------------------------------------------
+
+
+def _q379_oracle() -> str:
+    def grams(n: int) -> str:
+        if n == 1:
+            return "toks"
+        return f"""CASE WHEN len(toks) >= {n} THEN
+            list_transform(range(1, len(toks) - {n - 2}),
+                i -> array_to_string(list_slice(toks, i, i + {n - 1}), ' '))
+            ELSE CAST([] AS VARCHAR[]) END"""
+    ctes = []
+    for n in (1, 2):
+        ctes.append(f"""
+    g{n} AS (
+      SELECT doc_id, source, unnest({grams(n)}) AS g
+      FROM docs2
+    ),
+    d{n} AS (SELECT doc_id, any_value(source) AS source, g, count(*) AS c
+             FROM g{n} GROUP BY doc_id, g),
+    t{n} AS (SELECT g, sum(c) AS tc FROM d{n} GROUP BY g),
+    p{n} AS (
+      SELECT d.doc_id, any_value(d.source) AS source,
+             CAST(sum(least(d.c, t.tc - d.c)) AS DOUBLE)
+               / sum(d.c) AS p
+      FROM d{n} d JOIN t{n} t ON t.g = d.g
+      GROUP BY d.doc_id
+    )""")
+    return f"""
+    WITH docs2 AS (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents),
+    {", ".join(c.strip() for c in ctes)},
+    sb AS (
+      SELECT p1.doc_id, p1.source,
+             sqrt(p1.p * p2.p) AS self_bleu
+      FROM p1 JOIN p2 ON p2.doc_id = p1.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {o_rnd('avg(self_bleu)', 6)} AS avg_self_bleu,
+           {o_rnd('CAST(count(*) FILTER (WHERE self_bleu > 0.5) AS DOUBLE) / count(*)', 6)} AS high_overlap_rate
+    FROM sb GROUP BY source
+    """
+
+
+@query("q379_self_bleu", oracle=_q379_oracle())
+def q379_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-BLEU diversity audit (Zhu et al. 2018, texygen): each
+    document's clipped 1/2-gram precision against the REST of the
+    corpus (clip count = corpus count minus own count), geometric
+    mean of the two precisions — high Self-BLEU = the corpus repeats
+    itself (mode collapse in synthetic data, template farms in
+    crawls); the per-source average and >0.5 share feed the dataset
+    card next to q367's span coverage (which finds verbatim RUNS;
+    Self-BLEU also catches bag-level repetition with no long run).
+
+    Scale shape: pure count-table algebra — per-doc n-gram counts
+    (map-side explode + groupBy), corpus totals (second groupBy on
+    the gram), one equi join back on the gram key, and 'rest of
+    corpus' falls out algebraically as tc - c with NO per-pair work
+    (the leave-one-out law).  Nothing quadratic anywhere."""
+    from ..operators.text import word_shingles
+
+    docs = spread_small_scan(table(spark, sf_dir, "documents"))
+    base = docs.select("doc_id", "source", tokens("text").alias("toks"))
+    ps = []
+    for n in (1, 2):
+        grams = (
+            F.col("toks") if n == 1 else word_shingles(F.col("toks"), n)
+        )
+        d = (
+            base.select(
+                "doc_id", "source", F.explode(grams).alias("g")
+            )
+            .groupBy("doc_id", "g")
+            .agg(F.first("source").alias("source"), F.count("*").alias("c"))
+        )
+        t = d.groupBy("g").agg(F.sum("c").alias("tc"))
+        p = (
+            d.join(t, "g")
+            .groupBy("doc_id")
+            .agg(
+                F.first("source").alias("source"),
+                (
+                    F.sum(F.least(F.col("c"), F.col("tc") - F.col("c")))
+                    .cast("double")
+                    / F.sum("c")
+                ).alias(f"p{n}"),
+            )
+        )
+        ps.append(p)
+    sb = (
+        ps[0]
+        .join(ps[1].select("doc_id", "p2"), "doc_id")
+        .select(
+            "source", F.sqrt(F.col("p1") * F.col("p2")).alias("self_bleu")
+        )
+    )
+    return sb.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        prnd(F.avg("self_bleu"), 6).alias("avg_self_bleu"),
+        prnd(
+            F.count(F.when(F.col("self_bleu") > 0.5, 1)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("high_overlap_rate"),
+    )

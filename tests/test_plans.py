@@ -1134,3 +1134,22 @@ def test_q377_fd_binwidth_two_shuffles_no_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q377_fd_binwidth")
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_q378_ccnet_scoring_is_model_equi_join(spark, sf_dir):
+    """Per-doc perplexity scoring joins eval rows to the (lang,
+    bigram) model tables — equi joins only, no cartesian, no
+    row-Python; the tertile window is per-language on the doc frame."""
+    plan = _plan(spark, sf_dir, "q378_ccnet_buckets")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q379_self_bleu_leave_one_out_is_algebraic(spark, sf_dir):
+    """Self-BLEU must never compare doc pairs: the only joins are on
+    the n-gram key (count tables), so no join keyed on doc_id x
+    doc_id and nothing quadratic appears."""
+    plan = _plan(spark, sf_dir, "q379_self_bleu")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
