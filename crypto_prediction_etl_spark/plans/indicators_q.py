@@ -7735,3 +7735,126 @@ def q374_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
             prnd("h", 6).alias("word_entropy"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q381 Epps effect (cross-correlation vs sampling frequency)
+# ---------------------------------------------------------------------------
+
+_Q381_BINS = (1, 2, 5, 10)  # calendar-day bin widths
+_Q381_EPOCH = "DATE '1992-01-01'"
+
+
+def _q381_oracle() -> str:
+    blocks = []
+    for k in _Q381_BINS:
+        blocks.append(f"""
+      SELECT a.id AS id_a, b.id AS id_b, {k} AS k, a.r AS x, b.r AS y
+      FROM r{k} a JOIN r{k} b ON b.bin = a.bin AND a.id < b.id
+      WHERE a.r IS NOT NULL AND b.r IS NOT NULL""")
+    ctes = []
+    for k in _Q381_BINS:
+        ctes.append(f"""
+    b{k} AS (
+      SELECT id,
+             CAST(floor(datediff('day', {_Q381_EPOCH}, dt) / {k}) AS BIGINT) AS bin,
+             arg_max(close, dt) AS close
+      FROM candles GROUP BY 1, 2
+    ),
+    r{k} AS (
+      SELECT id, bin,
+             ln(close / lag(close) OVER (PARTITION BY id ORDER BY bin)) AS r
+      FROM b{k}
+    )""")
+    corr = ("(n * sxy - sx * sy) / "
+            "sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))")
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    {", ".join(c.strip() for c in ctes)},
+    pairs AS ({" UNION ALL ".join(blocks)}),
+    s AS (
+      SELECT id_a, id_b, k,
+             CAST(count(*) AS DOUBLE) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM pairs GROUP BY id_a, id_b, k
+    )
+    SELECT id_a, id_b, CAST(k AS INTEGER) AS k,
+           CAST(n AS BIGINT) AS n_obs,
+           {o_rnd(corr, 6)} AS xcorr
+    FROM s
+    """
+
+
+@query("q381_epps_effect", oracle=_q381_oracle())
+def q381_epps_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epps effect (1979): cross-asset return correlation measured on
+    1/2/5/10-day sampling grids — on real tick data correlation
+    DECAYS as the grid gets finer (asynchronous trading + noise), so
+    the correlation any portfolio/risk model (q115/q155/q324) uses
+    is a function of the grid, and this query is the diagnostic that
+    picks it.  Resampling is calendar-binned last-price (q80's
+    arg_max resample law) so the two legs of every pair are aligned
+    by construction.
+
+    Scale shape: per (id, bin) partial-agg resample, ONE lag window
+    per grid over the binned (already ~k-fold compressed) frame, and
+    the pair join is an equi join on the bin — at 5 ids it is tiny
+    and at a 5000-symbol universe it is the standard |pairs| x bins
+    correlation fan-out, still bin-keyed; correlation comes from the
+    six sufficient sums (no second pass)."""
+    c = candles(spark, sf_dir)
+    pair_frames = []
+    for k in _Q381_BINS:
+        b = (
+            c.select(
+                "id", "dt", "close",
+                F.floor(
+                    F.datediff(F.col("dt"), F.lit("1992-01-01").cast("date"))
+                    / k
+                ).alias("bin"),
+            )
+            .groupBy("id", "bin")
+            .agg(F.expr("max_by(close, dt)").alias("close"))
+        )
+        wb = W.partitionBy("id").orderBy("bin")
+        r = b.select(
+            "id", "bin",
+            F.log(F.col("close") / F.lag("close").over(wb)).alias("r"),
+        )
+        a = r.select(
+            F.col("id").alias("id_a"), "bin", F.col("r").alias("x")
+        )
+        bb = r.select(
+            F.col("id").alias("id_b"), "bin", F.col("r").alias("y")
+        )
+        pair_frames.append(
+            a.join(bb, "bin")
+            .filter(
+                (F.col("id_a") < F.col("id_b"))
+                & F.col("x").isNotNull()
+                & F.col("y").isNotNull()
+            )
+            .select("id_a", "id_b", F.lit(k).alias("k"), "x", "y")
+        )
+    pairs = pair_frames[0]
+    for f in pair_frames[1:]:
+        pairs = pairs.unionByName(f)
+    s = pairs.groupBy("id_a", "id_b", "k").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        "id_a", "id_b",
+        F.col("k").cast("int").alias("k"),
+        F.col("n").cast("long").alias("n_obs"),
+        prnd(corr, 6).alias("xcorr"),
+    )

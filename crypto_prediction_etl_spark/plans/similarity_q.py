@@ -2823,3 +2823,133 @@ def q372_label_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(qc).over(W.partitionBy(F.lit(1))), 6
         ).alias("q_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q380 hubness audit (k-occurrence skew of the kNN graph)
+# ---------------------------------------------------------------------------
+
+_Q380_TOP = 10
+
+
+def _q380_oracle() -> str:
+    return f"""
+    WITH {_VECS_CTE},
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             {o_rnd(_COS, 6)} AS cos_sim
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored
+    ),
+    knn AS (SELECT query_id, vec_id FROM ranked WHERE rank <= {_Q143_K}),
+    occ AS (
+      SELECT e.vec_id, e.label, coalesce(k.nk, 0) AS nk
+      FROM (SELECT vec_id, label FROM embeddings) e
+      LEFT JOIN (SELECT vec_id, count(*) AS nk FROM knn GROUP BY vec_id) k
+        USING (vec_id)
+    ),
+    mom AS (
+      SELECT avg(CAST(nk AS DOUBLE)) AS mu,
+             avg(CAST(nk AS DOUBLE) * nk) AS m2r,
+             avg(CAST(nk AS DOUBLE) * nk * nk) AS m3r,
+             max(nk) AS mx,
+             count(*) FILTER (WHERE nk = 0) AS n_antihubs
+      FROM occ
+    ),
+    stats AS (
+      SELECT mu, mx, n_antihubs,
+             m2r - mu * mu AS v,
+             m3r - 3 * mu * m2r + 2 * mu * mu * mu AS m3
+      FROM mom
+    ),
+    top AS (
+      SELECT vec_id, label, nk,
+             row_number() OVER (ORDER BY nk DESC, vec_id) AS rk
+      FROM occ
+    )
+    SELECT CAST(t.rk AS INTEGER) AS rk,
+           CAST(t.vec_id AS BIGINT) AS vec_id,
+           CAST(t.label AS INTEGER) AS label,
+           CAST(t.nk AS BIGINT) AS n_k,
+           {o_rnd('s.mu', 6)} AS mean_nk,
+           {o_rnd('s.m3 / pow(s.v, 1.5)', 4)} AS nk_skewness,
+           CAST(s.mx AS BIGINT) AS max_nk,
+           CAST(s.n_antihubs AS BIGINT) AS n_antihubs
+    FROM top t CROSS JOIN stats s
+    WHERE t.rk <= {_Q380_TOP}
+    """
+
+
+@query("q380_hubness_audit", oracle=_q380_oracle())
+def q380_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit of the kNN graph (Radovanovic et al. 2010): the
+    k-occurrence N_k(x) = how many vectors count x among their top-10
+    — in high dimensions N_k grows heavy-tailed (hubs dominate every
+    neighbor list, anti-hubs vanish), which silently corrupts kNN
+    label votes (q53) and ANN recall targets (q215).  Reports the
+    N_k skewness (the standard hubness statistic), max, anti-hub
+    count, and the top-10 hubs with labels.
+
+    Scale shape: reuses q50's broadcast-BLAS top-k kernel for the
+    edge list (k*N rows), then ONE groupBy on the neighbor id + a
+    left join from the id table (anti-hubs must count as zeros);
+    moments are a scalar fold broadcast back (q355 law).  The top-10
+    window is a partial top-k at scale (q18 law)."""
+    vecs = _vecs(spark, sf_dir)
+    knn = cosine_topk(vecs, _vecs(spark, sf_dir), k=_Q143_K)
+    ids = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    occ = (
+        ids.join(
+            knn.groupBy("vec_id").agg(F.count("*").alias("nk")),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id", "label",
+            F.coalesce("nk", F.lit(0)).cast("long").alias("nk"),
+        )
+    )
+    nkd = F.col("nk").cast("double")
+    mom = occ.agg(
+        F.avg(nkd).alias("mu"),
+        F.avg(nkd * nkd).alias("m2r"),
+        F.avg(nkd * nkd * nkd).alias("m3r"),
+        F.max("nk").alias("mx"),
+        F.count(F.when(F.col("nk") == 0, 1)).alias("n_antihubs"),
+    )
+    stats = mom.select(
+        "mu", "mx", "n_antihubs",
+        (F.col("m2r") - F.col("mu") * F.col("mu")).alias("v"),
+        (
+            F.col("m3r")
+            - 3 * F.col("mu") * F.col("m2r")
+            + 2 * F.col("mu") * F.col("mu") * F.col("mu")
+        ).alias("m3"),
+    )
+    # TakeOrdered (distributed partial top-k), then rank the 10-row
+    # result — never a global window over the full id frame
+    top = (
+        occ.orderBy(F.col("nk").desc(), "vec_id")
+        .limit(_Q380_TOP)
+        .select(
+            "vec_id", "label", "nk",
+            F.row_number()
+            .over(W.orderBy(F.col("nk").desc(), "vec_id"))
+            .alias("rk"),
+        )
+    )
+    return top.crossJoin(F.broadcast(stats)).select(
+        F.col("rk").cast("int").alias("rk"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("label").cast("int").alias("label"),
+        F.col("nk").cast("long").alias("n_k"),
+        prnd("mu", 6).alias("mean_nk"),
+        prnd(F.col("m3") / F.pow("v", F.lit(1.5)), 4).alias("nk_skewness"),
+        F.col("mx").cast("long").alias("max_nk"),
+        F.col("n_antihubs").cast("long").alias("n_antihubs"),
+    )

