@@ -6300,3 +6300,203 @@ def q377_fd_binwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_bins"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q383 IPS / SNIPS off-policy evaluation
+# ---------------------------------------------------------------------------
+
+# target policy: even-hash users get 'purchase', odd-hash get 'click'
+_Q383_ARMS = ("purchase", "click")
+_Q383_WCAP = 20.0  # importance-weight clip
+
+
+def _q383_oracle() -> str:
+    from ..functions.portable import o_hash64
+
+    h_u = o_hash64("user_id")
+    h_ua = o_hash64("CAST(user_id AS VARCHAR) || ':' || event_type")
+    pi_a = (f"CASE WHEN ({h_u}) % 2 = 0 THEN '{_Q383_ARMS[0]}' "
+            f"ELSE '{_Q383_ARMS[1]}' END")
+    p_log = f"(0.1 + 0.8 * (({h_ua}) % 1000) / 999.0)"
+    w = f"least({_Q383_WCAP}, 1.0 / {p_log})"
+    return f"""
+    WITH logged AS (
+      SELECT event_type, value,
+             {pi_a} AS pi_action,
+             CASE WHEN event_type = {pi_a} THEN {w} ELSE 0.0 END AS w
+      FROM events
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_logged,
+           CAST(count(*) FILTER (WHERE w > 0) AS BIGINT) AS n_matched,
+           {o_rnd('avg(value)', 4)} AS logging_value,
+           {o_rnd('sum(w * value) / count(*)', 4)} AS ips_value,
+           {o_rnd('sum(w * value) / sum(w)', 4)} AS snips_value,
+           {o_rnd('sum(w) / count(*)', 6)} AS mean_weight
+    FROM logged
+    """
+
+
+@query("q383_ips_offpolicy", oracle=_q383_oracle())
+def q383_ips_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation of a deterministic target policy from
+    logged bandit feedback: IPS (inverse-propensity-scored) and
+    SNIPS (self-normalized) value estimates with a weight clip —
+    how a recsys/ranking team scores a candidate policy on logs
+    BEFORE an online test (the q168/q375 experiment family's
+    offline sibling).  Logged propensities are a deterministic
+    hash-derived column (in production they are logged with the
+    event); the target policy is a user-hash rule, so both engines
+    replay the identical counterfactual.  SNIPS trades IPS's
+    unbiasedness for variance control; mean_weight near 1 is the
+    standard sanity diagnostic.
+
+    Scale shape: one map-side projection (hashes, the match
+    indicator, the clipped weight) and ONE scalar aggregate — no
+    shuffle beyond the final fold; the hash budget is one md5 per
+    row plus one per (row, action) string concat (q315's hash-budget
+    law)."""
+    from ..functions.portable import hash64
+
+    ev = table(spark, sf_dir, "events")
+    h_u = hash64(F.col("user_id"))
+    h_ua = hash64(
+        F.concat(
+            F.col("user_id").cast("string"), F.lit(":"), F.col("event_type")
+        )
+    )
+    pi_a = F.when(h_u % 2 == 0, _Q383_ARMS[0]).otherwise(_Q383_ARMS[1])
+    p_log = F.lit(0.1) + F.lit(0.8) * (h_ua % 1000) / 999.0
+    w = F.when(
+        F.col("event_type") == pi_a,
+        F.least(F.lit(_Q383_WCAP), 1.0 / p_log),
+    ).otherwise(F.lit(0.0))
+    logged = ev.select(F.col("value"), w.alias("w"))
+    return logged.agg(
+        F.count("*").cast("long").alias("n_logged"),
+        F.count(F.when(F.col("w") > 0, 1)).cast("long").alias("n_matched"),
+        prnd(F.avg("value"), 4).alias("logging_value"),
+        prnd(F.sum(F.col("w") * F.col("value")) / F.count("*"), 4).alias(
+            "ips_value"
+        ),
+        prnd(F.sum(F.col("w") * F.col("value")) / F.sum("w"), 4).alias(
+            "snips_value"
+        ),
+        prnd(F.sum("w") / F.count("*"), 6).alias("mean_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q384 split-conformal prediction coverage
+# ---------------------------------------------------------------------------
+
+_Q384_ALPHA = 0.1  # target 90% coverage
+
+
+def _q384_oracle() -> str:
+    from ..functions.portable import o_hash64
+
+    b = f"({o_hash64('user_id')}) % 10"
+    return f"""
+    WITH sp AS (SELECT event_type, value, event_id, {b} AS b FROM events),
+    pred AS (
+      SELECT event_type, avg(value) AS yhat
+      FROM sp WHERE b < 6 GROUP BY event_type
+    ),
+    cal AS (
+      SELECT abs(sp.value - p.yhat) AS s
+      FROM sp JOIN pred p USING (event_type) WHERE sp.b IN (6, 7)
+    ),
+    calr AS (
+      SELECT s,
+             row_number() OVER (ORDER BY s) AS rn,
+             count(*) OVER () AS n
+      FROM cal
+    ),
+    qh AS (
+      SELECT max(CASE WHEN rn <= least(n, CAST(ceil((n + 1) * {1 - _Q384_ALPHA}) AS BIGINT))
+                 THEN s END) AS qhat,
+             max(n) AS n_cal
+      FROM calr
+    ),
+    test AS (
+      SELECT sp.event_type,
+             abs(sp.value - p.yhat) AS s
+      FROM sp JOIN pred p USING (event_type) WHERE sp.b >= 8
+    )
+    SELECT t.event_type,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(q.n_cal AS BIGINT) AS n_cal,
+           {o_rnd('max(q.qhat)', 4)} AS q_hat,
+           {o_rnd('CAST(count(*) FILTER (WHERE t.s <= q.qhat) AS DOUBLE) / count(*)', 6)} AS coverage
+    FROM test t CROSS JOIN qh q
+    GROUP BY t.event_type, q.n_cal
+    """
+
+
+@query("q384_conformal_coverage", oracle=_q384_oracle())
+def q384_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction audit (Vovk; Lei et al.): train a
+    per-type mean predictor on the 60% hash split, take the
+    finite-sample-corrected ceil((n+1)(1-alpha)) order statistic of
+    calibration nonconformity |y - yhat| as the interval radius
+    q_hat, and measure empirical test coverage per event type —
+    distribution-free ~90% intervals, the modern uncertainty wrapper
+    for any point model and the per-type breakdown shows where
+    exchangeability breaks (types with coverage far from 90% have
+    shifted residuals).
+
+    Scale shape: the predictor and splits are hash groupBys/joins;
+    q_hat is max-of-k-smallest, executed as a distributed
+    TakeOrdered of the calibration scores (k from one scalar count
+    collect — the q210 driver-scalar allowance) broadcast back; the
+    test pass is one partial agg.  No global window over raw rows
+    anywhere."""
+    import math as _math
+
+    from ..functions.portable import hash64
+
+    ev = table(spark, sf_dir, "events")
+    sp = ev.select(
+        "event_type", "value", (hash64("user_id") % 10).alias("b")
+    )
+    pred = (
+        sp.filter(F.col("b") < 6)
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("yhat"))
+    )
+    cal = (
+        sp.filter(F.col("b").isin(6, 7))
+        .join(pred, "event_type")
+        .select(F.abs(F.col("value") - F.col("yhat")).alias("s"))
+    )
+    n_cal = cal.count()
+    k = min(n_cal, int(_math.ceil((n_cal + 1) * (1 - _Q384_ALPHA))))
+    qh = (
+        cal.orderBy("s")
+        .limit(k)
+        .agg(F.max("s").alias("qhat"))
+        .withColumn("n_cal", F.lit(n_cal).cast("long"))
+    )
+    test = (
+        sp.filter(F.col("b") >= 8)
+        .join(pred, "event_type")
+        .select(
+            "event_type", F.abs(F.col("value") - F.col("yhat")).alias("s")
+        )
+    )
+    return (
+        test.crossJoin(F.broadcast(qh))
+        .groupBy("event_type", "n_cal")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            prnd(F.max("qhat"), 4).alias("q_hat"),
+            prnd(
+                F.count(F.when(F.col("s") <= F.col("qhat"), 1))
+                .cast("double")
+                / F.count("*"),
+                6,
+            ).alias("coverage"),
+        )
+        .select("event_type", "n_test", "n_cal", "q_hat", "coverage")
+    )

@@ -3530,3 +3530,124 @@ def q379_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("high_overlap_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q382 log-odds keyness with informative Dirichlet prior
+# ---------------------------------------------------------------------------
+
+_Q382_ALPHA0 = 500.0   # prior mass (Monroe et al.'s a0)
+_Q382_TOP = 5
+_Q382_MIN_COUNT = 5    # ignore ultra-rare words
+
+
+def _q382_oracle() -> str:
+    a0 = _Q382_ALPHA0
+    num = "(c_sw + a_w)"
+    den = "(n_s + {a0} - c_sw - a_w)".format(a0=a0)
+    numr = "(c_w - c_sw + a_w)"
+    denr = "(n_tot - n_s + {a0} - (c_w - c_sw) - a_w)".format(a0=a0)
+    delta = f"ln(CAST({num} AS DOUBLE) / {den}) - ln(CAST({numr} AS DOUBLE) / {denr})"
+    z = f"({delta}) / sqrt(1.0 / {num} + 1.0 / {numr})"
+    return f"""
+    WITH tok AS (
+      SELECT source, unnest({_TOKS_SQL}) AS w FROM documents
+    ),
+    cw AS (SELECT w, count(*) AS c_w FROM tok GROUP BY w
+           HAVING count(*) >= {_Q382_MIN_COUNT}),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_tot FROM tok),
+    ns AS (SELECT source, CAST(count(*) AS DOUBLE) AS n_s FROM tok GROUP BY source),
+    csw AS (
+      SELECT t.source, t.w, count(*) AS c_sw
+      FROM tok t JOIN cw ON cw.w = t.w
+      GROUP BY t.source, t.w
+    ),
+    scored AS (
+      SELECT c.source, c.w, c.c_sw, cw.c_w, ns.n_s, tot.n_tot,
+             {a0} * cw.c_w / tot.n_tot AS a_w
+      FROM csw c
+      JOIN cw ON cw.w = c.w
+      JOIN ns ON ns.source = c.source
+      CROSS JOIN tot
+    ),
+    zs AS (
+      SELECT source, w, c_sw, {o_rnd(z, 4)} AS z
+      FROM scored
+    ),
+    ranked AS (
+      SELECT source, w, c_sw, z,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY z DESC, w) AS rk
+      FROM zs
+    )
+    SELECT source, w AS keyword,
+           CAST(c_sw AS BIGINT) AS count_in_source,
+           z AS keyness_z,
+           CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= {_Q382_TOP}
+    """
+
+
+@query("q382_log_odds_keyness", oracle=_q382_oracle())
+def q382_log_odds_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyness via weighted log-odds with an informative Dirichlet
+    prior (Monroe, Colaresi & Quinn 2008 'Fightin' Words'): for each
+    source, the words most distinctive vs the REST of the corpus,
+    scored by the prior-shrunk log-odds-ratio z — the principled
+    replacement for raw TF-IDF keyword lists (q201) that neither
+    over-rewards rare words (prior shrinkage) nor common ones
+    (rest-of-corpus odds).  Rest-of-corpus counts fall out
+    algebraically as c_w - c_sw (q379's leave-one-out law); the
+    corpus-frequency prior a_w = a0 * c_w / N needs no fitting.
+
+    Scale shape: two word-keyed groupBys (per-source and corpus),
+    one equi join back on the word, broadcast scalar totals, then a
+    per-source top-5 over the ROUNDED z (rounding before ranking
+    pins the cross-engine order) — at 100 TB the rank is a per-source
+    partial top-k."""
+    docs = spread_small_scan(table(spark, sf_dir, "documents"))
+    tok = docs.select("source", F.explode(tokens("text")).alias("w"))
+    cw = (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("c_w"))
+        .filter(F.col("c_w") >= _Q382_MIN_COUNT)
+    )
+    tot = tok.agg(F.count("*").cast("double").alias("n_tot"))
+    ns = tok.groupBy("source").agg(
+        F.count("*").cast("double").alias("n_s")
+    )
+    csw = (
+        tok.join(F.broadcast(cw.select("w")), "w")
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c_sw"))
+    )
+    a0 = _Q382_ALPHA0
+    scored = (
+        csw.join(cw, "w")
+        .join(ns, "source")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("a_w", F.lit(a0) * F.col("c_w") / F.col("n_tot"))
+    )
+    num = F.col("c_sw") + F.col("a_w")
+    den = F.col("n_s") + a0 - F.col("c_sw") - F.col("a_w")
+    numr = F.col("c_w") - F.col("c_sw") + F.col("a_w")
+    denr = (
+        F.col("n_tot") - F.col("n_s") + a0
+        - (F.col("c_w") - F.col("c_sw")) - F.col("a_w")
+    )
+    delta = F.log(num.cast("double") / den) - F.log(numr.cast("double") / denr)
+    z = delta / F.sqrt(1.0 / num + 1.0 / numr)
+    zs = scored.select("source", "w", "c_sw", prnd(z, 4).alias("z"))
+    ranked = zs.select(
+        "source", "w", "c_sw", "z",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy(F.col("z").desc(), "w"))
+        .alias("rk"),
+    )
+    return ranked.filter(F.col("rk") <= _Q382_TOP).select(
+        "source",
+        F.col("w").alias("keyword"),
+        F.col("c_sw").cast("long").alias("count_in_source"),
+        F.col("z").alias("keyness_z"),
+        F.col("rk").cast("int").alias("rk"),
+    )

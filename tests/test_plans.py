@@ -1167,3 +1167,25 @@ def test_q381_epps_pair_join_is_bin_keyed(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q381_epps_effect")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q382_keyness_joins_word_keyed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q382_log_odds_keyness")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q383_ips_is_map_plus_scalar_fold(spark, sf_dir):
+    """IPS/SNIPS is a projection plus ONE aggregate — no join, no
+    window, no shuffle beyond the final fold."""
+    plan = _plan(spark, sf_dir, "q383_ips_offpolicy")
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_q384_conformal_quantile_is_take_ordered(spark, sf_dir):
+    """q_hat = max of k smallest must plan as TakeOrdered, never a
+    global rank window over the calibration rows."""
+    plan = _plan(spark, sf_dir, "q384_conformal_coverage")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
