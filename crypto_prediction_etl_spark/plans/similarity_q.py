@@ -2953,3 +2953,122 @@ def q380_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mx").cast("long").alias("max_nk"),
         F.col("n_antihubs").cast("long").alias("n_antihubs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q386 embedding-space drift between splits (sign-LSH histogram JS)
+# ---------------------------------------------------------------------------
+
+_Q386_BITS = 6   # 64 buckets
+_Q386_DIM = 64
+
+
+def _q386_plane(b: int, d: int) -> int:
+    """Deterministic +-1 hyperplane weights shared by both engines."""
+    return 1 if ((b * 37 + d * 13) % 5) < 2 else -1
+
+
+def _q386_oracle() -> str:
+    bits = []
+    for b in range(_Q386_BITS):
+        dot = " + ".join(
+            f"({_q386_plane(b, d)}) * v[{d + 1}]" for d in range(_Q386_DIM)
+        )
+        bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << b} ELSE 0 END)")
+    bucket = " + ".join(bits)
+    kl = (
+        "CASE WHEN {p} > 0 THEN {p} * ln({p} / (({p} + {q}) / 2.0)) "
+        "ELSE 0.0 END"
+    )
+    return f"""
+    WITH {_VECS_CTE},
+    coded AS (
+      SELECT vec_id % 2 AS grp, {bucket} AS bucket FROM e
+    ),
+    h AS (
+      SELECT bucket,
+             count(*) FILTER (WHERE grp = 0) AS ca,
+             count(*) FILTER (WHERE grp = 1) AS cb
+      FROM coded GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(sum(ca) AS DOUBLE) AS na, CAST(sum(cb) AS DOUBLE) AS nb
+      FROM h
+    ),
+    p AS (
+      SELECT h.bucket, h.ca / t.na AS pa, h.cb / t.nb AS pb,
+             t.na AS na, t.nb AS nb
+      FROM h CROSS JOIN tot t
+    )
+    SELECT CAST(max(na) AS BIGINT) AS n_a,
+           CAST(max(nb) AS BIGINT) AS n_b,
+           CAST(count(*) AS BIGINT) AS buckets_used,
+           {o_rnd("0.5 * sum(" + kl.format(p='pa', q='pb') + ") + 0.5 * sum(" + kl.format(p='pb', q='pa') + ")", 6)} AS js_divergence,
+           {o_rnd('max(abs(pa - pb))', 6)} AS max_bucket_gap
+    FROM p
+    """
+
+
+@query("q386_embedding_drift", oracle=_q386_oracle())
+def q386_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between two halves of the corpus:
+    quantize every vector to a 6-bit sign-LSH bucket (pinned +-1
+    hyperplanes — the q52 code family with literal planes) and
+    measure Jensen-Shannon divergence between the two splits' bucket
+    histograms — a MAUVE-style distributional comparison that sees
+    GEOMETRIC drift (a new embedding model, a new content cluster)
+    which per-dimension stats (q170) and scalar-feature JS (q316)
+    miss.  JS is symmetric and bounded by ln 2, so the number is
+    comparable across runs; max_bucket_gap points at WHERE the space
+    moved.
+
+    Scale shape: the 64-dim dot products are codegen'd arithmetic in
+    the scan (no UDF, no join); one 64-bucket groupBy with filtered
+    counts and a broadcast scalar fold — a single shuffle of 64
+    running pairs regardless of corpus size."""
+    vecs = _vecs(spark, sf_dir)
+    bucket = F.lit(0)
+    for b in range(_Q386_BITS):
+        dot = None
+        for d in range(_Q386_DIM):
+            term = F.lit(float(_q386_plane(b, d))) * F.element_at(
+                "v", d + 1
+            )
+            dot = term if dot is None else dot + term
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << b)).otherwise(0)
+    coded = vecs.select(
+        (F.col("vec_id") % 2).alias("grp"), bucket.alias("bucket")
+    )
+    h = coded.groupBy("bucket").agg(
+        F.count(F.when(F.col("grp") == 0, 1)).alias("ca"),
+        F.count(F.when(F.col("grp") == 1, 1)).alias("cb"),
+    )
+    tot = h.agg(
+        F.sum("ca").cast("double").alias("na"),
+        F.sum("cb").cast("double").alias("nb"),
+    )
+    p = h.crossJoin(F.broadcast(tot)).select(
+        (F.col("ca") / F.col("na")).alias("pa"),
+        (F.col("cb") / F.col("nb")).alias("pb"),
+        "na", "nb",
+    )
+
+    def kl(pc, qc):
+        m = (F.col(pc) + F.col(qc)) / 2.0
+        return F.when(
+            F.col(pc) > 0, F.col(pc) * F.log(F.col(pc) / m)
+        ).otherwise(0.0)
+
+    return p.agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        F.count("*").cast("long").alias("buckets_used"),
+        prnd(
+            F.lit(0.5) * F.sum(kl("pa", "pb"))
+            + F.lit(0.5) * F.sum(kl("pb", "pa")),
+            6,
+        ).alias("js_divergence"),
+        prnd(F.max(F.abs(F.col("pa") - F.col("pb"))), 6).alias(
+            "max_bucket_gap"
+        ),
+    )

@@ -419,3 +419,129 @@ def q117_book_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd((F.col("best_bid") + F.col("best_ask")) / 2.0, 2).alias("mid"),
         (F.col("best_ask") - F.col("best_bid")).alias("spread"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q385 book-walk execution cost curve (slippage vs order size)
+# ---------------------------------------------------------------------------
+
+_Q385_OFFSETS = (0, 2, 5, 9, 14)   # ask-level price offsets, cents
+_Q385_SIZES = (5, 15, 30)          # target order sizes, units
+
+
+def _q385_oracle() -> str:
+    # per-level integer price/size expressions (same synthetic book
+    # family as q65's wire format)
+    prices = [f"(p1 + {o})" for o in _Q385_OFFSETS]
+    sizes = [
+        f"((event_id + {lvl * 13}) % 9 + 1)"
+        for lvl in range(1, len(_Q385_OFFSETS) + 1)
+    ]
+    blocks = []
+    for s_tgt in _Q385_SIZES:
+        filled, cost, cum = [], [], "0"
+        for lvl in range(len(_Q385_OFFSETS)):
+            f = f"greatest(0, least({sizes[lvl]}, {s_tgt} - ({cum})))"
+            filled.append(f)
+            cost.append(f"({f}) * {prices[lvl]}")
+            cum = f"{cum} + {sizes[lvl]}"
+        tot_f = " + ".join(f"({f})" for f in filled)
+        tot_c = " + ".join(cost)
+        blocks.append(f"""
+      SELECT event_type, {s_tgt} AS s,
+             CAST({tot_f} AS DOUBLE) AS filled,
+             CAST({tot_c} AS DOUBLE) AS cost,
+             CAST(p1 AS DOUBLE) AS best
+      FROM src""")
+    return f"""
+    WITH src AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS p1
+      FROM events WHERE event_id % 7 = 0
+    ),
+    walks AS ({" UNION ALL ".join(blocks)})
+    SELECT event_type, CAST(s AS INTEGER) AS order_size,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {o_rnd('avg((cost / filled - best) / best * 10000.0)', 4)} AS avg_slippage_bps,
+           {o_rnd('avg(filled / s)', 6)} AS avg_fill_rate,
+           {o_rnd('CAST(count(*) FILTER (WHERE filled >= s) AS DOUBLE) / count(*)', 6)} AS full_fill_share
+    FROM walks GROUP BY event_type, s
+    """
+
+
+@query("q385_book_walk", oracle=_q385_oracle())
+def q385_book_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execution-cost curve by walking the ask ladder: for target
+    sizes 5/15/30 units, fill level by level (partial fill at the
+    marginal level), and report average slippage vs best ask in bps,
+    fill rate, and the full-fill share per instrument — the
+    liquidity/impact curve an execution desk derives from the book
+    q65 parses and q117 summarizes (slippage growing superlinearly
+    in size = thin book).  Book levels use the q65 synthetic wire
+    family: integer cents and unit sizes, so the whole walk is exact
+    integer arithmetic in both engines until the final division.
+
+    Scale shape: the 5-level walk unrolls to a CLOSED-FORM chain of
+    greatest/least expressions per row — no explode, no per-event
+    window, no shuffle at all until the final (type, size) partial
+    agg; cost is O(levels * sizes) codegen'd ops per row.  A deeper
+    book swaps in F.aggregate over the ladder array, still
+    map-side."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    p1 = F.floor(F.col("value") * 100).cast("long")
+    prices = [p1 + o for o in _Q385_OFFSETS]
+    sizes = [
+        (F.col("event_id") + lvl * 13) % 9 + 1
+        for lvl in range(1, len(_Q385_OFFSETS) + 1)
+    ]
+    structs = []
+    for s_tgt in _Q385_SIZES:
+        cum = F.lit(0).cast("long")
+        filled_terms, cost_terms = [], []
+        for lvl in range(len(_Q385_OFFSETS)):
+            f = F.greatest(
+                F.lit(0).cast("long"),
+                F.least(
+                    sizes[lvl].cast("long"), (F.lit(s_tgt) - cum).cast("long")
+                ),
+            )
+            filled_terms.append(f)
+            cost_terms.append(f * prices[lvl])
+            cum = cum + sizes[lvl].cast("long")
+        tot_f = filled_terms[0]
+        for t in filled_terms[1:]:
+            tot_f = tot_f + t
+        tot_c = cost_terms[0]
+        for t in cost_terms[1:]:
+            tot_c = tot_c + t
+        structs.append(
+            F.struct(
+                F.lit(s_tgt).alias("s"),
+                tot_f.cast("double").alias("filled"),
+                tot_c.cast("double").alias("cost"),
+            )
+        )
+    walks = ev.select(
+        "event_type",
+        p1.cast("double").alias("best"),
+        F.explode(F.array(*structs)).alias("x"),
+    ).select("event_type", "best", "x.*")
+    return walks.groupBy(
+        "event_type", F.col("s").cast("int").alias("order_size")
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        prnd(
+            F.avg(
+                (F.col("cost") / F.col("filled") - F.col("best"))
+                / F.col("best")
+                * 10000.0
+            ),
+            4,
+        ).alias("avg_slippage_bps"),
+        prnd(F.avg(F.col("filled") / F.col("s")), 6).alias("avg_fill_rate"),
+        prnd(
+            F.count(F.when(F.col("filled") >= F.col("s"), 1)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("full_fill_share"),
+    )

@@ -1189,3 +1189,21 @@ def test_q384_conformal_quantile_is_take_ordered(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q384_conformal_coverage")
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_q385_book_walk_is_map_side_closed_form(spark, sf_dir):
+    """The ladder walk is closed-form expressions + one explode of a
+    3-element literal array: no join, no window, single agg shuffle."""
+    plan = _plan(spark, sf_dir, "q385_book_walk")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_q386_embedding_drift_single_bucket_shuffle(spark, sf_dir):
+    """Sign-LSH coding is codegen'd scan arithmetic; only the
+    64-bucket histogram crosses a shuffle."""
+    plan = _plan(spark, sf_dir, "q386_embedding_drift")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Window" not in plan
