@@ -6500,3 +6500,64 @@ def q384_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n_test", "n_cal", "q_hat", "coverage")
     )
+
+
+# ---------------------------------------------------------------------------
+# q387 Epanechnikov KDE at pinned grid points
+# ---------------------------------------------------------------------------
+
+_Q387_GRID = tuple(12.5 * i for i in range(9))  # 0, 12.5, ..., 100
+_Q387_H = 8.0                                   # pinned bandwidth
+
+
+def _q387_oracle() -> str:
+    h = _Q387_H
+    rows = []
+    for g in _Q387_GRID:
+        u = f"((value - {g}) / {h})"
+        k = f"CASE WHEN abs({u}) < 1 THEN 0.75 * (1 - {u} * {u}) ELSE 0.0 END"
+        rows.append(f"""
+      SELECT event_type, {g} AS grid_x,
+             count(*) AS n,
+             sum({k}) / (count(*) * {h}) AS dens
+      FROM events GROUP BY event_type""")
+    return f"""
+    WITH d AS ({" UNION ALL ".join(rows)})
+    SELECT event_type, grid_x,
+           CAST(n AS BIGINT) AS n_obs,
+           {o_rnd('dens', 6)} AS density
+    FROM d
+    """
+
+
+@query("q387_kde", oracle=_q387_oracle())
+def q387_kde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel density estimate of the value distribution per event
+    type at 9 pinned grid points, Epanechnikov kernel with pinned
+    bandwidth h = 8 — the smooth replacement for q169's histogram
+    when the shape (modes, shoulders) matters; the Epanechnikov
+    kernel is the MSE-optimal one AND pure polynomial arithmetic, so
+    both engines evaluate bit-comparable contributions (no exp/libm
+    in the kernel at all, unlike a Gaussian).
+
+    Scale shape: each row contributes to 9 grid cells via a map-side
+    explode of codegen'd kernel expressions; ONE partial-agg groupBy
+    on (type, grid) carries 9 running sums per type — density at any
+    grid resolution is one shuffle of grid-sized partials, the same
+    outer-product-aggregate law as q303/q368."""
+    ev = table(spark, sf_dir, "events")
+    h = _Q387_H
+    structs = []
+    for g in _Q387_GRID:
+        u = (F.col("value") - g) / h
+        k = F.when(F.abs(u) < 1, F.lit(0.75) * (1 - u * u)).otherwise(0.0)
+        structs.append(
+            F.struct(F.lit(g).alias("grid_x"), k.alias("k"))
+        )
+    d = ev.select(
+        "event_type", F.explode(F.array(*structs)).alias("x")
+    ).select("event_type", "x.*")
+    return d.groupBy("event_type", "grid_x").agg(
+        F.count("*").cast("long").alias("n_obs"),
+        prnd(F.sum("k") / (F.count("*") * h), 6).alias("density"),
+    )

@@ -2842,3 +2842,116 @@ def q371_bloom_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.cast("int").alias("n_hashes"),
         F.ceil(m / 8192.0).cast("long").alias("kib"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q388 Theil index decomposition (between / within regions)
+# ---------------------------------------------------------------------------
+
+
+def _q388_oracle() -> str:
+    return f"""
+    WITH cust AS (
+      SELECT n.n_regionkey AS region, c.c_custkey AS custkey,
+             sum(o.o_totalprice) AS rev
+      FROM customer c
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    regagg AS (
+      SELECT region, CAST(count(*) AS DOUBLE) AS n_r, sum(rev) AS y_r
+      FROM cust GROUP BY region
+    ),
+    tot AS (SELECT sum(n_r) AS n, sum(y_r) AS y FROM regagg),
+    tr AS (
+      SELECT c.region,
+             sum((c.rev / r.y_r) * ln((c.rev / r.y_r) * r.n_r)) AS t_r
+      FROM cust c JOIN regagg r USING (region) GROUP BY c.region
+    ),
+    per AS (
+      SELECT r.region, r.n_r, r.y_r, t.n, t.y, tr.t_r
+      FROM regagg r JOIN tr USING (region) CROSS JOIN tot t
+    ),
+    sc AS (
+      SELECT sum((y_r / y) * ln((y_r / y) * (n / n_r))) AS t_between,
+             sum((y_r / y) * t_r) AS t_within
+      FROM per
+    )
+    SELECT CAST(p.region AS INTEGER) AS region,
+           CAST(p.n_r AS BIGINT) AS n_cust,
+           {o_rnd('p.y_r / p.y', 6)} AS rev_share,
+           {o_rnd('p.t_r', 6)} AS theil_within_region,
+           {o_rnd('(p.y_r / p.y) * p.t_r', 6)} AS contribution,
+           {o_rnd('s.t_between', 6)} AS t_between,
+           {o_rnd('s.t_within', 6)} AS t_within,
+           {o_rnd('s.t_between + s.t_within', 6)} AS t_total
+    FROM per p CROSS JOIN sc s
+    """
+
+
+@query("q388_theil_decomposition", oracle=_q388_oracle())
+def q388_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality decomposition of customer revenue by
+    region: T_total = T_between + T_within EXACTLY (the property
+    Gini lacks — q192 can rank inequality but cannot attribute it).
+    T_r = sum s_i ln(s_i N_r) within each region; the between term
+    compares region revenue shares to population shares — the
+    'where does concentration live' question for account planning
+    and fairness audits.
+
+    Scale shape: per-customer revenue is one groupBy; region masses
+    another; within-region entropy needs only an equi join of
+    customer rows to region masses (no window); the decomposition
+    identity itself is the built-in correctness check (asserted in
+    the invariants test).  Everything crossing shuffles is keyed or
+    scalar-broadcast."""
+    cust = (
+        table(spark, sf_dir, "customer")
+        .join(
+            table(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            table(spark, sf_dir, "orders"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("n_regionkey").alias("region"),
+            F.col("c_custkey").alias("custkey"),
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    regagg = cust.groupBy("region").agg(
+        F.count("*").cast("double").alias("n_r"),
+        F.sum("rev").alias("y_r"),
+    )
+    tot = regagg.agg(
+        F.sum("n_r").alias("n"), F.sum("y_r").alias("y")
+    )
+    s_i = F.col("rev") / F.col("y_r")
+    tr = (
+        cust.join(regagg, "region")
+        .groupBy("region")
+        .agg(F.sum(s_i * F.log(s_i * F.col("n_r"))).alias("t_r"))
+    )
+    per = regagg.join(tr, "region").crossJoin(F.broadcast(tot))
+    sc = per.agg(
+        F.sum(
+            (F.col("y_r") / F.col("y"))
+            * F.log((F.col("y_r") / F.col("y")) * (F.col("n") / F.col("n_r")))
+        ).alias("t_between"),
+        F.sum((F.col("y_r") / F.col("y")) * F.col("t_r")).alias("t_within"),
+    )
+    return per.crossJoin(F.broadcast(sc)).select(
+        F.col("region").cast("int").alias("region"),
+        F.col("n_r").cast("long").alias("n_cust"),
+        prnd(F.col("y_r") / F.col("y"), 6).alias("rev_share"),
+        prnd("t_r", 6).alias("theil_within_region"),
+        prnd((F.col("y_r") / F.col("y")) * F.col("t_r"), 6).alias(
+            "contribution"
+        ),
+        prnd("t_between", 6).alias("t_between"),
+        prnd("t_within", 6).alias("t_within"),
+        prnd(F.col("t_between") + F.col("t_within"), 6).alias("t_total"),
+    )

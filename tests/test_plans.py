@@ -1207,3 +1207,17 @@ def test_q386_embedding_drift_single_bucket_shuffle(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "Window" not in plan
+
+
+def test_q387_kde_single_grid_shuffle(spark, sf_dir):
+    """KDE contributions are codegen'd per-row expressions exploded
+    over the literal grid; one (type, grid) partial-agg shuffle."""
+    plan = _plan(spark, sf_dir, "q387_kde")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_q388_theil_no_window_equi_joins_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q388_theil_decomposition")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

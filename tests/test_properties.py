@@ -545,3 +545,60 @@ def test_continuation_batch_invariants(spark, sf_dir):
     vr = registry.QUERIES["q364_variance_ratio"](spark, sf_dir).collect()
     for r in vr:
         assert r.vr_2 > 0 and r.vr_4 > 0 and r.vr_8 > 0
+
+
+def test_theil_decomposition_identity(spark, sf_dir):
+    """T_between + T_within must equal the DIRECT per-customer Theil
+    index computed independently (the decomposition identity) — an
+    invariant the oracle comparison cannot check because both engines
+    share the decomposition formula."""
+    import duckdb
+
+    from crypto_prediction_etl_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["q388_theil_decomposition"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    t_total = rows[0].t_total
+    con = duckdb.connect()
+    for t in ("customer", "nation", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    direct = con.execute(
+        """
+        WITH cust AS (
+          SELECT c.c_custkey, sum(o.o_totalprice) AS rev
+          FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+          GROUP BY 1
+        ),
+        tot AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(rev) AS y FROM cust)
+        SELECT sum((rev / t.y) * ln((rev / t.y) * t.n))
+        FROM cust CROSS JOIN tot t
+        """
+    ).fetchone()[0]
+    assert abs(t_total - direct) < 1e-4, (t_total, direct)
+    assert all(r.theil_within_region >= 0 for r in rows)
+    assert rows[0].t_between >= 0
+
+
+def test_kde_integrates_to_one(spark, sf_dir):
+    """Trapezoid integral of the KDE over the grid must be close to
+    the in-range mass (values lie in [0, 100], grid covers it)."""
+    from crypto_prediction_etl_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["q387_kde"](spark, sf_dir).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append((r.grid_x, r.density))
+    for t, pts in by_type.items():
+        pts.sort()
+        integral = sum(
+            (x2 - x1) * (d1 + d2) / 2
+            for (x1, d1), (x2, d2) in zip(pts, pts[1:])
+        )
+        assert 0.7 < integral < 1.1, (t, integral)
+        assert all(d >= 0 for _, d in pts)
