@@ -98,6 +98,23 @@ def q41_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_score_sql() -> str:
+    """The q42 composite-score expression (shared by q390's bias audit)."""
+    toks = _TOKS_SQL
+    stop = f"len(list_filter({toks}, t -> t IN {_in_list(LANG_MARKERS['en'])}))"
+    n_chars = "length(text)"
+    n_tokens = f"len({toks})"
+    alpha = f"CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / {n_chars}"
+    atl = f"CAST({n_chars} - length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) / {n_tokens}"
+    stop_ratio = f"CAST({stop} AS DOUBLE) / {n_tokens}"
+    return (
+        f"(CASE WHEN {n_tokens} BETWEEN 20 AND 2000 THEN 0.25 ELSE 0.0 END"
+        f" + CASE WHEN ({stop_ratio}) >= 0.01 THEN 0.25 ELSE 0.0 END"
+        f" + CASE WHEN ({alpha}) >= 0.6 THEN 0.25 ELSE 0.0 END"
+        f" + CASE WHEN ({atl}) BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END)"
+    )
+
+
 def _quality_oracle() -> str:
     toks = _TOKS_SQL
     stop = f"len(list_filter({toks}, t -> t IN {_in_list(LANG_MARKERS['en'])}))"
@@ -106,12 +123,7 @@ def _quality_oracle() -> str:
     alpha = f"CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / {n_chars}"
     atl = f"CAST({n_chars} - length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) / {n_tokens}"
     stop_ratio = f"CAST({stop} AS DOUBLE) / {n_tokens}"
-    score = (
-        f"(CASE WHEN {n_tokens} BETWEEN 20 AND 2000 THEN 0.25 ELSE 0.0 END"
-        f" + CASE WHEN ({stop_ratio}) >= 0.01 THEN 0.25 ELSE 0.0 END"
-        f" + CASE WHEN ({alpha}) >= 0.6 THEN 0.25 ELSE 0.0 END"
-        f" + CASE WHEN ({atl}) BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END)"
-    )
+    score = _quality_score_sql()
     return f"""
     SELECT doc_id,
            {o_rnd(stop_ratio, 6)} AS stopword_ratio,
@@ -3650,4 +3662,209 @@ def q382_log_odds_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_sw").cast("long").alias("count_in_source"),
         F.col("z").alias("keyness_z"),
         F.col("rk").cast("int").alias("rk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q389 TextTiling-style topic segmentation audit
+# ---------------------------------------------------------------------------
+
+_Q389_BLOCK = 20      # tokens per block
+_Q389_VALLEY = 0.1    # Jaccard below this = topic boundary
+
+
+def _q389_oracle() -> str:
+    bsz = _Q389_BLOCK
+    return f"""
+    WITH d AS (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents),
+    tok AS (
+      SELECT doc_id, source,
+             CAST(floor((generate_subscripts(toks, 1) - 1) / {bsz}) AS BIGINT) AS block,
+             unnest(toks) AS tok
+      FROM d
+    ),
+    bt AS (SELECT DISTINCT doc_id, source, block, tok FROM tok),
+    bsize AS (
+      SELECT doc_id, any_value(source) AS source, block, count(*) AS sz
+      FROM bt GROUP BY doc_id, block
+    ),
+    inter AS (
+      SELECT a.doc_id, a.block, count(*) AS ix
+      FROM bt a JOIN bt b
+        ON b.doc_id = a.doc_id AND b.tok = a.tok AND b.block = a.block + 1
+      GROUP BY a.doc_id, a.block
+    ),
+    pairs AS (
+      SELECT a.doc_id, a.source, a.block,
+             CAST(coalesce(i.ix, 0) AS DOUBLE)
+               / (a.sz + b.sz - coalesce(i.ix, 0)) AS jac
+      FROM bsize a
+      JOIN bsize b ON b.doc_id = a.doc_id AND b.block = a.block + 1
+      LEFT JOIN inter i ON i.doc_id = a.doc_id AND i.block = a.block
+    ),
+    per_doc AS (
+      SELECT doc_id, any_value(source) AS source,
+             count(*) AS n_pairs, avg(jac) AS mean_jac,
+             count(*) FILTER (WHERE jac < {_Q389_VALLEY}) AS n_boundaries
+      FROM pairs GROUP BY doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS docs_measured,
+           {o_rnd('avg(mean_jac)', 6)} AS avg_block_jaccard,
+           {o_rnd('avg(CAST(n_boundaries + 1 AS DOUBLE))', 6)} AS avg_segments,
+           {o_rnd('CAST(count(*) FILTER (WHERE n_boundaries >= 1) AS DOUBLE) / count(*)', 6)} AS multi_topic_share
+    FROM per_doc GROUP BY source
+    """
+
+
+@query("q389_texttiling", oracle=_q389_oracle())
+def q389_texttiling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTiling-style topic segmentation audit (Hearst 1997,
+    set-overlap variant): cut each document into 20-token blocks,
+    score adjacent-block cohesion by token-set Jaccard, and call a
+    deep valley (< 0.1) a topic boundary — per-source mean cohesion,
+    mean segment count and multi-topic share.  Multi-topic pages
+    (navigation + article + comments) chunk badly (q83/q102
+    consumers) and often indicate template scaffolding around thin
+    content; Jaccard of integer set sizes keeps the valley test
+    EXACT in both engines.
+
+    Scale shape: all work is keyed by doc_id — block assignment is
+    map-side position arithmetic, the adjacent-block intersection is
+    a (doc, token)-keyed equi self-join between consecutive blocks
+    (never across docs), and the rollups are two partial-agg
+    groupBys.  Embarrassingly doc-parallel like q369."""
+    docs = spread_small_scan(table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", "source",
+        F.posexplode(tokens("text")).alias("i", "tok"),
+    ).select(
+        "doc_id", "source",
+        F.floor(F.col("i") / _Q389_BLOCK).alias("block"),
+        "tok",
+    )
+    bt = tok.select("doc_id", "source", "block", "tok").distinct()
+    bsize = bt.groupBy("doc_id", "block").agg(
+        F.first("source").alias("source"), F.count("*").alias("sz")
+    )
+    a = bt.alias("a")
+    b = bt.select(
+        "doc_id", "tok", (F.col("block") - 1).alias("block")
+    ).alias("b")
+    inter = (
+        a.join(b, ["doc_id", "tok", "block"])
+        .groupBy("doc_id", "block")
+        .agg(F.count("*").alias("ix"))
+    )
+    nxt = bsize.select(
+        "doc_id",
+        (F.col("block") - 1).alias("block"),
+        F.col("sz").alias("sz_b"),
+    )
+    pairs = (
+        bsize.join(nxt, ["doc_id", "block"])
+        .join(inter, ["doc_id", "block"], "left")
+        .select(
+            "doc_id", "source",
+            (
+                F.coalesce("ix", F.lit(0)).cast("double")
+                / (F.col("sz") + F.col("sz_b") - F.coalesce("ix", F.lit(0)))
+            ).alias("jac"),
+        )
+    )
+    per_doc = pairs.groupBy("doc_id").agg(
+        F.first("source").alias("source"),
+        F.avg("jac").alias("mean_jac"),
+        F.count(F.when(F.col("jac") < _Q389_VALLEY, 1)).alias(
+            "n_boundaries"
+        ),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("docs_measured"),
+        prnd(F.avg("mean_jac"), 6).alias("avg_block_jaccard"),
+        prnd(
+            F.avg((F.col("n_boundaries") + 1).cast("double")), 6
+        ).alias("avg_segments"),
+        prnd(
+            F.count(F.when(F.col("n_boundaries") >= 1, 1)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("multi_topic_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q390 curation-filter bias audit (keep-rate disparity by language)
+# ---------------------------------------------------------------------------
+
+_Q390_KEEP_AT = 0.75   # quality criteria needed to keep (3 of 4)
+_Q390_Z = 1.96         # normal CI, pinned literal
+_Q390_PARITY = 0.8     # four-fifths rule
+
+
+def _q390_oracle() -> str:
+    score = _quality_score_sql()
+    return f"""
+    WITH d AS (
+      SELECT lang, CAST({score} >= {_Q390_KEEP_AT} AS INT) AS keep
+      FROM documents
+    ),
+    per AS (
+      SELECT lang, count(*) AS n, sum(keep) AS kept,
+             CAST(sum(keep) AS DOUBLE) / count(*) AS p
+      FROM d GROUP BY lang
+    ),
+    mx AS (SELECT max(p) AS pmax FROM per)
+    SELECT lang,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST(kept AS BIGINT) AS n_kept,
+           {o_rnd('p', 6)} AS keep_rate,
+           {o_rnd(f'{_Q390_Z} * sqrt(p * (1 - p) / n)', 6)} AS ci_halfwidth,
+           {o_rnd('p / m.pmax', 6)} AS disparity_ratio,
+           CAST(p / m.pmax < {_Q390_PARITY} AS INT) AS four_fifths_flag
+    FROM per CROSS JOIN mx m
+    """
+
+
+@query("q390_filter_bias", oracle=_q390_oracle())
+def q390_filter_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-filter bias audit: the q42 quality fence's keep rate
+    per LANGUAGE, each language's disparity ratio vs the
+    best-treated language, and the four-fifths flag (the classic
+    adverse-impact test) with a normal CI on each rate — the check
+    that a 'quality' filter is not quietly a language filter
+    (documented failure mode of English-tuned heuristics on
+    low-resource languages; cf. the fairness critiques of
+    web-corpus filtering).  Keep decisions are exact quantized
+    quarter-scores, so the 0.75 threshold is engine-exact.
+
+    Scale shape: one map-side scored projection, one per-language
+    partial agg, one broadcast scalar max — the q355 scalar-fold
+    law; nothing beyond a single small shuffle."""
+    from ..operators.text import quality_metrics
+
+    docs = spread_small_scan(table(spark, sf_dir, "documents"))
+    m = quality_metrics("text")
+    keep = (quality_score(m) >= _Q390_KEEP_AT).cast("int")
+    d = docs.select("lang", keep.alias("keep"))
+    per = d.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("keep").alias("kept"),
+        (F.sum("keep").cast("double") / F.count("*")).alias("p"),
+    )
+    mx = per.agg(F.max("p").alias("pmax"))
+    return per.crossJoin(F.broadcast(mx)).select(
+        "lang",
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("kept").cast("long").alias("n_kept"),
+        prnd("p", 6).alias("keep_rate"),
+        prnd(
+            F.lit(_Q390_Z)
+            * F.sqrt(F.col("p") * (1 - F.col("p")) / F.col("n")),
+            6,
+        ).alias("ci_halfwidth"),
+        prnd(F.col("p") / F.col("pmax"), 6).alias("disparity_ratio"),
+        (F.col("p") / F.col("pmax") < _Q390_PARITY)
+        .cast("int")
+        .alias("four_fifths_flag"),
     )

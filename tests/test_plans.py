@@ -1221,3 +1221,20 @@ def test_q388_theil_no_window_equi_joins_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q388_theil_decomposition")
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q389_texttiling_joins_doc_keyed(spark, sf_dir):
+    """Adjacent-block intersection must join on (doc, tok, block) —
+    never across documents: no cartesian, no nested loop."""
+    plan = _plan(spark, sf_dir, "q389_texttiling")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q390_filter_bias_single_shuffle_scalar_max(spark, sf_dir):
+    """One per-lang agg shuffle per consumer branch (the rate frame
+    feeds both the output and the scalar max), no window, no join
+    beyond the scalar broadcast."""
+    plan = _plan(spark, sf_dir, "q390_filter_bias")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Window" not in plan
