@@ -3072,3 +3072,107 @@ def q386_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_bucket_gap"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q391 degree assortativity of the mutual-kNN graph
+# ---------------------------------------------------------------------------
+
+
+def _q391_oracle() -> str:
+    corr = ("(n * sxy - sx * sy) / "
+            "sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))")
+    return f"""
+    WITH {_VECS_CTE},
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             {o_rnd(_COS, 6)} AS cos_sim
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored
+    ),
+    knn AS (SELECT query_id, vec_id FROM ranked WHERE rank <= {_Q143_K}),
+    mut AS (
+      SELECT ab.query_id AS u, ab.vec_id AS v
+      FROM knn ab JOIN knn ba
+        ON ba.query_id = ab.vec_id AND ba.vec_id = ab.query_id
+      WHERE ab.query_id < ab.vec_id
+    ),
+    dirs AS (
+      SELECT u, v FROM mut UNION ALL SELECT v AS u, u AS v FROM mut
+    ),
+    deg AS (SELECT u AS node, count(*) AS d FROM dirs GROUP BY u),
+    de AS (
+      SELECT CAST(du.d AS DOUBLE) AS x, CAST(dv.d AS DOUBLE) AS y
+      FROM dirs JOIN deg du ON du.node = dirs.u
+                JOIN deg dv ON dv.node = dirs.v
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM de
+    )
+    SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+           CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           {o_rnd('sx / n', 6)} AS mean_degree,
+           {o_rnd(corr, 6)} AS assortativity
+    FROM s
+    """
+
+
+@query("q391_knn_assortativity", oracle=_q391_oracle())
+def q391_knn_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the mutual-kNN graph (Newman 2002):
+    Pearson correlation of endpoint degrees over directed edge
+    instances — negative r means hubs link to loners
+    (hub-and-spoke geometry, the q380 hubness pathology seen from
+    the EDGE side), positive r means a core-periphery mesh; with
+    q372's modularity this completes the kNN-graph health panel
+    that decides whether graph-based clustering is trustworthy.
+
+    Scale shape: composes the k*N mutual edge list (q143 kernel),
+    one degree groupBy, two equi joins of edges to degrees keyed on
+    the node id, and a six-sum scalar fold — the q381 sufficient-
+    stats correlation law on edges instead of returns."""
+    edges = q143_mutual_knn(spark, sf_dir).select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    )
+    dirs = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = dirs.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    de = (
+        dirs.join(
+            deg.select(F.col("node").alias("u"), F.col("d").alias("x")), "u"
+        )
+        .join(
+            deg.select(F.col("node").alias("v"), F.col("d").alias("y")), "v"
+        )
+        .select(F.col("x").cast("double").alias("x"),
+                F.col("y").cast("double").alias("y"))
+    )
+    nn = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    s = de.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.crossJoin(F.broadcast(nn)).select(
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        "n_nodes",
+        prnd(F.col("sx") / F.col("n"), 6).alias("mean_degree"),
+        prnd(corr, 6).alias("assortativity"),
+    )

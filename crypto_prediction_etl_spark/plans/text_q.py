@@ -3868,3 +3868,74 @@ def q390_filter_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("four_fifths_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q392 data-budget planner (epochs to exhaustion per source)
+# ---------------------------------------------------------------------------
+
+_Q392_BUDGET = 5_000_000   # target training-token budget
+_Q392_MAX_EPOCHS = 4.0     # data-constrained repetition ceiling
+
+
+def _q392_oracle() -> str:
+    return f"""
+    WITH src AS (
+      SELECT source, sum(len({_TOKS_SQL})) AS toks, count(*) AS docs
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(toks) AS DOUBLE) AS y FROM src)
+    SELECT source,
+           CAST(docs AS BIGINT) AS n_docs,
+           CAST(toks AS BIGINT) AS n_tokens,
+           {o_rnd('toks / t.y', 6)} AS natural_share,
+           {o_rnd(f'{_Q392_BUDGET} * (toks / t.y) / toks', 4)} AS epochs_at_natural,
+           CAST({_Q392_BUDGET} * (toks / t.y) / toks > {_Q392_MAX_EPOCHS} AS INT) AS over_repeated,
+           CAST(floor(least({_Q392_BUDGET} * (toks / t.y),
+                            {_Q392_MAX_EPOCHS} * toks)) AS BIGINT) AS usable_tokens
+    FROM src CROSS JOIN tot t
+    """
+
+
+@query("q392_data_budget", oracle=_q392_oracle())
+def q392_data_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-budget planner: given a training-token budget consumed at
+    each source's natural share, how many EPOCHS of that source get
+    replayed — and cap the usable contribution at 4 epochs, past
+    which repeated data stops helping (the data-constrained scaling
+    law of Muennighoff et al. 2023).  The planner view a pretraining
+    run reads next to the mixture weights (q88) and temperature
+    resampling (q94): over_repeated sources need up-sampling of
+    OTHER sources or more crawl, not more epochs.
+
+    Scale shape: one map-side token count + per-source partial agg
+    and a broadcast scalar total; epochs math is row-local
+    arithmetic.  Note epochs_at_natural = budget/total regardless of
+    source under natural sampling — the column exists because the
+    same plan runs unchanged with ANY weight column replacing the
+    natural share (the interesting case), and the cap then binds
+    per source."""
+    docs = spread_small_scan(table(spark, sf_dir, "documents"))
+    src = docs.groupBy("source").agg(
+        F.sum(F.size(tokens("text"))).alias("toks"),
+        F.count("*").alias("docs"),
+    )
+    tot = src.agg(F.sum("toks").cast("double").alias("y"))
+    b = float(_Q392_BUDGET)
+    share = F.col("toks") / F.col("y")
+    epochs = b * share / F.col("toks")
+    return src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("docs").cast("long").alias("n_docs"),
+        F.col("toks").cast("long").alias("n_tokens"),
+        prnd(share, 6).alias("natural_share"),
+        prnd(epochs, 4).alias("epochs_at_natural"),
+        (epochs > _Q392_MAX_EPOCHS).cast("int").alias("over_repeated"),
+        F.floor(
+            F.least(
+                F.lit(b) * share, F.lit(_Q392_MAX_EPOCHS) * F.col("toks")
+            )
+        )
+        .cast("long")
+        .alias("usable_tokens"),
+    )

@@ -1238,3 +1238,14 @@ def test_q390_filter_bias_single_shuffle_scalar_max(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q390_filter_bias")
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "Window" not in plan
+
+
+def test_q391_assortativity_edge_joins_node_keyed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q391_knn_assortativity")
+    assert "CartesianProduct" not in plan
+
+
+def test_q392_data_budget_single_rollup(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q392_data_budget")
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
