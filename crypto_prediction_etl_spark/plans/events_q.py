@@ -6561,3 +6561,123 @@ def q387_kde(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_obs"),
         prnd(F.sum("k") / (F.count("*") * h), 6).alias("density"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q394 rank-biased overlap (leaderboard stability between split halves)
+# ---------------------------------------------------------------------------
+
+_Q394_K = 20
+_Q394_P = 0.9
+# per-item RBO mass for an item whose worse rank is m:
+# w(m) = (1-p) * sum_{d=m}^{k} p^(d-1) / d  — precomputed once, shared
+# by both engines as literals (no cross-engine float math)
+_Q394_W = tuple(
+    round(
+        (1 - _Q394_P)
+        * sum(_Q394_P ** (d - 1) / d for d in range(m, _Q394_K + 1)),
+        12,
+    )
+    for m in range(1, _Q394_K + 1)
+)
+
+
+def _q394_weight_sql(m: str) -> str:
+    cases = " ".join(
+        f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_Q394_W)
+    )
+    return f"CASE {m} {cases} ELSE 0.0 END"
+
+
+def _q394_oracle() -> str:
+    def side(flag: str, alias: str) -> str:
+        return f"""
+    {alias} AS (
+      SELECT event_type, user_id, rn FROM (
+        SELECT event_type, user_id,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY {o_rnd('sum(value)', 6)} DESC,
+                                           user_id) AS rn
+        FROM events
+        WHERE CAST(floor(epoch(ts) / 86400) AS BIGINT) % 2 = {flag}
+        GROUP BY event_type, user_id
+      ) WHERE rn <= {_Q394_K}
+    )"""
+    w = _q394_weight_sql("greatest(a.rn, b.rn)")
+    return f"""
+    WITH {side('0', 'ra')}, {side('1', 'rb')}
+    SELECT a.event_type,
+           CAST(count(*) AS BIGINT) AS n_common,
+           {o_rnd('sum(' + w + ')', 6)} AS rbo,
+           CAST(max(CASE WHEN a.rn = 1 AND b.rn = 1 THEN 1 ELSE 0 END) AS INT)
+             AS top1_stable
+    FROM ra a JOIN rb b
+      ON b.event_type = a.event_type AND b.user_id = a.user_id
+    GROUP BY a.event_type
+    """
+
+
+@query("q394_rank_biased_overlap", oracle=_q394_oracle())
+def q394_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010, truncated at k=20,
+    p=0.9) between each event type's top-spender leaderboard on
+    even vs odd epoch days — the top-weighted rank-stability metric
+    (Kendall's tau weights rank 1 and rank 500 equally; RBO decays
+    geometrically, which is what leaderboards, search rankings and
+    recsys slates actually care about).  Low RBO = the ranking is
+    noise; the metric gates whether a ranking is worth caching or
+    personalizing on.
+
+    Scale shape: per-split rankings are per-type windows over
+    per-user AGGREGATES (rounded-sum order keys pin cross-engine
+    rank order); the per-item RBO mass w(worse_rank) is a
+    precomputed literal lookup, so the overlap is one equi join of
+    two k-row-per-type lists and a partial agg — the depth loop of
+    the textbook definition is folded away algebraically."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+
+    def side(flag: int):
+        g = (
+            ev.filter(
+                F.floor(F.col("ts").cast("double") / 86400).cast("long") % 2
+                == flag
+            )
+            .groupBy("event_type", "user_id")
+            .agg(prnd(F.sum("value"), 6).alias("s"))
+        )
+        return (
+            g.select(
+                "event_type", "user_id",
+                F.row_number()
+                .over(
+                    W.partitionBy("event_type").orderBy(
+                        F.col("s").desc(), "user_id"
+                    )
+                )
+                .alias("rn"),
+            )
+            .filter(F.col("rn") <= _Q394_K)
+        )
+
+    ra, rb = side(0), side(1)
+    m = F.greatest(F.col("ra_rn"), F.col("rb_rn"))
+    wexpr = F.lit(0.0)
+    for i, wv in enumerate(_Q394_W):
+        wexpr = F.when(m == i + 1, F.lit(wv)).otherwise(wexpr)
+    j = ra.select(
+        "event_type", "user_id", F.col("rn").alias("ra_rn")
+    ).join(
+        rb.select("event_type", "user_id", F.col("rn").alias("rb_rn")),
+        ["event_type", "user_id"],
+    )
+    return j.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_common"),
+        prnd(F.sum(wexpr), 6).alias("rbo"),
+        F.max(
+            F.when((F.col("ra_rn") == 1) & (F.col("rb_rn") == 1), 1).otherwise(0)
+        )
+        .cast("int")
+        .alias("top1_stable"),
+    )

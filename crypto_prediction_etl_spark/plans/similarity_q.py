@@ -3176,3 +3176,125 @@ def q391_knn_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd(F.col("sx") / F.col("n"), 6).alias("mean_degree"),
         prnd(corr, 6).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q393 geometric median per label (Weiszfeld, 3 unrolled iterations)
+# ---------------------------------------------------------------------------
+
+_Q393_D = 8
+_Q393_ITERS = 3
+_Q393_EPS = 1e-9  # distance floor, shared literal
+
+
+def _q393_oracle() -> str:
+    d, eps = _Q393_D, _Q393_EPS
+    vcols = ", ".join(f"v[{j}] AS x{j}" for j in range(1, d + 1))
+    mean_cols = ", ".join(f"avg(x{j}) AS c{j}" for j in range(1, d + 1))
+    ctes = [
+        f"pts AS (SELECT label, {vcols} FROM e)",
+        f"it0 AS (SELECT label, {mean_cols} FROM pts GROUP BY label)",
+    ]
+    for t in range(1, _Q393_ITERS + 1):
+        dist = " + ".join(
+            f"(p.x{j} - c.c{j}) * (p.x{j} - c.c{j})" for j in range(1, d + 1)
+        )
+        w = f"1.0 / (sqrt({dist}) + {eps})"
+        upd = ", ".join(
+            f"sum(p.x{j} * ({w})) / sum({w}) AS c{j}"
+            for j in range(1, d + 1)
+        )
+        ctes.append(
+            f"it{t} AS (SELECT p.label, {upd} "
+            f"FROM pts p JOIN it{t - 1} c ON c.label = p.label "
+            f"GROUP BY p.label)"
+        )
+    move = " + ".join(
+        f"(m.c{j} - g.c{j}) * (m.c{j} - g.c{j})" for j in range(1, d + 1)
+    )
+    out = ", ".join(
+        f"{o_rnd(f'g.c{j}', 5)} AS gm_d{j}" for j in range(1, d + 1)
+    )
+    last = f"it{_Q393_ITERS}"
+    return f"""
+    WITH {_VECS_CTE},
+    {", ".join(ctes)},
+    cnt AS (SELECT label, count(*) AS n FROM pts GROUP BY label)
+    SELECT CAST(g.label AS INTEGER) AS label,
+           CAST(cnt.n AS BIGINT) AS n_vecs,
+           {out},
+           {o_rnd(f'sqrt({move})', 5)} AS shift_from_mean
+    FROM {last} g
+    JOIN it0 m ON m.label = g.label
+    JOIN cnt ON cnt.label = g.label
+    """
+
+
+@query("q393_geometric_median", oracle=_q393_oracle())
+def q393_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric median of each label's embedding cloud (leading 8
+    dims) by three unrolled Weiszfeld iterations from the mean —
+    the ROBUST class prototype: unlike the mean (q84 centroids), a
+    few outlier vectors (mislabeled docs, decode failures) barely
+    move it, so prototype-based label auditing (q188) stops flagging
+    clean classes whose mean was dragged.  shift_from_mean is itself
+    the contamination signal: large shift = heavy outlier mass.
+
+    Scale shape: every iteration is one BROADCAST join of the tiny
+    per-label centroid frame to the points plus one partial-agg
+    groupBy — fully distributed, no driver state, no window; three
+    iterations = three such passes over the same cached shape.
+    Distance floor eps is a shared literal so both engines weight
+    coincident points identically."""
+    d, eps = _Q393_D, _Q393_EPS
+    vecs = _vecs(spark, sf_dir)
+    pts = vecs.select(
+        "label",
+        *[
+            F.element_at("v", j).alias(f"x{j}")
+            for j in range(1, d + 1)
+        ],
+    )
+    cent = pts.groupBy("label").agg(
+        *[F.avg(f"x{j}").alias(f"c{j}") for j in range(1, d + 1)]
+    )
+    mean0 = cent
+    for _ in range(_Q393_ITERS):
+        dist2 = None
+        for j in range(1, d + 1):
+            t = (F.col(f"x{j}") - F.col(f"c{j}")) * (
+                F.col(f"x{j}") - F.col(f"c{j}")
+            )
+            dist2 = t if dist2 is None else dist2 + t
+        w = F.lit(1.0) / (F.sqrt(dist2) + eps)
+        joined = pts.join(F.broadcast(cent), "label")
+        cent = joined.groupBy("label").agg(
+            *[
+                (F.sum(F.col(f"x{j}") * w) / F.sum(w)).alias(f"c{j}")
+                for j in range(1, d + 1)
+            ]
+        )
+    cnt = pts.groupBy("label").agg(F.count("*").alias("n"))
+    move2 = None
+    for j in range(1, d + 1):
+        t = (F.col(f"m{j}") - F.col(f"c{j}")) * (
+            F.col(f"m{j}") - F.col(f"c{j}")
+        )
+        move2 = t if move2 is None else move2 + t
+    m0 = mean0.select(
+        "label",
+        *[F.col(f"c{j}").alias(f"m{j}") for j in range(1, d + 1)],
+    )
+    return (
+        cent.join(m0, "label")
+        .join(cnt, "label")
+        .select(
+            F.col("label").cast("int").alias("label"),
+            F.col("n").cast("long").alias("n_vecs"),
+            *[
+                prnd(f"c{j}", 5).alias(f"gm_d{j}")
+                for j in range(1, d + 1)
+            ],
+            prnd(F.sqrt(move2), 5).alias("shift_from_mean"),
+        )
+    )

@@ -1249,3 +1249,21 @@ def test_q392_data_budget_single_rollup(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q392_data_budget")
     assert "Window" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_q393_weiszfeld_iterations_are_broadcast_joins(spark, sf_dir):
+    """Every Weiszfeld iteration joins the tiny centroid frame by
+    BROADCAST — no shuffle of the point cloud per iteration beyond
+    the partial agg, no window, no cartesian."""
+    plan = _plan(spark, sf_dir, "q393_geometric_median")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_q394_rbo_depth_loop_folded_to_literal_lookup(spark, sf_dir):
+    """The RBO depth sum must be the precomputed literal CASE lookup,
+    not a per-depth explode: no Generate in the plan."""
+    plan = _plan(spark, sf_dir, "q394_rank_biased_overlap")
+    assert "Generate" not in plan
+    assert "CartesianProduct" not in plan
