@@ -6681,3 +6681,118 @@ def q394_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("top1_stable"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q395 Weibull interarrival fit (median-rank regression)
+# ---------------------------------------------------------------------------
+
+
+def _q395_oracle() -> str:
+    # OLS of y = ln(-ln(1 - F_i)) on x = ln(t_i), F_i = (i-0.3)/(n+0.4)
+    slope = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+    icept = f"(sy - ({slope}) * sx) / n"
+    r2 = (f"power(n * sxy - sx * sy, 2) / "
+          f"((n * sxx - sx * sx) * (n * syy - sy * sy))")
+    return f"""
+    WITH ordered AS (
+      SELECT event_type, user_id, ts,
+             lag(ts) OVER (PARTITION BY event_type, user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    dur AS (
+      SELECT event_type,
+             CAST(epoch(ts) - epoch(prev) AS DOUBLE) AS t
+      FROM ordered WHERE prev IS NOT NULL AND epoch(ts) > epoch(prev)
+    ),
+    rk AS (
+      SELECT event_type, t,
+             row_number() OVER (PARTITION BY event_type ORDER BY t, random() * 0) AS i,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM dur
+    ),
+    xy AS (
+      SELECT event_type,
+             ln(t) AS x,
+             ln(-ln(1.0 - (i - 0.3) / (n + 0.4))) AS y
+      FROM rk
+    ),
+    s AS (
+      SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM xy GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_durations,
+           {o_rnd(slope, 4)} AS shape_k,
+           {o_rnd(f'exp(-({icept}) / ({slope}))', 2)} AS scale_lambda,
+           {o_rnd(r2, 4)} AS r_squared
+    FROM s
+    """
+
+
+@query("q395_weibull_fit", oracle=_q395_oracle())
+def q395_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull fit of per-user interarrival times by median-rank
+    regression (the classic closed-form reliability estimator: OLS
+    of ln(-ln(1-F)) on ln t with Bernard's approximation F_i =
+    (i-0.3)/(n+0.4)): shape k < 1 = bursty/clustered arrivals
+    (failure rate decreasing — the q213 burstiness signal with an
+    actual parametric model), k ~ 1 = Poisson, k > 1 = regularized
+    cadence; scale lambda is the characteristic gap.  r^2 says
+    whether Weibull describes the process at all.
+
+    Scale shape: interarrival durations from one per-(type, user)
+    lag window; the rank the plotting positions need is a per-TYPE
+    sort of durations (the q377 exact-quantile cost — globalrank
+    two-pass swaps in when one type dominates); the fit itself is
+    the six-sum sufficient-statistics fold (q381 law).  Zero-length
+    gaps are excluded ON BOTH SIDES (ln 0) by the same predicate."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    wo = W.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type",
+        F.col("ts").cast("double").alias("tse"),
+        F.lag(F.col("ts").cast("double")).over(wo).alias("prev"),
+    )
+    dur = ordered.filter(
+        F.col("prev").isNotNull() & (F.col("tse") > F.col("prev"))
+    ).select("event_type", (F.col("tse") - F.col("prev")).alias("t"))
+    wr = W.partitionBy("event_type").orderBy("t")
+    rk = dur.select(
+        "event_type", "t",
+        F.row_number().over(wr).alias("i"),
+        F.count("*").over(W.partitionBy("event_type")).alias("n"),
+    )
+    xy = rk.select(
+        "event_type",
+        F.log("t").alias("x"),
+        F.log(
+            -F.log(1.0 - (F.col("i") - 0.3) / (F.col("n") + 0.4))
+        ).alias("y"),
+    )
+    s = xy.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    icept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    r2 = F.pow(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"), 2) / (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_durations"),
+        prnd(slope, 4).alias("shape_k"),
+        prnd(F.exp(-icept / slope), 2).alias("scale_lambda"),
+        prnd(r2, 4).alias("r_squared"),
+    )

@@ -545,3 +545,129 @@ def q385_book_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("full_fill_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q396 dead-letter audit (malformed-envelope taxonomy)
+# ---------------------------------------------------------------------------
+
+
+def _q396_oracle() -> str:
+    # same synthetic envelope family as q65, with deterministic
+    # corruptions injected by event_id residue
+    msg_ok = ("'{\"id\":\"' || event_type || '\",\"seqid\":\"' || event_id"
+              " || '\",\"price\":\"' || CAST(floor(value * 100) AS BIGINT)"
+              " || '\"}'")
+    msg_badtype = ("'{\"id\":\"' || event_type ||"
+                   " '\",\"seqid\":\"' || event_id ||"
+                   " '\",\"price\":\"abc\"}'")
+    msg_missing = ("'{\"id\":\"' || event_type || '\",\"price\":\"' ||"
+                   " CAST(floor(value * 100) AS BIGINT) || '\"}'")
+    msg_trunc = ("'{\"id\":\"' || event_type || '\",\"seqid\":\"' ||"
+                 " event_id")
+    return f"""
+    WITH raw AS (
+      SELECT event_type,
+             CASE event_id % 13
+               WHEN 0 THEN {msg_trunc}
+               WHEN 1 THEN {msg_badtype}
+               WHEN 2 THEN {msg_missing}
+               ELSE {msg_ok}
+             END AS msg
+      FROM events
+    ),
+    parsed AS (
+      SELECT event_type, msg,
+             json_valid(msg) AS ok,
+             CASE WHEN json_valid(msg)
+                  THEN json_extract_string(msg, '$.seqid') END AS seqid,
+             TRY_CAST(CASE WHEN json_valid(msg)
+                  THEN json_extract_string(msg, '$.price') END AS BIGINT) AS price
+      FROM raw
+    ),
+    cat AS (
+      SELECT event_type,
+             CASE
+               WHEN NOT ok THEN 'truncated'
+               WHEN seqid IS NULL THEN 'missing_field'
+               WHEN price IS NULL THEN 'bad_type'
+               ELSE 'ok'
+             END AS category
+      FROM parsed
+    )
+    SELECT event_type, category,
+           CAST(count(*) AS BIGINT) AS n,
+           {o_rnd('CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY event_type)', 6)} AS share
+    FROM cat GROUP BY event_type, category
+    """
+
+
+@query("q396_dead_letter_audit", oracle=_q396_oracle())
+def q396_dead_letter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter triage for a streaming ingest: classify every
+    envelope as ok / truncated (invalid JSON) / missing_field /
+    bad_type and report the per-source taxonomy shares — the FIRST
+    dashboard an on-call looks at when the q65 pipeline's DLQ grows
+    (is the producer truncating? did a schema field vanish? did a
+    type change?).  Corruptions here are injected deterministically
+    so both engines audit the identical byte stream; categorization
+    uses json validity + string-extract + try_cast (NOT the
+    corruption rule), so the query exercises the real parse path.
+
+    Scale shape: parse + classify are per-row expressions
+    (get_json_object / try_cast, all JVM-side); one (source,
+    category) partial agg; the share window runs over the
+    <= 4-rows-per-type category frame (q355 post-aggregate law)."""
+    ev = table(spark, sf_dir, "events")
+    s = F.lit
+    price = F.floor(F.col("value") * 100).cast("long").cast("string")
+    eid = F.col("event_id").cast("string")
+    msg_ok = F.concat(
+        s('{"id":"'), F.col("event_type"), s('","seqid":"'), eid,
+        s('","price":"'), price, s('"}'),
+    )
+    msg_badtype = F.concat(
+        s('{"id":"'), F.col("event_type"), s('","seqid":"'), eid,
+        s('","price":"abc"}'),
+    )
+    msg_missing = F.concat(
+        s('{"id":"'), F.col("event_type"), s('","price":"'), price, s('"}'),
+    )
+    msg_trunc = F.concat(
+        s('{"id":"'), F.col("event_type"), s('","seqid":"'), eid
+    )
+    msg = (
+        F.when(F.col("event_id") % 13 == 0, msg_trunc)
+        .when(F.col("event_id") % 13 == 1, msg_badtype)
+        .when(F.col("event_id") % 13 == 2, msg_missing)
+        .otherwise(msg_ok)
+    )
+    raw = ev.select("event_type", msg.alias("msg"))
+    parsed = raw.select(
+        "event_type",
+        F.get_json_object("msg", "$.id").isNotNull().alias("ok"),
+        F.get_json_object("msg", "$.seqid").alias("seqid"),
+        F.try_to_number(
+            F.get_json_object("msg", "$.price"), F.lit("999999999")
+        ).alias("price"),
+    )
+    cat = parsed.select(
+        "event_type",
+        F.when(~F.col("ok"), "truncated")
+        .when(F.col("seqid").isNull(), "missing_field")
+        .when(F.col("price").isNull(), "bad_type")
+        .otherwise("ok")
+        .alias("category"),
+    )
+    g = cat.groupBy("event_type", "category").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    from pyspark.sql import Window as W
+
+    tot = W.partitionBy("event_type")
+    return g.select(
+        "event_type", "category", "n",
+        prnd(
+            F.col("n").cast("double") / F.sum("n").over(tot), 6
+        ).alias("share"),
+    )

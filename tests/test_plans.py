@@ -1267,3 +1267,21 @@ def test_q394_rbo_depth_loop_folded_to_literal_lookup(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q394_rank_biased_overlap")
     assert "Generate" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q395_weibull_fit_is_sufficient_stats(spark, sf_dir):
+    """The fit is one six-sum fold after the rank windows — no join,
+    no Python, nothing iterative."""
+    plan = _plan(spark, sf_dir, "q395_weibull_fit")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q396_dead_letter_parse_is_jvm_side(spark, sf_dir):
+    """JSON classification must stay in codegen (get_json_object /
+    try_to_number) — no Python UDF, no join; share window is over
+    the tiny category frame."""
+    plan = _plan(spark, sf_dir, "q396_dead_letter_audit")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Join" not in plan
