@@ -6517,7 +6517,7 @@ def _q387_oracle() -> str:
         u = f"((value - {g}) / {h})"
         k = f"CASE WHEN abs({u}) < 1 THEN 0.75 * (1 - {u} * {u}) ELSE 0.0 END"
         rows.append(f"""
-      SELECT event_type, {g} AS grid_x,
+      SELECT event_type, CAST({g} AS DOUBLE) AS grid_x,
              count(*) AS n,
              sum({k}) / (count(*) * {h}) AS dens
       FROM events GROUP BY event_type""")
