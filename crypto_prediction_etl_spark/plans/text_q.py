@@ -3939,3 +3939,238 @@ def q392_data_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("usable_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q397 lexical diversity (block TTR + Herdan's C)
+# ---------------------------------------------------------------------------
+
+_Q397_BLOCK = 25
+
+
+def _q397_oracle() -> str:
+    bsz = _Q397_BLOCK
+    return f"""
+    WITH d AS (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents),
+    tok AS (
+      SELECT doc_id, source,
+             CAST(floor((generate_subscripts(toks, 1) - 1) / {bsz}) AS BIGINT) AS block,
+             unnest(toks) AS tok
+      FROM d
+    ),
+    doc AS (
+      SELECT doc_id, any_value(source) AS source,
+             count(*) AS n, count(DISTINCT tok) AS v
+      FROM tok GROUP BY doc_id
+    ),
+    blk AS (
+      SELECT doc_id, block, count(*) AS bn, count(DISTINCT tok) AS bv
+      FROM tok GROUP BY doc_id, block HAVING count(*) = {bsz}
+    ),
+    mattr AS (
+      SELECT doc_id, avg(CAST(bv AS DOUBLE) / bn) AS block_ttr
+      FROM blk GROUP BY doc_id
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS docs,
+           {o_rnd('avg(CAST(d.v AS DOUBLE) / d.n)', 6)} AS avg_ttr,
+           {o_rnd('avg(CASE WHEN d.n > 1 THEN ln(d.v) / ln(d.n) END)', 6)} AS avg_herdan_c,
+           {o_rnd('avg(m.block_ttr)', 6)} AS avg_block_ttr
+    FROM doc d LEFT JOIN mattr m ON m.doc_id = d.doc_id
+    GROUP BY d.source
+    """
+
+
+@query("q397_lexical_diversity", oracle=_q397_oracle())
+def q397_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per source: raw type-token ratio, Herdan's C
+    (ln V / ln N — the length-corrected TTR, the per-document dual
+    of q345's corpus-level Heaps exponent) and 25-token block TTR
+    (the length-robust estimator MATTR approximates) — the
+    repetitive-vocabulary screen that separates template/boilerplate
+    sources from genuine prose even when q86's repetition signals
+    (exact repeats) miss paraphrase-level monotony.
+
+    Scale shape: token explosion is map-side; per-doc and per-block
+    distinct counts are doc-keyed hash groupBys; the source rollup
+    is post-aggregate.  Doc-parallel like q369/q389."""
+    docs = spread_small_scan(table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", "source",
+        F.posexplode(tokens("text")).alias("i", "tok"),
+    ).select(
+        "doc_id", "source",
+        F.floor(F.col("i") / _Q397_BLOCK).alias("block"),
+        "tok",
+    )
+    doc = tok.groupBy("doc_id").agg(
+        F.first("source").alias("source"),
+        F.count("*").alias("n"),
+        F.countDistinct("tok").alias("v"),
+    )
+    blk = (
+        tok.groupBy("doc_id", "block")
+        .agg(F.count("*").alias("bn"), F.countDistinct("tok").alias("bv"))
+        .filter(F.col("bn") == _Q397_BLOCK)
+    )
+    mattr = blk.groupBy("doc_id").agg(
+        F.avg(F.col("bv").cast("double") / F.col("bn")).alias("block_ttr")
+    )
+    j = doc.join(mattr, "doc_id", "left")
+    return j.groupBy("source").agg(
+        F.count("*").cast("long").alias("docs"),
+        prnd(F.avg(F.col("v").cast("double") / F.col("n")), 6).alias(
+            "avg_ttr"
+        ),
+        prnd(
+            F.avg(
+                F.when(F.col("n") > 1, F.log("v") / F.log("n"))
+            ),
+            6,
+        ).alias("avg_herdan_c"),
+        prnd(F.avg("block_ttr"), 6).alias("avg_block_ttr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q398 lexical-vs-embedding similarity alignment
+# ---------------------------------------------------------------------------
+
+_Q398_SAMPLE = 25    # doc_id % SAMPLE == 0 enters the audit
+_Q398_LEX_HI = 0.2   # lexical-similarity split point
+
+
+def _q398_oracle() -> str:
+    corr = ("(n * sxy - sx * sy) / "
+            "sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))")
+    return f"""
+    WITH d AS (
+      SELECT doc_id, list_distinct({_TOKS_SQL}) AS ts
+      FROM documents WHERE doc_id % {_Q398_SAMPLE} = 0
+    ),
+    tok AS (SELECT doc_id, unnest(ts) AS tok FROM d),
+    sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+    ix AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+      FROM tok a JOIN tok b ON b.tok = a.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+    pairs AS (
+      SELECT i.id_a, i.id_b,
+             CAST(i.ix AS DOUBLE) / (sa.sz + sb.sz - i.ix) AS jac,
+             list_dot_product(ea.v, eb.v)
+               / (sqrt(list_dot_product(ea.v, ea.v))
+                  * sqrt(list_dot_product(eb.v, eb.v))) AS cos
+      FROM ix i
+      JOIN sz sa ON sa.doc_id = i.id_a
+      JOIN sz sb ON sb.doc_id = i.id_b
+      JOIN ev ea ON ea.vec_id = i.id_a
+      JOIN ev eb ON eb.vec_id = i.id_b
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             sum(jac) AS sx, sum(cos) AS sy,
+             sum(jac * jac) AS sxx, sum(cos * cos) AS syy,
+             sum(jac * cos) AS sxy,
+             avg(CASE WHEN jac >= {_Q398_LEX_HI} THEN cos END) AS hi,
+             avg(CASE WHEN jac < {_Q398_LEX_HI} THEN cos END) AS lo
+      FROM pairs
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           {o_rnd('sx / n', 6)} AS mean_jaccard,
+           {o_rnd('sy / n', 6)} AS mean_cosine,
+           {o_rnd(corr, 6)} AS alignment_corr,
+           {o_rnd('hi', 6)} AS cos_lex_high,
+           {o_rnd('lo', 6)} AS cos_lex_low
+    FROM s
+    """
+
+
+@query("q398_similarity_alignment", oracle=_q398_oracle())
+def q398_similarity_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representation-faithfulness audit: over a hash sample of
+    documents, correlate token-set Jaccard with embedding cosine on
+    every lexically-overlapping pair (doc_id keys the embedding
+    table) — a healthy embedding should rank lexical near-twins
+    above strangers, so a LOW alignment correlation (or
+    cos_lex_high ~ cos_lex_low) means the vectors don't reflect the
+    text and every downstream ANN/dedup decision (q50/q52/q101) is
+    built on sand.  Zero-overlap pairs are excluded by construction
+    (the inverted index only emits sharing pairs).
+
+    Scale shape: candidate pairs come from the token inverted index
+    over a HASH-SAMPLED doc set (pair count bounded by the sample
+    rate squared; the q44 df-cap applies to hot tokens at scale);
+    Jaccard/cosine per pair via equi joins on doc id; the audit
+    statistic is the q381 six-sum fold."""
+    from ..operators.similarity import as_double_vec
+
+    docs = spread_small_scan(table(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") % _Q398_SAMPLE == 0
+    )
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    )
+    sz = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = tok.alias("a")
+    b = tok.select(
+        F.col("doc_id").alias("id_b"), F.col("tok").alias("tok")
+    ).alias("b")
+    ix = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("id_b")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), "id_b")
+        .agg(F.count("*").alias("ix"))
+    )
+    ev = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    pairs = (
+        ix.join(sz.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza")), "id_a")
+        .join(sz.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb")), "id_b")
+        .join(ev.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(ev.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .select(
+            (
+                F.col("ix").cast("double")
+                / (F.col("sza") + F.col("szb") - F.col("ix"))
+            ).alias("jac"),
+            (
+                dot(F.col("va"), F.col("vb"))
+                / (
+                    F.sqrt(dot(F.col("va"), F.col("va")))
+                    * F.sqrt(dot(F.col("vb"), F.col("vb")))
+                )
+            ).alias("cos"),
+        )
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    s = pairs.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("jac").alias("sx"), F.sum("cos").alias("sy"),
+        F.sum(F.col("jac") * F.col("jac")).alias("sxx"),
+        F.sum(F.col("cos") * F.col("cos")).alias("syy"),
+        F.sum(F.col("jac") * F.col("cos")).alias("sxy"),
+        F.avg(F.when(F.col("jac") >= _Q398_LEX_HI, F.col("cos"))).alias("hi"),
+        F.avg(F.when(F.col("jac") < _Q398_LEX_HI, F.col("cos"))).alias("lo"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        prnd(F.col("sx") / F.col("n"), 6).alias("mean_jaccard"),
+        prnd(F.col("sy") / F.col("n"), 6).alias("mean_cosine"),
+        prnd(corr, 6).alias("alignment_corr"),
+        prnd("hi", 6).alias("cos_lex_high"),
+        prnd("lo", 6).alias("cos_lex_low"),
+    )

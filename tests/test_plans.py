@@ -1285,3 +1285,18 @@ def test_q396_dead_letter_parse_is_jvm_side(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "Join" not in plan
+
+
+def test_q397_lexical_diversity_doc_keyed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q397_lexical_diversity")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q398_alignment_pairs_from_inverted_index(spark, sf_dir):
+    """Candidate pairs must come from the token inverted index (equi
+    self-join on the token), never an all-pairs product."""
+    plan = _plan(spark, sf_dir, "q398_similarity_alignment")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
