@@ -4174,3 +4174,294 @@ def q398_similarity_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd("hi", 6).alias("cos_lex_high"),
         prnd("lo", 6).alias("cos_lex_low"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q399 lexical self-retrieval evaluation (MRR / recall@k)
+# ---------------------------------------------------------------------------
+
+_Q399_SAMPLE = 50   # doc_id % SAMPLE == 0 becomes a query
+_Q399_TERMS = 3     # rarest distinct tokens per query doc
+_Q399_K1, _Q399_B = 1.2, 0.75
+
+
+def _q399_oracle() -> str:
+    k1, b = _Q399_K1, _Q399_B
+    return f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS_SQL} AS t FROM documents),
+    dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+    tfs AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+      WHERE regexp_matches(term, '^[a-z0-9]+$')
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfs GROUP BY term),
+    qterm AS (
+      SELECT doc_id AS qdoc, term, df FROM (
+        SELECT f.doc_id, f.term, d.df,
+               row_number() OVER (PARTITION BY f.doc_id
+                                  ORDER BY d.df, f.term) AS rn
+        FROM tfs f JOIN dfreq d USING (term)
+        WHERE f.doc_id % {_Q399_SAMPLE} = 0
+      ) WHERE rn <= {_Q399_TERMS}
+    ),
+    hits AS (
+      SELECT q.qdoc, f.doc_id AS cand, q.term, f.tf, q.df
+      FROM qterm q JOIN tfs f USING (term)
+    ),
+    scored AS (
+      SELECT h.qdoc, h.cand,
+             sum(ln((s.n_docs - h.df + 0.5) / (h.df + 0.5) + 1.0)
+                 * h.tf * ({k1} + 1.0)
+                 / (h.tf + {k1} * (1.0 - {b}
+                       + {b} * CAST(d.dl AS DOUBLE) / s.avgdl))) AS score
+      FROM hits h JOIN dl d ON d.doc_id = h.cand CROSS JOIN stats s
+      GROUP BY h.qdoc, h.cand
+    ),
+    ranked AS (
+      SELECT qdoc, cand,
+             row_number() OVER (PARTITION BY qdoc
+                                ORDER BY {o_rnd('score', 6)} DESC, cand) AS rk
+      FROM scored
+    ),
+    self_rank AS (
+      SELECT r.qdoc, r.rk, t.source
+      FROM ranked r JOIN toks t ON t.doc_id = r.qdoc
+      WHERE r.cand = r.qdoc
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           {o_rnd('avg(1.0 / rk)', 6)} AS mrr,
+           {o_rnd('CAST(count(*) FILTER (WHERE rk = 1) AS DOUBLE) / count(*)', 6)} AS recall_at_1,
+           {o_rnd('CAST(count(*) FILTER (WHERE rk <= 5) AS DOUBLE) / count(*)', 6)} AS recall_at_5
+    FROM self_rank GROUP BY source
+    """
+
+
+@query("q399_self_retrieval", oracle=_q399_oracle())
+def q399_self_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end lexical retrieval eval with the self-retrieval
+    protocol: every 50th document becomes a query made of its own 3
+    RAREST tokens, BM25 ranks the candidate set, and the metric is
+    where the source document itself lands — MRR and recall@1/@5 per
+    source.  No human labels needed, yet it exercises the whole
+    retrieval stack (tokenization, df stats, posting join, BM25,
+    ranking) and its failures are diagnostic: low recall = the
+    'rare' tokens are boilerplate shared corpus-wide (q367/q379
+    duplication showing up as retrieval confusion).
+
+    Scale shape: candidates come from the inverted index joined on
+    QUERY terms only (df-bounded by the rarest-term choice — the
+    posting list of a rare token is short by definition); scoring is
+    a (query, candidate) groupBy; the per-query rank window runs
+    over candidate lists, not the corpus.  The protocol guarantees
+    the truth doc is always in its own candidate set."""
+    docs = spread_small_scan(table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", "source", tokens("text").alias("t")
+    )
+    dl = toks.select("doc_id", F.size("t").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tfs = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .filter(F.col("term").rlike("^[a-z0-9]+$"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tfs.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    qterm = (
+        tfs.filter(F.col("doc_id") % _Q399_SAMPLE == 0)
+        .join(dfreq, "term")
+        .select(
+            F.col("doc_id").alias("qdoc"), "term", "df",
+            F.row_number()
+            .over(
+                W.partitionBy("doc_id").orderBy("df", "term")
+            )
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= _Q399_TERMS)
+    )
+    hits = qterm.select("qdoc", "term", "df").join(
+        tfs.select(F.col("doc_id").alias("cand"), "term", "tf"), "term"
+    )
+    k1, b = _Q399_K1, _Q399_B
+    contrib = (
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            + 1.0
+        )
+        * F.col("tf")
+        * (k1 + 1.0)
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        hits.join(dl.select(F.col("doc_id").alias("cand"), "dl"), "cand")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("qdoc", "cand")
+        .agg(F.sum(contrib).alias("score"))
+    )
+    ranked = scored.select(
+        "qdoc", "cand",
+        F.row_number()
+        .over(
+            W.partitionBy("qdoc").orderBy(
+                prnd("score", 6).desc(), "cand"
+            )
+        )
+        .alias("rk"),
+    )
+    self_rank = ranked.filter(F.col("cand") == F.col("qdoc")).join(
+        toks.select(F.col("doc_id").alias("qdoc"), "source"), "qdoc"
+    )
+    return self_rank.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_queries"),
+        prnd(F.avg(1.0 / F.col("rk")), 6).alias("mrr"),
+        prnd(
+            F.count(F.when(F.col("rk") == 1, 1)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("recall_at_1"),
+        prnd(
+            F.count(F.when(F.col("rk") <= 5, 1)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("recall_at_5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q400 temperature-mixture materializer (deterministic resampling plan)
+# ---------------------------------------------------------------------------
+
+_Q400_T = 0.7            # sampling temperature
+_Q400_BUDGET = 2_000_000  # target token budget
+
+
+def _q400_oracle() -> str:
+    from ..functions.portable import o_hash64
+
+    u = f"(({o_hash64('doc_id')}) % 10000) / 10000.0"
+    return f"""
+    WITH d AS (
+      SELECT doc_id, source, len({_TOKS_SQL}) AS ntok FROM documents
+    ),
+    src AS (
+      SELECT source, CAST(sum(ntok) AS DOUBLE) AS ts, count(*) AS docs
+      FROM d GROUP BY source
+    ),
+    tot AS (SELECT sum(ts) AS y FROM src),
+    w AS (
+      SELECT source, ts, docs, pow(ts / t.y, {_Q400_T}) AS wr
+      FROM src CROSS JOIN tot t
+    ),
+    ws AS (SELECT sum(wr) AS z FROM w),
+    plan AS (
+      SELECT w.source, w.ts, w.docs, w.wr / s.z AS target_share,
+             {_Q400_BUDGET} * (w.wr / s.z) / w.ts AS r
+      FROM w CROSS JOIN ws s
+    ),
+    doc_copies AS (
+      SELECT d.doc_id, d.source, d.ntok, p.target_share,
+             CAST(floor(p.r) AS BIGINT)
+               + CASE WHEN (p.r - floor(p.r)) > ({u}) THEN 1 ELSE 0 END
+               AS copies
+      FROM d JOIN plan p USING (source)
+    ),
+    outp AS (
+      SELECT source, any_value(target_share) AS target_share,
+             count(*) AS docs_in, sum(copies) AS docs_out,
+             sum(ntok) AS tokens_in, sum(copies * ntok) AS tokens_out
+      FROM doc_copies GROUP BY source
+    ),
+    ot AS (SELECT CAST(sum(tokens_out) AS DOUBLE) AS yo FROM outp)
+    SELECT source,
+           CAST(docs_in AS BIGINT) AS docs_in,
+           CAST(docs_out AS BIGINT) AS docs_out,
+           CAST(tokens_in AS BIGINT) AS tokens_in,
+           CAST(tokens_out AS BIGINT) AS tokens_out,
+           {o_rnd('target_share', 6)} AS target_share,
+           {o_rnd('tokens_out / t.yo', 6)} AS achieved_share
+    FROM outp CROSS JOIN ot t
+    """
+
+
+@query("q400_mixture_materializer", oracle=_q400_oracle())
+def q400_mixture_materializer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-mixture MATERIALIZER: turn q94's temperature
+    target (w_s proportional to share^0.7, T < 1 up-samples the
+    tail) into an actual per-document replication plan — copies =
+    floor(rate) + a deterministic hash-Bernoulli for the fraction
+    (the q315 LCG-free variant: one md5 per doc, exact integer
+    residue grid) — and audit achieved vs target token shares.
+    This is the step that writes the training manifest; everything
+    before it (q88/q94/q392) only plans.  Achieved share converges
+    to target at corpus scale; the gap at small n IS the sampling
+    noise the audit shows.
+
+    Scale shape: per-source masses and weights are two tiny
+    groupBys + broadcast scalars; the per-doc copies column is
+    map-side arithmetic (the real run explodes sequence(1, copies)
+    right here, same plan shape); the audit rollup is one partial
+    agg.  No shuffle carries doc bodies."""
+    from ..functions.portable import hash64
+
+    docs = spread_small_scan(table(spark, sf_dir, "documents"))
+    d = docs.select(
+        "doc_id", "source", F.size(tokens("text")).alias("ntok")
+    )
+    src = d.groupBy("source").agg(
+        F.sum("ntok").cast("double").alias("ts"),
+        F.count("*").alias("docs"),
+    )
+    tot = src.agg(F.sum("ts").alias("y"))
+    w = src.crossJoin(F.broadcast(tot)).select(
+        "source", "ts",
+        F.pow(F.col("ts") / F.col("y"), _Q400_T).alias("wr"),
+    )
+    ws = w.agg(F.sum("wr").alias("z"))
+    plan = w.crossJoin(F.broadcast(ws)).select(
+        "source",
+        (F.col("wr") / F.col("z")).alias("target_share"),
+        (
+            F.lit(float(_Q400_BUDGET))
+            * (F.col("wr") / F.col("z"))
+            / F.col("ts")
+        ).alias("r"),
+    )
+    u = (hash64("doc_id") % 10000) / 10000.0
+    doc_copies = d.join(F.broadcast(plan), "source").select(
+        "source", "ntok", "target_share",
+        (
+            F.floor("r").cast("long")
+            + F.when(
+                (F.col("r") - F.floor("r")) > u, F.lit(1)
+            ).otherwise(0)
+        ).alias("copies"),
+    )
+    outp = doc_copies.groupBy("source").agg(
+        F.first("target_share").alias("target_share"),
+        F.count("*").alias("docs_in"),
+        F.sum("copies").alias("docs_out"),
+        F.sum("ntok").alias("tokens_in"),
+        F.sum(F.col("copies") * F.col("ntok")).alias("tokens_out"),
+    )
+    ot = outp.agg(F.sum("tokens_out").cast("double").alias("yo"))
+    return outp.crossJoin(F.broadcast(ot)).select(
+        "source",
+        F.col("docs_in").cast("long").alias("docs_in"),
+        F.col("docs_out").cast("long").alias("docs_out"),
+        F.col("tokens_in").cast("long").alias("tokens_in"),
+        F.col("tokens_out").cast("long").alias("tokens_out"),
+        prnd("target_share", 6).alias("target_share"),
+        prnd(F.col("tokens_out") / F.col("yo"), 6).alias("achieved_share"),
+    )

@@ -1300,3 +1300,17 @@ def test_q398_alignment_pairs_from_inverted_index(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_q399_retrieval_candidates_from_query_terms_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q399_self_retrieval")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q400_materializer_no_doc_bodies_cross_shuffle(spark, sf_dir):
+    """Doc copies are map-side arithmetic over broadcast plans: every
+    join is broadcast, nothing windows."""
+    plan = _plan(spark, sf_dir, "q400_mixture_materializer")
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan

@@ -602,3 +602,27 @@ def test_kde_integrates_to_one(spark, sf_dir):
         )
         assert 0.7 < integral < 1.1, (t, integral)
         assert all(d >= 0 for _, d in pts)
+
+
+def test_retrieval_and_materializer_invariants(spark, sf_dir):
+    """q399: MRR and recall bounded, recall@1 <= recall@5, and the
+    truth doc is always a candidate (protocol guarantee => every
+    query has a rank).  q400: achieved shares sum to 1, temperature
+    < 1 compresses shares toward uniform (largest source's target
+    share <= its natural share)."""
+    from crypto_prediction_etl_spark.plans import registry
+
+    registry.load_all()
+    for r in registry.QUERIES["q399_self_retrieval"](spark, sf_dir).collect():
+        assert 0.0 < r.mrr <= 1.0
+        assert r.recall_at_1 <= r.recall_at_5 <= 1.0
+
+    rows = registry.QUERIES["q400_mixture_materializer"](
+        spark, sf_dir
+    ).collect()
+    assert abs(sum(r.achieved_share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.target_share for r in rows) - 1.0) < 1e-4
+    tokens_in = {r.source: r.tokens_in for r in rows}
+    total_in = sum(tokens_in.values())
+    biggest = max(rows, key=lambda r: r.tokens_in)
+    assert biggest.target_share <= biggest.tokens_in / total_in + 1e-9
