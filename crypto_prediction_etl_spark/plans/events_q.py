@@ -6796,3 +6796,105 @@ def q395_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd(F.exp(-icept / slope), 2).alias("scale_lambda"),
         prnd(r2, 4).alias("r_squared"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q401 Kingman backpressure planner (queueing capacity from arrivals)
+# ---------------------------------------------------------------------------
+
+_Q401_UTILS = (0.5, 0.8, 0.9)   # candidate utilization targets
+_Q401_CS2 = 0.25                 # assumed service-time CV^2 (pinned)
+
+
+def _q401_oracle() -> str:
+    blocks = []
+    for rho in _Q401_UTILS:
+        wait = (f"({rho} / (1.0 - {rho})) * ((ca2 + {_Q401_CS2}) / 2.0)"
+                f" * (mean_gap / {rho})")
+        blocks.append(f"""
+      SELECT event_type, n_gaps, mean_gap, ca2,
+             CAST({rho} AS DOUBLE) AS util,
+             {o_rnd(f'1.0 / (mean_gap / {rho})', 6)} AS required_rate,
+             {o_rnd(wait, 4)} AS kingman_wait_s
+      FROM s""")
+    return f"""
+    WITH ordered AS (
+      SELECT event_type,
+             epoch(ts) - epoch(lag(ts) OVER (PARTITION BY event_type
+                                             ORDER BY ts, event_id)) AS gap
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(gap) AS BIGINT) AS n_gaps,
+             avg(gap) AS mean_gap,
+             var_pop(gap) / (avg(gap) * avg(gap)) AS ca2
+      FROM ordered WHERE gap IS NOT NULL GROUP BY event_type
+    ),
+    u AS ({" UNION ALL ".join(blocks)})
+    SELECT event_type,
+           CAST(n_gaps AS BIGINT) AS n_gaps,
+           {o_rnd('mean_gap', 4)} AS mean_gap_s,
+           {o_rnd('ca2', 4)} AS arrival_cv2,
+           util, required_rate, kingman_wait_s
+    FROM u
+    """
+
+
+@query("q401_kingman_backpressure", oracle=_q401_oracle())
+def q401_kingman_backpressure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backpressure capacity planner from Kingman's VUT formula: per
+    event type, measure the arrival process (mean gap, squared CV —
+    the burstiness q213 scores, now fed into an actual queueing
+    model) and for target utilizations 50/80/90% report the consumer
+    rate to provision and the expected steady-state queue wait
+    W ~ rho/(1-rho) * (ca^2+cs^2)/2 * service_time.  The quantified
+    version of 'bursty topics need headroom': at ca^2 >> 1 the same
+    utilization costs far more latency — this is the number that
+    sizes q360's watermarks and the streaming consumer fleet.
+
+    Scale shape: one per-type lag window for gaps, one sufficient-
+    stats groupBy, and a 3-row-per-type literal utilization fan-out
+    over the tiny summary frame.  Service-time CV^2 is a pinned
+    assumption surfaced as a constant."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    wo = W.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (
+            F.col("ts").cast("double")
+            - F.lag(F.col("ts").cast("double")).over(wo)
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    s = gaps.groupBy("event_type").agg(
+        F.count("gap").cast("long").alias("n_gaps"),
+        F.avg("gap").alias("mean_gap"),
+        (
+            F.var_pop("gap") / (F.avg("gap") * F.avg("gap"))
+        ).alias("ca2"),
+    )
+    structs = []
+    for rho in _Q401_UTILS:
+        svc = F.col("mean_gap") / rho
+        wait = (
+            F.lit(rho / (1.0 - rho))
+            * ((F.col("ca2") + _Q401_CS2) / 2.0)
+            * svc
+        )
+        structs.append(
+            F.struct(
+                F.lit(float(rho)).alias("util"),
+                prnd(F.lit(1.0) / svc, 6).alias("required_rate"),
+                prnd(wait, 4).alias("kingman_wait_s"),
+            )
+        )
+    return s.select(
+        "event_type", "n_gaps",
+        prnd("mean_gap", 4).alias("mean_gap_s"),
+        prnd("ca2", 4).alias("arrival_cv2"),
+        F.explode(F.array(*structs)).alias("x"),
+    ).select(
+        "event_type", "n_gaps", "mean_gap_s", "arrival_cv2", "x.*"
+    )

@@ -2955,3 +2955,92 @@ def q388_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd("t_within", 6).alias("t_within"),
         prnd(F.col("t_between") + F.col("t_within"), 6).alias("t_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q402 virtual-node ring balance sweep
+# ---------------------------------------------------------------------------
+
+_Q402_NODES = 8
+_Q402_VNODES = (1, 16, 64)
+
+
+def _q402_oracle() -> str:
+    from ..functions.portable import o_hash64
+
+    blocks = []
+    for v in _Q402_VNODES:
+        # key -> vnode by hash, vnode -> node by second hash; with v
+        # vnodes per node the ring has NODES*v slots
+        slots = _Q402_NODES * v
+        slot = f"(({o_hash64('l_orderkey')}) % {slots})"
+        node = f"(({o_hash64(f'CAST({slot} AS VARCHAR)')}) % {_Q402_NODES})"
+        blocks.append(f"""
+      SELECT {v} AS vnodes, {node} AS node, count(*) AS load
+      FROM lineitem GROUP BY 2""")
+    return f"""
+    WITH loads AS ({" UNION ALL ".join(blocks)}),
+    s AS (
+      SELECT vnodes,
+             CAST(count(*) AS BIGINT) AS nodes_hit,
+             CAST(max(load) AS BIGINT) AS max_load,
+             avg(CAST(load AS DOUBLE)) AS mean_load,
+             stddev_pop(CAST(load AS DOUBLE)) AS sd_load
+      FROM loads GROUP BY vnodes
+    )
+    SELECT CAST(vnodes AS INTEGER) AS vnodes,
+           nodes_hit, max_load,
+           {o_rnd('mean_load', 2)} AS mean_load,
+           {o_rnd('max_load / mean_load', 4)} AS peak_to_mean,
+           {o_rnd('sd_load / mean_load', 4)} AS load_cv
+    FROM s
+    """
+
+
+@query("q402_vnode_balance", oracle=_q402_oracle())
+def q402_vnode_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Virtual-node ring balance sweep: assign every order key to an
+    8-node ring through 1 / 16 / 64 vnodes per node (key -> slot ->
+    node, both hops hashed) and measure peak-to-mean load and load
+    CV — the standard demonstration that vnodes smooth consistent-
+    hashing imbalance (1 vnode: the unlucky node owns a long arc;
+    64: loads concentrate around the mean).  Completes the
+    placement-planning family: q361 measured RESHARD MOVEMENT,
+    this measures steady-state BALANCE, and together they are the
+    two axes a partitioning choice trades off.
+
+    Scale shape: three hash-groupBys over the key column (counts
+    only), then a vnodes-keyed rollup of the 8-row load frames —
+    one md5 per row per sweep point (q315 hash budget), no joins,
+    no windows."""
+    from ..functions.portable import hash64
+
+    li = table(spark, sf_dir, "lineitem")
+    frames = []
+    for v in _Q402_VNODES:
+        slots = _Q402_NODES * v
+        slot = hash64("l_orderkey") % slots
+        node = hash64(slot.cast("string")) % _Q402_NODES
+        frames.append(
+            li.groupBy(node.alias("node"))
+            .agg(F.count("*").alias("load"))
+            .select(F.lit(v).alias("vnodes"), "node", "load")
+        )
+    loads = frames[0]
+    for f in frames[1:]:
+        loads = loads.unionByName(f)
+    s = loads.groupBy("vnodes").agg(
+        F.count("*").cast("long").alias("nodes_hit"),
+        F.max("load").cast("long").alias("max_load"),
+        F.avg(F.col("load").cast("double")).alias("mean_load"),
+        F.stddev_pop(F.col("load").cast("double")).alias("sd_load"),
+    )
+    return s.select(
+        F.col("vnodes").cast("int").alias("vnodes"),
+        "nodes_hit", "max_load",
+        prnd("mean_load", 2).alias("mean_load"),
+        prnd(F.col("max_load") / F.col("mean_load"), 4).alias(
+            "peak_to_mean"
+        ),
+        prnd(F.col("sd_load") / F.col("mean_load"), 4).alias("load_cv"),
+    )

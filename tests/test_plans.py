@@ -1314,3 +1314,15 @@ def test_q400_materializer_no_doc_bodies_cross_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q400_mixture_materializer")
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q401_kingman_single_window_then_fanout(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q401_kingman_backpressure")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q402_vnode_balance_join_free(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q402_vnode_balance")
+    assert "Join" not in plan
+    assert "Window" not in plan
