@@ -6898,3 +6898,71 @@ def q401_kingman_backpressure(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_type", "n_gaps", "mean_gap_s", "arrival_cv2", "x.*"
     )
+
+
+# ---------------------------------------------------------------------------
+# q403 exponential time-decay trending scores
+# ---------------------------------------------------------------------------
+
+_Q403_HALFLIVES = (6.0, 24.0, 72.0)   # hours
+_Q403_LN2 = 0.6931471805599453         # pinned
+
+
+def _q403_oracle() -> str:
+    cols = []
+    for hl in _Q403_HALFLIVES:
+        lam = f"({_Q403_LN2} / {hl})"
+        cols.append(
+            o_rnd(f"sum(value * exp(-{lam} * age_h))", 4)
+            + f" AS score_hl{int(hl)}"
+        )
+    return f"""
+    WITH mx AS (SELECT max(epoch(ts)) AS t_now FROM events),
+    aged AS (
+      SELECT event_type, value,
+             (m.t_now - epoch(ts)) / 3600.0 AS age_h
+      FROM events CROSS JOIN mx m
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {", ".join(cols)},
+           {o_rnd('sum(value)', 2)} AS undecayed_sum
+    FROM aged GROUP BY event_type
+    """
+
+
+@query("q403_decay_trending", oracle=_q403_oracle())
+def q403_decay_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed popularity scores per event type at
+    6 h / 24 h / 72 h half-lives — THE feed/trending primitive:
+    score = sum(value * 2^(-age/halflife)), computed against the
+    corpus max timestamp so the query is reproducible (in production
+    t_now is the trigger time).  The three half-lives bracket
+    fast-trending vs evergreen, and the undecayed sum is the control
+    column showing how much recency reshuffles the ranking; ln 2 is
+    a pinned literal (q371 convention).
+
+    Scale shape: one scalar max broadcast back, then a map-side
+    decay expression per half-life folded by a single partial-agg
+    groupBy — the decayed sums are associative, so this same shape
+    is the incremental-refresh / streaming-fold version too (state
+    = one running sum per key per half-life, rescaled on read)."""
+    ev = table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.col("ts").cast("double")).alias("t_now"))
+    aged = ev.crossJoin(F.broadcast(mx)).select(
+        "event_type", "value",
+        ((F.col("t_now") - F.col("ts").cast("double")) / 3600.0).alias(
+            "age_h"
+        ),
+    )
+    aggs = [F.count("*").cast("long").alias("n_events")]
+    for hl in _Q403_HALFLIVES:
+        lam = _Q403_LN2 / hl
+        aggs.append(
+            prnd(
+                F.sum(F.col("value") * F.exp(-F.lit(lam) * F.col("age_h"))),
+                4,
+            ).alias(f"score_hl{int(hl)}")
+        )
+    aggs.append(prnd(F.sum("value"), 2).alias("undecayed_sum"))
+    return aged.groupBy("event_type").agg(*aggs)

@@ -3044,3 +3044,84 @@ def q402_vnode_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         prnd(F.col("sd_load") / F.col("mean_load"), 4).alias("load_cv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q404 erasure-cost planner (right-to-be-forgotten rewrite estimate)
+# ---------------------------------------------------------------------------
+
+_Q404_SAMPLE_MOD = 200   # deterministic "deletion request" cohort
+
+
+def _q404_oracle() -> str:
+    return f"""
+    WITH req AS (
+      SELECT DISTINCT o_custkey AS custkey FROM orders
+      WHERE o_custkey % {_Q404_SAMPLE_MOD} = 0
+    ),
+    parts AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS part_month,
+             count(*) AS part_rows,
+             count(*) FILTER (WHERE r.custkey IS NOT NULL) AS hit_rows
+      FROM orders o LEFT JOIN req r ON r.custkey = o.o_custkey
+      GROUP BY 1
+    )
+    SELECT part_month,
+           CAST(part_rows AS BIGINT) AS part_rows,
+           CAST(hit_rows AS BIGINT) AS hit_rows,
+           CAST(hit_rows > 0 AS INT) AS must_rewrite,
+           {o_rnd('CAST(hit_rows AS DOUBLE) / part_rows', 6)} AS hit_share,
+           CAST(CASE WHEN hit_rows > 0 THEN part_rows ELSE 0 END AS BIGINT)
+             AS rows_rewritten
+    FROM parts
+    """
+
+
+@query("q404_erasure_cost", oracle=_q404_oracle())
+def q404_erasure_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cost planner: for a deletion-request
+    cohort (every 200th customer — in production, the DSR queue),
+    which month-partitions of the orders table contain their rows,
+    what share of each partition is affected, and the rewrite
+    amplification — copy-on-write erasure rewrites the WHOLE
+    partition file for even one hit, so total rows_rewritten /
+    total hit_rows is the cost multiplier that motivates
+    deletion-vector formats.  The q228/q291 privacy family extended
+    from anonymity AUDITING to erasure EXECUTION planning; pairs
+    with the partition-targeted DELETE writer (S6).
+
+    Scale shape: the request cohort broadcasts (it is small by
+    nature); one left-join + month groupBy with filtered counts —
+    counts cross the shuffle, never rows."""
+    o = table(spark, sf_dir, "orders")
+    req = (
+        o.filter(F.col("o_custkey") % _Q404_SAMPLE_MOD == 0)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    parts = (
+        o.join(
+            F.broadcast(req), o.o_custkey == req.custkey, "left"
+        )
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("part_month")
+        )
+        .agg(
+            F.count("*").alias("part_rows"),
+            F.count(F.when(F.col("hit").isNotNull(), 1)).alias("hit_rows"),
+        )
+    )
+    return parts.select(
+        "part_month",
+        F.col("part_rows").cast("long").alias("part_rows"),
+        F.col("hit_rows").cast("long").alias("hit_rows"),
+        (F.col("hit_rows") > 0).cast("int").alias("must_rewrite"),
+        prnd(
+            F.col("hit_rows").cast("double") / F.col("part_rows"), 6
+        ).alias("hit_share"),
+        F.when(F.col("hit_rows") > 0, F.col("part_rows"))
+        .otherwise(0)
+        .cast("long")
+        .alias("rows_rewritten"),
+    )

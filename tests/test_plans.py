@@ -1326,3 +1326,15 @@ def test_q402_vnode_balance_join_free(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q402_vnode_balance")
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_q403_decay_is_scalar_broadcast_plus_fold(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q403_decay_trending")
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q404_erasure_request_cohort_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q404_erasure_cost")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
