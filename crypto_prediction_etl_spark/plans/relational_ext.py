@@ -3125,3 +3125,85 @@ def q404_erasure_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rows_rewritten"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q405 cross-table ledger reconciliation (orders vs lineitem recompute)
+# ---------------------------------------------------------------------------
+
+_Q405_TOL = 0.01   # relative tolerance band
+
+
+def _q405_oracle() -> str:
+    return f"""
+    WITH recomputed AS (
+      SELECT l_orderkey AS okey,
+             sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS recomp,
+             count(*) AS n_lines
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT o.o_orderkey,
+             CASE WHEN r.okey IS NULL THEN 'no_lines' ELSE 'matched' END AS st,
+             o.o_totalprice AS booked, r.recomp, r.n_lines,
+             CASE WHEN r.okey IS NOT NULL
+                  THEN abs(r.recomp - o.o_totalprice) / o.o_totalprice END AS rel_gap
+      FROM orders o LEFT JOIN recomputed r ON r.okey = o.o_orderkey
+    )
+    SELECT st AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) FILTER (WHERE rel_gap <= {_Q405_TOL}) AS BIGINT)
+             AS n_within_tol,
+           {o_rnd('avg(rel_gap)', 6)} AS avg_rel_gap,
+           {o_rnd('max(rel_gap)', 6)} AS max_rel_gap,
+           {o_rnd('sum(booked)', 2)} AS booked_total
+    FROM j GROUP BY st
+    """
+
+
+@query("q405_ledger_reconciliation", oracle=_q405_oracle())
+def q405_ledger_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table ledger reconciliation: recompute every order's
+    total from its lines (extendedprice x (1-discount) x (1+tax)),
+    compare to the booked o_totalprice, and report the mismatch
+    distribution plus orders with no lines at all — the double-entry
+    audit every finance/billing pipeline runs nightly, and the
+    cross-TABLE integrity check q198's key-level audit doesn't do
+    (keys can all resolve while the MONEY disagrees).
+
+    Scale shape: one partial-agg rollup of lineitem keyed on the
+    order key, one equi join to orders on the same key (co-partition
+    at 100 TB via bucketing both tables on orderkey — the S4/S5
+    writer family), one status groupBy of scalars."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    recomputed = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.sum(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).alias("recomp"),
+        F.count("*").alias("n_lines"),
+    )
+    j = o.join(
+        recomputed, o.o_orderkey == recomputed.okey, "left"
+    ).select(
+        F.when(F.col("okey").isNull(), "no_lines")
+        .otherwise("matched")
+        .alias("status"),
+        F.col("o_totalprice").alias("booked"),
+        F.when(
+            F.col("okey").isNotNull(),
+            F.abs(F.col("recomp") - F.col("o_totalprice"))
+            / F.col("o_totalprice"),
+        ).alias("rel_gap"),
+    )
+    return j.groupBy("status").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.count(F.when(F.col("rel_gap") <= _Q405_TOL, 1))
+        .cast("long")
+        .alias("n_within_tol"),
+        prnd(F.avg("rel_gap"), 6).alias("avg_rel_gap"),
+        prnd(F.max("rel_gap"), 6).alias("max_rel_gap"),
+        prnd(F.sum("booked"), 2).alias("booked_total"),
+    )

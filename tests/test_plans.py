@@ -1338,3 +1338,9 @@ def test_q404_erasure_request_cohort_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q404_erasure_cost")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q405_reconciliation_is_key_join_plus_rollup(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q405_ledger_reconciliation")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
