@@ -45,6 +45,18 @@ PANEL2 = [
     "q351_mmd_two_sample",
 ]
 
+# Third panel (round-5 continuation): the heaviest continuation-batch
+# kernels — the customer/part pair generator (Adamic-Adar), the span
+# inverted index, the per-doc LM scoring join, and the self-retrieval
+# posting pipeline. Anchors (quiet host, sf0.1, local[32], continuation
+# first recording): q365 ~7.1s, q367 ~4.0s, q378 ~2.5s, q399 ~2.5s.
+PANEL3 = [
+    "q365_adamic_adar",
+    "q367_span_dedup",
+    "q378_ccnet_buckets",
+    "q399_self_retrieval",
+]
+
 HEADLINE = [
     "q01_pricing_summary",
     "q02_filtered_revenue",
@@ -108,6 +120,7 @@ def main() -> None:
 
     timings = run_panel(HEADLINE)
     panel2 = run_panel(PANEL2)
+    panel3 = run_panel(PANEL3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -119,6 +132,8 @@ def main() -> None:
                 "queries": timings,
                 "panel2_total": round(sum(panel2.values()), 3),
                 "panel2": panel2,
+                "panel3_total": round(sum(panel3.values()), 3),
+                "panel3": panel3,
                 "sf": sf,
             }
         )
