@@ -4465,3 +4465,223 @@ def q400_mixture_materializer(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd("target_share", 6).alias("target_share"),
         prnd(F.col("tokens_out") / F.col("yo"), 6).alias("achieved_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q406 greedy max-coverage document selection (coreset per source)
+# ---------------------------------------------------------------------------
+
+_Q406_ROUNDS = 3
+
+
+def _q406_oracle() -> str:
+    ctes = [
+        f"dt AS (SELECT DISTINCT source, doc_id, unnest({_TOKS_SQL}) AS tok "
+        "FROM documents)",
+        "tot AS (SELECT source, count(DISTINCT tok) AS v FROM dt GROUP BY source)",
+        "sel0 AS (SELECT source, CAST(NULL AS BIGINT) AS doc_id FROM tot WHERE 1=0)",
+        "cov0 AS (SELECT source, tok FROM dt WHERE 1=0)",
+    ]
+    for t in range(1, _Q406_ROUNDS + 1):
+        p = t - 1
+        ctes.append(f"""gain{t} AS (
+      SELECT d.source, d.doc_id, count(*) AS gain
+      FROM dt d
+      LEFT JOIN cov{p} c ON c.source = d.source AND c.tok = d.tok
+      LEFT JOIN sel{p} s ON s.source = d.source AND s.doc_id = d.doc_id
+      WHERE c.tok IS NULL AND s.doc_id IS NULL
+      GROUP BY d.source, d.doc_id
+    )""")
+        ctes.append(f"""win{t} AS (
+      SELECT source, doc_id, gain, {t} AS round FROM (
+        SELECT source, doc_id, gain,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY gain DESC, doc_id) AS rn
+        FROM gain{t}
+      ) WHERE rn = 1
+    )""")
+        ctes.append(
+            f"sel{t} AS (SELECT source, doc_id FROM sel{p} "
+            f"UNION ALL SELECT source, doc_id FROM win{t})"
+        )
+        ctes.append(f"""cov{t} AS (
+      SELECT source, tok FROM cov{p}
+      UNION
+      SELECT d.source, d.tok FROM dt d
+      JOIN win{t} w ON w.source = d.source AND w.doc_id = d.doc_id
+    )""")
+    wins = " UNION ALL ".join(
+        f"SELECT source, round, doc_id, gain FROM win{t}"
+        for t in range(1, _Q406_ROUNDS + 1)
+    )
+    return f"""
+    WITH {", ".join(ctes)},
+    allw AS ({wins}),
+    cum AS (
+      SELECT source, round, doc_id, gain,
+             sum(gain) OVER (PARTITION BY source ORDER BY round) AS cum_cov
+      FROM allw
+    )
+    SELECT c.source, CAST(c.round AS INTEGER) AS round,
+           CAST(c.doc_id AS BIGINT) AS doc_id,
+           CAST(c.gain AS BIGINT) AS gain,
+           {o_rnd('CAST(c.cum_cov AS DOUBLE) / t.v', 6)} AS coverage
+    FROM cum c JOIN tot t ON t.source = c.source
+    """
+
+
+@query("q406_greedy_coverage", oracle=_q406_oracle())
+def q406_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy max-coverage document selection per source (the
+    facility-location/coreset primitive of data selection): three
+    greedy rounds, each picking the document adding the most
+    NOT-YET-COVERED distinct tokens — the classic (1-1/e)-optimal
+    submodular greedy, the batch version of 'pick k representative
+    docs per source' used for eval-set seeding, annotation
+    budgeting and dataset cards.  Output: the picks, marginal
+    gains (non-increasing by submodularity — asserted in the
+    invariants test) and cumulative vocabulary coverage.
+
+    Scale shape: each round is one anti-join of the doc-token
+    posting list against the covered-token set (both keyed (source,
+    tok)), a doc-level count, and a per-source argmax (k-row
+    frame); the covered set grows by <= 1 doc's tokens per source
+    per round.  Rounds are bounded (3) and each is a fixed
+    plan stage — same unrolled-iteration law as q393."""
+    docs = spread_small_scan(table(spark, sf_dir, "documents"))
+    dt = docs.select(
+        "source", "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    ).distinct()
+    tot = dt.groupBy("source").agg(F.countDistinct("tok").alias("v"))
+    covered = None
+    selected = None
+    wins = []
+    for t in range(1, _Q406_ROUNDS + 1):
+        cand = dt
+        if selected is not None:
+            cand = cand.join(selected, ["source", "doc_id"], "left_anti")
+        if covered is not None:
+            cand = cand.join(covered, ["source", "tok"], "left_anti")
+        gain = cand.groupBy("source", "doc_id").agg(
+            F.count("*").alias("gain")
+        )
+        win = (
+            gain.select(
+                "source", "doc_id", "gain",
+                F.row_number()
+                .over(
+                    W.partitionBy("source").orderBy(
+                        F.col("gain").desc(), "doc_id"
+                    )
+                )
+                .alias("rn"),
+            )
+            .filter(F.col("rn") == 1)
+            .select("source", "doc_id", "gain", F.lit(t).alias("round"))
+            .localCheckpoint(eager=False)
+        )
+        wins.append(win)
+        new_cov = dt.join(
+            win.select("source", "doc_id"), ["source", "doc_id"]
+        ).select("source", "tok")
+        covered = (
+            new_cov if covered is None
+            else covered.unionByName(new_cov).distinct()
+        )
+        selected = (
+            win.select("source", "doc_id") if selected is None
+            else selected.unionByName(win.select("source", "doc_id"))
+        )
+    allw = wins[0]
+    for w_ in wins[1:]:
+        allw = allw.unionByName(w_)
+    cum = allw.select(
+        "source", "round", "doc_id", "gain",
+        F.sum("gain")
+        .over(W.partitionBy("source").orderBy("round"))
+        .alias("cum_cov"),
+    )
+    return cum.join(tot, "source").select(
+        "source",
+        F.col("round").cast("int").alias("round"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("gain").cast("long").alias("gain"),
+        prnd(F.col("cum_cov").cast("double") / F.col("v"), 6).alias(
+            "coverage"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q407 vocabulary coverage curve (top-V type share of token mass)
+# ---------------------------------------------------------------------------
+
+_Q407_SIZES = (100, 1000, 4000)
+
+
+def _q407_oracle() -> str:
+    cols = ", ".join(
+        o_rnd(
+            f"sum(CASE WHEN rk <= {v} THEN cnt ELSE 0 END)"
+            f" / CAST(sum(cnt) AS DOUBLE)",
+            6,
+        )
+        + f" AS cov_{v}"
+        for v in _Q407_SIZES
+    )
+    return f"""
+    WITH tok AS (
+      SELECT unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    types AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+    ranked AS (
+      SELECT cnt,
+             row_number() OVER (ORDER BY cnt DESC, tok) AS rk
+      FROM types
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           {cols}
+    FROM ranked
+    """
+
+
+@query("q407_vocab_coverage", oracle=_q407_oracle())
+def q407_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what share of the corpus token
+    mass the top-100 / top-1000 / top-4000 types capture — the
+    first number a tokenizer-size decision needs (a corpus where 4k
+    types cover 99% wastes a 64k vocab; one where they cover 80%
+    will fragment words into chars), complementing q264's Zipf
+    exponent with the decision-ready cumulative view and q140's
+    fixed-vocab OOV rate with the full curve.
+
+    Scale shape: one type-count groupBy; the rank over TYPES is a
+    vocabulary-sized frame (millions at worst — orders of magnitude
+    below corpus size; the q375 globalrank swaps in beyond that),
+    then one conditional-sum fold."""
+    docs = spread_small_scan(table(spark, sf_dir, "documents"))
+    types = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ranked = types.select(
+        "cnt",
+        F.row_number()
+        .over(W.orderBy(F.col("cnt").desc(), "tok"))
+        .alias("rk"),
+    )
+    aggs = [
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("cnt").cast("long").alias("n_tokens"),
+    ]
+    for v in _Q407_SIZES:
+        aggs.append(
+            prnd(
+                F.sum(F.when(F.col("rk") <= v, F.col("cnt")).otherwise(0))
+                / F.sum("cnt").cast("double"),
+                6,
+            ).alias(f"cov_{v}")
+        )
+    return ranked.agg(*aggs)

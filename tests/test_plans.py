@@ -1344,3 +1344,14 @@ def test_q405_reconciliation_is_key_join_plus_rollup(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q405_ledger_reconciliation")
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_q406_greedy_rounds_are_anti_joins(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q406_greedy_coverage")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q407_vocab_coverage_ranks_types_not_tokens(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q407_vocab_coverage")
+    assert "Join" not in plan

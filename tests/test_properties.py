@@ -626,3 +626,24 @@ def test_retrieval_and_materializer_invariants(spark, sf_dir):
     total_in = sum(tokens_in.values())
     biggest = max(rows, key=lambda r: r.tokens_in)
     assert biggest.target_share <= biggest.tokens_in / total_in + 1e-9
+
+
+def test_greedy_coverage_submodularity(spark, sf_dir):
+    """Greedy marginal gains must be non-increasing per source and
+    coverage non-decreasing, ending <= 1 (the submodularity
+    signature the oracle comparison cannot check independently)."""
+    from crypto_prediction_etl_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["q406_greedy_coverage"](spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert by_src
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.round)
+        gains = [r.gain for r in rs]
+        covs = [r.coverage for r in rs]
+        assert gains == sorted(gains, reverse=True), (src, gains)
+        assert covs == sorted(covs), (src, covs)
+        assert covs[-1] <= 1.0 + 1e-9
