@@ -7858,3 +7858,253 @@ def q381_epps_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_obs"),
         prnd(corr, 6).alias("xcorr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q408 harmonic day-of-week fit (amplitude + peak day)
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+# cos/sin(2*pi*d/7) pinned as literals (no libm trig in either engine)
+_Q408_COS = tuple(round(_math.cos(2 * _math.pi * d / 7), 15) for d in range(7))
+_Q408_SIN = tuple(round(_math.sin(2 * _math.pi * d / 7), 15) for d in range(7))
+
+
+def _q408_case(vals, dow: str) -> str:
+    cases = " ".join(f"WHEN {d} THEN {v}" for d, v in enumerate(vals))
+    return f"CASE {dow} {cases} END"
+
+
+def _q408_oracle() -> str:
+    cosx = _q408_case(_Q408_COS, "dow")
+    sinx = _q408_case(_Q408_SIN, "dow")
+    det = "(scc * sss - scs * scs)"
+    a = f"((scy * sss - ssy * scs) / {det})"
+    b = f"((ssy * scc - scy * scs) / {det})"
+    def _f(d: int) -> str:
+        return f"(({a}) * {_Q408_COS[d]} + ({b}) * {_Q408_SIN[d]})"
+
+    peak = " ".join(
+        "WHEN "
+        + " AND ".join(f"{_f(d)} >= {_f(e)}" for e in range(7) if e != d)
+        + f" THEN {d}"
+        for d in range(7)
+    )
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    base AS (
+      SELECT id, CAST(volume_cents AS DOUBLE) / 100.0 AS y,
+             dayofweek(dt) AS dow
+      FROM candles
+    ),
+    x AS (
+      SELECT id, y, {cosx} AS cx, {sinx} AS sx FROM base
+    ),
+    m AS (
+      SELECT id, CAST(count(*) AS DOUBLE) AS n,
+             avg(y) AS my, avg(cx) AS mc, avg(sx) AS ms,
+             sum(cx * cx) AS rcc, sum(sx * sx) AS rss, sum(cx * sx) AS rcs,
+             sum(cx * y) AS rcy, sum(sx * y) AS rsy,
+             sum(y * y) AS ryy
+      FROM x GROUP BY id
+    ),
+    s AS (
+      SELECT id, n,
+             rcc - n * mc * mc AS scc,
+             rss - n * ms * ms AS sss,
+             rcs - n * mc * ms AS scs,
+             rcy - n * mc * my AS scy,
+             rsy - n * ms * my AS ssy,
+             ryy - n * my * my AS syy
+      FROM m
+    )
+    SELECT id, CAST(n AS BIGINT) AS n_days,
+           {o_rnd(f'sqrt(({a}) * ({a}) + ({b}) * ({b}))', 2)} AS amplitude,
+           CAST(CASE {peak} END AS INTEGER) AS peak_dow,
+           {o_rnd(f'(({a}) * scy + ({b}) * ssy) / syy', 4)} AS r_squared
+    FROM s
+    """
+
+
+@query("q408_harmonic_dow", oracle=_q408_oracle())
+def q408_harmonic_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic regression of daily volume on the weekly cycle:
+    OLS-fit y = mean + A cos(2 pi dow/7) + B sin(2 pi dow/7) per
+    symbol (closed-form 2x2 normal equations on centered sums),
+    reporting cycle amplitude, the PEAK weekday (argmax over the 7
+    fitted values — integer output, no atan2/libm phase), and the
+    cycle's R^2.  Estimates the seasonality q120/q326 only TESTS —
+    the actual shape a liquidity-aware scheduler or TWAP slicer
+    (q235) consumes.  All trig values are Python-precomputed
+    pinned literals keyed by weekday.
+
+    Scale shape: a weekday literal lookup in the scan, one
+    sufficient-stats groupBy per id, scalar algebra after —
+    the q381 law with two regressors.  DuckDB dayofweek is 0-based
+    and Spark's 1-based; both sides normalize to 0=Sunday
+    explicitly (the classic cross-engine trap)."""
+    c = candles(spark, sf_dir)
+    dow = F.dayofweek("dt") - 1  # 0-based, Sunday = 0
+    cosx = F.lit(0.0)
+    sinx = F.lit(0.0)
+    for d in range(7):
+        cosx = F.when(dow == d, F.lit(_Q408_COS[d])).otherwise(cosx)
+        sinx = F.when(dow == d, F.lit(_Q408_SIN[d])).otherwise(sinx)
+    x = c.select(
+        "id",
+        (F.col("volume_cents").cast("double") / 100.0).alias("y"),
+        cosx.alias("cx"),
+        sinx.alias("sx"),
+    )
+    m = x.groupBy("id").agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("y").alias("my"), F.avg("cx").alias("mc"), F.avg("sx").alias("ms"),
+        F.sum(F.col("cx") * F.col("cx")).alias("rcc"),
+        F.sum(F.col("sx") * F.col("sx")).alias("rss"),
+        F.sum(F.col("cx") * F.col("sx")).alias("rcs"),
+        F.sum(F.col("cx") * F.col("y")).alias("rcy"),
+        F.sum(F.col("sx") * F.col("y")).alias("rsy"),
+        F.sum(F.col("y") * F.col("y")).alias("ryy"),
+    )
+    s = m.select(
+        "id", "n",
+        (F.col("rcc") - F.col("n") * F.col("mc") * F.col("mc")).alias("scc"),
+        (F.col("rss") - F.col("n") * F.col("ms") * F.col("ms")).alias("sss"),
+        (F.col("rcs") - F.col("n") * F.col("mc") * F.col("ms")).alias("scs"),
+        (F.col("rcy") - F.col("n") * F.col("mc") * F.col("my")).alias("scy"),
+        (F.col("rsy") - F.col("n") * F.col("ms") * F.col("my")).alias("ssy"),
+        (F.col("ryy") - F.col("n") * F.col("my") * F.col("my")).alias("syy"),
+    )
+    det = F.col("scc") * F.col("sss") - F.col("scs") * F.col("scs")
+    a = (F.col("scy") * F.col("sss") - F.col("ssy") * F.col("scs")) / det
+    b = (F.col("ssy") * F.col("scc") - F.col("scy") * F.col("scs")) / det
+    fitted = [a * _Q408_COS[d] + b * _Q408_SIN[d] for d in range(7)]
+    peak = F.lit(0)
+    best = fitted[0]
+    for d in range(1, 7):
+        cond = fitted[d] > best
+        peak = F.when(cond, F.lit(d)).otherwise(peak)
+        best = F.when(cond, fitted[d]).otherwise(best)
+    return s.select(
+        "id",
+        F.col("n").cast("long").alias("n_days"),
+        prnd(F.sqrt(a * a + b * b), 2).alias("amplitude"),
+        peak.cast("int").alias("peak_dow"),
+        prnd((a * F.col("scy") + b * F.col("ssy")) / F.col("syy"), 4).alias(
+            "r_squared"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q409 cross-sectional momentum rank IC (information coefficient)
+# ---------------------------------------------------------------------------
+
+
+def _q409_oracle() -> str:
+    corr = ("(n * sxy - sx * sy) / "
+            "sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))")
+    return f"""
+    WITH candles AS ({CANDLES_SQL}),
+    monthly AS (
+      SELECT id, strftime(dt, '%Y-%m') AS mon,
+             arg_max(close, dt) / arg_min(close, dt) - 1.0 AS ret
+      FROM candles GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT id, mon, ret,
+             lag(ret) OVER (PARTITION BY id ORDER BY mon) AS prev_ret
+      FROM monthly
+    ),
+    ranked AS (
+      SELECT mon,
+             row_number() OVER (PARTITION BY mon ORDER BY prev_ret, id) AS rx,
+             row_number() OVER (PARTITION BY mon ORDER BY ret, id) AS ry
+      FROM seq WHERE prev_ret IS NOT NULL
+    ),
+    per_mon AS (
+      SELECT mon, CAST(count(*) AS DOUBLE) AS n,
+             sum(rx) AS sx, sum(ry) AS sy,
+             sum(rx * rx) AS sxx, sum(ry * ry) AS syy,
+             sum(rx * ry) AS sxy
+      FROM ranked GROUP BY mon HAVING count(*) >= 3
+    ),
+    ics AS (SELECT mon, {corr} AS ic FROM per_mon)
+    SELECT CAST(count(*) AS BIGINT) AS n_months,
+           {o_rnd('avg(ic)', 4)} AS mean_ic,
+           {o_rnd('avg(ic) / stddev_pop(ic)', 4)} AS icir,
+           {o_rnd('CAST(count(*) FILTER (WHERE ic > 0) AS DOUBLE) / count(*)', 6)} AS hit_rate
+    FROM ics
+    """
+
+
+@query("q409_rank_ic", oracle=_q409_oracle())
+def q409_rank_ic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sectional momentum rank IC: each month, Spearman-
+    correlate the symbols' PREVIOUS-month return ranks with their
+    CURRENT-month return ranks, then summarize the IC series (mean
+    IC, ICIR = mean/sd, hit rate) — the standard factor-research
+    readout that decides whether a signal deserves a backtest
+    (q300's momentum strategy is the portfolio this IC would
+    justify; mean IC ~ 0 here is the honest result for synthetic
+    orders data).  Ranks are row_number with an id tie-break so
+    Spearman needs no midrank handling and both engines rank
+    identically.
+
+    Scale shape: monthly resample (arg_max/arg_min partial aggs),
+    one per-id lag window on the tiny monthly frame, per-month rank
+    windows over the CROSS-SECTION (symbols per month — thousands at
+    most), and sufficient-stats Spearman per month folded into the
+    final scalar summary."""
+    c = candles(spark, sf_dir)
+    monthly = c.groupBy(
+        "id", F.date_format("dt", "yyyy-MM").alias("mon")
+    ).agg(
+        (
+            F.expr("max_by(close, dt)") / F.expr("min_by(close, dt)")
+            - 1.0
+        ).alias("ret")
+    )
+    wm = W.partitionBy("id").orderBy("mon")
+    seq = monthly.select(
+        "id", "mon", "ret", F.lag("ret").over(wm).alias("prev_ret")
+    ).filter(F.col("prev_ret").isNotNull())
+    ranked = seq.select(
+        "mon",
+        F.row_number()
+        .over(W.partitionBy("mon").orderBy("prev_ret", "id"))
+        .alias("rx"),
+        F.row_number()
+        .over(W.partitionBy("mon").orderBy("ret", "id"))
+        .alias("ry"),
+    )
+    per_mon = (
+        ranked.groupBy("mon")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum("rx").alias("sx"), F.sum("ry").alias("sy"),
+            F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+            F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+            F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+    ic = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        )
+    ).alias("ic")
+    ics = per_mon.select(ic)
+    return ics.agg(
+        F.count("*").cast("long").alias("n_months"),
+        prnd(F.avg("ic"), 4).alias("mean_ic"),
+        prnd(F.avg("ic") / F.stddev_pop("ic"), 4).alias("icir"),
+        prnd(
+            F.count(F.when(F.col("ic") > 0, 1)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("hit_rate"),
+    )

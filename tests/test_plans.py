@@ -1355,3 +1355,14 @@ def test_q406_greedy_rounds_are_anti_joins(spark, sf_dir):
 def test_q407_vocab_coverage_ranks_types_not_tokens(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q407_vocab_coverage")
     assert "Join" not in plan
+
+
+def test_q408_harmonic_fit_sufficient_stats(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q408_harmonic_dow")
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_q409_rank_ic_windows_month_partitioned(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q409_rank_ic")
+    assert "CartesianProduct" not in plan
