@@ -1043,3 +1043,119 @@ def q359_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs_affected",
         prnd("mean_j", 6).alias("mean_jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q411 cross-source duplication matrix
+# ---------------------------------------------------------------------------
+
+
+def _q411_oracle() -> str:
+    return """
+    WITH fp AS (
+      SELECT source,
+             md5(array_to_string(
+               list_slice(string_split(lower(text), ' '), 1, 8), ' ')) AS f
+      FROM documents
+    ),
+    sf AS (SELECT DISTINCT source, f FROM fp),
+    per_src AS (SELECT source, count(DISTINCT f) AS n_fps FROM fp GROUP BY source),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS shared_fps
+      FROM sf a JOIN sf b ON b.f = a.f AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT p.source_a, p.source_b,
+           CAST(p.shared_fps AS BIGINT) AS shared_fps,
+           CAST(pa.n_fps AS BIGINT) AS fps_a,
+           CAST(pb.n_fps AS BIGINT) AS fps_b,
+           floor((CAST(p.shared_fps AS DOUBLE)
+                  / least(pa.n_fps, pb.n_fps)) * 1000000.0 + 0.5001)
+             / 1000000.0 AS containment
+    FROM pairs p
+    JOIN per_src pa ON pa.source = p.source_a
+    JOIN per_src pb ON pb.source = p.source_b
+    """
+
+
+@query("q411_cross_source_dups", oracle=_q411_oracle())
+def q411_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: which PAIRS of sources carry
+    the same HEAD fingerprints (md5 of the first 8 tokens — shared
+    lead boilerplate and mirrored pages collide here even when the
+    tails diverge; q43's full-text md5 is the strict variant), with
+    overlap containment = shared / min(|A|, |B|) — the
+    mirror-detection view q307's per-source dup RATE cannot give
+    (a 30% dup rate might be self-duplication or a wholesale mirror
+    of another crawl; only the pair matrix tells which feed to
+    drop).  Feeds the q363 dataset card's provenance section.
+
+    Scale shape: the pair generator is the fingerprint inverted
+    index (equi self-join on the 128-bit hash — only sources that
+    actually share content pair up, never all source pairs), with
+    per-source fingerprint masses joined back broadcast-small.
+    One md5 per doc total (q315 hash budget)."""
+    from pyspark.sql import functions as F
+
+    from ..sources.readers import spread_small_scan, table
+
+    docs = spread_small_scan(table(spark, sf_dir, "documents"))
+    from ..operators.text import tokens
+
+    fp = docs.select(
+        "source",
+        F.md5(
+            F.array_join(F.slice(tokens("text"), 1, 8), " ")
+        ).alias("f"),
+    )
+    sf = fp.select("source", "f").distinct()
+    per_src = fp.groupBy("source").agg(
+        F.countDistinct("f").alias("n_fps")
+    )
+    a = sf.alias("a")
+    b = sf.select(
+        F.col("source").alias("source_b"), F.col("f").alias("f")
+    ).alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.f") == F.col("b.f"))
+            & (F.col("a.source") < F.col("source_b")),
+        )
+        .groupBy(F.col("a.source").alias("source_a"), "source_b")
+        .agg(F.count("*").alias("shared_fps"))
+    )
+    from ..functions.portable import prnd
+
+    return (
+        pairs.join(
+            F.broadcast(
+                per_src.select(
+                    F.col("source").alias("source_a"),
+                    F.col("n_fps").alias("fps_a"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                per_src.select(
+                    F.col("source").alias("source_b"),
+                    F.col("n_fps").alias("fps_b"),
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a", "source_b",
+            F.col("shared_fps").cast("long").alias("shared_fps"),
+            F.col("fps_a").cast("long").alias("fps_a"),
+            F.col("fps_b").cast("long").alias("fps_b"),
+            prnd(
+                F.col("shared_fps").cast("double")
+                / F.least("fps_a", "fps_b"),
+                6,
+            ).alias("containment"),
+        )
+    )

@@ -3207,3 +3207,85 @@ def q405_ledger_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         prnd(F.max("rel_gap"), 6).alias("max_rel_gap"),
         prnd(F.sum("booked"), 2).alias("booked_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q410 shard-key advisor (cardinality / balance / co-location per candidate)
+# ---------------------------------------------------------------------------
+
+_Q410_SHARDS = 32
+_Q410_KEYS = ("l_orderkey", "l_partkey", "l_suppkey")
+
+
+def _q410_oracle() -> str:
+    from ..functions.portable import o_hash64
+
+    blocks = []
+    for k in _Q410_KEYS:
+        shard = f"(({o_hash64(k)}) % {_Q410_SHARDS})"
+        blocks.append(f"""
+      SELECT '{k}' AS cand_key,
+             (SELECT count(DISTINCT {k}) FROM lineitem) AS ndv,
+             (SELECT {o_rnd('stddev_pop(c) / avg(c)', 4)} FROM
+                (SELECT count(*) AS c FROM lineitem GROUP BY {shard})) AS shard_cv,
+             (SELECT {o_rnd('avg(CAST(mx AS DOUBLE) / n)', 6)} FROM
+                (SELECT l_orderkey, sum(sc) AS n, max(sc) AS mx FROM
+                   (SELECT l_orderkey, count(*) AS sc
+                    FROM lineitem GROUP BY l_orderkey, {shard})
+                 GROUP BY l_orderkey)) AS order_colocation""")
+    return " UNION ALL ".join(blocks)
+
+
+@query("q410_shard_key_advisor", oracle=_q410_oracle())
+def q410_shard_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-key advisor: for each candidate distribution key of
+    lineitem, the three numbers that decide the layout — key
+    cardinality (enough distinct values to spread?), load CV across
+    32 hash shards (does it balance?), and ORDER co-location (what
+    fraction of an average order's lines land on one shard — 1.0
+    for l_orderkey by construction, ~1/shards for unrelated keys),
+    which is exactly the 'will the orders join shuffle' question.
+    Completes the layout-planning family: q279 profiles ONE key's
+    skew, q402 the ring mechanics, this one CHOOSES the key.
+
+    Scale shape: per candidate, two hash groupBys (shard loads;
+    per-(order, shard) counts) and scalar folds — counts only, one
+    md5 per row per candidate (q315 budget); candidates union
+    independent subplans over the shared scan."""
+    from ..functions.portable import hash64
+
+    li = table(spark, sf_dir, "lineitem")
+    outs = []
+    for k in _Q410_KEYS:
+        shard = (hash64(k) % _Q410_SHARDS).alias("shard")
+        ndv = li.agg(F.countDistinct(k).alias("ndv"))
+        loads = li.groupBy(shard).agg(F.count("*").alias("c"))
+        cv = loads.agg(
+            prnd(F.stddev_pop("c") / F.avg("c"), 4).alias("shard_cv")
+        )
+        per_os = li.groupBy("l_orderkey", shard).agg(
+            F.count("*").alias("sc")
+        )
+        coloc = (
+            per_os.groupBy("l_orderkey")
+            .agg(F.sum("sc").alias("n"), F.max("sc").alias("mx"))
+            .agg(
+                prnd(
+                    F.avg(F.col("mx").cast("double") / F.col("n")), 6
+                ).alias("order_colocation")
+            )
+        )
+        outs.append(
+            ndv.crossJoin(F.broadcast(cv))
+            .crossJoin(F.broadcast(coloc))
+            .select(
+                F.lit(k).alias("cand_key"),
+                F.col("ndv").cast("long").alias("ndv"),
+                "shard_cv",
+                "order_colocation",
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

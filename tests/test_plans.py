@@ -1366,3 +1366,17 @@ def test_q408_harmonic_fit_sufficient_stats(spark, sf_dir):
 def test_q409_rank_ic_windows_month_partitioned(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q409_rank_ic")
     assert "CartesianProduct" not in plan
+
+
+def test_q410_shard_advisor_counts_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q410_shard_key_advisor")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q411_cross_source_pairs_from_fingerprint_index(spark, sf_dir):
+    """Source pairs must come from the fingerprint equi self-join,
+    never an all-source-pairs product."""
+    plan = _plan(spark, sf_dir, "q411_cross_source_dups")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
