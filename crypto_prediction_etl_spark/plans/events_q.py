@@ -6966,3 +6966,91 @@ def q403_decay_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     aggs.append(prnd(F.sum("value"), 2).alias("undecayed_sum"))
     return aged.groupBy("event_type").agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# q413 SLO burn-rate alerts (multiwindow, SRE workbook pattern)
+# ---------------------------------------------------------------------------
+
+_Q413_SLO = 0.25          # error-budget: error share allowed (synthetic data
+                          # has ~20% 'error' events; a real SLO would be ~1%)
+_Q413_FAST, _Q413_SLOW = 14.4 / 6, 6.0 / 6  # scaled burn thresholds
+
+
+def _q413_oracle() -> str:
+    return f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             count(*) AS n,
+             count(*) FILTER (WHERE event_type = 'error') AS errs
+      FROM events GROUP BY 1
+    ),
+    burn AS (
+      SELECT h, n, errs,
+             (CAST(errs AS DOUBLE) / n) / {_Q413_SLO} AS burn_1h,
+             (CAST(sum(errs) OVER w AS DOUBLE) / sum(n) OVER w)
+               / {_Q413_SLO} AS burn_6h
+      FROM hourly
+      WINDOW w AS (ORDER BY h ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_hours,
+           {o_rnd('avg(burn_1h)', 4)} AS avg_burn_1h,
+           {o_rnd('max(burn_1h)', 4)} AS max_burn_1h,
+           {o_rnd('max(burn_6h)', 4)} AS max_burn_6h,
+           CAST(count(*) FILTER (WHERE burn_1h > {_Q413_FAST}
+                                   AND burn_6h > {_Q413_SLOW}) AS BIGINT)
+             AS alert_hours,
+           CAST(count(*) FILTER (WHERE burn_1h > {_Q413_FAST}) AS BIGINT)
+             AS fast_only_hours
+    FROM burn
+    """
+
+
+@query("q413_slo_burn_rate", oracle=_q413_oracle())
+def q413_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiwindow SLO burn-rate alerting (the Google SRE workbook
+    pattern): hourly error-budget burn = error share / SLO, paged
+    only when BOTH the fast window (1 h) and the slow window (6 h
+    rolling) burn hot — the two-window AND is what kills the
+    flappy-alert problem (fast_only_hours counts the pages the
+    naive single-window rule would have fired).  The q132
+    rate-anomaly detector finds WEIRD; this one bills against an
+    explicit BUDGET.
+
+    Scale shape: one hourly pre-aggregation (partial agg), a 6-row
+    rolling window over the HOURLY frame (hours, not events — the
+    q355 post-aggregate law; at fleet scale partition the window by
+    service), and a scalar fold."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("errs"),
+    )
+    w6 = W.orderBy("h").rowsBetween(-5, 0)
+    burn = hourly.select(
+        (F.col("errs").cast("double") / F.col("n") / _Q413_SLO).alias(
+            "burn_1h"
+        ),
+        (
+            F.sum("errs").over(w6).cast("double")
+            / F.sum("n").over(w6)
+            / _Q413_SLO
+        ).alias("burn_6h"),
+    )
+    alert = (F.col("burn_1h") > _Q413_FAST) & (
+        F.col("burn_6h") > _Q413_SLOW
+    )
+    return burn.agg(
+        F.count("*").cast("long").alias("n_hours"),
+        prnd(F.avg("burn_1h"), 4).alias("avg_burn_1h"),
+        prnd(F.max("burn_1h"), 4).alias("max_burn_1h"),
+        prnd(F.max("burn_6h"), 4).alias("max_burn_6h"),
+        F.count(F.when(alert, 1)).cast("long").alias("alert_hours"),
+        F.count(F.when(F.col("burn_1h") > _Q413_FAST, 1))
+        .cast("long")
+        .alias("fast_only_hours"),
+    )

@@ -4685,3 +4685,85 @@ def q407_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"cov_{v}")
         )
     return ranked.agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# q412 uncertainty sampling (active-learning annotation queue)
+# ---------------------------------------------------------------------------
+
+_Q412_TOP = 10
+
+
+def _q412_oracle() -> str:
+    score_cols = ", ".join(
+        f"CAST(len(list_filter(toks, t -> t IN {_in_list(LANG_MARKERS[lang])})) AS INTEGER) AS s_{lang}"
+        for lang in LANG_PRIORITY
+    )
+    arr = "[" + ", ".join(f"s_{lang}" for lang in LANG_PRIORITY) + "]"
+    return f"""
+    WITH d AS (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents),
+    s AS (SELECT doc_id, source, {score_cols} FROM d),
+    m AS (
+      SELECT doc_id, source,
+             list_sort({arr}, 'DESC') AS sl
+      FROM s
+    ),
+    marg AS (
+      SELECT doc_id, source,
+             CAST(sl[1] AS BIGINT) AS top_score,
+             CAST(sl[1] - sl[2] AS BIGINT) AS margin
+      FROM m
+    ),
+    ranked AS (
+      SELECT doc_id, source, top_score, margin,
+             row_number() OVER (ORDER BY margin, top_score, doc_id) AS rk
+      FROM marg
+    )
+    SELECT CAST(rk AS INTEGER) AS rk,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           source, top_score, margin
+    FROM ranked WHERE rk <= {_Q412_TOP}
+    """
+
+
+@query("q412_uncertainty_sampling", oracle=_q412_oracle())
+def q412_uncertainty_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncertainty sampling for the annotation queue (classic active
+    learning): rank documents by the MARGIN between the language-ID
+    classifier's top two marker scores (q41's feature set) — the
+    smallest-margin docs are where a human label buys the most model
+    improvement, and ambiguous/low-evidence docs (margin 0, top
+    score 0) surface first, which doubles as the q202-confusion
+    triage queue.  Output: the top-10 queue with scores.
+
+    Scale shape: marker scoring is array-HOF arithmetic in the scan
+    (q41's zero-shuffle law); the queue is a TakeOrdered partial
+    top-k (q380 law) — margin ties broken by top_score then doc_id
+    so both engines enqueue identically."""
+    from ..operators.text import lang_scores
+
+    docs = spread_small_scan(table(spark, sf_dir, "documents"))
+    sc = lang_scores(tokens("text"))
+    arr = F.sort_array(
+        F.array(*[sc[lang] for lang in LANG_PRIORITY]), asc=False
+    )
+    marg = docs.select(
+        "doc_id", "source",
+        F.element_at(arr, 1).cast("long").alias("top_score"),
+        (F.element_at(arr, 1) - F.element_at(arr, 2))
+        .cast("long")
+        .alias("margin"),
+    )
+    top = (
+        marg.orderBy("margin", "top_score", "doc_id")
+        .limit(_Q412_TOP)
+        .select(
+            F.row_number()
+            .over(W.orderBy("margin", "top_score", "doc_id"))
+            .cast("int")
+            .alias("rk"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "source", "top_score", "margin",
+        )
+    )
+    return top

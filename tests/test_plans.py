@@ -1380,3 +1380,15 @@ def test_q411_cross_source_pairs_from_fingerprint_index(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q411_cross_source_dups")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q412_uncertainty_queue_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q412_uncertainty_sampling")
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+
+
+def test_q413_burn_windows_over_hourly_frame(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q413_slo_burn_rate")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
