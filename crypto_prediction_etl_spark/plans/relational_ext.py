@@ -3289,3 +3289,147 @@ def q410_shard_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+# ---------------------------------------------------------------------------
+# q415 empirical Bloom-filter false-positive audit
+# ---------------------------------------------------------------------------
+
+_Q415_K = 3
+_Q415_BITS_PER_KEY = 8   # m = 8n -> theoretical fpp ~ 3%
+
+
+def _q415_oracle() -> str:
+    from ..functions.portable import o_hash64
+
+    def pos(key: str, i: int, m: str) -> str:
+        expr = f"CAST({key} AS VARCHAR) || ':' || {i}"
+        return f"(({o_hash64(expr)}) % {m})"
+
+    m = "(SELECT CAST(count(*) * {bpk} AS BIGINT) FROM members)".format(
+        bpk=_Q415_BITS_PER_KEY
+    )
+    ins = " UNION ALL ".join(
+        f"SELECT {pos('part', i, 'msize.m')} AS p FROM members CROSS JOIN msize"
+        for i in range(_Q415_K)
+    )
+    probe_pos = " UNION ALL ".join(
+        f"SELECT part, {pos('part', i, 'msize.m')} AS p "
+        f"FROM probes CROSS JOIN msize"
+        for i in range(_Q415_K)
+    )
+    return f"""
+    WITH members AS (
+      SELECT DISTINCT l_partkey AS part FROM lineitem
+    ),
+    msize AS (SELECT CAST(count(*) * {_Q415_BITS_PER_KEY} AS BIGINT) AS m
+              FROM members),
+    probes AS (
+      SELECT p_partkey + 1000000 AS part FROM part
+    ),
+    bits AS (SELECT DISTINCT p FROM ({ins})),
+    hits AS (
+      SELECT pp.part, count(b.p) AS nhit
+      FROM ({probe_pos}) pp LEFT JOIN bits b ON b.p = pp.p
+      GROUP BY pp.part
+    ),
+    agg AS (
+      SELECT (SELECT count(*) FROM members) AS n_members,
+             (SELECT m FROM msize) AS m_bits,
+             (SELECT count(*) FROM bits) AS bits_set,
+             count(*) AS n_probes,
+             count(*) FILTER (WHERE nhit = {_Q415_K}) AS false_pos
+      FROM hits
+    )
+    SELECT CAST(n_members AS BIGINT) AS n_members,
+           CAST(m_bits AS BIGINT) AS m_bits,
+           CAST(bits_set AS BIGINT) AS bits_set,
+           CAST(n_probes AS BIGINT) AS n_probes,
+           CAST(false_pos AS BIGINT) AS false_positives,
+           {o_rnd('CAST(false_pos AS DOUBLE) / n_probes', 6)} AS measured_fpp,
+           {o_rnd(f'pow(CAST(bits_set AS DOUBLE) / m_bits, {_Q415_K})', 6)} AS predicted_fpp
+    FROM agg
+    """
+
+
+@query("q415_bloom_empirical", oracle=_q415_oracle())
+def q415_bloom_empirical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical Bloom-filter audit: actually BUILD the filter in
+    SQL (k=3 portable hashes into m = 8n bit positions for the
+    distinct part-key set), probe it with a synthetic non-member key
+    universe (part keys shifted by 1e6 — guaranteed disjoint), and compare the measured false-positive rate to the
+    occupancy prediction (bits_set/m)^k — closing the loop on
+    q371's sizing formulas and q110's engine-native membership with
+    an engine-independent, hash-exact reference implementation both
+    engines reproduce bit for bit.
+
+    Scale shape: the bit set is a distinct over k*n hashed
+    positions; probing is one equi join per probe position (k rows
+    per probe) + a per-probe count — everything keyed on the bit
+    position (uniform by construction); k md5s per key is the
+    deliberate budget (q315 law notes the LCG trick if k grows)."""
+    from ..functions.portable import hash64
+
+    li = table(spark, sf_dir, "lineitem")
+    members = li.select(F.col("l_partkey").alias("part")).distinct()
+    msize = members.agg(
+        (F.count("*") * _Q415_BITS_PER_KEY).cast("long").alias("m")
+    )
+    probes = table(spark, sf_dir, "part").select(
+        (F.col("p_partkey") + 1000000).alias("part")
+    )
+
+    def pos(i: int):
+        return hash64(
+            F.concat(
+                F.col("part").cast("string"), F.lit(":"), F.lit(str(i))
+            )
+        ) % F.col("m")
+
+    mem_m = members.crossJoin(F.broadcast(msize))
+    bits = None
+    for i in range(_Q415_K):
+        b = mem_m.select(pos(i).alias("p"))
+        bits = b if bits is None else bits.unionByName(b)
+    bits = bits.distinct()
+    pr_m = probes.crossJoin(F.broadcast(msize))
+    ppos = None
+    for i in range(_Q415_K):
+        b = pr_m.select("part", pos(i).alias("p"))
+        ppos = b if ppos is None else ppos.unionByName(b)
+    hits = (
+        ppos.join(bits.withColumn("hit", F.lit(1)), "p", "left")
+        .groupBy("part")
+        .agg(F.count(F.col("hit")).alias("nhit"))
+    )
+    nm = members.agg(F.count("*").cast("long").alias("n_members"))
+    nb = bits.agg(F.count("*").cast("long").alias("bits_set"))
+    agg = hits.agg(
+        F.count("*").cast("long").alias("n_probes"),
+        F.count(F.when(F.col("nhit") == _Q415_K, 1))
+        .cast("long")
+        .alias("false_positives"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(nm))
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(msize))
+        .select(
+            "n_members",
+            F.col("m").cast("long").alias("m_bits"),
+            "bits_set",
+            "n_probes",
+            "false_positives",
+            prnd(
+                F.col("false_positives").cast("double") / F.col("n_probes"),
+                6,
+            ).alias("measured_fpp"),
+            prnd(
+                F.pow(
+                    F.col("bits_set").cast("double") / F.col("m"),
+                    float(_Q415_K),
+                ),
+                6,
+            ).alias("predicted_fpp"),
+        )
+    )

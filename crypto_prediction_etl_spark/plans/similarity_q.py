@@ -3298,3 +3298,100 @@ def q393_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             prnd(F.sqrt(move2), 5).alias("shift_from_mean"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q414 ECOD outliers (ECDF tail-probability product)
+# ---------------------------------------------------------------------------
+
+_Q414_D = 8
+_Q414_TOP = 10
+
+
+def _q414_oracle() -> str:
+    d = _Q414_D
+    return f"""
+    WITH {_VECS_CTE},
+    pts AS (
+      SELECT vec_id, label, gi.i AS dim, v[gi.i] AS x
+      FROM e CROSS JOIN (SELECT unnest(range(1, {d + 1})) AS i) gi
+    ),
+    rk AS (
+      SELECT vec_id, label, dim,
+             row_number() OVER (PARTITION BY dim ORDER BY x, vec_id) AS r,
+             count(*) OVER (PARTITION BY dim) AS n
+      FROM pts
+    ),
+    sc AS (
+      SELECT vec_id, any_value(label) AS label,
+             -sum(ln(least(CAST(r AS DOUBLE) / n,
+                           CAST(n - r + 1 AS DOUBLE) / n))) AS score
+      FROM rk GROUP BY vec_id
+    ),
+    ranked AS (
+      SELECT vec_id, label, {o_rnd('score', 4)} AS score,
+             row_number() OVER (ORDER BY {o_rnd('score', 4)} DESC, vec_id) AS rk
+      FROM sc
+    )
+    SELECT CAST(rk AS INTEGER) AS rk,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(label AS INTEGER) AS label,
+           score
+    FROM ranked WHERE rk <= {_Q414_TOP}
+    """
+
+
+@query("q414_ecod_outliers", oracle=_q414_oracle())
+def q414_ecod_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECOD outlier scores (Li et al. 2022 — empirical-CDF tail
+    probabilities, parameter-free): per dimension, a point's tail
+    probability is min(left, right) ECDF mass; the outlier score is
+    the negative log-product across dims — flags points extreme in
+    ANY direction without distance computations, covariance (q212)
+    or neighbor graphs (q348), and is the cheapest member of the
+    outlier-detector family (per-dim sorts only).
+
+    Scale shape: the dim explode is map-side (d rows per vector);
+    ranks are per-DIM windows — d independent sorts, each over the
+    full corpus, which is the documented cost (the q375 globalrank
+    two-pass swaps in per dim at extreme n); scoring is one groupBy
+    and the top-10 a rounded-score TakeOrdered... except the final
+    rank needs rk emitted, so the 10-row rank window runs after a
+    limit (q380 law)."""
+    vecs = _vecs(spark, sf_dir)
+    pts = vecs.select(
+        "vec_id", "label",
+        F.explode(F.sequence(F.lit(1), F.lit(_Q414_D))).alias("dim"),
+        "v",
+    ).select(
+        "vec_id", "label", "dim",
+        F.element_at("v", F.col("dim")).alias("x"),
+    )
+    wd = W.partitionBy("dim").orderBy("x", "vec_id")
+    rk = pts.select(
+        "vec_id", "label", "dim",
+        F.row_number().over(wd).alias("r"),
+        F.count("*").over(W.partitionBy("dim")).alias("n"),
+    )
+    tail = F.least(
+        F.col("r").cast("double") / F.col("n"),
+        (F.col("n") - F.col("r") + 1).cast("double") / F.col("n"),
+    )
+    sc = rk.groupBy("vec_id").agg(
+        F.first("label").alias("label"),
+        prnd(-F.sum(F.log(tail)), 4).alias("score"),
+    )
+    top = (
+        sc.orderBy(F.col("score").desc(), "vec_id")
+        .limit(_Q414_TOP)
+        .select(
+            F.row_number()
+            .over(W.orderBy(F.col("score").desc(), "vec_id"))
+            .cast("int")
+            .alias("rk"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("label").cast("int").alias("label"),
+            "score",
+        )
+    )
+    return top

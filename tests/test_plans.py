@@ -1392,3 +1392,17 @@ def test_q413_burn_windows_over_hourly_frame(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q413_slo_burn_rate")
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_q414_ecod_ranks_dim_partitioned(spark, sf_dir):
+    """Every ECDF rank window must carry the dim partition key, and
+    the outlier queue is a TakeOrdered."""
+    plan = _plan(spark, sf_dir, "q414_ecod_outliers")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q415_bloom_joins_bit_position_keyed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q415_bloom_empirical")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -647,3 +647,18 @@ def test_greedy_coverage_submodularity(spark, sf_dir):
         assert gains == sorted(gains, reverse=True), (src, gains)
         assert covs == sorted(covs), (src, covs)
         assert covs[-1] <= 1.0 + 1e-9
+
+
+def test_bloom_empirical_within_theory(spark, sf_dir):
+    """Measured FPP must be in the same regime as the occupancy
+    prediction (within 3x either way and both in (0, 0.5)) — the
+    audit's own credibility check."""
+    from crypto_prediction_etl_spark.plans import registry
+
+    registry.load_all()
+    r = registry.QUERIES["q415_bloom_empirical"](spark, sf_dir).collect()[0]
+    assert r.n_probes > 0 and r.bits_set <= r.m_bits
+    assert 0.0 < r.predicted_fpp < 0.5
+    if r.false_positives > 0:
+        ratio = r.measured_fpp / r.predicted_fpp
+        assert 1 / 3 < ratio < 3, (r.measured_fpp, r.predicted_fpp)
