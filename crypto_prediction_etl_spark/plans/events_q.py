@@ -7054,3 +7054,125 @@ def q413_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fast_only_hours"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q416 group-sequential monitoring (O'Brien-Fleming bounds)
+# ---------------------------------------------------------------------------
+
+# two-sided O'Brien-Fleming z-bounds for K=4 equally-spaced looks
+# (alpha = 0.05), pinned literals
+_Q416_BOUNDS = (4.048, 2.862, 2.337, 2.024)
+
+
+def _q416_oracle() -> str:
+    looks = []
+    for k, zb in enumerate(_Q416_BOUNDS, start=1):
+        frac = k / len(_Q416_BOUNDS)
+        looks.append(f"""
+      SELECT event_type, {k} AS look, {zb} AS z_bound,
+             count(*) AS n,
+             sum(CASE WHEN grp = 0 THEN value END) AS s0,
+             sum(CASE WHEN grp = 1 THEN value END) AS s1,
+             sum(CASE WHEN grp = 0 THEN value * value END) AS q0,
+             sum(CASE WHEN grp = 1 THEN value * value END) AS q1,
+             count(*) FILTER (WHERE grp = 0) AS n0,
+             count(*) FILTER (WHERE grp = 1) AS n1
+      FROM staged WHERE frac_rank <= {frac}
+      GROUP BY event_type""")
+    z = ("(s0 / n0 - s1 / n1) / sqrt("
+         "(q0 / n0 - (s0 / n0) * (s0 / n0)) / n0"
+         " + (q1 / n1 - (s1 / n1) * (s1 / n1)) / n1)")
+    return f"""
+    WITH base AS (
+      SELECT event_type, user_id % 2 AS grp, value, ts, event_id
+      FROM events
+    ),
+    staged AS (
+      SELECT event_type, grp, value,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY ts, event_id) AS DOUBLE)
+               / count(*) OVER (PARTITION BY event_type) AS frac_rank
+      FROM base
+    ),
+    looks AS ({" UNION ALL ".join(looks)}),
+    scored AS (
+      SELECT event_type, look, z_bound, n0, n1, {o_rnd(z, 4)} AS z
+      FROM looks
+    )
+    SELECT event_type,
+           CAST(look AS INTEGER) AS look,
+           CAST(n0 + n1 AS BIGINT) AS n_seen,
+           z,
+           {o_rnd('z_bound', 3)} AS z_bound,
+           CAST(abs(z) > z_bound AS INT) AS would_stop
+    FROM scored
+    """
+
+
+@query("q416_group_sequential", oracle=_q416_oracle())
+def q416_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential experiment monitoring with O'Brien-Fleming
+    bounds (K=4 looks, pinned two-sided 5% literals): replay the
+    q168 A/B comparison at 25/50/75/100% of the event stream IN TIME
+    ORDER and report whether each interim Welch z crosses its
+    spending bound — the 'could we have stopped this test early'
+    audit, and the correct answer to peeking (q275's SPRT is the
+    fully-sequential cousin; OBF is what experimentation platforms
+    actually ship).
+
+    Scale shape: the time-fraction rank is ONE per-type window over
+    events (the honest sort; q375's globalrank swaps in at extreme
+    type cardinality), then each look is a filtered partial agg over
+    the same staged frame — four conditional aggregations, no
+    re-sort, z from sufficient stats (q381 law)."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    wt = W.partitionBy("event_type").orderBy("ts", "event_id")
+    staged = ev.select(
+        "event_type",
+        (F.col("user_id") % 2).alias("grp"),
+        "value",
+        (
+            F.row_number().over(wt).cast("double")
+            / F.count("*").over(W.partitionBy("event_type"))
+        ).alias("frac_rank"),
+    )
+    outs = []
+    for k, zb in enumerate(_Q416_BOUNDS, start=1):
+        frac = k / len(_Q416_BOUNDS)
+        g = staged.filter(F.col("frac_rank") <= frac).groupBy(
+            "event_type"
+        ).agg(
+            F.sum(F.when(F.col("grp") == 0, F.col("value"))).alias("s0"),
+            F.sum(F.when(F.col("grp") == 1, F.col("value"))).alias("s1"),
+            F.sum(
+                F.when(F.col("grp") == 0, F.col("value") * F.col("value"))
+            ).alias("q0"),
+            F.sum(
+                F.when(F.col("grp") == 1, F.col("value") * F.col("value"))
+            ).alias("q1"),
+            F.count(F.when(F.col("grp") == 0, 1)).alias("n0"),
+            F.count(F.when(F.col("grp") == 1, 1)).alias("n1"),
+        )
+        m0 = F.col("s0") / F.col("n0")
+        m1 = F.col("s1") / F.col("n1")
+        z = (m0 - m1) / F.sqrt(
+            (F.col("q0") / F.col("n0") - m0 * m0) / F.col("n0")
+            + (F.col("q1") / F.col("n1") - m1 * m1) / F.col("n1")
+        )
+        outs.append(
+            g.select(
+                "event_type",
+                F.lit(k).cast("int").alias("look"),
+                (F.col("n0") + F.col("n1")).cast("long").alias("n_seen"),
+                prnd(z, 4).alias("z"),
+                prnd(F.lit(zb), 3).alias("z_bound"),
+                (F.abs(z) > zb).cast("int").alias("would_stop"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

@@ -4767,3 +4767,124 @@ def q412_uncertainty_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return top
+
+
+# ---------------------------------------------------------------------------
+# q417 lineage attestation manifest (stage hashes of the curation funnel)
+# ---------------------------------------------------------------------------
+
+_Q417_MOD = (1 << 61) - 1  # Mersenne prime modulus for the rolling sum
+
+
+def _q417_oracle() -> str:
+    from ..functions.portable import o_hash64
+
+    row_h = o_hash64("CAST(doc_id AS VARCHAR) || ':' || text")
+    score = _quality_score_sql()
+    return f"""
+    WITH raw AS (
+      SELECT doc_id, text, source, ({row_h}) % {_Q417_MOD} AS rh,
+             {score} AS q
+      FROM documents
+    ),
+    fenced AS (SELECT * FROM raw WHERE q >= 0.75),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+            ORDER BY doc_id) AS rn
+        FROM fenced
+      ) WHERE rn = 1
+    ),
+    stages AS (
+      SELECT 1 AS stage_no, 'raw' AS stage, count(*) AS rows_out,
+             sum(rh) % {_Q417_MOD} AS content_sum FROM raw
+      UNION ALL
+      SELECT 2, 'quality_fence', count(*), sum(rh) % {_Q417_MOD} FROM fenced
+      UNION ALL
+      SELECT 3, 'exact_dedup', count(*), sum(rh) % {_Q417_MOD} FROM deduped
+    )
+    SELECT CAST(stage_no AS INTEGER) AS stage_no, stage,
+           CAST(rows_out AS BIGINT) AS rows_out,
+           CAST(content_sum AS BIGINT) AS content_sum,
+           md5(CAST(sum(content_sum)
+                 OVER (ORDER BY stage_no) % {_Q417_MOD} AS VARCHAR))
+             AS chained_hash
+    FROM stages
+    """
+
+
+@query("q417_lineage_manifest", oracle=_q417_oracle())
+def q417_lineage_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineage attestation manifest: run the raw -> quality-fence ->
+    exact-dedup funnel and emit, per stage, the row count, an
+    ORDER-INDEPENDENT content checksum (sum of per-row 60-bit hashes
+    mod a Mersenne prime — commutative, so partitioning cannot
+    change it), and a chained hash over the stage prefix — the
+    verifiable 'what exactly went into this dataset' receipt that
+    reproducibility audits and q363's dataset card attach.  Re-run
+    the pipeline anywhere: equal chained hashes = bit-identical
+    lineage; q244's table checksum applied to a PIPELINE.
+
+    Scale shape: one md5 per surviving row per stage membership
+    (computed once in the shared scan), stage checksums are partial
+    sums, dedup keeps-first via the q43 fingerprint window; the
+    chaining window runs over the 3-row stage frame."""
+    from ..functions.portable import hash64
+
+    docs = spread_small_scan(table(spark, sf_dir, "documents"))
+    from ..operators.text import quality_metrics
+
+    m = quality_metrics("text")
+    raw = docs.select(
+        "doc_id", "text",
+        (
+            hash64(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(":"), F.col("text")
+                )
+            )
+            % _Q417_MOD
+        ).alias("rh"),
+        quality_score(m).alias("q"),
+    )
+    fenced = raw.filter(F.col("q") >= 0.75)
+    fp = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    )
+    deduped = (
+        fenced.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy(fp).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+
+    def stage(df, no, name):
+        return df.agg(
+            F.lit(no).cast("int").alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.count("*").cast("long").alias("rows_out"),
+            # decimal(38) accumulator: the modular checksum must not
+            # overflow int64 at any row count (DuckDB sums to HUGEINT)
+            (F.sum(F.col("rh").cast("decimal(38,0)")) % _Q417_MOD)
+            .cast("long")
+            .alias("content_sum"),
+        )
+
+    stages = (
+        stage(raw, 1, "raw")
+        .unionByName(stage(fenced, 2, "quality_fence"))
+        .unionByName(stage(deduped, 3, "exact_dedup"))
+    )
+    chained = F.md5(
+        (
+            F.sum("content_sum").over(W.orderBy("stage_no")) % _Q417_MOD
+        ).cast("string")
+    )
+    return stages.select(
+        "stage_no", "stage", "rows_out", "content_sum",
+        chained.alias("chained_hash"),
+    )

@@ -1406,3 +1406,16 @@ def test_q415_bloom_joins_bit_position_keyed(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q415_bloom_empirical")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_q416_group_sequential_one_stage_sort(spark, sf_dir):
+    """All four looks filter the SAME staged frame — exactly one
+    window sort per type feeds every look."""
+    plan = _plan(spark, sf_dir, "q416_group_sequential")
+    assert "CartesianProduct" not in plan
+
+
+def test_q417_lineage_checksum_is_commutative_sum(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q417_lineage_manifest")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
