@@ -4888,3 +4888,126 @@ def q417_lineage_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stage_no", "stage", "rows_out", "content_sum",
         chained.alias("chained_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q418 knee-point detection on the vocabulary coverage curve
+# ---------------------------------------------------------------------------
+
+_Q418_SIZES = (50, 100, 200, 400, 800, 1600, 3200, 6400)
+import math as _math418
+
+_Q418_LOGV = tuple(round(_math418.log(v), 12) for v in _Q418_SIZES)
+
+
+def _q418_oracle() -> str:
+    cov_rows = " UNION ALL ".join(
+        f"SELECT {v} AS vsize, {lv} AS lx, "
+        f"sum(CASE WHEN rk <= {v} THEN cnt ELSE 0 END)"
+        f" / CAST(sum(cnt) AS DOUBLE) AS cov FROM ranked"
+        for v, lv in zip(_Q418_SIZES, _Q418_LOGV)
+    )
+    x0, x1 = _Q418_LOGV[0], _Q418_LOGV[-1]
+    xn = f"((lx - {x0}) / ({x1} - {x0}))"
+    chord = f"(c0.y0 + ({xn}) * (c1.y1 - c0.y0))"
+    dist = f"(cov - {chord})"
+    return f"""
+    WITH tok AS (SELECT unnest({_TOKS_SQL}) AS tok FROM documents),
+    types AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+    ranked AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rk
+      FROM types
+    ),
+    curve AS ({cov_rows}),
+    ends AS (
+      SELECT
+        (SELECT cov FROM curve WHERE vsize = {_Q418_SIZES[0]}) AS y0,
+        (SELECT cov FROM curve WHERE vsize = {_Q418_SIZES[-1]}) AS y1
+    ),
+    d AS (
+      SELECT c.vsize, c.cov, {dist} AS dist
+      FROM curve c
+      CROSS JOIN (SELECT y0 FROM ends) c0
+      CROSS JOIN (SELECT y1 FROM ends) c1
+    ),
+    mx AS (SELECT max(dist) AS md FROM d)
+    SELECT CAST(d.vsize AS INTEGER) AS vocab_size,
+           {o_rnd('d.cov', 6)} AS coverage,
+           {o_rnd('d.dist', 6)} AS knee_distance,
+           CAST(d.dist = m.md AS INT) AS is_knee
+    FROM d CROSS JOIN mx m
+    """
+
+
+@query("q418_coverage_knee", oracle=_q418_oracle())
+def q418_coverage_knee(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knee-point detection (Kneedle, simplified) on the vocabulary
+    coverage curve: compute token-mass coverage at 8 log-spaced
+    vocabulary sizes and flag the size with maximum vertical
+    distance above the log-x chord — the principled 'diminishing
+    returns start HERE' answer to how big the tokenizer vocabulary
+    should be, upgrading q407's three fixed read-outs to an actual
+    decision rule (the same knee test applies to any concave
+    operating curve: q359's dedup sweep, q334's threshold sweep).
+
+    Scale shape: one type-count groupBy and one vocabulary-frame
+    rank window (q407's law) feed all 8 sizes via conditional sums
+    in a single pass; the knee geometry runs on the 8-row curve
+    with broadcast endpoint/max scalars.  Log-x values are pinned
+    Python literals."""
+    docs = spread_small_scan(table(spark, sf_dir, "documents"))
+    types = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ranked = types.select(
+        "cnt",
+        F.row_number()
+        .over(W.orderBy(F.col("cnt").desc(), "tok"))
+        .alias("rk"),
+    )
+    aggs = []
+    for v in _Q418_SIZES:
+        aggs.append(
+            (
+                F.sum(F.when(F.col("rk") <= v, F.col("cnt")).otherwise(0))
+                / F.sum("cnt").cast("double")
+            ).alias(f"c_{v}")
+        )
+    wide = ranked.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(v).alias("vsize"),
+            F.lit(lv).alias("lx"),
+            F.col(f"c_{v}").alias("cov"),
+        )
+        for v, lv in zip(_Q418_SIZES, _Q418_LOGV)
+    ]
+    curve = wide.select(
+        F.explode(F.array(*structs)).alias("x")
+    ).select("x.*")
+    x0, x1 = _Q418_LOGV[0], _Q418_LOGV[-1]
+    ends = curve.agg(
+        F.max(
+            F.when(F.col("vsize") == _Q418_SIZES[0], F.col("cov"))
+        ).alias("y0"),
+        F.max(
+            F.when(F.col("vsize") == _Q418_SIZES[-1], F.col("cov"))
+        ).alias("y1"),
+    )
+    xn = (F.col("lx") - x0) / (x1 - x0)
+    d = curve.crossJoin(F.broadcast(ends)).select(
+        "vsize", "cov",
+        (
+            F.col("cov")
+            - (F.col("y0") + xn * (F.col("y1") - F.col("y0")))
+        ).alias("dist"),
+    )
+    mx = d.agg(F.max("dist").alias("md"))
+    return d.crossJoin(F.broadcast(mx)).select(
+        F.col("vsize").cast("int").alias("vocab_size"),
+        prnd("cov", 6).alias("coverage"),
+        prnd("dist", 6).alias("knee_distance"),
+        (F.col("dist") == F.col("md")).cast("int").alias("is_knee"),
+    )

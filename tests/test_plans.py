@@ -1419,3 +1419,12 @@ def test_q417_lineage_checksum_is_commutative_sum(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q417_lineage_manifest")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_q418_knee_single_rank_pass(spark, sf_dir):
+    """All 8 curve points come from ONE rank pass + conditional
+    sums; the knee geometry is scalar-broadcast."""
+    plan = _plan(spark, sf_dir, "q418_coverage_knee")
+    assert "CartesianProduct" not in plan
+    assert plan.count("RunningWindowFunction") <= 1
+    assert "SortMergeJoin" not in plan
