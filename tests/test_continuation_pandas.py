@@ -1,0 +1,211 @@
+"""Continuation-batch (q364+) semantics cross-checked against
+INDEPENDENT numpy/pandas formulations — oracle parity proves
+Spark == DuckDB; these prove the formulas are the standard
+definitions, using numpy's own linear algebra / pandas' resampling
+machinery rather than the query's arithmetic."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from crypto_prediction_etl_spark.plans import registry
+
+registry.load_all()
+
+
+@pytest.fixture(scope="module")
+def candles_pdf(spark, sf_dir):
+    from crypto_prediction_etl_spark.plans.indicators_q import candles
+
+    return (
+        candles(spark, sf_dir)
+        .filter("id = '1-URGENT'")
+        .orderBy("dt")
+        .toPandas()
+    )
+
+
+def test_variance_ratio_matches_numpy(spark, sf_dir, candles_pdf):
+    out = (
+        registry.QUERIES["q364_variance_ratio"](spark, sf_dir)
+        .filter("id = '1-URGENT'")
+        .toPandas()
+        .iloc[0]
+    )
+    close = candles_pdf["close"].to_numpy()
+    r1 = np.diff(np.log(close))
+    assert out["n_obs"] == len(r1)
+    for k in (2, 4, 8):
+        rk = np.log(close[k:]) - np.log(close[:-k])
+        vr = rk.var() / (k * r1.var())  # numpy var = population
+        assert abs(out[f"vr_{k}"] - vr) < 1e-5
+        z = (vr - 1) / np.sqrt(
+            2 * (2 * k - 1) * (k - 1) / (3 * k * len(r1))
+        )
+        assert abs(out[f"z_{k}"] - z) < 1e-3
+
+
+def test_harmonic_dow_matches_lstsq(spark, sf_dir):
+    from crypto_prediction_etl_spark.plans.indicators_q import candles
+
+    pdf = (
+        candles(spark, sf_dir)
+        .filter("id = '1-URGENT'")
+        .orderBy("dt")
+        .toPandas()
+    )
+    out = (
+        registry.QUERIES["q408_harmonic_dow"](spark, sf_dir)
+        .filter("id = '1-URGENT'")
+        .toPandas()
+        .iloc[0]
+    )
+    y = (pdf["volume_cents"].astype(float) / 100.0).to_numpy()
+    dow = pd.to_datetime(pdf["dt"]).dt.dayofweek.to_numpy()
+    # pandas dayofweek: Monday=0; the query uses Sunday=0 — convert
+    dow_sun0 = (dow + 1) % 7
+    X = np.column_stack(
+        [
+            np.ones_like(y),
+            np.cos(2 * np.pi * dow_sun0 / 7),
+            np.sin(2 * np.pi * dow_sun0 / 7),
+        ]
+    )
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    _, a, b = beta
+    assert abs(out["amplitude"] - np.hypot(a, b)) < 0.05
+    fitted = [
+        a * np.cos(2 * np.pi * d / 7) + b * np.sin(2 * np.pi * d / 7)
+        for d in range(7)
+    ]
+    assert out["peak_dow"] == int(np.argmax(fitted))
+    resid = y - X @ beta
+    r2 = 1 - resid.var() / y.var()
+    assert abs(out["r_squared"] - r2) < 1e-3
+
+
+def test_epps_matches_pandas_resample(spark, sf_dir):
+    from crypto_prediction_etl_spark.plans.indicators_q import candles
+
+    pdf = candles(spark, sf_dir).orderBy("id", "dt").toPandas()
+    out = registry.QUERIES["q381_epps_effect"](spark, sf_dir).toPandas()
+    ids = sorted(pdf["id"].unique())[:2]
+    a, b = ids[0], ids[1]
+    k = 5
+    epoch = pd.Timestamp("1992-01-01")
+
+    def binned(sym):
+        g = pdf[pdf["id"] == sym].copy()
+        g["bin"] = (
+            (pd.to_datetime(g["dt"]) - epoch).dt.days // k
+        )
+        last = g.sort_values("dt").groupby("bin")["close"].last()
+        return np.log(last / last.shift(1)).dropna()
+
+    ra, rb = binned(a), binned(b)
+    j = pd.concat([ra, rb], axis=1, join="inner").dropna()
+    j.columns = ["x", "y"]
+    want = np.corrcoef(j["x"], j["y"])[0, 1]
+    row = out[
+        (out["id_a"] == a) & (out["id_b"] == b) & (out["k"] == k)
+    ].iloc[0]
+    assert row["n_obs"] == len(j)
+    assert abs(row["xcorr"] - want) < 1e-4
+
+
+def test_kde_matches_numpy(spark, sf_dir):
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter("event_type = 'click'")
+        .select("value")
+        .toPandas()["value"]
+        .to_numpy()
+    )
+    out = (
+        registry.QUERIES["q387_kde"](spark, sf_dir)
+        .filter("event_type = 'click'")
+        .toPandas()
+        .set_index("grid_x")
+    )
+    h = 8.0
+    for g in (0.0, 50.0, 100.0):
+        u = (ev - g) / h
+        kvals = np.where(np.abs(u) < 1, 0.75 * (1 - u * u), 0.0)
+        dens = kvals.sum() / (len(ev) * h)
+        assert abs(out.loc[g, "density"] - dens) < 1e-5
+
+
+def test_kneser_ney_matches_pure_python(spark, sf_dir):
+    import collections
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("lang = 'en'")
+        .select("text")
+        .toPandas()["text"]
+        .tolist()
+    )
+    bigrams = collections.Counter()
+    for t in docs:
+        toks = t.lower().split(" ")
+        for v, w in zip(toks, toks[1:]):
+            bigrams[(v, w)] += 1
+    c_v = collections.Counter()
+    n1p_fwd = collections.Counter()
+    n1p_back = collections.Counter()
+    for (v, w), n in bigrams.items():
+        c_v[v] += n
+        n1p_fwd[v] += 1
+        n1p_back[w] += 1
+    n_types = len(bigrams)
+    d = 0.75
+    total_n = sum(bigrams.values())
+    nll = 0.0
+    for (v, w), n in bigrams.items():
+        p = max(n - d, 0.0) / c_v[v] + (d * n1p_fwd[v] / c_v[v]) * (
+            n1p_back[w] / n_types
+        )
+        nll -= n * np.log(p)
+    nll /= total_n
+    out = (
+        registry.QUERIES["q373_kneser_ney"](spark, sf_dir)
+        .filter("lang = 'en'")
+        .toPandas()
+        .iloc[0]
+    )
+    assert out["n_bigrams"] == total_n
+    assert out["n_types"] == n_types
+    assert abs(out["nll"] - nll) < 1e-4
+    assert abs(out["perplexity"] - np.exp(nll)) < 0.05
+
+
+def test_theil_matches_numpy(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").toPandas()
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").toPandas()
+    rev = (
+        orders.groupby("o_custkey")["o_totalprice"].sum().rename("rev")
+    )
+    cn = cust.merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )[["c_custkey", "n_regionkey"]]
+    df = cn.merge(rev, left_on="c_custkey", right_index=True)
+    y = df["rev"].to_numpy()
+    share = y / y.sum()
+    t_total = float((share * np.log(share * len(y))).sum())
+    out = registry.QUERIES["q388_theil_decomposition"](
+        spark, sf_dir
+    ).toPandas()
+    assert abs(out["t_total"].iloc[0] - t_total) < 1e-4
+
+
+def test_conformal_coverage_near_nominal(spark, sf_dir):
+    out = registry.QUERIES["q384_conformal_coverage"](
+        spark, sf_dir
+    ).toPandas()
+    # pooled coverage should be near the 90% target (exchangeable
+    # calibration/test splits); per-type it may wobble
+    pooled = (out["coverage"] * out["n_test"]).sum() / out["n_test"].sum()
+    assert 0.85 <= pooled <= 0.97, pooled
