@@ -209,3 +209,169 @@ def test_conformal_coverage_near_nominal(spark, sf_dir):
     # calibration/test splits); per-type it may wobble
     pooled = (out["coverage"] * out["n_test"]).sum() / out["n_test"].sum()
     assert 0.85 <= pooled <= 0.97, pooled
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    V = np.stack(pdf["embedding"].map(np.asarray).to_numpy()).astype(
+        "float64"
+    )
+    return pdf["vec_id"].to_numpy(), pdf["label"].to_numpy(), V
+
+
+def test_cka_matches_numpy_matrices(spark, sf_dir, emb):
+    _, _, V = emb
+    X, Y = V[:, :16], V[:, -16:]
+    Xc, Yc = X - X.mean(0), Y - Y.mean(0)
+    n = len(V)
+    cxy = Xc.T @ Yc / n
+    cxx = Xc.T @ Xc / n
+    cyy = Yc.T @ Yc / n
+    want = (cxy**2).sum() / np.sqrt((cxx**2).sum() * (cyy**2).sum())
+    out = registry.QUERIES["q368_cka_alignment"](spark, sf_dir).collect()[0]
+    assert abs(out.cka - want) < 1e-5
+
+
+def _knn_edges(V, k=10):
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = np.round(Vn @ Vn.T, 6)
+    np.fill_diagonal(S, -np.inf)
+    edges = set()
+    knn = {}
+    for i in range(len(V)):
+        order = sorted(
+            range(len(V)), key=lambda j: (-S[i, j], j)
+        )[:k]
+        knn[i] = set(order)
+    for i in range(len(V)):
+        for j in knn[i]:
+            if i < j and i in knn[j]:
+                edges.add((i, j))
+    return edges, knn
+
+
+def test_graph_metrics_match_bruteforce(spark, sf_dir, emb):
+    ids, labels, V = emb
+    edges, knn = _knn_edges(V)
+    # modularity
+    m = len(edges)
+    lab = dict(zip(range(len(V)), labels))
+    internal = {}
+    deg = {}
+    for u, v in edges:
+        deg[lab[u]] = deg.get(lab[u], 0) + 1
+        deg[lab[v]] = deg.get(lab[v], 0) + 1
+        if lab[u] == lab[v]:
+            internal[lab[u]] = internal.get(lab[u], 0) + 1
+    q_want = sum(
+        internal.get(c, 0) / m - (deg.get(c, 0) / (2 * m)) ** 2
+        for c in set(labels)
+    )
+    mod = registry.QUERIES["q372_label_modularity"](spark, sf_dir).collect()
+    assert abs(mod[0].q_total - q_want) < 1e-4
+    # hubness: k-occurrence counts
+    nk = {i: 0 for i in range(len(V))}
+    for i, nbrs in knn.items():
+        for j in nbrs:
+            nk[j] += 1
+    vals = np.array(list(nk.values()), dtype=float)
+    skew_want = ((vals - vals.mean()) ** 3).mean() / vals.var() ** 1.5
+    hub = registry.QUERIES["q380_hubness_audit"](spark, sf_dir).collect()
+    assert abs(hub[0].nk_skewness - skew_want) < 1e-2
+    assert hub[0].max_nk == int(vals.max())
+    # assortativity over directed edge instances
+    dirs = [(u, v) for u, v in edges] + [(v, u) for u, v in edges]
+    d = {}
+    for u, v in dirs:
+        d[u] = d.get(u, 0) + 1
+    x = np.array([d[u] for u, v in dirs], dtype=float)
+    y = np.array([d[v] for u, v in dirs], dtype=float)
+    r_want = np.corrcoef(x, y)[0, 1]
+    a = registry.QUERIES["q391_knn_assortativity"](spark, sf_dir).collect()[0]
+    assert a.n_edges == m
+    assert abs(a.assortativity - r_want) < 1e-4
+
+
+def test_qte_matches_np_percentile(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    m = ev.groupby("user_id")["value"].sum()
+    arms = {g: m[m.index % 2 == g].to_numpy() for g in (0, 1)}
+    out = (
+        registry.QUERIES["q375_quantile_effects"](spark, sf_dir)
+        .toPandas()
+        .set_index("decile")
+    )
+    for d in (1, 5, 9):
+        qa = np.percentile(arms[0], d * 10, method="linear")
+        qb = np.percentile(arms[1], d * 10, method="linear")
+        assert abs(out.loc[d, "q_a"] - qa) < 1e-3
+        assert abs(out.loc[d, "q_b"] - qb) < 1e-3
+        assert abs(out.loc[d, "qte"] - (qb - qa)) < 2e-3
+
+
+def test_weibull_matches_numpy_lstsq(spark, sf_dir):
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter("event_type = 'click'")
+        .select("user_id", "ts", "event_id")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    gaps = []
+    for _, g in ev.groupby("user_id"):
+        t = g["ts"].astype("int64").to_numpy() / 1e9
+        dt = np.diff(t)
+        gaps.extend(dt[dt > 0])
+    t = np.sort(np.array(gaps))
+    n = len(t)
+    f = (np.arange(1, n + 1) - 0.3) / (n + 0.4)
+    x = np.log(t)
+    y = np.log(-np.log(1 - f))
+    A = np.column_stack([x, np.ones_like(x)])
+    (k_hat, c_hat), *_ = np.linalg.lstsq(A, y, rcond=None)
+    out = (
+        registry.QUERIES["q395_weibull_fit"](spark, sf_dir)
+        .filter("event_type = 'click'")
+        .toPandas()
+        .iloc[0]
+    )
+    assert out["n_durations"] == n
+    assert abs(out["shape_k"] - k_hat) < 1e-3
+    assert abs(out["scale_lambda"] - np.exp(-c_hat / k_hat)) < 1.0
+
+
+def test_rbo_matches_bruteforce_depth_loop(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    ev["day"] = (ev["ts"].astype("int64") // 10**9 // 86400).astype(int)
+    out = (
+        registry.QUERIES["q394_rank_biased_overlap"](spark, sf_dir)
+        .toPandas()
+        .set_index("event_type")
+    )
+    et = out.index[0]
+    sub = ev[ev["event_type"] == et]
+
+    def top(par):
+        s = (
+            sub[sub["day"] % 2 == par]
+            .groupby("user_id")["value"]
+            .sum()
+            .round(6)
+        )
+        df = s.reset_index().sort_values(
+            ["value", "user_id"], ascending=[False, True]
+        )
+        return list(df["user_id"].head(20))
+
+    A, B = top(0), top(1)
+    p, k = 0.9, 20
+    rbo = 0.0
+    for d in range(1, k + 1):
+        inter = len(set(A[:d]) & set(B[:d]))
+        rbo += (1 - p) * p ** (d - 1) * inter / d
+    assert abs(out.loc[et, "rbo"] - rbo) < 1e-4
