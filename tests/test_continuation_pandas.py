@@ -375,3 +375,111 @@ def test_rbo_matches_bruteforce_depth_loop(spark, sf_dir):
         inter = len(set(A[:d]) & set(B[:d]))
         rbo += (1 - p) * p ** (d - 1) * inter / d
     assert abs(out.loc[et, "rbo"] - rbo) < 1e-4
+
+
+def test_book_walk_matches_python_walk(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    ev = ev[ev["event_id"] % 7 == 0]
+    out = (
+        registry.QUERIES["q385_book_walk"](spark, sf_dir)
+        .toPandas()
+        .set_index(["event_type", "order_size"])
+    )
+    offsets = (0, 2, 5, 9, 14)
+    et = ev["event_type"].iloc[0]
+    sub = ev[ev["event_type"] == et]
+    for s_tgt in (5, 30):
+        slips, fills, full = [], [], 0
+        for _, r in sub.iterrows():
+            p1 = int(np.floor(r["value"] * 100))
+            rem, cost, filled = s_tgt, 0, 0
+            for lvl in range(5):
+                size = int((r["event_id"] + (lvl + 1) * 13) % 9 + 1)
+                take = max(0, min(size, rem))
+                cost += take * (p1 + offsets[lvl])
+                filled += take
+                rem -= take
+            slips.append((cost / filled - p1) / p1 * 1e4)
+            fills.append(filled / s_tgt)
+            full += filled >= s_tgt
+        row = out.loc[(et, s_tgt)]
+        assert row["n_orders"] == len(sub)
+        assert abs(row["avg_slippage_bps"] - np.mean(slips)) < 1e-3
+        assert abs(row["avg_fill_rate"] - np.mean(fills)) < 1e-5
+        assert abs(row["full_fill_share"] - full / len(sub)) < 1e-5
+
+
+def test_decay_trending_matches_numpy(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    t_now = ev["ts"].astype("int64").max() / 1e9
+    out = (
+        registry.QUERIES["q403_decay_trending"](spark, sf_dir)
+        .toPandas()
+        .set_index("event_type")
+    )
+    et = "click"
+    sub = ev[ev["event_type"] == et]
+    age_h = (t_now - sub["ts"].astype("int64") / 1e9) / 3600.0
+    lam = 0.6931471805599453 / 24.0
+    want = float((sub["value"] * np.exp(-lam * age_h)).sum())
+    assert abs(out.loc[et, "score_hl24"] - want) < 1e-2
+
+
+def test_ledger_reconciliation_matches_pandas(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").toPandas()
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    recomp = (
+        li.assign(
+            v=li["l_extendedprice"]
+            * (1 - li["l_discount"])
+            * (1 + li["l_tax"])
+        )
+        .groupby("l_orderkey")["v"]
+        .sum()
+    )
+    j = o.merge(
+        recomp, left_on="o_orderkey", right_index=True, how="left"
+    )
+    matched = j[j["v"].notna()]
+    rel = (matched["v"] - matched["o_totalprice"]).abs() / matched[
+        "o_totalprice"
+    ]
+    out = (
+        registry.QUERIES["q405_ledger_reconciliation"](spark, sf_dir)
+        .toPandas()
+        .set_index("status")
+    )
+    assert out.loc["matched", "n_orders"] == len(matched)
+    assert abs(out.loc["matched", "avg_rel_gap"] - rel.mean()) < 1e-5
+    assert (
+        out.loc["matched", "n_within_tol"] == int((rel <= 0.01).sum())
+    )
+
+
+def test_burrows_delta_matches_numpy(spark, sf_dir):
+    from crypto_prediction_etl_spark.plans.text_q import _Q376_WORDS
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    rows = {}
+    tot = {}
+    for src, g in docs.groupby("source"):
+        toks = [t for txt in g["text"] for t in txt.lower().split(" ")]
+        tot[src] = len(toks)
+        from collections import Counter
+
+        c = Counter(toks)
+        rows[src] = {w: c.get(w, 0) / len(toks) for w in _Q376_WORDS}
+    srcs = sorted(rows)
+    F_ = np.array([[rows[s][w] for w in _Q376_WORDS] for s in srcs])
+    mu, sd = F_.mean(0), F_.std(0)
+    keep = sd > 0
+    Z = (F_[:, keep] - mu[keep]) / sd[keep]
+    out = (
+        registry.QUERIES["q376_burrows_delta"](spark, sf_dir)
+        .toPandas()
+        .set_index(["source_a", "source_b"])
+    )
+    a, b = srcs[0], srcs[1]
+    want = np.abs(Z[0] - Z[1]).mean()
+    assert abs(out.loc[(a, b), "delta"] - want) < 1e-5
+    assert out.loc[(a, b), "n_words"] == int(keep.sum())
