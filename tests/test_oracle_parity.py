@@ -130,3 +130,44 @@ def test_registry_hygiene():
             and t not in ("unnest", "range", "generate_series", "lateral")
         }
         assert not unknown, (name, unknown)
+
+
+def test_gate_detects_perturbations(spark, sf_dir):
+    """Mutation test OF THE GATE: the pandas-canonicalization compare
+    (tools/_canon.compare_frames — the driver mirror every replay
+    gate uses) must flag a value nudge below the rounding grid's
+    neighbor, a dropped row, a renamed column, and an unsortable
+    list column.  If this test fails, green replays mean nothing."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from _canon import compare_frames
+
+    import duckdb
+
+    from crypto_prediction_etl_spark.plans.registry import ORACLES, QUERIES
+
+    name = "q01_pricing_summary"
+    sdf = QUERIES[name](spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    for t in ["lineitem"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    ddf = con.execute(ORACLES[name]).df()
+    verdict, _ = compare_frames(sdf, ddf)
+    assert verdict == "PASS"
+
+    nudged = sdf.copy()
+    num_cols = [c for c in nudged.columns if nudged[c].dtype == "float64"]
+    nudged.loc[0, num_cols[0]] += 1e-3
+    assert compare_frames(nudged, ddf)[0] == "FAIL"
+
+    assert compare_frames(sdf.iloc[:-1], ddf)[0] == "FAIL"
+
+    renamed = sdf.rename(columns={sdf.columns[0]: "zz_renamed"})
+    assert compare_frames(renamed, ddf)[0] == "FAIL"
+
+    listy = sdf.copy()
+    listy[listy.columns[0]] = [[1, 2]] * len(listy)
+    assert compare_frames(listy, ddf)[0] in ("ERR", "FAIL")
