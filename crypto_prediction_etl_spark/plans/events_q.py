@@ -7176,3 +7176,276 @@ def q416_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+# ---------------------------------------------------------------------------
+# q419 composition mix-shift monitor (daily JS vs trailing week)
+# ---------------------------------------------------------------------------
+
+_Q419_TYPES = ("click", "error", "purchase", "signup", "view")
+_Q419_ALERT = 0.02  # JS divergence alert threshold (nats)
+
+
+def _q419_oracle() -> str:
+    cnt_cols = ", ".join(
+        f"count(*) FILTER (WHERE event_type = '{t}') AS c_{i}"
+        for i, t in enumerate(_Q419_TYPES)
+    )
+    trail = ("sum({c}) OVER (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 "
+             "PRECEDING)")
+    base_cols = ", ".join(
+        f"{trail.format(c=f'c_{i}')} AS b_{i}"
+        for i in range(len(_Q419_TYPES))
+    )
+    kl_terms_pq = []
+    kl_terms_qp = []
+    for i in range(len(_Q419_TYPES)):
+        p = f"(CAST(c_{i} AS DOUBLE) / n)"
+        q = f"(CAST(b_{i} AS DOUBLE) / bn)"
+        mm = f"(({p} + {q}) / 2.0)"
+        kl_terms_pq.append(
+            f"CASE WHEN {p} > 0 THEN {p} * ln({p} / {mm}) ELSE 0.0 END"
+        )
+        kl_terms_qp.append(
+            f"CASE WHEN {q} > 0 THEN {q} * ln({q} / {mm}) ELSE 0.0 END"
+        )
+    js = (f"0.5 * ({' + '.join(kl_terms_pq)})"
+          f" + 0.5 * ({' + '.join(kl_terms_qp)})")
+    n_expr = " + ".join(f"c_{i}" for i in range(len(_Q419_TYPES)))
+    bn_expr = " + ".join(f"b_{i}" for i in range(len(_Q419_TYPES)))
+    return f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, {cnt_cols}
+      FROM events GROUP BY 1
+    ),
+    trailed AS (
+      SELECT d, {", ".join(f"c_{i}" for i in range(len(_Q419_TYPES)))},
+             {base_cols}
+      FROM daily
+    ),
+    scored AS (
+      SELECT d, ({n_expr}) AS n, ({bn_expr}) AS bn,
+             {", ".join(f"c_{i}" for i in range(len(_Q419_TYPES)))},
+             {", ".join(f"b_{i}" for i in range(len(_Q419_TYPES)))}
+      FROM trailed
+    ),
+    js_frame AS (
+      SELECT d, n, bn, {js} AS js
+      FROM scored WHERE bn IS NOT NULL AND bn > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           {o_rnd('avg(js)', 6)} AS avg_js,
+           {o_rnd('max(js)', 6)} AS max_js,
+           CAST(count(*) FILTER (WHERE js > {_Q419_ALERT}) AS BIGINT)
+             AS alert_days,
+           CAST((SELECT max(j2.d) FROM js_frame j2
+                 WHERE j2.js = (SELECT max(js) FROM js_frame)) AS DATE)
+             AS worst_day
+    FROM js_frame
+    """
+
+
+@query("q419_mix_shift", oracle=_q419_oracle())
+def q419_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition mix-shift monitor: each day's event-type
+    distribution vs its OWN trailing 7-day baseline, scored by
+    Jensen-Shannon divergence — the rolling version of the q316/q194
+    two-split drift tests, and the monitor that catches a sudden
+    type-mix change (a client release dropping 'view' events, an
+    error storm) even when total volume looks normal.  Reports the
+    alert-day count at a fixed JS threshold and the worst day.
+
+    Scale shape: one per-day filtered-count aggregation (5 running
+    pairs per day), trailing sums via 7-row windows over the DAILY
+    frame (q355 post-aggregate law; partition by service/tenant at
+    fleet scale), JS as codegen'd arithmetic, and a scalar fold with
+    arg_max for the worst day."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(f"c_{i}")
+            for i, t in enumerate(_Q419_TYPES)
+        ]
+    )
+    w7 = W.orderBy("d").rowsBetween(-7, -1)
+    trailed = daily.select(
+        "d",
+        *[F.col(f"c_{i}") for i in range(len(_Q419_TYPES))],
+        *[
+            F.sum(f"c_{i}").over(w7).alias(f"b_{i}")
+            for i in range(len(_Q419_TYPES))
+        ],
+    )
+    n = sum(F.col(f"c_{i}") for i in range(len(_Q419_TYPES)))
+    bn = sum(F.col(f"b_{i}") for i in range(len(_Q419_TYPES)))
+    js = F.lit(0.0)
+    for i in range(len(_Q419_TYPES)):
+        p = F.col(f"c_{i}").cast("double") / F.col("n")
+        q = F.col(f"b_{i}").cast("double") / F.col("bn")
+        m = (p + q) / 2.0
+        js = js + 0.5 * F.when(p > 0, p * F.log(p / m)).otherwise(0.0)
+        js = js + 0.5 * F.when(q > 0, q * F.log(q / m)).otherwise(0.0)
+    scored = trailed.select(
+        "d", n.alias("n"), bn.alias("bn"),
+        *[F.col(f"c_{i}") for i in range(len(_Q419_TYPES))],
+        *[F.col(f"b_{i}") for i in range(len(_Q419_TYPES))],
+    )
+    jsf = scored.filter(
+        F.col("bn").isNotNull() & (F.col("bn") > 0)
+    ).select("d", js.alias("js"))
+    jsf = jsf.localCheckpoint(eager=False)
+    stats = jsf.agg(
+        F.count("*").cast("long").alias("n_days"),
+        prnd(F.avg("js"), 6).alias("avg_js"),
+        prnd(F.max("js"), 6).alias("max_js"),
+        F.max("js").alias("_mx"),
+        F.count(F.when(F.col("js") > _Q419_ALERT, 1))
+        .cast("long")
+        .alias("alert_days"),
+    )
+    # deterministic argmax: LATEST day achieving the max (engine
+    # max_by/arg_max tie order is unspecified)
+    worst = (
+        jsf.crossJoin(F.broadcast(stats.select("_mx")))
+        .filter(F.col("js") == F.col("_mx"))
+        .agg(F.max("d").cast("date").alias("worst_day"))
+    )
+    return stats.drop("_mx").crossJoin(F.broadcast(worst))
+
+
+# ---------------------------------------------------------------------------
+# q420 weekly KS drift series vs baseline week
+# ---------------------------------------------------------------------------
+
+_Q420_C = 1.36   # two-sample KS critical coefficient at alpha=0.05
+
+
+def _q420_oracle() -> str:
+    wk = "CAST(floor(epoch(ts) / 604800) AS BIGINT)"
+    return f"""
+    WITH ev AS (SELECT {wk} AS week, value FROM events),
+    mn AS (SELECT min(week) AS w0 FROM ev),
+    base AS (
+      SELECT value, count(*) AS cb FROM ev CROSS JOIN mn
+      WHERE week = mn.w0 GROUP BY value
+    ),
+    nb AS (SELECT CAST(sum(cb) AS DOUBLE) AS nb FROM base),
+    wk_rows AS (
+      SELECT week, value, count(*) AS cw FROM ev CROSS JOIN mn
+      WHERE week > mn.w0 GROUP BY week, value
+    ),
+    weeks AS (SELECT DISTINCT week FROM wk_rows),
+    u AS (
+      SELECT week, value, cw, 0 AS cb FROM wk_rows
+      UNION ALL
+      SELECT w.week, b.value, 0, b.cb FROM weeks w CROSS JOIN base b
+    ),
+    g AS (
+      SELECT week, value, sum(cw) AS cw, sum(cb) AS cb
+      FROM u GROUP BY week, value
+    ),
+    nw AS (SELECT week, CAST(sum(cw) AS DOUBLE) AS nw FROM g GROUP BY week),
+    cum AS (
+      SELECT g.week,
+             sum(g.cw) OVER (PARTITION BY g.week ORDER BY g.value)
+               / nw.nw AS fw,
+             sum(g.cb) OVER (PARTITION BY g.week ORDER BY g.value)
+               / nb.nb AS fb,
+             nw.nw, nb.nb
+      FROM g JOIN nw ON nw.week = g.week CROSS JOIN nb
+    ),
+    ks AS (
+      SELECT week, max(abs(fw - fb)) AS d,
+             max(nw) AS nw, max(nb) AS nb
+      FROM cum GROUP BY week
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_weeks,
+           {o_rnd('avg(d)', 6)} AS avg_ks,
+           {o_rnd('max(d)', 6)} AS max_ks,
+           CAST(count(*) FILTER (
+             WHERE d > {_Q420_C} * sqrt((nw + nb) / (nw * nb))) AS BIGINT)
+             AS drift_weeks
+    FROM ks
+    """
+
+
+@query("q420_weekly_ks_drift", oracle=_q420_oracle())
+def q420_weekly_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly KS drift series: every week's value distribution
+    tested against the FIRST week's baseline with the exact
+    two-sample Kolmogorov-Smirnov statistic (computed on the merged
+    distinct-value grid, so ties are handled exactly), plus the
+    count of weeks crossing the alpha=0.05 critical band — the
+    time-SERIES version of q193's one-shot KS and the statistical
+    upgrade of q419's composition monitor (this one sees shape
+    changes inside a single event type's values).  Week buckets are
+    epoch-day integer arithmetic, immune to engine week-numbering
+    conventions.
+
+    Scale shape: per-(week, value) counts are one groupBy; the
+    baseline histogram (distinct values of ONE week — sample it at
+    scale) broadcasts onto the week list; ECDFs are per-week
+    cumulative windows over the merged value grid (post-aggregate
+    frames); the critical-band test is scalar arithmetic with the
+    1.36 coefficient pinned."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").select(
+        F.floor(F.col("ts").cast("double") / 604800)
+        .cast("long")
+        .alias("week"),
+        "value",
+    )
+    w0 = ev.agg(F.min("week").alias("w0"))
+    evm = ev.crossJoin(F.broadcast(w0))
+    base = (
+        evm.filter(F.col("week") == F.col("w0"))
+        .groupBy("value")
+        .agg(F.count("*").alias("cb"))
+    )
+    nb = base.agg(F.sum("cb").cast("double").alias("nb"))
+    wk_rows = (
+        evm.filter(F.col("week") > F.col("w0"))
+        .groupBy("week", "value")
+        .agg(F.count("*").alias("cw"))
+    )
+    weeks = wk_rows.select("week").distinct()
+    u = wk_rows.select(
+        "week", "value", "cw", F.lit(0).alias("cb")
+    ).unionByName(
+        weeks.crossJoin(F.broadcast(base)).select(
+            "week", "value", F.lit(0).alias("cw"), "cb"
+        )
+    )
+    g = u.groupBy("week", "value").agg(
+        F.sum("cw").alias("cw"), F.sum("cb").alias("cb")
+    )
+    nw = g.groupBy("week").agg(F.sum("cw").cast("double").alias("nw"))
+    wcum = W.partitionBy("week").orderBy("value")
+    cum = (
+        g.join(nw, "week")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "week",
+            (F.sum("cw").over(wcum) / F.col("nw")).alias("fw"),
+            (F.sum("cb").over(wcum) / F.col("nb")).alias("fb"),
+            "nw", "nb",
+        )
+    )
+    ks = cum.groupBy("week").agg(
+        F.max(F.abs(F.col("fw") - F.col("fb"))).alias("d"),
+        F.max("nw").alias("nw"), F.max("nb").alias("nb"),
+    )
+    crit = _Q420_C * F.sqrt(
+        (F.col("nw") + F.col("nb")) / (F.col("nw") * F.col("nb"))
+    )
+    return ks.agg(
+        F.count("*").cast("long").alias("n_weeks"),
+        prnd(F.avg("d"), 6).alias("avg_ks"),
+        prnd(F.max("d"), 6).alias("max_ks"),
+        F.count(F.when(F.col("d") > crit, 1))
+        .cast("long")
+        .alias("drift_weeks"),
+    )

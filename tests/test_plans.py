@@ -1428,3 +1428,16 @@ def test_q418_knee_single_rank_pass(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("RunningWindowFunction") <= 1
     assert "SortMergeJoin" not in plan
+
+
+def test_q419_mix_shift_windows_post_aggregate(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q419_mix_shift")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q420_ks_baseline_broadcast(spark, sf_dir):
+    """The baseline histogram must broadcast onto the week list; no
+    cartesian product of raw event rows."""
+    plan = _plan(spark, sf_dir, "q420_weekly_ks_drift")
+    assert "CartesianProduct" not in plan
