@@ -6809,12 +6809,14 @@ _Q401_CS2 = 0.25                 # assumed service-time CV^2 (pinned)
 def _q401_oracle() -> str:
     blocks = []
     for rho in _Q401_UTILS:
+        # utilization rho = lambda * E[S]  =>  E[S] = rho * mean_gap,
+        # and the consumer must serve at 1/E[S] = lambda / rho
         wait = (f"({rho} / (1.0 - {rho})) * ((ca2 + {_Q401_CS2}) / 2.0)"
-                f" * (mean_gap / {rho})")
+                f" * (mean_gap * {rho})")
         blocks.append(f"""
       SELECT event_type, n_gaps, mean_gap, ca2,
              CAST({rho} AS DOUBLE) AS util,
-             {o_rnd(f'1.0 / (mean_gap / {rho})', 6)} AS required_rate,
+             {o_rnd(f'1.0 / (mean_gap * {rho})', 6)} AS required_rate,
              {o_rnd(wait, 4)} AS kingman_wait_s
       FROM s""")
     return f"""
@@ -6877,7 +6879,7 @@ def q401_kingman_backpressure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     structs = []
     for rho in _Q401_UTILS:
-        svc = F.col("mean_gap") / rho
+        svc = F.col("mean_gap") * rho
         wait = (
             F.lit(rho / (1.0 - rho))
             * ((F.col("ca2") + _Q401_CS2) / 2.0)

@@ -483,3 +483,100 @@ def test_burrows_delta_matches_numpy(spark, sf_dir):
     want = np.abs(Z[0] - Z[1]).mean()
     assert abs(out.loc[(a, b), "delta"] - want) < 1e-5
     assert out.loc[(a, b), "n_words"] == int(keep.sum())
+
+
+def test_ecod_matches_numpy(spark, sf_dir, emb):
+    ids, labels, V = emb
+    X = V[:, :8]
+    n = len(X)
+    scores = np.zeros(n)
+    for d in range(8):
+        order = np.lexsort((ids, X[:, d]))
+        r = np.empty(n)
+        r[order] = np.arange(1, n + 1)
+        tail = np.minimum(r / n, (n - r + 1) / n)
+        scores += -np.log(tail)
+    out = registry.QUERIES["q414_ecod_outliers"](spark, sf_dir).collect()
+    want_top = int(np.lexsort((ids, -np.round(scores, 4)))[0])
+    assert out[0].vec_id == ids[want_top]
+    assert abs(out[0].score - round(scores[want_top], 4)) < 1e-3
+
+
+def test_embedding_drift_matches_numpy(spark, sf_dir, emb):
+    from crypto_prediction_etl_spark.plans.similarity_q import (
+        _Q386_BITS,
+        _q386_plane,
+    )
+
+    ids, _, V = emb
+    W_ = np.array(
+        [
+            [_q386_plane(b, d) for d in range(64)]
+            for b in range(_Q386_BITS)
+        ],
+        dtype=float,
+    )
+    bits = (V @ W_.T >= 0).astype(int)
+    codes = (bits * (1 << np.arange(_Q386_BITS))).sum(1)
+    pa = np.bincount(codes[ids % 2 == 0], minlength=64).astype(float)
+    pb = np.bincount(codes[ids % 2 == 1], minlength=64).astype(float)
+    pa, pb = pa / pa.sum(), pb / pb.sum()
+    m = (pa + pb) / 2
+
+    def kl(p, q):
+        mask = p > 0
+        return float((p[mask] * np.log(p[mask] / q[mask])).sum())
+
+    want = 0.5 * kl(pa, m) + 0.5 * kl(pb, m)
+    out = registry.QUERIES["q386_embedding_drift"](spark, sf_dir).collect()[0]
+    assert abs(out.js_divergence - want) < 1e-5
+
+
+def test_vocab_coverage_matches_numpy(spark, sf_dir):
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text")
+        .toPandas()["text"]
+    )
+    from collections import Counter
+
+    c = Counter(t for txt in docs for t in txt.lower().split(" "))
+    cnts = np.sort(np.array(list(c.values())))[::-1]
+    out = registry.QUERIES["q407_vocab_coverage"](spark, sf_dir).collect()[0]
+    assert out.n_types == len(cnts)
+    assert out.n_tokens == int(cnts.sum())
+    for v in (100, 1000, 4000):
+        want = cnts[:v].sum() / cnts.sum()
+        assert abs(getattr(out, f"cov_{v}") - want) < 1e-5
+
+
+def test_group_sequential_final_look_matches_welch(spark, sf_dir):
+    """Cross-QUERY consistency: q416's look-4 z (100% of data) must
+    equal q168's Welch t per event type up to the sample/population
+    variance convention (q168 uses n-1; the magnitude check uses a
+    loose band to absorb it)."""
+    gs = (
+        registry.QUERIES["q416_group_sequential"](spark, sf_dir)
+        .filter("look = 4")
+        .toPandas()
+        .set_index("event_type")
+    )
+    ab = (
+        registry.QUERIES["q168_ab_test_stats"](spark, sf_dir)
+        .toPandas()
+        .set_index("event_type")
+    )
+    for et in gs.index:
+        assert abs(gs.loc[et, "z"] - ab.loc[et, "welch_t"]) < 0.02, et
+
+
+def test_kingman_wait_increases_with_utilization(spark, sf_dir):
+    out = registry.QUERIES["q401_kingman_backpressure"](
+        spark, sf_dir
+    ).toPandas()
+    for et, g in out.groupby("event_type"):
+        g = g.sort_values("util")
+        waits = g["kingman_wait_s"].to_list()
+        assert waits == sorted(waits), (et, waits)
+        rates = g["required_rate"].to_list()
+        assert rates == sorted(rates, reverse=True), (et, rates)
