@@ -42,69 +42,66 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver adjudicates exactly the first 50 ``queries()`` entries per
-# round.  Rotation for round 5 (VERDICT r4 items 2-3): the two r4
-# failures lead the window so the driver re-verdicts them after their
-# canonicalization fixes (q154: oracle windowed sum CAST to BIGINT so
-# pandas no longer floats the HUGEINT; q157: ids_head emitted as a
-# joined string on both sides so the driver's frame sort can't throw
-# on a list column), followed by the 48 oldest never-adjudicated
-# names in numeric order (q187-q234, which includes the fixed q200).
-# The remaining never-adjudicated tail (q235+, q311+) follows in
-# numeric order for the r6/r7 windows; everything else keeps its
-# r1-r4 green row and stays covered by the local mirror
-# (tests/test_oracle_parity.py + tools/driver_replay.py, which as of
-# r5 canonicalizes through pandas exactly like the driver).
+# round.  Rotation for round 6 (VERDICT r5 item 1): drain the oldest
+# never-adjudicated tail in numeric order — q235-q284.  Five of the
+# eight record-grain global-window rewrites (q236/q248/q257/q267/q280,
+# VERDICT r5 item 2) sit inside this window, so the driver verdicts
+# the globalrank-routed plans directly.  The remaining tail (q285+)
+# follows in numeric order for the r7/r8 windows; everything already
+# adjudicated keeps its green row and stays covered by the local
+# mirror (tests/test_oracle_parity.py + tools/driver_replay.py, which
+# canonicalizes through pandas exactly like the driver).
 _ADJUDICATE_FIRST = [
-    "q154_systematic_sample",
-    "q157_token_ids",
-    "q187_underwater_streaks",
-    "q188_centroid_outliers",
-    "q189_hurst_exponent",
-    "q190_subsample_stability",
-    "q191_user_entropy",
-    "q192_gini_coefficient",
-    "q193_ks_test",
-    "q194_psi_drift",
-    "q195_lorenz_deciles",
-    "q196_robust_zscore",
-    "q197_seasonality_strength",
-    "q198_integrity_audit",
-    "q199_column_profile",
-    "q200_curation_funnel",
-    "q201_tfidf_keywords",
-    "q202_langid_confusion",
-    "q203_autocorrelation",
-    "q204_basket_lift",
-    "q205_ar1_fit",
-    "q206_volume_profile",
-    "q207_rapid_duplicates",
-    "q208_srm_check",
-    "q209_vector_normalize",
-    "q210_pca_power_iteration",
-    "q211_wow_growth",
-    "q212_mahalanobis_diag",
-    "q213_burstiness",
-    "q214_hash_collision_audit",
-    "q215_lsh_recall_report",
-    "q216_capm_alpha",
-    "q217_weekly_churn",
-    "q218_gap_days",
-    "q219_volatility_regimes",
-    "q220_price_endings",
-    "q221_risk_ratios",
-    "q222_ewma_vol",
-    "q223_cdc_snapshot",
-    "q224_active_users",
-    "q225_heavy_hitters",
-    "q226_blame_supplier",
-    "q227_compaction_planner",
-    "q228_k_anonymity",
-    "q229_cube_profile",
-    "q230_cdc_chunks",
-    "q231_rrf_fusion",
-    "q232_mmr_diversify",
-    "q233_weighted_median",
-    "q234_attribution_asof",
+    "q235_twap",
+    "q236_rfm_segments",
+    "q237_weighted_reservoir",
+    "q238_negative_sampling",
+    "q239_ndcg_eval",
+    "q240_calibration_bins",
+    "q241_state_merge",
+    "q242_pairs_cointegration",
+    "q243_skyline",
+    "q244_table_checksum",
+    "q245_bipower_jumps",
+    "q246_roll_spread",
+    "q247_auc_roc",
+    "q248_gain_deciles",
+    "q249_bpe_train",
+    "q250_split_leakage",
+    "q251_unpivot_profile",
+    "q252_token_dropout",
+    "q253_bfs_reachability",
+    "q254_clustering_effectiveness",
+    "q255_encoding_advisor",
+    "q256_mutual_information",
+    "q257_stratified_effect",
+    "q258_binary_segmentation",
+    "q259_km_survival",
+    "q260_seasonal_naive_mase",
+    "q261_cuped_adjustment",
+    "q262_linear_interpolation",
+    "q263_winsorized_mean",
+    "q264_zipf_fit",
+    "q265_dedup_explain",
+    "q266_theil_sen",
+    "q267_concurrency_sweep",
+    "q268_item_cooccurrence",
+    "q269_recsys_hitrate",
+    "q270_lsh_planner",
+    "q271_nation_volume",
+    "q272_market_share",
+    "q273_product_profit",
+    "q274_audio_vad_segments",
+    "q275_sequential_sprt",
+    "q276_schema_evolution_union",
+    "q277_activity_heatmap",
+    "q278_minhash_error_audit",
+    "q279_partition_skew_planner",
+    "q280_interval_coverage",
+    "q281_identity_resolution",
+    "q282_dollar_bars",
+    "q283_entropy_rate",
+    "q284_design_effect",
 ]
 
 # Superseded round-2 rotation, kept for the audit trail.

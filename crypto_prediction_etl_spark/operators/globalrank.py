@@ -168,3 +168,63 @@ def with_global_row_stats(
             count_col, F.col("_gr_total").cast("long")
         )
     return out_df.drop(*[c for c in out_df.columns if c.startswith("_gr_")])
+
+
+def with_global_ntile(
+    df: DataFrame,
+    order_by: Sequence[Column | str],
+    n_buckets: int,
+    out_col: str,
+    *,
+    partitions: int | None = None,
+) -> DataFrame:
+    """``ntile(n_buckets)`` over a global order, distributed.
+
+    A bare ``ntile(k) OVER (ORDER BY ...)`` plans as a SINGLE-partition
+    window — the same scale-killer :func:`with_global_row_stats` exists
+    for.  ntile is a pure function of the global row_number and the
+    grand row count, so this derives it from the two-pass prefix scan
+    using Spark's exact NTile row distribution (catalyst
+    ``NTile``: with ``n`` rows and ``k`` buckets, the first ``n % k``
+    buckets hold ``n div k + 1`` rows, the rest ``n div k`` — the ANSI
+    distribution DuckDB shares).  With 1-based global rank ``r``,
+    ``bs = n div k``, ``pad = n % k``, ``thr = pad * (bs + 1)``::
+
+        bucket(r) = (r + bs) div (bs + 1)               r <= thr
+                  = pad + (r - thr + bs - 1) div bs      otherwise
+
+    When ``n < k``, ``bs = 0`` puts every row under ``thr`` (one row
+    per bucket, matching the window form); the else-branch divisor is
+    guarded with ``greatest(bs, 1)`` anyway so ANSI integer division
+    can never see a zero.  All arithmetic stays in exact integer
+    ``div`` — no double rounding at bucket boundaries.
+
+    ``order_by`` must be a TOTAL order (unique tie-break), same
+    contract as :func:`with_global_row_stats`.  Output type int,
+    matching ``F.ntile``.  Exactness vs the single-window form is
+    pinned by tests/test_globalrank.py.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    if any(c.startswith("_gnt_") for c in df.columns):
+        raise ValueError("input already carries _gnt_ helper columns")
+    k = int(n_buckets)
+    out = with_global_row_stats(
+        df,
+        order_by,
+        rank_col="_gnt_r",
+        count_col="_gnt_n",
+        partitions=partitions,
+    )
+    out = out.withColumn(
+        "_gnt_bs", F.expr(f"_gnt_n div {k}")
+    ).withColumn("_gnt_thr", (F.col("_gnt_n") % k) * (F.col("_gnt_bs") + 1))
+    bucket = F.when(
+        F.col("_gnt_r") <= F.col("_gnt_thr"),
+        F.expr("(_gnt_r + _gnt_bs) div (_gnt_bs + 1)"),
+    ).otherwise(
+        (F.col("_gnt_n") % k)
+        + F.expr("(_gnt_r - _gnt_thr + _gnt_bs - 1) div greatest(_gnt_bs, 1L)")
+    )
+    out = out.withColumn(out_col, bucket.cast("int"))
+    return out.drop("_gnt_r", "_gnt_n", "_gnt_bs", "_gnt_thr")

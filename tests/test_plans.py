@@ -1441,3 +1441,45 @@ def test_q420_ks_baseline_broadcast(spark, sf_dir):
     cartesian product of raw event rows."""
     plan = _plan(spark, sf_dir, "q420_weekly_ks_drift")
     assert "CartesianProduct" not in plan
+
+
+# Allowed non-_gr_pid window subjects per routed query: only windows
+# over POST-AGGREGATE tiny frames (bucket counts, 3-row stratum
+# tables) may remain partition-less; "" covers the orderless
+# whole-frame spec (windowspecdefinition(specifiedwindowframe...)).
+_GLOBALRANK_ROUTED_R6 = {
+    "q236_rfm_segments": set(),
+    "q248_gain_deciles": {"decile"},
+    "q257_stratified_effect": {""},
+    "q267_concurrency_sweep": set(),
+    "q280_interval_coverage": set(),
+    "q285_simpson_detector": set(),
+    "q301_fair_share": set(),
+    "q333_woe_iv_binning": set(),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_GLOBALRANK_ROUTED_R6))
+def test_record_grain_windows_route_through_globalrank(
+    spark, sf_dir, name
+):
+    """VERDICT r5 item 2: the 8 record-grain ntile/sweep queries must
+    run their data-bearing windows through operators/globalrank —
+    _gr_pid partitions every window that touches the data grain, no
+    ntile expression survives (it's derived from rank + count), and
+    any remaining partition-less window subjects only a post-aggregate
+    tiny frame from the allowlist."""
+    import re
+
+    plan = _plan(spark, sf_dir, name)
+    assert "_gr_pid" in plan, name
+    assert "ntile(" not in plan, name
+    allowed = _GLOBALRANK_ROUTED_R6[name]
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)", plan):
+        if "_gr_pid" in spec:
+            continue
+        first = spec.split(",")[0].strip()
+        subject = "" if first.startswith("specifiedwindowframe") else (
+            first.split("#")[0]
+        )
+        assert subject in allowed, f"{name}: stray global window on {spec!r}"

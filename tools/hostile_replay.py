@@ -29,6 +29,16 @@ ALWAYS = [
     "q237_weighted_reservoir",
     "q247_auc_roc",
     "q254_clustering_effectiveness",
+    # r6: the record-grain ntile/sweep class routed through
+    # with_global_ntile / with_global_row_stats (VERDICT r5 item 2)
+    "q236_rfm_segments",
+    "q248_gain_deciles",
+    "q257_stratified_effect",
+    "q267_concurrency_sweep",
+    "q280_interval_coverage",
+    "q285_simpson_detector",
+    "q301_fair_share",
+    "q333_woe_iv_binning",
 ]
 
 from pyspark.sql import SparkSession
