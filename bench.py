@@ -110,12 +110,20 @@ def main() -> None:
     spark.range(32).localCheckpoint(eager=True)
 
     def run_panel(names: list[str]) -> dict[str, float]:
+        # Best-of-2 per query (VERDICT r5 item 3): host contention on
+        # the shared runner added up to ~5x noise on single-pass
+        # numbers (BENCH_r05's q01 read 2.85s vs 0.85s quiet-host) —
+        # the per-query MIN of two interleaved passes is the stable
+        # plan cost, matching the measure-twice rule in BENCH_NOTES.
         out: dict[str, float] = {}
-        for name in names:
-            fn = registry.QUERIES[name]
-            t0 = time.monotonic()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            out[name] = round(time.monotonic() - t0, 3)
+        for _ in range(2):
+            for name in names:
+                fn = registry.QUERIES[name]
+                t0 = time.monotonic()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = round(time.monotonic() - t0, 3)
+                if name not in out or dt < out[name]:
+                    out[name] = dt
         return out
 
     timings = run_panel(HEADLINE)
@@ -134,6 +142,7 @@ def main() -> None:
                 "panel2": panel2,
                 "panel3_total": round(sum(panel3.values()), 3),
                 "panel3": panel3,
+                "passes": 2,
                 "sf": sf,
             }
         )

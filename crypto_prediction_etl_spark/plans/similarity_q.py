@@ -2383,6 +2383,12 @@ def _q351_oracle() -> str:
     """
 
 
+# MMD estimates saturate around ~10k points per group; 200k 64-d
+# float64 vectors ≈ 100 MB broadcast — comfortably inside a default
+# executor, and far past the point where more samples help the test.
+_Q351_MAX_BROADCAST_ROWS = 200_000
+
+
 @query("q351_mmd_two_sample", oracle=_q351_oracle())
 def q351_mmd_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kernel maximum mean discrepancy (Gretton et al. 2012) between
@@ -2407,13 +2413,27 @@ def q351_mmd_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pass 1 accumulates (n, sum_sqd) for the bandwidth heuristic;
     gamma is a scalar collect; pass 2 accumulates sum(exp(-gamma*
     sqd)).  Squared distances are grid-rounded (9dp) inside the
-    kernel exactly like the oracle's pair CTE."""
+    kernel exactly like the oracle's pair CTE.
+
+    Scale budget (VERDICT r5 item 8): the driver-side collect below
+    IS the algorithm's broadcast matrix — its size is the stated
+    memory budget, bounded by _Q351_MAX_BROADCAST_ROWS. A composed
+    pipeline feeding more vectors than that must reservoir-cap per
+    class first (q237's operator); the guard makes silent overflow
+    impossible rather than slow."""
     import numpy as np
     import pandas as pd
 
     from ..sources.readers import spread_small_scan
 
     e = _vecs(spark, sf_dir)
+    n_vecs = e.count()
+    if n_vecs > _Q351_MAX_BROADCAST_ROWS:
+        raise ValueError(
+            f"q351 broadcast budget exceeded: {n_vecs} vectors > "
+            f"{_Q351_MAX_BROADCAST_ROWS}; reservoir-cap per class "
+            "(q237) before the MMD kernel"
+        )
     rows = e.select("vec_id", "label", "v").collect()
     all_ids = np.array([r[0] for r in rows], dtype="int64")
     all_lab = np.array([r[1] for r in rows], dtype="int64")
