@@ -57,6 +57,7 @@ def with_global_row_stats(
     rank_col: str | None = None,
     cum_sums: Mapping[str, Column | str] | None = None,
     cum_maxs: Mapping[str, Column | str] | None = None,
+    cum_maxs_excl: Mapping[str, Column | str] | None = None,
     count_col: str | None = None,
     partitions: int | None = None,
 ) -> DataFrame:
@@ -71,13 +72,20 @@ def with_global_row_stats(
                 (max is associative, so the offset combine is
                 ``greatest(local running max, max of earlier
                 partitions)``).
+    cum_maxs_excl  {out_name: source column} EXCLUSIVE running maxima
+                (frame ``unboundedPreceding .. -1``): the max over
+                strictly-earlier rows, NULL on the global first row —
+                the skyline / record-progression frame.  Same offset
+                combine as cum_maxs (earlier partitions precede every
+                local row entirely); only the local frame differs.
     count_col   name for the grand-total row count (long, every row).
     partitions  range-partition count (default: session shuffle
                 partitions).
     """
     cum_sums = dict(cum_sums or {})
     cum_maxs = dict(cum_maxs or {})
-    if not (rank_col or cum_sums or cum_maxs or count_col):
+    cum_maxs_excl = dict(cum_maxs_excl or {})
+    if not (rank_col or cum_sums or cum_maxs or cum_maxs_excl or count_col):
         raise ValueError("nothing to compute")
     if any(c.startswith("_gr_") for c in df.columns):
         raise ValueError("input already carries _gr_ helper columns")
@@ -104,11 +112,14 @@ def with_global_row_stats(
     )
     w_rank = Window.partitionBy("_gr_pid").orderBy(*keys)
     w_rows = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_prev = w_rank.rowsBetween(Window.unboundedPreceding, -1)
     local = part.withColumn("_gr_lrn", F.row_number().over(w_rank))
     for out, src in cum_sums.items():
         local = local.withColumn(f"_gr_ls_{out}", F.sum(src).over(w_rows))
     for out, src in cum_maxs.items():
         local = local.withColumn(f"_gr_lm_{out}", F.max(src).over(w_rows))
+    for out, src in cum_maxs_excl.items():
+        local = local.withColumn(f"_gr_lx_{out}", F.max(src).over(w_prev))
 
     aggs = [F.count(F.lit(1)).alias("_gr_cnt")]
     aggs += [
@@ -116,6 +127,10 @@ def with_global_row_stats(
     ]
     aggs += [
         F.max(src).alias(f"_gr_tm_{out}") for out, src in cum_maxs.items()
+    ]
+    aggs += [
+        F.max(src).alias(f"_gr_tx_{out}")
+        for out, src in cum_maxs_excl.items()
     ]
     totals = local.groupBy("_gr_pid").agg(*aggs)
 
@@ -138,6 +153,10 @@ def with_global_row_stats(
     for out in cum_maxs:
         sel.append(
             F.max(f"_gr_tm_{out}").over(w_excl).alias(f"_gr_offm_{out}")
+        )
+    for out in cum_maxs_excl:
+        sel.append(
+            F.max(f"_gr_tx_{out}").over(w_excl).alias(f"_gr_offx_{out}")
         )
     if count_col:
         w_all = Window.orderBy("_gr_pid").rowsBetween(
@@ -162,6 +181,14 @@ def with_global_row_stats(
         out_df = out_df.withColumn(
             out,
             F.greatest(F.col(f"_gr_lm_{out}"), F.col(f"_gr_offm_{out}")),
+        )
+    for out in cum_maxs_excl:
+        # greatest(NULL, NULL) = NULL: the global first row correctly
+        # has no strictly-earlier max, matching the single-window
+        # (unboundedPreceding, -1) frame
+        out_df = out_df.withColumn(
+            out,
+            F.greatest(F.col(f"_gr_lx_{out}"), F.col(f"_gr_offx_{out}")),
         )
     if count_col:
         out_df = out_df.withColumn(
@@ -228,3 +255,79 @@ def with_global_ntile(
     )
     out = out.withColumn(out_col, bucket.cast("int"))
     return out.drop("_gnt_r", "_gnt_n", "_gnt_bs", "_gnt_thr")
+
+
+def with_global_lag(
+    df: DataFrame,
+    order_by: Sequence[Column | str],
+    lags: Mapping[str, Column | str],
+    *,
+    partitions: int | None = None,
+) -> DataFrame:
+    """``lag(src, 1)`` over a global total order, distributed.
+
+    A bare ``lag() OVER (ORDER BY ...)`` is the same single-partition
+    window :func:`with_global_row_stats` replaces — but lag needs the
+    PREVIOUS ROW'S VALUE, not a prefix aggregate, so the offset table
+    carries each partition's LAST row values instead of totals:
+
+    1. range-partition on the order key, pin one materialization
+       (identical pid law to the prefix scan);
+    2. per-partition ``lag`` via an ordinary pid-partitioned window —
+       correct for every row except each partition's first;
+    3. an O(partitions) boundary table: per partition, the order-last
+       row's source values (``max_by(src, local row_number)``), lagged
+       by partition id so partition p sees partition p-1's last row
+       (empty range partitions simply don't appear and are skipped,
+       exactly as a dense order would);
+    4. broadcast-join back; each partition's first row takes the
+       boundary value, everything else keeps the local lag.  The
+       global first row stays NULL.
+
+    ``order_by`` must be a TOTAL order (unique tie-break).  Multiple
+    lag columns share the single exchange.  lead(x) over the same
+    order is ``with_global_lag`` with every sort direction flipped,
+    or a rank self-join (see q280) when a rank is already present.
+    """
+    lags = dict(lags)
+    if not lags:
+        raise ValueError("nothing to compute")
+    if any(c.startswith("_gl_") for c in df.columns):
+        raise ValueError("input already carries _gl_ helper columns")
+
+    spark = df.sparkSession
+    n = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    keys = [c if isinstance(c, Column) else F.col(c) for c in order_by]
+
+    part = (
+        df.repartitionByRange(n, *keys)
+        .withColumn("_gl_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("_gl_pid").orderBy(*keys)
+    local = part.withColumn("_gl_rn", F.row_number().over(w))
+    for out, src in lags.items():
+        local = local.withColumn(f"_gl_l_{out}", F.lag(src).over(w))
+
+    aggs = [
+        F.max_by(src, "_gl_rn").alias(f"_gl_last_{out}")
+        for out, src in lags.items()
+    ]
+    lasts = local.groupBy("_gl_pid").agg(*aggs)
+    w_pid = Window.orderBy("_gl_pid")
+    sel = [F.col("_gl_pid")]
+    sel += [
+        F.lag(f"_gl_last_{out}").over(w_pid).alias(f"_gl_prev_{out}")
+        for out in lags
+    ]
+    offsets = lasts.select(*sel)
+
+    out_df = local.join(F.broadcast(offsets), "_gl_pid")
+    for out in lags:
+        out_df = out_df.withColumn(
+            out,
+            F.when(
+                F.col("_gl_rn") == 1, F.col(f"_gl_prev_{out}")
+            ).otherwise(F.col(f"_gl_l_{out}")),
+        )
+    return out_df.drop(*[c for c in out_df.columns if c.startswith("_gl_")])

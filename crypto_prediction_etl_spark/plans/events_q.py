@@ -5051,24 +5051,25 @@ def q298_cache_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     the broadcast-dimension and hot-key-salting decisions (q96/q111)
     are this same curve read at cluster scale.
 
-    One groupBy to the access histogram, one rank window over ITEMS,
-    a 4-row config join — the planner never rescans accesses."""
+    One groupBy to the access histogram; the item rank routes through
+    operators/globalrank and the grand access total arrives as a
+    1-row broadcast (r6 — the item histogram is key-grain, so it
+    never sits in a single-task window); only the top-max(sizes)
+    ranks survive into the 4-row config join — the planner never
+    rescans accesses."""
     ev = table(spark, sf_dir, "events")
-    from pyspark.sql import Window as W
+    from ..operators.globalrank import with_global_row_stats
 
     acc = ev.groupBy(F.col("user_id").alias("item")).agg(
         F.count("*").cast("long").alias("n_acc")
     )
-    whole = W.orderBy(F.col("n_acc").desc(), "item").rowsBetween(
-        W.unboundedPreceding, W.unboundedFollowing
-    )
-    ranked = acc.select(
-        "item",
-        "n_acc",
-        F.row_number()
-        .over(W.orderBy(F.col("n_acc").desc(), "item"))
-        .alias("rk"),
-        F.sum("n_acc").over(whole).alias("total"),
+    tot = acc.agg(F.sum("n_acc").alias("total"))
+    ranked = (
+        with_global_row_stats(
+            acc, [F.col("n_acc").desc(), "item"], rank_col="rk"
+        )
+        .filter(F.col("rk") <= max(_Q298_SIZES))
+        .crossJoin(F.broadcast(tot))
     )
     cfg = spark.createDataFrame([(c,) for c in _Q298_SIZES], "c INT")
     j = F.broadcast(cfg).join(ranked, ranked.rk <= cfg.c)

@@ -1514,17 +1514,22 @@ def q243_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The naive formulation is an O(n^2) dominance self-join; the 2-D
     identity collapses it to ONE sort: group to per-price max size,
-    running max over strictly-cheaper prices (window with 1 PRECEDING
-    excludes the tie group), and a row survives iff no cheaper group
-    reaches its size and it tops its own price group. One groupBy +
-    one ordered window over the (distinct-price) table — at scale the
-    frontier math runs on the group table, never the full catalog."""
+    running max over strictly-cheaper prices (exclusive frame keeps
+    the tie group out), and a row survives iff no cheaper group
+    reaches its size and it tops its own price group. The exclusive
+    running max routes through operators/globalrank's cum_maxs_excl
+    (range exchange + local windows + O(partitions) offset maxima) so
+    even the distinct-price group table never sits in a single-task
+    window (r6 routing of the record-grain window class)."""
+    from ..operators.globalrank import with_global_row_stats
+
     p = table(spark, sf_dir, "part")
     g = p.groupBy(F.col("p_retailprice").alias("price")).agg(
         F.max("p_size").cast("long").alias("gmax")
     )
-    w = W.orderBy("price").rowsBetween(W.unboundedPreceding, -1)
-    fr = g.select("price", "gmax", F.max("gmax").over(w).alias("m_lt"))
+    fr = with_global_row_stats(
+        g, ["price"], cum_maxs_excl={"m_lt": "gmax"}
+    ).select("price", "gmax", "m_lt")
     j = p.join(F.broadcast(fr), p.p_retailprice == fr.price)
     return j.filter(
         (F.col("m_lt").isNull() | (F.col("m_lt") < F.col("p_size")))
@@ -1638,26 +1643,37 @@ def q255_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     rle_ratio says 'sort by this column before writing' — the advisor
     behind q254's layout decision, at the column level.
 
-    One window + one aggregate per audited column over a shared scan;
-    at scale this is the profile a writer job computes per file group
-    anyway, here exposed as a queryable audit (companion to q199's
-    null/distinct profile)."""
+    All three columns share ONE distributed global-lag pass
+    (operators/globalrank.with_global_lag: range exchange on the sort
+    key + per-partition lag + an O(partitions) boundary table carrying
+    each partition's last values) — the orders table never sits in a
+    single-task window (r6 routing of the record-grain window class),
+    and the three per-column aggregates are branches off the one
+    pinned frame."""
+    from ..operators.globalrank import with_global_lag
+
     o = table(spark, sf_dir, "orders")
+    src = o.select(
+        "o_orderkey",
+        *[F.col(c).cast("string").alias(f"v_{c}") for c in _Q255_COLS],
+    )
+    lagged = with_global_lag(
+        src,
+        ["o_orderkey"],
+        {f"pv_{c}": f"v_{c}" for c in _Q255_COLS},
+    )
     outs = []
     for c in _Q255_COLS:
-        w = W.orderBy("o_orderkey")
-        v = o.select(
-            F.col(c).cast("string").alias("v"),
-            F.lag(F.col(c).cast("string")).over(w).alias("pv"),
-        )
         outs.append(
-            v.agg(
+            lagged.agg(
                 F.count("*").cast("long").alias("n"),
-                F.countDistinct("v").cast("long").alias("n_distinct"),
+                F.countDistinct(f"v_{c}").cast("long").alias("n_distinct"),
                 (
                     1
                     + F.sum(
-                        F.when(F.col("v") != F.col("pv"), 1).otherwise(0)
+                        F.when(
+                            F.col(f"v_{c}") != F.col(f"pv_{c}"), 1
+                        ).otherwise(0)
                     )
                 )
                 .cast("long")
@@ -2176,7 +2192,9 @@ def q289_rec_coverage_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All inputs are the already-small model artifacts (neighbor
     lists, per-item popularity); three scalar frames cross-joined at
-    the end."""
+    the end. The popularity rank routes through operators/globalrank
+    (r6 — the purchased-part histogram is key-grain, never a
+    single-task window)."""
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
@@ -2209,12 +2227,13 @@ def q289_rec_coverage_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= _REC_K)
     )
-    pop = tr.groupBy("partkey").agg(F.count("*").alias("n_buys")).select(
-        "partkey",
-        F.row_number()
-        .over(W.orderBy(F.col("n_buys").desc(), "partkey"))
-        .alias("pop_rank"),
-    )
+    from ..operators.globalrank import with_global_row_stats
+
+    pop = with_global_row_stats(
+        tr.groupBy("partkey").agg(F.count("*").alias("n_buys")),
+        [F.col("n_buys").desc(), "partkey"],
+        rank_col="pop_rank",
+    ).select("partkey", "pop_rank")
     cat = p.agg(F.count("*").cast("double").alias("n_cat"))
     recd = topn.select(F.col("pb").alias("partkey")).distinct()
     stats = recd.join(pop, "partkey").agg(

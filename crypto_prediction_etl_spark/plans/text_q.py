@@ -1507,10 +1507,14 @@ def q264_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-quality dashboard tracks release-over-release.
 
     One token-explode groupBy (the only heavy pass), one global rank
-    over the VOCABULARY (small), then algebraic OLS sums — the q216
-    sufficient-stats law applied to the frequency spectrum itself."""
+    over the vocabulary routed through operators/globalrank (range
+    exchange + local rank + O(partitions) offsets — Heaps' law keeps
+    the type table sub-linear but still unbounded, so it never sits
+    in a single-task window; r6 routing), then algebraic OLS sums —
+    the q216 sufficient-stats law applied to the frequency spectrum
+    itself."""
     d = table(spark, sf_dir, "documents")
-    from pyspark.sql import Window as W
+    from ..operators.globalrank import with_global_row_stats
 
     tf = (
         spread_small_scan(d)
@@ -1518,12 +1522,9 @@ def q264_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count("*").cast("long").alias("freq"))
     )
-    ranked = tf.select(
-        "freq",
-        F.row_number()
-        .over(W.orderBy(F.col("freq").desc(), "term"))
-        .alias("rnk"),
-    )
+    ranked = with_global_row_stats(
+        tf, [F.col("freq").desc(), "term"], rank_col="rnk"
+    ).select("freq", "rnk")
     pts = ranked.select(
         F.log(F.col("rnk").cast("double")).alias("x"),
         F.log(F.col("freq").cast("double")).alias("y"),
@@ -4656,22 +4657,21 @@ def q407_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     exponent with the decision-ready cumulative view and q140's
     fixed-vocab OOV rate with the full curve.
 
-    Scale shape: one type-count groupBy; the rank over TYPES is a
-    vocabulary-sized frame (millions at worst — orders of magnitude
-    below corpus size; the q375 globalrank swaps in beyond that),
-    then one conditional-sum fold."""
+    Scale shape: one type-count groupBy; the rank over TYPES routes
+    through operators/globalrank (r6 — the vocabulary is sub-linear
+    by Heaps' law but unbounded, so it never sits in a single-task
+    window), then one conditional-sum fold."""
+    from ..operators.globalrank import with_global_row_stats
+
     docs = spread_small_scan(table(spark, sf_dir, "documents"))
     types = (
         docs.select(F.explode(tokens("text")).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("cnt"))
     )
-    ranked = types.select(
-        "cnt",
-        F.row_number()
-        .over(W.orderBy(F.col("cnt").desc(), "tok"))
-        .alias("rk"),
-    )
+    ranked = with_global_row_stats(
+        types, [F.col("cnt").desc(), "tok"], rank_col="rk"
+    ).select("cnt", "rk")
     aggs = [
         F.count("*").cast("long").alias("n_types"),
         F.sum("cnt").cast("long").alias("n_tokens"),

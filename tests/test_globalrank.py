@@ -173,3 +173,56 @@ def test_global_ntile_stacks_and_rejects_collisions(base):
         with_global_ntile(base.withColumn("_gnt_x", F.lit(1)), ["id"], 5, "b")
     with pytest.raises(ValueError):
         with_global_ntile(base, ["id"], 0, "b")
+
+
+def test_cum_max_excl_matches_single_window(base):
+    """Exclusive running max (skyline frame): NULL on the global
+    first row, max over strictly-earlier rows everywhere else."""
+    exp = base.select(
+        "id",
+        F.max("w")
+        .over(W.orderBy("k", "id").rowsBetween(W.unboundedPreceding, -1))
+        .alias("mx"),
+    )
+    got = with_global_row_stats(
+        base, ["k", "id"], cum_maxs_excl={"mx": "w"}, partitions=8
+    ).select("id", "mx")
+    assert exp.exceptAll(got).count() == 0
+    assert got.exceptAll(exp).count() == 0
+    # the single global first row carries NULL
+    assert got.filter(F.col("mx").isNull()).count() == 1
+
+
+def test_global_lag_matches_single_window(base):
+    """Distributed lag: per-partition lag + the O(partitions)
+    boundary table must equal lag() over the one-partition window,
+    including every range-partition boundary row."""
+    from crypto_prediction_etl_spark.operators.globalrank import (
+        with_global_lag,
+    )
+
+    exp = base.select(
+        "id",
+        F.lag("w").over(W.orderBy(F.col("k").desc(), "id")).alias("pw"),
+        F.lag("k").over(W.orderBy(F.col("k").desc(), "id")).alias("pk"),
+    )
+    got = with_global_lag(
+        base,
+        [F.col("k").desc(), "id"],
+        {"pw": "w", "pk": "k"},
+        partitions=8,
+    ).select("id", "pw", "pk")
+    assert exp.exceptAll(got).count() == 0
+    assert got.exceptAll(exp).count() == 0
+    assert got.filter(F.col("pw").isNull()).count() == 1
+
+
+def test_global_lag_rejects_collisions(base):
+    from crypto_prediction_etl_spark.operators.globalrank import (
+        with_global_lag,
+    )
+
+    with pytest.raises(ValueError):
+        with_global_lag(base.withColumn("_gl_x", F.lit(1)), ["id"], {"p": "w"})
+    with pytest.raises(ValueError):
+        with_global_lag(base, ["id"], {})

@@ -1004,22 +1004,71 @@ def test_r5_batch_no_cartesian_no_python_rowudf(spark, sf_dir):
         assert "BatchEvalPython" not in plan, name
 
 
+# Partition-less windows over frames that are BOUNDED by semantics,
+# not by a limit operator the mechanical audit can see.  Every entry
+# is a human-audited tiny/sub-linear frame; anything NOT listed that
+# plans an unbounded partition-less window fails the catalog guard —
+# the structural close of the single-task-window class VERDICT r4/r5
+# flagged (subjects are the first order column, '' = orderless
+# whole-frame spec; see tools/window_audit.py).
+_PARTITIONLESS_WINDOW_ALLOWED = {
+    "q75_bm25_scoring": {"bm25"},  # query-matching docs only
+    "q107_cumulative_uniques": {"day"},  # calendar grain
+    "q248_gain_deciles": {"decile"},  # 10-row decile table
+    "q257_stratified_effect": {""},  # 3-row stratum table
+    "q259_km_survival": {"days"},  # event-day grain
+    "q270_lsh_planner": {"_w0"},  # planner config rows
+    "q300_momentum_backtest": {"mon"},  # month grain
+    "q310_holm_correction": {"rk", "_w0"},  # hypothesis-count rows
+    "q341_chi_square": {""},  # contingency cells
+    "q355_bh_fdr": {"_w0"},  # hypothesis-count rows
+    "q413_slo_burn_rate": {"h"},  # hour grain
+    "q418_coverage_knee": {"cnt"},  # 8 curve points
+}
+
+
 def test_catalog_wide_no_cartesian_no_row_python(spark, sf_dir):
     """Catalog-wide anti-pattern guard: NO registered query may plan a
-    CartesianProduct or a row-at-a-time Python UDF (BatchEvalPython).
-    Scalar-subquery broadcasts plan as BroadcastNestedLoopJoin over
-    1-row frames and pool-bounded theta joins (q232's 20x20 MMR pool)
-    also avoid CartesianProduct, so the clean slate is enforceable
-    with no whitelist — any new offender is a scale bug on arrival.
-    (Build cost ~3 min for 362 plans; this is the catalog's single
-    most valuable structural invariant.)"""
+    CartesianProduct, a row-at-a-time Python UDF (BatchEvalPython), or
+    (r6) an unbounded partition-less window outside the audited
+    allowlist.  Scalar-subquery broadcasts plan as
+    BroadcastNestedLoopJoin over 1-row frames and pool-bounded theta
+    joins (q232's 20x20 MMR pool) also avoid CartesianProduct, so the
+    cartesian/python slate is enforceable with no whitelist — any new
+    offender is a scale bug on arrival.  Plan subtrees pinned behind a
+    localCheckpoint (which the final plan shows only as Scan
+    ExistingRDD) are captured via the checkpoint spy so nothing hides
+    from the guard.  (Build cost ~3 min for 420 plans; this is the
+    catalog's single most valuable structural invariant.)"""
+    import sys as _sys
+
+    if "/root/repo/tools" not in _sys.path:
+        _sys.path.insert(0, "/root/repo/tools")
+    from window_audit import (
+        capture_checkpoint_plans,
+        unbounded_partitionless,
+    )
+
     offenders = []
     for name, fn in sorted(registry.QUERIES.items()):
-        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-        if "CartesianProduct" in plan:
-            offenders.append((name, "CartesianProduct"))
-        if "BatchEvalPython" in plan:
-            offenders.append((name, "BatchEvalPython"))
+        pinned: list[str] = []
+        with capture_checkpoint_plans(pinned):
+            plan = (
+                fn(spark, sf_dir)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        for p in [plan, *pinned]:
+            if "CartesianProduct" in p:
+                offenders.append((name, "CartesianProduct"))
+            if "BatchEvalPython" in p:
+                offenders.append((name, "BatchEvalPython"))
+            stray = set(unbounded_partitionless(p)) - (
+                _PARTITIONLESS_WINDOW_ALLOWED.get(name, set())
+            )
+            if stray:
+                offenders.append((name, f"partition-less window {stray}"))
     assert not offenders, offenders
 
 
@@ -1456,6 +1505,15 @@ _GLOBALRANK_ROUTED_R6 = {
     "q285_simpson_detector": set(),
     "q301_fair_share": set(),
     "q333_woe_iv_binning": set(),
+    # second r6 batch: offenders found by tools/window_audit.py beyond
+    # the 8 VERDICT named (global lag over orders, skyline exclusive
+    # max over price groups, vocab/item/part-histogram ranks)
+    "q243_skyline": set(),
+    "q255_encoding_advisor": set(),
+    "q264_zipf_fit": set(),
+    "q289_rec_coverage_bias": set(),
+    "q298_cache_planner": set(),
+    "q407_vocab_coverage": set(),
 }
 
 
@@ -1463,23 +1521,24 @@ _GLOBALRANK_ROUTED_R6 = {
 def test_record_grain_windows_route_through_globalrank(
     spark, sf_dir, name
 ):
-    """VERDICT r5 item 2: the 8 record-grain ntile/sweep queries must
-    run their data-bearing windows through operators/globalrank —
-    _gr_pid partitions every window that touches the data grain, no
-    ntile expression survives (it's derived from rank + count), and
-    any remaining partition-less window subjects only a post-aggregate
+    """VERDICT r5 item 2 (+ the r6 window-audit finds): the
+    record-grain ntile/sweep/lag/rank queries must run their
+    data-bearing windows through operators/globalrank — the operator
+    pid partitions every window that touches the data grain, no ntile
+    expression survives (it's derived from rank + count), and any
+    remaining partition-less window subjects only a post-aggregate
     tiny frame from the allowlist."""
-    import re
+    import sys as _sys
+
+    if "/root/repo/tools" not in _sys.path:
+        _sys.path.insert(0, "/root/repo/tools")
+    from window_audit import partitionless_specs, subject
 
     plan = _plan(spark, sf_dir, name)
-    assert "_gr_pid" in plan, name
+    assert "_gr_pid" in plan or "_gl_pid" in plan, name
     assert "ntile(" not in plan, name
-    allowed = _GLOBALRANK_ROUTED_R6[name]
-    for spec in re.findall(r"windowspecdefinition\(([^)]*)", plan):
-        if "_gr_pid" in spec:
-            continue
-        first = spec.split(",")[0].strip()
-        subject = "" if first.startswith("specifiedwindowframe") else (
-            first.split("#")[0]
+    allowed = _GLOBALRANK_ROUTED_R6[name] | {"_gr_pid", "_gl_pid"}
+    for body in partitionless_specs(plan):
+        assert subject(body) in allowed, (
+            f"{name}: stray global window on {body!r}"
         )
-        assert subject in allowed, f"{name}: stray global window on {spec!r}"

@@ -39,6 +39,14 @@ ALWAYS = [
     "q285_simpson_detector",
     "q301_fair_share",
     "q333_woe_iv_binning",
+    # r6 second batch: offenders the window audit found beyond the
+    # VERDICT-named 8 (global lag, skyline excl-max, histogram ranks)
+    "q243_skyline",
+    "q255_encoding_advisor",
+    "q264_zipf_fit",
+    "q289_rec_coverage_bias",
+    "q298_cache_planner",
+    "q407_vocab_coverage",
 ]
 
 from pyspark.sql import SparkSession
