@@ -1,0 +1,181 @@
+"""Round-6 independent numpy/pandas cross-checks for
+never-driver-adjudicated tail families (q285-q351 band).
+
+Oracle parity proves Spark == DuckDB; these prove the FORMULAS are
+the standard definitions via a genuinely different computation path:
+the absorbing-chain Neumann series is checked against numpy's exact
+matrix inverse, the unrolled Durbin-Levinson algebra against solved
+Yule-Walker systems, the rank-target quantile joins against direct
+numpy order statistics, the FFD lag taps against a convolution, the
+Hill rank joins against a plain descending sort.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from crypto_prediction_etl_spark.plans import registry
+
+registry.load_all()
+
+
+def _prnd(x, d: int):
+    s = float(10**d)
+    return np.floor(np.asarray(x, dtype="float64") * s + 0.5001) / s
+
+
+@pytest.fixture(scope="module")
+def candles_by_id(spark, sf_dir):
+    from crypto_prediction_etl_spark.plans.indicators_q import candles
+
+    pdf = candles(spark, sf_dir).orderBy("id", "dt").toPandas()
+    return {k: g.reset_index(drop=True) for k, g in pdf.groupby("id")}
+
+
+def _log_rets(g: pd.DataFrame, digits: int = 9) -> np.ndarray:
+    close = g["close"].astype("float64").to_numpy()
+    return _prnd(np.log(close[1:] / close[:-1]), digits)
+
+
+def test_absorbing_markov_matches_inverse(spark, sf_dir):
+    """Spark runs the truncated Neumann series as iterated tiny equi
+    joins; numpy computes BOTH the same truncated series (tight
+    match) and the exact fundamental matrix (I-Q)^{-1}1, asserting
+    the truncation sits inside its geometric tail bound."""
+    from crypto_prediction_etl_spark.plans.events_q import _Q304_TERMS
+    from crypto_prediction_etl_spark.sources.readers import table
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    ev["nxt"] = ev.groupby("user_id")["event_type"].shift(-1)
+    seq = ev.dropna(subset=["nxt"])
+    seq = seq[seq["event_type"] != "purchase"]
+    states = sorted(seq["event_type"].unique())
+    idx = {s: i for i, s in enumerate(states)}
+    counts = (
+        seq.groupby(["event_type", "nxt"]).size().rename("c").reset_index()
+    )
+    totals = counts.groupby("event_type")["c"].transform("sum")
+    counts["p"] = counts["c"] / totals
+    q = np.zeros((len(states), len(states)))
+    for _, row in counts.iterrows():
+        if row["nxt"] != "purchase":
+            q[idx[row["event_type"]], idx[row["nxt"]]] = row["p"]
+    ones = np.ones(len(states))
+    # truncated series exactly as the query computes it
+    series = ones.copy()
+    term = ones.copy()
+    for _ in range(_Q304_TERMS):
+        term = q @ term
+        series = series + term
+    exact = np.linalg.solve(np.eye(len(states)) - q, ones)
+    out = (
+        registry.QUERIES["q304_absorbing_markov"](spark, sf_dir)
+        .toPandas()
+        .set_index("start_state")["expected_steps_to_purchase"]
+    )
+    rho = np.max(np.sum(q, axis=1))
+    tail_bound = rho ** (_Q304_TERMS + 1) / (1.0 - rho)
+    for s in states:
+        assert abs(out[s] - series[idx[s]]) < 1e-3
+        assert abs(exact[idx[s]] - series[idx[s]]) <= tail_bound + 1e-9
+
+
+def test_fracdiff_matches_convolution(spark, sf_dir, candles_by_id):
+    from crypto_prediction_etl_spark.plans.indicators_q import (
+        _FFD_K,
+        _ffd_weights,
+    )
+
+    w = np.array(_ffd_weights())
+    out = (
+        registry.QUERIES["q338_fracdiff"](spark, sf_dir)
+        .orderBy("id", "dt")
+        .toPandas()
+    )
+    assert len(out) > 0
+    for sym, g in out.groupby("id"):
+        c2 = _prnd(candles_by_id[sym]["close"].to_numpy(), 2)
+        # full convolution; valid FFD values start once K taps fill
+        conv = np.convolve(c2, w, mode="full")[: len(c2)]
+        rn = np.arange(1, len(c2) + 1)
+        keep = (rn >= _FFD_K) & (rn % 97 == 1)
+        exp = conv[keep]
+        got = g["ffd_close"].to_numpy()
+        assert len(got) == len(exp)
+        assert np.allclose(got, exp, atol=2e-5)
+
+
+def test_wasserstein_matches_sorted_quantiles(spark, sf_dir, candles_by_id):
+    from crypto_prediction_etl_spark.plans.indicators_q import _W1_GRID
+
+    m = _W1_GRID
+    qs = {}
+    for sym, g in candles_by_id.items():
+        r = np.sort(_log_rets(g))
+        n = len(r)
+        k = np.arange(1, m + 1)
+        rk = ((2 * k - 1) * n + (2 * m - 1)) // (2 * m)
+        qs[sym] = r[rk - 1]
+    out = registry.QUERIES["q343_wasserstein"](spark, sf_dir).toPandas()
+    assert len(out) == len(qs) * (len(qs) - 1) // 2
+    for _, row in out.iterrows():
+        w1 = np.mean(np.abs(qs[row["id_a"]] - qs[row["id_b"]]))
+        assert abs(row["w1_distance"] - w1) < 1e-8
+
+
+def test_pacf_matches_yule_walker(spark, sf_dir, candles_by_id):
+    """The query unrolls Durbin-Levinson into closed-form algebra;
+    numpy solves each order-k Yule-Walker Toeplitz system directly —
+    pacf_k is the last AR(k) coefficient."""
+    out = (
+        registry.QUERIES["q346_pacf_durbin"](spark, sf_dir)
+        .toPandas()
+        .set_index("id")
+    )
+    for sym, g in candles_by_id.items():
+        x = _log_rets(g)
+        d = x - x.mean()
+        denom = np.sum(d * d)
+        r = np.array(
+            [np.sum(d[k:] * d[:-k]) / denom for k in (1, 2, 3, 4)]
+        )
+        for k in (1, 2, 3, 4):
+            row0 = np.concatenate(([1.0], r[: k - 1]))
+            toep = np.array(
+                [
+                    [row0[abs(i - j)] for j in range(k)]
+                    for i in range(k)
+                ]
+            )
+            phi = np.linalg.solve(toep, r[:k])
+            assert abs(out.loc[sym, f"pacf_{k}"] - phi[-1]) < 1e-5, (
+                sym,
+                k,
+            )
+
+
+def test_hill_matches_descending_sort(spark, sf_dir, candles_by_id):
+    from crypto_prediction_etl_spark.plans.indicators_q import _HILL_K
+
+    out = (
+        registry.QUERIES["q350_hill_tail_index"](spark, sf_dir)
+        .toPandas()
+        .set_index("id")
+    )
+    assert len(out) > 0
+    for sym in out.index:
+        aret = np.abs(_log_rets(candles_by_id[sym]))
+        aret = np.sort(aret[aret > 0.0])[::-1]
+        assert len(aret) >= _HILL_K + 1
+        x_k1 = aret[_HILL_K]
+        h = float(np.mean(np.log(aret[:_HILL_K] / x_k1)))
+        assert abs(out.loc[sym, "tail_threshold"] - x_k1) < 1e-9
+        assert abs(out.loc[sym, "hill_h"] - h) < 1e-5
+        assert abs(out.loc[sym, "tail_alpha"] - 1.0 / h) < 1e-3
