@@ -179,3 +179,107 @@ def test_hill_matches_descending_sort(spark, sf_dir, candles_by_id):
         assert abs(out.loc[sym, "tail_threshold"] - x_k1) < 1e-9
         assert abs(out.loc[sym, "hill_h"] - h) < 1e-5
         assert abs(out.loc[sym, "tail_alpha"] - 1.0 / h) < 1e-3
+
+
+def test_ljung_box_matches_numpy_acf(spark, sf_dir, candles_by_id):
+    from crypto_prediction_etl_spark.plans.indicators_q import (
+        _Q318_CHI2_CRIT,
+        _Q318_LAGS,
+    )
+
+    out = (
+        registry.QUERIES["q318_ljung_box"](spark, sf_dir)
+        .toPandas()
+        .set_index("id")
+    )
+    for sym, g in candles_by_id.items():
+        close = g["close"].astype("float64").to_numpy()
+        x = np.log(close[1:] / close[:-1])  # q318 uses raw log returns
+        n = len(x)
+        d = x - x.mean()
+        denom = np.sum(d * d)
+        q = 0.0
+        for k in range(1, _Q318_LAGS + 1):
+            rho = np.sum(d[k:] * d[:-k]) / denom
+            q += rho * rho / (n - k)
+        q *= n * (n + 2.0)
+        assert out.loc[sym, "n_obs"] == n
+        assert abs(out.loc[sym, "lb_q"] - q) < 1e-4
+        assert out.loc[sym, "reject_iid"] == int(q > _Q318_CHI2_CRIT)
+
+
+def test_spearman_matches_rank_pearson(spark, sf_dir, candles_by_id):
+    """The query's sufficient-statistics algebra vs numpy's own
+    corrcoef over the same full-sample row_number ranks."""
+    ranks = {}
+    for sym, g in candles_by_id.items():
+        close = g["close"].astype("float64").to_numpy()
+        ret = np.log(close[1:] / close[:-1])
+        dt = g["dt"].to_numpy()[1:]
+        order = np.lexsort((dt, ret))
+        rnk = np.empty(len(ret))
+        rnk[order] = np.arange(1, len(ret) + 1)
+        ranks[sym] = pd.Series(rnk, index=pd.Index(dt, name="dt"))
+    out = registry.QUERIES["q335_spearman_rho"](spark, sf_dir).toPandas()
+    for _, row in out.iterrows():
+        j = pd.concat(
+            [ranks[row["id_a"]], ranks[row["id_b"]]], axis=1, join="inner"
+        ).to_numpy()
+        assert row["n_days"] == len(j)
+        rho = np.corrcoef(j[:, 0], j[:, 1])[0, 1]
+        assert abs(row["spearman_rho"] - rho) < 1e-5
+
+
+def test_kendall_tau_matches_sign_outer(spark, sf_dir, candles_by_id):
+    """The query's month-pair equi-join counting vs a dense numpy
+    sign outer product (tau-b with tie terms)."""
+    rets = {}
+    for sym, g in candles_by_id.items():
+        gg = g.copy()
+        gg["mth"] = pd.to_datetime(gg["dt"]).dt.to_period("M")
+        mc = _prnd(
+            gg.sort_values("dt").groupby("mth")["close"].last().to_numpy(),
+            2,
+        )
+        r = _prnd(np.log(mc[1:] / mc[:-1]), 9)
+        idx = gg["mth"].drop_duplicates().sort_values().to_numpy()[1:]
+        rets[sym] = pd.Series(r, index=idx)
+    out = registry.QUERIES["q342_kendall_tau"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    for _, row in out.iterrows():
+        j = pd.concat(
+            [rets[row["id_a"]], rets[row["id_b"]]], axis=1, join="inner"
+        ).to_numpy()
+        sa = np.sign(j[:, 0][:, None] - j[:, 0][None, :])
+        sb = np.sign(j[:, 1][:, None] - j[:, 1][None, :])
+        iu = np.triu_indices(len(j), k=1)
+        sa, sb = sa[iu], sb[iu]
+        n0 = len(sa)
+        conc = int(np.sum(sa * sb > 0))
+        disc = int(np.sum(sa * sb < 0))
+        ties_a = int(np.sum(sa == 0))
+        ties_b = int(np.sum(sb == 0))
+        assert row["n_pairs"] == n0
+        assert row["concordant"] == conc
+        assert row["discordant"] == disc
+        tau = (conc - disc) / np.sqrt((n0 - ties_a) * (n0 - ties_b))
+        assert abs(row["tau_b"] - tau) < 1e-6
+
+
+def test_haar_energy_matches_numpy_pyramid(spark, sf_dir, candles_by_id):
+    from crypto_prediction_etl_spark.plans.indicators_q import _HAAR_LEVELS
+
+    out = (
+        registry.QUERIES["q347_haar_energy"](spark, sf_dir)
+        .toPandas()
+        .set_index("id")
+    )
+    for sym, g in candles_by_id.items():
+        a = _log_rets(g)
+        a = a[: len(a) - (len(a) % (2**_HAAR_LEVELS))]
+        for j in range(1, _HAAR_LEVELS + 1):
+            d = (a[0::2] - a[1::2]) / 2.0
+            a = (a[0::2] + a[1::2]) / 2.0
+            assert (
+                abs(out.loc[sym, f"energy_l{j}"] - np.sum(d * d)) < 1e-7
+            ), (sym, j)
