@@ -283,3 +283,149 @@ def test_haar_energy_matches_numpy_pyramid(spark, sf_dir, candles_by_id):
             assert (
                 abs(out.loc[sym, f"energy_l{j}"] - np.sum(d * d)) < 1e-7
             ), (sym, j)
+
+
+def test_covariance_matrix_matches_np_cov(spark, sf_dir):
+    from crypto_prediction_etl_spark.plans.similarity_q import (
+        _Q303_DIMS,
+        _vecs,
+    )
+
+    pdf = _vecs(spark, sf_dir).toPandas()
+    out = registry.QUERIES["q303_covariance_matrix"](spark, sf_dir).toPandas()
+    for label, g in pdf.groupby("label"):
+        x = np.stack(g["v"].to_numpy())[:, :_Q303_DIMS]
+        cov = np.cov(x, rowvar=False, bias=True)  # population, as query
+        sub = out[out["label"] == label]
+        assert len(sub) == _Q303_DIMS * (_Q303_DIMS + 1) // 2
+        for _, row in sub.iterrows():
+            i, j = int(row["i"]), int(row["j"])
+            assert row["n"] == len(x)
+            assert abs(row["cov"] - cov[i - 1, j - 1]) < 1e-5, (
+                label,
+                i,
+                j,
+            )
+
+
+def test_runs_test_matches_numpy(spark, sf_dir, candles_by_id):
+    out = (
+        registry.QUERIES["q308_runs_test"](spark, sf_dir)
+        .toPandas()
+        .set_index("id")
+    )
+    for sym, g in candles_by_id.items():
+        close = g["close"].astype("float64").to_numpy()
+        d = np.diff(close)
+        signs = np.where(d > 0, 1, np.where(d < 0, 0, -1))
+        signs = signs[signs >= 0]  # flat days drop out
+        n = len(signs)
+        runs = 1 + int(np.sum(signs[1:] != signs[:-1]))
+        n_up = int(signs.sum())
+        n_dn = n - n_up
+        exp_runs = 2.0 * n_up * n_dn / n + 1.0
+        var = (
+            2.0 * n_up * n_dn * (2.0 * n_up * n_dn - n)
+            / (n * n * (n - 1.0))
+        )
+        assert out.loc[sym, "n_obs"] == n
+        assert out.loc[sym, "n_runs"] == runs
+        assert abs(out.loc[sym, "expected_runs"] - exp_runs) < 1e-3
+        assert (
+            abs(out.loc[sym, "z_score"] - (runs - exp_runs) / np.sqrt(var))
+            < 1e-3
+        )
+
+
+def test_rolling_moments_match_pandas_rolling(spark, sf_dir, candles_by_id):
+    """The query's binomial raw-moment expansion vs pandas' OWN
+    rolling .skew()/.kurt() (sample statistics, converted to the
+    population form the query emits)."""
+    from crypto_prediction_etl_spark.plans.indicators_q import _Q319_N
+
+    n = _Q319_N
+    out = (
+        registry.QUERIES["q319_rolling_moments"](spark, sf_dir)
+        .orderBy("id", "dt")
+        .toPandas()
+    )
+    assert len(out) > 0
+    for sym, g in out.groupby("id"):
+        close = candles_by_id[sym]["close"].astype("float64").to_numpy()
+        r = pd.Series(np.log(close[1:] / close[:-1]))
+        samp_skew = r.rolling(n).skew().to_numpy()[n - 1 :]
+        samp_kurt = r.rolling(n).kurt().to_numpy()[n - 1 :]
+        pop_skew = samp_skew * (n - 2) / np.sqrt(n * (n - 1))
+        pop_exk = (
+            samp_kurt * (n - 2) * (n - 3) / ((n + 1) * (n - 1))
+            - 6.0 / (n + 1)
+        )
+        got_s = g["roll_skew"].to_numpy()
+        got_k = g["roll_exkurt"].to_numpy()
+        assert len(got_s) == len(pop_skew)
+        assert np.allclose(got_s, pop_skew, atol=1e-4, equal_nan=True)
+        assert np.allclose(got_k, pop_exk, atol=1e-4, equal_nan=True)
+
+
+def test_mann_whitney_matches_pandas_ranks(spark, sf_dir):
+    """The query's rank()+(t-1)/2 average-rank arithmetic vs pandas'
+    own rank(method='average') and the tie-corrected normal sigma."""
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    d = _tbl(spark, sf_dir, "documents").select("lang", "n_chars").toPandas()
+    out = registry.QUERIES["q340_mann_whitney"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    for _, row in out.iterrows():
+        a = d[d["lang"] == row["lang_a"]]["n_chars"].to_numpy()
+        b = d[d["lang"] == row["lang_b"]]["n_chars"].to_numpy()
+        pooled = pd.Series(np.concatenate([a, b]))
+        rks = pooled.rank(method="average").to_numpy()
+        r_a = float(rks[: len(a)].sum())
+        n_a, n_b = len(a), len(b)
+        u = r_a - n_a * (n_a + 1) / 2.0
+        nn = n_a + n_b
+        _, t = np.unique(pooled.to_numpy(), return_counts=True)
+        tie_sum = float(np.sum(t**3 - t))
+        sigma = np.sqrt(
+            n_a * n_b / 12.0 * ((nn + 1.0) - tie_sum / (nn * (nn - 1.0)))
+        )
+        assert row["n_a"] == n_a and row["n_b"] == n_b
+        assert abs(row["u_stat"] - u) < 1e-3
+        assert (
+            abs(row["z_score"] - (u - n_a * n_b / 2.0) / sigma) < 1e-4
+        )
+
+
+def test_heaps_law_matches_python_stream(spark, sf_dir):
+    """First-occurrence flags and checkpointed (ln N, ln V) OLS via a
+    plain python dict walk over the same reading order."""
+    from crypto_prediction_etl_spark.plans.text_q import _HEAPS_STEP
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    docs = (
+        _tbl(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    out = (
+        registry.QUERIES["q345_heaps_law"](spark, sf_dir)
+        .toPandas()
+        .set_index("source")
+    )
+    for source, g in docs.groupby("source"):
+        seen: set[str] = set()
+        pts = []
+        n = 0
+        for _, drow in g.sort_values("doc_id").iterrows():
+            for tok in str(drow["text"]).lower().split(" "):
+                n += 1
+                seen.add(tok)
+                if n % _HEAPS_STEP == 0:
+                    pts.append((np.log(n), np.log(len(seen))))
+        x = np.array([p[0] for p in pts])
+        y = np.array([p[1] for p in pts])
+        beta, lnk = np.polyfit(x, y, 1)
+        assert out.loc[source, "n_points"] == len(pts)
+        assert abs(out.loc[source, "heaps_beta"] - beta) < 1e-4
+        assert abs(out.loc[source, "heaps_k"] - np.exp(lnk)) < 1e-3
