@@ -260,25 +260,27 @@ def q75_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     any shuffle, so the full-vocabulary posting matrix never
     materializes; document frequency and corpus stats are broadcast
     one-row/tiny frames. Rank is computed over the ROUNDED score with a
-    doc_id tie-break so both engines order identically; the global
-    row_number is over query-matching docs only (small by construction
-    — at scale the q50-style per-partition partial top-k replaces it).
+    doc_id tie-break so both engines order identically, and routes
+    through operators/globalrank (r6) — a common query term matches
+    O(corpus) docs, so even the "matching docs only" frame must never
+    sit in a single-task window.
     """
+    from ..operators.globalrank import with_global_row_stats
     from ..operators.retrieval import bm25_scores
 
     docs = table(spark, sf_dir, "documents")
     scored = bm25_scores(docs, list(_BM25_TERMS), _BM25_K1, _BM25_B)
     scored = scored.withColumn("bm25", prnd(F.col("bm25"), 6))
-    from pyspark.sql import Window as W
-
-    w = W.orderBy(F.col("bm25").desc(), "doc_id")
-    return scored.select(
+    ranked = with_global_row_stats(
+        scored, [F.col("bm25").desc(), "doc_id"], rank_col="rank"
+    )
+    return ranked.select(
         "doc_id",
         "dl",
         "n_terms",
         "total_tf",
         "bm25",
-        F.row_number().over(w).alias("rank"),
+        "rank",
     )
 
 

@@ -1012,7 +1012,6 @@ def test_r5_batch_no_cartesian_no_python_rowudf(spark, sf_dir):
 # flagged (subjects are the first order column, '' = orderless
 # whole-frame spec; see tools/window_audit.py).
 _PARTITIONLESS_WINDOW_ALLOWED = {
-    "q75_bm25_scoring": {"bm25"},  # query-matching docs only
     "q107_cumulative_uniques": {"day"},  # calendar grain
     "q248_gain_deciles": {"decile"},  # 10-row decile table
     "q257_stratified_effect": {""},  # 3-row stratum table
@@ -1508,6 +1507,7 @@ _GLOBALRANK_ROUTED_R6 = {
     # second r6 batch: offenders found by tools/window_audit.py beyond
     # the 8 VERDICT named (global lag over orders, skyline exclusive
     # max over price groups, vocab/item/part-histogram ranks)
+    "q75_bm25_scoring": set(),
     "q243_skyline": set(),
     "q255_encoding_advisor": set(),
     "q264_zipf_fit": set(),

@@ -41,6 +41,7 @@ ALWAYS = [
     "q333_woe_iv_binning",
     # r6 second batch: offenders the window audit found beyond the
     # VERDICT-named 8 (global lag, skyline excl-max, histogram ranks)
+    "q75_bm25_scoring",
     "q243_skyline",
     "q255_encoding_advisor",
     "q264_zipf_fit",
