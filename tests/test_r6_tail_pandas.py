@@ -429,3 +429,126 @@ def test_heaps_law_matches_python_stream(spark, sf_dir):
         assert out.loc[source, "n_points"] == len(pts)
         assert abs(out.loc[source, "heaps_beta"] - beta) < 1e-4
         assert abs(out.loc[source, "heaps_k"] - np.exp(lnk)) < 1e-3
+
+
+def test_greedy_coverage_matches_python_greedy(spark, sf_dir):
+    """The unrolled anti-join rounds vs a literal python greedy
+    set-cover loop over the same distinct-token posting lists."""
+    from crypto_prediction_etl_spark.plans.text_q import _Q406_ROUNDS
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    docs = (
+        _tbl(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .toPandas()
+    )
+    docs["toks"] = docs["text"].map(
+        lambda t: frozenset(str(t).lower().split(" "))
+    )
+    out = (
+        registry.QUERIES["q406_greedy_coverage"](spark, sf_dir)
+        .orderBy("source", "round")
+        .toPandas()
+    )
+    for source, g in docs.groupby("source"):
+        vocab = frozenset().union(*g["toks"])
+        covered: set = set()
+        chosen: set = set()
+        cum = 0
+        sub = out[out["source"] == source].sort_values("round")
+        by_doc = dict(zip(g["doc_id"], g["toks"]))
+        emitted = 0
+        for t in range(1, _Q406_ROUNDS + 1):
+            best_doc, best_gain = None, 0
+            for doc_id in sorted(by_doc):
+                if doc_id in chosen:
+                    continue
+                gain = len(by_doc[doc_id] - covered)
+                if gain > best_gain:
+                    best_doc, best_gain = doc_id, gain
+            if best_doc is None:
+                # vocabulary exhausted: the anti-join yields no
+                # candidate rows, so the query emits no round either
+                break
+            covered |= by_doc[best_doc]
+            chosen.add(best_doc)
+            cum += best_gain
+            emitted += 1
+            row = sub[sub["round"] == t].iloc[0]
+            assert row["doc_id"] == best_doc, (source, t)
+            assert row["gain"] == best_gain
+            assert abs(row["coverage"] - cum / len(vocab)) < 1e-5
+        assert len(sub) == emitted
+
+
+def test_coverage_knee_matches_python_kneedle(spark, sf_dir):
+    from crypto_prediction_etl_spark.plans.text_q import (
+        _Q418_LOGV,
+        _Q418_SIZES,
+    )
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    docs = _tbl(spark, sf_dir, "documents").select("text").toPandas()
+    cnt: dict[str, int] = {}
+    for t in docs["text"]:
+        for tok in str(t).lower().split(" "):
+            cnt[tok] = cnt.get(tok, 0) + 1
+    total = float(sum(cnt.values()))
+    ordered = sorted(cnt.values(), reverse=True)
+    cov = {
+        v: sum(ordered[:v]) / total for v in _Q418_SIZES
+    }
+    x0, x1 = _Q418_LOGV[0], _Q418_LOGV[-1]
+    y0, y1 = cov[_Q418_SIZES[0]], cov[_Q418_SIZES[-1]]
+    dist = {
+        v: cov[v] - (y0 + (lv - x0) / (x1 - x0) * (y1 - y0))
+        for v, lv in zip(_Q418_SIZES, _Q418_LOGV)
+    }
+    md = max(dist.values())
+    out = (
+        registry.QUERIES["q418_coverage_knee"](spark, sf_dir)
+        .toPandas()
+        .set_index("vocab_size")
+    )
+    assert out["is_knee"].sum() >= 1
+    for v in _Q418_SIZES:
+        assert abs(out.loc[v, "coverage"] - cov[v]) < 1e-5
+        assert abs(out.loc[v, "knee_distance"] - dist[v]) < 1e-5
+        # is_knee marks every max-distance row (exact float ties all
+        # flag, e.g. the degenerate all-covered curve at tiny sf)
+        if out.loc[v, "is_knee"]:
+            assert dist[v] > md - 1e-9
+        else:
+            assert dist[v] < md + 1e-9
+
+
+def test_weekly_ks_matches_numpy_ecdf(spark, sf_dir):
+    from crypto_prediction_etl_spark.plans.events_q import _Q420_C
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    ev = _tbl(spark, sf_dir, "events").select("ts", "value").toPandas()
+    secs = ev["ts"].astype("int64").to_numpy() / 1e9
+    week = np.floor(secs / 604800).astype("int64")
+    val = ev["value"].to_numpy()
+    w0 = week.min()
+    base = np.sort(val[week == w0])
+    nb = float(len(base))
+    ds = []
+    drift = 0
+    for wk in np.unique(week):
+        if wk == w0:
+            continue
+        cur = np.sort(val[week == wk])
+        nw = float(len(cur))
+        grid = np.unique(np.concatenate([base, cur]))
+        fb = np.searchsorted(base, grid, side="right") / nb
+        fw = np.searchsorted(cur, grid, side="right") / nw
+        d = float(np.max(np.abs(fw - fb)))
+        ds.append(d)
+        if d > _Q420_C * np.sqrt((nw + nb) / (nw * nb)):
+            drift += 1
+    out = registry.QUERIES["q420_weekly_ks_drift"](spark, sf_dir).toPandas().iloc[0]
+    assert out["n_weeks"] == len(ds)
+    assert abs(out["avg_ks"] - np.mean(ds)) < 1e-5
+    assert abs(out["max_ks"] - np.max(ds)) < 1e-5
+    assert out["drift_weeks"] == drift
