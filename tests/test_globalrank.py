@@ -226,3 +226,71 @@ def test_global_lag_rejects_collisions(base):
         with_global_lag(base.withColumn("_gl_x", F.lit(1)), ["id"], {"p": "w"})
     with pytest.raises(ValueError):
         with_global_lag(base, ["id"], {})
+
+
+def test_property_random_frames_match_single_window(spark):
+    """Hypothesis sweep: random tie-heavy frames, random partition
+    counts and bucket counts — every operator mode must equal its
+    single-partition-window reference exactly."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from crypto_prediction_etl_spark.operators.globalrank import (
+        with_global_lag,
+        with_global_ntile,
+        with_global_row_stats,
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=-5, max_value=5),  # key: heavy ties
+                st.integers(min_value=-100, max_value=100),  # payload
+            ),
+            min_size=1,
+            max_size=120,
+        ),
+        parts=st.integers(min_value=1, max_value=9),
+        k=st.integers(min_value=1, max_value=7),
+    )
+    def check(rows, parts, k):
+        df = spark.createDataFrame(
+            [(i, kk, w) for i, (kk, w) in enumerate(rows)],
+            "id long, k long, w long",
+        )
+        order = [F.col("k").desc(), "id"]
+        ref_w = W.orderBy(*order)
+        ref = df.select(
+            "id",
+            F.row_number().over(ref_w).alias("rn"),
+            F.sum("w")
+            .over(ref_w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .alias("cs"),
+            F.max("w")
+            .over(ref_w.rowsBetween(W.unboundedPreceding, -1))
+            .alias("xm"),
+            F.ntile(k).over(ref_w).alias("nt"),
+            F.lag("w").over(ref_w).alias("lw"),
+            F.count("*").over(W.partitionBy()).alias("n"),
+        )
+        got = with_global_row_stats(
+            df,
+            order,
+            rank_col="rn",
+            cum_sums={"cs": "w"},
+            cum_maxs_excl={"xm": "w"},
+            count_col="n",
+            partitions=parts,
+        )
+        got = with_global_ntile(got, order, k, "nt", partitions=parts)
+        got = with_global_lag(got, order, {"lw": "w"}, partitions=parts)
+        got = got.select("id", "rn", "cs", "xm", "nt", "lw", "n")
+        assert ref.exceptAll(got).count() == 0
+        assert got.exceptAll(ref).count() == 0
+
+    check()
