@@ -552,3 +552,145 @@ def test_weekly_ks_matches_numpy_ecdf(spark, sf_dir):
     assert abs(out["avg_ks"] - np.mean(ds)) < 1e-5
     assert abs(out["max_ks"] - np.max(ds)) < 1e-5
     assert out["drift_weeks"] == drift
+
+
+def test_js_divergence_matches_numpy_histogram(spark, sf_dir, candles_by_id):
+    from crypto_prediction_etl_spark.plans.indicators_q import _Q316_BINS
+
+    nb = _Q316_BINS
+    out = (
+        registry.QUERIES["q316_js_divergence"](spark, sf_dir)
+        .toPandas()
+        .set_index("id")
+    )
+    for sym, g in candles_by_id.items():
+        x = g["close"].astype("float64").to_numpy()
+        n = len(x)
+        mn, mx = x.min(), x.max()
+        if mx <= mn:
+            assert sym not in out.index
+            continue
+        bins = np.minimum(
+            nb - 1, np.floor((x - mn) / (mx - mn) * float(nb)).astype(int)
+        )
+        half = n // 2
+        p = np.bincount(bins[:half], minlength=nb) / float(half)
+        q = np.bincount(bins[half:], minlength=nb) / float(n - half)
+        m = p + q
+        js = 0.5 * np.sum(
+            np.where(p > 0, p * np.log(2.0 * p / np.where(m > 0, m, 1)), 0.0)
+        ) + 0.5 * np.sum(
+            np.where(q > 0, q * np.log(2.0 * q / np.where(m > 0, m, 1)), 0.0)
+        )
+        assert abs(out.loc[sym, "js_divergence"] - js) < 1e-5
+
+
+def test_effective_sample_size_matches_numpy(spark, sf_dir, candles_by_id):
+    from crypto_prediction_etl_spark.plans.indicators_q import _Q309_MAX_LAG
+
+    out = (
+        registry.QUERIES["q309_effective_sample_size"](spark, sf_dir)
+        .toPandas()
+        .set_index("id")
+    )
+    for sym, g in candles_by_id.items():
+        close = g["close"].astype("float64").to_numpy()
+        x = np.log(close[1:] / close[:-1])
+        n = len(x)
+        sum_rho = 0.0
+        for k in range(1, _Q309_MAX_LAG + 1):
+            a, b = x[k:], x[:-k]
+            # PER-LAG Pearson over the overlapping slices, as the query
+            sum_rho += float(np.corrcoef(a, b)[0, 1])
+        assert out.loc[sym, "n_obs"] == n
+        assert abs(out.loc[sym, "sum_rho"] - sum_rho) < 1e-5
+        assert (
+            abs(out.loc[sym, "ess"] - n / (1.0 + 2.0 * sum_rho)) < 0.05
+        )
+
+
+def test_seasonality_anova_matches_numpy(spark, sf_dir, candles_by_id):
+    out = (
+        registry.QUERIES["q326_seasonality_anova"](spark, sf_dir)
+        .toPandas()
+        .set_index("id")
+    )
+    for sym, g in candles_by_id.items():
+        close = g["close"].astype("float64").to_numpy()
+        x = np.log(close[1:] / close[:-1])
+        # pandas dayofweek: Monday=0; query uses dayofweek()-1 (Sun=0)
+        dow = (pd.to_datetime(g["dt"]).dt.dayofweek.to_numpy()[1:] + 1) % 7
+        mu = x.mean()
+        sst = float(np.sum((x - mu) ** 2))
+        ssb = 0.0
+        k = 0
+        for d in np.unique(dow):
+            grp = x[dow == d]
+            ssb += len(grp) * (grp.mean() - mu) ** 2
+            k += 1
+        n = len(x)
+        f = (ssb / (k - 1)) / ((sst - ssb) / (n - k))
+        assert out.loc[sym, "n_obs"] == n
+        assert out.loc[sym, "n_groups"] == k
+        assert abs(out.loc[sym, "ss_between"] - ssb) < 1e-6
+        assert abs(out.loc[sym, "f_stat"] - f) < 1e-4
+
+
+def test_diff_in_diff_matches_numpy_cells(spark, sf_dir):
+    from crypto_prediction_etl_spark.plans.events_q import (
+        _Q330_CONTROL,
+        _Q330_CUTOFF,
+        _Q330_TREAT,
+    )
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    ev = (
+        _tbl(spark, sf_dir, "events")
+        .select("event_type", "ts", "value")
+        .toPandas()
+    )
+    ev = ev[ev["event_type"].isin(_Q330_TREAT + _Q330_CONTROL)]
+    treated = ev["event_type"].isin(_Q330_TREAT).to_numpy()
+    post = (
+        ev["ts"].dt.date >= pd.Timestamp(_Q330_CUTOFF).date()
+    ).to_numpy()
+    val = ev["value"].to_numpy()
+
+    def cell(tr, po):
+        v = val[(treated == tr) & (post == po)]
+        return v.mean(), v.var() / len(v), len(v)  # numpy var = population
+
+    (m_t1, v_t1, n1), (m_t0, v_t0, n2) = cell(True, True), cell(True, False)
+    (m_c1, v_c1, n3), (m_c0, v_c0, n4) = cell(False, True), cell(False, False)
+    did = (m_t1 - m_t0) - (m_c1 - m_c0)
+    se = np.sqrt(v_t1 + v_t0 + v_c1 + v_c0)
+    out = registry.QUERIES["q330_diff_in_diff"](spark, sf_dir).toPandas().iloc[0]
+    assert out["n_total"] == n1 + n2 + n3 + n4
+    assert abs(out["treated_delta"] - (m_t1 - m_t0)) < 1e-5
+    assert abs(out["control_delta"] - (m_c1 - m_c0)) < 1e-5
+    assert abs(out["did_estimate"] - did) < 1e-5
+    assert abs(out["did_se"] - se) < 1e-5
+    assert out["significant"] == int(abs(did) / se > 1.959963984540054)
+
+
+def test_kyle_lambda_matches_polyfit(spark, sf_dir, candles_by_id):
+    """The query's sufficient-statistics OLS vs numpy's own polyfit
+    and corrcoef."""
+    out = (
+        registry.QUERIES["q331_kyle_lambda"](spark, sf_dir)
+        .toPandas()
+        .set_index("id")
+    )
+    for sym, g in candles_by_id.items():
+        close = g["close"].astype("float64").to_numpy()
+        vol = g["volume_cents"].astype("float64").to_numpy() / 100.0
+        ret = np.log(close[1:] / close[:-1])
+        d = np.sign(np.diff(close))
+        sv = d * vol[1:]
+        slope = np.polyfit(sv, ret, 1)[0]
+        r2 = float(np.corrcoef(sv, ret)[0, 1]) ** 2
+        assert out.loc[sym, "n_obs"] == len(ret)
+        assert abs(out.loc[sym, "kyle_lambda_ppm"] - slope * 1e6) < max(
+            1e-4, abs(slope * 1e6) * 1e-5
+        )
+        assert abs(out.loc[sym, "r_squared"] - r2) < 1e-5
