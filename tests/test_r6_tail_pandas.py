@@ -694,3 +694,151 @@ def test_kyle_lambda_matches_polyfit(spark, sf_dir, candles_by_id):
             1e-4, abs(slope * 1e6) * 1e-5
         )
         assert abs(out.loc[sym, "r_squared"] - r2) < 1e-5
+
+
+def test_identity_resolution_matches_python_labelprop(spark, sf_dir):
+    """q281's join-based min-label rounds vs a dict-based python
+    propagation over the same rare-value edges, PLUS a union-find
+    ground truth: every user flagged converged whose whole component
+    is converged must already carry the component's true min label."""
+    from crypto_prediction_etl_spark.plans.events_q import (
+        _Q281_MAX_SHARERS,
+        _Q281_ROUNDS,
+    )
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    ev = _tbl(spark, sf_dir, "events").select("user_id", "props").toPandas()
+    import json
+
+    uk = {
+        (int(u), json.loads(p).get("k"))
+        for u, p in zip(ev["user_id"], ev["props"])
+        if json.loads(p).get("k") is not None
+    }
+    from collections import defaultdict
+
+    by_k: dict = defaultdict(set)
+    for u, k in uk:
+        by_k[int(k)].add(u)
+    users = sorted({u for u, _ in uk})
+    adj: dict = defaultdict(set)
+    for k, us in by_k.items():
+        if 2 <= len(us) <= _Q281_MAX_SHARERS:
+            for u in us:
+                adj[u] |= us - {u}
+    lbl = {u: u for u in users}
+    for _ in range(_Q281_ROUNDS):
+        prev = dict(lbl)
+        for u in users:
+            cands = [prev[v] for v in adj[u]]
+            lbl[u] = min([lbl[u], *cands]) if cands else lbl[u]
+        last_prev = prev
+    out = (
+        registry.QUERIES["q281_identity_resolution"](spark, sf_dir)
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(out) == len(users)
+    for u in users:
+        assert out.loc[u, "identity_root"] == lbl[u], u
+        assert out.loc[u, "converged"] == int(lbl[u] == last_prev[u]), u
+    # union-find ground truth for fully-converged components
+    parent = {u: u for u in users}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u in users:
+        for v in adj[u]:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+    comp_min: dict = {}
+    for u in users:
+        r = find(u)
+        comp_min[r] = min(comp_min.get(r, u), u)
+    from collections import Counter
+
+    comp_converged = defaultdict(lambda: True)
+    for u in users:
+        comp_converged[find(u)] &= bool(out.loc[u, "converged"])
+    for u in users:
+        if comp_converged[find(u)]:
+            assert out.loc[u, "identity_root"] == comp_min[find(u)], u
+    # q297's histogram over the same labels
+    sizes = Counter(Counter(lbl.values()).values())
+    h = (
+        registry.QUERIES["q297_component_sizes"](spark, sf_dir)
+        .toPandas()
+        .set_index("component_size")
+    )
+    assert len(h) == len(sizes)
+    for size, n_comp in sizes.items():
+        assert h.loc[size, "n_components"] == n_comp
+        assert h.loc[size, "n_users_covered"] == size * n_comp
+
+
+def test_tail_dependence_matches_numpy(spark, sf_dir, candles_by_id):
+    from crypto_prediction_etl_spark.plans.indicators_q import _Q325_TAIL
+
+    t = _Q325_TAIL
+    us = {}
+    for sym, g in candles_by_id.items():
+        close = g["close"].astype("float64").to_numpy()
+        ret = np.log(close[1:] / close[:-1])
+        dt = g["dt"].to_numpy()[1:]
+        order = np.lexsort((dt, ret))
+        n = len(ret)
+        u = np.empty(n)
+        u[order] = np.arange(n) / (n - 1)  # percent_rank
+        us[sym] = pd.Series(u, index=pd.Index(dt, name="dt"))
+    out = registry.QUERIES["q325_tail_dependence"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    for _, row in out.iterrows():
+        j = pd.concat(
+            [us[row["id_a"]], us[row["id_b"]]], axis=1, join="inner"
+        ).to_numpy()
+        n = len(j)
+        lo = int(np.sum((j[:, 0] <= t) & (j[:, 1] <= t)))
+        hi = int(np.sum((j[:, 0] >= 1 - t) & (j[:, 1] >= 1 - t)))
+        assert row["n_days"] == n
+        assert row["joint_lower"] == lo
+        assert abs(row["lower_tail_dep"] - lo / (n * t)) < 1e-5
+        assert abs(row["upper_tail_dep"] - hi / (n * t)) < 1e-5
+
+
+def test_corwin_schultz_matches_numpy(spark, sf_dir, candles_by_id):
+    from crypto_prediction_etl_spark.plans.indicators_q import _CS_KDEN
+
+    out = (
+        registry.QUERIES["q339_corwin_schultz"](spark, sf_dir)
+        .toPandas()
+        .set_index("id")
+    )
+    for sym, g in candles_by_id.items():
+        h = g["high"].astype("float64").to_numpy()
+        lo = g["low"].astype("float64").to_numpy()
+        beta = np.log(h[:-1] / lo[:-1]) ** 2 + np.log(h[1:] / lo[1:]) ** 2
+        gamma = (
+            np.log(np.maximum(h[:-1], h[1:]) / np.minimum(lo[:-1], lo[1:]))
+            ** 2
+        )
+        alpha = (np.sqrt(2 * beta) - np.sqrt(beta)) / _CS_KDEN - np.sqrt(
+            gamma / _CS_KDEN
+        )
+        spread = 2 * (np.exp(alpha) - 1) / (1 + np.exp(alpha))
+        assert out.loc[sym, "n_pairs"] == len(beta)
+        assert (
+            abs(
+                out.loc[sym, "mean_spread"]
+                - np.mean(np.where(spread > 0, spread, 0.0))
+            )
+            < 1e-5
+        )
+        assert (
+            abs(out.loc[sym, "negative_share"] - np.mean(alpha < 0))
+            < 1e-5
+        )
