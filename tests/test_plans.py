@@ -1542,3 +1542,63 @@ def test_record_grain_windows_route_through_globalrank(
         assert subject(body) in allowed, (
             f"{name}: stray global window on {body!r}"
         )
+
+
+# Driver-side materializations audited as BOUNDED (k seeds, codebooks,
+# dim-vectors, d x d covariance, scalar/limit-1 probes, O(partitions)
+# lists, or a guarded broadcast matrix that IS the algorithm's stated
+# memory budget).  Keyed (module-relative file, enclosing function) so
+# line drift doesn't churn the test; any NEW collect/toPandas in
+# engine code fails until consciously audited here.
+_DRIVER_MATERIALIZATION_ALLOWED = {
+    ("operators/clustering.py", "kmeans"),  # k seeds + k centroids
+    ("operators/dedup.py", "_label_sum"),  # 1-row fixpoint checksum
+    ("operators/similarity.py", "cosine_topk"),  # query matrix (broadcast side)
+    ("operators/similarity.py", "knn_dist_edges"),  # normalized matrix (q348 law)
+    ("plans/similarity_q.py", "q101_semdedup"),  # k cell seeds
+    ("plans/similarity_q.py", "q210_pca_power_iteration"),  # d x d cov
+    ("plans/similarity_q.py", "q351_mmd_two_sample"),  # guarded broadcast matrix
+    ("plans/similarity_q.py", "q56_ivf_ann"),  # k coarse seeds
+    ("plans/similarity_q.py", "q97_product_quantization"),  # k codebook seeds
+    ("quality/checks.py", "check_unique"),  # limit(1) existence probe
+    ("sources/writers.py", "delete_partitions"),  # O(partitions) list
+}
+
+
+def test_no_unaudited_driver_materializations():
+    """Source-level guard on the collect/driver-loop anti-pattern:
+    every .collect() / .toPandas() in engine code must sit in an
+    audited bounded-materialization site."""
+    import ast
+    import os
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "crypto_prediction_etl_spark",
+    )
+    found = set()
+    for dirpath, _, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            rel = os.path.relpath(path, pkg).replace(os.sep, "/")
+            tree = ast.parse(open(path).read())
+            funcs = [
+                (n.lineno, n.end_lineno, n.name)
+                for n in ast.walk(tree)
+                if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+            ]
+            for node in ast.walk(tree):
+                if isinstance(node, ast.Attribute) and node.attr in (
+                    "collect",
+                    "toPandas",
+                ):
+                    enc = [
+                        name
+                        for lo, hi, name in funcs
+                        if lo <= node.lineno <= hi
+                    ]
+                    found.add((rel, enc[-1] if enc else "<module>"))
+    stray = found - _DRIVER_MATERIALIZATION_ALLOWED
+    assert not stray, f"unaudited driver materializations: {sorted(stray)}"
