@@ -1401,8 +1401,17 @@ def test_q406_greedy_rounds_are_anti_joins(spark, sf_dir):
 
 
 def test_q407_vocab_coverage_ranks_types_not_tokens(spark, sf_dir):
+    """r6: the type rank routes through globalrank, whose O(partitions)
+    offsets table broadcast-joins back on the pid — that is the ONLY
+    join allowed; nothing token-grain may join."""
     plan = _plan(spark, sf_dir, "q407_vocab_coverage")
-    assert "Join" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "_gr_pid" in plan
+    import re
+
+    for cond in re.findall(r"BroadcastHashJoin \[([^\]]*)\]", plan):
+        assert "_gr_pid" in cond, cond
 
 
 def test_q408_harmonic_fit_sufficient_stats(spark, sf_dir):
