@@ -842,3 +842,140 @@ def test_corwin_schultz_matches_numpy(spark, sf_dir, candles_by_id):
             abs(out.loc[sym, "negative_share"] - np.mean(alpha < 0))
             < 1e-5
         )
+
+
+def test_rv_signature_matches_numpy_strides(spark, sf_dir, candles_by_id):
+    from crypto_prediction_etl_spark.plans.indicators_q import _Q352_STRIDES
+
+    out = registry.QUERIES["q352_rv_signature"](spark, sf_dir).toPandas()
+    for sym, g in candles_by_id.items():
+        close = g["close"].astype("float64").to_numpy()
+        for k in _Q352_STRIDES:
+            grid = close[::k]  # rows with (rn-1) % k == 0
+            r = np.log(grid[1:] / grid[:-1])
+            row = out[(out["id"] == sym) & (out["stride"] == k)].iloc[0]
+            assert row["n_rets"] == len(r)
+            assert abs(row["rv"] - np.sum(r * r)) < 1e-5
+            assert abs(row["var_per_bar"] - np.sum(r * r) / len(r)) < 1e-8
+
+
+def test_sign_autocorr_matches_numpy(spark, sf_dir, candles_by_id):
+    from crypto_prediction_etl_spark.plans.indicators_q import _Q353_LAGS
+
+    out = registry.QUERIES["q353_sign_autocorr"](spark, sf_dir).toPandas()
+    for sym, g in candles_by_id.items():
+        close = g["close"].astype("float64").to_numpy()
+        raw = np.sign(np.diff(close))  # +1 / -1 / 0
+        # zero-tick carry: 0 takes the previous non-zero sign
+        tick = []
+        last = None
+        for v in raw:
+            if v != 0:
+                last = v
+            if last is not None:
+                tick.append(last)
+        x = np.array(tick, dtype="float64")
+        for lag in _Q353_LAGS:
+            a, b = x[lag:], x[:-lag]
+            rho = np.corrcoef(a, b)[0, 1]
+            row = out[(out["id"] == sym) & (out["lag"] == lag)].iloc[0]
+            assert row["n"] == len(a)
+            assert abs(row["rho"] - rho) < 1e-5
+
+
+def test_semivariance_matches_pandas_rolling(spark, sf_dir, candles_by_id):
+    from crypto_prediction_etl_spark.plans.indicators_q import _Q354_N
+
+    n = _Q354_N
+    out = (
+        registry.QUERIES["q354_semivariance"](spark, sf_dir)
+        .orderBy("id", "dt")
+        .toPandas()
+    )
+    assert len(out) > 0
+    for sym, g in out.groupby("id"):
+        close = candles_by_id[sym]["close"].astype("float64").to_numpy()
+        r = pd.Series(np.log(close[1:] / close[:-1]))
+        dsq = r.where(r < 0, 0.0) ** 2
+        usq = r.where(r > 0, 0.0) ** 2
+        rs_down = dsq.rolling(n).sum().to_numpy()[n - 1 :]
+        rs_up = usq.rolling(n).sum().to_numpy()[n - 1 :]
+        rv = (r**2).rolling(n).sum().to_numpy()[n - 1 :]
+        assert len(g) == len(rs_down)
+        assert np.allclose(g["rs_down"], rs_down, atol=1e-7)
+        assert np.allclose(g["rs_up"], rs_up, atol=1e-7)
+        assert np.allclose(g["signed_jump"], rs_up - rs_down, atol=1e-7)
+        assert np.allclose(
+            g["downside_share"], rs_down / rv, atol=1e-5
+        )
+
+
+def test_geometric_median_matches_numpy_weiszfeld(spark, sf_dir):
+    from crypto_prediction_etl_spark.plans.similarity_q import (
+        _Q393_D,
+        _Q393_EPS,
+        _Q393_ITERS,
+        _vecs,
+    )
+
+    pdf = _vecs(spark, sf_dir).toPandas()
+    out = (
+        registry.QUERIES["q393_geometric_median"](spark, sf_dir)
+        .toPandas()
+        .set_index("label")
+    )
+    for label, g in pdf.groupby("label"):
+        x = np.stack(g["v"].to_numpy())[:, :_Q393_D]
+        c = x.mean(axis=0)
+        mean0 = c.copy()
+        for _ in range(_Q393_ITERS):
+            w = 1.0 / (np.linalg.norm(x - c, axis=1) + _Q393_EPS)
+            c = (x * w[:, None]).sum(axis=0) / w.sum()
+        assert out.loc[label, "n_vecs"] == len(x)
+        for j in range(1, _Q393_D + 1):
+            assert abs(out.loc[label, f"gm_d{j}"] - c[j - 1]) < 1e-4
+        assert (
+            abs(
+                out.loc[label, "shift_from_mean"]
+                - np.linalg.norm(c - mean0)
+            )
+            < 1e-4
+        )
+
+
+def test_lexical_diversity_matches_python(spark, sf_dir):
+    from crypto_prediction_etl_spark.plans.text_q import _Q397_BLOCK
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    docs = (
+        _tbl(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .toPandas()
+    )
+    out = (
+        registry.QUERIES["q397_lexical_diversity"](spark, sf_dir)
+        .toPandas()
+        .set_index("source")
+    )
+    for source, g in docs.groupby("source"):
+        ttrs, herdans, blocks = [], [], []
+        for _, drow in g.iterrows():
+            toks = str(drow["text"]).lower().split(" ")
+            n, v = len(toks), len(set(toks))
+            ttrs.append(v / n)
+            if n > 1:
+                herdans.append(np.log(v) / np.log(n))
+            doc_blocks = []
+            for lo in range(0, n - _Q397_BLOCK + 1, _Q397_BLOCK):
+                blk = toks[lo : lo + _Q397_BLOCK]
+                doc_blocks.append(len(set(blk)) / _Q397_BLOCK)
+            if doc_blocks:
+                blocks.append(np.mean(doc_blocks))
+        assert out.loc[source, "docs"] == len(g)
+        assert abs(out.loc[source, "avg_ttr"] - np.mean(ttrs)) < 1e-5
+        assert (
+            abs(out.loc[source, "avg_herdan_c"] - np.mean(herdans)) < 1e-5
+        )
+        assert (
+            abs(out.loc[source, "avg_block_ttr"] - np.mean(blocks)) < 1e-5
+        )
