@@ -979,3 +979,131 @@ def test_lexical_diversity_matches_python(spark, sf_dir):
         assert (
             abs(out.loc[source, "avg_block_ttr"] - np.mean(blocks)) < 1e-5
         )
+
+
+def test_volatility_cones_match_pandas(spark, sf_dir, candles_by_id):
+    from crypto_prediction_etl_spark.plans.indicators_q import (
+        _Q317_HORIZONS,
+    )
+
+    out = registry.QUERIES["q317_volatility_cones"](spark, sf_dir).toPandas()
+    for sym, g in candles_by_id.items():
+        close = g["close"].astype("float64").to_numpy()
+        # q317 keeps the first (NULL-return) row in the window frame,
+        # so horizon-h windows fill one bar later on the return series
+        r = pd.Series(np.concatenate([[np.nan], np.log(close[1:] / close[:-1])]))
+        for h in _Q317_HORIZONS:
+            rv = np.sqrt(
+                r.rolling(h, min_periods=h).var(ddof=0).to_numpy() * 365.0
+            )
+            rv = rv[~np.isnan(rv)]
+            row = out[(out["id"] == sym) & (out["horizon"] == h)].iloc[0]
+            assert abs(row["vol_min"] - rv.min()) < 1e-5
+            for p, col in [(25, "vol_p25"), (50, "vol_median"), (75, "vol_p75")]:
+                assert (
+                    abs(row[col] - np.percentile(rv, p, method="linear"))
+                    < 1e-5
+                ), (sym, h, col)
+            assert abs(row["vol_max"] - rv.max()) < 1e-5
+            assert abs(row["vol_now"] - rv[-1]) < 1e-5
+
+
+def test_portfolio_var_es_matches_numpy(spark, sf_dir, candles_by_id):
+    rets = []
+    for sym, g in candles_by_id.items():
+        close = g["close"].astype("float64").to_numpy()
+        rets.append(
+            pd.Series(
+                np.log(close[1:] / close[:-1]),
+                index=pd.Index(g["dt"].to_numpy()[1:], name="dt"),
+                name=sym,
+            )
+        )
+    panel = pd.concat(rets, axis=1)
+    port = panel.mean(axis=1)[panel.notna().sum(axis=1) >= 2]
+    q05 = _prnd(np.percentile(port, 5, method="linear"), 6)
+    tail = port[port <= q05]
+    out = (
+        registry.QUERIES["q324_portfolio_var_es"](spark, sf_dir)
+        .toPandas()
+        .iloc[0]
+    )
+    assert out["n_days"] == len(port)
+    assert abs(out["var95"] - (-q05)) < 1e-5
+    assert abs(out["es95"] - (-tail.mean())) < 1e-5
+    assert abs(out["worst_ret"] - port.min()) < 1e-5
+    assert pd.Timestamp(out["worst_dt"]) == pd.Timestamp(port.idxmin())
+
+
+def test_paragraph_dedup_matches_python_keepfirst(spark, sf_dir):
+    from crypto_prediction_etl_spark.plans.text_q import _PARA_W
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    docs = (
+        _tbl(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    seen: set = set()
+    per_source: dict = {}
+    for _, drow in docs.iterrows():
+        toks = str(drow["text"]).lower().split(" ")
+        st = per_source.setdefault(
+            drow["source"],
+            {"docs": set(), "chunks": 0, "dup": 0, "toks": 0, "dup_toks": 0},
+        )
+        st["docs"].add(drow["doc_id"])
+        for lo in range(0, len(toks), _PARA_W):
+            blk = toks[lo : lo + _PARA_W]
+            text = " ".join(blk)
+            st["chunks"] += 1
+            st["toks"] += len(blk)
+            if text in seen:
+                st["dup"] += 1
+                st["dup_toks"] += len(blk)
+            else:
+                seen.add(text)
+    out = (
+        registry.QUERIES["q349_paragraph_dedup"](spark, sf_dir)
+        .toPandas()
+        .set_index("source")
+    )
+    for source, st in per_source.items():
+        assert out.loc[source, "n_docs"] == len(st["docs"])
+        assert out.loc[source, "n_chunks"] == st["chunks"]
+        assert out.loc[source, "dup_chunks"] == st["dup"]
+        assert (
+            abs(
+                out.loc[source, "dup_token_share"]
+                - st["dup_toks"] / st["toks"]
+            )
+            < 1e-5
+        )
+
+
+def test_fd_violations_match_python_g3(spark, sf_dir):
+    from collections import Counter
+
+    from crypto_prediction_etl_spark.plans.relational_ext import _Q370_FDS
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    out = (
+        registry.QUERIES["q370_fd_violations"](spark, sf_dir)
+        .toPandas()
+        .set_index("lhs")
+    )
+    for tbl, lhs, rhs in _Q370_FDS:
+        pdf = _tbl(spark, sf_dir, tbl).select(lhs, rhs).toPandas()
+        groups: dict = {}
+        for a, b in zip(pdf[lhs], pdf[rhs]):
+            groups.setdefault(a, Counter())[b] += 1
+        n = len(pdf)
+        kept = sum(max(c.values()) for c in groups.values())
+        row = out.loc[f"{tbl}.{lhs}"]
+        assert row["rhs"] == rhs
+        assert row["n_lhs_groups"] == len(groups)
+        assert row["n_rows"] == n
+        assert row["n_violating"] == n - kept
+        assert abs(row["g3_rate"] - (1.0 - kept / n)) < 1e-6
+        assert row["holds"] == int(kept == n)
