@@ -1107,3 +1107,131 @@ def test_fd_violations_match_python_g3(spark, sf_dir):
         assert row["n_violating"] == n - kept
         assert abs(row["g3_rate"] - (1.0 - kept / n)) < 1e-6
         assert row["holds"] == int(kept == n)
+
+
+def test_term_burstiness_matches_counter(spark, sf_dir):
+    from collections import Counter
+
+    from crypto_prediction_etl_spark.plans.text_q import _Q305_MIN_DF
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text").toPandas()
+    df_c: Counter = Counter()
+    cf_c: Counter = Counter()
+    for t in docs["text"]:
+        c = Counter(str(t).lower().split(" "))
+        for term, f in c.items():
+            df_c[term] += 1
+            cf_c[term] += f
+    out = (
+        registry.QUERIES["q305_term_burstiness"](spark, sf_dir)
+        .toPandas()
+        .set_index("term")
+    )
+    exp_terms = {t for t, d in df_c.items() if d >= _Q305_MIN_DF}
+    assert set(out.index) == exp_terms
+    for term in exp_terms:
+        b = cf_c[term] / df_c[term]
+        assert out.loc[term, "df"] == df_c[term]
+        assert out.loc[term, "cf"] == cf_c[term]
+        assert abs(out.loc[term, "burstiness"] - b) < 1e-5
+        assert out.loc[term, "is_bursty"] == int(b > 1.5)
+
+
+def test_vpin_matches_numpy_buckets(spark, sf_dir, candles_by_id):
+    from crypto_prediction_etl_spark.plans.indicators_q import (
+        _VPIN_BUCKET_CENTS,
+    )
+
+    out = (
+        registry.QUERIES["q337_vpin"](spark, sf_dir)
+        .toPandas()
+        .set_index("id")
+    )
+    for sym, g in candles_by_id.items():
+        close = g["close"].astype("float64").to_numpy()
+        vol = g["volume_cents"].astype("int64").to_numpy()
+        sgn = np.concatenate([[0], np.sign(np.diff(close))]).astype("int64")
+        cum = np.cumsum(vol)
+        bucket = (cum - vol) // _VPIN_BUCKET_CENTS
+        bdf = pd.DataFrame(
+            {"bucket": bucket, "sv": sgn * vol, "tv": vol}
+        ).groupby("bucket").sum()
+        vpin = np.abs(bdf["sv"].to_numpy()) / bdf["tv"].to_numpy()
+        assert out.loc[sym, "n_buckets"] == len(bdf)
+        assert abs(out.loc[sym, "avg_vpin"] - vpin.mean()) < 1e-5
+        assert abs(out.loc[sym, "max_vpin"] - vpin.max()) < 1e-5
+
+
+def test_interval_backtest_matches_numpy(spark, sf_dir, candles_by_id):
+    from crypto_prediction_etl_spark.plans.indicators_q import (
+        _Q287_TRAIN_FRAC,
+    )
+
+    out = (
+        registry.QUERIES["q287_interval_backtest"](spark, sf_dir)
+        .toPandas()
+        .set_index("id")
+    )
+    for sym, g in candles_by_id.items():
+        close = g["close"].astype("float64").to_numpy()
+        n = len(close)  # candle count, INCLUDING the null-return row
+        r = np.log(close[1:] / close[:-1])
+        rn = np.arange(2, n + 1)  # candle rn of each return row
+        cut = int(np.floor(n * _Q287_TRAIN_FRAC))
+        train = r[rn <= cut]
+        test = r[rn > cut]
+        lo = np.percentile(train, 10, method="linear")
+        hi = np.percentile(train, 90, method="linear")
+        cov = float(np.mean((test >= lo) & (test <= hi)))
+        assert out.loc[sym, "n_train"] == len(train)
+        assert out.loc[sym, "n_test"] == len(test)
+        assert abs(out.loc[sym, "band_lo"] - lo) < 1e-5
+        assert abs(out.loc[sym, "band_hi"] - hi) < 1e-5
+        assert abs(out.loc[sym, "coverage"] - cov) < 1e-5
+
+
+def test_attribution_compare_matches_pandas(spark, sf_dir):
+    from crypto_prediction_etl_spark.plans.events_q import _Q234_WINDOW_MIN
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    ev = (
+        _tbl(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "event_type")
+        .toPandas()
+    )
+    clicks = ev[ev["event_type"] == "click"].copy()
+    # dedupe ties: keep the max event_id per (user, ts)
+    clicks = (
+        clicks.sort_values("event_id")
+        .groupby(["user_id", "ts"], as_index=False)
+        .last()
+    )
+    pur = ev[ev["event_type"] == "purchase"]
+    win = pd.Timedelta(minutes=_Q234_WINDOW_MIN)
+    n_purchases = len(pur)
+    n_attr = n_disagree_multi = 0
+    n_dis = 0
+    by_user = {u: g.sort_values("ts") for u, g in clicks.groupby("user_id")}
+    for _, p in pur.iterrows():
+        g = by_user.get(p["user_id"])
+        if g is None:
+            continue
+        m = g[(g["ts"] <= p["ts"]) & (g["ts"] >= p["ts"] - win)]
+        if len(m) == 0:
+            continue
+        n_attr += 1
+        first = m.loc[m["ts"].idxmin(), "event_id"]
+        last = m.loc[m["ts"].idxmax(), "event_id"]
+        if first != last:
+            n_dis += 1
+            if len(m) > 1:
+                n_disagree_multi += 1
+    out = (
+        registry.QUERIES["q294_attribution_compare"](spark, sf_dir)
+        .toPandas()
+        .iloc[0]
+    )
+    assert out["n_purchases"] == n_purchases
+    assert out["n_attributed"] == n_attr
+    assert out["n_model_disagree"] == n_disagree_multi
