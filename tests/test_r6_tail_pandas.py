@@ -1235,3 +1235,156 @@ def test_attribution_compare_matches_pandas(spark, sf_dir):
     assert out["n_purchases"] == n_purchases
     assert out["n_attributed"] == n_attr
     assert out["n_model_disagree"] == n_disagree_multi
+
+
+def test_range_volatility_matches_pandas(spark, sf_dir, candles_by_id):
+    from crypto_prediction_etl_spark.plans.indicators_q import (
+        _Q313_LN2,
+        _Q313_N,
+    )
+
+    n = _Q313_N
+    out = (
+        registry.QUERIES["q313_range_volatility"](spark, sf_dir)
+        .orderBy("id", "dt")
+        .toPandas()
+    )
+    assert len(out) > 0
+    for sym, g in out.groupby("id"):
+        cb = candles_by_id[sym]
+        h = cb["high"].astype("float64").to_numpy()[1:]
+        lo = cb["low"].astype("float64").to_numpy()[1:]
+        c = cb["close"].astype("float64").to_numpy()[1:]
+        o = cb["close"].astype("float64").to_numpy()[:-1]  # open = prior close
+        hl = np.log(h / lo)
+        co = np.log(c / o)
+        park_t = pd.Series(hl * hl)
+        gk_t = pd.Series(0.5 * hl * hl - (2 * _Q313_LN2 - 1) * co * co)
+        rs_t = pd.Series(
+            np.log(h / c) * np.log(h / o) + np.log(lo / c) * np.log(lo / o)
+        )
+        park = np.sqrt(
+            park_t.rolling(n).mean().to_numpy()[n - 1 :]
+            / (4 * _Q313_LN2)
+            * 365.0
+        )
+        gk_m = gk_t.rolling(n).mean().to_numpy()[n - 1 :]
+        rs_m = rs_t.rolling(n).mean().to_numpy()[n - 1 :]
+        gk = np.where(gk_m > 0, np.sqrt(gk_m * 365.0), np.nan)
+        rs = np.where(rs_m > 0, np.sqrt(rs_m * 365.0), np.nan)
+        assert len(g) == len(park)
+        assert np.allclose(g["parkinson_ann"], park, atol=1e-5)
+        assert np.allclose(
+            g["garman_klass_ann"], gk, atol=1e-5, equal_nan=True
+        )
+        assert np.allclose(
+            g["rogers_satchell_ann"], rs, atol=1e-5, equal_nan=True
+        )
+
+
+def test_rolling_uniques_matches_python_sets(spark, sf_dir):
+    from crypto_prediction_etl_spark.plans.events_q import (
+        _Q329_WINDOW_DAYS,
+    )
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    ev = (
+        _tbl(spark, sf_dir, "events")
+        .select("event_type", "user_id", "ts")
+        .toPandas()
+    )
+    ev["d"] = ev["ts"].dt.date
+    out = registry.QUERIES["q329_rolling_uniques_exact"](spark, sf_dir).toPandas()
+    out["dt"] = pd.to_datetime(out["dt"]).dt.date
+    for (et, d), grp in out.groupby(["event_type", "dt"]):
+        lo = d - pd.Timedelta(days=_Q329_WINDOW_DAYS - 1)
+        sub = ev[
+            (ev["event_type"] == et)
+            & (ev["d"] >= lo)
+            & (ev["d"] <= d)
+        ]
+        assert grp["uniques_7d"].iloc[0] == sub["user_id"].nunique(), (
+            et,
+            d,
+        )
+    # spine: one row per (type, active day)
+    active = ev[["event_type", "d"]].drop_duplicates()
+    assert len(out) == len(active)
+
+
+def test_triple_barrier_matches_python_loop(spark, sf_dir, candles_by_id):
+    from collections import defaultdict
+
+    from crypto_prediction_etl_spark.plans.indicators_q import (
+        _TB_DN,
+        _TB_H,
+        _TB_UP,
+    )
+
+    out = registry.QUERIES["q336_triple_barrier"](spark, sf_dir).toPandas()
+    for sym, g in candles_by_id.items():
+        entry = _prnd(g["close"].to_numpy(), 2)
+        high = g["high"].astype("float64").to_numpy()
+        low = g["low"].astype("float64").to_numpy()
+        n = len(entry)
+        acc = defaultdict(lambda: {"n": 0, "days": [], "rets": []})
+        for i in range(n - _TB_H):  # anchors rn=1..n-H (0-based i)
+            label, days = 0, None
+            for off in range(1, _TB_H + 1):
+                up = high[i + off] >= entry[i] * _TB_UP
+                dn = low[i + off] <= entry[i] * _TB_DN
+                if up and dn:
+                    label, days = 0, off
+                    break
+                if up:
+                    label, days = 1, off
+                    break
+                if dn:
+                    label, days = -1, off
+                    break
+            st = acc[label]
+            st["n"] += 1
+            if days is not None:
+                st["days"].append(days)
+            st["rets"].append(entry[i + _TB_H] / entry[i] - 1.0)
+        sub = out[out["id"] == sym].set_index("label")
+        assert set(sub.index) == set(acc)
+        for label, st in acc.items():
+            assert sub.loc[label, "n_anchors"] == st["n"]
+            if st["days"]:
+                assert (
+                    abs(
+                        sub.loc[label, "avg_days_to_hit"]
+                        - np.mean(st["days"])
+                    )
+                    < 1e-5
+                )
+            else:
+                assert pd.isna(sub.loc[label, "avg_days_to_hit"])
+            assert (
+                abs(sub.loc[label, "avg_vertical_ret"] - np.mean(st["rets"]))
+                < 1e-5
+            )
+
+
+def test_population_estimates_match_python_sets(spark, sf_dir):
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    ev = _tbl(spark, sf_dir, "events").select("user_id", "event_type").toPandas()
+    a = set(ev[ev["event_type"] == "click"]["user_id"])
+    b = set(ev[ev["event_type"] == "view"]["user_id"])
+    n_true = ev["user_id"].nunique()
+    lp = len(a) * len(b) / len(a & b)
+    m, k = max(a), len(a)
+    gt = m + m / k - 1.0
+    out = (
+        registry.QUERIES["q306_population_estimates"](spark, sf_dir)
+        .toPandas()
+        .iloc[0]
+    )
+    assert out["n_true"] == n_true
+    assert out["n_sample_a"] == len(a)
+    assert out["n_sample_b"] == len(b)
+    assert out["n_overlap"] == len(a & b)
+    assert abs(out["lincoln_petersen"] - lp) < 0.02
+    assert abs(out["german_tank"] - gt) < 0.02
