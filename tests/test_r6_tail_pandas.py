@@ -1388,3 +1388,82 @@ def test_population_estimates_match_python_sets(spark, sf_dir):
     assert out["n_overlap"] == len(a & b)
     assert abs(out["lincoln_petersen"] - lp) < 0.02
     assert abs(out["german_tank"] - gt) < 0.02
+
+
+def test_stale_price_audit_matches_numpy_runs(spark, sf_dir, candles_by_id):
+    out = (
+        registry.QUERIES["q288_stale_price_audit"](spark, sf_dir)
+        .toPandas()
+        .set_index("id")
+    )
+    for sym, g in candles_by_id.items():
+        close = g["close"].astype("float64").to_numpy()
+        n = len(close)
+        chg = np.concatenate([[1], (close[1:] != close[:-1]).astype(int)])
+        run_id = np.cumsum(chg)
+        _, run_len = np.unique(run_id, return_counts=True)
+        assert out.loc[sym, "n_days"] == n
+        assert out.loc[sym, "n_stale_days"] == int(np.sum(run_len - 1))
+        assert (
+            abs(
+                out.loc[sym, "stale_share"]
+                - float(np.sum(run_len - 1)) / n
+            )
+            < 1e-6
+        )
+        assert out.loc[sym, "max_run"] == int(run_len.max())
+
+
+def test_interarrival_percentiles_match_numpy(spark, sf_dir):
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    ev = (
+        _tbl(spark, sf_dir, "events")
+        .select("event_type", "ts", "event_id")
+        .toPandas()
+        .sort_values(["event_type", "ts", "event_id"])
+    )
+    out = (
+        registry.QUERIES["q295_interarrival_percentiles"](spark, sf_dir)
+        .toPandas()
+        .set_index("event_type")
+    )
+    for et, g in ev.groupby("event_type"):
+        us = g["ts"].astype("int64").to_numpy() // 1000  # ns -> us
+        gaps = np.diff(us) / 1e6
+        assert out.loc[et, "n_gaps"] == len(gaps)
+        for p, col in [(50, "p50_s"), (95, "p95_s"), (99, "p99_s")]:
+            assert (
+                abs(
+                    out.loc[et, col]
+                    - np.percentile(gaps, p, method="linear")
+                )
+                < 1e-3
+            ), (et, col)
+        assert abs(out.loc[et, "max_s"] - gaps.max()) < 1e-3
+
+
+def test_p99_attribution_matches_numpy(spark, sf_dir):
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    ev = (
+        _tbl(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .toPandas()
+    )
+    p99 = np.percentile(ev["value"].to_numpy(), 99, method="linear")
+    tail = ev[ev["value"] > p99]
+    out = (
+        registry.QUERIES["q302_p99_attribution"](spark, sf_dir)
+        .toPandas()
+        .set_index("event_type")
+    )
+    assert set(out.index) == set(tail["event_type"].unique())
+    for et, g in tail.groupby("event_type"):
+        assert out.loc[et, "n_tail_events"] == len(g)
+        assert (
+            abs(out.loc[et, "tail_share"] - len(g) / len(tail)) < 1e-5
+        )
+        assert (
+            abs(out.loc[et, "avg_tail_value"] - g["value"].mean()) < 1e-3
+        )
