@@ -1467,3 +1467,176 @@ def test_p99_attribution_matches_numpy(spark, sf_dir):
         assert (
             abs(out.loc[et, "avg_tail_value"] - g["value"].mean()) < 1e-3
         )
+
+
+def test_purged_labels_match_pandas_roles(spark, sf_dir, candles_by_id):
+    from crypto_prediction_etl_spark.plans.indicators_q import (
+        _Q323_EMBARGO,
+        _Q323_HORIZON,
+        _Q323_TEST_HI,
+        _Q323_TEST_LO,
+    )
+
+    h, e = _Q323_HORIZON, _Q323_EMBARGO
+    out = (
+        registry.QUERIES["q323_purged_labels"](spark, sf_dir)
+        .orderBy("id", "dt")
+        .toPandas()
+    )
+    lo = pd.Timestamp(_Q323_TEST_LO).date()
+    hi = pd.Timestamp(_Q323_TEST_HI).date()
+    for sym, g0 in out.groupby("id"):
+        cb = candles_by_id[sym]
+        close = cb["close"].astype("float64").to_numpy()
+        dts = pd.to_datetime(cb["dt"]).dt.date.to_numpy()
+        n = len(close)
+        rn = np.arange(1, n + 1)
+        t_lo = rn[dts >= lo].min()
+        t_hi = rn[dts <= hi].max()
+        fwd = np.full(n, np.nan)
+        fwd[: n - h] = np.log(close[h:] / close[: n - h])
+        roles = np.where(
+            (rn >= t_lo) & (rn <= t_hi),
+            "test",
+            np.where(
+                (rn < t_lo) & (rn + h >= t_lo),
+                "purged",
+                np.where((rn > t_hi) & (rn <= t_hi + e), "embargo", "train"),
+            ),
+        )
+        assert len(g0) == n
+        assert list(g0["role"]) == list(roles)
+        got = g0[f"fwd_ret_{h}"].to_numpy()
+        assert np.allclose(got, fwd, atol=1e-5, equal_nan=True)
+
+
+def test_ngram_novelty_matches_python_sets(spark, sf_dir):
+    """The split assignment is the engine's portable hash (fetched
+    once); the shingling, train-set build and novelty arithmetic are
+    an independent python mirror."""
+    from crypto_prediction_etl_spark.functions.portable import hash64
+    from crypto_prediction_etl_spark.plans.text_q import (
+        _Q357_N,
+        _Q357_TRAIN_BUCKETS,
+    )
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    docs_sdf = _tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "text",
+        (hash64("doc_id") % 10 < _Q357_TRAIN_BUCKETS).alias("is_train"),
+    )
+    docs = docs_sdf.toPandas()
+    train: set = set()
+    test_rows = []
+    for _, drow in docs.iterrows():
+        toks = str(drow["text"]).lower().split(" ")
+        shs = {
+            " ".join(toks[i : i + _Q357_N])
+            for i in range(len(toks) - _Q357_N + 1)
+        }
+        if drow["is_train"]:
+            train |= shs
+        else:
+            test_rows.append((drow["lang"], shs))
+    from collections import defaultdict
+
+    tot: dict = defaultdict(int)
+    nov: dict = defaultdict(int)
+    for lang, shs in test_rows:
+        for s in shs:
+            tot[lang] += 1
+            if s not in train:
+                nov[lang] += 1
+    out = (
+        registry.QUERIES["q357_ngram_novelty"](spark, sf_dir)
+        .toPandas()
+        .set_index("lang")
+    )
+    assert set(out.index) == set(tot)
+    for lang in tot:
+        assert out.loc[lang, "test_ngrams"] == tot[lang]
+        assert out.loc[lang, "novel_ngrams"] == nov[lang]
+        assert (
+            abs(out.loc[lang, "novelty_rate"] - nov[lang] / tot[lang])
+            < 1e-5
+        )
+
+
+def test_keyness_matches_python_formula(spark, sf_dir):
+    from collections import Counter, defaultdict
+
+    from crypto_prediction_etl_spark.plans.text_q import (
+        _Q382_ALPHA0,
+        _Q382_MIN_COUNT,
+        _Q382_TOP,
+    )
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    docs = _tbl(spark, sf_dir, "documents").select("source", "text").toPandas()
+    c_w: Counter = Counter()
+    c_sw: dict = defaultdict(Counter)
+    n_s: Counter = Counter()
+    for src, t in zip(docs["source"], docs["text"]):
+        toks = str(t).lower().split(" ")
+        n_s[src] += len(toks)
+        for w in toks:
+            c_w[w] += 1
+            c_sw[src][w] += 1
+    n_tot = float(sum(c_w.values()))
+    out = registry.QUERIES["q382_log_odds_keyness"](spark, sf_dir).toPandas()
+    for src in n_s:
+        rows = []
+        for w, csw in c_sw[src].items():
+            cw = c_w[w]
+            if cw < _Q382_MIN_COUNT:
+                continue
+            a_w = _Q382_ALPHA0 * cw / n_tot
+            num = csw + a_w
+            den = n_s[src] + _Q382_ALPHA0 - csw - a_w
+            numr = cw - csw + a_w
+            denr = n_tot - n_s[src] + _Q382_ALPHA0 - (cw - csw) - a_w
+            delta = np.log(num / den) - np.log(numr / denr)
+            z = _prnd(delta / np.sqrt(1.0 / num + 1.0 / numr), 4)
+            rows.append((float(z), w, csw))
+        rows.sort(key=lambda r: (-r[0], r[1]))
+        top = rows[:_Q382_TOP]
+        sub = out[out["source"] == src].sort_values("rk")
+        assert len(sub) == len(top)
+        for (z, w, csw), (_, orow) in zip(top, sub.iterrows()):
+            assert orow["keyword"] == w, (src, w, orow["keyword"])
+            assert orow["count_in_source"] == csw
+            assert abs(orow["keyness_z"] - z) < 1e-6
+
+
+def test_rank_ic_matches_pandas(spark, sf_dir, candles_by_id):
+    frames = []
+    for sym, g in candles_by_id.items():
+        gg = g.copy()
+        gg["mon"] = pd.to_datetime(gg["dt"]).dt.strftime("%Y-%m")
+        gg = gg.sort_values("dt")
+        m = gg.groupby("mon").agg(
+            first=("close", "first"), last=("close", "last")
+        )
+        m["ret"] = m["last"] / m["first"] - 1.0
+        m["prev_ret"] = m["ret"].shift(1)
+        m["id"] = sym
+        frames.append(m.reset_index())
+    panel = pd.concat(frames).dropna(subset=["prev_ret"])
+    ics = []
+    for mon, g in panel.groupby("mon"):
+        if len(g) < 3:
+            continue
+        rx = g.sort_values(["prev_ret", "id"]).reset_index()
+        rx["rx"] = np.arange(1, len(g) + 1)
+        ry = g.sort_values(["ret", "id"]).reset_index()
+        ry["ry"] = np.arange(1, len(g) + 1)
+        j = rx.merge(ry[["id", "ry"]], on="id")
+        ics.append(float(np.corrcoef(j["rx"], j["ry"])[0, 1]))
+    ics = np.array(ics)
+    out = registry.QUERIES["q409_rank_ic"](spark, sf_dir).toPandas().iloc[0]
+    assert out["n_months"] == len(ics)
+    assert abs(out["mean_ic"] - ics.mean()) < 1e-3
+    assert abs(out["icir"] - ics.mean() / ics.std()) < 1e-3
+    assert abs(out["hit_rate"] - np.mean(ics > 0)) < 1e-5
