@@ -1640,3 +1640,83 @@ def test_rank_ic_matches_pandas(spark, sf_dir, candles_by_id):
     assert abs(out["mean_ic"] - ics.mean()) < 1e-3
     assert abs(out["icir"] - ics.mean() / ics.std()) < 1e-3
     assert abs(out["hit_rate"] - np.mean(ics > 0)) < 1e-5
+
+
+def test_l_diversity_matches_pandas_groupby(spark, sf_dir):
+    from crypto_prediction_etl_spark.plans.relational_ext import _Q291_L
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    c = (
+        _tbl(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_acctbal", "c_mktsegment")
+        .toPandas()
+    )
+    c["bal_bucket"] = np.floor(c["c_acctbal"] / 1000.0).astype("int64")
+    out = registry.QUERIES["q291_l_diversity"](spark, sf_dir).toPandas()
+    out = out.set_index(["nation", "bal_bucket"])
+    grouped = c.groupby(["c_nationkey", "bal_bucket"])
+    assert len(out) == grouped.ngroups
+    for (nat, bb), g in grouped:
+        row = out.loc[(nat, bb)]
+        vc = g["c_mktsegment"].value_counts()
+        assert row["class_size"] == len(g)
+        assert row["l_distinct"] == len(vc)
+        assert row["violates_l"] == int(len(vc) < _Q291_L)
+        assert (
+            abs(row["top_sensitive_share"] - vc.iloc[0] / len(g)) < 1e-6
+        )
+
+
+def test_contract_fill_rates_match_pandas(spark, sf_dir):
+    from crypto_prediction_etl_spark.plans.text_q import _Q293_MIN_CHARS
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    d = (
+        _tbl(spark, sf_dir, "documents")
+        .select("source", "text", "lang", "n_chars")
+        .toPandas()
+    )
+    out = (
+        registry.QUERIES["q293_contract_fill_rates"](spark, sf_dir)
+        .toPandas()
+        .set_index("source")
+    )
+    for src, g in d.groupby("source"):
+        empty = ((g["text"].isna()) | (g["text"] == "")).mean()
+        miss = ((g["lang"].isna()) | (g["lang"] == "")).mean()
+        thin = (g["n_chars"] < _Q293_MIN_CHARS).mean()
+        cons = (g["text"].fillna("").str.len() == g["n_chars"]).mean()
+        assert out.loc[src, "n_docs"] == len(g)
+        assert abs(out.loc[src, "empty_text_rate"] - empty) < 1e-6
+        assert abs(out.loc[src, "missing_lang_rate"] - miss) < 1e-6
+        assert abs(out.loc[src, "thin_doc_rate"] - thin) < 1e-6
+        assert abs(out.loc[src, "n_chars_consistency"] - cons) < 1e-6
+
+
+def test_mde_planner_matches_numpy(spark, sf_dir):
+    from crypto_prediction_etl_spark.plans.events_q import (
+        _Q327_N_PLAN,
+        _Q327_REL_EFFECT,
+        _Q327_Z_ALPHA,
+        _Q327_Z_BETA,
+    )
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    ev = _tbl(spark, sf_dir, "events").select("event_type", "value").toPandas()
+    out = (
+        registry.QUERIES["q327_mde_planner"](spark, sf_dir)
+        .toPandas()
+        .set_index("event_type")
+    )
+    z2 = _Q327_Z_ALPHA + _Q327_Z_BETA
+    for et, g in ev.groupby("event_type"):
+        v = g["value"].to_numpy()
+        mu, var = v.mean(), v.var()  # numpy var = population
+        mde = z2 * np.sqrt(2.0 * var / _Q327_N_PLAN)
+        delta = _Q327_REL_EFFECT * mu
+        n_arm = int(np.ceil(2.0 * var * z2 * z2 / (delta * delta)))
+        assert out.loc[et, "n_obs"] == len(v)
+        assert abs(out.loc[et, "mean_value"] - mu) < 1e-4
+        assert abs(out.loc[et, "var_value"] - var) < 1e-2
+        assert abs(out.loc[et, "mde_at_10k"] - mde) < 1e-4
+        assert abs(out.loc[et, "n_per_arm_1pct"] - n_arm) <= 1
