@@ -1720,3 +1720,140 @@ def test_mde_planner_matches_numpy(spark, sf_dir):
         assert abs(out.loc[et, "var_value"] - var) < 1e-2
         assert abs(out.loc[et, "mde_at_10k"] - mde) < 1e-4
         assert abs(out.loc[et, "n_per_arm_1pct"] - n_arm) <= 1
+
+
+def test_data_budget_matches_python(spark, sf_dir):
+    from crypto_prediction_etl_spark.plans.text_q import (
+        _Q392_BUDGET,
+        _Q392_MAX_EPOCHS,
+    )
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    docs = _tbl(spark, sf_dir, "documents").select("source", "text").toPandas()
+    docs["toks"] = docs["text"].map(lambda t: len(str(t).lower().split(" ")))
+    out = (
+        registry.QUERIES["q392_data_budget"](spark, sf_dir)
+        .toPandas()
+        .set_index("source")
+    )
+    total = float(docs["toks"].sum())
+    b = float(_Q392_BUDGET)
+    for src, g in docs.groupby("source"):
+        toks = int(g["toks"].sum())
+        share = toks / total
+        epochs = b * share / toks
+        usable = int(np.floor(min(b * share, _Q392_MAX_EPOCHS * toks)))
+        assert out.loc[src, "n_docs"] == len(g)
+        assert out.loc[src, "n_tokens"] == toks
+        assert abs(out.loc[src, "natural_share"] - share) < 1e-6
+        assert abs(out.loc[src, "epochs_at_natural"] - epochs) < 1e-3
+        assert out.loc[src, "over_repeated"] == int(
+            epochs > _Q392_MAX_EPOCHS
+        )
+        assert out.loc[src, "usable_tokens"] == usable
+
+
+def test_erasure_cost_matches_pandas(spark, sf_dir):
+    from crypto_prediction_etl_spark.plans.relational_ext import (
+        _Q404_SAMPLE_MOD,
+    )
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    o = (
+        _tbl(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderdate")
+        .toPandas()
+    )
+    o["part_month"] = pd.to_datetime(o["o_orderdate"]).dt.strftime("%Y-%m")
+    o["hit"] = (o["o_custkey"] % _Q404_SAMPLE_MOD == 0).astype(int)
+    out = (
+        registry.QUERIES["q404_erasure_cost"](spark, sf_dir)
+        .toPandas()
+        .set_index("part_month")
+    )
+    g = o.groupby("part_month").agg(
+        part_rows=("hit", "size"), hit_rows=("hit", "sum")
+    )
+    assert len(out) == len(g)
+    for mon, row in g.iterrows():
+        assert out.loc[mon, "part_rows"] == row["part_rows"]
+        assert out.loc[mon, "hit_rows"] == row["hit_rows"]
+        assert out.loc[mon, "must_rewrite"] == int(row["hit_rows"] > 0)
+        assert out.loc[mon, "rows_rewritten"] == (
+            row["part_rows"] if row["hit_rows"] > 0 else 0
+        )
+
+
+def test_slo_burn_rate_matches_pandas(spark, sf_dir):
+    from crypto_prediction_etl_spark.plans.events_q import (
+        _Q413_FAST,
+        _Q413_SLO,
+        _Q413_SLOW,
+    )
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    ev = _tbl(spark, sf_dir, "events").select("ts", "event_type").toPandas()
+    ev["h"] = ev["ts"].dt.floor("h")
+    hourly = ev.groupby("h").agg(
+        n=("event_type", "size"),
+        errs=("event_type", lambda s: (s == "error").sum()),
+    ).sort_index()
+    burn1 = hourly["errs"] / hourly["n"] / _Q413_SLO
+    burn6 = (
+        hourly["errs"].rolling(6, min_periods=1).sum()
+        / hourly["n"].rolling(6, min_periods=1).sum()
+        / _Q413_SLO
+    )
+    alert = (burn1 > _Q413_FAST) & (burn6 > _Q413_SLOW)
+    out = registry.QUERIES["q413_slo_burn_rate"](spark, sf_dir).toPandas().iloc[0]
+    assert out["n_hours"] == len(hourly)
+    assert abs(out["avg_burn_1h"] - burn1.mean()) < 1e-3
+    assert abs(out["max_burn_1h"] - burn1.max()) < 1e-3
+    assert abs(out["max_burn_6h"] - burn6.max()) < 1e-3
+    assert out["alert_hours"] == int(alert.sum())
+    assert out["fast_only_hours"] == int((burn1 > _Q413_FAST).sum())
+
+
+def test_mix_shift_matches_pandas(spark, sf_dir):
+    from crypto_prediction_etl_spark.plans.events_q import (
+        _Q419_ALERT,
+        _Q419_TYPES,
+    )
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    ev = _tbl(spark, sf_dir, "events").select("ts", "event_type").toPandas()
+    ev["d"] = ev["ts"].dt.date
+    daily = (
+        ev.pivot_table(
+            index="d", columns="event_type", values="ts", aggfunc="size"
+        )
+        .reindex(columns=list(_Q419_TYPES))
+        .fillna(0)
+        .sort_index()
+    )
+    c = daily.to_numpy(dtype=float)
+    js_days = []
+    for i in range(len(c)):
+        lo = max(0, i - 7)
+        b = c[lo:i].sum(axis=0)
+        if i == 0 or b.sum() <= 0:
+            continue
+        p = c[i] / c[i].sum()
+        q = b / b.sum()
+        m = (p + q) / 2.0
+        js = 0.5 * np.sum(
+            np.where(p > 0, p * np.log(p / np.where(m > 0, m, 1)), 0)
+        ) + 0.5 * np.sum(
+            np.where(q > 0, q * np.log(q / np.where(m > 0, m, 1)), 0)
+        )
+        js_days.append((daily.index[i], js))
+    js_v = np.array([j for _, j in js_days])
+    worst = max(
+        (d for d, j in js_days if abs(j - js_v.max()) < 1e-15),
+    )
+    out = registry.QUERIES["q419_mix_shift"](spark, sf_dir).toPandas().iloc[0]
+    assert out["n_days"] == len(js_days)
+    assert abs(out["avg_js"] - js_v.mean()) < 1e-5
+    assert abs(out["max_js"] - js_v.max()) < 1e-5
+    assert out["alert_days"] == int(np.sum(js_v > _Q419_ALERT))
+    assert pd.Timestamp(out["worst_day"]).date() == worst
