@@ -1857,3 +1857,126 @@ def test_mix_shift_matches_pandas(spark, sf_dir):
     assert abs(out["max_js"] - js_v.max()) < 1e-5
     assert out["alert_days"] == int(np.sum(js_v > _Q419_ALERT))
     assert pd.Timestamp(out["worst_day"]).date() == worst
+
+
+def test_map_functions_match_python_dicts(spark, sf_dir):
+    import re as _re
+    from collections import Counter
+
+    from crypto_prediction_etl_spark.plans.relational_ext import _Q311_PROBE
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text").toPandas()
+    out = (
+        registry.QUERIES["q311_map_functions"](spark, sf_dir)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    pat = _re.compile(r"[a-z0-9]+")
+    n_checked = 0
+    for doc_id, t in zip(docs["doc_id"], docs["text"]):
+        m = Counter(pat.findall(str(t).lower()))
+        if not m:
+            assert doc_id not in out.index
+            continue
+        n_checked += 1
+        row = out.loc[doc_id]
+        assert row["n_keys"] == len(m)
+        assert row["probe_count"] == m.get(_Q311_PROBE, 0)
+        assert row["max_count"] == max(m.values())
+        assert row["n_singletons"] == sum(1 for v in m.values() if v == 1)
+        assert row["weighted_len"] == sum(
+            c * len(k) for k, c in m.items()
+        )
+    assert n_checked == len(out)
+
+
+def test_asof_tolerance_matches_pandas_merge_asof(spark, sf_dir):
+    """The tagged-union carry-forward as-of operator vs pandas' OWN
+    merge_asof, plus the TTL staleness rule."""
+    from crypto_prediction_etl_spark.plans.events_q import _Q321_TTL_DAYS
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    ev = (
+        _tbl(spark, sf_dir, "events")
+        .select("event_id", "event_type", "ts", "value")
+        .toPandas()
+    )
+    ev["edt"] = pd.to_datetime(ev["ts"].dt.date)
+    right = (
+        ev.groupby(["event_type", "edt"])["value"]
+        .mean()
+        .rename("close")
+        .reset_index()
+        .sort_values("edt")
+    )
+    left = ev[ev["event_id"] % 11 == 0][
+        ["event_id", "event_type", "edt"]
+    ].sort_values("edt")
+    merged = pd.merge_asof(
+        left,
+        right.rename(columns={"edt": "cdt"}),
+        left_on="edt",
+        right_on="cdt",
+        by="event_type",
+        direction="backward",
+    )
+    out = (
+        registry.QUERIES["q321_asof_tolerance"](spark, sf_dir)
+        .toPandas()
+        .set_index("event_id")
+    )
+    assert len(out) == len(merged)
+    for _, r in merged.iterrows():
+        row = out.loc[r["event_id"]]
+        if pd.isna(r["cdt"]):
+            assert row["is_stale"] == 1 and pd.isna(row["fresh_close"])
+            continue
+        stale = (r["edt"] - r["cdt"]).days
+        assert row["staleness_days"] == stale
+        assert row["is_stale"] == int(stale > _Q321_TTL_DAYS)
+        if stale <= _Q321_TTL_DAYS:
+            assert abs(row["fresh_close"] - r["close"]) < 1e-3
+        else:
+            assert pd.isna(row["fresh_close"])
+
+
+def test_tokenizer_fertility_matches_python(spark, sf_dir):
+    from crypto_prediction_etl_spark.plans.text_q import (
+        _Q356_LONG,
+        _Q356_PIECE,
+    )
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    docs = (
+        _tbl(spark, sf_dir, "documents")
+        .select("lang", "n_chars", "text")
+        .toPandas()
+    )
+    out = (
+        registry.QUERIES["q356_tokenizer_fertility"](spark, sf_dir)
+        .toPandas()
+        .set_index("lang")
+    )
+    for lang, g in docs.groupby("lang"):
+        toks_all = [str(t).lower().split(" ") for t in g["text"]]
+        n_tok = sum(len(t) for t in toks_all)
+        pieces = sum(
+            int(np.ceil(len(w) / _Q356_PIECE)) for t in toks_all for w in t
+        )
+        long_t = sum(
+            1 for t in toks_all for w in t if len(w) >= _Q356_LONG
+        )
+        chars = int(g["n_chars"].sum())
+        assert out.loc[lang, "n_docs"] == len(g)
+        assert out.loc[lang, "tokens_total"] == n_tok
+        assert abs(out.loc[lang, "chars_per_token"] - chars / n_tok) < 1e-5
+        assert (
+            abs(out.loc[lang, "subword_fertility"] - pieces / n_tok) < 1e-5
+        )
+        assert (
+            abs(out.loc[lang, "long_token_frac"] - long_t / n_tok) < 1e-5
+        )
+        assert (
+            abs(out.loc[lang, "tokens_per_doc"] - n_tok / len(g)) < 1e-4
+        )
