@@ -1980,3 +1980,123 @@ def test_tokenizer_fertility_matches_python(spark, sf_dir):
         assert (
             abs(out.loc[lang, "tokens_per_doc"] - n_tok / len(g)) < 1e-4
         )
+
+
+def test_content_screen_matches_python_lexicon(spark, sf_dir):
+    from crypto_prediction_etl_spark.plans.text_q import (
+        _Q362_FLAG_AT,
+        _Q362_LEXICON,
+    )
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    lex = dict(_Q362_LEXICON)
+    docs = (
+        _tbl(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .toPandas()
+    )
+    out = (
+        registry.QUERIES["q362_content_screen"](spark, sf_dir)
+        .toPandas()
+        .set_index("source")
+    )
+    for src, g in docs.groupby("source"):
+        sevs = []
+        for t in g["text"]:
+            s = sum(lex.get(w, 0) for w in str(t).lower().split(" "))
+            sevs.append(s)
+        sevs = np.array(sevs)
+        flagged = int(np.sum(sevs >= _Q362_FLAG_AT))
+        assert out.loc[src, "docs_total"] == len(g)
+        assert out.loc[src, "docs_flagged"] == flagged
+        assert abs(out.loc[src, "flag_rate"] - flagged / len(g)) < 1e-6
+        assert abs(out.loc[src, "avg_severity"] - sevs.mean()) < 1e-5
+        assert out.loc[src, "max_severity"] == sevs.max()
+
+
+def test_rake_keyphrases_match_python(spark, sf_dir):
+    """Full RAKE mirror: runs between stopwords, deg/freq word
+    scores, phrase scores, per-source top-3 on the rounded score."""
+    from collections import defaultdict
+
+    from crypto_prediction_etl_spark.plans.text_q import (
+        _Q369_MAX_LEN,
+        _Q369_MIN_LEN,
+        _Q369_STOP,
+        _Q369_TOP,
+    )
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    import re as _re
+
+    stop = set(_Q369_STOP)
+    word_ok = _re.compile(r"^[a-z0-9]+$")
+    docs = (
+        _tbl(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .toPandas()
+    )
+    best: dict = defaultdict(dict)  # source -> phrase -> (plen, score)
+    for _, drow in docs.iterrows():
+        toks = str(drow["text"]).lower().split(" ")
+        runs, cur = [], []
+        for w in toks:
+            if w not in stop and word_ok.match(w):
+                cur.append(w)
+            elif cur:
+                runs.append(cur)
+                cur = []
+        if cur:
+            runs.append(cur)
+        freq: dict = defaultdict(int)
+        deg: dict = defaultdict(int)
+        for run in runs:
+            for w in run:
+                freq[w] += 1
+                deg[w] += len(run)
+        for run in runs:
+            if not (_Q369_MIN_LEN <= len(run) <= _Q369_MAX_LEN):
+                continue
+            phrase = " ".join(run)
+            score = sum(deg[w] / freq[w] for w in run)
+            plen, sc = best[drow["source"]].get(phrase, (0, -1.0))
+            best[drow["source"]][phrase] = (
+                max(plen, len(run)),
+                max(sc, score),
+            )
+    out = registry.QUERIES["q369_rake_keyphrases"](spark, sf_dir).toPandas()
+    for src, phrases in best.items():
+        rows = sorted(
+            (
+                (-float(_prnd(sc, 4)), ph, plen)
+                for ph, (plen, sc) in phrases.items()
+            )
+        )[:_Q369_TOP]
+        sub = out[out["source"] == src].sort_values("rk")
+        assert len(sub) == len(rows)
+        for (nz, ph, plen), (_, orow) in zip(rows, sub.iterrows()):
+            assert orow["phrase"] == ph, (src, ph, orow["phrase"])
+            assert orow["phrase_len"] == plen
+            assert abs(orow["rake_score"] - (-nz)) < 1e-6
+
+
+def test_fd_binwidth_matches_numpy(spark, sf_dir):
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    ev = _tbl(spark, sf_dir, "events").select("event_type", "value").toPandas()
+    out = (
+        registry.QUERIES["q377_fd_binwidth"](spark, sf_dir)
+        .toPandas()
+        .set_index("event_type")
+    )
+    for et, g in ev.groupby("event_type"):
+        v = g["value"].to_numpy()
+        iqr = np.percentile(v, 75, method="linear") - np.percentile(
+            v, 25, method="linear"
+        )
+        width = float(_prnd(2.0 * iqr / len(v) ** (1.0 / 3.0), 6))
+        n_bins = int(np.ceil((v.max() - v.min()) / width))
+        assert out.loc[et, "n_rows"] == len(v)
+        assert abs(out.loc[et, "iqr"] - iqr) < 1e-5
+        assert abs(out.loc[et, "fd_width"] - width) < 1e-9
+        assert out.loc[et, "n_bins"] == n_bins
