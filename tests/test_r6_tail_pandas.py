@@ -2100,3 +2100,130 @@ def test_fd_binwidth_matches_numpy(spark, sf_dir):
         assert abs(out.loc[et, "iqr"] - iqr) < 1e-5
         assert abs(out.loc[et, "fd_width"] - width) < 1e-9
         assert out.loc[et, "n_bins"] == n_bins
+
+
+def test_sax_motifs_match_python(spark, sf_dir, candles_by_id):
+    from collections import Counter
+
+    from crypto_prediction_etl_spark.plans.indicators_q import (
+        _Q374_BPS,
+        _Q374_PAA,
+    )
+
+    out = (
+        registry.QUERIES["q374_sax_motifs"](spark, sf_dir)
+        .toPandas()
+        .set_index("id")
+    )
+    b1, b2, b3 = _Q374_BPS
+    for sym, g in candles_by_id.items():
+        close = g["close"].astype("float64").to_numpy()
+        nseg = len(close) // _Q374_PAA
+        m = close[: nseg * _Q374_PAA].reshape(nseg, _Q374_PAA).mean(axis=1)
+        z = (m - m.mean()) / m.std()
+        s = np.where(z < b1, "a", np.where(z < b2, "b", np.where(z < b3, "c", "d")))
+        words = ["".join(s[i - 2 : i + 1]) for i in range(2, len(s))]
+        wc = Counter(words)
+        pr = np.array(list(wc.values()), dtype=float) / len(words)
+        ent = float(-np.sum(pr * np.log(pr)))
+        top_word = min(wc, key=lambda w: (-wc[w], w))
+        assert out.loc[sym, "n_words"] == len(words)
+        assert out.loc[sym, "distinct_words"] == len(wc)
+        assert out.loc[sym, "top_word"] == top_word
+        assert out.loc[sym, "top_count"] == wc[top_word]
+        assert abs(out.loc[sym, "word_entropy"] - ent) < 1e-5
+
+
+def test_texttiling_matches_python_blocks(spark, sf_dir):
+    from crypto_prediction_etl_spark.plans.text_q import (
+        _Q389_BLOCK,
+        _Q389_VALLEY,
+    )
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    docs = (
+        _tbl(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .toPandas()
+    )
+    per_source: dict = {}
+    for _, drow in docs.iterrows():
+        toks = str(drow["text"]).lower().split(" ")
+        blocks = [
+            set(toks[lo : lo + _Q389_BLOCK])
+            for lo in range(0, len(toks), _Q389_BLOCK)
+        ]
+        if len(blocks) < 2:
+            continue
+        jacs = []
+        for x, y in zip(blocks[:-1], blocks[1:]):
+            ix = len(x & y)
+            jacs.append(ix / (len(x) + len(y) - ix))
+        st = per_source.setdefault(
+            drow["source"], {"n": 0, "jac": [], "segs": [], "multi": 0}
+        )
+        st["n"] += 1
+        st["jac"].append(float(np.mean(jacs)))
+        nb = sum(1 for j in jacs if j < _Q389_VALLEY)
+        st["segs"].append(nb + 1)
+        st["multi"] += int(nb >= 1)
+    out = (
+        registry.QUERIES["q389_texttiling"](spark, sf_dir)
+        .toPandas()
+        .set_index("source")
+    )
+    for src, st in per_source.items():
+        assert out.loc[src, "docs_measured"] == st["n"]
+        assert (
+            abs(out.loc[src, "avg_block_jaccard"] - np.mean(st["jac"]))
+            < 1e-5
+        )
+        assert (
+            abs(out.loc[src, "avg_segments"] - np.mean(st["segs"])) < 1e-5
+        )
+        assert (
+            abs(out.loc[src, "multi_topic_share"] - st["multi"] / st["n"])
+            < 1e-6
+        )
+
+
+def test_user_features_match_pandas(spark, sf_dir):
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    ev = (
+        _tbl(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_type", "value")
+        .toPandas()
+    )
+    ev["d"] = ev["ts"].dt.date
+    amax = ev["d"].max()
+    out = (
+        registry.QUERIES["q290_user_features"](spark, sf_dir)
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(out) == ev["user_id"].nunique()
+    sample = list(ev["user_id"].unique())[:200]
+    for uid in sample:
+        g = ev[ev["user_id"] == uid]
+        purch = g[g["event_type"] == "purchase"]
+        row = out.loc[uid]
+        assert row["n_events"] == len(g)
+        assert row["n_active_days"] == g["d"].nunique()
+        assert row["n_purchases"] == len(purch)
+        assert abs(row["spend"] - purch["value"].sum()) < 1e-3
+        assert row["recency_days"] == (amax - g["d"].max()).days
+        assert (
+            abs(row["pm_share"] - (g["ts"].dt.hour >= 12).mean()) < 1e-6
+        )
+        assert row["n_types"] == g["event_type"].nunique()
+        assert (
+            abs(row["purchase_rate"] - len(purch) / len(g)) < 1e-6
+        )
+        assert (
+            abs(
+                row["events_per_active_day"]
+                - len(g) / g["d"].nunique()
+            )
+            < 1e-3
+        )
