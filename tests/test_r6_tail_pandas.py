@@ -2227,3 +2227,148 @@ def test_user_features_match_pandas(spark, sf_dir):
             )
             < 1e-3
         )
+
+
+def test_chi_square_matches_numpy(spark, sf_dir):
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    o = (
+        _tbl(spark, sf_dir, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .toPandas()
+    )
+    ct = pd.crosstab(o["o_orderstatus"], o["o_orderpriority"]).to_numpy(
+        dtype=float
+    )
+    n = ct.sum()
+    exp = np.outer(ct.sum(axis=1), ct.sum(axis=0)) / n
+    chi2 = float(np.sum((ct - exp) ** 2 / exp))
+    r, c = ct.shape
+    v = np.sqrt(chi2 / (n * min(r - 1, c - 1)))
+    out = registry.QUERIES["q341_chi_square"](spark, sf_dir).toPandas().iloc[0]
+    assert out["n_orders"] == n
+    assert out["dof"] == (r - 1) * (c - 1)
+    assert abs(out["chi2"] - chi2) < 1e-4
+    assert abs(out["cramers_v"] - v) < 1e-6
+
+
+def test_holm_correction_matches_python_stepdown(spark, sf_dir, candles_by_id):
+    from crypto_prediction_etl_spark.plans.indicators_q import _Q310_CRITS
+
+    # recompute each symbol's runs-test z (the q308 mirror, verified
+    # separately), then apply Holm step-down in python
+    zs = {}
+    for sym, g in candles_by_id.items():
+        close = g["close"].astype("float64").to_numpy()
+        d = np.diff(close)
+        signs = np.where(d > 0, 1, np.where(d < 0, 0, -1))
+        signs = signs[signs >= 0]
+        n = len(signs)
+        runs = 1 + int(np.sum(signs[1:] != signs[:-1]))
+        n_up = int(signs.sum())
+        n_dn = n - n_up
+        exp_runs = 2.0 * n_up * n_dn / n + 1.0
+        var = (
+            2.0 * n_up * n_dn * (2.0 * n_up * n_dn - n)
+            / (n * n * (n - 1.0))
+        )
+        zs[sym] = (runs - exp_runs) / np.sqrt(var)
+    order = sorted(zs, key=lambda s: (-abs(zs[s]), s))
+    out = (
+        registry.QUERIES["q310_holm_correction"](spark, sf_dir)
+        .toPandas()
+        .set_index("id")
+    )
+    alive = True
+    for k, sym in enumerate(order, start=1):
+        passes = abs(zs[sym]) > _Q310_CRITS[k - 1]
+        alive = alive and passes
+        row = out.loc[sym]
+        assert row["holm_rank"] == k
+        assert abs(row["z_score"] - zs[sym]) < 1e-3
+        assert row["z_crit"] == _Q310_CRITS[k - 1]
+        assert row["significant"] == int(alive)
+        assert row["bonferroni_significant"] == int(
+            abs(zs[sym]) > _Q310_CRITS[0]
+        )
+
+
+def test_hawkes_intensity_matches_python_recursion(spark, sf_dir):
+    import math
+
+    from crypto_prediction_etl_spark.operators.timeseries import (
+        HAWKES_ALPHA,
+        HAWKES_MU,
+        HAWKES_TAU_S,
+    )
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    ev = (
+        _tbl(spark, sf_dir, "events")
+        .select("event_type", "event_id", "ts")
+        .toPandas()
+        .sort_values(["event_type", "ts", "event_id"])
+    )
+    out = (
+        registry.QUERIES["q332_hawkes_intensity"](spark, sf_dir)
+        .toPandas()
+        .set_index(["event_type", "event_id"])
+    )
+    for et, g in ev.groupby("event_type"):
+        us = g["ts"].astype("int64").to_numpy() // 1000
+        ids = g["event_id"].to_numpy()
+        a = 0.0
+        for k in range(len(us)):
+            if k > 0:
+                dt_s = (int(us[k]) - int(us[k - 1])) / 1e6
+                a = math.exp(-dt_s / HAWKES_TAU_S) * (a + 1.0)
+            lam = HAWKES_MU + HAWKES_ALPHA / HAWKES_TAU_S * a
+            row = out.loc[(et, ids[k])]
+            assert row["rn"] == k + 1
+            assert abs(row["decayed_count"] - a) < 1e-4
+            assert abs(row["intensity"] - lam) < 1e-6
+
+
+def test_momentum_backtest_matches_pandas(spark, sf_dir, candles_by_id):
+    from crypto_prediction_etl_spark.plans.indicators_q import (
+        _Q300_LOOKBACK,
+        _Q300_TOP,
+    )
+
+    rows = []
+    for sym, g in candles_by_id.items():
+        gg = g.copy().sort_values("dt")
+        gg["mon"] = pd.to_datetime(gg["dt"]).dt.strftime("%Y-%m")
+        # Spark's lag is ROW-based over the symbol's own month rows —
+        # no union-calendar reindexing
+        c = gg.groupby("mon")["close"].last().sort_index()
+        ret = c / c.shift(1) - 1.0
+        signal = c.shift(1) / c.shift(_Q300_LOOKBACK + 1) - 1.0
+        for mon in c.index:
+            if pd.notna(ret[mon]) and pd.notna(signal[mon]):
+                rows.append((mon, sym, ret[mon], signal[mon]))
+    sel = pd.DataFrame(rows, columns=["mon", "id", "ret", "signal"])
+    monthly = []
+    for mon, g in sel.groupby("mon"):
+        if len(g) < _Q300_TOP:
+            continue
+        g = g.sort_values(["signal", "id"], ascending=[False, True])
+        strat = _prnd(g["ret"].iloc[:_Q300_TOP].mean(), 6)
+        bench = _prnd(g["ret"].mean(), 6)
+        monthly.append((mon, float(strat), float(bench)))
+    monthly.sort()
+    out = (
+        registry.QUERIES["q300_momentum_backtest"](spark, sf_dir)
+        .orderBy("mon")
+        .toPandas()
+    )
+    assert len(out) == len(monthly)
+    se = be = 0.0
+    for (mon, s, b), (_, orow) in zip(monthly, out.iterrows()):
+        se += np.log1p(s)
+        be += np.log1p(b)
+        assert orow["mon"] == mon
+        assert abs(orow["strat_ret"] - s) < 1e-6
+        assert abs(orow["bench_ret"] - b) < 1e-6
+        assert abs(orow["strat_log_equity"] - se) < 1e-5
+        assert abs(orow["bench_log_equity"] - be) < 1e-5
