@@ -2372,3 +2372,104 @@ def test_momentum_backtest_matches_pandas(spark, sf_dir, candles_by_id):
         assert abs(orow["bench_ret"] - b) < 1e-6
         assert abs(orow["strat_log_equity"] - se) < 1e-5
         assert abs(orow["bench_log_equity"] - be) < 1e-5
+
+
+def test_matryoshka_audit_matches_numpy(spark, sf_dir):
+    from crypto_prediction_etl_spark.plans.similarity_q import (
+        _Q358_DIMS,
+        _Q358_FULL,
+        _vecs,
+    )
+
+    pdf = _vecs(spark, sf_dir).toPandas().sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["v"].to_numpy())
+    idx = {int(i): k for k, i in enumerate(ids)}
+    pairs = [
+        (idx[i], idx[i + 1]) for i in ids if int(i + 1) in idx
+    ]
+    out = (
+        registry.QUERIES["q358_matryoshka_audit"](spark, sf_dir)
+        .toPandas()
+        .set_index("dim")
+    )
+
+    def cos(a, b, d):
+        x, y = a[:d], b[:d]
+        return float(
+            np.dot(x, y) / (np.linalg.norm(x) * np.linalg.norm(y))
+        )
+
+    for d in _Q358_DIMS:
+        cd = np.array([cos(mat[i], mat[j], d) for i, j in pairs])
+        cf = np.array(
+            [cos(mat[i], mat[j], _Q358_FULL) for i, j in pairs]
+        )
+        assert out.loc[d, "n_pairs"] == len(pairs)
+        assert abs(out.loc[d, "mean_cos"] - cd.mean()) < 1e-5
+        assert (
+            abs(out.loc[d, "mean_abs_err"] - np.abs(cd - cf).mean())
+            < 1e-5
+        )
+        assert (
+            abs(out.loc[d, "max_abs_err"] - np.abs(cd - cf).max()) < 1e-5
+        )
+
+
+def test_similarity_alignment_matches_numpy(spark, sf_dir):
+    from crypto_prediction_etl_spark.plans.text_q import (
+        _Q398_LEX_HI,
+        _Q398_SAMPLE,
+    )
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    docs = (
+        _tbl(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    docs = docs[docs["doc_id"] % _Q398_SAMPLE == 0]
+    emb = (
+        _tbl(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .toPandas()
+        .set_index("vec_id")
+    )
+    toks = {
+        int(r["doc_id"]): set(str(r["text"]).lower().split(" "))
+        for _, r in docs.iterrows()
+    }
+    ids = sorted(toks)
+    jacs, coss = [], []
+    for i, ia in enumerate(ids):
+        for ib in ids[i + 1 :]:
+            ix = len(toks[ia] & toks[ib])
+            if ix == 0:
+                continue
+            jac = ix / (len(toks[ia]) + len(toks[ib]) - ix)
+            va = np.asarray(emb.loc[ia, "embedding"], dtype="float64")
+            vb = np.asarray(emb.loc[ib, "embedding"], dtype="float64")
+            cosv = float(
+                np.dot(va, vb)
+                / (np.linalg.norm(va) * np.linalg.norm(vb))
+            )
+            jacs.append(jac)
+            coss.append(cosv)
+    jacs, coss = np.array(jacs), np.array(coss)
+    out = (
+        registry.QUERIES["q398_similarity_alignment"](spark, sf_dir)
+        .toPandas()
+        .iloc[0]
+    )
+    assert out["n_pairs"] == len(jacs)
+    assert abs(out["mean_jaccard"] - jacs.mean()) < 1e-5
+    assert abs(out["mean_cosine"] - coss.mean()) < 1e-5
+    assert (
+        abs(out["alignment_corr"] - np.corrcoef(jacs, coss)[0, 1]) < 1e-4
+    )
+    hi = coss[jacs >= _Q398_LEX_HI]
+    lo = coss[jacs < _Q398_LEX_HI]
+    if len(hi):
+        assert abs(out["cos_lex_high"] - hi.mean()) < 1e-5
+    if len(lo):
+        assert abs(out["cos_lex_low"] - lo.mean()) < 1e-5
