@@ -2473,3 +2473,89 @@ def test_similarity_alignment_matches_numpy(spark, sf_dir):
         assert abs(out["cos_lex_high"] - hi.mean()) < 1e-5
     if len(lo):
         assert abs(out["cos_lex_low"] - lo.mean()) < 1e-5
+
+
+def test_dataset_card_matches_python_composite(spark, sf_dir):
+    """End-to-end python mirror of the q363 card: hashlib md5
+    keep-first dedup, the q42 quarter-score quality fence, the q362
+    lexicon screen, and the per-source rollup — the card's published
+    numbers reconcile against an independent composition of the same
+    stages."""
+    import hashlib
+    import re as _re
+
+    from crypto_prediction_etl_spark.operators.text import LANG_MARKERS
+    from crypto_prediction_etl_spark.plans.textprep_q import (
+        _Q363_FLAG_AT,
+        _Q363_LEXICON,
+    )
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    lex = dict(_Q363_LEXICON)
+    en = set(LANG_MARKERS["en"])
+    word_re = _re.compile(r"[a-z0-9]+")
+    docs = (
+        _tbl(spark, sf_dir, "documents")
+        .select("doc_id", "source", "lang", "text")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    seen_fp: set = set()
+    rows = []
+    for _, r in docs.iterrows():
+        text = str(r["text"])
+        low = text.lower()
+        toks = low.split(" ")
+        fp = hashlib.md5(low.encode("utf-8")).hexdigest()
+        kept = fp not in seen_fp
+        seen_fp.add(fp)
+        n_chars = len(text)
+        n_tokens = len(toks)
+        n_alpha = sum(1 for ch in text if ch.isascii() and ch.isalpha())
+        n_spaces = text.count(" ")
+        stop_hits = sum(1 for t in toks if t in en)
+        alpha_ratio = n_alpha / n_chars
+        avg_tok = (n_chars - n_spaces) / n_tokens
+        stop_ratio = stop_hits / n_tokens
+        q = (
+            (0.25 if 20 <= n_tokens <= 2000 else 0.0)
+            + (0.25 if stop_ratio >= 0.01 else 0.0)
+            + (0.25 if alpha_ratio >= 0.6 else 0.0)
+            + (0.25 if 2.0 <= avg_tok <= 12.0 else 0.0)
+        )
+        sev = sum(lex.get(t, 0) for t in toks)
+        flagged = sev >= _Q363_FLAG_AT
+        final = kept and q >= 0.5 and not flagged
+        rows.append(
+            (r["source"], r["lang"], n_tokens, kept, flagged, final)
+        )
+    pdf = pd.DataFrame(
+        rows,
+        columns=["source", "lang", "n_tokens", "kept", "flagged", "final"],
+    )
+    out = (
+        registry.QUERIES["q363_dataset_card"](spark, sf_dir)
+        .toPandas()
+        .set_index("source")
+    )
+    for src, g in pdf.groupby("source"):
+        assert out.loc[src, "docs_total"] == len(g)
+        assert out.loc[src, "tokens_total"] == g["n_tokens"].sum()
+        assert out.loc[src, "docs_after_dedup"] == int(g["kept"].sum())
+        assert out.loc[src, "docs_final"] == int(g["final"].sum())
+        assert (
+            out.loc[src, "tokens_final"]
+            == int(g.loc[g["final"], "n_tokens"].sum())
+        )
+        assert (
+            abs(out.loc[src, "flag_rate"] - g["flagged"].mean()) < 1e-6
+        )
+        assert (
+            abs(
+                out.loc[src, "en_share"] - (g["lang"] == "en").mean()
+            )
+            < 1e-6
+        )
+        assert (
+            abs(out.loc[src, "keep_rate"] - g["final"].mean()) < 1e-6
+        )
