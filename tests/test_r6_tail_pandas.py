@@ -2559,3 +2559,102 @@ def test_dataset_card_matches_python_composite(spark, sf_dir):
         assert (
             abs(out.loc[src, "keep_rate"] - g["final"].mean()) < 1e-6
         )
+
+
+def _py_quality_score(text: str) -> float:
+    from crypto_prediction_etl_spark.operators.text import LANG_MARKERS
+
+    en = set(LANG_MARKERS["en"])
+    toks = text.lower().split(" ")
+    n_chars = len(text)
+    n_tokens = len(toks)
+    n_alpha = sum(1 for ch in text if ch.isascii() and ch.isalpha())
+    n_spaces = text.count(" ")
+    stop_ratio = sum(1 for t in toks if t in en) / n_tokens
+    alpha_ratio = n_alpha / n_chars
+    avg_tok = (n_chars - n_spaces) / n_tokens
+    return (
+        (0.25 if 20 <= n_tokens <= 2000 else 0.0)
+        + (0.25 if stop_ratio >= 0.01 else 0.0)
+        + (0.25 if alpha_ratio >= 0.6 else 0.0)
+        + (0.25 if 2.0 <= avg_tok <= 12.0 else 0.0)
+    )
+
+
+def test_filter_bias_matches_python_fence(spark, sf_dir):
+    from crypto_prediction_etl_spark.plans.text_q import (
+        _Q390_KEEP_AT,
+        _Q390_PARITY,
+        _Q390_Z,
+    )
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    docs = _tbl(spark, sf_dir, "documents").select("lang", "text").toPandas()
+    docs["keep"] = [
+        int(_py_quality_score(str(t)) >= _Q390_KEEP_AT)
+        for t in docs["text"]
+    ]
+    per = docs.groupby("lang")["keep"].agg(["size", "sum"])
+    per["p"] = per["sum"] / per["size"]
+    pmax = per["p"].max()
+    out = (
+        registry.QUERIES["q390_filter_bias"](spark, sf_dir)
+        .toPandas()
+        .set_index("lang")
+    )
+    for lang, r in per.iterrows():
+        row = out.loc[lang]
+        assert row["n_docs"] == r["size"]
+        assert row["n_kept"] == r["sum"]
+        assert abs(row["keep_rate"] - r["p"]) < 1e-6
+        ci = _Q390_Z * np.sqrt(r["p"] * (1 - r["p"]) / r["size"])
+        assert abs(row["ci_halfwidth"] - ci) < 1e-6
+        assert abs(row["disparity_ratio"] - r["p"] / pmax) < 1e-6
+        assert row["four_fifths_flag"] == int(r["p"] / pmax < _Q390_PARITY)
+
+
+def test_uncertainty_sampling_matches_python_margin(spark, sf_dir):
+    from crypto_prediction_etl_spark.operators.text import (
+        LANG_MARKERS,
+        LANG_PRIORITY,
+    )
+    from crypto_prediction_etl_spark.plans.text_q import _Q412_TOP
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    marker_sets = {lang: set(LANG_MARKERS[lang]) for lang in LANG_PRIORITY}
+    docs = (
+        _tbl(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .toPandas()
+    )
+    rows = []
+    for _, r in docs.iterrows():
+        toks = str(r["text"]).lower().split(" ")
+        scores = sorted(
+            (
+                sum(1 for t in toks if t in marker_sets[lang])
+                for lang in LANG_PRIORITY
+            ),
+            reverse=True,
+        )
+        rows.append(
+            (
+                scores[0] - scores[1],
+                scores[0],
+                int(r["doc_id"]),
+                r["source"],
+            )
+        )
+    rows.sort()
+    top = rows[:_Q412_TOP]
+    out = (
+        registry.QUERIES["q412_uncertainty_sampling"](spark, sf_dir)
+        .orderBy("rk")
+        .toPandas()
+    )
+    assert len(out) == len(top)
+    for (marg, ts, did, src), (_, orow) in zip(top, out.iterrows()):
+        assert orow["doc_id"] == did
+        assert orow["source"] == src
+        assert orow["top_score"] == ts
+        assert orow["margin"] == marg
