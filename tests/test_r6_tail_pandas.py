@@ -2658,3 +2658,59 @@ def test_uncertainty_sampling_matches_python_margin(spark, sf_dir):
         assert orow["source"] == src
         assert orow["top_score"] == ts
         assert orow["margin"] == marg
+
+
+def test_point_in_time_features_match_pandas(spark, sf_dir):
+    """Both as-of features and the strict-prior user count vs pandas
+    merge_asof + cumcount over the same deterministic order."""
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    ev = (
+        _tbl(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "ts", "value")
+        .toPandas()
+    )
+    ev["edt"] = pd.to_datetime(ev["ts"].dt.date)
+    c = (
+        ev.groupby(["event_type", "edt"])["value"]
+        .mean()
+        .rename("close")
+        .reset_index()
+        .sort_values(["event_type", "edt"])
+    )
+    c["roll5"] = (
+        c.groupby("event_type")["close"]
+        .rolling(5, min_periods=1)
+        .mean()
+        .reset_index(level=0, drop=True)
+    )
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    ev["user_prior_events"] = ev.groupby("user_id").cumcount()
+    left = ev[ev["event_id"] % 7 == 0][
+        ["event_id", "user_id", "event_type", "edt", "user_prior_events"]
+    ].sort_values("edt")
+    m1 = pd.merge_asof(
+        left,
+        c.rename(columns={"edt": "cdt"}).sort_values("cdt")[
+            ["event_type", "cdt", "close", "roll5"]
+        ],
+        left_on="edt",
+        right_on="cdt",
+        by="event_type",
+        direction="backward",
+    )
+    out = (
+        registry.QUERIES["q322_point_in_time_features"](spark, sf_dir)
+        .toPandas()
+        .set_index("event_id")
+    )
+    assert len(out) == len(m1)
+    for _, r in m1.iterrows():
+        row = out.loc[r["event_id"]]
+        assert row["user_prior_events"] == r["user_prior_events"]
+        if pd.isna(r["cdt"]):
+            assert pd.isna(row["asof_close"]) and pd.isna(row["asof_roll5"])
+        else:
+            assert pd.Timestamp(row["asof_dt"]) == r["cdt"]
+            assert abs(row["asof_close"] - r["close"]) < 1e-3
+            assert abs(row["asof_roll5"] - r["roll5"]) < 1e-3
