@@ -57,6 +57,19 @@ PANEL3 = [
     "q399_self_retrieval",
 ]
 
+# Fourth panel (round 6): the globalrank-routed record-grain family —
+# one representative per operator mode (derived ntile over all events,
+# sweep cum_sum + rank-join lead, vocabulary rank, distributed lag) so
+# the two-pass prefix-scan machinery carries its own regression
+# anchors (quiet host, sf0.1, local[32], r6 first recording: q333
+# ~1.1s, q280 ~2.6s, q264 ~1.0s, q255 ~2.1s).
+PANEL4 = [
+    "q333_woe_iv_binning",
+    "q280_interval_coverage",
+    "q264_zipf_fit",
+    "q255_encoding_advisor",
+]
+
 HEADLINE = [
     "q01_pricing_summary",
     "q02_filtered_revenue",
@@ -129,6 +142,7 @@ def main() -> None:
     timings = run_panel(HEADLINE)
     panel2 = run_panel(PANEL2)
     panel3 = run_panel(PANEL3)
+    panel4 = run_panel(PANEL4)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -142,6 +156,8 @@ def main() -> None:
                 "panel2": panel2,
                 "panel3_total": round(sum(panel3.values()), 3),
                 "panel3": panel3,
+                "panel4_total": round(sum(panel4.values()), 3),
+                "panel4": panel4,
                 "passes": 2,
                 "sf": sf,
             }
