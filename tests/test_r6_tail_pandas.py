@@ -2714,3 +2714,72 @@ def test_point_in_time_features_match_pandas(spark, sf_dir):
             assert pd.Timestamp(row["asof_dt"]) == r["cdt"]
             assert abs(row["asof_close"] - r["close"]) < 1e-3
             assert abs(row["asof_roll5"] - r["roll5"]) < 1e-3
+
+
+def test_bloom_sizing_matches_numpy_formula(spark, sf_dir):
+    from crypto_prediction_etl_spark.plans.relational_ext import (
+        _Q371_LN2,
+        _Q371_LN2_SQ,
+        _Q371_LN_INV_P,
+    )
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    li = (
+        _tbl(spark, sf_dir, "lineitem")
+        .select("l_shipdate", "l_partkey")
+        .toPandas()
+    )
+    li["ship_month"] = pd.to_datetime(li["l_shipdate"]).dt.strftime("%Y-%m")
+    out = (
+        registry.QUERIES["q371_bloom_sizing"](spark, sf_dir)
+        .toPandas()
+        .set_index("ship_month")
+    )
+    g = li.groupby("ship_month").agg(
+        n_rows=("l_partkey", "size"), ndv=("l_partkey", "nunique")
+    )
+    assert len(out) == len(g)
+    for mon, r in g.iterrows():
+        m = float(np.ceil(r["ndv"] * _Q371_LN_INV_P / _Q371_LN2_SQ))
+        k = max(1, int(np.floor(m / r["ndv"] * _Q371_LN2 + 0.5)))
+        row = out.loc[mon]
+        assert row["n_rows"] == r["n_rows"]
+        assert row["ndv"] == r["ndv"]
+        assert row["bloom_bits"] == int(m)
+        assert row["n_hashes"] == k
+        assert row["kib"] == int(np.ceil(m / 8192.0))
+
+
+def test_dead_letter_audit_recovers_injected_taxonomy(spark, sf_dir):
+    """The parse-path classification must recover the deterministic
+    corruption rule exactly: event_id % 13 -> truncated / bad_type /
+    missing_field / ok."""
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    ev = (
+        _tbl(spark, sf_dir, "events")
+        .select("event_type", "event_id")
+        .toPandas()
+    )
+    mod = ev["event_id"] % 13
+    ev["category"] = np.select(
+        [mod == 0, mod == 1, mod == 2],
+        ["truncated", "bad_type", "missing_field"],
+        default="ok",
+    )
+    exp = (
+        ev.groupby(["event_type", "category"])
+        .size()
+        .rename("n")
+        .reset_index()
+    )
+    out = registry.QUERIES["q396_dead_letter_audit"](spark, sf_dir).toPandas()
+    assert len(out) == len(exp)
+    m = out.set_index(["event_type", "category"])
+    tot = exp.groupby("event_type")["n"].sum()
+    for _, r in exp.iterrows():
+        row = m.loc[(r["event_type"], r["category"])]
+        assert row["n"] == r["n"]
+        assert (
+            abs(row["share"] - r["n"] / tot[r["event_type"]]) < 1e-6
+        )
