@@ -2783,3 +2783,107 @@ def test_dead_letter_audit_recovers_injected_taxonomy(spark, sf_dir):
         assert (
             abs(row["share"] - r["n"] / tot[r["event_type"]]) < 1e-6
         )
+
+
+def test_holt_winters_matches_independent_loop(spark, sf_dir, candles_by_id):
+    """Re-derives the HW trajectory with an independently-coded loop
+    (different state layout from the operator kernel) — pins the
+    init convention (level = mean of first m closes, trend 0,
+    seasonals = first-m deviations) and the emit-from-m+1 rule."""
+    from crypto_prediction_etl_spark.operators.indicators import (
+        HW_ALPHA,
+        HW_BETA,
+        HW_GAMMA,
+        HW_PERIOD,
+    )
+
+    out = (
+        registry.QUERIES["q299_holt_winters"](spark, sf_dir)
+        .orderBy("id", "dt")
+        .toPandas()
+    )
+    assert len(out) > 0
+    m = HW_PERIOD
+    for sym, g in out.groupby("id"):
+        x = candles_by_id[sym]["close"].astype("float64").to_numpy()
+        lvl = float(np.mean(x[:m]))
+        tr = 0.0
+        season = list(x[:m] - lvl)
+        recs = []
+        for t in range(m, len(x)):
+            s_prev = season.pop(0)
+            fc = lvl + tr + s_prev
+            new_l = HW_ALPHA * (x[t] - s_prev) + (1 - HW_ALPHA) * (lvl + tr)
+            tr = HW_BETA * (new_l - lvl) + (1 - HW_BETA) * tr
+            s_new = HW_GAMMA * (x[t] - new_l) + (1 - HW_GAMMA) * s_prev
+            lvl = new_l
+            season.append(s_new)
+            recs.append((lvl, tr, s_new, fc))
+        assert len(g) == len(recs)
+        for (lvl_e, tr_e, s_e, fc_e), (_, orow) in zip(recs, g.iterrows()):
+            assert abs(orow["hw_level"] - lvl_e) < 1e-3
+            assert abs(orow["hw_trend"] - tr_e) < 1e-3
+            assert abs(orow["hw_season"] - s_e) < 1e-3
+            assert abs(orow["hw_forecast"] - fc_e) < 1e-3
+
+
+def test_garch_matches_independent_loop(spark, sf_dir, candles_by_id):
+    from crypto_prediction_etl_spark.operators.indicators import (
+        GARCH_ALPHA,
+        GARCH_BETA,
+    )
+
+    out = (
+        registry.QUERIES["q312_garch_filter"](spark, sf_dir)
+        .orderBy("id", "dt")
+        .toPandas()
+    )
+    a, b = GARCH_ALPHA, GARCH_BETA
+    for sym, g in out.groupby("id"):
+        close = candles_by_id[sym]["close"].astype("float64").to_numpy()
+        r = np.log(close[1:] / close[:-1])
+        vbar = float(_prnd(np.mean(r * r), 10))
+        v = vbar
+        vols = [np.sqrt(v * 365.0)]
+        for k in range(1, len(r)):
+            v = (1 - a - b) * vbar + a * r[k - 1] ** 2 + b * v
+            vols.append(np.sqrt(v * 365.0))
+        assert len(g) == len(vols)
+        assert np.allclose(
+            g["garch_vol_annual"].to_numpy(), vols, atol=1e-4
+        )
+        assert np.allclose(
+            g["ret"].to_numpy(), _prnd(r, 6), atol=1e-9
+        )
+
+
+def test_watermark_sweep_matches_numpy_running_max(spark, sf_dir):
+    """The globalrank cum_max arrival-order high-water mark vs
+    np.maximum.accumulate over the same event_id order."""
+    from crypto_prediction_etl_spark.plans.events_q import (
+        _Q360_WATERMARKS_S,
+    )
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    ev = (
+        _tbl(spark, sf_dir, "events")
+        .select("event_id", "ts")
+        .toPandas()
+        .sort_values("event_id")
+    )
+    us = ev["ts"].astype("int64").to_numpy() // 1000
+    hw = np.maximum.accumulate(us)
+    late = hw - us
+    out = (
+        registry.QUERIES["q360_watermark_sweep"](spark, sf_dir)
+        .toPandas()
+        .set_index("watermark_s")
+    )
+    for w in _Q360_WATERMARKS_S:
+        row = out.loc[w]
+        dropped = int(np.sum(late > w * 1_000_000))
+        assert row["n_events"] == len(us)
+        assert row["n_late"] == int(np.sum(late > 0))
+        assert row["n_dropped"] == dropped
+        assert abs(row["drop_rate"] - dropped / len(us)) < 1e-6
+        assert row["max_late_us"] == int(late.max())
