@@ -2887,3 +2887,116 @@ def test_watermark_sweep_matches_numpy_running_max(spark, sf_dir):
         assert row["n_dropped"] == dropped
         assert abs(row["drop_rate"] - dropped / len(us)) < 1e-6
         assert row["max_late_us"] == int(late.max())
+
+
+def _py_ntile(n: int, k: int) -> np.ndarray:
+    """Catalyst's NTile distribution for ranks 1..n (1-based)."""
+    bs, pad = divmod(n, k)
+    big = bs + 1
+    thr = pad * big
+    r = np.arange(1, n + 1)
+    return np.where(
+        r <= thr,
+        (r + bs) // big,
+        pad + (np.maximum(r - thr, 0) + max(bs, 1) - 1) // max(bs, 1),
+    ).astype(int)
+
+
+def test_fair_share_matches_numpy_waterfill(spark, sf_dir):
+    from crypto_prediction_etl_spark.plans.events_q import _Q301_CAP_FRAC
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    ev = _tbl(spark, sf_dir, "events").select("user_id").toPandas()
+    d = ev.groupby("user_id").size().rename("d").reset_index()
+    d = d.sort_values(["d", "user_id"]).reset_index(drop=True)
+    dd = d["d"].to_numpy(dtype=float)
+    cap = float(np.floor(dd.sum() * _Q301_CAP_FRAC))
+    n = len(dd)
+    cum = np.cumsum(dd)
+    levels = (cap - (cum - dd)) / (n - np.arange(1, n + 1) + 1)
+    feas = levels[levels >= dd]
+    water = feas.max() if len(feas) else cap / n
+    share = np.minimum(dd, water)
+    out = (
+        registry.QUERIES["q301_fair_share"](spark, sf_dir)
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(out) == n
+    for i, uid in enumerate(d["user_id"]):
+        row = out.loc[uid]
+        assert row["demand"] == dd[i]
+        assert abs(row["allocation"] - share[i]) < 1e-3
+        assert row["fully_served"] == int(share[i] >= dd[i])
+    # the budget must be (nearly) exhausted under rationing
+    assert abs(out["allocation"].sum() - cap) < 1.0
+
+
+def test_woe_binning_matches_python_ntile(spark, sf_dir):
+    from crypto_prediction_etl_spark.plans.events_q import (
+        _Q333_BINS,
+        _Q333_TARGET,
+    )
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    ev = (
+        _tbl(spark, sf_dir, "events")
+        .select("event_id", "value", "event_type")
+        .toPandas()
+        .sort_values(["value", "event_id"])
+        .reset_index(drop=True)
+    )
+    ev["bin"] = _py_ntile(len(ev), _Q333_BINS)
+    ev["y"] = (ev["event_type"] == _Q333_TARGET).astype(int)
+    g = ev.groupby("bin").agg(n=("y", "size"), n_pos=("y", "sum"))
+    g["n_neg"] = g["n"] - g["n_pos"]
+    tp, tn = g["n_pos"].sum(), g["n_neg"].sum()
+    out = (
+        registry.QUERIES["q333_woe_iv_binning"](spark, sf_dir)
+        .toPandas()
+        .set_index("bin")
+    )
+    for b, r in g.iterrows():
+        row = out.loc[b]
+        ps, ns = r["n_pos"] / tp, r["n_neg"] / tn
+        woe = np.log(ps / ns)
+        assert row["n"] == r["n"]
+        assert row["n_pos"] == r["n_pos"]
+        assert abs(row["pos_share"] - ps) < 1e-6
+        assert abs(row["neg_share"] - ns) < 1e-6
+        assert abs(row["woe"] - woe) < 1e-5
+        assert abs(row["iv_contrib"] - (ps - ns) * woe) < 1e-5
+
+
+def test_gain_deciles_match_python_ntile(spark, sf_dir):
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    ev = (
+        _tbl(spark, sf_dir, "events")
+        .select("event_id", "value", "event_type")
+        .toPandas()
+    )
+    ev["p"] = _prnd(1.0 / (1.0 + np.exp(-(ev["value"] - 50.0) / 25.0)), 6)
+    ev["y"] = (ev["event_type"] == "purchase").astype(int)
+    ev = ev.sort_values(["p", "event_id"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+    ev["decile"] = _py_ntile(len(ev), 10)
+    g = ev.groupby("decile").agg(n=("y", "size"), n_pos=("y", "sum"))
+    tot_pos, tot = g["n_pos"].sum(), g["n"].sum()
+    cum_pos = g["n_pos"].cumsum()
+    out = (
+        registry.QUERIES["q248_gain_deciles"](spark, sf_dir)
+        .toPandas()
+        .set_index("decile")
+    )
+    for d, r in g.iterrows():
+        row = out.loc[d]
+        rate = r["n_pos"] / r["n"]
+        assert row["n"] == r["n"]
+        assert row["n_pos"] == r["n_pos"]
+        assert abs(row["response_rate"] - rate) < 1e-6
+        assert abs(row["cum_capture"] - cum_pos[d] / tot_pos) < 1e-6
+        assert (
+            abs(row["lift"] - rate / (tot_pos / tot)) < 1e-5
+        )
