@@ -3000,3 +3000,133 @@ def test_gain_deciles_match_python_ntile(spark, sf_dir):
         assert (
             abs(row["lift"] - rate / (tot_pos / tot)) < 1e-5
         )
+
+
+def _py_sessions(ev: pd.DataFrame, gap_min: int) -> list[tuple]:
+    """(t_start, t_end) per user session under the gap rule."""
+    out = []
+    for _, g in ev.sort_values(["user_id", "ts", "event_id"]).groupby(
+        "user_id"
+    ):
+        ts = g["ts"].to_numpy()
+        start = ts[0]
+        prev = ts[0]
+        gap = np.timedelta64(gap_min * 60, "s")
+        for t in ts[1:]:
+            if t - prev > gap:
+                out.append((start, prev + gap))
+                start = t
+            prev = t
+        out.append((start, prev + gap))
+    return out
+
+
+def test_concurrency_sweep_matches_python(spark, sf_dir):
+    from collections import defaultdict
+
+    from crypto_prediction_etl_spark.plans.events_q import _Q267_GAP_MIN
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    ev = (
+        _tbl(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id")
+        .toPandas()
+    )
+    sess = _py_sessions(ev, _Q267_GAP_MIN)
+    deltas = [(s, 1) for s, _ in sess] + [(e, -1) for _, e in sess]
+    deltas.sort(key=lambda x: (x[0], x[1]))
+    live = 0
+    peak: dict = defaultdict(lambda: [0, 0])  # day -> [peak, n_boundary]
+    for t, d in deltas:
+        live += d
+        day = str(np.datetime_as_string(t, unit="D"))
+        st = peak[day]
+        st[0] = max(st[0], live)
+        st[1] += 1
+    out = (
+        registry.QUERIES["q267_concurrency_sweep"](spark, sf_dir)
+        .toPandas()
+        .set_index("day")
+    )
+    assert len(out) == len(peak)
+    for day, (p, nb) in peak.items():
+        assert out.loc[day, "peak_concurrency"] == p, day
+        assert out.loc[day, "n_boundary_events"] == nb, day
+
+
+def test_interval_coverage_matches_python(spark, sf_dir):
+    from collections import defaultdict
+
+    from crypto_prediction_etl_spark.plans.events_q import _Q267_GAP_MIN
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    ev = (
+        _tbl(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id")
+        .toPandas()
+    )
+    sess = _py_sessions(ev, _Q267_GAP_MIN)
+    deltas = [(s, 1) for s, _ in sess] + [(e, -1) for _, e in sess]
+    deltas.sort(key=lambda x: (x[0], x[1]))
+    cov_us: dict = defaultdict(int)
+    live = 0
+    for i, (t, d) in enumerate(deltas):
+        live += d
+        if live > 0 and i + 1 < len(deltas):
+            nxt = deltas[i + 1][0]
+            day = str(np.datetime_as_string(t, unit="D"))
+            cov_us[day] += int(
+                (nxt - t) / np.timedelta64(1, "us")
+            )
+    out = (
+        registry.QUERIES["q280_interval_coverage"](spark, sf_dir)
+        .toPandas()
+        .set_index("day")
+    )
+    exp_days = {d for d, us in cov_us.items()}
+    # the query emits every day owning a left boundary (coverage may
+    # be zero); compare covered seconds on the shared days
+    for day in out.index:
+        assert out.loc[day, "covered_seconds"] == cov_us.get(day, 0) // 1_000_000, day
+
+
+def test_rfm_segments_match_python_ntile(spark, sf_dir):
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    ev = (
+        _tbl(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_type", "value")
+        .toPandas()
+    )
+    p = ev[ev["event_type"] == "purchase"].copy()
+    p["d"] = p["ts"].dt.date
+    u = p.groupby("user_id").agg(
+        last_day=("d", "max"), freq=("d", "size"), monetary=("value", "sum")
+    )
+    anchor = u["last_day"].max()
+    u["recency_days"] = [(anchor - d).days for d in u["last_day"]]
+    u = u.reset_index()
+
+    def cut(df, keys, ascending):
+        s = df.sort_values(keys, ascending=ascending).reset_index(drop=True)
+        s["b"] = _py_ntile(len(s), 5)
+        return dict(zip(s["user_id"], s["b"]))
+
+    r = cut(u, ["recency_days", "user_id"], [True, True])
+    f = cut(u, ["freq", "user_id"], [False, True])
+    m = cut(u, ["monetary", "user_id"], [False, True])
+    out = (
+        registry.QUERIES["q236_rfm_segments"](spark, sf_dir)
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(out) == len(u)
+    for _, ru in u.iterrows():
+        uid = ru["user_id"]
+        row = out.loc[uid]
+        assert row["recency_days"] == ru["recency_days"]
+        assert row["freq"] == ru["freq"]
+        assert row["r_score"] == r[uid]
+        assert row["f_score"] == f[uid]
+        assert row["m_score"] == m[uid]
+        assert row["segment"] == f"{r[uid]}{f[uid]}{m[uid]}"
