@@ -3130,3 +3130,85 @@ def test_rfm_segments_match_python_ntile(spark, sf_dir):
         assert row["f_score"] == f[uid]
         assert row["m_score"] == m[uid]
         assert row["segment"] == f"{r[uid]}{f[uid]}{m[uid]}"
+
+
+def test_stratified_effect_matches_python(spark, sf_dir):
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    ev = (
+        _tbl(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_type")
+        .toPandas()
+    )
+    act = ev.groupby("user_id").size().rename("n_ev").reset_index()
+    act = act.sort_values(["n_ev", "user_id"]).reset_index(drop=True)
+    act["stratum"] = _py_ntile(len(act), 3)
+    strat = dict(zip(act["user_id"], act["stratum"]))
+    ev["stratum"] = ev["user_id"].map(strat)
+    ev["treated"] = (ev["ts"].dt.hour >= 12).astype(int)
+    ev["y"] = (ev["event_type"] == "purchase").astype(int)
+    out = (
+        registry.QUERIES["q257_stratified_effect"](spark, sf_dir)
+        .toPandas()
+        .set_index("stratum")
+    )
+    pooled_num = pooled_den = 0.0
+    per = {}
+    for s, g in ev.groupby("stratum"):
+        t, c = g[g["treated"] == 1], g[g["treated"] == 0]
+        rd = t["y"].mean() - c["y"].mean()
+        nw = len(t) + len(c)
+        pooled_num += rd * nw
+        pooled_den += nw
+        per[s] = (len(t), len(c), t["y"].mean(), c["y"].mean(), rd)
+    for s, (n_t, n_c, rt, rc, rd) in per.items():
+        row = out.loc[s]
+        assert row["n_t"] == n_t and row["n_c"] == n_c
+        assert abs(row["rate_t"] - rt) < 1e-6
+        assert abs(row["rate_c"] - rc) < 1e-6
+        assert abs(row["risk_diff"] - rd) < 1e-6
+        assert (
+            abs(row["pooled_effect"] - pooled_num / pooled_den) < 1e-6
+        )
+
+
+def test_cache_planner_matches_python(spark, sf_dir):
+    from crypto_prediction_etl_spark.plans.events_q import _Q298_SIZES
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    ev = _tbl(spark, sf_dir, "events").select("user_id").toPandas()
+    acc = ev.groupby("user_id").size().rename("n_acc").reset_index()
+    acc = acc.sort_values(
+        ["n_acc", "user_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    total = float(acc["n_acc"].sum())
+    out = (
+        registry.QUERIES["q298_cache_planner"](spark, sf_dir)
+        .toPandas()
+        .set_index("cache_size")
+    )
+    for c in _Q298_SIZES:
+        top = acc.iloc[:c]
+        row = out.loc[c]
+        assert row["n_cached_items"] == len(top)
+        assert row["hits"] == top["n_acc"].sum()
+        assert abs(row["hit_rate"] - top["n_acc"].sum() / total) < 1e-6
+
+
+def test_vocab_coverage_matches_python(spark, sf_dir):
+    from collections import Counter
+
+    from crypto_prediction_etl_spark.plans.text_q import _Q407_SIZES
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    docs = _tbl(spark, sf_dir, "documents").select("text").toPandas()
+    cnt: Counter = Counter()
+    for t in docs["text"]:
+        cnt.update(str(t).lower().split(" "))
+    ordered = sorted(cnt.values(), reverse=True)
+    total = float(sum(ordered))
+    out = registry.QUERIES["q407_vocab_coverage"](spark, sf_dir).toPandas().iloc[0]
+    assert out["n_types"] == len(cnt)
+    assert out["n_tokens"] == int(total)
+    for v in _Q407_SIZES:
+        assert abs(out[f"cov_{v}"] - sum(ordered[:v]) / total) < 1e-6
