@@ -3212,3 +3212,162 @@ def test_vocab_coverage_matches_python(spark, sf_dir):
     assert out["n_tokens"] == int(total)
     for v in _Q407_SIZES:
         assert abs(out[f"cov_{v}"] - sum(ordered[:v]) / total) < 1e-6
+
+
+def test_lof_matches_numpy_bruteforce(spark, sf_dir):
+    """Brute-force LOF over the full grid-rounded cosine-distance
+    matrix — exact kNN edges, paper kdist/reachability/lrd/score."""
+    from crypto_prediction_etl_spark.plans.similarity_q import (
+        _LOF_K,
+        _vecs,
+    )
+
+    pdf = _vecs(spark, sf_dir).toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    m = np.stack(pdf["v"].to_numpy())
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    d = 1.0 - m @ m.T
+    d = np.floor(d * 1e6 + 0.5001) / 1e6
+    n = len(ids)
+    order = {}
+    kdist = {}
+    neigh = {}
+    for i in range(n):
+        mask = ids != ids[i]
+        nd, nn = d[i][mask], ids[mask]
+        o = np.lexsort((nn, nd))[:_LOF_K]
+        neigh[ids[i]] = list(zip(nn[o], nd[o]))
+        kdist[ids[i]] = nd[o].max()
+    lrd = {}
+    for pid, ns in neigh.items():
+        rsum = sum(max(kdist[nid], dist) for nid, dist in ns)
+        lrd[pid] = _LOF_K / rsum
+    out = (
+        registry.QUERIES["q348_lof_outliers"](spark, sf_dir)
+        .toPandas()
+        .set_index("vec_id")
+    )
+    assert len(out) == sum(1 for i in ids if i % 5 == 0)
+    for pid in out.index:
+        lof = np.mean([lrd[nid] for nid, _ in neigh[pid]]) / lrd[pid]
+        row = out.loc[pid]
+        assert abs(row["k_distance"] - kdist[pid]) < 1e-6
+        assert abs(row["lrd"] - lrd[pid]) < 1e-3
+        assert abs(row["lof"] - lof) < 1e-4
+
+
+def test_mmd_matches_numpy_bruteforce(spark, sf_dir):
+    from crypto_prediction_etl_spark.plans.similarity_q import _vecs
+
+    pdf = _vecs(spark, sf_dir).toPandas()
+    lab = pdf["label"].to_numpy()
+    m = np.stack(pdf["v"].to_numpy())
+    sq = np.sum((m[:, None, :] - m[None, :, :]) ** 2, axis=2)
+    sq = np.floor(sq * 1e9 + 0.5001) / 1e9
+    n = len(lab)
+    off = ~np.eye(n, dtype=bool)
+    gamma = off.sum() / sq[off].sum()  # 1 / avg(sqd) over ordered pairs
+    km = np.exp(-gamma * sq)
+    labels = np.unique(lab)
+
+    def kbar(la, lb):
+        mask = np.outer(lab == la, lab == lb) & off
+        return km[mask].mean(), int(mask.sum())
+
+    out = registry.QUERIES["q351_mmd_two_sample"](spark, sf_dir).toPandas()
+    n_pairs_expected = len(labels) * (len(labels) - 1) // 2
+    assert len(out) == n_pairs_expected
+    for _, row in out.iterrows():
+        la, lb = row["label_a"], row["label_b"]
+        kxx, _ = kbar(la, la)
+        kyy, _ = kbar(lb, lb)
+        kxy, ct = kbar(la, lb)
+        assert row["cross_terms"] == ct
+        assert abs(row["mmd2"] - (kxx + kyy - 2 * kxy)) < 1e-6
+
+
+def test_kcore_matches_python_peeling(spark, sf_dir):
+    from collections import Counter
+
+    from crypto_prediction_etl_spark.plans.similarity_q import (
+        _Q314_CORE_K,
+        _Q314_KNN,
+        _Q314_ROUNDS,
+        _vecs,
+    )
+
+    pdf = _vecs(spark, sf_dir).toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    m = np.stack(pdf["v"].to_numpy())
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = np.floor((m @ m.T) * 1e6 + 0.5001) / 1e6
+    knn = {}
+    for i in range(len(ids)):
+        mask = ids != ids[i]
+        s, nn = sims[i][mask], ids[mask]
+        o = np.lexsort((nn, -s))[:_Q314_KNN]
+        knn[ids[i]] = set(nn[o])
+    mut = {
+        (a, b)
+        for a in knn
+        for b in knn[a]
+        if a < b and a in knn[b]
+    }
+    edges = {(a, b) for a, b in mut} | {(b, a) for a, b in mut}
+    deg = Counter(a for a, _ in edges)
+    d0 = dict(deg)
+    alive = None
+    for _ in range(_Q314_ROUNDS):
+        alive = {v for v, c in deg.items() if c >= _Q314_CORE_K}
+        edges = {(a, b) for a, b in edges if a in alive and b in alive}
+        deg = Counter(a for a, _ in edges)
+    out = (
+        registry.QUERIES["q314_kcore_decomposition"](spark, sf_dir)
+        .toPandas()
+        .set_index("vec_id")
+    )
+    assert len(out) == len(ids)
+    for vid in ids:
+        row = out.loc[vid]
+        assert row["deg0"] == d0.get(vid, 0)
+        assert row["in_core"] == int(vid in alive)
+        if vid in deg:
+            assert row["deg_core"] == deg[vid]
+        else:
+            assert pd.isna(row["deg_core"])
+
+
+def test_simpson_detector_matches_python(spark, sf_dir):
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    ev = (
+        _tbl(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_type")
+        .toPandas()
+    )
+    act = ev.groupby("user_id").size().rename("n_ev").reset_index()
+    act = act.sort_values(["n_ev", "user_id"]).reset_index(drop=True)
+    act["stratum"] = _py_ntile(len(act), 3)
+    ev["stratum"] = ev["user_id"].map(dict(zip(act["user_id"], act["stratum"])))
+    ev["treated"] = (ev["ts"].dt.hour >= 12).astype(int)
+    ev["y"] = (ev["event_type"] == "purchase").astype(int)
+    rds = []
+    t_num = t_den = c_num = c_den = 0.0
+    for s, g in ev.groupby("stratum"):
+        t, c = g[g["treated"] == 1], g[g["treated"] == 0]
+        rds.append(t["y"].mean() - c["y"].mean())
+        t_num += t["y"].mean() * len(t)
+        t_den += len(t)
+        c_num += c["y"].mean() * len(c)
+        c_den += len(c)
+    pooled = t_num / t_den - c_num / c_den
+    n_rev = sum(1 for rd in rds if np.sign(rd) != np.sign(pooled))
+    out = (
+        registry.QUERIES["q285_simpson_detector"](spark, sf_dir)
+        .toPandas()
+        .iloc[0]
+    )
+    assert out["n_strata"] == len(rds)
+    assert abs(out["pooled_rd"] - pooled) < 1e-6
+    assert out["n_reversed"] == n_rev
+    assert out["paradox_flag"] == int(n_rev > 0)
