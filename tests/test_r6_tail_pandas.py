@@ -3371,3 +3371,122 @@ def test_simpson_detector_matches_python(spark, sf_dir):
     assert abs(out["pooled_rd"] - pooled) < 1e-6
     assert out["n_reversed"] == n_rev
     assert out["paradox_flag"] == int(n_rev > 0)
+
+
+def test_adamic_adar_matches_pandas(spark, sf_dir):
+    from collections import defaultdict
+
+    from crypto_prediction_etl_spark.plans.relational_ext import (
+        _Q365_DEG_CAP,
+        _Q365_MIN_COMMON,
+        _Q365_TOP,
+    )
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    o = _tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey").toPandas()
+    li = _tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").toPandas()
+    cp = (
+        o.merge(li, left_on="o_orderkey", right_on="l_orderkey")[
+            ["o_custkey", "l_partkey"]
+        ]
+        .drop_duplicates()
+        .rename(columns={"o_custkey": "cust", "l_partkey": "part"})
+    )
+    deg = cp.groupby("cust")["part"].nunique()
+    keep = deg[(deg >= 2) & (deg <= _Q365_DEG_CAP)]
+    acc: dict = defaultdict(lambda: [0, 0.0])
+    for cust, g in cp[cp["cust"].isin(keep.index)].groupby("cust"):
+        parts = sorted(g["part"])
+        w = 1.0 / np.log(float(keep[cust]))
+        for i, pa in enumerate(parts):
+            for pb in parts[i + 1 :]:
+                st = acc[(pa, pb)]
+                st[0] += 1
+                st[1] += w
+    rows = [
+        (pa, pb, n, float(_prnd(aa, 6)))
+        for (pa, pb), (n, aa) in acc.items()
+        if n >= _Q365_MIN_COMMON
+    ]
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    top = rows[:_Q365_TOP]
+    out = registry.QUERIES["q365_adamic_adar"](spark, sf_dir).toPandas()
+    assert len(out) == len(top)
+    for (pa, pb, n, aa), (_, orow) in zip(top, out.iterrows()):
+        assert orow["part_a"] == pa and orow["part_b"] == pb
+        assert orow["n_common"] == n
+        assert abs(orow["aa_score"] - aa) < 1e-6
+
+
+def test_span_dedup_matches_python_inverted_index(spark, sf_dir):
+    from collections import defaultdict
+
+    from crypto_prediction_etl_spark.plans.text_q import _Q367_K
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    docs = (
+        _tbl(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .toPandas()
+    )
+    span_docs: dict = defaultdict(set)
+    doc_spans: dict = {}
+    for _, r in docs.iterrows():
+        toks = str(r["text"]).lower().split(" ")
+        spans = [
+            " ".join(toks[i : i + _Q367_K])
+            for i in range(len(toks) - _Q367_K + 1)
+        ]
+        if not spans:
+            continue
+        doc_spans[int(r["doc_id"])] = (r["source"], spans)
+        for s in set(spans):
+            span_docs[s].add(int(r["doc_id"]))
+    per_source: dict = defaultdict(list)
+    for did, (src, spans) in doc_spans.items():
+        dup = sum(1 for s in spans if len(span_docs[s]) >= 2)
+        per_source[src].append((len(spans), dup))
+    out = (
+        registry.QUERIES["q367_span_dedup"](spark, sf_dir)
+        .toPandas()
+        .set_index("source")
+    )
+    for src, lst in per_source.items():
+        rates = np.array([d / n for n, d in lst])
+        flags = sum(1 for n, d in lst if 2 * d >= n)
+        assert out.loc[src, "docs_measured"] == len(lst)
+        assert abs(out.loc[src, "avg_dup_rate"] - rates.mean()) < 1e-5
+        assert abs(out.loc[src, "max_dup_rate"] - rates.max()) < 1e-5
+        assert out.loc[src, "docs_flagged"] == flags
+
+
+def test_code_switching_matches_python_markers(spark, sf_dir):
+    from crypto_prediction_etl_spark.operators.text import LANG_MARKERS
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    marker_sets = {k: set(v) for k, v in LANG_MARKERS.items()}
+    docs = (
+        _tbl(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    out = (
+        registry.QUERIES["q292_code_switching"](spark, sf_dir)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    for _, r in docs.iterrows():
+        toks = str(r["text"]).lower().split(" ")
+        counts = {
+            lang: sum(1 for t in toks if t in ms)
+            for lang, ms in marker_sets.items()
+        }
+        total = sum(counts.values())
+        nz = sum(1 for c in counts.values() if c > 0)
+        top = max(counts.values())
+        mix = 1.0 - top / total if total > 0 else 0.0
+        row = out.loc[int(r["doc_id"])]
+        assert row["n_langs_hit"] == nz
+        assert row["n_marker_toks"] == total
+        assert abs(row["mix_score"] - mix) < 1e-6
+        assert row["is_code_switched"] == int(nz >= 2 and total >= 4)
