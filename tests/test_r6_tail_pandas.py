@@ -3490,3 +3490,146 @@ def test_code_switching_matches_python_markers(spark, sf_dir):
         assert row["n_marker_toks"] == total
         assert abs(row["mix_score"] - mix) < 1e-6
         assert row["is_code_switched"] == int(nz >= 2 and total >= 4)
+
+
+def test_self_retrieval_matches_python_bm25(spark, sf_dir):
+    """Full python BM25 self-retrieval protocol: rarest-term query
+    construction, posting-join candidates, Okapi scoring, ranked on
+    the rounded score with cand tie-break — MRR/recall per source."""
+    import re as _re
+    from collections import Counter, defaultdict
+
+    from crypto_prediction_etl_spark.plans.text_q import (
+        _Q399_B,
+        _Q399_K1,
+        _Q399_SAMPLE,
+        _Q399_TERMS,
+    )
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    word_ok = _re.compile(r"^[a-z0-9]+$")
+    docs = (
+        _tbl(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .toPandas()
+    )
+    tfs: dict = {}
+    dls: dict = {}
+    src_of: dict = {}
+    dfreq: Counter = Counter()
+    for _, r in docs.iterrows():
+        did = int(r["doc_id"])
+        toks = str(r["text"]).lower().split(" ")
+        dls[did] = len(toks)
+        src_of[did] = r["source"]
+        c = Counter(t for t in toks if word_ok.match(t))
+        tfs[did] = c
+        for t in c:
+            dfreq[t] += 1
+    postings: dict = defaultdict(list)
+    for did, c in tfs.items():
+        for t, tf in c.items():
+            postings[t].append((did, tf))
+    n_docs = len(docs)
+    avgdl = sum(dls.values()) / n_docs
+    k1, b = _Q399_K1, _Q399_B
+    per_source: dict = defaultdict(list)
+    for did in sorted(tfs):
+        if did % _Q399_SAMPLE != 0:
+            continue
+        qterms = sorted(tfs[did], key=lambda t: (dfreq[t], t))[
+            :_Q399_TERMS
+        ]
+        scores: dict = defaultdict(float)
+        for t in qterms:
+            idf = np.log((n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0)
+            for cand, tf in postings[t]:
+                scores[cand] += (
+                    idf
+                    * tf
+                    * (k1 + 1.0)
+                    / (tf + k1 * (1 - b + b * dls[cand] / avgdl))
+                )
+        ranked = sorted(
+            scores.items(),
+            key=lambda kv: (-float(_prnd(kv[1], 6)), kv[0]),
+        )
+        rk = next(i + 1 for i, (c, _) in enumerate(ranked) if c == did)
+        per_source[src_of[did]].append(rk)
+    out = (
+        registry.QUERIES["q399_self_retrieval"](spark, sf_dir)
+        .toPandas()
+        .set_index("source")
+    )
+    for src, rks in per_source.items():
+        rks = np.array(rks, dtype=float)
+        assert out.loc[src, "n_queries"] == len(rks)
+        assert abs(out.loc[src, "mrr"] - np.mean(1.0 / rks)) < 1e-5
+        assert (
+            abs(out.loc[src, "recall_at_1"] - np.mean(rks == 1)) < 1e-6
+        )
+        assert (
+            abs(out.loc[src, "recall_at_5"] - np.mean(rks <= 5)) < 1e-6
+        )
+
+
+def test_rec_coverage_bias_matches_pandas(spark, sf_dir):
+    from collections import Counter, defaultdict
+
+    from crypto_prediction_etl_spark.plans.relational_ext import (
+        _REC_CUTOFF,
+        _REC_K,
+    )
+    from crypto_prediction_etl_spark.sources.readers import table as _tbl
+
+    o = (
+        _tbl(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .toPandas()
+    )
+    li = (
+        _tbl(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .toPandas()
+    )
+    p_cnt = _tbl(spark, sf_dir, "part").count()
+    inter = o.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    inter["is_train"] = pd.to_datetime(inter["o_orderdate"]) < pd.Timestamp(
+        _REC_CUTOFF
+    )
+    tr = inter[inter["is_train"]][
+        ["o_custkey", "l_partkey", "o_orderkey"]
+    ].drop_duplicates()
+    co: Counter = Counter()
+    for _, g in tr.groupby("o_orderkey"):
+        parts = sorted(set(g["l_partkey"]))
+        for i, pa in enumerate(parts):
+            for pb in parts:
+                if pb != pa:
+                    co[(pa, pb)] += 1
+    bya: dict = defaultdict(list)
+    for (pa, pb), n in co.items():
+        bya[pa].append((-n, pb))
+    recd: set = set()
+    for pa, lst in bya.items():
+        lst.sort()
+        for _, pb in lst[:_REC_K]:
+            recd.add(pb)
+    pop = tr.groupby("l_partkey").size().rename("n_buys").reset_index()
+    pop = pop.sort_values(
+        ["n_buys", "l_partkey"], ascending=[False, True]
+    ).reset_index(drop=True)
+    pop["pop_rank"] = np.arange(1, len(pop) + 1)
+    rank_of = dict(zip(pop["l_partkey"], pop["pop_rank"]))
+    rec_ranks = [rank_of[x] for x in recd]
+    out = (
+        registry.QUERIES["q289_rec_coverage_bias"](spark, sf_dir)
+        .toPandas()
+        .iloc[0]
+    )
+    assert out["n_recommended"] == len(recd)
+    assert abs(out["catalog_coverage"] - len(recd) / p_cnt) < 1e-6
+    assert abs(out["avg_pop_rank_rec"] - np.mean(rec_ranks)) < 1e-2
+    assert (
+        abs(out["avg_pop_rank_all"] - pop["pop_rank"].mean()) < 1e-2
+    )
