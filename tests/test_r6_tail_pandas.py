@@ -3633,3 +3633,97 @@ def test_rec_coverage_bias_matches_pandas(spark, sf_dir):
     assert (
         abs(out["avg_pop_rank_all"] - pop["pop_rank"].mean()) < 1e-2
     )
+
+
+# ---------------------------------------------------------------------------
+# Invariant checks for the portable-hash-keyed queries: their hash
+# randomness cannot be mirrored hash-free, but their OUTPUTS obey
+# mathematical laws an implementation bug would break (the q401
+# monotonicity-invariant class that caught a real bug in r5).
+# ---------------------------------------------------------------------------
+
+
+def test_threshold_sweep_monotonicity_invariants(spark, sf_dir):
+    """Raising the keep threshold can only shrink TP and FP and grow
+    FN; recall is non-increasing; tp+fn (total positives) constant."""
+    out = (
+        registry.QUERIES["q334_threshold_sweep"](spark, sf_dir)
+        .orderBy("threshold")
+        .toPandas()
+    )
+    assert len(out) >= 3
+    tp, fp, fn = out["tp"].to_numpy(), out["fp"].to_numpy(), out["fn"].to_numpy()
+    assert (np.diff(tp) <= 0).all()
+    assert (np.diff(fp) <= 0).all()
+    assert (np.diff(fn) >= 0).all()
+    assert len(set(tp + fn)) == 1  # positives invariant to threshold
+    rec = out["recall_"].to_numpy()
+    assert (np.diff(rec) <= 1e-9).all()
+    prec = out["precision_"].to_numpy()
+    f1 = out["f1"].to_numpy()
+    exp_f1 = np.where(
+        prec + rec > 0, 2 * prec * rec / (prec + rec), 0.0
+    )
+    assert np.allclose(f1, exp_f1, atol=1e-4)
+
+
+def test_dedup_sweep_monotonicity_invariants(spark, sf_dir):
+    """A stricter similarity cutoff keeps fewer pairs and fewer
+    affected docs, and the surviving pairs' mean Jaccard can only
+    rise; every mean sits at or above its own threshold."""
+    out = (
+        registry.QUERIES["q359_dedup_threshold_sweep"](spark, sf_dir)
+        .orderBy("threshold")
+        .toPandas()
+    )
+    assert len(out) >= 3
+    assert (np.diff(out["n_pairs"].to_numpy()) <= 0).all()
+    assert (np.diff(out["n_docs_affected"].to_numpy()) <= 0).all()
+    mj = out["mean_jaccard"].to_numpy()
+    ok = ~np.isnan(mj)
+    assert (np.diff(mj[ok]) >= -1e-9).all()
+    assert (
+        mj[ok] >= out["threshold"].to_numpy()[ok] - 1e-9
+    ).all()
+
+
+def test_poisson_bootstrap_ci_contains_point(spark, sf_dir):
+    """Each group's 95% bootstrap CI must bracket its own point mean
+    and be properly ordered."""
+    out = registry.QUERIES["q315_poisson_bootstrap"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out["ci_lo"] <= out["point_mean"]).all()
+    assert (out["point_mean"] <= out["ci_hi"]).all()
+    assert (out["ci_lo"] < out["ci_hi"]).all()
+    assert (out["n_resamples"] > 0).all()
+
+
+def test_ips_snips_diagnostics(spark, sf_dir):
+    """SNIPS = IPS / mean_weight by construction; all values finite;
+    matched subset no larger than the log."""
+    out = registry.QUERIES["q383_ips_offpolicy"](spark, sf_dir).toPandas().iloc[0]
+    assert 0 < out["n_matched"] <= out["n_logged"]
+    assert out["mean_weight"] > 0
+    assert (
+        abs(out["snips_value"] - out["ips_value"] / out["mean_weight"])
+        < 1e-3
+    )
+
+
+def test_vnode_balance_improves_with_vnodes(spark, sf_dir):
+    """More vnodes must not worsen DISPERSION: load CV non-increasing
+    and hit-node count non-decreasing in the vnode count (peak-to-mean
+    is a max statistic and may legitimately tick up by one unlucky
+    node); total assigned load is conserved across configurations."""
+    out = (
+        registry.QUERIES["q402_vnode_balance"](spark, sf_dir)
+        .orderBy("vnodes")
+        .toPandas()
+    )
+    assert len(out) >= 3
+    assert (np.diff(out["load_cv"].to_numpy()) <= 1e-9).all()
+    assert (np.diff(out["nodes_hit"].to_numpy()) >= 0).all()
+    assert (out["peak_to_mean"] >= 1.0 - 1e-9).all()
+    totals = (out["mean_load"] * out["nodes_hit"]).round(3)
+    assert totals.nunique() == 1
+    assert (out["max_load"] >= out["mean_load"] - 1e-9).all()
