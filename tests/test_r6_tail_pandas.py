@@ -3727,3 +3727,75 @@ def test_vnode_balance_improves_with_vnodes(spark, sf_dir):
     totals = (out["mean_load"] * out["nodes_hit"]).round(3)
     assert totals.nunique() == 1
     assert (out["max_load"] >= out["mean_load"] - 1e-9).all()
+
+
+def test_permutation_test_pvalue_laws(spark, sf_dir):
+    """Phipson-Smyth +1 smoothing bounds: p in [1/(B+1), 1], and
+    p = (n_extreme + 1) / (B + 1) exactly."""
+    from crypto_prediction_etl_spark.plans.events_q import _Q296_PERMS
+
+    out = (
+        registry.QUERIES["q296_permutation_test"](spark, sf_dir)
+        .toPandas()
+        .iloc[0]
+    )
+    b = _Q296_PERMS
+    assert 0 <= out["n_extreme"] <= b
+    assert (
+        abs(out["p_value"] - (out["n_extreme"] + 1) / (b + 1)) < 1e-6
+    )
+    assert 1.0 / (b + 1) - 1e-9 <= out["p_value"] <= 1.0 + 1e-9
+
+
+def test_reshard_audit_hrw_beats_mod(spark, sf_dir):
+    """The audit's entire point as an invariant: rendezvous hashing
+    moves a small fraction (~1/(N+1)) while mod-N moves almost
+    everything (~N/(N+1)); both strategies see the same key set."""
+    out = (
+        registry.QUERIES["q361_reshard_audit"](spark, sf_dir)
+        .toPandas()
+        .set_index("strategy")
+    )
+    assert len(out) == 2
+    assert out["n_keys"].nunique() == 1
+    fracs = out["moved_frac"]
+    hrw = fracs.min()
+    mod = fracs.max()
+    assert hrw < 0.25  # ~1/17 expected for 16 -> 17
+    assert mod > 0.75  # ~16/17 expected
+    assert (out["load_max_over_avg"] >= 1.0 - 1e-9).all()
+    assert (out["n_moved"] <= out["n_keys"]).all()
+
+
+def test_bloom_empirical_no_false_negatives_and_fpp_sane(spark, sf_dir):
+    """Bloom-filter hard guarantees: bits_set <= min(m, k*n); the
+    probe universe is disjoint from members so every hit is a false
+    positive; measured FPP within a loose band of the predicted
+    (1 - e^{-kn/m})^k."""
+    out = (
+        registry.QUERIES["q415_bloom_empirical"](spark, sf_dir)
+        .toPandas()
+        .iloc[0]
+    )
+    assert out["bits_set"] <= out["m_bits"]
+    assert out["false_positives"] <= out["n_probes"]
+    assert (
+        abs(out["measured_fpp"] - out["false_positives"] / out["n_probes"])
+        < 1e-6
+    )
+    assert 0 <= out["predicted_fpp"] <= 1
+    # measured within a generous multiplicative band of predicted
+    if out["predicted_fpp"] > 0:
+        assert out["measured_fpp"] <= out["predicted_fpp"] * 5 + 0.01
+    assert out["measured_fpp"] >= 0
+
+
+def test_cross_source_dups_containment_laws(spark, sf_dir):
+    """Containment = shared/min(|A|,|B|) in [0,1]; shared bounded by
+    both fingerprint counts; pairs are ordered source_a < source_b."""
+    out = registry.QUERIES["q411_cross_source_dups"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out["source_a"] < out["source_b"]).all()
+    assert (out["shared_fps"] <= out[["fps_a", "fps_b"]].min(axis=1)).all()
+    exp = out["shared_fps"] / out[["fps_a", "fps_b"]].min(axis=1)
+    assert np.allclose(out["containment"], exp, atol=1e-5)
