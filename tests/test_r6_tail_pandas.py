@@ -3799,3 +3799,67 @@ def test_cross_source_dups_containment_laws(spark, sf_dir):
     assert (out["shared_fps"] <= out[["fps_a", "fps_b"]].min(axis=1)).all()
     exp = out["shared_fps"] / out[["fps_a", "fps_b"]].min(axis=1)
     assert np.allclose(out["containment"], exp, atol=1e-5)
+
+
+def test_remaining_hash_keyed_invariants(spark, sf_dir):
+    """One consolidated law check per remaining hash-keyed query:
+    each output obeys its defining identities even though the hash
+    randomness itself cannot be mirrored."""
+    # q307: exact dups can't exceed docs; near-dup rate consistent
+    d = registry.QUERIES["q307_dup_rate_by_source"](spark, sf_dir).toPandas()
+    assert (d["n_exact_dup"] <= d["n_docs"]).all()
+    assert (d["n_near_dup"] <= d["n_docs"]).all()
+    assert np.allclose(
+        d["near_dup_rate"], d["n_near_dup"] / d["n_docs"], atol=1e-5
+    )
+    # q320: per-bucket weights live in [-1, 1], so |score| <= 1;
+    # prob_keep is a sigmoid of score; keep matches the threshold
+    from crypto_prediction_etl_spark.plans.text_q import _Q320_THRESH
+
+    c = registry.QUERIES["q320_hashed_linear_classifier"](
+        spark, sf_dir
+    ).toPandas()
+    assert (c["score"].abs() <= 1.0 + 1e-9).all()
+    assert np.allclose(
+        c["prob_keep"], 1.0 / (1.0 + np.exp(-c["score"])), atol=1e-4
+    )
+    assert (
+        c["keep"] == (c["prob_keep"] > _Q320_THRESH).astype(int)
+    ).all()
+    assert (c["n_active_buckets"] <= c["n_tokens"]).all()
+    # q328: soft-dedup weights are the defined functions of n_copies
+    w = registry.QUERIES["q328_soft_dedup_weights"](spark, sf_dir).toPandas()
+    assert (w["n_copies"] >= 1).all()
+    assert np.allclose(w["w_uniform"], 1.0 / w["n_copies"], atol=1e-5)
+    assert np.allclose(
+        w["w_sqrt"], 1.0 / np.sqrt(w["n_copies"]), atol=1e-5
+    )
+    # q344: per-token log weight integrates back to the doc weight
+    ds = registry.QUERIES["q344_dsir_weights"](spark, sf_dir).toPandas()
+    assert np.allclose(
+        ds["dsir_log_weight"],
+        ds["per_token_log_weight"] * ds["n_toks"],
+        atol=1e-2,
+    )
+    # q378: per-language bucket doc counts partition the scored docs
+    # into tertiles (sizes differ by at most 2), ppl = exp(nll)
+    b = registry.QUERIES["q378_ccnet_buckets"](spark, sf_dir).toPandas()
+    assert np.allclose(b["avg_ppl"], np.exp(b["avg_nll"]), rtol=0.02)
+    for _, g in b.groupby("lang"):
+        assert g["n_docs"].max() - g["n_docs"].min() <= 2
+    # q410: dispersion and colocation live on their defined ranges
+    a = registry.QUERIES["q410_shard_key_advisor"](spark, sf_dir).toPandas()
+    assert (a["shard_cv"] >= -1e-9).all()
+    assert ((a["order_colocation"] > 0) & (a["order_colocation"] <= 1.0 + 1e-9)).all()
+    assert (a["ndv"] >= 1).all()
+    # q286: the KMV union estimate lands within a loose band of truth
+    k = registry.QUERIES["q286_kmv_union_merge"](spark, sf_dir).toPandas().iloc[0]
+    assert k["n_exact"] > 0
+    assert abs(k["rel_err"]) < 0.6  # k=64 sketch: ~1/sqrt(k) noise band
+    assert (
+        abs(
+            k["rel_err"]
+            - abs(k["kmv_union_estimate"] - k["n_exact"]) / k["n_exact"]
+        )
+        < 1e-4
+    )
