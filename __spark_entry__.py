@@ -42,66 +42,65 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver adjudicates exactly the first 50 ``queries()`` entries per
-# round.  Rotation for round 6 (VERDICT r5 item 1): drain the oldest
-# never-adjudicated tail in numeric order — q235-q284.  Five of the
-# eight record-grain global-window rewrites (q236/q248/q257/q267/q280,
-# VERDICT r5 item 2) sit inside this window, so the driver verdicts
-# the globalrank-routed plans directly.  The remaining tail (q285+)
-# follows in numeric order for the r7/r8 windows; everything already
-# adjudicated keeps its green row and stays covered by the local
-# mirror (tests/test_oracle_parity.py + tools/driver_replay.py, which
-# canonicalizes through pandas exactly like the driver).
+# round.  Rotation for round 7 (VERDICT r6 item 1): drain the oldest
+# never-adjudicated tail in numeric order — q285-q334 (catalog frozen
+# at 420; 136 never-adjudicated entering r7, 86 remain for r8/r9).
+# Everything already adjudicated keeps its green row and stays covered
+# by the local mirror (tests/test_oracle_parity.py +
+# tools/driver_replay.py, which canonicalizes through pandas exactly
+# like the driver) plus the independent numpy/pandas cross-checks in
+# tests/test_r6_tail_pandas.py.
 _ADJUDICATE_FIRST = [
-    "q235_twap",
-    "q236_rfm_segments",
-    "q237_weighted_reservoir",
-    "q238_negative_sampling",
-    "q239_ndcg_eval",
-    "q240_calibration_bins",
-    "q241_state_merge",
-    "q242_pairs_cointegration",
-    "q243_skyline",
-    "q244_table_checksum",
-    "q245_bipower_jumps",
-    "q246_roll_spread",
-    "q247_auc_roc",
-    "q248_gain_deciles",
-    "q249_bpe_train",
-    "q250_split_leakage",
-    "q251_unpivot_profile",
-    "q252_token_dropout",
-    "q253_bfs_reachability",
-    "q254_clustering_effectiveness",
-    "q255_encoding_advisor",
-    "q256_mutual_information",
-    "q257_stratified_effect",
-    "q258_binary_segmentation",
-    "q259_km_survival",
-    "q260_seasonal_naive_mase",
-    "q261_cuped_adjustment",
-    "q262_linear_interpolation",
-    "q263_winsorized_mean",
-    "q264_zipf_fit",
-    "q265_dedup_explain",
-    "q266_theil_sen",
-    "q267_concurrency_sweep",
-    "q268_item_cooccurrence",
-    "q269_recsys_hitrate",
-    "q270_lsh_planner",
-    "q271_nation_volume",
-    "q272_market_share",
-    "q273_product_profit",
-    "q274_audio_vad_segments",
-    "q275_sequential_sprt",
-    "q276_schema_evolution_union",
-    "q277_activity_heatmap",
-    "q278_minhash_error_audit",
-    "q279_partition_skew_planner",
-    "q280_interval_coverage",
-    "q281_identity_resolution",
-    "q282_dollar_bars",
-    "q283_entropy_rate",
-    "q284_design_effect",
+    "q285_simpson_detector",
+    "q286_kmv_union_merge",
+    "q287_interval_backtest",
+    "q288_stale_price_audit",
+    "q289_rec_coverage_bias",
+    "q290_user_features",
+    "q291_l_diversity",
+    "q292_code_switching",
+    "q293_contract_fill_rates",
+    "q294_attribution_compare",
+    "q295_interarrival_percentiles",
+    "q296_permutation_test",
+    "q297_component_sizes",
+    "q298_cache_planner",
+    "q299_holt_winters",
+    "q300_momentum_backtest",
+    "q301_fair_share",
+    "q302_p99_attribution",
+    "q303_covariance_matrix",
+    "q304_absorbing_markov",
+    "q305_term_burstiness",
+    "q306_population_estimates",
+    "q307_dup_rate_by_source",
+    "q308_runs_test",
+    "q309_effective_sample_size",
+    "q310_holm_correction",
+    "q311_map_functions",
+    "q312_garch_filter",
+    "q313_range_volatility",
+    "q314_kcore_decomposition",
+    "q315_poisson_bootstrap",
+    "q316_js_divergence",
+    "q317_volatility_cones",
+    "q318_ljung_box",
+    "q319_rolling_moments",
+    "q320_hashed_linear_classifier",
+    "q321_asof_tolerance",
+    "q322_point_in_time_features",
+    "q323_purged_labels",
+    "q324_portfolio_var_es",
+    "q325_tail_dependence",
+    "q326_seasonality_anova",
+    "q327_mde_planner",
+    "q328_soft_dedup_weights",
+    "q329_rolling_uniques_exact",
+    "q330_diff_in_diff",
+    "q331_kyle_lambda",
+    "q332_hawkes_intensity",
+    "q333_woe_iv_binning",
+    "q334_threshold_sweep",
 ]
 
 # Superseded round-2 rotation, kept for the audit trail.
