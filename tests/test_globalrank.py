@@ -294,3 +294,74 @@ def test_property_random_frames_match_single_window(spark):
         assert got.exceptAll(ref).count() == 0
 
     check()
+
+
+def test_skewed_order_key_partition_balance_and_exactness(spark):
+    """VERDICT r6 item 4: the range partitioner's one untested failure
+    mode is a heavily duplicated order-key prefix (Zipfian ts) landing
+    most rows in one range partition — correct but single-task-slow,
+    the exact bottleneck the operator exists to remove.
+
+    The operator's TOTAL-order contract is also the mitigation: the
+    unique tie-break column is part of the range-partition key tuple,
+    so the range sampler can (and does) place boundaries INSIDE the
+    hot key's run, splitting it by tie-break value.  This pins both
+    halves of that claim on a ~90%-single-key frame:
+
+    - balance: no range partition holds more than 3x the ideal share,
+      and the hot key's rows span at least half the partitions;
+    - exactness: rank / cumsum / count still match the single-window
+      semantics on the same skewed frame.
+    """
+    n_rows, n_parts = 120_000, 16
+    # ~90% of rows share ts=1000; the rest spread over 97 cold values
+    df = spark.range(n_rows).select(
+        F.when(F.col("id") % 10 < 9, F.lit(1000))
+        .otherwise((F.col("id") % 97).cast("long"))
+        .alias("ts"),
+        "id",
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+    # (a) perf-shape: replicate the operator's exchange (same key
+    # tuple, same partition count) and measure realized balance
+    part = df.repartitionByRange(n_parts, F.col("ts"), F.col("id"))
+    sizes = (
+        part.groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .collect()
+    )
+    counts = [r["count"] for r in sizes]
+    assert sum(counts) == n_rows
+    ideal = n_rows / n_parts
+    assert max(counts) <= 3 * ideal, counts
+    hot_span = (
+        part.filter(F.col("ts") == 1000)
+        .select(F.spark_partition_id().alias("pid"))
+        .distinct()
+        .count()
+    )
+    assert hot_span >= n_parts // 2, hot_span
+    # (b) exactness on the skewed frame (operator vs single window)
+    small = df.filter(F.col("id") < 20_000)
+    exp = small.select(
+        "id",
+        F.row_number().over(W.orderBy("ts", "id")).alias("rn"),
+        F.sum("v")
+        .over(
+            W.orderBy("ts", "id").rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        )
+        .alias("cum"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+    )
+    got = with_global_row_stats(
+        small,
+        ["ts", "id"],
+        rank_col="rn",
+        cum_sums={"cum": "v"},
+        count_col="n",
+        partitions=n_parts,
+    ).select("id", "rn", "cum", "n")
+    assert exp.exceptAll(got).count() == 0
+    assert got.exceptAll(exp).count() == 0
