@@ -122,12 +122,18 @@ def main() -> None:
     # dedup intermediates
     spark.range(32).localCheckpoint(eager=True)
 
+    all_passes: dict[str, list[float]] = {}
+
     def run_panel(names: list[str]) -> dict[str, float]:
         # Best-of-2 per query (VERDICT r5 item 3): host contention on
         # the shared runner added up to ~5x noise on single-pass
         # numbers (BENCH_r05's q01 read 2.85s vs 0.85s quiet-host) —
         # the per-query MIN of two interleaved passes is the stable
         # plan cost, matching the measure-twice rule in BENCH_NOTES.
+        # Both raw passes are also recorded (ADVICE r6): the min
+        # absorbs genuine cold-path costs (codegen warmup, page
+        # cache), so the per-pass list keeps warm/cold spread visible
+        # and earlier single-pass BENCH rounds comparable.
         out: dict[str, float] = {}
         for _ in range(2):
             for name in names:
@@ -135,6 +141,7 @@ def main() -> None:
                 t0 = time.monotonic()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 dt = round(time.monotonic() - t0, 3)
+                all_passes.setdefault(name, []).append(dt)
                 if name not in out or dt < out[name]:
                     out[name] = dt
         return out
@@ -159,6 +166,7 @@ def main() -> None:
                 "panel4_total": round(sum(panel4.values()), 3),
                 "panel4": panel4,
                 "passes": 2,
+                "pass_times": all_passes,
                 "sf": sf,
             }
         )

@@ -23,8 +23,11 @@ distributed prefix scan:
 
 Requirements: ``order_by`` must be a TOTAL order (include a unique
 tie-break column).  Rows with equal full keys could straddle a range
-boundary and swap ranks otherwise.  All callers in this repo order by
-(..., unique_id).
+boundary and swap ranks otherwise.  Callers in this repo order by
+(..., unique_id), except the boundary-sweep frames (q267/q280) which
+instead pass ``allow_ties=True`` — machine-checked proof that the
+frame carries NO columns beyond the sort keys, so tied rows are
+identical and any tie permutation is value-preserving.
 
 The explicit ``numPartitions`` on ``repartitionByRange`` keeps AQE from
 re-planning the exchange; correctness does not depend on where the
@@ -60,11 +63,12 @@ def with_global_row_stats(
     cum_maxs_excl: Mapping[str, Column | str] | None = None,
     count_col: str | None = None,
     partitions: int | None = None,
+    allow_ties: bool = False,
 ) -> DataFrame:
     """Append global-window columns without a single-partition window.
 
     order_by    total-order sort expressions (may carry ``.desc()``);
-                must include a unique tie-break.
+                must include a unique tie-break — unless ``allow_ties``.
     rank_col    name for the global ``row_number`` (1-based, long).
     cum_sums    {out_name: source column} inclusive running sums in the
                 same order (sum type follows Spark's sum of the source).
@@ -81,6 +85,14 @@ def with_global_row_stats(
     count_col   name for the grand-total row count (long, every row).
     partitions  range-partition count (default: session shuffle
                 partitions).
+    allow_ties  accept a NON-unique order key, asserting the frame
+                carries no columns beyond the (string) sort keys:
+                tied rows are then full-row identical, so the rank
+                permutation among ties cannot change any downstream
+                VALUE (cum_sums over ties are order-free; a rank
+                self-join pairs a tie with an identical row).  With
+                payload columns present this would silently break
+                rank/lead determinism, so it raises instead.
     """
     cum_sums = dict(cum_sums or {})
     cum_maxs = dict(cum_maxs or {})
@@ -89,6 +101,20 @@ def with_global_row_stats(
         raise ValueError("nothing to compute")
     if any(c.startswith("_gr_") for c in df.columns):
         raise ValueError("input already carries _gr_ helper columns")
+    if allow_ties:
+        if not all(isinstance(c, str) for c in order_by):
+            raise ValueError(
+                "allow_ties requires plain string order keys so the "
+                "no-payload assertion can be checked"
+            )
+        extra = set(df.columns) - set(order_by)
+        if extra:
+            raise ValueError(
+                "allow_ties=True but the frame carries non-key columns "
+                f"{sorted(extra)}: tied rows would not be identical and "
+                "rank/lead over ties would be nondeterministic — add a "
+                "unique tie-break to order_by instead"
+            )
 
     spark = df.sparkSession
     n = int(partitions or spark.conf.get("spark.sql.shuffle.partitions"))

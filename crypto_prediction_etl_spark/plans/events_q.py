@@ -3788,7 +3788,7 @@ def q267_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t_start").alias("ts"), F.lit(1).alias("delta")
     ).unionByName(sess.select(F.col("t_end").alias("ts"), F.lit(-1).alias("delta")))
     sweep = with_global_row_stats(
-        deltas, ["ts", "delta"], cum_sums={"live": "delta"}
+        deltas, ["ts", "delta"], cum_sums={"live": "delta"}, allow_ties=True
     ).select(F.to_date("ts").alias("day"), "live")
     return sweep.groupBy(
         F.date_format("day", "yyyy-MM-dd").alias("day")
@@ -4061,6 +4061,7 @@ def q280_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["ts", "delta"],
         rank_col="rn",
         cum_sums={"live": "delta"},
+        allow_ties=True,
     )
     nxt = ranked.select(
         (F.col("rn") - 1).alias("rn"), F.col("ts").alias("nts")

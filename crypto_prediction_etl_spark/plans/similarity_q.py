@@ -2427,14 +2427,20 @@ def q351_mmd_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.readers import spread_small_scan
 
     e = _vecs(spark, sf_dir)
-    n_vecs = e.count()
-    if n_vecs > _Q351_MAX_BROADCAST_ROWS:
+    # Budget check and materialization in ONE pass: fetch at most
+    # cap+1 rows — a count()-based precheck cost a second complete
+    # scan/explode of the vectors source on every invocation.
+    rows = (
+        e.select("vec_id", "label", "v")
+        .limit(_Q351_MAX_BROADCAST_ROWS + 1)
+        .collect()
+    )
+    if len(rows) > _Q351_MAX_BROADCAST_ROWS:
         raise ValueError(
-            f"q351 broadcast budget exceeded: {n_vecs} vectors > "
-            f"{_Q351_MAX_BROADCAST_ROWS}; reservoir-cap per class "
-            "(q237) before the MMD kernel"
+            f"q351 broadcast budget exceeded: >{_Q351_MAX_BROADCAST_ROWS}"
+            " vectors; reservoir-cap per class (q237) before the MMD "
+            "kernel"
         )
-    rows = e.select("vec_id", "label", "v").collect()
     all_ids = np.array([r[0] for r in rows], dtype="int64")
     all_lab = np.array([r[1] for r in rows], dtype="int64")
     mat = np.stack([np.asarray(r[2], dtype="float64") for r in rows])

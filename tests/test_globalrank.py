@@ -365,3 +365,31 @@ def test_skewed_order_key_partition_balance_and_exactness(spark):
     ).select("id", "rn", "cum", "n")
     assert exp.exceptAll(got).count() == 0
     assert got.exceptAll(exp).count() == 0
+
+
+def test_allow_ties_mode_guards_payload_columns(spark):
+    """allow_ties accepts a tied order key only when the frame has no
+    columns beyond the sort keys (tied rows identical => any tie
+    permutation value-preserving); payload columns raise."""
+    bare = spark.range(100).select(
+        (F.col("id") % 5).alias("ts"), F.lit(1).alias("delta")
+    )
+    out = with_global_row_stats(
+        bare, ["ts", "delta"], cum_sums={"live": "delta"}, allow_ties=True
+    )
+    assert out.count() == 100
+    with_payload = bare.withColumn("v", F.col("ts") * 2)
+    with pytest.raises(ValueError, match="non-key columns"):
+        with_global_row_stats(
+            with_payload,
+            ["ts", "delta"],
+            cum_sums={"live": "delta"},
+            allow_ties=True,
+        )
+    with pytest.raises(ValueError, match="string order keys"):
+        with_global_row_stats(
+            bare,
+            [F.col("ts"), "delta"],
+            cum_sums={"live": "delta"},
+            allow_ties=True,
+        )

@@ -1006,23 +1006,62 @@ def test_r5_batch_no_cartesian_no_python_rowudf(spark, sf_dir):
 
 # Partition-less windows over frames that are BOUNDED by semantics,
 # not by a limit operator the mechanical audit can see.  Every entry
-# is a human-audited tiny/sub-linear frame; anything NOT listed that
-# plans an unbounded partition-less window fails the catalog guard —
-# the structural close of the single-task-window class VERDICT r4/r5
-# flagged (subjects are the first order column, '' = orderless
-# whole-frame spec; see tools/window_audit.py).
+# is a human-audited tiny/sub-linear frame WITH its worst-case row
+# bound stated, pinned by the FULL normalized spec body (order
+# columns + directions + frame, expr-ids stripped — see
+# tools/window_audit.normalize_spec), so a future window in the same
+# query that merely shares an order-column NAME, or a frame change,
+# fails the guard instead of slipping through.  Anything NOT listed
+# that plans an unbounded partition-less window fails the catalog
+# guard — the structural close of the single-task-window class
+# VERDICT r4/r5 flagged.
+_ROWS_CUM = "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())"
+_ROWS_ALL = (
+    "specifiedwindowframe(RowFrame, unboundedpreceding$(), unboundedfollowing$())"
+)
 _PARTITIONLESS_WINDOW_ALLOWED = {
-    "q107_cumulative_uniques": {"day"},  # calendar grain
-    "q248_gain_deciles": {"decile"},  # 10-row decile table
-    "q257_stratified_effect": {""},  # 3-row stratum table
-    "q259_km_survival": {"days"},  # event-day grain
-    "q270_lsh_planner": {"_w0"},  # planner config rows
-    "q300_momentum_backtest": {"mon"},  # month grain
-    "q310_holm_correction": {"rk", "_w0"},  # hypothesis-count rows
-    "q341_chi_square": {""},  # contingency cells
-    "q355_bh_fdr": {"_w0"},  # hypothesis-count rows
-    "q413_slo_burn_rate": {"h"},  # hour grain
-    "q418_coverage_knee": {"cnt"},  # 8 curve points
+    # calendar DAY grain: rows = distinct days <= ~366 * corpus years
+    # (grows with lifetime, not data size)
+    "q107_cumulative_uniques": {f"day ASC NULLS FIRST, {_ROWS_CUM}"},
+    # decile table: exactly 10 rows by construction
+    "q248_gain_deciles": {
+        f"decile ASC NULLS FIRST, {_ROWS_CUM}",
+        f"decile ASC NULLS FIRST, {_ROWS_ALL}",
+    },
+    # stratum table: exactly 3 rows (tertile cut)
+    "q257_stratified_effect": {_ROWS_ALL},
+    # distinct tenure DAYS: <= ~366 * corpus years (lifetime grain)
+    "q259_km_survival": {
+        f"days ASC NULLS FIRST, {_ROWS_CUM}",
+        "days ASC NULLS FIRST, specifiedwindowframe(RowFrame, "
+        "unboundedpreceding$(), -1)",
+    },
+    # planner config grid: bands in divisors(16) x thresholds = O(10)
+    "q270_lsh_planner": {
+        f"_w0 ASC NULLS FIRST, b ASC NULLS FIRST, {_ROWS_CUM}"
+    },
+    # calendar MONTH grain: <= 12 * corpus years
+    "q300_momentum_backtest": {f"mon ASC NULLS FIRST, {_ROWS_CUM}"},
+    # hypothesis table: one row per tested event_type (~5)
+    "q310_holm_correction": {
+        f"_w0 DESC NULLS LAST, id ASC NULLS FIRST, {_ROWS_CUM}",
+        f"rk ASC NULLS FIRST, {_ROWS_CUM}",
+    },
+    # contingency cells: |status| x |priority| <= 15 rows
+    "q341_chi_square": {_ROWS_ALL},
+    # hypothesis table: one row per tested event_type (~5)
+    "q355_bh_fdr": {
+        f"_w0 DESC NULLS LAST, id ASC NULLS FIRST, {_ROWS_CUM}"
+    },
+    # calendar HOUR grain: <= 8784 * corpus years (lifetime grain)
+    "q413_slo_burn_rate": {
+        "h ASC NULLS FIRST, specifiedwindowframe(RowFrame, -5, "
+        "currentrow$())"
+    },
+    # token-frequency curve: exactly 8 threshold points
+    "q418_coverage_knee": {
+        f"cnt DESC NULLS LAST, tok ASC NULLS FIRST, {_ROWS_CUM}"
+    },
 }
 
 
@@ -1045,7 +1084,7 @@ def test_catalog_wide_no_cartesian_no_row_python(spark, sf_dir):
         _sys.path.insert(0, "/root/repo/tools")
     from window_audit import (
         capture_checkpoint_plans,
-        unbounded_partitionless,
+        unbounded_partitionless_specs,
     )
 
     offenders = []
@@ -1063,7 +1102,7 @@ def test_catalog_wide_no_cartesian_no_row_python(spark, sf_dir):
                 offenders.append((name, "CartesianProduct"))
             if "BatchEvalPython" in p:
                 offenders.append((name, "BatchEvalPython"))
-            stray = set(unbounded_partitionless(p)) - (
+            stray = set(unbounded_partitionless_specs(p)) - (
                 _PARTITIONLESS_WINDOW_ALLOWED.get(name, set())
             )
             if stray:
@@ -1611,3 +1650,14 @@ def test_no_unaudited_driver_materializations():
                     found.add((rel, enc[-1] if enc else "<module>"))
     stray = found - _DRIVER_MATERIALIZATION_ALLOWED
     assert not stray, f"unaudited driver materializations: {sorted(stray)}"
+
+
+def test_q351_broadcast_budget_guard_raises(spark, sf_dir, monkeypatch):
+    """The q351 MMD kernel's driver-side collect is its broadcast
+    matrix; the budget guard must refuse oversized inputs (single-pass
+    limit(cap+1) probe) instead of silently materializing them."""
+    from crypto_prediction_etl_spark.plans import similarity_q
+
+    monkeypatch.setattr(similarity_q, "_Q351_MAX_BROADCAST_ROWS", 3)
+    with pytest.raises(ValueError, match="broadcast budget"):
+        registry.QUERIES["q351_mmd_two_sample"](spark, sf_dir)

@@ -81,6 +81,14 @@ def _spec_bodies(plan: str) -> list[str]:
         i = k
 
 
+# A sort-order arg RENDERS with its direction and null ordering at the
+# very end ("expr ASC NULLS FIRST"); anchoring there keeps a
+# partition-by EXPRESSION whose rendered form merely contains " ASC"
+# somewhere inside (a literal, a nested sort) from being misread as an
+# order column and the spec skipped by the guard.
+_SORT_MARKER = re.compile(r" (ASC|DESC) NULLS (FIRST|LAST)$")
+
+
 def partitionless_specs(plan: str) -> list[str]:
     """Return the partition-less windowspecdefinition bodies of a plan."""
     found = []
@@ -89,9 +97,16 @@ def partitionless_specs(plan: str) -> list[str]:
         non_frame = [
             a for a in args if not a.startswith("specifiedwindowframe(")
         ]
-        if all(" ASC" in a or " DESC" in a for a in non_frame):
+        if all(_SORT_MARKER.search(a) for a in non_frame):
             found.append(body)
     return found
+
+
+def normalize_spec(body: str) -> str:
+    """Spec body with expression ids stripped — stable across runs, so
+    the test allowlist can pin the FULL spec (order columns, direction,
+    frame), not just the first order-column name."""
+    return re.sub(r"#\d+L?", "", body)
 
 
 def subject(body: str) -> str:
@@ -109,11 +124,11 @@ def _depth(line: str) -> int:
     return m.start() if m else -1
 
 
-def unbounded_partitionless(plan: str) -> list[str]:
-    """Subjects of partition-less windows whose input subtree carries
-    no limit-like bound — the single-task-window scale hazards.  The
-    globalrank offsets pass (ordered by ``_gr_pid``, O(partitions)
-    rows by construction) is excluded."""
+def _unbounded_partitionless_bodies(plan: str) -> list[str]:
+    """Raw spec bodies of partition-less windows whose input subtree
+    carries no limit-like bound — the single-task-window scale
+    hazards.  The globalrank offsets pass (ordered by ``_gr_pid``,
+    O(partitions) rows by construction) is excluded."""
     lines = plan.splitlines()
     out = []
     for i, ln in enumerate(lines):
@@ -132,12 +147,25 @@ def unbounded_partitionless(plan: str) -> list[str]:
         if _BOUNDED.search("\n".join(sub)):
             continue
         for body in specs:
-            s = subject(body)
             # the operators' own O(partitions) offset passes order by
             # the partition id — bounded by construction
-            if s not in ("_gr_pid", "_gl_pid"):
-                out.append(s)
+            if subject(body) not in ("_gr_pid", "_gl_pid"):
+                out.append(body)
     return out
+
+
+def unbounded_partitionless(plan: str) -> list[str]:
+    """First-order-column subjects of the unbounded partition-less
+    windows (CLI display form)."""
+    return [subject(b) for b in _unbounded_partitionless_bodies(plan)]
+
+
+def unbounded_partitionless_specs(plan: str) -> list[str]:
+    """Normalized FULL spec bodies of the unbounded partition-less
+    windows — what the test allowlist pins (see normalize_spec)."""
+    return [
+        normalize_spec(b) for b in _unbounded_partitionless_bodies(plan)
+    ]
 
 
 @contextlib.contextmanager
