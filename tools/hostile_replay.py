@@ -9,6 +9,14 @@ session builder on purpose and asserted here to survive hostility).
 Usage:
   python tools/hostile_replay.py [name-prefix ...]     (no args = full catalog)
   python tools/hostile_replay.py --sample N SALT       (sampled cadence)
+  python tools/hostile_replay.py --codegen-off [...]   (interpreted eval)
+
+--codegen-off additionally disables whole-stage codegen (and forces
+NO_CODEGEN expression evaluation), exercising Spark's interpreted
+expression path — results must be identical because every query's
+float discipline (portable rounding grids, integer-cents sums) leaves
+no room for codegen-vs-interpreted drift; a mismatch here would mean a
+query depends on a codegen-specific evaluation order.
 
 The --sample mode (VERDICT r4 item 8) draws a deterministic
 pseudo-random N-query subset keyed by SALT (use the round tag, e.g.
@@ -55,7 +63,12 @@ from pyspark.sql import SparkSession
 import __spark_entry__ as entrymod  # noqa: E402  (registers the catalog)
 from tests.oracle import compare_query  # noqa: E402
 
-spark = (
+args = sys.argv[1:]
+codegen_off = args[:1] == ["--codegen-off"]
+if codegen_off:
+    args = args[1:]
+
+builder = (
     SparkSession.builder.master("local[8]")
     .appName("hostile-replay")
     .config("spark.driver.extraJavaOptions", "-Duser.timezone=America/New_York")
@@ -66,11 +79,14 @@ spark = (
         "spark.sql.legacy.parquet.nanosAsLong", "true"
     )  # hard requirement of the testdata, documented in readers.table
     .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-    .getOrCreate()
 )
+if codegen_off:
+    builder = builder.config(
+        "spark.sql.codegen.wholeStage", "false"
+    ).config("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+spark = builder.getOrCreate()
 
 SF = "/root/testdata/sf0.01"
-args = sys.argv[1:]
 all_names = list(entrymod.oracle_sql())
 if args[:1] == ["--sample"]:
     k = int(args[1])
