@@ -393,3 +393,35 @@ def test_allow_ties_mode_guards_payload_columns(spark):
             cum_sums={"live": "delta"},
             allow_ties=True,
         )
+
+
+def test_allow_ties_values_invariant_across_partitionings(spark):
+    """The allow_ties safety argument, pinned: with a duplicate-heavy
+    key and NO payload columns, the output multiset must be identical
+    for any partition count and equal to the single-window reference —
+    tie permutations across range boundaries can never change values."""
+    df = spark.range(3000).select(
+        (F.col("id") % 13).alias("ts"),
+        (F.col("id") % 3 - 1).alias("delta"),
+    )
+    ref = df.select(
+        "ts",
+        "delta",
+        F.sum("delta")
+        .over(
+            W.orderBy("ts", "delta").rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        )
+        .alias("live"),
+    )
+    ref_rows = sorted(map(tuple, ref.collect()))
+    for parts in (2, 7, 32):
+        got = with_global_row_stats(
+            df,
+            ["ts", "delta"],
+            cum_sums={"live": "delta"},
+            allow_ties=True,
+            partitions=parts,
+        ).select("ts", "delta", "live")
+        assert sorted(map(tuple, got.collect())) == ref_rows, parts
