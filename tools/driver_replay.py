@@ -35,6 +35,12 @@ for t in ["region", "nation", "customer", "supplier", "part",
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
 qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+# Optional name-prefix filter (delta checks after touching a few
+# plans: `python tools/driver_replay.py q267 q280`); no args = full
+# gate, the only form that counts as the round-close verification.
+prefixes = tuple(sys.argv[1:])
+if prefixes:
+    qs = {n: f for n, f in qs.items() if n.startswith(prefixes)}
 n_pass = n_fail = 0
 for name, fn in sorted(qs.items()):
     t0 = time.time()
