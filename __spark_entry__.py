@@ -42,65 +42,99 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver adjudicates exactly the first 50 ``queries()`` entries per
-# round.  Rotation for round 7 (VERDICT r6 item 1): drain the oldest
-# never-adjudicated tail in numeric order — q285-q334 (catalog frozen
-# at 420; 136 never-adjudicated entering r7, 86 remain for r8/r9).
+# round.  Rotation for round 8 (VERDICT r7 item 1): drain the oldest
+# never-adjudicated tail in numeric order — q335-q384 (catalog frozen
+# at 420; 86 never-adjudicated entering r8, 36 remain for r9).
 # Everything already adjudicated keeps its green row and stays covered
 # by the local mirror (tests/test_oracle_parity.py +
 # tools/driver_replay.py, which canonicalizes through pandas exactly
 # like the driver) plus the independent numpy/pandas cross-checks in
-# tests/test_r6_tail_pandas.py.
+# tests/test_r6_tail_pandas.py and tests/test_r7_hash_mirrors.py.
+#
+# ROUND-9 PLAN (pre-staged per VERDICT r7 item 5; verify against
+# CORRECTNESS_r08 keys at r9 start): the 36 remaining never-adjudicated
+# names, consecutive q385_book_walk .. q420_weekly_ks_drift:
+#   q385_book_walk, q386_embedding_drift, q387_kde,
+#   q388_theil_decomposition, q389_texttiling, q390_filter_bias,
+#   q391_knn_assortativity, q392_data_budget, q393_geometric_median,
+#   q394_rank_biased_overlap, q395_weibull_fit, q396_dead_letter_audit,
+#   q397_lexical_diversity, q398_similarity_alignment,
+#   q399_self_retrieval, q400_mixture_materializer,
+#   q401_kingman_backpressure, q402_vnode_balance, q403_decay_trending,
+#   q404_erasure_cost, q405_ledger_reconciliation, q406_greedy_coverage,
+#   q407_vocab_coverage, q408_harmonic_dow, q409_rank_ic,
+#   q410_shard_key_advisor, q411_cross_source_dups,
+#   q412_uncertainty_sampling, q413_slo_burn_rate, q414_ecod_outliers,
+#   q415_bloom_empirical, q416_group_sequential, q417_lineage_manifest,
+#   q418_coverage_knee, q419_mix_shift, q420_weekly_ks_drift
+# plus 14 RE-adjudication picks — queries whose PLANS changed after
+# their last driver verdict, so each ends the build with a post-change
+# driver verdict (oldest-verdict-first; q351_mmd_two_sample's r7 guard
+# rewrite is covered by THIS r8 window):
+#   q267_concurrency_sweep, q280_interval_coverage (allow_ties added
+#     r7, last verdict r6),
+#   q75_bm25_scoring (verdict r2, globalrank-routed r6),
+#   q153_curriculum_shards (verdict r4, globalrank-routed r6),
+#   q154_systematic_sample (verdict r5, globalrank-routed r6),
+# then fill the remaining ~9 slots with the oldest overall verdicts as
+# freshness re-checks (r1 adjudicated set, numeric order):
+#   q01_pricing_summary, q02_filtered_revenue, q03_distinct_keys,
+#   q04_union_counts, q05_minmax_bounds, q10_region_revenue,
+#   q11_top_unshipped_orders, q12_semi_anti_join,
+#   q13_order_count_distribution
+# (swap any already re-verdicted member for the next oldest at r9
+# start; verify the final list against CORRECTNESS_r08 keys).
 _ADJUDICATE_FIRST = [
-    "q285_simpson_detector",
-    "q286_kmv_union_merge",
-    "q287_interval_backtest",
-    "q288_stale_price_audit",
-    "q289_rec_coverage_bias",
-    "q290_user_features",
-    "q291_l_diversity",
-    "q292_code_switching",
-    "q293_contract_fill_rates",
-    "q294_attribution_compare",
-    "q295_interarrival_percentiles",
-    "q296_permutation_test",
-    "q297_component_sizes",
-    "q298_cache_planner",
-    "q299_holt_winters",
-    "q300_momentum_backtest",
-    "q301_fair_share",
-    "q302_p99_attribution",
-    "q303_covariance_matrix",
-    "q304_absorbing_markov",
-    "q305_term_burstiness",
-    "q306_population_estimates",
-    "q307_dup_rate_by_source",
-    "q308_runs_test",
-    "q309_effective_sample_size",
-    "q310_holm_correction",
-    "q311_map_functions",
-    "q312_garch_filter",
-    "q313_range_volatility",
-    "q314_kcore_decomposition",
-    "q315_poisson_bootstrap",
-    "q316_js_divergence",
-    "q317_volatility_cones",
-    "q318_ljung_box",
-    "q319_rolling_moments",
-    "q320_hashed_linear_classifier",
-    "q321_asof_tolerance",
-    "q322_point_in_time_features",
-    "q323_purged_labels",
-    "q324_portfolio_var_es",
-    "q325_tail_dependence",
-    "q326_seasonality_anova",
-    "q327_mde_planner",
-    "q328_soft_dedup_weights",
-    "q329_rolling_uniques_exact",
-    "q330_diff_in_diff",
-    "q331_kyle_lambda",
-    "q332_hawkes_intensity",
-    "q333_woe_iv_binning",
-    "q334_threshold_sweep",
+    "q335_spearman_rho",
+    "q336_triple_barrier",
+    "q337_vpin",
+    "q338_fracdiff",
+    "q339_corwin_schultz",
+    "q340_mann_whitney",
+    "q341_chi_square",
+    "q342_kendall_tau",
+    "q343_wasserstein",
+    "q344_dsir_weights",
+    "q345_heaps_law",
+    "q346_pacf_durbin",
+    "q347_haar_energy",
+    "q348_lof_outliers",
+    "q349_paragraph_dedup",
+    "q350_hill_tail_index",
+    "q351_mmd_two_sample",
+    "q352_rv_signature",
+    "q353_sign_autocorr",
+    "q354_semivariance",
+    "q355_bh_fdr",
+    "q356_tokenizer_fertility",
+    "q357_ngram_novelty",
+    "q358_matryoshka_audit",
+    "q359_dedup_threshold_sweep",
+    "q360_watermark_sweep",
+    "q361_reshard_audit",
+    "q362_content_screen",
+    "q363_dataset_card",
+    "q364_variance_ratio",
+    "q365_adamic_adar",
+    "q366_readability",
+    "q367_span_dedup",
+    "q368_cka_alignment",
+    "q369_rake_keyphrases",
+    "q370_fd_violations",
+    "q371_bloom_sizing",
+    "q372_label_modularity",
+    "q373_kneser_ney",
+    "q374_sax_motifs",
+    "q375_quantile_effects",
+    "q376_burrows_delta",
+    "q377_fd_binwidth",
+    "q378_ccnet_buckets",
+    "q379_self_bleu",
+    "q380_hubness_audit",
+    "q381_epps_effect",
+    "q382_log_odds_keyness",
+    "q383_ips_offpolicy",
+    "q384_conformal_coverage",
 ]
 
 # Superseded round-2 rotation, kept for the audit trail.

@@ -152,25 +152,44 @@ def main() -> None:
     panel4 = run_panel(PANEL4)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "panel2_total": round(sum(panel2.values()), 3),
-                "panel2": panel2,
-                "panel3_total": round(sum(panel3.values()), 3),
-                "panel3": panel3,
-                "panel4_total": round(sum(panel4.values()), 3),
-                "panel4": panel4,
-                "passes": 2,
-                "pass_times": all_passes,
-                "sf": sf,
-            }
-        )
+
+    # Pass-level and per-panel detail goes on an EARLIER stdout line and
+    # a sidecar file, NOT the final summary line: the round driver
+    # captures only the last 2000 chars of stdout and parses the summary
+    # JSON from that tail — r7's single fat line exceeded it and BENCH_r07
+    # recorded parsed:null (VERDICT r7 item 2). Keep the final line <1.5KB.
+    detail = {
+        "metric": "bench_detail",
+        "panel2": panel2,
+        "panel3": panel3,
+        "panel4": panel4,
+        "passes": 2,
+        "pass_times": all_passes,
+    }
+    detail_path = os.path.join(REPO_ROOT, "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(detail))
+
+    summary = json.dumps(
+        {
+            "metric": "headline_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "panel2_total": round(sum(panel2.values()), 3),
+            "panel3_total": round(sum(panel3.values()), 3),
+            "panel4_total": round(sum(panel4.values()), 3),
+            "sf": sf,
+        }
     )
+    # hard guard: never let the summary line regress past the driver's
+    # 2000-char stdout tail capture again
+    assert len(summary) < 1500, f"summary line {len(summary)}B >= 1.5KB"
+    print(summary)
 
 
 if __name__ == "__main__":

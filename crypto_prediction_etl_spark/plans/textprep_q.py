@@ -17,6 +17,14 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.portable import hash64, o_hash64, o_rnd, prnd
+from ..operators.dedup import (
+    LSH_BANDS,
+    MINHASH_PERMS,
+    MINHASH_PRIME,
+    _band_keys,
+    _minhash_sigs_from_arrays,
+    corpus_shingle_arrays,
+)
 from ..operators.text import tokens
 from ..sources.readers import table
 from .registry import query
@@ -173,35 +181,79 @@ _Q141_PFX = 48  # prefix length scored
 _Q141_MAX = 24  # max edit distance reported
 
 
-@query(
-    "q141_edit_distance_pairs",
-    oracle=f"""
-    WITH d AS (
+def _q141_oracle() -> str:
+    """Band-composed blocking oracle: candidates must share (lang,
+    length bucket) AND a MinHash LSH band key (q45's signature
+    machinery, replayed arithmetically in DuckDB)."""
+    from .dedup import _BASE_SH_CTE  # local import: avoid cycles at load
+
+    p = MINHASH_PRIME
+    mh_cols = ",\n             ".join(
+        f"min((CAST({a} AS BIGINT) * hh + {b}) % {p}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    rows = len(MINHASH_PERMS) // LSH_BANDS
+    band_selects = []
+    for band in range(LSH_BANDS):
+        cols = [f"mh{band * rows + j}" for j in range(rows)]
+        key = (
+            "md5(concat_ws(',',"
+            + ",".join(f"CAST({c} AS VARCHAR)" for c in cols)
+            + "))"
+        )
+        band_selects.append(f"SELECT doc_id, {band} AS band, {key} AS bk FROM sig")
+    bands = "\n      UNION ALL\n      ".join(band_selects)
+    return f"""
+    WITH {_BASE_SH_CTE},
+    docs_p AS (
       SELECT doc_id, lang, n_chars // {_Q141_BKT} AS bkt,
              substr(text, 1, {_Q141_PFX}) AS pfx
       FROM documents
+    ),
+    h AS (SELECT doc_id, ({o_hash64('shingle')}) % {p} AS hh FROM sh),
+    sig AS (SELECT doc_id,
+             {mh_cols}
+            FROM h GROUP BY doc_id),
+    bands AS (
+      {bands}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+      JOIN docs_p da ON da.doc_id = a.doc_id
+      JOIN docs_p db ON db.doc_id = b.doc_id
+      WHERE da.lang = db.lang AND da.bkt = db.bkt
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
-    FROM d a JOIN d b
-      ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
-    WHERE levenshtein(a.pfx, b.pfx) <= {_Q141_MAX}
-    """,
-)
+    SELECT c.id_a, c.id_b,
+           CAST(levenshtein(da.pfx, db.pfx) AS BIGINT) AS dist
+    FROM cand c
+    JOIN docs_p da ON da.doc_id = c.id_a
+    JOIN docs_p db ON db.doc_id = c.id_b
+    WHERE levenshtein(da.pfx, db.pfx) <= {_Q141_MAX}
+    """
+
+
+@query("q141_edit_distance_pairs", oracle=_q141_oracle())
 def q141_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level near-dup verification: Levenshtein distance on
     48-char prefixes for candidate pairs blocked by (lang, length
-    bucket) — the exact-verify stage that follows any hash-based
-    candidate generator.
+    bucket) COMPOSED with a MinHash LSH band key — the exact-verify
+    stage that follows a hash-based candidate generator.
 
-    The blocking join is an EQUI join on (lang, bucket) with the
-    ``id_a < id_b`` dedup as a residual predicate — a hash join, never
-    a cross product (same discipline as q45/q112). Levenshtein runs
-    JVM-side on a FIXED 48-char prefix, so per-pair cost is a constant
-    ~2.3k cell DP, not O(doc^2). At 100 TB blocking groups must stay
-    bounded: length x lang blocking alone is too coarse there — compose
-    with a band hash (as q45 does) so group size is capped by design;
-    the operator shape (equi-join + constant-cost verify) is unchanged.
+    Round-8 change (VERDICT r7 item 3): (lang, bucket) blocking alone
+    was the catalog's only super-linear scaling curve (x22.7 at 10x
+    data — block sizes grow linearly with the corpus, pairs
+    quadratically). The blocking key now composes with q45's band hash,
+    so a pair must ALSO collide on one of the 4 LSH band keys; group
+    sizes are capped by signature collision probability, not corpus
+    size. The join stays a pure EQUI join on (band, bk, lang, bkt)
+    with ``id_a < id_b`` as a residual — a hash join, never a cross
+    product. Levenshtein runs JVM-side on a FIXED 48-char prefix, so
+    per-pair cost is a constant ~2.3k-cell DP. Docs too short to
+    shingle (< 3 tokens) have no signature and exit the candidate set —
+    a sub-prefix-length doc cannot be a 48-char-prefix near-dup of
+    meaningful length anyway.
     """
     d = table(spark, sf_dir, "documents").select(
         "doc_id",
@@ -209,22 +261,30 @@ def q141_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") / _Q141_BKT).cast("long").alias("bkt"),
         F.substring("text", 1, _Q141_PFX).alias("pfx"),
     )
-    a = d.select(
+    sigs = _minhash_sigs_from_arrays(corpus_shingle_arrays(spark, sf_dir), "doc_id")
+    banded = _band_keys(sigs, "doc_id").join(d, "doc_id")
+    a = banded.select(
         F.col("doc_id").alias("id_a"),
+        "band",
+        "bk",
         "lang",
         "bkt",
         F.col("pfx").alias("pfx_a"),
     )
-    b = d.select(
+    b = banded.select(
         F.col("doc_id").alias("id_b"),
+        "band",
+        "bk",
         "lang",
         "bkt",
         F.col("pfx").alias("pfx_b"),
     )
     dist = F.levenshtein("pfx_a", "pfx_b")
     return (
-        a.join(b, ["lang", "bkt"])
+        a.join(b, ["band", "bk", "lang", "bkt"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pfx_a", "pfx_b")
+        .distinct()
         .filter(dist <= _Q141_MAX)
         .select("id_a", "id_b", dist.cast("long").alias("dist"))
     )

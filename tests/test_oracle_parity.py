@@ -192,8 +192,20 @@ def test_every_query_has_independent_check_or_driver_verdict():
         with open(path) as f:
             payload = json.load(f)
         entries = payload.get("queries", payload)
-        if isinstance(entries, dict):
-            adjudicated |= {k for k in entries if k.startswith("q")}
+        if not isinstance(entries, dict):
+            continue
+        for k, v in entries.items():
+            # ADVICE r7: key presence is not a verdict — only a GREEN
+            # entry (rows+hash match, no error) counts as adjudicated.
+            # A red or errored verdict must not satisfy this guard.
+            if (
+                k.startswith("q")
+                and isinstance(v, dict)
+                and v.get("rows_match") is True
+                and v.get("hash_match") is True
+                and v.get("err") is None
+            ):
+                adjudicated.add(k)
     check_files = [
         "test_indicators_pandas.py",
         "test_golden_indicators.py",
@@ -204,9 +216,31 @@ def test_every_query_has_independent_check_or_driver_verdict():
         "test_r7_hash_mirrors.py",
     ]
     checked: set[str] = set()
+    # ADVICE r7: a name in a comment/docstring ("the q45 composition")
+    # must not count as an independent cross-check.  Only CODE
+    # references count: registry lookups, run-helper calls, and test
+    # function names that embed the query name.
+    code_ref = re.compile(
+        r"""(?:
+              QUERIES\[\s*["'](q\d+[a-z]?_[a-z0-9_]+)["']\s*\]   # registry lookup
+            | ORACLES\[\s*["'](q\d+[a-z]?_[a-z0-9_]+)["']\s*\]
+            | _run\(\s*["'](q\d+[a-z]?_[a-z0-9_]+)["']           # local run helpers
+            | run_query\(\s*[^,]+,\s*["'](q\d+[a-z]?_[a-z0-9_]+)["']
+            | spark_result\(\s*["'](q\d+[a-z]?_[a-z0-9_]+)["']
+            | ["'](q\d+[a-z]?_[a-z0-9_]+)["']\s*[,)\]]           # name literal in a call/list
+            | def\s+test_(q\d+[a-z]?_[a-z0-9_]+)                 # test fn named after query
+        )""",
+        re.VERBOSE,
+    )
     for fn in check_files:
         with open(os.path.join(repo, "tests", fn)) as f:
-            checked |= set(re.findall(r"q\d+[a-z]?_[a-z0-9_]+", f.read()))
+            src = f.read()
+        # strip comments and docstrings before matching so prose
+        # cross-references can't satisfy the guard
+        src = re.sub(r'"""(?:[^"\\]|\\.|"(?!""))*"""', "", src, flags=re.S)
+        src = re.sub(r"#[^\n]*", "", src)
+        for m in code_ref.finditer(src):
+            checked |= {g for g in m.groups() if g}
     uncovered = sorted(
         n for n in registry.QUERIES if n not in adjudicated and n not in checked
     )

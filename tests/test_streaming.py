@@ -929,11 +929,28 @@ def test_socket_wire_source_runs_candles_pipeline(spark):
     srv.listen(1)
     stop = threading.Event()
 
+    def _handle(conn):
+        try:
+            conn.sendall(("\n".join(lines) + "\n").encode())
+            stop.wait(60)  # keep the connection open until test end
+        except OSError:
+            pass
+        finally:
+            conn.close()
+
     def serve():
-        conn, _ = srv.accept()
-        conn.sendall(("\n".join(lines) + "\n").encode())
-        stop.wait(60)  # keep the connection open until the test ends
-        conn.close()
+        # Accept in a loop (ADVICE r7): Spark's socket source re-dials
+        # on stream restart/failure; a single accept() would strand the
+        # reconnect and burn the full deadline.  Each connection gets
+        # its own handler thread (re-sending the payload) so a held
+        # first connection never blocks a reconnect.
+        srv.settimeout(1.0)
+        while not stop.is_set():
+            try:
+                conn, _ = srv.accept()
+            except (socket.timeout, OSError):
+                continue
+            threading.Thread(target=_handle, args=(conn,), daemon=True).start()
 
     threading.Thread(target=serve, daemon=True).start()
     raw = (

@@ -42,6 +42,7 @@ prefixes = tuple(sys.argv[1:])
 if prefixes:
     qs = {n: f for n, f in qs.items() if n.startswith(prefixes)}
 n_pass = n_fail = 0
+failed: list[str] = []
 for name, fn in sorted(qs.items()):
     t0 = time.time()
     try:
@@ -55,9 +56,23 @@ for name, fn in sorted(qs.items()):
         verdict, detail = "ERR", f"{type(exc).__name__}: {exc}"
     ok = verdict == "PASS"
     n_pass += ok
-    n_fail += verdict in ("FAIL", "ERR")
+    if verdict in ("FAIL", "ERR"):
+        n_fail += 1
+        failed.append(name)
     extra = f"  [{detail}]" if detail else ""
     nrows = len(spdf) if verdict != "ERR" else -1
     print(f"{verdict} {name}: {nrows} rows ({time.time()-t0:.1f}s){extra}")
 print(f"\n{n_pass} pass, {n_fail} fail, {len(qs)} queries")
+# Machine-parsable close-claim line (VERDICT r7 item 8): future rounds
+# diff this mechanically instead of grepping prose logs.
+import json  # noqa: E402
+
+print(json.dumps({
+    "metric": "driver_replay",
+    "pass": n_pass,
+    "fail": n_fail,
+    "total": len(qs),
+    "failed": failed,
+    "sf_dir": SF,
+}))
 sys.exit(1 if n_fail else 0)

@@ -33,14 +33,9 @@ FLAG_RATIO = 25.0  # 10x data; >25x time = super-linear red flag
 
 # Known curve shapes, printed but not fatal: the probe's exit code
 # flags NEW super-linear kernels, not re-reports of documented ones.
-ACKNOWLEDGED = {
-    # pair verify within blocking groups: group sizes grow with the
-    # corpus, so in-group pair counts grow super-linearly; SCALE.md
-    # documents the production form (compose the blocking key with a
-    # band hash / df-cap, the q45 composition) — at the test scales
-    # the absolute cost stays bounded (~7 s at sf0.1).
-    "q141_edit_distance_pairs",
-}
+# (q141 left this set in round 8: its blocking key now composes with
+# the q45 band hash, and its measured 10x ratio fell x22.7 -> ~x1.1.)
+ACKNOWLEDGED: set[str] = set()
 
 # Representative set: the scan/agg headline plus every heavy kernel
 # family (pairwise verify, cell/band joins, BLAS kernels, globalrank
