@@ -979,3 +979,136 @@ def test_socket_wire_source_runs_candles_pipeline(spark):
         stop.set()
         q.stop()
         srv.close()
+
+
+# ---------------------------------------------------------------------------
+# Kafka wire-schema + offset semantics (round 8: narrow the no-broker gap
+# beyond the socket transport — the exact source SCHEMA and the
+# at-least-once OFFSET contract, the two remaining Kafka-specific deltas)
+# ---------------------------------------------------------------------------
+
+_KAFKA_WIRE_SCHEMA = (
+    "key BINARY, value BINARY, topic STRING, partition INT, "
+    "offset LONG, timestamp TIMESTAMP, timestampType INT"
+)
+
+
+def _kafka_wire_rows(spark, msgs, topic="crypto.candles_minute", partition=0, base_offset=0):
+    """Rows in the EXACT shape Spark's Kafka source emits: binary
+    key/value plus (topic, partition, offset, timestamp, timestampType)."""
+    rows = [
+        (
+            id_.encode(),
+            msg.encode(),
+            topic,
+            partition,
+            base_offset + i,
+            None,
+            0,
+        )
+        for i, (id_, msg) in enumerate(msgs)
+    ]
+    return spark.createDataFrame(rows, _KAFKA_WIRE_SCHEMA)
+
+
+def test_kafka_wire_schema_binary_value_through_candles_pipeline(spark, workdir):
+    """The pipelines' Kafka-compat seam is ``CAST(value AS STRING)`` on a
+    BINARY column — a real broker hands the consumer binary key/value,
+    not the text source's string.  Streams parquet micro-batches carrying
+    the full 7-column Kafka source schema through candles_pipeline and
+    checks the parse result matches the batch run on decoded strings."""
+    src = os.path.join(workdir, "kafka_wire_src")
+    msgs = [
+        ("BTC_USDT", _candle_msg("BTC_USDT", BASE_TS, BASE_TS + 59)),
+        ("ETH_USDT", _candle_msg("ETH_USDT", BASE_TS, BASE_TS + 59, close="102.5")),
+    ]
+    _kafka_wire_rows(spark, msgs).write.parquet(src)
+
+    raw = spark.readStream.schema(_KAFKA_WIRE_SCHEMA).parquet(src)
+    q = (
+        candles_pipeline(raw)
+        .writeStream.format("memory")
+        .queryName("kafka_wire_candles")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["id"]: r["close"]
+            for r in spark.sql("SELECT id, close FROM kafka_wire_candles").collect()
+        }
+    finally:
+        q.stop()
+    assert got.keys() == {"BTC_USDT", "ETH_USDT"}
+    assert abs(got["BTC_USDT"] - 100.5) < 1e-6
+    assert abs(got["ETH_USDT"] - 102.5) < 1e-6
+    # the same rows through the BATCH path give the identical parse —
+    # the binary seam changes nothing downstream
+    batch = {
+        r["id"]: r["close"]
+        for r in candles_pipeline(spark.read.parquet(src)).collect()
+    }
+    assert batch == got
+
+
+def test_kafka_offset_redelivery_is_idempotent_via_hot_table(spark, workdir):
+    """Kafka is at-least-once: after a consumer failure the same
+    (topic, partition, offset) range is REDELIVERED.  The engine's
+    idempotence pattern is the merge-on-read hot table keyed on the
+    source coordinates — redelivered offsets collapse to one row, new
+    offsets survive.  Replays batch 1 = offsets 0-2, batch 2 = offsets
+    1-4 (overlap 1-2), asserts the hot view is exactly offsets 0-4."""
+    from crypto_prediction_etl_spark.streaming.sinks import upsert_append_writer
+
+    src = os.path.join(workdir, "kafka_redeliver_src")
+    out = os.path.join(workdir, "kafka_redeliver_out")
+    ckpt = os.path.join(workdir, "kafka_redeliver_ckpt")
+
+    def batch_frame(lo, hi):
+        msgs = [
+            (f"ID_{o}", _candle_msg(f"ID_{o}", BASE_TS + o * 60, BASE_TS + o * 60 + 59))
+            for o in range(lo, hi)
+        ]
+        return _kafka_wire_rows(spark, msgs, base_offset=lo)
+
+    def consume(frame_dir):
+        raw = spark.readStream.schema(_KAFKA_WIRE_SCHEMA).parquet(frame_dir)
+        typed = raw.select(
+            "topic",
+            "partition",
+            "offset",
+            F.col("value").cast("string").alias("payload"),
+        )
+        q = (
+            typed.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(upsert_append_writer(out))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    b1 = os.path.join(workdir, "b1")
+    batch_frame(0, 3).write.parquet(b1)
+    consume(b1)
+    # redelivery: offsets 1-2 arrive AGAIN (new files, same coordinates
+    # and payloads) alongside new offsets 3-4 — a fresh checkpoint dir
+    # models the post-crash consumer whose committed offsets were lost
+    shutil.rmtree(ckpt)
+    b2 = os.path.join(workdir, "b2")
+    batch_frame(1, 5).write.parquet(b2)
+    consume(b2)
+
+    hot = read_hot_table(
+        spark, out, pk_cols=["topic", "partition", "offset"], order_cols=["_epoch"]
+    )
+    rows = hot.collect()
+    assert sorted(r["offset"] for r in rows) == [0, 1, 2, 3, 4]
+    # the surviving payload per offset is intact (idempotent, not lossy):
+    # each parses as the candle envelope whose id encodes its offset
+    for r in rows:
+        env = json.loads(r["payload"])
+        assert env["data"][0]["id"] == f"ID_{r['offset']}"
+    raw_rows = spark.read.parquet(out).count()
+    assert raw_rows == 7  # 3 + 4 appended — dedup happens at read, like the reference's Cassandra upsert
