@@ -20,6 +20,14 @@ from _canon import compare_frames
 from crypto_prediction_etl_spark.session import get_spark
 
 SF = "/root/testdata/sf0.01"
+# --sf DIR: replay the SAME exact gate at another scale. sf0.001 is the
+# sparse-data hostility axis (round 8): empty groups, zero-row join
+# sides, single-element windows — edge shapes sf0.01 never exercises.
+# Both engines read the same parquet, so any mismatch is a genuine
+# cross-engine edge-case bug, not a data artifact.
+if sys.argv[1:2] == ["--sf"]:
+    SF = sys.argv[2]
+    del sys.argv[1:3]
 spark = get_spark("driver-replay")
 
 # 1. smoke: entry()
