@@ -67,13 +67,22 @@ args = sys.argv[1:]
 codegen_off = args[:1] == ["--codegen-off"]
 if codegen_off:
     args = args[1:]
+# --tiny-parallelism (round 8): the OTHER extreme from the 200-partition
+# axis — local[2] with ONE shuffle partition. Every exchange collapses
+# to a single task, range partitioners get a single bucket, AQE has
+# nothing to coalesce: any query whose result silently leans on
+# partition COUNT (spark_partition_id arithmetic, per-partition offsets,
+# coalesce-dependent ordering) diverges here.
+tiny = args[:1] == ["--tiny-parallelism"]
+if tiny:
+    args = args[1:]
 
 builder = (
-    SparkSession.builder.master("local[8]")
+    SparkSession.builder.master("local[2]" if tiny else "local[8]")
     .appName("hostile-replay")
     .config("spark.driver.extraJavaOptions", "-Duser.timezone=America/New_York")
     .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.shuffle.partitions", "200")
+    .config("spark.sql.shuffle.partitions", "1" if tiny else "200")
     .config("spark.sql.adaptive.enabled", "false")
     .config(
         "spark.sql.legacy.parquet.nanosAsLong", "true"
