@@ -71,17 +71,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # their last driver verdict, so each ends the build with a post-change
 # driver verdict (oldest-verdict-first; q351_mmd_two_sample's r7 guard
 # rewrite is covered by THIS r8 window):
+#   q141_edit_distance_pairs (verdict r3; r8 band-composed the
+#     blocking key and re-derived the oracle — the HIGHEST-priority
+#     re-adjudication, its r3 verdict covers a superseded plan),
 #   q267_concurrency_sweep, q280_interval_coverage (allow_ties added
 #     r7, last verdict r6),
 #   q75_bm25_scoring (verdict r2, globalrank-routed r6),
 #   q153_curriculum_shards (verdict r4, globalrank-routed r6),
 #   q154_systematic_sample (verdict r5, globalrank-routed r6),
-# then fill the remaining ~9 slots with the oldest overall verdicts as
+# then fill the remaining ~8 slots with the oldest overall verdicts as
 # freshness re-checks (r1 adjudicated set, numeric order):
 #   q01_pricing_summary, q02_filtered_revenue, q03_distinct_keys,
 #   q04_union_counts, q05_minmax_bounds, q10_region_revenue,
-#   q11_top_unshipped_orders, q12_semi_anti_join,
-#   q13_order_count_distribution
+#   q11_top_unshipped_orders, q12_semi_anti_join
 # (swap any already re-verdicted member for the next oldest at r9
 # start; verify the final list against CORRECTNESS_r08 keys).
 _ADJUDICATE_FIRST = [
