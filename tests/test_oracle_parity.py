@@ -38,6 +38,10 @@ def test_adjudication_window_names_resolve():
         n for n in entry._ADJUDICATE_FIRST if n not in registry.QUERIES
     ]
     assert not missing, missing
+    # the driver adjudicates exactly 50: a short list wastes verdict
+    # slots, a long one silently postpones its tail
+    assert len(entry._ADJUDICATE_FIRST) == 50
+    assert len(set(entry._ADJUDICATE_FIRST)) == 50
     # and the first 50 oracle-backed entries are exactly the rotation head
     ordered = list(entry.oracle_sql())
     assert ordered[: len(entry._ADJUDICATE_FIRST)] == [
@@ -173,18 +177,79 @@ def test_gate_detects_perturbations(spark, sf_dir):
     assert compare_frames(listy, ddf)[0] in ("ERR", "FAIL")
 
 
+def _code_referenced_query_names(src: str) -> set[str]:
+    """Query names referenced by CODE in a test-suite source string.
+
+    ADVICE r7: a name in a comment/docstring ("the q45 composition")
+    must not count as an independent cross-check.  Comments and
+    docstrings are stripped first; only registry lookups, run-helper
+    calls, name literals at call/list positions, and test-function
+    names count."""
+    import re
+
+    code_ref = re.compile(
+        r"""(?:
+              QUERIES\[\s*["'](q\d+[a-z]?_[a-z0-9_]+)["']\s*\]   # registry lookup
+            | ORACLES\[\s*["'](q\d+[a-z]?_[a-z0-9_]+)["']\s*\]
+            | _run\(\s*["'](q\d+[a-z]?_[a-z0-9_]+)["']           # local run helpers
+            | run_query\(\s*[^,]+,\s*["'](q\d+[a-z]?_[a-z0-9_]+)["']
+            | spark_result\(\s*["'](q\d+[a-z]?_[a-z0-9_]+)["']
+            | ["'](q\d+[a-z]?_[a-z0-9_]+)["']\s*[,)\]]           # name literal in a call/list
+            | def\s+test_(q\d+[a-z]?_[a-z0-9_]+)                 # test fn named after query
+        )""",
+        re.VERBOSE,
+    )
+    src = re.sub(r'"""(?:[^"\\]|\\.|"(?!""))*"""', "", src, flags=re.S)
+    src = re.sub(r"'''(?:[^'\\]|\\.|'(?!''))*'''", "", src, flags=re.S)
+    src = re.sub(r"#[^\n]*", "", src)
+    names: set[str] = set()
+    for m in code_ref.finditer(src):
+        names |= {g for g in m.groups() if g}
+    return names
+
+
+def test_code_reference_matcher_ignores_prose():
+    """Mutation self-test for the ADVICE-r7 hardening: names that
+    appear ONLY in comments or docstrings must not register, while
+    every code-reference form must."""
+    snippet = '''
+"""Docstring mentioning q900_prose_only and the q901_doc_note trick."""
+# comment referencing q902_comment_only
+def test_q903_fn_name(spark):
+    df = QUERIES["q904_lookup"](spark, sf)
+    sql = ORACLES['q905_oracle']
+    r = _run("q906_helper")
+    rows = run_query(spark, "q907_run")
+    s = spark_result("q908_sr")
+    batch = ["q909_list_member", "q910_list_member"]
+'''
+    got = _code_referenced_query_names(snippet)
+    assert {f"q90{i}_" for i in range(0, 3)} & {n[:6] for n in got} == set()
+    for want in [
+        "q903_fn_name",
+        "q904_lookup",
+        "q905_oracle",
+        "q906_helper",
+        "q907_run",
+        "q908_sr",
+        "q909_list_member",
+        "q910_list_member",
+    ]:
+        assert want in got, want
+
+
 def test_every_query_has_independent_check_or_driver_verdict():
     """Verification-discipline guard (VERDICT r6 item 2 made
     permanent): every registered query must be EITHER driver-
-    adjudicated (a CORRECTNESS_r*.json verdict exists) OR named in at
-    least one independent cross-check suite (the numpy/pandas mirror
-    and invariant files) — oracle parity alone is never a query's only
-    check.  A future catalog addition that ships with neither fails
-    here instead of waiting rounds for its driver verdict."""
+    adjudicated (a GREEN CORRECTNESS_r*.json verdict exists) OR named
+    in at least one independent cross-check suite (the numpy/pandas
+    mirror and invariant files) — oracle parity alone is never a
+    query's only check.  A future catalog addition that ships with
+    neither fails here instead of waiting rounds for its driver
+    verdict."""
     import glob
     import json
     import os
-    import re
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     adjudicated: set[str] = set()
@@ -214,33 +279,12 @@ def test_every_query_has_independent_check_or_driver_verdict():
         "test_continuation_pandas.py",
         "test_r6_tail_pandas.py",
         "test_r7_hash_mirrors.py",
+        "test_r8_mirrors.py",
     ]
     checked: set[str] = set()
-    # ADVICE r7: a name in a comment/docstring ("the q45 composition")
-    # must not count as an independent cross-check.  Only CODE
-    # references count: registry lookups, run-helper calls, and test
-    # function names that embed the query name.
-    code_ref = re.compile(
-        r"""(?:
-              QUERIES\[\s*["'](q\d+[a-z]?_[a-z0-9_]+)["']\s*\]   # registry lookup
-            | ORACLES\[\s*["'](q\d+[a-z]?_[a-z0-9_]+)["']\s*\]
-            | _run\(\s*["'](q\d+[a-z]?_[a-z0-9_]+)["']           # local run helpers
-            | run_query\(\s*[^,]+,\s*["'](q\d+[a-z]?_[a-z0-9_]+)["']
-            | spark_result\(\s*["'](q\d+[a-z]?_[a-z0-9_]+)["']
-            | ["'](q\d+[a-z]?_[a-z0-9_]+)["']\s*[,)\]]           # name literal in a call/list
-            | def\s+test_(q\d+[a-z]?_[a-z0-9_]+)                 # test fn named after query
-        )""",
-        re.VERBOSE,
-    )
     for fn in check_files:
         with open(os.path.join(repo, "tests", fn)) as f:
-            src = f.read()
-        # strip comments and docstrings before matching so prose
-        # cross-references can't satisfy the guard
-        src = re.sub(r'"""(?:[^"\\]|\\.|"(?!""))*"""', "", src, flags=re.S)
-        src = re.sub(r"#[^\n]*", "", src)
-        for m in code_ref.finditer(src):
-            checked |= {g for g in m.groups() if g}
+            checked |= _code_referenced_query_names(f.read())
     uncovered = sorted(
         n for n in registry.QUERIES if n not in adjudicated and n not in checked
     )
