@@ -262,7 +262,15 @@ def q141_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("text", 1, _Q141_PFX).alias("pfx"),
     )
     sigs = _minhash_sigs_from_arrays(corpus_shingle_arrays(spark, sf_dir), "doc_id")
-    banded = _band_keys(sigs, "doc_id").join(d, "doc_id")
+    # Pin the banded frame before the self-join: the two sides differ
+    # only in aliases, so Catalyst plans the signature aggregation +
+    # band explode TWICE with no exchange reuse.  The pinned frame is
+    # O(docs x 4 bands) narrow rows — at cluster scale this is the
+    # "write the signature table once, then join it" production shape
+    # (same law as operators/globalrank's exchange pin).
+    banded = (
+        _band_keys(sigs, "doc_id").join(d, "doc_id").localCheckpoint(eager=False)
+    )
     a = banded.select(
         F.col("doc_id").alias("id_a"),
         "band",

@@ -727,6 +727,12 @@ def test_edit_distance_blocking_composes_band_hash(spark, sf_dir):
     pair_join = [ln for ln in joins if "id_a" in ln or "bkt" in ln]
     assert pair_join, f"no pair join found in:\n{analyzed[:2000]}"
     assert any("bk" in ln and "band" in ln for ln in pair_join)
+    # and the banded frame is PINNED before the self-join: the final
+    # plan must show both join sides scanning the same checkpointed RDD
+    # (no Generate/band-explode, no signature re-aggregation per side)
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("Scan ExistingRDD") == 2
+    assert "Generate" not in executed
 
 
 def test_mutual_knn_joins_edge_list_not_vectors(spark, sf_dir):
