@@ -70,6 +70,17 @@ PANEL4 = [
     "q255_encoding_advisor",
 ]
 
+# Fifth panel (round 9, VERDICT r8 item 4): the catalog's formerly
+# worst-scaling query — q141's band-composed edit-distance verify had
+# no tracked wall-time outside scaling-probe cadence after its r8
+# rewrite — plus one rotating dedup-family member without a panel seat
+# (r9: paragraph dedup's hash-groupBy + join-back). First recording
+# (quiet host, sf0.1, local[32], r9): see BENCH_NOTES.md "Round 9".
+PANEL5 = [
+    "q141_edit_distance_pairs",
+    "q349_paragraph_dedup",
+]
+
 HEADLINE = [
     "q01_pricing_summary",
     "q02_filtered_revenue",
@@ -150,6 +161,7 @@ def main() -> None:
     panel2 = run_panel(PANEL2)
     panel3 = run_panel(PANEL3)
     panel4 = run_panel(PANEL4)
+    panel5 = run_panel(PANEL5)
 
     total = round(sum(timings.values()), 3)
 
@@ -163,6 +175,7 @@ def main() -> None:
         "panel2": panel2,
         "panel3": panel3,
         "panel4": panel4,
+        "panel5": panel5,
         "passes": 2,
         "pass_times": all_passes,
     }
@@ -183,6 +196,7 @@ def main() -> None:
             "panel2_total": round(sum(panel2.values()), 3),
             "panel3_total": round(sum(panel3.values()), 3),
             "panel4_total": round(sum(panel4.values()), 3),
+            "panel5_total": round(sum(panel5.values()), 3),
             "sf": sf,
         }
     )

@@ -267,9 +267,13 @@ def q141_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # band explode TWICE with no exchange reuse.  The pinned frame is
     # O(docs x 4 bands) narrow rows — at cluster scale this is the
     # "write the signature table once, then join it" production shape
-    # (same law as operators/globalrank's exchange pin).
+    # (same law as operators/globalrank's exchange pin).  Eager per the
+    # repo convention for frames consumed by two concurrently-scheduled
+    # branches of one job (shingle_arrays_cached docstring; ADVICE r8):
+    # a lazy checkpoint lets the two join-side stages race and each
+    # recompute not-yet-cached partitions of the signature agg.
     banded = (
-        _band_keys(sigs, "doc_id").join(d, "doc_id").localCheckpoint(eager=False)
+        _band_keys(sigs, "doc_id").join(d, "doc_id").localCheckpoint(eager=True)
     )
     a = banded.select(
         F.col("doc_id").alias("id_a"),

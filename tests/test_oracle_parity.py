@@ -224,7 +224,11 @@ def test_q903_fn_name(spark):
     batch = ["q909_list_member", "q910_list_member"]
 '''
     got = _code_referenced_query_names(snippet)
-    assert {f"q90{i}_" for i in range(0, 3)} & {n[:6] for n in got} == set()
+    # ADVICE r8: compare FULL names — the old 5-char-prefix vs
+    # 6-char-slice intersection was vacuously empty, so a matcher
+    # regression that counted prose mentions could never fail here.
+    prose_only = {n for n in got if n.startswith(("q900_", "q901_", "q902_"))}
+    assert not prose_only, prose_only
     for want in [
         "q903_fn_name",
         "q904_lookup",
