@@ -33,12 +33,14 @@ perf-only.
 
 Ledger protocol (PLAN_FINGERPRINTS.json):
   * bootstrap (once, r9): record all queries at their current plans.
-  * at round close, after staging the next ``_ADJUDICATE_FIRST``:
-    ``python tools/plan_fingerprint.py --update`` refreshes entries
-    for staged names (they receive fresh verdicts at round end) and
-    reports any OTHER drifted name — those must be staged too.
+  * at each round START, after the driver wrote CORRECTNESS_r{N}:
+    ``python tools/plan_fingerprint.py --update`` refreshes exactly
+    the entries whose latest green verdict round is NEWER than the
+    recorded one (the driver adjudicated the round-close tree, which
+    is the tree at next round start — so the current fingerprint IS
+    the at-verdict fingerprint) plus any new/unrecorded names.
   * plain run = check mode: prints drift, exit 1 if a drifted query
-    is not staged.
+    is not staged for re-adjudication.
 
 Usage:
   python tools/plan_fingerprint.py [--bootstrap | --update] [name ...]
@@ -172,7 +174,11 @@ def main() -> int:
             }
     elif mode == "update":
         for n in names:
-            if n in staged or n not in entries:
+            rec = entries.get(n)
+            newer_verdict = rec is not None and (
+                verdict_rounds.get(n) or 0
+            ) > (rec["verdict_round"] or 0)
+            if rec is None or newer_verdict:
                 entries[n] = {
                     "fp": fps[n],
                     "verdict_round": verdict_rounds.get(n),
