@@ -49,6 +49,36 @@ def test_adjudication_window_names_resolve():
     ]
 
 
+def test_adjudication_window_drains_never_adjudicated_first():
+    """make_window contract, pinned as a durable invariant (r9): every
+    registered query that has NO green driver verdict yet must occupy
+    the leading window slots in numeric order (capped at 50) — a
+    hand-edit that bumps a never-adjudicated name for a pet pick would
+    silently postpone first-ever verdicts, the scarcest resource.
+    Once the ledger closes (no never-adjudicated names) this holds
+    vacuously and the window becomes a pure freshness/re-adjudication
+    rotation."""
+    import os
+    import re as _re
+    import sys
+
+    import __spark_entry__ as entry
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tools = os.path.join(repo, "tools")
+    if tools not in sys.path:
+        sys.path.insert(0, tools)
+    from make_window import green_adjudicated
+
+    done = green_adjudicated(repo)
+    never = sorted(
+        (n for n in registry.QUERIES if n not in done),
+        key=lambda n: int(_re.match(r"q(\d+)", n).group(1)),
+    )
+    expect_head = never[:50]
+    assert entry._ADJUDICATE_FIRST[: len(expect_head)] == expect_head
+
+
 def test_output_schemas_survive_driver_canonicalization(spark, sf_dir):
     """No query output may carry a type the driver's pandas
     canonicalization mangles (r4 lesson: q154/q157/q200/q265).
