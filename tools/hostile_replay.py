@@ -10,6 +10,7 @@ Usage:
   python tools/hostile_replay.py [name-prefix ...]     (no args = full catalog)
   python tools/hostile_replay.py --sample N SALT       (sampled cadence)
   python tools/hostile_replay.py --codegen-off [...]   (interpreted eval)
+  python tools/hostile_replay.py --arrow-tiny-batch [...] (7-row Arrow batches)
 
 --codegen-off additionally disables whole-stage codegen (and forces
 NO_CODEGEN expression evaluation), exercising Spark's interpreted
@@ -76,6 +77,18 @@ if codegen_off:
 tiny = args[:1] == ["--tiny-parallelism"]
 if tiny:
     args = args[1:]
+# --arrow-tiny-batch (round 9): cap Arrow transfer at 7 records per
+# batch so every mapInPandas / pandas_udf input arrives as MANY small
+# batches instead of one per partition. At 100 TB batches always split
+# (the default cap is 10k records); a kernel that aggregates inside one
+# batch and forgets to combine across the iterator (mapInPandas), or
+# that assumes batch boundaries align with group boundaries, diverges
+# here. applyInPandas/GROUPED_AGG still see whole groups by contract —
+# Spark reassembles them — so this axis isolates the iterator-protocol
+# kernels specifically.
+arrow_tiny = args[:1] == ["--arrow-tiny-batch"]
+if arrow_tiny:
+    args = args[1:]
 
 builder = (
     SparkSession.builder.master("local[2]" if tiny else "local[8]")
@@ -93,6 +106,10 @@ if codegen_off:
     builder = builder.config(
         "spark.sql.codegen.wholeStage", "false"
     ).config("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+if arrow_tiny:
+    builder = builder.config(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", "7"
+    )
 spark = builder.getOrCreate()
 
 SF = "/root/testdata/sf0.01"
