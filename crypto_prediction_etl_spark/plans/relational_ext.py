@@ -2681,7 +2681,16 @@ def q365_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     is both the perf fix and nearly score-neutral.  Min-support
     prunes the pair table before the deterministic rounded-score
     top-k; at 100 TB the final ORDER BY+LIMIT becomes per-partition
-    partial top-k + one small merge (q18 law)."""
+    partial top-k + one small merge (q18 law).
+
+    The degree-banded edge list is pinned (localCheckpoint, eager per
+    the repo convention for frames feeding two concurrently-scheduled
+    branches — q141's law) before the self-join: the two sides differ
+    only in projection, so Catalyst plans the orders><lineitem
+    co-purchase distinct + degree agg FOUR times (2 sides x cp+deg)
+    with zero exchange reuse.  Pinned, the heavy upstream runs once —
+    the "write the edge list once, then self-join it" production
+    shape."""
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     cp = (
@@ -2690,8 +2699,10 @@ def q365_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     deg = cp.groupBy("cust").agg(F.count("*").alias("d"))
-    el = cp.join(deg, "cust").filter(
-        (F.col("d") >= 2) & (F.col("d") <= _Q365_DEG_CAP)
+    el = (
+        cp.join(deg, "cust")
+        .filter((F.col("d") >= 2) & (F.col("d") <= _Q365_DEG_CAP))
+        .localCheckpoint(eager=True)
     )
     a = el.alias("a")
     b = el.select("cust", F.col("part").alias("part_b")).alias("b")

@@ -1149,6 +1149,24 @@ def test_q365_adamic_adar_pairs_are_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_q365_edge_list_pinned_before_self_join(spark, sf_dir):
+    """r9: the degree-banded edge list is eager-localCheckpoint-pinned
+    before the pair self-join (q141's law) — unpinned, Catalyst plans
+    the co-purchase distinct + degree agg FOUR times (2 sides x
+    cp+deg, zero exchange reuse; observed 8 parquet scans / 14
+    HashAggregates).  Pinned, the final plan shows both join sides
+    scanning the same checkpointed RDD, no parquet rescans, and only
+    the pair aggregation itself."""
+    from crypto_prediction_etl_spark.plans.registry import QUERIES
+
+    df = QUERIES["q365_adamic_adar"](spark, sf_dir)
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("Scan ExistingRDD") == 2
+    assert "Scan parquet" not in executed
+    # exactly the partial+final pair agg — no upstream re-aggregation
+    assert executed.count("HashAggregate") == 2
+
+
 def test_q366_readability_is_map_only_scan(spark, sf_dir):
     """Readability is codegen'd regexp counting in the scan: exactly
     one shuffle (the per-source partial agg), no join, no explode."""

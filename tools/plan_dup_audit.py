@@ -1,0 +1,227 @@
+"""Duplicate-subtree audit: find queries whose physical plan computes
+the same heavy subtree more than once.
+
+q141 (r8) and q365 (r9) shared a failure shape: a frame referenced by
+both sides of a self-join differs only in projection/alias, so
+Catalyst plans its ENTIRE upstream (scan + join + distinct +
+aggregation) once per side with zero exchange reuse — q365 showed 8
+parquet scans and 14 HashAggregates for a query that needs 2 scans
+and 3 aggs.  Locally that is noise; at 100 TB it multiplies the most
+expensive stages of the job.  Both were found by hand.  This tool
+finds the shape mechanically across the whole catalog:
+
+  * build each query's df at sf0.01, EXECUTE it, and take the FINAL
+    adaptive plan (``isFinalPlan=true`` section).  Executing matters:
+    AQE performs exchange reuse at runtime (q44's duplicated sizes
+    broadcast shows ReusedExchange only in the final plan), so the
+    initial physical plan over-reports duplicates.  In the final plan
+    a runtime-reused exchange prints as a one-line ReusedExchange
+    reference with no subtree, so any duplicated subtree that SURVIVES
+    into the final plan is work AQE really ran more than once;
+  * reconstruct the operator tree from the indentation grammar
+    (``+-``/``:-`` markers, 3 columns per level);
+  * normalize each node (exprIds/plan_ids/codegen-stage-ids/paths
+    folded) and hash every subtree bottom-up;
+  * report subtrees that occur >= 2 times and contain real work
+    (aggregate / join / file scan / generate / window) over
+    >= MIN_NODES nodes.
+
+Duplicates are not automatically bugs: a scalar-subquery bound scans
+its table independently of the main scan (different work), and a
+1-row broadcast scalar duplicated per branch costs nothing — hence
+the MIN_NODES floor and the work-operator requirement, and hence this
+is an AUDIT (ranked worklist for a human) not a gate.  Fixes follow
+the repo convention: pin the shared frame with
+``localCheckpoint(eager=True)`` (the "write it once, then join it"
+production shape), which also requires staging the query for
+re-adjudication (tools/plan_fingerprint.py flags it).
+
+Usage:
+  python tools/plan_dup_audit.py [name-prefix ...]   (no args = full catalog)
+  python tools/plan_dup_audit.py --min-nodes 6 q14
+"""
+
+import hashlib
+import json
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from crypto_prediction_etl_spark.plans import registry  # noqa: E402
+from crypto_prediction_etl_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+MIN_NODES = 4
+# operators that represent real distributed work; a duplicated subtree
+# must contain at least one to be reported
+_WORK = ("HashAggregate", "SortAggregate", "ObjectHashAggregate",
+         "SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+         "FileScan", "Generate", "Window")
+
+_NORM_SUBS = (
+    (re.compile(r"#\d+[A-Za-z]*"), "#N"),
+    (re.compile(r"plan_id=\d+"), "plan_id=N"),
+    (re.compile(r"\*\(\d+\)"), "*(N)"),
+    (re.compile(r"\[id=#?\d+\]"), "[id=N]"),
+    (re.compile(r"/root/testdata/\S+"), "<SF>"),
+    (re.compile(r"\blambda ([A-Za-z]\w*?)_\d+"), r"lambda \1_N"),
+    (re.compile(r"InMemoryFileIndex\([^)]*\)\[[^]]*\]"), "IDX"),
+)
+
+_FINAL = "== Final Plan =="
+_INITIAL = "== Initial Plan =="
+
+
+def final_section(plan: str) -> str:
+    """Cut an executed AdaptiveSparkPlan string down to the final plan
+    (its toString includes the initial plan below a marker)."""
+    if _FINAL in plan:
+        plan = plan.split(_FINAL, 1)[1]
+    if _INITIAL in plan:
+        plan = plan.split(_INITIAL, 1)[0]
+    return plan
+
+
+def _normalize(line: str) -> str:
+    for pat, rep in _NORM_SUBS:
+        line = pat.sub(rep, line)
+    return line.strip()
+
+
+_MARKER = re.compile(r"^((?::  |   )*)(?:\+- |:- )?(.*)$")
+
+
+def parse_tree(plan: str):
+    """Return list of (depth, text) from a Spark plan string."""
+    out = []
+    for raw in plan.splitlines():
+        if not raw.strip():
+            continue
+        m = _MARKER.match(raw)
+        prefix, text = m.group(1), m.group(2)
+        depth = len(prefix) // 3 + (0 if raw[:2] not in ("+-", ":-")
+                                    and prefix == "" and not raw.startswith((" ", ":")) else 1)
+        # lines like "AdaptiveSparkPlan" (root) have depth 0; any line
+        # whose raw starts with +-/:- at column 0 is depth 1
+        if raw.startswith(("+- ", ":- ")):
+            depth = 1
+        out.append((depth, text))
+    return out
+
+
+def subtree_hashes(nodes):
+    """Bottom-up subtree hashing. Returns list of dicts per node:
+    {hash, size, head, has_work, reused_ancestor}."""
+    n = len(nodes)
+    info = [None] * n
+    # children of node i: subsequent nodes with depth == d+1 until a
+    # node with depth <= d
+    stack = []  # (index, depth)
+    children = [[] for _ in range(n)]
+    for i, (d, _) in enumerate(nodes):
+        while stack and stack[-1][1] >= d:
+            stack.pop()
+        if stack:
+            children[stack[-1][0]].append(i)
+        stack.append((i, d))
+    reused = [False] * n
+    for i in range(n):
+        if "ReusedExchange" in nodes[i][1] or "ReusedSubquery" in nodes[i][1]:
+            for j in children[i]:
+                reused[j] = True
+    # propagate reused flag downward
+    for i in range(n):
+        if reused[i]:
+            for j in children[i]:
+                reused[j] = True
+    for i in range(n - 1, -1, -1):
+        txt = _normalize(nodes[i][1])
+        child_hashes = [info[j]["hash"] for j in children[i]]
+        h = hashlib.md5(
+            (txt + "|" + ",".join(child_hashes)).encode()
+        ).hexdigest()
+        info[i] = {
+            "hash": h,
+            "size": 1 + sum(info[j]["size"] for j in children[i]),
+            "head": txt[:110],
+            "has_work": any(w in nodes[i][1] for w in _WORK)
+            or any(info[j]["has_work"] for j in children[i]),
+            "reused": reused[i],
+        }
+    return info
+
+
+def audit_query(df, min_nodes: int):
+    df.collect()  # drive AQE to the final plan (runtime reuse applied)
+    plan = final_section(df._jdf.queryExecution().executedPlan().toString())
+    nodes = parse_tree(plan)
+    info = subtree_hashes(nodes)
+    by_hash = {}
+    for rec in info:
+        by_hash.setdefault(rec["hash"], []).append(rec)
+    findings = []
+    covered = set()
+    # report maximal duplicated subtrees only (skip descendants of an
+    # already-reported duplicate): iterate largest-first
+    for h, recs in sorted(by_hash.items(), key=lambda kv: -kv[1][0]["size"]):
+        if len(recs) < 2:
+            continue
+        r = recs[0]
+        if r["size"] < min_nodes or not r["has_work"]:
+            continue
+        if all(rec["reused"] for rec in recs[1:]):
+            continue
+        if h in covered:
+            continue
+        findings.append(
+            {"count": len(recs), "size": r["size"], "head": r["head"]}
+        )
+        # mark all strictly smaller hashes as covered crudely: one
+        # maximal finding per query is enough signal for the worklist
+        break
+    return findings
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    min_nodes = MIN_NODES
+    if args[:1] == ["--min-nodes"]:
+        min_nodes = int(args[1])
+        args = args[2:]
+    prefixes = tuple(args)
+    registry.load_all()
+    spark = get_spark()
+    names = [
+        n for n in registry.QUERIES if not prefixes or n.startswith(prefixes)
+    ]
+    rows = []
+    errs = 0
+    for name in names:
+        try:
+            df = registry.QUERIES[name](spark, SF_DIR)
+            for f in audit_query(df, min_nodes):
+                rows.append({"query": name, **f})
+        except Exception as e:  # noqa: BLE001
+            errs += 1
+            print(f"ERR {name}: {type(e).__name__} {str(e)[:120]}",
+                  file=sys.stderr)
+    rows.sort(key=lambda r: -(r["count"] * r["size"]))
+    for r in rows:
+        print(json.dumps(r))
+    print(
+        json.dumps(
+            {
+                "metric": "plan_dup_audit",
+                "queries_checked": len(names),
+                "flagged": len(rows),
+                "errors": errs,
+                "min_nodes": min_nodes,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
