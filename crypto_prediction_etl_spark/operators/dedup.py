@@ -44,10 +44,17 @@ LSH_BANDS = 4  # 4 bands x 4 rows
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, fingerprint, canonical_id, is_duplicate) via content hash."""
+    """(id, fingerprint, canonical_id, is_duplicate) via content hash.
+
+    The fingerprint frame feeds the canonical-id aggregation AND the
+    join back, so it is eager-pinned (r9 plan_dup_audit: unpinned,
+    both branches re-planned the documents scan + md5 — 2x the full
+    text read at scale; the pinned frame is two narrow columns, far
+    smaller than the text it replaces).  Batch-only by design —
+    streaming callers use streaming_exact_dedup."""
     fp = docs.select(
         F.col(id_col), fingerprint_md5(text_col).alias("fingerprint")
-    )
+    ).localCheckpoint(eager=True)
     canon = fp.groupBy("fingerprint").agg(F.min(id_col).alias("canonical_id"))
     return fp.join(canon, "fingerprint").select(
         id_col,

@@ -295,6 +295,12 @@ def near_dup_pairs_lsh(
             ).alias("_bb"),
         )
         .select(id_col, F.col("_bb.band").alias("band"), F.col("_bb.bkt").alias("bkt"))
+        # both self-join sides consume the banded frame: eager-pin it
+        # (q141's law; r9 plan_dup_audit caught the signature compute +
+        # band explode planned once per side) — the pinned frame is
+        # three narrow columns, the "write the signature table once,
+        # then join it" production shape
+        .localCheckpoint(eager=True)
     )
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bkt")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bkt")

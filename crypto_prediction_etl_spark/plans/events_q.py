@@ -7429,7 +7429,13 @@ def q420_weekly_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale) broadcasts onto the week list; ECDFs are per-week
     cumulative windows over the merged value grid (post-aggregate
     frames); the critical-band test is scalar arithmetic with the
-    1.36 coefficient pinned."""
+    1.36 coefficient pinned.
+
+    r9 (plan_dup_audit): everything downstream — baseline week,
+    baseline histogram, weekly histograms — derives from ONE
+    per-(week, value) count frame, so that frame is aggregated once
+    and eager-pinned; the original shape re-planned the events scan
+    three times (w0 / base / wk_rows branches, no exchange reuse)."""
     from pyspark.sql import Window as W
 
     ev = table(spark, sf_dir, "events").select(
@@ -7438,18 +7444,19 @@ def q420_weekly_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("week"),
         "value",
     )
-    w0 = ev.agg(F.min("week").alias("w0"))
-    evm = ev.crossJoin(F.broadcast(w0))
-    base = (
-        evm.filter(F.col("week") == F.col("w0"))
-        .groupBy("value")
-        .agg(F.count("*").alias("cb"))
+    cnt = (
+        ev.groupBy("week", "value")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    w0 = cnt.agg(F.min("week").alias("w0"))
+    cm = cnt.crossJoin(F.broadcast(w0))
+    base = cm.filter(F.col("week") == F.col("w0")).select(
+        "value", F.col("c").alias("cb")
     )
     nb = base.agg(F.sum("cb").cast("double").alias("nb"))
-    wk_rows = (
-        evm.filter(F.col("week") > F.col("w0"))
-        .groupBy("week", "value")
-        .agg(F.count("*").alias("cw"))
+    wk_rows = cm.filter(F.col("week") > F.col("w0")).select(
+        "week", "value", F.col("c").alias("cw")
     )
     weeks = wk_rows.select("week").distinct()
     u = wk_rows.select(

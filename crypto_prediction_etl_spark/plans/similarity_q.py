@@ -2572,9 +2572,12 @@ def q358_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pair generation is an equi self-join on vec_id+1 (no sampling
     RNG, no cross join); every prefix cosine reuses the same joined
     row, so the corpus is scanned once and the audit's cost is
-    |pairs| x |dims| arithmetic.  The dims fan-out is a union of
-    selects over the SAME join — Catalyst collapses the scan, and at
-    100 TB the join stays co-partitioned on vec_id."""
+    |pairs| x |dims| arithmetic.  The dims fan-out is a per-row
+    explode of the (dim, cos_d) struct array — r9 (plan_dup_audit):
+    the original union-of-selects shape re-planned the scan + cast
+    projection per dim branch (5x in the final plan; the "Catalyst
+    collapses the scan" assumption was wrong), while the explode
+    keeps one scan and one join with identical per-row arithmetic."""
     e = _vecs(spark, sf_dir)
     a = e.select(F.col("vec_id"), F.col("v").alias("va"))
     b = e.select(
@@ -2587,17 +2590,23 @@ def q358_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return cosine(F.slice("va", 1, d), F.slice("vb", 1, d))
 
-    frames = [
-        pairs.select(
-            F.lit(d).alias("dim"),
-            cos(d).alias("cos_d"),
-            cos(_Q358_FULL).alias("cos_full"),
-        )
-        for d in _Q358_DIMS
-    ]
-    u = frames[0]
-    for fr in frames[1:]:
-        u = u.unionByName(fr)
+    u = pairs.withColumn("cos_full", cos(_Q358_FULL)).select(
+        "cos_full",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("dim"), cos(d).alias("cos_d")
+                    )
+                    for d in _Q358_DIMS
+                ]
+            )
+        ).alias("s"),
+    ).select(
+        F.col("s.dim").alias("dim"),
+        F.col("s.cos_d").alias("cos_d"),
+        "cos_full",
+    )
     return u.groupBy("dim").agg(
         F.count("*").cast("long").alias("n_pairs"),
         prnd(F.avg("cos_d"), 6).alias("mean_cos"),
@@ -3271,7 +3280,13 @@ def q393_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy — fully distributed, no driver state, no window; three
     iterations = three such passes over the same cached shape.
     Distance floor eps is a shared literal so both engines weight
-    coincident points identically."""
+    coincident points identically.
+
+    r9 (plan_dup_audit): the points frame feeds five branches (mean
+    seed + three Weiszfeld passes + the count), and unpinned each
+    branch re-planned the embeddings scan + slice projection — so it
+    is eager-pinned once; the iterations then really are "three
+    passes over the same cached shape" as documented."""
     d, eps = _Q393_D, _Q393_EPS
     vecs = _vecs(spark, sf_dir)
     pts = vecs.select(
@@ -3280,7 +3295,7 @@ def q393_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("v", j).alias(f"x{j}")
             for j in range(1, d + 1)
         ],
-    )
+    ).localCheckpoint(eager=True)
     cent = pts.groupBy("label").agg(
         *[F.avg(f"x{j}").alias(f"c{j}") for j in range(1, d + 1)]
     )

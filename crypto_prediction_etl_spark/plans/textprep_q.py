@@ -99,6 +99,12 @@ def q139_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("seg_text"),
     ).select("doc_id", hash64("seg_text").alias("seg_hash"))
+    # the segment table feeds the frequency agg AND the flag-back join:
+    # eager-pin it so the tokenize/explode/hash chain over the full
+    # text corpus runs once (r9 plan_dup_audit; the pinned frame is two
+    # narrow columns per segment, far smaller than the text it derives
+    # from) — this makes the docstring's "two shuffles total" true
+    seg = seg.localCheckpoint(eager=True)
     freq = seg.groupBy("seg_hash").agg(
         F.countDistinct("doc_id").alias("n_docs")
     )

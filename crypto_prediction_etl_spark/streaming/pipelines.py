@@ -119,33 +119,56 @@ MARKET_TRADE_PK = ["id", "dt_create_utc", "trade_id"]
 def order_book_pipeline(raw: DataFrame) -> DataFrame:
     """crypto.order_book topic -> flattened ladder: fork asks/bids,
     posexplode each 20-level ladder, stamp order_rank = pos+1 and
-    order_type, union the legs (reference: streaming/order_book.py:76-123).
-    """
+    order_type (reference: streaming/order_book.py:76-123).
+
+    The ask/bid fork is a per-row explode of a 2-struct array, NOT a
+    union of two selects over ``parsed`` — r9 (plan_dup_audit): the
+    union shape re-planned the from_json decode once per leg (2x the
+    most expensive per-byte operator on the stream's hot path; no
+    exchange exists below it for AQE to reuse, and a streaming frame
+    cannot be checkpoint-pinned).  Row set is identical: a malformed
+    envelope still yields one null-entry row per side (the struct
+    array is never null, posexplode_outer keeps null ladders) and the
+    PK-id filter drops it, exactly as the union did."""
     parsed = parse_envelope(raw, ORDER_BOOK_SCHEMA)
     f = _first
 
-    def leg(side: str) -> DataFrame:
-        ladder = F.try_element_at(F.col(f"value.data.{side}"), F.lit(1))
-        base = parsed.select(
-            f("id").alias("id"),
-            f("seqid").cast("bigint").alias("seqid"),
-            f("createTime").cast("bigint").alias("createTime"),
-            f("ts_send").cast("bigint").alias("ts_send"),
-            F.posexplode_outer(ladder).alias("pos", "entry"),
-        )
-        return base.select(
-            "id",
-            "seqid",
+    def side_struct(side: str) -> Column:
+        return F.struct(
             F.lit("ask" if side == "asks" else "bid").alias("order_type"),
-            F.try_element_at("entry", F.lit(1)).cast("float").alias("quote_price"),
-            F.try_element_at("entry", F.lit(2)).cast("float").alias("base_amount"),
-            (F.col("pos") + 1).alias("order_rank"),
-            "createTime",
-            "ts_send",
-            *_time_cols(F.col("createTime")),
+            F.try_element_at(F.col(f"value.data.{side}"), F.lit(1)).alias(
+                "ladder"
+            ),
         )
 
-    return leg("asks").unionByName(leg("bids")).filter(F.col("id").isNotNull())
+    legs = parsed.select(
+        f("id").alias("id"),
+        f("seqid").cast("bigint").alias("seqid"),
+        f("createTime").cast("bigint").alias("createTime"),
+        f("ts_send").cast("bigint").alias("ts_send"),
+        F.explode(F.array(side_struct("asks"), side_struct("bids"))).alias(
+            "leg"
+        ),
+    )
+    rows = legs.select(
+        "id",
+        "seqid",
+        F.col("leg.order_type").alias("order_type"),
+        "createTime",
+        "ts_send",
+        F.posexplode_outer("leg.ladder").alias("pos", "entry"),
+    )
+    return rows.select(
+        "id",
+        "seqid",
+        "order_type",
+        F.try_element_at("entry", F.lit(1)).cast("float").alias("quote_price"),
+        F.try_element_at("entry", F.lit(2)).cast("float").alias("base_amount"),
+        (F.col("pos") + 1).alias("order_rank"),
+        "createTime",
+        "ts_send",
+        *_time_cols(F.col("createTime")),
+    ).filter(F.col("id").isNotNull())
 
 
 ORDER_BOOK_PK = ["id", "dt_create_utc", "seqid", "order_type", "order_rank"]

@@ -64,9 +64,12 @@ _NORM_SUBS = (
     (re.compile(r"plan_id=\d+"), "plan_id=N"),
     (re.compile(r"\*\(\d+\)"), "*(N)"),
     (re.compile(r"\[id=#?\d+\]"), "[id=N]"),
-    (re.compile(r"/root/testdata/\S+"), "<SF>"),
+    # fold the sf dir but KEEP the table file name — a count(*) scan
+    # reads zero columns, so without the basename six different
+    # tables' scans normalize identical (q04 false positive)
+    (re.compile(r"/root/testdata/[^/\s]+/([^/\s,\]]+)"), r"<SF>/\1"),
     (re.compile(r"\blambda ([A-Za-z]\w*?)_\d+"), r"lambda \1_N"),
-    (re.compile(r"InMemoryFileIndex\([^)]*\)\[[^]]*\]"), "IDX"),
+    (re.compile(r"InMemoryFileIndex\([^)]*\)\[([^]]*)\]"), r"IDX[\1]"),
 )
 
 _FINAL = "== Final Plan =="
@@ -148,6 +151,12 @@ def subtree_hashes(nodes):
             "has_work": any(w in nodes[i][1] for w in _WORK)
             or any(info[j]["has_work"] for j in children[i]),
             "reused": reused[i],
+            # caveat flag: ExistingRDD leaves carry no identity in plan
+            # text, so two scans of DIFFERENT pinned states (e.g. one
+            # per iteration of a checkpointed loop) normalize identical
+            # — a finding over pinned leaves may be a false positive
+            "pinned_leaves": "ExistingRDD" in nodes[i][1]
+            or any(info[j]["pinned_leaves"] for j in children[i]),
         }
     return info
 
@@ -175,7 +184,12 @@ def audit_query(df, min_nodes: int):
         if h in covered:
             continue
         findings.append(
-            {"count": len(recs), "size": r["size"], "head": r["head"]}
+            {
+                "count": len(recs),
+                "size": r["size"],
+                "head": r["head"],
+                "pinned_leaves": r["pinned_leaves"],
+            }
         )
         # mark all strictly smaller hashes as covered crudely: one
         # maximal finding per query is enough signal for the worklist
