@@ -65,6 +65,29 @@ def test_pinned_self_join_audits_clean(spark, sf_dir):
     assert audit_query(df, min_nodes=4) == []
 
 
+# the r9 dup-audit fix set: each of these computed a heavy subtree
+# 2-5x before mid-r9 (see BENCH_NOTES "Duplicate-subtree audit") —
+# a regression re-introducing the duplicate must fail here
+_R9_FIXED = [
+    "q420_weekly_ks_drift",
+    "q393_geometric_median",
+    "q358_matryoshka_audit",
+    "q65_order_book_wire",
+    "q117_book_imbalance",
+    "q43_fingerprint_dedup",
+    "q51_embedding_near_dup",
+    "q139_segment_dedup",
+]
+
+
+@pytest.mark.parametrize("name", _R9_FIXED)
+def test_r9_dedup_fixes_stay_audit_clean(spark, sf_dir, name):
+    from crypto_prediction_etl_spark.plans.registry import QUERIES
+
+    df = QUERIES[name](spark, sf_dir)
+    assert audit_query(df, min_nodes=4) == []
+
+
 def test_aqe_reused_broadcast_audits_clean(spark, sf_dir):
     """q44's sizes broadcast is duplicated in the initial plan but
     runtime-reused by AQE — the final-plan audit must NOT flag it (the
