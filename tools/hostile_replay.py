@@ -11,6 +11,7 @@ Usage:
   python tools/hostile_replay.py --sample N SALT       (sampled cadence)
   python tools/hostile_replay.py --codegen-off [...]   (interpreted eval)
   python tools/hostile_replay.py --arrow-tiny-batch [...] (7-row Arrow batches)
+  python tools/hostile_replay.py --ansi-off [...]      (legacy non-ANSI eval)
 
 --codegen-off additionally disables whole-stage codegen (and forces
 NO_CODEGEN expression evaluation), exercising Spark's interpreted
@@ -89,6 +90,19 @@ if tiny:
 arrow_tiny = args[:1] == ["--arrow-tiny-batch"]
 if arrow_tiny:
     args = args[1:]
+# --ansi-off (round 9): Spark 4 enables ANSI SQL mode by default, and
+# every result in this repo was adjudicated under it.  A migrated or
+# legacy-configured cluster flips spark.sql.ansi.enabled=false, which
+# silently changes evaluation semantics (casts return null instead of
+# erroring, int overflow wraps, element_at of a missing key returns
+# null) — exactly the class of config drift a user hits moving jobs
+# between clusters.  The catalog must be ANSI-INDEPENDENT: portable
+# hash/rounding discipline, try_-variant accessors, and no reliance on
+# error-vs-null behavior anywhere; a divergence here means a query's
+# result depends on the ANSI flag and would differ between clusters.
+ansi_off = args[:1] == ["--ansi-off"]
+if ansi_off:
+    args = args[1:]
 
 builder = (
     SparkSession.builder.master("local[2]" if tiny else "local[8]")
@@ -110,6 +124,8 @@ if arrow_tiny:
     builder = builder.config(
         "spark.sql.execution.arrow.maxRecordsPerBatch", "7"
     )
+if ansi_off:
+    builder = builder.config("spark.sql.ansi.enabled", "false")
 spark = builder.getOrCreate()
 
 SF = "/root/testdata/sf0.01"
