@@ -39,6 +39,9 @@ re-adjudication (tools/plan_fingerprint.py flags it).
 Usage:
   python tools/plan_dup_audit.py [name-prefix ...]   (no args = full catalog)
   python tools/plan_dup_audit.py --min-nodes 6 q14
+  python tools/plan_dup_audit.py --sf /root/testdata/sf0.1
+    (AQE's reuse and broadcast decisions are data-size-dependent, so a
+    duplicate reused at sf0.01 can go un-reused at sf0.1 — audit both)
 """
 
 import hashlib
@@ -198,10 +201,14 @@ def audit_query(df, min_nodes: int):
 
 
 def main() -> int:
+    global SF_DIR
     args = sys.argv[1:]
     min_nodes = MIN_NODES
-    if args[:1] == ["--min-nodes"]:
-        min_nodes = int(args[1])
+    while args[:1] in (["--min-nodes"], ["--sf"]):
+        if args[0] == "--min-nodes":
+            min_nodes = int(args[1])
+        else:
+            SF_DIR = args[1]
         args = args[2:]
     prefixes = tuple(args)
     registry.load_all()
@@ -227,6 +234,7 @@ def main() -> int:
         json.dumps(
             {
                 "metric": "plan_dup_audit",
+                "sf_dir": SF_DIR,
                 "queries_checked": len(names),
                 "flagged": len(rows),
                 "errors": errs,
