@@ -189,6 +189,37 @@ def test_order_book_fork_explode_union(spark, workdir):
     assert btc_asks[2].quote_price == pytest.approx(102.0)
 
 
+def test_order_book_pipeline_parses_json_once(spark):
+    """r9 (plan_dup_audit): the ask/bid fork must be a per-row explode
+    over ONE parsed frame, not a union of two selects — the union
+    shape re-planned the from_json decode per leg (2x the costliest
+    per-byte operator on the stream's hot path, and un-fixable by
+    checkpoint pinning on a streaming frame).  Plan contract: no
+    Union; from_json appears in exactly one Project (the only other
+    occurrence is the pushed PK-id Filter); two Generates (side
+    explode + ladder posexplode)."""
+    raw = spark.createDataFrame(
+        [('{"data":[{"id":"X","seqid":"1","asks":[["1","2"]],'
+          '"bids":[["3","4"]],"createTime":"5","ts_send":"6"}]}',)],
+        "value string",
+    )
+    plan = (
+        order_book_pipeline(raw)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Union" not in plan
+    project_parses = sum(
+        ln.count("from_json(")
+        for ln in plan.splitlines()
+        if ln.strip().startswith(("+- Project", ":- Project", "Project"))
+        or "*(" in ln and "Project" in ln
+    )
+    assert project_parses == 1, plan[:2000]
+    assert plan.count("Generate") == 2
+
+
 def test_watermarked_window_aggregation(spark, workdir):
     """Event-time windowed aggregation with watermark over a file stream
     (engine extension beyond reference scope, SURVEY §2.9)."""

@@ -12,6 +12,7 @@ Usage:
   python tools/hostile_replay.py --codegen-off [...]   (interpreted eval)
   python tools/hostile_replay.py --arrow-tiny-batch [...] (7-row Arrow batches)
   python tools/hostile_replay.py --ansi-off [...]      (legacy non-ANSI eval)
+  python tools/hostile_replay.py --low-memory [...]    (2 GiB driver heap)
 
 --codegen-off additionally disables whole-stage codegen (and forces
 NO_CODEGEN expression evaluation), exercising Spark's interpreted
@@ -103,6 +104,18 @@ if arrow_tiny:
 ansi_off = args[:1] == ["--ansi-off"]
 if ansi_off:
     args = args[1:]
+# --low-memory (round 9): 2 GiB driver heap instead of this host's
+# 128 GiB luxury.  Real clusters give an executor 8-16 GiB; a kernel
+# that only works because everything fits in memory (unspillable
+# collect_list state, an oversized broadcast, a pinned frame that
+# must hold in RAM) surfaces here as OOM or a wrong-after-spill
+# result.  Results must be IDENTICAL: Spark's sort/agg/join operators
+# spill to disk by design, and the catalog's pinned localCheckpoint
+# frames are MEMORY_AND_DISK.  (Only meaningful in a fresh process —
+# driver memory is fixed at JVM launch.)
+low_mem = args[:1] == ["--low-memory"]
+if low_mem:
+    args = args[1:]
 
 builder = (
     SparkSession.builder.master("local[2]" if tiny else "local[8]")
@@ -126,6 +139,8 @@ if arrow_tiny:
     )
 if ansi_off:
     builder = builder.config("spark.sql.ansi.enabled", "false")
+if low_mem:
+    builder = builder.config("spark.driver.memory", "2g")
 spark = builder.getOrCreate()
 
 SF = "/root/testdata/sf0.01"
