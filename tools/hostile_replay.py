@@ -13,6 +13,7 @@ Usage:
   python tools/hostile_replay.py --arrow-tiny-batch [...] (7-row Arrow batches)
   python tools/hostile_replay.py --ansi-off [...]      (legacy non-ANSI eval)
   python tools/hostile_replay.py --low-memory [...]    (2 GiB driver heap)
+  python tools/hostile_replay.py --tiny-scan-splits [...] (1 MiB scan tasks)
 
 --codegen-off additionally disables whole-stage codegen (and forces
 NO_CODEGEN expression evaluation), exercising Spark's interpreted
@@ -116,6 +117,16 @@ if ansi_off:
 low_mem = args[:1] == ["--low-memory"]
 if low_mem:
     args = args[1:]
+# --tiny-scan-splits (round 9): maxPartitionBytes=1 MiB + zero file
+# open cost, so every parquet file shatters into many scan tasks with
+# arbitrary split boundaries — the shape a different cluster's block
+# size / file layout produces.  Any query whose result leans on
+# file-order or split-local state (a first()/limit without order, a
+# partition-id-derived value, an accumulator-style kernel) diverges;
+# results must be scan-split-invariant.
+tiny_splits = args[:1] == ["--tiny-scan-splits"]
+if tiny_splits:
+    args = args[1:]
 
 builder = (
     SparkSession.builder.master("local[2]" if tiny else "local[8]")
@@ -141,6 +152,10 @@ if ansi_off:
     builder = builder.config("spark.sql.ansi.enabled", "false")
 if low_mem:
     builder = builder.config("spark.driver.memory", "2g")
+if tiny_splits:
+    builder = builder.config(
+        "spark.sql.files.maxPartitionBytes", "1m"
+    ).config("spark.sql.files.openCostInBytes", "0")
 spark = builder.getOrCreate()
 
 SF = "/root/testdata/sf0.01"
