@@ -42,123 +42,95 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver adjudicates exactly the first 50 ``queries()`` entries per
-# round.  Rotation for round 9 (VERDICT r8 item 1), generated by
-# ``python tools/make_window.py <14 picks>`` (not hand-copied): the 36
-# remaining never-adjudicated names (q385_book_walk ..
-# q420_weekly_ks_drift, consecutive — this CLOSES the adjudication
-# ledger: after r9 every one of the 420 registered queries has a green
-# driver verdict) + 14 re-adjudication picks, ordered:
-#   q141_edit_distance_pairs — HIGHEST priority: its r3 verdict covers
-#     the superseded (lang,bucket)-only plan; r8 band-composed the
-#     blocking key with q45's MinHash band hash and re-derived the
-#     oracle, so this is the post-change official verdict (VERDICT r8
-#     item 2).
-#   q267_concurrency_sweep, q280_interval_coverage — allow_ties added
-#     r7, last verdict r6.
-#   q75_bm25_scoring (r2), q153_curriculum_shards (r4),
-#   q154_systematic_sample (r5) — globalrank-routed r6 after verdicts.
-#   q01_pricing_summary — the one retained oldest-verdict freshness
-#     re-check (r1 window).  The other seven planned freshness picks
-#     (q02-q05, q10-q12) were traded mid-r9 for post-change verdicts
-#     of this round's plan_dup_audit fixes — the VERDICT r8 hierarchy
-#     (a post-change verdict for a changed plan outranks a freshness
-#     re-check of an unchanged one); r10's window is a pure freshness
-#     sweep anyway (make_window --fill-oldest).
-#   q365_adamic_adar — mid-r9 swap-in (replacing the q12_semi_anti_join
-#     freshness pick): its degree-banded edge list gained the eager
-#     localCheckpoint pin (q141's law — upstream co-purchase distinct +
-#     degree agg ran 4x, now once), so its r8 verdict covers the
-#     superseded plan; the fingerprint ledger flags it and
-#     tests/test_plan_fingerprints.py enforces this staging.
-#   q358_matryoshka_audit, q65_order_book_wire, q117_book_imbalance,
-#   q43_fingerprint_dedup, q51_embedding_near_dup, q139_segment_dedup —
-#     mid-r9 swap-ins (replacing the q02/q03/q05/q04->kept/q10/q11/q12
-#     freshness picks): plan_dup_audit findings fixed this round —
-#     q358's 5-branch dim union re-planned the embeddings scan per
-#     branch (now one scan + per-row explode fan-out); q65/q117 share
-#     order_book_pipeline, whose ask/bid union re-planned the
-#     from_json decode per leg (now one parse + 2-struct explode;
-#     2x fewer JSON evals per wire record); q43 (exact_dedup
-#     fingerprint frame), q51 (near_dup_pairs_lsh banded frame) and
-#     q139 (segment-hash frame) each fed an aggregation AND a join
-#     back unpinned, re-planning the full text/embedding scan per
-#     branch — all three now eager-pinned (q141's law).  In-window
-#     dup-audit fixes q420 (events scan 3x -> one pinned count
-#     frame) and q393 (points frame pinned across Weiszfeld passes)
-#     need no swap.  (q417 builds its own window-based dedup, not via
-#     exact_dedup — the fingerprint check confirms it did not drift.)
+# round.  Round-10 rotation (VERDICT r9 item 1): the 420-query ledger
+# CLOSED at r9 (every registered query green, latest-wins), so this
+# window is the planned pure FRESHNESS sweep, generated mechanically by
+#   python tools/plan_fingerprint.py --update   (r10 start: refreshed
+#     the at-verdict fingerprints of the r9 window; check mode then
+#     reported 420 checked / 0 drifted — no mandatory re-picks), then
+#   python tools/make_window.py --fill-oldest q51_embedding_near_dup
+# q51 leads as the one MANDATORY re-adjudication pick: its plan changed
+# this round (the verified pair frame is now session-memoized + pinned,
+# VERDICT r9 item 3), so tools/plan_fingerprint.py flags it and its r9
+# verdict covers the superseded per-call plan.  The other 49 slots are
+# the queries whose latest green verdict is OLDEST (rounds 1-2: the r1
+# relational/window/indicator families q02..q50 and the r2 text/dedup
+# families q40..q47; q48_dedup_clusters, the youngest fill, yielded the
+# seat to q51).  These verdicts
+# predate the r5-r9 globalrank/canonicalization/guard rewrites; every
+# one has stayed green on the local pandas-canonical mirror
+# (tools/driver_replay.py 420/420) each round, so this is verdict
+# hygiene, not suspicion.  Queries flagged by tools/plan_fingerprint.py
+# (plan or oracle drifted since last verdict) would be mandatory picks
+# ahead of the age fill — tests/test_plan_fingerprints.py enforces
+# this; none were flagged at r10 start.
+#
+# r9 audit trail (superseded window, kept for the record): 36
+# never-adjudicated names q385..q420 closed the ledger + 14
+# re-adjudication picks led by plan-changed q141/q365 and the r9
+# plan_dup_audit fixes (q358/q65/q117/q43/q51/q139).  Of the eight
+# originally planned freshness picks, q01 was kept and q02-q05/q10-q12
+# (seven names, including q04) were traded for post-change verdicts —
+# the VERDICT r8 hierarchy: a post-change verdict for a changed plan
+# outranks a freshness re-check of an unchanged one.  All 50 landed
+# green (CORRECTNESS_r09.json).
 # Everything already adjudicated keeps its green row and stays covered
 # by the local mirror (tests/test_oracle_parity.py +
 # tools/driver_replay.py, which canonicalizes through pandas exactly
 # like the driver) plus the independent numpy/pandas cross-checks in
 # tests/test_r6_tail_pandas.py, test_r7_hash_mirrors.py and
 # test_r8_mirrors.py.
-#
-# ROUND-10 PLAN (VERDICT r8 item 6): once CORRECTNESS_r09 lands the
-# ledger is closed (all 420 green-verdicted) and rotation becomes a
-# pure freshness sweep — at r10 start FIRST run
-#   python tools/plan_fingerprint.py --update
-# (records the at-verdict fingerprints of the newly adjudicated r9
-# window), then generate the window with
-#   python tools/make_window.py --fill-oldest
-# which fills, after any never-adjudicated names and explicit picks,
-# with the 50 queries whose latest green verdict is OLDEST (r1-window
-# families q13_order_count_distribution, q14_scalar_subquery, ... by
-# the current ledger; the exact list must be derived AFTER r9's file
-# exists).  Queries flagged by tools/plan_fingerprint.py (plan or
-# oracle drifted since last verdict) are mandatory picks ahead of the
-# age fill — tests/test_plan_fingerprints.py enforces this.
 _ADJUDICATE_FIRST = [
-    "q385_book_walk",
-    "q386_embedding_drift",
-    "q387_kde",
-    "q388_theil_decomposition",
-    "q389_texttiling",
-    "q390_filter_bias",
-    "q391_knn_assortativity",
-    "q392_data_budget",
-    "q393_geometric_median",
-    "q394_rank_biased_overlap",
-    "q395_weibull_fit",
-    "q396_dead_letter_audit",
-    "q397_lexical_diversity",
-    "q398_similarity_alignment",
-    "q399_self_retrieval",
-    "q400_mixture_materializer",
-    "q401_kingman_backpressure",
-    "q402_vnode_balance",
-    "q403_decay_trending",
-    "q404_erasure_cost",
-    "q405_ledger_reconciliation",
-    "q406_greedy_coverage",
-    "q407_vocab_coverage",
-    "q408_harmonic_dow",
-    "q409_rank_ic",
-    "q410_shard_key_advisor",
-    "q411_cross_source_dups",
-    "q412_uncertainty_sampling",
-    "q413_slo_burn_rate",
-    "q414_ecod_outliers",
-    "q415_bloom_empirical",
-    "q416_group_sequential",
-    "q417_lineage_manifest",
-    "q418_coverage_knee",
-    "q419_mix_shift",
-    "q420_weekly_ks_drift",
-    "q141_edit_distance_pairs",
-    "q267_concurrency_sweep",
-    "q280_interval_coverage",
-    "q75_bm25_scoring",
-    "q153_curriculum_shards",
-    "q154_systematic_sample",
-    "q01_pricing_summary",
-    "q358_matryoshka_audit",
-    "q65_order_book_wire",
-    "q43_fingerprint_dedup",
-    "q117_book_imbalance",
     "q51_embedding_near_dup",
-    "q139_segment_dedup",
-    "q365_adamic_adar",
+    "q02_filtered_revenue",
+    "q03_distinct_keys",
+    "q04_union_counts",
+    "q05_minmax_bounds",
+    "q10_region_revenue",
+    "q11_top_unshipped_orders",
+    "q12_semi_anti_join",
+    "q13_order_count_distribution",
+    "q14_scalar_subquery",
+    "q15_promo_revenue_share",
+    "q16_pivot_status_by_priority",
+    "q17_rollup_revenue",
+    "q18_topk_per_group",
+    "q19_asof_join",
+    "q20_date_functions",
+    "q21_null_and_case_handling",
+    "q22_string_functions",
+    "q24_cube_counts",
+    "q24b_grouping_sets",
+    "q25_daily_close_stats",
+    "q26c_intersect_except",
+    "q26_calendar_spine",
+    "q26b_unpivot_measures",
+    "q27_rolling_min_max_sum",
+    "q27b_table_profile",
+    "q28_time_range_frame",
+    "q28b_ranking_family",
+    "q28c_value_windows",
+    "q29_exact_percentiles",
+    "q32_indicator_mart",
+    "q36_rescale_roc",
+    "q36c_multi_domain_sma",
+    "q37_ema",
+    "q38_macd",
+    "q39_rsi_wilder",
+    "q50_cosine_topk",
+    "q70_binary_metadata",
+    "q30_sma_bollinger",
+    "q31_obv",
+    "q33_stochastic",
+    "q34_ichimoku",
+    "q35_aroon",
+    "q40_token_stats",
+    "q41_lang_id",
+    "q42_quality_score",
+    "q44_ngram_jaccard_pairs",
+    "q45_minhash_lsh_pairs",
+    "q46_simhash",
+    "q47_winnowing_fingerprints",
 ]
 
 # Superseded round-2 rotation, kept for the audit trail.

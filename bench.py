@@ -73,12 +73,16 @@ PANEL4 = [
 # Fifth panel (round 9, VERDICT r8 item 4): the catalog's formerly
 # worst-scaling query — q141's band-composed edit-distance verify had
 # no tracked wall-time outside scaling-probe cadence after its r8
-# rewrite — plus one rotating dedup-family member without a panel seat
-# (r9: paragraph dedup's hash-groupBy + join-back). First recording
-# (quiet host, sf0.1, local[32], r9): see BENCH_NOTES.md "Round 9".
+# rewrite — plus one rotating dedup-family member without a panel seat.
+# r10 rotation (VERDICT r9 item 3): q349_paragraph_dedup (r9 seat,
+# anchored in BENCH_NOTES "Round 9") yields to q51_embedding_near_dup,
+# the dedup family's largest honest warm cost after the r9 audits
+# (4.3 s/call un-memoized); its r10 plan session-memoizes the verified
+# pair frame, so pass 1 records the cold build and pass 2 the memo-hit
+# cost — the band tracks both via the raw pass list.
 PANEL5 = [
     "q141_edit_distance_pairs",
-    "q349_paragraph_dedup",
+    "q51_embedding_near_dup",
 ]
 
 HEADLINE = [

@@ -43,18 +43,34 @@ MINHASH_PERMS: list[tuple[int, int]] = [
 LSH_BANDS = 4  # 4 bands x 4 rows
 
 
-def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def exact_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pin: bool = True,
+) -> DataFrame:
     """(id, fingerprint, canonical_id, is_duplicate) via content hash.
 
     The fingerprint frame feeds the canonical-id aggregation AND the
-    join back, so it is eager-pinned (r9 plan_dup_audit: unpinned,
-    both branches re-planned the documents scan + md5 — 2x the full
-    text read at scale; the pinned frame is two narrow columns, far
-    smaller than the text it replaces).  Batch-only by design —
-    streaming callers use streaming_exact_dedup."""
-    fp = docs.select(
-        F.col(id_col), fingerprint_md5(text_col).alias("fingerprint")
-    ).localCheckpoint(eager=True)
+    join back, so it is eager-pinned by default (r9 plan_dup_audit:
+    unpinned, both branches re-planned the documents scan + md5 — 2x
+    the full text read at scale; the pinned frame is two narrow
+    columns, far smaller than the text it replaces).  The eager pin
+    means CONSTRUCTING the frame runs a Spark job — callers that only
+    build/explain the plan (fingerprint tooling, registry enumeration)
+    pass ``pin=False`` to stay lazy and re-pin where execution is
+    expected.  Batch-only by design — a streaming frame cannot be
+    checkpointed or grouped-joined this way, so it is rejected at
+    build time with a pointer to streaming_exact_dedup."""
+    if docs.isStreaming:
+        raise TypeError(
+            "exact_dedup is batch-only (eager pin + agg/join-back); "
+            "route streaming frames to "
+            "streaming.sinks.streaming_exact_dedup instead"
+        )
+    fp = docs.select(F.col(id_col), fingerprint_md5(text_col).alias("fingerprint"))
+    if pin:
+        fp = fp.localCheckpoint(eager=True)
     canon = fp.groupBy("fingerprint").agg(F.min(id_col).alias("canonical_id"))
     return fp.join(canon, "fingerprint").select(
         id_col,

@@ -250,9 +250,17 @@ def near_dup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "v",
     round_to: int = 6,
+    pin: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via banded sign-LSH prefilter + exact verify
     (the q45 MinHash-band shape applied to embeddings).
+
+    ``pin=True`` (default) eager-pins the banded signature frame, so
+    CONSTRUCTION runs a Spark job; pass ``pin=False`` from callers
+    that only build/explain the plan and pin at the consumption site.
+    The registered q51 consumer session-memoizes the whole verified
+    pair frame on top of this (plans/similarity_q.py), so repeated
+    in-session calls pay the signature + band join once.
 
     Plan: one sign signature per vector (``bands * band_bits`` bits) ->
     explode into per-band buckets -> EQUI self-join on (band, bucket) ->
@@ -295,13 +303,14 @@ def near_dup_pairs_lsh(
             ).alias("_bb"),
         )
         .select(id_col, F.col("_bb.band").alias("band"), F.col("_bb.bkt").alias("bkt"))
+    )
+    if pin:
         # both self-join sides consume the banded frame: eager-pin it
         # (q141's law; r9 plan_dup_audit caught the signature compute +
         # band explode planned once per side) — the pinned frame is
         # three narrow columns, the "write the signature table once,
         # then join it" production shape
-        .localCheckpoint(eager=True)
-    )
+        banded = banded.localCheckpoint(eager=True)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bkt")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bkt")
     cand = (
@@ -492,4 +501,77 @@ def knn_dist_edges(
 
     return spread_small_scan(vecs.select(id_col, vec_col)).mapInPandas(
         kernel, schema="pid long, nid long, dist double"
+    )
+
+
+def knn_candidate_edges_bucketed(
+    vecs: DataFrame,
+    k: int,
+    bits: int = 6,
+    multiprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate kNN edges (pid, nid, dist) from bucketed-ANN
+    candidates — the 100 TB form of :func:`knn_dist_edges`.
+
+    Same output contract as the exact variant (each row's up-to-k
+    nearest by grid-rounded cosine distance, ties broken (dist, nid)),
+    so every graph consumer (LOF, k-core, assortativity, mutual-kNN)
+    swaps it in UNCHANGED.  The difference is purely how candidates
+    are generated: instead of broadcasting the full |V| x dim matrix
+    (a driver bottleneck past ~10^6 rows), each vector is sign-bucketed
+    ONCE (q52's quantizer) and the probe side explodes into its
+    Hamming-<=multiprobe probe ball; candidates come from the
+    (bucket)-equi self-join — a shuffle hash join on an integer key
+    that AQE skew-splits, never a cross product and never a driver
+    collect.  Per-pid top-k follows the q52 two-phase shape: map-side
+    partial head-k bounds the ranking shuffle to k rows per pid per
+    partition.
+
+    Recall is corpus-dependent (probe-ball coverage of the true
+    neighbors' buckets): measured at sf0.01 on this repo's
+    near-isotropic synthetic embeddings in
+    tests/test_plans.py::test_bucketed_knn_edge_recall, and recorded
+    in SCALE.md ("exact-kNN edges law").  Edges that ARE found carry
+    bit-identical distances to the exact variant (same portable grid),
+    so consumer arithmetic is unaffected on the found set.
+    """
+    import pandas as pd
+
+    c = vecs.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("_cv"),
+        sign_bucket_int(F.col(vec_col), bits).alias("_bkt"),
+    )
+    masks = probe_masks(bits, multiprobe)
+    p = vecs.select(
+        F.col(id_col).alias("pid"),
+        F.col(vec_col).alias("_pv"),
+        sign_bucket_int(F.col(vec_col), bits).alias("_pbkt"),
+    ).withColumn(
+        "_bkt",
+        F.explode(F.array(*[F.col("_pbkt").bitwiseXOR(F.lit(m)) for m in masks])),
+    )
+    joined = p.join(c, "_bkt").filter(F.col("pid") != F.col("nid"))
+    dist = prnd(F.lit(1.0) - cosine(F.col("_pv"), F.col("_cv")), round_to)
+    scored = joined.select("pid", "nid", dist.alias("dist"))
+
+    def partial_topk(batches):
+        for pdf in batches:
+            yield (
+                pdf.sort_values(["pid", "dist", "nid"])
+                .groupby("pid", sort=False)
+                .head(k)
+            )
+
+    pruned = scored.mapInPandas(
+        partial_topk, schema="pid long, nid long, dist double"
+    )
+    w = W.partitionBy("pid").orderBy(F.asc("dist"), F.asc("nid"))
+    return (
+        pruned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
     )

@@ -48,6 +48,12 @@ def curated_corpus(
     canonical AND not a non-canonical member of a near-dup cluster.
     Both drop sets arrive as (small) id frames — broadcast anti/semi
     joins against the corpus, so the corpus itself never shuffles.
+
+    NOT fully lazy: the dedup operators underneath eager-pin their
+    shared intermediates (fingerprint frame, shingle arrays,
+    signatures), so CALLING this function runs those Spark jobs even
+    if the returned frame is never acted on.  Batch frames only —
+    exact_dedup rejects a streaming input at build time.
     """
     exact_keep = (
         exact_dedup(docs)
@@ -74,7 +80,9 @@ def curate_corpus(
     """Run the full curation over the documents table and write the
     result partitioned by (lang, split) — the layout downstream
     training jobs partition-prune on. Overwrite mode keeps the run
-    idempotent. Returns the curated frame (lazy) for inspection."""
+    idempotent. Returns the curated frame for inspection (already
+    computed by the write; its pinned dedup intermediates materialized
+    eagerly during construction — see curated_corpus)."""
     kept = curated_corpus(table(spark, sf_dir, "documents"), near_dup_threshold)
     write_partitioned(
         kept, out_dir, partition_cols=("lang", "split"), mode="overwrite"

@@ -2690,7 +2690,14 @@ def q365_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-purchase distinct + degree agg FOUR times (2 sides x cp+deg)
     with zero exchange reuse.  Pinned, the heavy upstream runs once —
     the "write the edge list once, then self-join it" production
-    shape."""
+    shape.  Fault-tolerance caveat at cluster scale: localCheckpoint
+    is a NON-RELIABLE checkpoint — lineage is truncated and the
+    blocks live on executor local storage, so losing an executor
+    mid-job fails the job instead of recomputing.  The at-scale
+    durable form is persist(MEMORY_AND_DISK) + materialize
+    (recomputable) or an actual written edge-list table; the
+    localCheckpoint is the single-app in-session analog (SCALE.md
+    "fix menu")."""
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     cp = (

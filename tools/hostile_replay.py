@@ -67,19 +67,13 @@ from pyspark.sql import SparkSession
 import __spark_entry__ as entrymod  # noqa: E402  (registers the catalog)
 from tests.oracle import compare_query  # noqa: E402
 
-args = sys.argv[1:]
-codegen_off = args[:1] == ["--codegen-off"]
-if codegen_off:
-    args = args[1:]
+# Axis notes:
 # --tiny-parallelism (round 8): the OTHER extreme from the 200-partition
 # axis — local[2] with ONE shuffle partition. Every exchange collapses
 # to a single task, range partitioners get a single bucket, AQE has
 # nothing to coalesce: any query whose result silently leans on
 # partition COUNT (spark_partition_id arithmetic, per-partition offsets,
 # coalesce-dependent ordering) diverges here.
-tiny = args[:1] == ["--tiny-parallelism"]
-if tiny:
-    args = args[1:]
 # --arrow-tiny-batch (round 9): cap Arrow transfer at 7 records per
 # batch so every mapInPandas / pandas_udf input arrives as MANY small
 # batches instead of one per partition. At 100 TB batches always split
@@ -89,9 +83,6 @@ if tiny:
 # here. applyInPandas/GROUPED_AGG still see whole groups by contract —
 # Spark reassembles them — so this axis isolates the iterator-protocol
 # kernels specifically.
-arrow_tiny = args[:1] == ["--arrow-tiny-batch"]
-if arrow_tiny:
-    args = args[1:]
 # --ansi-off (round 9): Spark 4 enables ANSI SQL mode by default, and
 # every result in this repo was adjudicated under it.  A migrated or
 # legacy-configured cluster flips spark.sql.ansi.enabled=false, which
@@ -102,9 +93,6 @@ if arrow_tiny:
 # hash/rounding discipline, try_-variant accessors, and no reliance on
 # error-vs-null behavior anywhere; a divergence here means a query's
 # result depends on the ANSI flag and would differ between clusters.
-ansi_off = args[:1] == ["--ansi-off"]
-if ansi_off:
-    args = args[1:]
 # --low-memory (round 9): 2 GiB driver heap instead of this host's
 # 128 GiB luxury.  Real clusters give an executor 8-16 GiB; a kernel
 # that only works because everything fits in memory (unspillable
@@ -114,9 +102,6 @@ if ansi_off:
 # spill to disk by design, and the catalog's pinned localCheckpoint
 # frames are MEMORY_AND_DISK.  (Only meaningful in a fresh process —
 # driver memory is fixed at JVM launch.)
-low_mem = args[:1] == ["--low-memory"]
-if low_mem:
-    args = args[1:]
 # --tiny-scan-splits (round 9): maxPartitionBytes=1 MiB + zero file
 # open cost, so every parquet file shatters into many scan tasks with
 # arbitrary split boundaries — the shape a different cluster's block
@@ -124,9 +109,47 @@ if low_mem:
 # file-order or split-local state (a first()/limit without order, a
 # partition-id-derived value, an accumulator-style kernel) diverges;
 # results must be scan-split-invariant.
-tiny_splits = args[:1] == ["--tiny-scan-splits"]
-if tiny_splits:
-    args = args[1:]
+#
+# Flags parse order-independently in one loop (r9's positional chain
+# silently treated a re-ordered flag as a query-name prefix, running
+# the replay WITHOUT the requested axis); any unrecognized ``--``
+# argument is an error, never a prefix.
+_FLAGS = {
+    "--codegen-off": False,
+    "--tiny-parallelism": False,
+    "--arrow-tiny-batch": False,
+    "--ansi-off": False,
+    "--low-memory": False,
+    "--tiny-scan-splits": False,
+}
+_sample_k: int | None = None
+_sample_salt = "r0"
+_positional: list[str] = []
+_argv = sys.argv[1:]
+_i = 0
+while _i < len(_argv):
+    _a = _argv[_i]
+    if _a in _FLAGS:
+        _FLAGS[_a] = True
+    elif _a == "--sample":
+        if _i + 1 >= len(_argv):
+            sys.exit("--sample requires N [SALT]")
+        _sample_k = int(_argv[_i + 1])
+        _i += 1
+        if _i + 1 < len(_argv) and not _argv[_i + 1].startswith("--"):
+            _sample_salt = _argv[_i + 1]
+            _i += 1
+    elif _a.startswith("--"):
+        sys.exit(f"unrecognized flag: {_a} (known: {sorted(_FLAGS)} --sample)")
+    else:
+        _positional.append(_a)
+    _i += 1
+codegen_off = _FLAGS["--codegen-off"]
+tiny = _FLAGS["--tiny-parallelism"]
+arrow_tiny = _FLAGS["--arrow-tiny-batch"]
+ansi_off = _FLAGS["--ansi-off"]
+low_mem = _FLAGS["--low-memory"]
+tiny_splits = _FLAGS["--tiny-scan-splits"]
 
 builder = (
     SparkSession.builder.master("local[2]" if tiny else "local[8]")
@@ -160,16 +183,14 @@ spark = builder.getOrCreate()
 
 SF = "/root/testdata/sf0.01"
 all_names = list(entrymod.oracle_sql())
-if args[:1] == ["--sample"]:
-    k = int(args[1])
-    salt = args[2] if len(args) > 2 else "r0"
+if _sample_k is not None:
     ranked = sorted(
         all_names,
-        key=lambda n: hashlib.md5(f"{salt}:{n}".encode()).hexdigest(),
+        key=lambda n: hashlib.md5(f"{_sample_salt}:{n}".encode()).hexdigest(),
     )
-    names = sorted(set(ranked[:k]) | set(ALWAYS))
+    names = sorted(set(ranked[:_sample_k]) | set(ALWAYS))
 else:
-    prefixes = tuple(args)
+    prefixes = tuple(_positional)
     names = [n for n in all_names if not prefixes or n.startswith(prefixes)]
 n_pass = n_fail = 0
 for name in names:

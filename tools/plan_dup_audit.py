@@ -95,30 +95,35 @@ def _normalize(line: str) -> str:
     return line.strip()
 
 
-_MARKER = re.compile(r"^((?::  |   )*)(?:\+- |:- )?(.*)$")
-
-
 def parse_tree(plan: str):
-    """Return list of (depth, text) from a Spark plan string."""
+    """Return list of (depth, text) from a Spark plan string.
+
+    Depth is derived uniformly from the structural prefix width: the
+    indentation grammar is 3-char groups — continuation fills (three
+    spaces or ``:`` + two spaces) followed by at most one branch
+    marker ``+- `` / ``:- `` — so depth = number of consumed groups.  This parents AQE
+    continuation lines (``   ResultQueryStage``, no marker) one level
+    ABOVE their ``   +- `` children instead of alongside them (the r9
+    auditor's special-cased heuristic mis-parented those subtrees)."""
     out = []
     for raw in plan.splitlines():
         if not raw.strip():
             continue
-        m = _MARKER.match(raw)
-        prefix, text = m.group(1), m.group(2)
-        depth = len(prefix) // 3 + (0 if raw[:2] not in ("+-", ":-")
-                                    and prefix == "" and not raw.startswith((" ", ":")) else 1)
-        # lines like "AdaptiveSparkPlan" (root) have depth 0; any line
-        # whose raw starts with +-/:- at column 0 is depth 1
-        if raw.startswith(("+- ", ":- ")):
-            depth = 1
-        out.append((depth, text))
+        depth, pos = 0, 0
+        while raw[pos : pos + 3] in ("   ", ":  "):
+            pos += 3
+            depth += 1
+        if raw[pos : pos + 3] in ("+- ", ":- "):
+            pos += 3
+            depth += 1
+        out.append((depth, raw[pos:]))
     return out
 
 
 def subtree_hashes(nodes):
-    """Bottom-up subtree hashing. Returns list of dicts per node:
-    {hash, size, head, has_work, reused_ancestor}."""
+    """Bottom-up subtree hashing. Returns (info, children): a list of
+    dicts per node {hash, size, head, has_work, reused, pinned_leaves}
+    and the child-index lists (for descendant suppression)."""
     n = len(nodes)
     info = [None] * n
     # children of node i: subsequent nodes with depth == d+1 until a
@@ -161,42 +166,56 @@ def subtree_hashes(nodes):
             "pinned_leaves": "ExistingRDD" in nodes[i][1]
             or any(info[j]["pinned_leaves"] for j in children[i]),
         }
-    return info
+    return info, children
 
 
 def audit_query(df, min_nodes: int):
     df.collect()  # drive AQE to the final plan (runtime reuse applied)
     plan = final_section(df._jdf.queryExecution().executedPlan().toString())
     nodes = parse_tree(plan)
-    info = subtree_hashes(nodes)
+    info, children = subtree_hashes(nodes)
     by_hash = {}
-    for rec in info:
-        by_hash.setdefault(rec["hash"], []).append(rec)
+    for i, rec in enumerate(info):
+        by_hash.setdefault(rec["hash"], []).append(i)
     findings = []
-    covered = set()
-    # report maximal duplicated subtrees only (skip descendants of an
-    # already-reported duplicate): iterate largest-first
-    for h, recs in sorted(by_hash.items(), key=lambda kv: -kv[1][0]["size"]):
-        if len(recs) < 2:
+    covered = set()  # node indices inside an already-reported duplicate
+
+    def cover(root: int) -> None:
+        stack = [root]
+        while stack:
+            i = stack.pop()
+            if i in covered:
+                continue
+            covered.add(i)
+            stack.extend(children[i])
+
+    # report ALL maximal duplicated subtrees: iterate largest-first and
+    # suppress any hash whose every occurrence lies inside an
+    # already-reported duplicate (those are duplicated only as part of
+    # their parent) — a query with several independent duplicates now
+    # yields several findings (the r9 auditor broke after the first)
+    for _, idxs in sorted(
+        by_hash.items(), key=lambda kv: -info[kv[1][0]]["size"]
+    ):
+        if len(idxs) < 2:
             continue
-        r = recs[0]
+        r = info[idxs[0]]
         if r["size"] < min_nodes or not r["has_work"]:
             continue
-        if all(rec["reused"] for rec in recs[1:]):
+        if all(info[i]["reused"] for i in idxs[1:]):
             continue
-        if h in covered:
+        if all(i in covered for i in idxs):
             continue
         findings.append(
             {
-                "count": len(recs),
+                "count": len(idxs),
                 "size": r["size"],
                 "head": r["head"],
                 "pinned_leaves": r["pinned_leaves"],
             }
         )
-        # mark all strictly smaller hashes as covered crudely: one
-        # maximal finding per query is enough signal for the worklist
-        break
+        for i in idxs:
+            cover(i)
     return findings
 
 
