@@ -32,6 +32,7 @@ from pyspark.sql import Window as W
 from ..functions.portable import hash64, prnd
 from ..sources.readers import spread_small_scan
 from .text import fingerprint_md5, tokens, word_shingles
+from ..pinning import pin_frame
 
 # Deterministic permutation parameters (module-load constant, seed=42).
 MINHASH_PRIME = 2147483647  # 2^31 - 1
@@ -70,7 +71,7 @@ def exact_dedup(
         )
     fp = docs.select(F.col(id_col), fingerprint_md5(text_col).alias("fingerprint"))
     if pin:
-        fp = fp.localCheckpoint(eager=True)
+        fp = fp.transform(pin_frame)
     canon = fp.groupBy("fingerprint").agg(F.min(id_col).alias("canonical_id"))
     return fp.join(canon, "fingerprint").select(
         id_col,
@@ -134,7 +135,7 @@ def shingle_arrays_cached(
     return (
         doc_shingle_arrays(docs, n, id_col, text_col)
         .filter(F.size("shingles") > 0)
-        .localCheckpoint(eager=True)
+        .transform(pin_frame)
     )
 
 
@@ -185,7 +186,7 @@ def corpus_minhash_pairs(
     def build() -> DataFrame:
         return minhash_dedup_pairs(
             None, threshold, n, arrays=corpus_shingle_arrays(spark, sf_dir, n)
-        ).localCheckpoint(eager=True)
+        ).transform(pin_frame)
 
     return _memo(spark, sf_dir, f"minhash_pairs:{threshold}:{n}", build)
 
@@ -236,7 +237,7 @@ def jaccard_pairs(
     # consumed three times (sizes + both join sides): materialize once
     # with truncated lineage — see shingle_arrays_cached for why a lazy
     # persist races and why checkpoint beats persist here
-    shingled = shingled.localCheckpoint(eager=True)
+    shingled = shingled.transform(pin_frame)
     sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     # length filter (PPJoin family): J <= min/max, so a pair whose
     # size ratio is below the threshold can NEVER pass the final
@@ -333,10 +334,10 @@ def minhash_dedup_pairs(
     """
     if arrays is None:
         arrays = shingle_arrays_cached(docs, n, id_col, text_col)
-    sigs = _minhash_sigs_from_arrays(arrays, id_col).localCheckpoint(eager=True)
+    sigs = _minhash_sigs_from_arrays(arrays, id_col).transform(pin_frame)
     # cands feeds both the doc semi-join and the final pair join —
     # without eager materialization the band self-join runs twice
-    cands = lsh_candidate_pairs(sigs, id_col).localCheckpoint(eager=True)
+    cands = lsh_candidate_pairs(sigs, id_col).transform(pin_frame)
     # verify ONLY candidate docs: cut the corpus to docs appearing in
     # some candidate pair, explode just their shingles, exact-Jaccard —
     # the full n^2 pair join never runs (the LSH point)
@@ -509,14 +510,14 @@ def incremental_dedup(
         idx_arrays = (
             doc_shingle_arrays(index_docs, n, id_col, text_col)
             .filter(F.size("shingles") > 0)
-            .localCheckpoint(eager=True)
+            .transform(pin_frame)
         )
     new_arrays = incoming_arrays
     if new_arrays is None:
         new_arrays = (
             doc_shingle_arrays(incoming_docs, n, id_col, text_col)
             .filter(F.size("shingles") > 0)
-            .localCheckpoint(eager=True)
+            .transform(pin_frame)
         )
     idx_bands = _band_keys(_minhash_sigs_from_arrays(idx_arrays, id_col), id_col)
     new_bands = _band_keys(_minhash_sigs_from_arrays(new_arrays, id_col), id_col)

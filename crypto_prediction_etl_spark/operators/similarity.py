@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.portable import prnd
+from ..pinning import pin_frame
 
 
 def as_double_vec(col: Column | str) -> Column:
@@ -310,7 +311,7 @@ def near_dup_pairs_lsh(
         # band explode planned once per side) — the pinned frame is
         # three narrow columns, the "write the signature table once,
         # then join it" production shape
-        banded = banded.localCheckpoint(eager=True)
+        banded = banded.transform(pin_frame)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bkt")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bkt")
     cand = (

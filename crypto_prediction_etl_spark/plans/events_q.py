@@ -18,6 +18,7 @@ from ..operators.sketches import (
 from ..operators.timeseries import interval_join
 from ..sources.readers import table
 from .registry import query
+from ..pinning import pin_frame, pin_frame_lazy
 
 _Q57_WINDOW_S = 300  # incident window length = bucket size (5 minutes)
 
@@ -319,8 +320,8 @@ def q92_rollup_tail_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             prnd(F.sum("value"), 4).alias("sum_value"),
         ).withColumn("served_from", F.lit(tag))
 
-    rollup = _agg(src.filter(F.col("day") < F.col("cutoff")), "rollup").localCheckpoint(
-        eager=True
+    rollup = _agg(src.filter(F.col("day") < F.col("cutoff")), "rollup").transform(
+        pin_frame
     )
     tail = _agg(src.filter(F.col("day") >= F.col("cutoff")), "tail")
     return continuous_aggregate(rollup, tail)
@@ -4234,12 +4235,12 @@ def q281_identity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("kb") == F.col("k")) & (F.col("ub") != F.col("ua")))
         .select("ua", "ub")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin_frame)
     )
     lbl_prev = None
     lbl = uk.select("user_id").distinct().select(
         "user_id", F.col("user_id").alias("lbl")
-    ).localCheckpoint(eager=True)
+    ).transform(pin_frame)
     for _ in range(_Q281_ROUNDS):
         lbl_prev = lbl
         nbr = (
@@ -4261,7 +4262,7 @@ def q281_identity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
                 ).alias("lbl"),
             )
-            .localCheckpoint(eager=True)
+            .transform(pin_frame)
         )
     return lbl.join(
         lbl_prev.select("user_id", F.col("lbl").alias("plbl")), "user_id"
@@ -5327,7 +5328,7 @@ def q304_absorbing_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nxt",
         (F.col("c").cast("double") / F.sum("c").over(tot)).alias("p"),
     )
-    qm = q0.filter(F.col("nxt") != "purchase").localCheckpoint(eager=True)
+    qm = q0.filter(F.col("nxt") != "purchase").transform(pin_frame)
     term = qm.select("cur", "nxt", F.col("p").alias("v"))
     acc = term
     for _ in range(2, _Q304_TERMS + 1):
@@ -7335,7 +7336,7 @@ def q419_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     jsf = scored.filter(
         F.col("bn").isNotNull() & (F.col("bn") > 0)
     ).select("d", js.alias("js"))
-    jsf = jsf.localCheckpoint(eager=False)
+    jsf = jsf.transform(pin_frame_lazy)
     stats = jsf.agg(
         F.count("*").cast("long").alias("n_days"),
         prnd(F.avg("js"), 6).alias("avg_js"),
@@ -7447,7 +7448,7 @@ def q420_weekly_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = (
         ev.groupBy("week", "value")
         .agg(F.count("*").alias("c"))
-        .localCheckpoint(eager=True)
+        .transform(pin_frame)
     )
     w0 = cnt.agg(F.min("week").alias("w0"))
     cm = cnt.crossJoin(F.broadcast(w0))

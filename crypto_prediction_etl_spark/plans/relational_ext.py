@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from ..functions.portable import hash64, o_hash64, o_rnd, prnd
 from ..sources.readers import table
 from .registry import query
+from ..pinning import pin_frame
 
 # ---------------------------------------------------------------------------
 # q134 ROLLUP / grouping-sets aggregate
@@ -2709,7 +2710,7 @@ def q365_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     el = (
         cp.join(deg, "cust")
         .filter((F.col("d") >= 2) & (F.col("d") <= _Q365_DEG_CAP))
-        .localCheckpoint(eager=True)
+        .transform(pin_frame)
     )
     a = el.alias("a")
     b = el.select("cust", F.col("part").alias("part_b")).alias("b")

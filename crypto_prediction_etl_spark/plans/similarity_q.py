@@ -22,6 +22,7 @@ from ..operators.similarity import (
 )
 from ..sources.readers import table
 from .registry import query
+from ..pinning import pin_frame, pin_frame_lazy
 
 _VECS_CTE = """
     e AS (SELECT vec_id, label,
@@ -122,7 +123,7 @@ def q51_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         return near_dup_pairs_lsh(
             _vecs(spark, sf_dir), 0.4, bands=_Q51_BANDS, band_bits=_Q51_BAND_BITS
-        ).localCheckpoint(eager=True)
+        ).transform(pin_frame)
 
     out = _dedup_memo(spark, sf_dir, "q51_near_dup_pairs:16:4:0.4", build)
     return out.select(F.col("id_a"), F.col("id_b"), F.col("cos_sim"))
@@ -1479,7 +1480,7 @@ def q210_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         # d^2 rows, consumed by all five unrolled iterations + the
         # final select: pin one materialization or every iteration
         # re-runs the covariance pass over the corpus
-        .localCheckpoint(eager=False)
+        .transform(pin_frame_lazy)
     )
     # The five matvec+renormalize stages run on the DRIVER over the
     # collected d x d table (4096 doubles — the scalar/codebook-
@@ -1763,8 +1764,8 @@ def q232_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(vb), "ib")
         .select("ia", "ib", prnd(cosine(F.col("va"), F.col("vb")), 6).alias("sim"))
     )
-    sims = sims.localCheckpoint(eager=True)  # pool^2 rows; reused 4x
-    cand = cand.localCheckpoint(eager=True)
+    sims = sims.transform(pin_frame)  # pool^2 rows; reused 4x
+    cand = cand.transform(pin_frame)
     top1 = W.orderBy(F.col("rel").desc(), "vec_id")
     sel = (
         cand.withColumn("_rn", F.row_number().over(top1))
@@ -2003,7 +2004,7 @@ def q253_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             mutual.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
         )
-        .localCheckpoint(eager=True)
+        .transform(pin_frame)
     )
     frontier = (
         vecs.sparkSession.range(1)
@@ -3318,7 +3319,7 @@ def q393_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("v", j).alias(f"x{j}")
             for j in range(1, d + 1)
         ],
-    ).localCheckpoint(eager=True)
+    ).transform(pin_frame)
     cent = pts.groupBy("label").agg(
         *[F.avg(f"x{j}").alias(f"c{j}") for j in range(1, d + 1)]
     )

@@ -18,6 +18,7 @@ from ..operators.text import (
 )
 from ..sources.readers import spread_small_scan, table
 from .registry import query
+from ..pinning import pin_frame, pin_frame_lazy
 
 _TOKS_SQL = "string_split(lower(text), ' ')"
 
@@ -795,7 +796,7 @@ def q89_passage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the capped self-join, per-doc totals) — a lazy persist lets
     # concurrently-scheduled branches recompute partitions, and a
     # CacheManager entry would substitute into unrelated q47 plans
-    fps = fps.localCheckpoint(eager=True)
+    fps = fps.transform(pin_frame)
     cnt = fps.groupBy("fp").agg(F.count("*").alias("df"))
     rare = fps.join(cnt.filter(F.col("df") <= _Q89_MAX_DF).select("fp"), "fp")
     a = rare.select(F.col("doc_id").alias("doc_a"), "fp")
@@ -4581,7 +4582,7 @@ def q406_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .filter(F.col("rn") == 1)
             .select("source", "doc_id", "gain", F.lit(t).alias("round"))
-            .localCheckpoint(eager=False)
+            .transform(pin_frame_lazy)
         )
         wins.append(win)
         new_cov = dt.join(

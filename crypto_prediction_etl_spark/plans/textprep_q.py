@@ -28,6 +28,7 @@ from ..operators.dedup import (
 from ..operators.text import tokens
 from ..sources.readers import table
 from .registry import query
+from ..pinning import pin_frame, pin_frame_lazy
 
 _TOKS_SQL = "string_split(lower(text), ' ')"
 
@@ -104,7 +105,7 @@ def q139_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # text corpus runs once (r9 plan_dup_audit; the pinned frame is two
     # narrow columns per segment, far smaller than the text it derives
     # from) — this makes the docstring's "two shuffles total" true
-    seg = seg.localCheckpoint(eager=True)
+    seg = seg.transform(pin_frame)
     freq = seg.groupBy("seg_hash").agg(
         F.countDistinct("doc_id").alias("n_docs")
     )
@@ -279,7 +280,7 @@ def q141_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a lazy checkpoint lets the two join-side stages race and each
     # recompute not-yet-cached partitions of the signature agg.
     banded = (
-        _band_keys(sigs, "doc_id").join(d, "doc_id").localCheckpoint(eager=True)
+        _band_keys(sigs, "doc_id").join(d, "doc_id").transform(pin_frame)
     )
     a = banded.select(
         F.col("doc_id").alias("id_a"),
@@ -1139,7 +1140,7 @@ def q230_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pre-explode frame is materialized once (r5 sweep find).
     st = d.select(
         "doc_id", "toks", "n", starts.alias("starts")
-    ).localCheckpoint(eager=False)
+    ).transform(pin_frame_lazy)
     ch = st.select(
         "doc_id",
         "toks",
@@ -1275,7 +1276,7 @@ def _q249_spark_round(spark, toks_df, r):
         )
         .filter(F.col("_rn") == 1)
         .drop("_rn")
-        .localCheckpoint(eager=True)
+        .transform(pin_frame)
     )
     mt = nb.join(
         F.broadcast(top),
@@ -1291,7 +1292,7 @@ def _q249_spark_round(spark, toks_df, r):
         isl.withColumn("k", F.row_number().over(wgrp))
         .filter(F.col("k") % 2 == 1)
         .select("doc_id", "pos")
-        .localCheckpoint(eager=True)
+        .transform(pin_frame)
     )
     s1 = st.select("doc_id", F.col("pos").alias("pos"), F.lit(1).alias("_m"))
     s2 = st.select(
@@ -1351,7 +1352,7 @@ def q249_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         summary, toks_df = _q249_spark_round(spark, toks_df, r)
         outs.append(summary)
         if r < _Q249_ROUNDS:
-            toks_df = toks_df.localCheckpoint(eager=True)
+            toks_df = toks_df.transform(pin_frame)
     res = outs[0]
     for o in outs[1:]:
         res = res.unionByName(o)

@@ -14,6 +14,7 @@ Usage:
   python tools/hostile_replay.py --ansi-off [...]      (legacy non-ANSI eval)
   python tools/hostile_replay.py --low-memory [...]    (2 GiB driver heap)
   python tools/hostile_replay.py --tiny-scan-splits [...] (1 MiB scan tasks)
+  python tools/hostile_replay.py --persist-pins [...]  (recomputable persist pins)
 
 --codegen-off additionally disables whole-stage codegen (and forces
 NO_CODEGEN expression evaluation), exercising Spark's interpreted
@@ -110,6 +111,18 @@ from tests.oracle import compare_query  # noqa: E402
 # partition-id-derived value, an accumulator-style kernel) diverges;
 # results must be scan-split-invariant.
 #
+# --persist-pins (round 10): run every query with
+# SPARK_GRAFT_PIN_MODE=persist, replacing the repo's eager
+# localCheckpoint reuse pins with recomputable
+# persist(MEMORY_AND_DISK) + count (crypto_prediction_etl_spark/
+# pinning.pin_frame).  This is the fault-tolerant posture a long
+# cluster job would run (localCheckpoint blocks die with their
+# executor); results must be IDENTICAL because a pin is a pure
+# materialization of a deterministic frame — a divergence would mean
+# some query's result depends on lineage truncation (e.g. leans on a
+# frozen nondeterministic value outside the designated globalrank
+# freeze, which deliberately stays localCheckpoint in both modes).
+#
 # Flags parse order-independently in one loop (r9's positional chain
 # silently treated a re-ordered flag as a query-name prefix, running
 # the replay WITHOUT the requested axis); any unrecognized ``--``
@@ -121,6 +134,7 @@ _FLAGS = {
     "--ansi-off": False,
     "--low-memory": False,
     "--tiny-scan-splits": False,
+    "--persist-pins": False,
 }
 _sample_k: int | None = None
 _sample_salt = "r0"
@@ -150,6 +164,12 @@ arrow_tiny = _FLAGS["--arrow-tiny-batch"]
 ansi_off = _FLAGS["--ansi-off"]
 low_mem = _FLAGS["--low-memory"]
 tiny_splits = _FLAGS["--tiny-scan-splits"]
+if _FLAGS["--persist-pins"]:
+    # pin_mode() reads the env per pin, so setting it before the
+    # catalog builds is sufficient — no session conf involved
+    import os
+
+    os.environ["SPARK_GRAFT_PIN_MODE"] = "persist"
 
 builder = (
     SparkSession.builder.master("local[2]" if tiny else "local[8]")
