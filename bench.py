@@ -83,6 +83,14 @@ PANEL4 = [
 PANEL5 = [
     "q141_edit_distance_pairs",
     "q51_embedding_near_dup",
+    # r10 close addition: q164_pagerank turned out to be the catalog's
+    # slowest warm query once honestly measured (12.6 s cold / 8.0 s
+    # warm quiet-host, BENCH_NOTES r10) and had never carried a
+    # tracked anchor — seat it now rather than waiting for the r11
+    # rotation. Its plan is audited-optimal (AQE exchange reuse
+    # carries the 5 unrolled power iterations; pin experiment showed
+    # no gain), so this anchor tracks regression, not a fix-in-wait.
+    "q164_pagerank",
 ]
 
 HEADLINE = [
@@ -115,8 +123,9 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     try:
         start_load1 = round(os.getloadavg()[0], 2)
+        start_load5 = round(os.getloadavg()[1], 2)
     except OSError:
-        start_load1 = None
+        start_load1 = start_load5 = None
     registry.load_all()
     spark = get_spark("bench")
 
@@ -216,7 +225,12 @@ def main() -> None:
             "panel5_total": round(sum(panel5.values()), 3),
             "sf": sf,
             "load1_at_start": start_load1,
-            "noisy_host": start_load1 is not None and start_load1 > 2.0,
+            "load5_at_start": start_load5,
+            # r10 refinement: a run started at load1 0.06 but load5
+            # 2.7 (a replay's tail) still read +35% across the board —
+            # the 5-min average is the regime tell, not the 1-min one
+            "noisy_host": start_load5 is not None
+            and max(start_load1, start_load5) > 2.0,
         }
     )
     # hard guard: never let the summary line regress past the driver's
