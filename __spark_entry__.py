@@ -42,38 +42,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver adjudicates exactly the first 50 ``queries()`` entries per
-# round.  Round-10 rotation (VERDICT r9 item 1): the 420-query ledger
-# CLOSED at r9 (every registered query green, latest-wins), so this
-# window is the planned pure FRESHNESS sweep, generated mechanically by
-#   python tools/plan_fingerprint.py --update   (r10 start: refreshed
-#     the at-verdict fingerprints of the r9 window; check mode then
-#     reported 420 checked / 0 drifted — no mandatory re-picks), then
-#   python tools/make_window.py --fill-oldest q51_embedding_near_dup
-# q51 leads as the one MANDATORY re-adjudication pick: its plan changed
-# this round (the verified pair frame is now session-memoized + pinned,
-# VERDICT r9 item 3), so tools/plan_fingerprint.py flags it and its r9
-# verdict covers the superseded per-call plan.  The other 49 slots are
-# the queries whose latest green verdict is OLDEST (rounds 1-2: the r1
-# relational/window/indicator families q02..q50 and the r2 text/dedup
-# families q40..q47; q48_dedup_clusters, the youngest fill, yielded the
-# seat to q51).  These verdicts
-# predate the r5-r9 globalrank/canonicalization/guard rewrites; every
-# one has stayed green on the local pandas-canonical mirror
-# (tools/driver_replay.py 420/420) each round, so this is verdict
-# hygiene, not suspicion.  Queries flagged by tools/plan_fingerprint.py
-# (plan or oracle drifted since last verdict) would be mandatory picks
-# ahead of the age fill — tests/test_plan_fingerprints.py enforces
-# this; none were flagged at r10 start.
+# round.  Round-11 rotation (VERDICT r10 item 1): the 420-query ledger
+# stays CLOSED (every registered query green, latest-wins), so this
+# window is the next pure FRESHNESS sweep, generated mechanically by
+#   python tools/plan_fingerprint.py --update   (r11 start: recorded
+#     the r10 window's at-verdict fingerprints, clearing the staged
+#     q51 drift; check mode then reported 420 checked / 0 drifted —
+#     no mandatory re-picks), then
+#   python tools/make_window.py --fill-oldest
+# Pure age fill, exactly as the r10 verdict predicted: the 32
+# remaining r2-era verdicts (q48..q64 tail families, q72..q90) plus
+# the 18 oldest r3-era ones (q74, q91..q107).  These verdicts predate
+# the r5-r9 canonicalization/guard rewrites; every one has stayed
+# green on the local pandas-canonical mirror (tools/driver_replay.py
+# 420/420) each round, so this is verdict hygiene, not suspicion.
+# Queries flagged by tools/plan_fingerprint.py (plan or oracle drifted
+# since last verdict) would be mandatory picks ahead of the age fill —
+# tests/test_plan_fingerprints.py enforces this; none were flagged at
+# r11 start.
 #
-# r9 audit trail (superseded window, kept for the record): 36
-# never-adjudicated names q385..q420 closed the ledger + 14
-# re-adjudication picks led by plan-changed q141/q365 and the r9
-# plan_dup_audit fixes (q358/q65/q117/q43/q51/q139).  Of the eight
-# originally planned freshness picks, q01 was kept and q02-q05/q10-q12
-# (seven names, including q04) were traded for post-change verdicts —
-# the VERDICT r8 hierarchy: a post-change verdict for a changed plan
-# outranks a freshness re-check of an unchanged one.  All 50 landed
-# green (CORRECTNESS_r09.json).
+# r10 audit trail (superseded window, kept for the record): the one
+# mandatory plan-changed pick q51 (pair frame session-memoized in r10)
+# + 49 oldest r1/r2-era verdicts (q02..q47 relational/window/indicator
+# /text families).  All 50 landed green (CORRECTNESS_r10.json).
 # Everything already adjudicated keeps its green row and stays covered
 # by the local mirror (tests/test_oracle_parity.py +
 # tools/driver_replay.py, which canonicalizes through pandas exactly
@@ -81,56 +72,56 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_r6_tail_pandas.py, test_r7_hash_mirrors.py and
 # test_r8_mirrors.py.
 _ADJUDICATE_FIRST = [
-    "q51_embedding_near_dup",
-    "q02_filtered_revenue",
-    "q03_distinct_keys",
-    "q04_union_counts",
-    "q05_minmax_bounds",
-    "q10_region_revenue",
-    "q11_top_unshipped_orders",
-    "q12_semi_anti_join",
-    "q13_order_count_distribution",
-    "q14_scalar_subquery",
-    "q15_promo_revenue_share",
-    "q16_pivot_status_by_priority",
-    "q17_rollup_revenue",
-    "q18_topk_per_group",
-    "q19_asof_join",
-    "q20_date_functions",
-    "q21_null_and_case_handling",
-    "q22_string_functions",
-    "q24_cube_counts",
-    "q24b_grouping_sets",
-    "q25_daily_close_stats",
-    "q26c_intersect_except",
-    "q26_calendar_spine",
-    "q26b_unpivot_measures",
-    "q27_rolling_min_max_sum",
-    "q27b_table_profile",
-    "q28_time_range_frame",
-    "q28b_ranking_family",
-    "q28c_value_windows",
-    "q29_exact_percentiles",
-    "q32_indicator_mart",
-    "q36_rescale_roc",
-    "q36c_multi_domain_sma",
-    "q37_ema",
-    "q38_macd",
-    "q39_rsi_wilder",
-    "q50_cosine_topk",
-    "q70_binary_metadata",
-    "q30_sma_bollinger",
-    "q31_obv",
-    "q33_stochastic",
-    "q34_ichimoku",
-    "q35_aroon",
-    "q40_token_stats",
-    "q41_lang_id",
-    "q42_quality_score",
-    "q44_ngram_jaccard_pairs",
-    "q45_minhash_lsh_pairs",
-    "q46_simhash",
-    "q47_winnowing_fingerprints",
+    "q48_dedup_clusters",
+    "q49_bpe_token_segmentation",
+    "q52_bucketed_ann",
+    "q53_knn_label_vote",
+    "q54_array_functions",
+    "q56_ivf_ann",
+    "q57_interval_join",
+    "q58_kmv_distinct",
+    "q59_grouped_agg_udaf",
+    "q60_json_extract",
+    "q61_tumbling_window",
+    "q62_sliding_window",
+    "q63b_native_session_window",
+    "q63_sessionization",
+    "q64_ladder_explode",
+    "q72_frame_sample",
+    "q73_dataset_split",
+    "q76_stratified_cap",
+    "q77_pii_content_filter",
+    "q78_zorder_curve",
+    "q79_rolling_median",
+    "q80_ohlc_resample",
+    "q81_series_gaps",
+    "q82_quality_fence_filter",
+    "q83_doc_chunking",
+    "q84_label_centroids",
+    "q85_incremental_dedup",
+    "q86_repetition_signals",
+    "q87_contamination_screen",
+    "q88_mixture_weights",
+    "q89_passage_overlap",
+    "q90_int8_quantization",
+    "q74_sequence_packing",
+    "q91_hll_distinct",
+    "q92_rollup_tail_merge",
+    "q93_length_buckets",
+    "q94_temperature_mixture",
+    "q95_unigram_nll",
+    "q96_salted_hot_agg",
+    "q97_product_quantization",
+    "q98_conversion_funnel",
+    "q99_hash_quantiles",
+    "q100_holt_linear",
+    "q101_semdedup",
+    "q102_chunk_retrieval",
+    "q103_audio_pcm_features",
+    "q104_pmi_collocations",
+    "q105_windowed_hll",
+    "q106_ols_trend",
+    "q107_cumulative_uniques",
 ]
 
 # Superseded round-2 rotation, kept for the audit trail.
