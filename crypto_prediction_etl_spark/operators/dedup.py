@@ -67,7 +67,7 @@ def exact_dedup(
         raise TypeError(
             "exact_dedup is batch-only (eager pin + agg/join-back); "
             "route streaming frames to "
-            "streaming.sinks.streaming_exact_dedup instead"
+            "streaming.pipelines.streaming_exact_dedup instead"
         )
     fp = docs.select(F.col(id_col), fingerprint_md5(text_col).alias("fingerprint"))
     if pin:

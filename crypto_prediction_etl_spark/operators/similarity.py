@@ -539,7 +539,6 @@ def knn_candidate_edges_bucketed(
     bit-identical distances to the exact variant (same portable grid),
     so consumer arithmetic is unaffected on the found set.
     """
-    import pandas as pd
 
     c = vecs.select(
         F.col(id_col).alias("nid"),

@@ -75,3 +75,17 @@ def pin_frame(df: DataFrame, eager: bool = True) -> DataFrame:
 def pin_frame_lazy(df: DataFrame) -> DataFrame:
     """``pin_frame(df, eager=False)`` in ``DataFrame.transform`` position."""
     return pin_frame(df, eager=False)
+
+
+def pin_loop(df: DataFrame) -> DataFrame:
+    """Iterative lineage-bounding pin: ALWAYS an eager localCheckpoint.
+
+    For pins INSIDE an iteration (label propagation rounds, BPE merge
+    rounds, BFS frontiers) the point is to TRUNCATE lineage each round
+    so the logical plan stays bounded; ``persist`` keeps lineage and
+    the plan grows geometrically per round, defeating the purpose.  So
+    this class ignores ``SPARK_GRAFT_PIN_MODE`` by policy (see module
+    docstring) — fault tolerance for iterative jobs comes from
+    re-running the loop, not from recomputing a round mid-flight.
+    """
+    return df.localCheckpoint(eager=True)

@@ -18,7 +18,7 @@ from ..operators.sketches import (
 from ..operators.timeseries import interval_join
 from ..sources.readers import table
 from .registry import query
-from ..pinning import pin_frame, pin_frame_lazy
+from ..pinning import pin_frame, pin_frame_lazy, pin_loop
 
 _Q57_WINDOW_S = 300  # incident window length = bucket size (5 minutes)
 
@@ -4262,7 +4262,7 @@ def q281_identity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
                 ).alias("lbl"),
             )
-            .transform(pin_frame)
+            .transform(pin_loop)
         )
     return lbl.join(
         lbl_prev.select("user_id", F.col("lbl").alias("plbl")), "user_id"

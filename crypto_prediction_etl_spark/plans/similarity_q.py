@@ -125,7 +125,12 @@ def q51_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             _vecs(spark, sf_dir), 0.4, bands=_Q51_BANDS, band_bits=_Q51_BAND_BITS
         ).transform(pin_frame)
 
-    out = _dedup_memo(spark, sf_dir, "q51_near_dup_pairs:16:4:0.4", build)
+    out = _dedup_memo(
+        spark,
+        sf_dir,
+        f"q51_near_dup_pairs:{_Q51_BANDS}:{_Q51_BAND_BITS}:0.4",
+        build,
+    )
     return out.select(F.col("id_a"), F.col("id_b"), F.col("cos_sim"))
 
 

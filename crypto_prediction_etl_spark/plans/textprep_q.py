@@ -28,7 +28,7 @@ from ..operators.dedup import (
 from ..operators.text import tokens
 from ..sources.readers import table
 from .registry import query
-from ..pinning import pin_frame, pin_frame_lazy
+from ..pinning import pin_frame, pin_frame_lazy, pin_loop
 
 _TOKS_SQL = "string_split(lower(text), ' ')"
 
@@ -1276,7 +1276,7 @@ def _q249_spark_round(spark, toks_df, r):
         )
         .filter(F.col("_rn") == 1)
         .drop("_rn")
-        .transform(pin_frame)
+        .transform(pin_loop)
     )
     mt = nb.join(
         F.broadcast(top),
@@ -1292,7 +1292,7 @@ def _q249_spark_round(spark, toks_df, r):
         isl.withColumn("k", F.row_number().over(wgrp))
         .filter(F.col("k") % 2 == 1)
         .select("doc_id", "pos")
-        .transform(pin_frame)
+        .transform(pin_loop)
     )
     s1 = st.select("doc_id", F.col("pos").alias("pos"), F.lit(1).alias("_m"))
     s2 = st.select(
@@ -1352,7 +1352,7 @@ def q249_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         summary, toks_df = _q249_spark_round(spark, toks_df, r)
         outs.append(summary)
         if r < _Q249_ROUNDS:
-            toks_df = toks_df.transform(pin_frame)
+            toks_df = toks_df.transform(pin_loop)
     res = outs[0]
     for o in outs[1:]:
         res = res.unionByName(o)

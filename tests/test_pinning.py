@@ -40,6 +40,10 @@ def test_persist_mode_keeps_lineage_and_matches(spark, monkeypatch):
     analyzed = pinned._jdf.queryExecution().analyzed().toString()
     assert "LogicalRDD" not in analyzed  # lineage kept => recomputable
     assert "InMemoryRelation" in pinned._jdf.queryExecution().optimizedPlan().toString()
+    # Don't leave the persisted frame in the shared session's
+    # CacheManager — cache substitution into unrelated later plans is
+    # the documented q89 hazard.
+    pinned.unpersist()
 
 
 def test_default_mode_truncates(spark, monkeypatch):
@@ -67,3 +71,17 @@ def test_exact_dedup_rejects_streaming(spark):
     )
     with pytest.raises(TypeError, match="streaming_exact_dedup"):
         exact_dedup(stream)
+
+
+def test_pin_loop_ignores_persist_mode(spark, monkeypatch):
+    """Iterative lineage-bounding pins (ADVICE r10 medium): pin_loop
+    must truncate lineage EVEN in persist mode — persist would keep
+    the whole loop's lineage and grow the plan per round, falsifying
+    q249's 'plan depth stays bounded' contract."""
+    monkeypatch.setenv(pinning.PIN_MODE_ENV, "persist")
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 7).alias("k"))
+    pinned = pinning.pin_loop(df)
+    analyzed = pinned._jdf.queryExecution().analyzed().toString()
+    assert "LogicalRDD" in analyzed  # lineage truncated despite persist mode
+    # and the rows are intact
+    assert pinned.count() == 100
