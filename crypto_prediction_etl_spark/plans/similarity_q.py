@@ -2197,6 +2197,24 @@ def q314_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vecs(spark, sf_dir)
     topk = cosine_topk(vecs, vecs, k=_Q314_KNN)
     knn = topk.select("query_id", "vec_id", "rank")
+    return kcore_from_knn_edges(vecs, knn, _Q314_CORE_K, _Q314_ROUNDS)
+
+
+def kcore_from_knn_edges(
+    nodes: DataFrame, knn: DataFrame, core_k: int, rounds: int
+) -> DataFrame:
+    """k-core peeling on the mutual graph of a directed kNN edge frame.
+
+    ``knn`` needs columns (query_id, vec_id) — each row one directed
+    top-k edge; ``nodes`` needs vec_id (the full id universe for the
+    final left joins).  Extracted from q314 (plan-identical for the
+    exact feeder) so the exact kernel (cosine_topk) and the
+    bucketed-ANN scale path (operators/similarity.
+    knn_candidate_edges_bucketed, renamed pid/nid -> query_id/vec_id)
+    share one consumer — the same seam lof_from_knn_edges provides for
+    LOF (VERDICT r10 item 3).  Peeling sensitivity to candidate recall
+    is measured in tests/test_plans.py::test_bucketed_kcore_stability.
+    """
     ab = knn.select(
         F.col("query_id").alias("a"), F.col("vec_id").alias("b")
     )
@@ -2218,8 +2236,8 @@ def q314_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     d0 = d0.localCheckpoint(eager=False)
     edges, deg = dir0, d0
     alive = None
-    for _ in range(_Q314_ROUNDS):
-        alive = deg.filter(F.col("c") >= _Q314_CORE_K).select("src")
+    for _ in range(rounds):
+        alive = deg.filter(F.col("c") >= core_k).select("src")
         edges = (
             edges.join(F.broadcast(alive), "src", "left_semi")
             .join(
@@ -2236,7 +2254,7 @@ def q314_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     core_nodes = alive
     dcore = deg.select("src", F.col("c").alias("deg_core"))
     return (
-        vecs.select("vec_id")
+        nodes.select("vec_id")
         .join(
             d0.select(F.col("src").alias("vec_id"), F.col("c").alias("_d0")),
             "vec_id",
