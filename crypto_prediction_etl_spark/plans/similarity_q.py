@@ -994,6 +994,19 @@ def q164_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast. Fixed iteration count keeps it SQL-expressible — the
     oracle replays the identical five stages as chained CTEs."""
     edges = _edges(spark, sf_dir)
+    return pagerank_from_edges(_vecs(spark, sf_dir), edges)
+
+
+def pagerank_from_edges(vecs: DataFrame, edges: DataFrame) -> DataFrame:
+    """PageRank body on an (id_a < id_b) undirected edge frame.
+
+    Extracted from q164 (plan-identical for the exact feeder) so the
+    exact mutual-kNN graph (_edges, via cosine_topk) and a
+    bucketed-ANN candidate graph (operators/similarity.
+    knn_candidate_edges_bucketed -> mutualized) share one consumer —
+    the lof_from_knn_edges / kcore_from_knn_edges seam idiom
+    (VERDICT r10 item 3).  ``vecs`` needs vec_id (node universe).
+    """
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(
@@ -1002,7 +1015,6 @@ def q164_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = sym.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("deg")
     )
-    vecs = _vecs(spark, sf_dir)
     nodes = vecs.select(F.col("vec_id").alias("node"))
     nn = vecs.agg(F.count("*").alias("n"))
     pr = nodes.crossJoin(F.broadcast(nn)).select(
