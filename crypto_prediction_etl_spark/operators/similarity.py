@@ -540,6 +540,9 @@ def knn_candidate_edges_bucketed(
     so consumer arithmetic is unaffected on the found set.
     """
 
+    import numpy as np
+    import pandas as pd
+
     c = vecs.select(
         F.col(id_col).alias("nid"),
         F.col(vec_col).alias("_cv"),
@@ -554,20 +557,59 @@ def knn_candidate_edges_bucketed(
         "_bkt",
         F.explode(F.array(*[F.col("_pbkt").bitwiseXOR(F.lit(m)) for m in masks])),
     )
-    joined = p.join(c, "_bkt").filter(F.col("pid") != F.col("nid"))
-    dist = prnd(F.lit(1.0) - cosine(F.col("_pv"), F.col("_cv")), round_to)
-    scored = joined.select("pid", "nid", dist.alias("dist"))
+    scale = float(10**round_to)
 
-    def partial_topk(batches):
-        for pdf in batches:
-            yield (
-                pdf.sort_values(["pid", "dist", "nid"])
-                .groupby("pid", sort=False)
-                .head(k)
-            )
+    # Per-bucket BLAS scoring (r11): the original formulation joined
+    # exploded probe rows to candidate rows and evaluated a per-pair
+    # array-HOF cosine — measured 145 s vs 1.3 s for the exact matmul
+    # kernel at sf0.1 (22M candidate pairs through the expression
+    # interpreter).  A bucket is exactly a cogroup key, so score each
+    # bucket with ONE normalized matmul instead (the knn_dist_edges
+    # arithmetic verbatim: float64 normalize, d = 1 - p @ c.T, portable
+    # floor grid, (dist, nid) lexsort), emitting each probe's bucket-
+    # local top-k.  Candidate generation stays a shuffle on the integer
+    # bucket key (never a cross product, never a driver collect); the
+    # global window below finishes the cross-bucket top-k merge.  Each
+    # (pid, nid) pair arises in at most one bucket (a candidate lives
+    # in exactly its own sign bucket), so no dedup pass is needed.
+    def _score_bucket(probes: pd.DataFrame, cands: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"pid": pd.Series(dtype="int64"),
+             "nid": pd.Series(dtype="int64"),
+             "dist": pd.Series(dtype="float64")}
+        )
+        if probes.empty or cands.empty:
+            return empty
+        cm = np.stack([np.asarray(v, dtype="float64") for v in cands["_cv"]])
+        cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+        nids = cands["nid"].to_numpy(dtype="int64")
+        pids = probes["pid"].to_numpy(dtype="int64")
+        pm = np.stack([np.asarray(v, dtype="float64") for v in probes["_pv"]])
+        pm = pm / np.linalg.norm(pm, axis=1, keepdims=True)
+        out = []
+        # chunk probe rows so the (rows x bucket) score block stays
+        # bounded even on a skewed hot bucket
+        for lo in range(0, len(pids), 1024):
+            hi = min(lo + 1024, len(pids))
+            d = 1.0 - pm[lo:hi] @ cm.T
+            d = np.floor(d * scale + 0.5001) / scale
+            for i, pid in enumerate(pids[lo:hi]):
+                mask = nids != pid
+                nd, nn = d[i][mask], nids[mask]
+                order = np.lexsort((nn, nd))[:k]
+                out.append(
+                    pd.DataFrame(
+                        {"pid": np.full(len(order), pid, dtype="int64"),
+                         "nid": nn[order],
+                         "dist": nd[order]}
+                    )
+                )
+        return pd.concat(out, ignore_index=True) if out else empty
 
-    pruned = scored.mapInPandas(
-        partial_topk, schema="pid long, nid long, dist double"
+    pruned = (
+        p.groupBy("_bkt")
+        .cogroup(c.groupBy("_bkt"))
+        .applyInPandas(_score_bucket, schema="pid long, nid long, dist double")
     )
     w = W.partitionBy("pid").orderBy(F.asc("dist"), F.asc("nid"))
     return (
