@@ -1850,3 +1850,53 @@ def test_bucketed_kcore_stability(spark):
     assert [t[0] for t in prod_e] == [t[0] for t in prod_b]
     # in_core column identical (both peel to the same core at k=8)
     assert [t[2] for t in prod_e] == [t[2] for t in prod_b]
+
+def test_bucketed_knn_exhaustive_probe_equals_exact(spark):
+    """Invariant of the r11 per-bucket BLAS kernel: when the probe
+    ball covers ALL 2^bits buckets (multiprobe == bits), the bucketed
+    kernel degenerates to exhaustive search and must equal
+    knn_dist_edges EXACTLY — same (pid, nid, dist) set, bit for bit
+    (both kernels share the normalize/matmul/floor-grid/lexsort
+    arithmetic; this pins that they stay in lockstep)."""
+    from crypto_prediction_etl_spark.operators.similarity import (
+        knn_candidate_edges_bucketed,
+        knn_dist_edges,
+    )
+    from crypto_prediction_etl_spark.plans.similarity_q import _vecs
+
+    e = _vecs(spark, SF_DIR_CORRECTNESS)
+    exact = {(r.pid, r.nid, r.dist) for r in knn_dist_edges(e, 10).collect()}
+    # bits=4 -> 16 buckets; multiprobe=4 -> the full Hamming ball
+    full = {
+        (r.pid, r.nid, r.dist)
+        for r in knn_candidate_edges_bucketed(e, 10, bits=4, multiprobe=4).collect()
+    }
+    assert full == exact
+
+
+def test_bucketed_knn_hot_bucket_chunk_path(spark):
+    """The kernel chunks probe rows at 1024 inside a bucket (skew
+    guard). Force >1024 probes into one bucket (bits=1, multiprobe=1:
+    every probe explodes into BOTH buckets, so each bucket sees all
+    1500 probes) and assert the chunked path still equals the exact
+    kernel — the chunk boundary must not drop, duplicate, or misrank
+    edges."""
+    import numpy as np
+
+    from crypto_prediction_etl_spark.operators.similarity import (
+        knn_candidate_edges_bucketed,
+        knn_dist_edges,
+    )
+
+    n, dim = 1500, 8
+    rng_free = [
+        (i, [float(((i * 37 + d * 11) % 19) - 9) / 9.0 for d in range(dim)])
+        for i in range(n)
+    ]
+    vecs = spark.createDataFrame(rng_free, "vec_id long, v array<double>")
+    exact = {(r.pid, r.nid, r.dist) for r in knn_dist_edges(vecs, 5).collect()}
+    buck = {
+        (r.pid, r.nid, r.dist)
+        for r in knn_candidate_edges_bucketed(vecs, 5, bits=1, multiprobe=1).collect()
+    }
+    assert buck == exact  # full ball at bits=1 => exhaustive, chunked
