@@ -222,6 +222,82 @@ def bucketed_ann_topk(
     )
 
 
+def write_bucketed_ann_index(
+    vecs: DataFrame,
+    path: str,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> None:
+    """Persist the corpus as a DURABLE sign-bucket ANN index: parquet
+    PARTITIONED BY the integer sign bucket.
+
+    This is the storage layout SCALE.md's ANN law prescribes for
+    100 TB ("the corpus is stored partitioned-by-bucket so a probe
+    touches one partition per query"): bucket membership is computed
+    ONCE at write time, and every probe afterwards is a
+    partition-pruned scan — the cross-job analog of the in-session
+    bucketing bucketed_ann_topk repeats per call, exactly like the
+    written shingle table is the durable analog of the dedup corpus
+    memo (tests/test_durable_shingles.py).
+    """
+    (
+        vecs.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_bkt", sign_bucket_int(F.col(vec_col), bits))
+        .write.mode("overwrite")
+        .partitionBy("_bkt")
+        .parquet(path)
+    )
+
+
+def bucketed_ann_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = 4,
+    multiprobe: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    round_to: int = 6,
+) -> DataFrame:
+    """Probe a written bucket-partitioned index (see
+    write_bucketed_ann_index) with PARTITION PRUNING: the query
+    batch's probe ball is a small driver-side set (<= n_query_buckets
+    x ball size, independent of corpus size — the bounded-collect
+    discipline of cosine_topk's query matrix), pushed as an
+    ``_bkt IN (...)`` filter so the scan reads ONLY the probed
+    partitions (plan-asserted in
+    tests/test_plans.py::test_bucketed_ann_index_partition_pruning).
+    Results are identical to the in-memory bucketed_ann_topk on the
+    full corpus: candidates outside the probe ball never join anyway.
+    """
+    qb = {
+        r[0]
+        for r in queries.select(
+            sign_bucket_int(F.col(vec_col), bits).alias("_qbkt")
+        )
+        .distinct()
+        .collect()
+    }
+    ball = sorted({b ^ m for b in qb for m in probe_masks(bits, multiprobe)})
+    corpus = (
+        spark.read.parquet(path)
+        .filter(F.col("_bkt").isin(ball))
+        .drop("_bkt")
+    )
+    return bucketed_ann_topk(
+        corpus,
+        queries,
+        k=k,
+        bits=bits,
+        multiprobe=multiprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_to=round_to,
+    )
+
+
 def near_dup_pairs(
     corpus: DataFrame,
     threshold: float,

@@ -1643,6 +1643,7 @@ _DRIVER_MATERIALIZATION_ALLOWED = {
     ("operators/clustering.py", "kmeans"),  # k seeds + k centroids
     ("operators/dedup.py", "_label_sum"),  # 1-row fixpoint checksum
     ("operators/similarity.py", "cosine_topk"),  # query matrix (broadcast side)
+    ("operators/similarity.py", "bucketed_ann_topk_from_index"),  # distinct query buckets (<= n_queries)
     ("operators/similarity.py", "knn_dist_edges"),  # normalized matrix (q348 law)
     ("plans/similarity_q.py", "q101_semdedup"),  # k cell seeds
     ("plans/similarity_q.py", "q210_pca_power_iteration"),  # d x d cov
@@ -1900,3 +1901,38 @@ def test_bucketed_knn_hot_bucket_chunk_path(spark):
         for r in knn_candidate_edges_bucketed(vecs, 5, bits=1, multiprobe=1).collect()
     }
     assert buck == exact  # full ball at bits=1 => exhaustive, chunked
+
+def test_bucketed_ann_index_partition_pruning(spark, tmp_path):
+    """Durable ANN index (SCALE.md ANN law, demonstrated): the corpus
+    written PARTITIONED BY sign bucket, probes pushed as an _bkt IN
+    filter — the scan must show partition pruning (PartitionFilters on
+    _bkt) and read only the probe ball's partitions, while returning
+    EXACTLY the in-memory bucketed_ann_topk result."""
+    from crypto_prediction_etl_spark.operators.similarity import (
+        bucketed_ann_topk,
+        bucketed_ann_topk_from_index,
+        write_bucketed_ann_index,
+    )
+    from crypto_prediction_etl_spark.plans.similarity_q import _vecs
+
+    vecs = _vecs(spark, SF_DIR_CORRECTNESS)
+    path = str(tmp_path / "ann_index")
+    write_bucketed_ann_index(vecs, path, bits=4)
+
+    queries = vecs.filter("vec_id % 100 = 0")  # small probe batch
+    from_index = bucketed_ann_topk_from_index(
+        spark, path, queries, k=5, bits=4, multiprobe=1
+    )
+    in_memory = bucketed_ann_topk(vecs, queries, k=5, bits=4, multiprobe=1)
+    assert sorted(map(tuple, from_index.collect())) == sorted(
+        map(tuple, in_memory.collect())
+    )
+
+    plan = from_index._jdf.queryExecution().executedPlan().toString()
+    # the probe filter must land on the PARTITION column, not as a
+    # post-scan data filter
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "_bkt" in pf.group(1), plan[:2000]
