@@ -72,56 +72,56 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_r6_tail_pandas.py, test_r7_hash_mirrors.py and
 # test_r8_mirrors.py.
 _ADJUDICATE_FIRST = [
-    "q48_dedup_clusters",
-    "q49_bpe_token_segmentation",
-    "q52_bucketed_ann",
-    "q53_knn_label_vote",
-    "q54_array_functions",
-    "q56_ivf_ann",
-    "q57_interval_join",
-    "q58_kmv_distinct",
-    "q59_grouped_agg_udaf",
-    "q60_json_extract",
-    "q61_tumbling_window",
-    "q62_sliding_window",
-    "q63b_native_session_window",
-    "q63_sessionization",
-    "q64_ladder_explode",
-    "q72_frame_sample",
-    "q73_dataset_split",
-    "q76_stratified_cap",
-    "q77_pii_content_filter",
-    "q78_zorder_curve",
-    "q79_rolling_median",
-    "q80_ohlc_resample",
-    "q81_series_gaps",
-    "q82_quality_fence_filter",
-    "q83_doc_chunking",
-    "q84_label_centroids",
-    "q85_incremental_dedup",
-    "q86_repetition_signals",
-    "q87_contamination_screen",
-    "q88_mixture_weights",
-    "q89_passage_overlap",
-    "q90_int8_quantization",
-    "q74_sequence_packing",
-    "q91_hll_distinct",
-    "q92_rollup_tail_merge",
-    "q93_length_buckets",
-    "q94_temperature_mixture",
-    "q95_unigram_nll",
-    "q96_salted_hot_agg",
-    "q97_product_quantization",
-    "q98_conversion_funnel",
-    "q99_hash_quantiles",
-    "q100_holt_linear",
-    "q101_semdedup",
-    "q102_chunk_retrieval",
-    "q103_audio_pcm_features",
-    "q104_pmi_collocations",
-    "q105_windowed_hll",
-    "q106_ols_trend",
-    "q107_cumulative_uniques",
+    "q164_pagerank",
+    "q314_kcore_decomposition",
+    "q253_bfs_reachability",
+    "q232_mmr_diversify",
+    "q108_retention_cohorts",
+    "q109_count_min_sketch",
+    "q110_bloom_membership",
+    "q111_salted_join",
+    "q112_prefix_filter_join",
+    "q113_containment_dedup",
+    "q114_ordered_funnel",
+    "q115_return_correlation",
+    "q116_max_drawdown",
+    "q118_vwap",
+    "q119_lead_lag_correlation",
+    "q120_dow_seasonality",
+    "q121_atr",
+    "q122_williams_r",
+    "q123_candle_patterns",
+    "q129_heikin_ashi",
+    "q130_rolling_volatility",
+    "q131_keltner",
+    "q132_event_rate_anomaly",
+    "q133_bpe_merge_candidates",
+    "q134_grouping_sets",
+    "q135_pivot_matrix",
+    "q136_distribution_windows",
+    "q137_disjunctive_pred",
+    "q138_dormant_customers",
+    "q140_vocab_oov",
+    "q142_event_transitions",
+    "q143_mutual_knn",
+    "q144_jl_projection",
+    "q23_approx_aggregates",
+    "q55_kmeans_clusters",
+    "q71_multimodal_features",
+    "q124_mfi",
+    "q125_donchian",
+    "q126_chaikin_adl",
+    "q127_pivot_points",
+    "q128_char_entropy",
+    "q145_adx",
+    "q146_trix",
+    "q147_cci",
+    "q148_top_supplier",
+    "q149_supplier_diversity",
+    "q150_small_quantity_revenue",
+    "q151_large_orders",
+    "q152_weighted_jaccard",
+    "q155_rolling_beta",
 ]
 
 # Superseded round-2 rotation, kept for the audit trail.

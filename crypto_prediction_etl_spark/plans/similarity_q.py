@@ -990,7 +990,9 @@ def q164_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means) expressed so Catalyst sees the whole dataflow: each
     iteration is a (join edge list -> partial-agg groupBy -> left join
     nodes) stage, all on the node key, so one co-partitioning carries
-    every iteration at scale; only degrees and the 1-row N scalar
+    every iteration at scale; the O(|V|) degree table joins on that
+    same key (AQE picks broadcast only when it actually fits — no
+    forced hint), and only the 1-row N scalar is explicitly
     broadcast. Fixed iteration count keeps it SQL-expressible — the
     oracle replays the identical five stages as chained CTEs."""
     edges = _edges(spark, sf_dir)
@@ -1023,7 +1025,7 @@ def pagerank_from_edges(vecs: DataFrame, edges: DataFrame) -> DataFrame:
     for _ in range(_Q164_ITERS):
         contrib = (
             sym.join(pr, sym.src == pr.node)
-            .join(F.broadcast(deg).alias("d"), F.col("d.node") == sym.src)
+            .join(deg.alias("d"), F.col("d.node") == sym.src)
             .groupBy(F.col("dst").alias("cnode"))
             .agg(F.sum(F.col("pr") / F.col("deg")).alias("c"))
         )
@@ -1771,10 +1773,21 @@ def q232_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_topk(vecs, qv, k=_MMR_POOL)
         .select("vec_id", F.col("cos_sim").alias("rel"))
     )
-    va = vecs.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
-    vb = vecs.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
     ca = cand.select(F.col("vec_id").alias("ia"))
     cb = cand.select(F.col("vec_id").alias("ib"))
+    # semi-reduce the corpus to the MMR_POOL candidate vectors FIRST
+    # (broadcast side = the tiny pool id list), so the frames that DO
+    # get broadcast into the pool^2 pair join are pool-bounded — never
+    # the full (vec_id, vector) corpus, which at 100 TB would blow the
+    # 8 GiB broadcast ceiling (VERDICT r11 plan finding)
+    va = (
+        vecs.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+        .join(F.broadcast(ca), "ia")
+    )
+    vb = (
+        vecs.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+        .join(F.broadcast(cb), "ib")
+    )
     sims = (
         ca.join(cb, F.col("ia") != F.col("ib"))
         .join(F.broadcast(va), "ia")
@@ -2003,6 +2016,10 @@ def q253_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each hop is one equi join frontier x edges + one anti join
     against the visited set — per-hop cost scales with the FRONTIER,
     not the graph, and the visited set is a checkpointed id list.
+    The frontier can approach the reachable set (O(|V|)) by hop 3,
+    so its join strategy is left to AQE (which broadcasts the early
+    tiny frontiers and shuffles once it grows) instead of a forced
+    broadcast hint that would hit the 8 GiB ceiling at scale.
     The oracle unrolls identical frontier CTEs; minimum-hop
     uniqueness holds by construction (a node enters exactly one
     frontier), so the trace hash-checks the traversal order itself."""
@@ -2035,7 +2052,7 @@ def q253_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     for h in range(1, _Q253_HOPS + 1):
         nxt = (
             edges.join(
-                frontier.select(F.col("vec_id").alias("u")).hint("broadcast"),
+                frontier.select(F.col("vec_id").alias("u")),
                 "u",
             )
             .select(F.col("v").alias("vec_id"))
@@ -2201,8 +2218,10 @@ def q314_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Execution: edges come from q50's exact top-k kernel + one reversed
     equi self-join (k*N rows, never N^2); each peel round is a groupBy
-    degree count + two broadcast-able semi joins on the shrinking
-    survivor set. Output: every vector with its mutual degree, core
+    degree count + two left-semi joins on the survivor set — O(|V|)
+    in early rounds, so the join strategy is left to AQE (broadcast
+    once it shrinks under the threshold, shuffle before that) rather
+    than force-hinted. Output: every vector with its mutual degree, core
     membership after 4 rounds, and its degree inside the core."""
     from ..operators.similarity import cosine_topk
 
@@ -2251,9 +2270,9 @@ def kcore_from_knn_edges(
     for _ in range(rounds):
         alive = deg.filter(F.col("c") >= core_k).select("src")
         edges = (
-            edges.join(F.broadcast(alive), "src", "left_semi")
+            edges.join(alive, "src", "left_semi")
             .join(
-                F.broadcast(alive.select(F.col("src").alias("dst"))),
+                alive.select(F.col("src").alias("dst")),
                 "dst",
                 "left_semi",
             )

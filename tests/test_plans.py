@@ -934,9 +934,10 @@ def test_poisson_bootstrap_explode_is_map_side(spark, sf_dir):
 
 
 def test_kcore_rounds_are_bounded_and_broadcast(spark, sf_dir):
-    """q314: every peel round filters the edge list through BROADCAST
-    semi joins on the shrinking survivor set — no shuffled join of the
-    edge list against itself, no cartesian anywhere."""
+    """q314: every peel round filters the edge list through left-semi
+    joins on the survivor set — strategy left to AQE (r12 demotion of
+    the forced O(|V|) broadcast, VERDICT r11 item 1); no shuffled join
+    of the edge list against itself, no cartesian anywhere."""
     plan = _plan(spark, sf_dir, "q314_kcore_decomposition")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
@@ -1692,6 +1693,222 @@ def test_no_unaudited_driver_materializations():
                     found.add((rel, enc[-1] if enc else "<module>"))
     stray = found - _DRIVER_MATERIALIZATION_ALLOWED
     assert not stray, f"unaudited driver materializations: {sorted(stray)}"
+
+
+# Explicit broadcast sites audited as BOUNDED (1-row aggregate scalars,
+# dimension/calendar tables, codebooks, label/stat/quantile tables,
+# pool- or k-bounded selections, probe/seed frames).  VERDICT r11
+# audited every site and found exactly four broadcasting frames whose
+# cardinality grows with the node/corpus count (q164 deg, q314 alive,
+# q253 frontier, q232 full-corpus va/vb) — those are demoted to
+# AQE-decided joins in r12 and are NOT in this list.  Keyed
+# (module-relative file, enclosing function, kind) so line drift
+# doesn't churn the test; any NEW F.broadcast()/hint("broadcast") in
+# engine code fails until consciously audited here.  A forced hint
+# overrides AQE's size check, so an unbounded one is a hard 8 GiB
+# failure at 100x scale — that's what this guard fences.
+_BROADCAST_ALLOWED = {
+    ("operators/dedup.py", "jaccard_pairs", "broadcast"),
+    ("operators/dedup.py", "minhash_dedup_pairs", "broadcast"),
+    ("operators/dedup.py", "screen_against_index", "broadcast"),
+    ("operators/globalrank.py", "with_global_lag", "broadcast"),
+    ("operators/globalrank.py", "with_global_row_stats", "broadcast"),
+    ("operators/layout.py", "with_zvalue", "broadcast"),
+    ("operators/retrieval.py", "bm25_scores", "broadcast"),
+    ("operators/similarity.py", "bucketed_ann_topk", "broadcast"),
+    ("operators/similarity.py", "cosine_topk", "broadcast"),
+    ("operators/similarity.py", "ivf_ann_topk", "broadcast"),
+    ("operators/similarity.py", "knn_dist_edges", "broadcast"),
+    ("operators/timeseries.py", "densify", "broadcast"),
+    ("plans/curation.py", "curated_corpus", "broadcast"),
+    ("plans/dataprep_q.py", "q238_negative_sampling", "broadcast"),
+    ("plans/dataprep_q.py", "q361_reshard_audit", "broadcast"),
+    ("plans/dataprep_q.py", "q88_mixture_weights", "broadcast"),
+    ("plans/dataprep_q.py", "q94_temperature_mixture", "broadcast"),
+    ("plans/dedup.py", "q250_split_leakage", "broadcast"),
+    ("plans/dedup.py", "q265_dedup_explain", "broadcast"),
+    ("plans/dedup.py", "q278_minhash_error_audit", "broadcast"),
+    ("plans/dedup.py", "q307_dup_rate_by_source", "broadcast"),
+    ("plans/dedup.py", "q411_cross_source_dups", "broadcast"),
+    ("plans/events_q.py", "q108_retention_cohorts", "broadcast"),
+    ("plans/events_q.py", "q159_key_skew_profile", "broadcast"),
+    ("plans/events_q.py", "q179_target_encoding", "broadcast"),
+    ("plans/events_q.py", "q181_sequence_anomaly", "broadcast"),
+    ("plans/events_q.py", "q183_cohort_ltv", "broadcast"),
+    ("plans/events_q.py", "q190_subsample_stability", "broadcast"),
+    ("plans/events_q.py", "q193_ks_test", "broadcast"),
+    ("plans/events_q.py", "q194_psi_drift", "broadcast"),
+    ("plans/events_q.py", "q196_robust_zscore", "broadcast"),
+    ("plans/events_q.py", "q203_autocorrelation", "broadcast"),
+    ("plans/events_q.py", "q224_active_users", "broadcast"),
+    ("plans/events_q.py", "q225_heavy_hitters", "broadcast"),
+    ("plans/events_q.py", "q236_rfm_segments", "broadcast"),
+    ("plans/events_q.py", "q257_stratified_effect", "broadcast"),
+    ("plans/events_q.py", "q259_km_survival", "broadcast"),
+    ("plans/events_q.py", "q261_cuped_adjustment", "broadcast"),
+    ("plans/events_q.py", "q275_sequential_sprt", "broadcast"),
+    ("plans/events_q.py", "q277_activity_heatmap", "broadcast"),
+    ("plans/events_q.py", "q279_partition_skew_planner", "broadcast"),
+    ("plans/events_q.py", "q281_identity_resolution", "broadcast"),
+    ("plans/events_q.py", "q283_entropy_rate", "broadcast"),
+    ("plans/events_q.py", "q284_design_effect", "broadcast"),
+    ("plans/events_q.py", "q285_simpson_detector", "broadcast"),
+    ("plans/events_q.py", "q286_kmv_union_merge", "broadcast"),
+    ("plans/events_q.py", "q290_user_features", "broadcast"),
+    ("plans/events_q.py", "q296_permutation_test", "broadcast"),
+    ("plans/events_q.py", "q298_cache_planner", "broadcast"),
+    ("plans/events_q.py", "q301_fair_share", "broadcast"),
+    ("plans/events_q.py", "q302_p99_attribution", "broadcast"),
+    ("plans/events_q.py", "q306_population_estimates", "broadcast"),
+    ("plans/events_q.py", "q333_woe_iv_binning", "broadcast"),
+    ("plans/events_q.py", "q360_watermark_sweep", "broadcast"),
+    ("plans/events_q.py", "q375_quantile_effects", "broadcast"),
+    ("plans/events_q.py", "q384_conformal_coverage", "broadcast"),
+    ("plans/events_q.py", "q403_decay_trending", "broadcast"),
+    ("plans/events_q.py", "q419_mix_shift", "broadcast"),
+    ("plans/events_q.py", "q420_weekly_ks_drift", "broadcast"),
+    ("plans/events_q.py", "q92_rollup_tail_merge", "broadcast"),
+    ("plans/indicators_q.py", "q155_rolling_beta", "broadcast"),
+    ("plans/indicators_q.py", "q174_seasonal_decompose", "broadcast"),
+    ("plans/indicators_q.py", "q197_seasonality_strength", "broadcast"),
+    ("plans/indicators_q.py", "q206_volume_profile", "broadcast"),
+    ("plans/indicators_q.py", "q216_capm_alpha", "broadcast"),
+    ("plans/indicators_q.py", "q219_volatility_regimes", "broadcast"),
+    ("plans/indicators_q.py", "q242_pairs_cointegration", "broadcast"),
+    ("plans/indicators_q.py", "q258_binary_segmentation", "broadcast"),
+    ("plans/indicators_q.py", "q263_winsorized_mean", "broadcast"),
+    ("plans/indicators_q.py", "q287_interval_backtest", "broadcast"),
+    ("plans/indicators_q.py", "q318_ljung_box", "broadcast"),
+    ("plans/indicators_q.py", "q323_purged_labels", "broadcast"),
+    ("plans/indicators_q.py", "q324_portfolio_var_es", "broadcast"),
+    ("plans/indicators_q.py", "q326_seasonality_anova", "broadcast"),
+    ("plans/indicators_q.py", "q343_wasserstein", "broadcast"),
+    ("plans/indicators_q.py", "q350_hill_tail_index", "broadcast"),
+    ("plans/indicators_q.py", "q355_bh_fdr", "broadcast"),
+    ("plans/pipeline.py", "run_indicator_mart", "broadcast"),
+    ("plans/relational.py", "q10_region_revenue", "broadcast"),
+    ("plans/relational.py", "q110_bloom_membership", "broadcast"),
+    ("plans/relational.py", "q11_top_unshipped_orders", "broadcast"),
+    ("plans/relational.py", "q15_promo_revenue_share", "broadcast"),
+    ("plans/relational_ext.py", "q137_disjunctive_pred", "broadcast"),
+    ("plans/relational_ext.py", "q148_top_supplier", "broadcast"),
+    ("plans/relational_ext.py", "q149_supplier_diversity", "broadcast"),
+    ("plans/relational_ext.py", "q150_small_quantity_revenue", "broadcast"),
+    ("plans/relational_ext.py", "q151_large_orders", "broadcast"),
+    ("plans/relational_ext.py", "q169_histogram", "broadcast"),
+    ("plans/relational_ext.py", "q178_revenue_concentration", "broadcast"),
+    ("plans/relational_ext.py", "q204_basket_lift", "broadcast"),
+    ("plans/relational_ext.py", "q220_price_endings", "broadcast"),
+    ("plans/relational_ext.py", "q226_blame_supplier", "broadcast"),
+    ("plans/relational_ext.py", "q228_k_anonymity", "broadcast"),
+    ("plans/relational_ext.py", "q243_skyline", "broadcast"),
+    ("plans/relational_ext.py", "q269_recsys_hitrate", "broadcast"),
+    ("plans/relational_ext.py", "q271_nation_volume", "broadcast"),
+    ("plans/relational_ext.py", "q272_market_share", "broadcast"),
+    ("plans/relational_ext.py", "q273_product_profit", "broadcast"),
+    ("plans/relational_ext.py", "q289_rec_coverage_bias", "broadcast"),
+    ("plans/relational_ext.py", "q388_theil_decomposition", "broadcast"),
+    ("plans/relational_ext.py", "q404_erasure_cost", "broadcast"),
+    ("plans/relational_ext.py", "q410_shard_key_advisor", "broadcast"),
+    ("plans/relational_ext.py", "q415_bloom_empirical", "broadcast"),
+    ("plans/similarity_q.py", "pagerank_from_edges", "broadcast"),
+    ("plans/similarity_q.py", "q167_knn_eval", "broadcast"),
+    ("plans/similarity_q.py", "q188_centroid_outliers", "broadcast"),
+    ("plans/similarity_q.py", "q210_pca_power_iteration", "broadcast"),
+    ("plans/similarity_q.py", "q212_mahalanobis_diag", "broadcast"),
+    ("plans/similarity_q.py", "q232_mmr_diversify", "broadcast"),
+    ("plans/similarity_q.py", "q232_mmr_diversify", "hint"),
+    ("plans/similarity_q.py", "q239_ndcg_eval", "broadcast"),
+    ("plans/similarity_q.py", "q351_mmd_two_sample", "broadcast"),
+    ("plans/similarity_q.py", "q368_cka_alignment", "broadcast"),
+    ("plans/similarity_q.py", "q372_label_modularity", "broadcast"),
+    ("plans/similarity_q.py", "q380_hubness_audit", "broadcast"),
+    ("plans/similarity_q.py", "q386_embedding_drift", "broadcast"),
+    ("plans/similarity_q.py", "q391_knn_assortativity", "broadcast"),
+    ("plans/similarity_q.py", "q393_geometric_median", "broadcast"),
+    ("plans/similarity_q.py", "q53_knn_label_vote", "broadcast"),
+    ("plans/similarity_q.py", "q90_int8_quantization", "broadcast"),
+    ("plans/similarity_q.py", "q97_product_quantization", "broadcast"),
+    ("plans/text_q.py", "q104_pmi_collocations", "broadcast"),
+    ("plans/text_q.py", "q256_mutual_information", "broadcast"),
+    ("plans/text_q.py", "q334_threshold_sweep", "broadcast"),
+    ("plans/text_q.py", "q340_mann_whitney", "broadcast"),
+    ("plans/text_q.py", "q344_dsir_weights", "broadcast"),
+    ("plans/text_q.py", "q362_content_screen", "broadcast"),
+    ("plans/text_q.py", "q376_burrows_delta", "broadcast"),
+    ("plans/text_q.py", "q382_log_odds_keyness", "broadcast"),
+    ("plans/text_q.py", "q390_filter_bias", "broadcast"),
+    ("plans/text_q.py", "q392_data_budget", "broadcast"),
+    ("plans/text_q.py", "q399_self_retrieval", "broadcast"),
+    ("plans/text_q.py", "q400_mixture_materializer", "broadcast"),
+    ("plans/text_q.py", "q418_coverage_knee", "broadcast"),
+    ("plans/text_q.py", "q82_quality_fence_filter", "broadcast"),
+    ("plans/text_q.py", "q87_contamination_screen", "broadcast"),
+    ("plans/text_q.py", "q89_passage_overlap", "broadcast"),
+    ("plans/text_q.py", "q95_unigram_nll", "broadcast"),
+    ("plans/textprep_q.py", "_q249_spark_round", "broadcast"),
+    ("plans/textprep_q.py", "q140_vocab_oov", "broadcast"),
+    ("plans/textprep_q.py", "q152_weighted_jaccard", "broadcast"),
+    ("plans/textprep_q.py", "q157_token_ids", "broadcast"),
+    ("plans/textprep_q.py", "q158_bigram_nll", "broadcast"),
+    ("plans/textprep_q.py", "q201_tfidf_keywords", "broadcast"),
+    ("plans/textprep_q.py", "q363_dataset_card", "broadcast"),
+    ("streaming/sinks.py", "write", "broadcast"),
+}
+
+
+def test_no_unaudited_broadcast_hints():
+    """Source-level guard on the forced-broadcast anti-pattern
+    (VERDICT r11 item 1): every F.broadcast(...) / .hint("broadcast")
+    in engine code must sit in an audited bounded-cardinality site —
+    an explicit hint disables AQE's size fallback, so a hint on a
+    node-/corpus-grain frame is a construction-time OOM at scale."""
+    import ast
+    import os
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "crypto_prediction_etl_spark",
+    )
+    found = set()
+    for dirpath, _, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            rel = os.path.relpath(path, pkg).replace(os.sep, "/")
+            tree = ast.parse(open(path).read())
+            funcs = [
+                (n.lineno, n.end_lineno, n.name)
+                for n in ast.walk(tree)
+                if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+            ]
+            for node in ast.walk(tree):
+                if not isinstance(node, ast.Call):
+                    continue
+                f = node.func
+                kind = None
+                if isinstance(f, ast.Attribute) and f.attr == "broadcast":
+                    kind = "broadcast"
+                elif (
+                    isinstance(f, ast.Attribute)
+                    and f.attr == "hint"
+                    and node.args
+                    and isinstance(node.args[0], ast.Constant)
+                    and node.args[0].value == "broadcast"
+                ):
+                    kind = "hint"
+                if kind:
+                    enc = [
+                        name
+                        for lo, hi, name in funcs
+                        if lo <= node.lineno <= hi
+                    ]
+                    found.add((rel, enc[-1] if enc else "<module>", kind))
+    stray = found - _BROADCAST_ALLOWED
+    assert not stray, f"unaudited broadcast hints: {sorted(stray)}"
+    gone = _BROADCAST_ALLOWED - found
+    assert not gone, f"stale broadcast allowlist entries: {sorted(gone)}"
 
 
 def test_q351_broadcast_budget_guard_raises(spark, sf_dir, monkeypatch):
