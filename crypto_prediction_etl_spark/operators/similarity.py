@@ -240,13 +240,28 @@ def write_bucketed_ann_index(
     bucketing bucketed_ann_topk repeats per call, exactly like the
     written shingle table is the durable analog of the dedup corpus
     memo (tests/test_durable_shingles.py).
+
+    The quantizer config is persisted WITH the index (a 1-row JSON
+    dataset under ``<path>/_ann_meta`` — the leading underscore keeps
+    it out of parquet partition discovery): probing with different
+    ``bits`` than the index was partitioned with would silently prune
+    away true candidates via the ``_bkt IN`` filter, so the probe side
+    derives/validates bits from the sidecar instead of trusting the
+    caller (ADVICE r11).
     """
+    spark = vecs.sparkSession
     (
         vecs.select(F.col(id_col), F.col(vec_col))
         .withColumn("_bkt", sign_bucket_int(F.col(vec_col), bits))
         .write.mode("overwrite")
         .partitionBy("_bkt")
         .parquet(path)
+    )
+    (
+        spark.createDataFrame([(int(bits),)], "bits int")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .json(path.rstrip("/") + "/_ann_meta")
     )
 
 
@@ -255,7 +270,7 @@ def bucketed_ann_topk_from_index(
     path: str,
     queries: DataFrame,
     k: int = 5,
-    bits: int = 4,
+    bits: int | None = None,
     multiprobe: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "v",
@@ -271,7 +286,23 @@ def bucketed_ann_topk_from_index(
     tests/test_plans.py::test_bucketed_ann_index_partition_pruning).
     Results are identical to the in-memory bucketed_ann_topk on the
     full corpus: candidates outside the probe ball never join anyway.
+
+    ``bits`` is read from the index's ``_ann_meta`` sidecar (written
+    by write_bucketed_ann_index); passing it explicitly is only a
+    cross-check — a mismatch raises instead of silently pruning true
+    candidates with a wrong-grid probe ball (ADVICE r11).
     """
+    meta_bits = int(
+        spark.read.json(path.rstrip("/") + "/_ann_meta").head()["bits"]
+    )
+    if bits is not None and bits != meta_bits:
+        raise ValueError(
+            f"bucketed ANN index at {path} was written with "
+            f"bits={meta_bits}, probe requested bits={bits}; probing "
+            "with a mismatched quantizer would silently drop true "
+            "candidates via the partition filter"
+        )
+    bits = meta_bits
     qb = {
         r[0]
         for r in queries.select(
@@ -589,6 +620,7 @@ def knn_candidate_edges_bucketed(
     id_col: str = "vec_id",
     vec_col: str = "v",
     round_to: int = 6,
+    salt_target: int = 8192,
 ) -> DataFrame:
     """Approximate kNN edges (pid, nid, dist) from bucketed-ANN
     candidates — the 100 TB form of :func:`knn_dist_edges`.
@@ -596,16 +628,34 @@ def knn_candidate_edges_bucketed(
     Same output contract as the exact variant (each row's up-to-k
     nearest by grid-rounded cosine distance, ties broken (dist, nid)),
     so every graph consumer (LOF, k-core, assortativity, mutual-kNN)
-    swaps it in UNCHANGED.  The difference is purely how candidates
-    are generated: instead of broadcasting the full |V| x dim matrix
-    (a driver bottleneck past ~10^6 rows), each vector is sign-bucketed
-    ONCE (q52's quantizer) and the probe side explodes into its
-    Hamming-<=multiprobe probe ball; candidates come from the
-    (bucket)-equi self-join — a shuffle hash join on an integer key
-    that AQE skew-splits, never a cross product and never a driver
-    collect.  Per-pid top-k follows the q52 two-phase shape: map-side
-    partial head-k bounds the ranking shuffle to k rows per pid per
-    partition.
+    swaps it in UNCHANGED.  Candidate generation: each vector is
+    sign-bucketed ONCE (q52's quantizer) and the probe side explodes
+    into its Hamming-<=multiprobe probe ball — never a cross product,
+    never a driver collect (vs broadcasting the full |V| x dim matrix,
+    a driver bottleneck past ~10^6 rows).
+
+    Execution (r11 BLAS cogroup, r12 salted): a bucket is a cogroup
+    key, and each cogroup cell is scored with ONE normalized float64
+    matmul (the knn_dist_edges arithmetic verbatim: d = 1 - p @ c.T,
+    portable floor grid, (dist, nid) lexsort) instead of per-pair
+    array-HOF cosine through the expression interpreter (measured 15x
+    at sf0.1).  Because cogrouped applyInPandas materializes BOTH
+    sides of a cell as in-memory pandas frames on one executor, hot
+    buckets (small ``bits``, skewed corpora) are bounded by
+    DETERMINISTIC TWO-SIDED SALTING: per bucket, the probe side splits
+    into Sp = ceil(n_probes / salt_target) salts (pid % Sp) and the
+    candidate side into Sc = ceil(n_cands / salt_target) salts
+    (nid % Sc); each side replicates across the OTHER side's salt
+    dimension, so every (pid, nid) pair lands in exactly ONE
+    (bucket, sp, sc) cell — still no dedup pass — and each cell holds
+    at most ~salt_target rows per side (the per-task memory bound:
+    2 x salt_target x dim float64 plus the k-row outputs).  Unskewed
+    buckets get Sp = Sc = 1 (no replication).  The per-cell top-k is a
+    superset-of-global-top-k per pid (standard top-k merge property),
+    and the global window below finishes the cross-cell merge, so
+    salting never changes results (pytest: hot-bucket equality at
+    bits=1).  The salt-size frame is bucket-grain (<= 2^bits rows, ids
+    and two small ints only), joined back on the bucket key.
 
     Recall is corpus-dependent (probe-ball coverage of the true
     neighbors' buckets): measured at sf0.01 on this repo's
@@ -635,19 +685,36 @@ def knn_candidate_edges_bucketed(
     )
     scale = float(10**round_to)
 
-    # Per-bucket BLAS scoring (r11): the original formulation joined
-    # exploded probe rows to candidate rows and evaluated a per-pair
-    # array-HOF cosine — measured 145 s vs 1.3 s for the exact matmul
-    # kernel at sf0.1 (22M candidate pairs through the expression
-    # interpreter).  A bucket is exactly a cogroup key, so score each
-    # bucket with ONE normalized matmul instead (the knn_dist_edges
-    # arithmetic verbatim: float64 normalize, d = 1 - p @ c.T, portable
-    # floor grid, (dist, nid) lexsort), emitting each probe's bucket-
-    # local top-k.  Candidate generation stays a shuffle on the integer
-    # bucket key (never a cross product, never a driver collect); the
-    # global window below finishes the cross-bucket top-k merge.  Each
-    # (pid, nid) pair arises in at most one bucket (a candidate lives
-    # in exactly its own sign bucket), so no dedup pass is needed.
+    # per-bucket salt counts: id-only aggregates (cheap vs the vector
+    # payload), inner join drops probe-only buckets — nothing to score
+    # there anyway
+    sz = (
+        p.groupBy("_bkt")
+        .agg(F.count("*").alias("_pn"))
+        .join(c.groupBy("_bkt").agg(F.count("*").alias("_cn")), "_bkt")
+        .select(
+            "_bkt",
+            F.ceil(F.col("_pn") / salt_target).cast("int").alias("_sp"),
+            F.ceil(F.col("_cn") / salt_target).cast("int").alias("_sc"),
+        )
+    )
+    p2 = (
+        p.join(sz, "_bkt")
+        .withColumn("_isp", (F.col("pid") % F.col("_sp")).cast("int"))
+        .withColumn(
+            "_isc", F.explode(F.sequence(F.lit(0), F.col("_sc") - 1))
+        )
+        .select("pid", "_pv", "_bkt", "_isp", "_isc")
+    )
+    c2 = (
+        c.join(sz, "_bkt")
+        .withColumn("_isc", (F.col("nid") % F.col("_sc")).cast("int"))
+        .withColumn(
+            "_isp", F.explode(F.sequence(F.lit(0), F.col("_sp") - 1))
+        )
+        .select("nid", "_cv", "_bkt", "_isp", "_isc")
+    )
+
     def _score_bucket(probes: pd.DataFrame, cands: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {"pid": pd.Series(dtype="int64"),
@@ -663,28 +730,35 @@ def knn_candidate_edges_bucketed(
         pm = np.stack([np.asarray(v, dtype="float64") for v in probes["_pv"]])
         pm = pm / np.linalg.norm(pm, axis=1, keepdims=True)
         out = []
-        # chunk probe rows so the (rows x bucket) score block stays
-        # bounded even on a skewed hot bucket
+        # chunk probe rows so the (rows x cell) score block stays
+        # bounded; accumulate per-chunk pid/nid/dist numpy arrays and
+        # build ONE DataFrame per chunk (the knn_dist_edges kernel's
+        # pattern — not one tiny frame per probe row, ADVICE r11)
         for lo in range(0, len(pids), 1024):
             hi = min(lo + 1024, len(pids))
             d = 1.0 - pm[lo:hi] @ cm.T
             d = np.floor(d * scale + 0.5001) / scale
+            cp, cn, cd = [], [], []
             for i, pid in enumerate(pids[lo:hi]):
                 mask = nids != pid
                 nd, nn = d[i][mask], nids[mask]
                 order = np.lexsort((nn, nd))[:k]
+                cp.append(np.full(len(order), pid, dtype="int64"))
+                cn.append(nn[order])
+                cd.append(nd[order])
+            if cp:
                 out.append(
                     pd.DataFrame(
-                        {"pid": np.full(len(order), pid, dtype="int64"),
-                         "nid": nn[order],
-                         "dist": nd[order]}
+                        {"pid": np.concatenate(cp),
+                         "nid": np.concatenate(cn),
+                         "dist": np.concatenate(cd)}
                     )
                 )
         return pd.concat(out, ignore_index=True) if out else empty
 
     pruned = (
-        p.groupBy("_bkt")
-        .cogroup(c.groupBy("_bkt"))
+        p2.groupBy("_bkt", "_isp", "_isc")
+        .cogroup(c2.groupBy("_bkt", "_isp", "_isc"))
         .applyInPandas(_score_bucket, schema="pid long, nid long, dist double")
     )
     w = W.partitionBy("pid").orderBy(F.asc("dist"), F.asc("nid"))

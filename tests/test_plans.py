@@ -2118,6 +2118,71 @@ def test_bucketed_knn_hot_bucket_chunk_path(spark):
         for r in knn_candidate_edges_bucketed(vecs, 5, bits=1, multiprobe=1).collect()
     }
     assert buck == exact  # full ball at bits=1 => exhaustive, chunked
+    # r12 hot-bucket salting (ADVICE r11): salt_target=256 forces
+    # Sp = Sc = ceil(1500/256) = 6 on both (hot) buckets — every
+    # (pid, nid) pair must still be scored exactly once and the
+    # cross-cell window merge must reproduce the exact edges
+    salted = {
+        (r.pid, r.nid, r.dist)
+        for r in knn_candidate_edges_bucketed(
+            vecs, 5, bits=1, multiprobe=1, salt_target=256
+        ).collect()
+    }
+    assert salted == exact
+
+
+def test_bucketed_knn_salting_bounds_cell_sizes(spark):
+    """The r12 salting guard must actually bound what a cogroup cell
+    materializes: with salt_target=256 on a 1500-row corpus at bits=1
+    (two hot buckets), no (bucket, sp, sc) cell may hold more than
+    ~salt_target rows on either side."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from crypto_prediction_etl_spark.operators.similarity import (
+        probe_masks,
+        sign_bucket_int,
+    )
+
+    n, dim, target = 1500, 8, 256
+    rng_free = [
+        (i, [float(((i * 37 + d * 11) % 19) - 9) / 9.0 for d in range(dim)])
+        for i in range(n)
+    ]
+    vecs = spark.createDataFrame(rng_free, "vec_id long, v array<double>")
+    bits, multiprobe = 1, 1
+    c = vecs.select(
+        F.col("vec_id").alias("nid"),
+        sign_bucket_int(F.col("v"), bits).alias("_bkt"),
+    )
+    masks = probe_masks(bits, multiprobe)
+    p = vecs.select(
+        F.col("vec_id").alias("pid"),
+        sign_bucket_int(F.col("v"), bits).alias("_pbkt"),
+    ).withColumn(
+        "_bkt",
+        F.explode(
+            F.array(*[F.col("_pbkt").bitwiseXOR(F.lit(m)) for m in masks])
+        ),
+    )
+    # mirror the kernel's salt derivation and check the cell bound
+    for side, idc in ((p, "pid"), (c, "nid")):
+        per_bucket = {
+            r["_bkt"]: r["cnt"]
+            for r in side.groupBy("_bkt").agg(F.count("*").alias("cnt")).collect()
+        }
+        for bkt, cnt in per_bucket.items():
+            s = math.ceil(cnt / target)
+            assert s > 1  # the fixture really is hot
+            cells = (
+                side.filter(F.col("_bkt") == bkt)
+                .groupBy((F.col(idc) % s).alias("_salt"))
+                .agg(F.count("*").alias("cnt"))
+                .collect()
+            )
+            assert max(r["cnt"] for r in cells) <= target + s
+
 
 def test_bucketed_ann_index_partition_pruning(spark, tmp_path):
     """Durable ANN index (SCALE.md ANN law, demonstrated): the corpus
@@ -2153,3 +2218,17 @@ def test_bucketed_ann_index_partition_pruning(spark, tmp_path):
 
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert pf and "_bkt" in pf.group(1), plan[:2000]
+
+    # r12 bits sidecar (ADVICE r11): omitting bits derives it from the
+    # index's _ann_meta; a mismatched explicit bits raises instead of
+    # silently pruning true candidates with a wrong-grid probe ball
+    derived = bucketed_ann_topk_from_index(
+        spark, path, queries, k=5, multiprobe=1
+    )
+    assert sorted(map(tuple, derived.collect())) == sorted(
+        map(tuple, in_memory.collect())
+    )
+    with pytest.raises(ValueError, match="bits=4"):
+        bucketed_ann_topk_from_index(
+            spark, path, queries, k=5, bits=6, multiprobe=1
+        )
