@@ -121,6 +121,22 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    # Pre-flight load-gate (VERDICT r11 item 3): BENCH_r11 landed in a
+    # load1=5.12 window and recorded 3x-inflated panel4 numbers that
+    # reproduced nowhere else.  Before building the session, wait (up
+    # to $SPARK_GRAFT_LOADGATE_S seconds, default 180, 0 disables) for
+    # load1 to fall under 1.0 so the one official shot can't start
+    # mid-storm.  The cap keeps the driver timeout-safe: a permanently
+    # busy host proceeds after the cap and the noisy_host stamp still
+    # tells the reader how to weigh the numbers.
+    gate_s = float(os.environ.get("SPARK_GRAFT_LOADGATE_S", "180"))
+    waited_s = 0.0
+    try:
+        while waited_s < gate_s and os.getloadavg()[0] >= 1.0:
+            time.sleep(5.0)
+            waited_s += 5.0
+    except OSError:
+        pass
     try:
         start_load1 = round(os.getloadavg()[0], 2)
         start_load5 = round(os.getloadavg()[1], 2)
@@ -226,6 +242,7 @@ def main() -> None:
             "sf": sf,
             "load1_at_start": start_load1,
             "load5_at_start": start_load5,
+            "loadgate_waited_s": waited_s,
             # r10 refinement: a run started at load1 0.06 but load5
             # 2.7 (a replay's tail) still read +35% across the board —
             # the 5-min average is the regime tell, not the 1-min one
