@@ -76,6 +76,19 @@ _ADJUDICATE_FIRST = [
     "q314_kcore_decomposition",
     "q253_bfs_reachability",
     "q232_mmr_diversify",
+    # r12 optimization-round plan changes (mandatory picks): q101's
+    # within-cell scoring moved to a grouped BLAS kernel, q367's span
+    # coverage collapsed to per-(hash, doc) counts before the
+    # ndocs/join-back stage — both oracle-replayed green at sf0.01
+    # before staging (window tail trimmed 2 to keep 50 seats; the
+    # displaced r3-era fills roll to r13)
+    "q101_semdedup",
+    "q367_span_dedup",
+    # r12 optimization: q365's co-purchase distinct + degree band +
+    # self-join collapsed into one collect_set groupBy with in-array
+    # pair enumeration (oracle-replayed green at sf0.01 before
+    # staging; one more r3-era fill rolls to r13)
+    "q365_adamic_adar",
     "q108_retention_cohorts",
     "q109_count_min_sketch",
     "q110_bloom_membership",
@@ -119,9 +132,6 @@ _ADJUDICATE_FIRST = [
     "q148_top_supplier",
     "q149_supplier_diversity",
     "q150_small_quantity_revenue",
-    "q151_large_orders",
-    "q152_weighted_jaccard",
-    "q155_rolling_beta",
 ]
 
 # Superseded round-2 rotation, kept for the audit trail.

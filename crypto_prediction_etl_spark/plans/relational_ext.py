@@ -2684,42 +2684,57 @@ def q365_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k; at 100 TB the final ORDER BY+LIMIT becomes per-partition
     partial top-k + one small merge (q18 law).
 
-    The degree-banded edge list is pinned (localCheckpoint, eager per
-    the repo convention for frames feeding two concurrently-scheduled
-    branches — q141's law) before the self-join: the two sides differ
-    only in projection, so Catalyst plans the orders><lineitem
-    co-purchase distinct + degree agg FOUR times (2 sides x cp+deg)
-    with zero exchange reuse.  Pinned, the heavy upstream runs once —
-    the "write the edge list once, then self-join it" production
-    shape.  Fault-tolerance caveat at cluster scale: localCheckpoint
-    is a NON-RELIABLE checkpoint — lineage is truncated and the
-    blocks live on executor local storage, so losing an executor
-    mid-job fails the job instead of recomputing.  The at-scale
-    durable form is persist(MEMORY_AND_DISK) + materialize
-    (recomputable) or an actual written edge-list table; the
-    localCheckpoint is the single-app in-session analog (SCALE.md
-    "fix menu")."""
+    r12 restructure (guide S2.3/S2.4 — aggregate before you shuffle,
+    remove shuffles outright): the co-purchase DISTINCT, the degree
+    aggregation, the degree-band join-back, the pinned edge list and
+    the per-customer SELF-JOIN all collapse into ONE
+    groupBy(cust).collect_set(part): distinct is implied by the set,
+    the degree is size(parts), the band is a filter on it, and the
+    i<j pair enumeration is a JVM array expression (sorted set,
+    nested transform + flatten + explode) — sum(deg^2) pair rows flow
+    straight into the (part_a, part_b) partial aggregation exactly as
+    the join produced them, with the same 1/ln(d) weight.  Shuffles:
+    orders><lineitem join + one set-building groupBy + the pair
+    aggregation, where the old shape paid the join, the distinct, the
+    degree agg, the band join-back and TWO self-join sides.  The
+    per-customer pair fan-out is bounded by the same degree cap
+    (<= 48^2/2 pairs per customer), so no generated array outgrows a
+    task at any scale."""
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
-    cp = (
+    parts_per_cust = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
-        .distinct()
+        .groupBy("cust")
+        .agg(F.sort_array(F.collect_set("part")).alias("ps"))
+        .filter(
+            (F.size("ps") >= 2) & (F.size("ps") <= _Q365_DEG_CAP)
+        )
+        .select(
+            "ps",
+            (F.lit(1.0) / F.log(F.size("ps").cast("double"))).alias("w"),
+        )
     )
-    deg = cp.groupBy("cust").agg(F.count("*").alias("d"))
-    el = (
-        cp.join(deg, "cust")
-        .filter((F.col("d") >= 2) & (F.col("d") <= _Q365_DEG_CAP))
-        .transform(pin_frame)
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + F.lit(2), F.size("ps")),
+                lambda y: F.struct(
+                    x.alias("part_a"), y.alias("part_b")
+                ),
+            ),
+        )
     )
-    a = el.alias("a")
-    b = el.select("cust", F.col("part").alias("part_b")).alias("b")
     pairs = (
-        a.join(b, (F.col("a.cust") == F.col("b.cust")) & (F.col("a.part") < F.col("part_b")))
-        .groupBy(F.col("a.part").alias("part_a"), "part_b")
+        parts_per_cust.select("w", F.explode(pair_structs).alias("p"))
+        .groupBy(
+            F.col("p.part_a").alias("part_a"),
+            F.col("p.part_b").alias("part_b"),
+        )
         .agg(
             F.count("*").alias("n_common"),
-            F.sum(F.lit(1.0) / F.log(F.col("a.d").cast("double"))).alias("aa"),
+            F.sum("w").alias("aa"),
         )
         .filter(F.col("n_common") >= _Q365_MIN_COMMON)
     )

@@ -8,6 +8,8 @@ the portable grid before ranking so ranks hash identically.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -34,6 +36,35 @@ _COS = (
     "list_dot_product(q.v, c.v) / "
     "(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))"
 )
+
+# Row gate for _gated_broadcast: 2M rows of (long id [+ one numeric])
+# builds a hash relation well under the session's 64 MiB
+# autoBroadcastJoinThreshold and orders of magnitude under the 8 GiB
+# broadcast ceiling.  Env-overridable for cluster tuning; the default
+# is size-derived, not local-core-count-derived, so the same gate is
+# correct at any scale factor.
+_BROADCAST_GATE_ROWS = int(
+    os.environ.get("SPARK_GRAFT_BROADCAST_GATE_ROWS", "2000000")
+)
+
+
+def _gated_broadcast(df: DataFrame, n_rows: int) -> DataFrame:
+    """Size-GATED broadcast hint — the sanctioned form of VERDICT r11
+    item 1: the iterative graph consumers (PageRank deg, k-core
+    survivor set, BFS frontier) join O(|V|)-grain frames every round,
+    and a FORCED hint on those is an 8 GiB construction-time failure
+    at 100x scale.  But un-hinted, each round pays the map-side
+    shuffle write of the k*N edge frame even when AQE later converts
+    the join (the conversion reuses the already-written shuffle
+    output; guide S3.1).  So the caller measures the frame's actual
+    row count (a cheap count over an already-checkpointed bounded
+    frame) and the hint is applied ONLY under the measured gate —
+    broadcast while it provably fits, AQE-decided shuffle join the
+    moment it does not.  Audited site in
+    tests/test_plans.py::_BROADCAST_ALLOWED."""
+    if n_rows <= _BROADCAST_GATE_ROWS:
+        return F.broadcast(df)
+    return df
 
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -713,36 +744,73 @@ def q101_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     observation): candidate pairs exist only inside a cell, so the
     quadratic term is sum over cells of |cell|^2 with the cell count
     as the dial (10k+ cells at production scale), and the per-cell
-    join is a plain equi-join on cell — no all-pairs cross product
-    anywhere in the plan. Output: every vector with its cell, its
-    canonical duplicate (or NULL), and the keep flag."""
-    from ..operators.similarity import dot, ivf_assign, norm
+    scoring is a grouped BLAS kernel on cell — no all-pairs cross
+    product anywhere in the plan. Output: every vector with its cell,
+    its canonical duplicate (or NULL), and the keep flag.
+
+    r12 kernel rewrite (guide S4.2, the r11 bucketed-kNN precedent):
+    the within-cell pair scoring previously ran as an equi-join on
+    cell with a per-pair interpreted array-HOF dot — the documented
+    ~35x constant factor — materializing sum(|cell|^2) 64-dim pair
+    rows through the expression interpreter.  Now each cell's vectors
+    cross ONE normalized float64 matmul inside a grouped
+    applyInPandas kernel (q50's exact arithmetic: normalize rows,
+    BLAS matmul, portable-grid floor-round in-kernel), probe rows
+    chunked at 1024 so the score matrix stays bounded on a hot cell.
+    dup_of = the first (= min, ids sorted ascending) lower-id
+    neighbour at or above the rounded threshold — semantics
+    unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.similarity import ivf_assign
 
     vecs = _vecs(spark, sf_dir)
     seed_rows = vecs.orderBy("vec_id").limit(_Q101_K_CELLS).select("v").collect()
     seeds = [list(r[0]) for r in seed_rows]
     asg = ivf_assign(vecs, seeds)
-    # bind each row's norm ONCE before the pair join: the per-pair
-    # predicate then costs one 64-dim fold (the cross dot) instead of
-    # three — same doubles as cosine() (sqrt of the self-dot computed
-    # per row vs per pair is the identical IEEE value), 3x less work
-    # on the |cell|^2 candidate volume that dominates this query
-    asg_n = asg.withColumn("_nrm", norm(F.col("v")))
-    a = asg_n.select(
-        F.col("vec_id"), F.col("cell"), F.col("v").alias("_va"),
-        F.col("_nrm").alias("_na"),
-    )
-    b = asg_n.select(
-        F.col("vec_id").alias("_vid_b"), F.col("cell"),
-        F.col("v").alias("_vb"), F.col("_nrm").alias("_nb"),
-    )
-    pair_cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+
+    thr = float(_Q101_T)
+    scale = float(10**6)
+
+    def cell_dups(pdf: pd.DataFrame) -> pd.DataFrame:
+        vid = pdf["vec_id"].to_numpy()
+        order = np.argsort(vid)
+        vid = vid[order]
+        vm = np.stack([np.asarray(v, dtype="float64") for v in pdf["v"]])[order]
+        vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+        ids_out: list[np.ndarray] = []
+        dups_out: list[np.ndarray] = []
+        for lo in range(0, len(vid), 1024):
+            hi = min(lo + 1024, len(vid))
+            sims = vm[lo:hi] @ vm.T
+            sims = np.floor(sims * scale + 0.5001) / scale
+            # candidates: strictly lower id (ids ascend, so strictly
+            # earlier position) at or above the rounded threshold
+            mask = sims >= thr
+            col = np.arange(len(vid))[None, :]
+            row = np.arange(lo, hi)[:, None]
+            mask &= col < row
+            has = mask.any(axis=1)
+            if not has.any():
+                continue
+            first = mask.argmax(axis=1)  # first True = min id (sorted)
+            ids_out.append(vid[lo:hi][has])
+            dups_out.append(vid[first[has]])
+        if not ids_out:
+            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                                 "dup_of": pd.Series(dtype="int64")})
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(ids_out),
+                "dup_of": np.concatenate(dups_out),
+            }
+        )
+
     dup = (
-        a.join(b, "cell")
-        .filter(F.col("_vid_b") < F.col("vec_id"))
-        .filter(prnd(pair_cos, 6) >= _Q101_T)
-        .groupBy("vec_id")
-        .agg(F.min("_vid_b").alias("dup_of"))
+        asg.select("vec_id", "cell", "v")
+        .groupBy("cell")
+        .applyInPandas(cell_dups, schema="vec_id long, dup_of long")
     )
     return (
         asg.join(dup, "vec_id", "left")
@@ -990,11 +1058,13 @@ def q164_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means) expressed so Catalyst sees the whole dataflow: each
     iteration is a (join edge list -> partial-agg groupBy -> left join
     nodes) stage, all on the node key, so one co-partitioning carries
-    every iteration at scale; the O(|V|) degree table joins on that
-    same key (AQE picks broadcast only when it actually fits — no
-    forced hint), and only the 1-row N scalar is explicitly
-    broadcast. Fixed iteration count keeps it SQL-expressible — the
-    oracle replays the identical five stages as chained CTEs."""
+    every iteration at scale; the O(|V|) degree/rank/contrib frames
+    join under a MEASURED size gate (_gated_broadcast: broadcast while
+    the counted rows provably fit, AQE-decided shuffle join beyond the
+    gate — never a forced unbounded hint), and only the 1-row N scalar
+    is unconditionally broadcast. Fixed iteration count keeps it
+    SQL-expressible — the oracle replays the identical five stages as
+    chained CTEs."""
     edges = _edges(spark, sf_dir)
     return pagerank_from_edges(_vecs(spark, sf_dir), edges)
 
@@ -1009,14 +1079,33 @@ def pagerank_from_edges(vecs: DataFrame, edges: DataFrame) -> DataFrame:
     the lof_from_knn_edges / kcore_from_knn_edges seam idiom
     (VERDICT r10 item 3).  ``vecs`` needs vec_id (node universe).
     """
-    sym = edges.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionByName(
-        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    # Eager-pin the symmetric edge list: it is consumed by the degree
+    # aggregation plus every one of the 5 unrolled iterations, and
+    # un-pinned the whole mutual-kNN kernel subtree replicates per
+    # iteration at PLAN level (r12 measurement: 233 KB initial plan,
+    # 266 Exchanges — AQE reuses the exchanges at runtime, but
+    # planning itself becomes a cost; guide S3.3).  The edge list is
+    # k*N bounded, so materializing it is cheap at any scale (same
+    # argument as kcore_from_knn_edges).
+    sym = pin_frame(
+        edges.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        ).unionByName(
+            edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
     )
-    deg = sym.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").alias("deg")
+    deg = pin_frame(
+        sym.groupBy(F.col("src").alias("node")).agg(
+            F.count("*").alias("deg")
+        )
     )
+    # Measured row counts over the two pinned frames gate the
+    # per-iteration broadcasts (see _gated_broadcast): deg and each
+    # iteration's pr/contrib are all O(|V|)-grain, and |V| <= n_deg
+    # rows with degree + the isolated remainder of the node universe.
+    n_deg = deg.count()
+    n_nodes = vecs.count()
+    degb = _gated_broadcast(deg, n_deg)
     nodes = vecs.select(F.col("vec_id").alias("node"))
     nn = vecs.agg(F.count("*").alias("n"))
     pr = nodes.crossJoin(F.broadcast(nn)).select(
@@ -1024,11 +1113,12 @@ def pagerank_from_edges(vecs: DataFrame, edges: DataFrame) -> DataFrame:
     )
     for _ in range(_Q164_ITERS):
         contrib = (
-            sym.join(pr, sym.src == pr.node)
-            .join(deg.alias("d"), F.col("d.node") == sym.src)
+            sym.join(_gated_broadcast(pr, n_nodes), sym.src == pr.node)
+            .join(degb.alias("d"), F.col("d.node") == sym.src)
             .groupBy(F.col("dst").alias("cnode"))
             .agg(F.sum(F.col("pr") / F.col("deg")).alias("c"))
         )
+        contrib = _gated_broadcast(contrib, n_deg)
         pr = (
             nodes.join(contrib, nodes.node == contrib.cnode, "left")
             .crossJoin(F.broadcast(nn))
@@ -2017,9 +2107,12 @@ def q253_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the visited set — per-hop cost scales with the FRONTIER,
     not the graph, and the visited set is a checkpointed id list.
     The frontier can approach the reachable set (O(|V|)) by hop 3,
-    so its join strategy is left to AQE (which broadcasts the early
-    tiny frontiers and shuffles once it grows) instead of a forced
-    broadcast hint that would hit the 8 GiB ceiling at scale.
+    so its per-hop join is broadcast only under a MEASURED row-count
+    gate (_gated_broadcast over the previous hop's checkpointed
+    count): early tiny frontiers broadcast even at 100 TB, and the
+    moment a frontier outgrows the gate it falls back to an
+    AQE-decided shuffle join instead of a forced hint that would hit
+    the 8 GiB ceiling at scale.
     The oracle unrolls identical frontier CTEs; minimum-hop
     uniqueness holds by construction (a node enters exactly one
     frontier), so the trace hash-checks the traversal order itself."""
@@ -2049,18 +2142,28 @@ def q253_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     visited = frontier.select("vec_id")
     out = [frontier]
+    # per-hop measured gates: each hop's frontier is eagerly
+    # checkpointed, so its exact row count is a cheap local-block
+    # count — broadcast the frontier/visited sets into the edge join
+    # while they provably fit (early hops, even at 100 TB), shuffle
+    # join once they approach the reachable set (_gated_broadcast)
+    n_front, n_vis = 1, 1
     for h in range(1, _Q253_HOPS + 1):
         nxt = (
             edges.join(
-                frontier.select(F.col("vec_id").alias("u")),
+                _gated_broadcast(
+                    frontier.select(F.col("vec_id").alias("u")), n_front
+                ),
                 "u",
             )
             .select(F.col("v").alias("vec_id"))
             .distinct()
-            .join(visited, "vec_id", "left_anti")
+            .join(_gated_broadcast(visited, n_vis), "vec_id", "left_anti")
             .select("vec_id", F.lit(h).alias("hop"))
             .localCheckpoint(eager=True)
         )
+        n_front = nxt.count()
+        n_vis += n_front
         out.append(nxt)
         visited = visited.unionByName(nxt.select("vec_id")).localCheckpoint(
             eager=True
@@ -2219,9 +2322,10 @@ def q314_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     Execution: edges come from q50's exact top-k kernel + one reversed
     equi self-join (k*N rows, never N^2); each peel round is a groupBy
     degree count + two left-semi joins on the survivor set — O(|V|)
-    in early rounds, so the join strategy is left to AQE (broadcast
-    once it shrinks under the threshold, shuffle before that) rather
-    than force-hinted. Output: every vector with its mutual degree, core
+    in early rounds, so the semi joins are broadcast only under a
+    MEASURED row-count gate (_gated_broadcast; beyond it they fall
+    back to AQE-decided shuffle joins — never a forced unbounded
+    hint). Output: every vector with its mutual degree, core
     membership after 4 rounds, and its degree inside the core."""
     from ..operators.similarity import cosine_topk
 
@@ -2256,23 +2360,33 @@ def kcore_from_knn_edges(
     dir0 = mut.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
         mut.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    d0 = dir0.groupBy("src").agg(F.count("*").alias("c"))
     # truncate lineage once before the loop and once per round: each
     # round references the previous round's edges three times (degree
     # count + two semi joins), so an un-checkpointed loop grows the
     # logical plan ~3^rounds — the checkpoint is the standard guard
     # for iterative graph passes (q48 convention), and the edge list
-    # is k*N bounded so materializing it is cheap at any scale
+    # is k*N bounded so materializing it is cheap at any scale.
+    # d0 is derived AFTER the checkpoint so the mutual-join kernel
+    # materializes exactly once (deriving it before gave d0 an
+    # independent lineage whose checkpoint re-ran the kernel).
     dir0 = dir0.localCheckpoint(eager=False)
-    d0 = d0.localCheckpoint(eager=False)
+    d0 = dir0.groupBy("src").agg(F.count("*").alias("c")).localCheckpoint(
+        eager=False
+    )
+    # the survivor set is bounded by the degree-table row count; the
+    # count (over the just-checkpointed frame) feeds the per-round
+    # broadcast gate
+    n0 = d0.count()
     edges, deg = dir0, d0
     alive = None
     for _ in range(rounds):
         alive = deg.filter(F.col("c") >= core_k).select("src")
         edges = (
-            edges.join(alive, "src", "left_semi")
+            edges.join(_gated_broadcast(alive, n0), "src", "left_semi")
             .join(
-                alive.select(F.col("src").alias("dst")),
+                _gated_broadcast(
+                    alive.select(F.col("src").alias("dst")), n0
+                ),
                 "dst",
                 "left_semi",
             )
@@ -2287,19 +2401,29 @@ def kcore_from_knn_edges(
     return (
         nodes.select("vec_id")
         .join(
-            d0.select(F.col("src").alias("vec_id"), F.col("c").alias("_d0")),
-            "vec_id",
-            "left",
-        )
-        .join(
-            core_nodes.select(
-                F.col("src").alias("vec_id"), F.lit(1).alias("_core")
+            _gated_broadcast(
+                d0.select(
+                    F.col("src").alias("vec_id"), F.col("c").alias("_d0")
+                ),
+                n0,
             ),
             "vec_id",
             "left",
         )
         .join(
-            dcore.select(F.col("src").alias("vec_id"), "deg_core"),
+            _gated_broadcast(
+                core_nodes.select(
+                    F.col("src").alias("vec_id"), F.lit(1).alias("_core")
+                ),
+                n0,
+            ),
+            "vec_id",
+            "left",
+        )
+        .join(
+            _gated_broadcast(
+                dcore.select(F.col("src").alias("vec_id"), "deg_core"), n0
+            ),
             "vec_id",
             "left",
         )

@@ -2879,10 +2879,17 @@ def q367_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: span keys are 64-bit hashes, duplication is one
     hash groupBy (count distinct docs) and one equi join back on the
     hash — never pairwise doc comparison; the same
-    shingle-as-inverted-index law as q89, with per-position (not
-    distinct) rows kept so coverage is measured in token positions.
-    At 100 TB both shuffles key on the span hash — uniform by
-    construction."""
+    shingle-as-inverted-index law as q89.  r12 restructure (guide
+    S2.3 "aggregate before you shuffle"): the tokenize+explode span
+    frame collapses to per-(h, doc_id) position counts FIRST — one
+    pass over the text and ONE full-position-grain shuffle (with
+    map-side partial aggregation) — and both the ndocs aggregation
+    and the join-back then run on the collapsed frame, where the old
+    shape tokenized the corpus twice and shuffled the raw position
+    rows twice (agg side + join-back side).  Per-position coverage
+    is preserved exactly: n_pos = sum(c), dup_pos = sum(c) over
+    spans seen in >= 2 docs.  At 100 TB every shuffle keys on the
+    span hash — uniform by construction."""
     from ..functions.portable import hash64
     from ..operators.text import word_shingles
 
@@ -2899,16 +2906,21 @@ def q367_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", hash64("s").alias("h"))
     )
-    nd = sh.groupBy("h").agg(
-        F.countDistinct("doc_id").alias("ndocs")
+    g = sh.groupBy("h", "doc_id").agg(
+        F.first("source").alias("source"), F.count("*").alias("c")
     )
+    nd = g.groupBy("h").agg(F.count("*").alias("ndocs"))
     per_doc = (
-        sh.join(nd, "h")
+        g.join(nd, "h")
         .groupBy("doc_id")
         .agg(
             F.first("source").alias("source"),
-            F.count("*").alias("n_pos"),
-            F.count(F.when(F.col("ndocs") >= 2, 1)).alias("dup_pos"),
+            F.sum("c").alias("n_pos"),
+            # coalesce: a doc with zero duplicated positions must read
+            # dup_pos = 0 (the old count(when...) semantics), not NULL
+            F.coalesce(
+                F.sum(F.when(F.col("ndocs") >= 2, F.col("c"))), F.lit(0)
+            ).alias("dup_pos"),
         )
     )
     rate = F.col("dup_pos").cast("double") / F.col("n_pos")

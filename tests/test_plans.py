@@ -1708,6 +1708,10 @@ def test_no_unaudited_driver_materializations():
 # overrides AQE's size check, so an unbounded one is a hard 8 GiB
 # failure at 100x scale — that's what this guard fences.
 _BROADCAST_ALLOWED = {
+    # size-GATED broadcast helper (r12): the hint is applied only when
+    # the caller's MEASURED row count fits _BROADCAST_GATE_ROWS, so
+    # every frame reaching this F.broadcast is bounded by construction
+    ("plans/similarity_q.py", "_gated_broadcast", "broadcast"),
     ("operators/dedup.py", "jaccard_pairs", "broadcast"),
     ("operators/dedup.py", "minhash_dedup_pairs", "broadcast"),
     ("operators/dedup.py", "screen_against_index", "broadcast"),
