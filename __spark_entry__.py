@@ -89,6 +89,17 @@ _ADJUDICATE_FIRST = [
     # pair enumeration (oracle-replayed green at sf0.01 before
     # staging; one more r3-era fill rolls to r13)
     "q365_adamic_adar",
+    # r12 optimization batch 2 (mandatory picks, same protocol): the
+    # LOF kNN-edge frame + lrd pinned (q348), the BM25 tfs/dl frames
+    # pinned (q399), the Kneser-Ney ev/big model frames pinned
+    # (q378), and the sweep-line boundary emission collapsed from a
+    # two-projection union to a single-pass array explode (q280,
+    # q267) — five more displaced fills roll to r13
+    "q348_lof_outliers",
+    "q399_self_retrieval",
+    "q378_ccnet_buckets",
+    "q280_interval_coverage",
+    "q267_concurrency_sweep",
     "q108_retention_cohorts",
     "q109_count_min_sketch",
     "q110_bloom_membership",
@@ -118,6 +129,7 @@ _ADJUDICATE_FIRST = [
     "q142_event_transitions",
     "q143_mutual_knn",
     "q144_jl_projection",
+    "q145_adx",
     "q23_approx_aggregates",
     "q55_kmeans_clusters",
     "q71_multimodal_features",
@@ -126,12 +138,6 @@ _ADJUDICATE_FIRST = [
     "q126_chaikin_adl",
     "q127_pivot_points",
     "q128_char_entropy",
-    "q145_adx",
-    "q146_trix",
-    "q147_cci",
-    "q148_top_supplier",
-    "q149_supplier_diversity",
-    "q150_small_quantity_revenue",
 ]
 
 # Superseded round-2 rotation, kept for the audit trail.

@@ -3785,9 +3785,22 @@ def q267_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("ts") + gap).alias("t_end"),
         )
     )
+    # r12 (guide S2.4): one pass over the session frame — the former
+    # unionByName of two projections executed the sessionization
+    # subtree twice; the 2-element array explode emits the identical
+    # boundary rows from a single execution (same fix as q280).
     deltas = sess.select(
-        F.col("t_start").alias("ts"), F.lit(1).alias("delta")
-    ).unionByName(sess.select(F.col("t_end").alias("ts"), F.lit(-1).alias("delta")))
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("t_start").alias("ts"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    F.col("t_end").alias("ts"), F.lit(-1).alias("delta")
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.ts", "_e.delta")
     sweep = with_global_row_stats(
         deltas, ["ts", "delta"], cum_sums={"live": "delta"}, allow_ties=True
     ).select(F.to_date("ts").alias("day"), "live")
@@ -4052,11 +4065,24 @@ def q280_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "sess_no")
         .agg(F.min("ts").alias("t_start"), (F.max("ts") + gap).alias("t_end"))
     )
+    # r12 (guide S2.4): emit both boundary events from ONE pass over
+    # the session frame — the former unionByName of two projections
+    # planned the whole sessionization subtree (events scan + two
+    # windows + groupBy) TWICE inside the sweep's pinned input; the
+    # 2-element inline array explode produces the identical rows from
+    # a single execution.
     deltas = sess.select(
-        F.col("t_start").alias("ts"), F.lit(1).alias("delta")
-    ).unionByName(
-        sess.select(F.col("t_end").alias("ts"), F.lit(-1).alias("delta"))
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("t_start").alias("ts"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    F.col("t_end").alias("ts"), F.lit(-1).alias("delta")
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.ts", "_e.delta")
     ranked = with_global_row_stats(
         deltas,
         ["ts", "delta"],

@@ -2495,7 +2495,17 @@ def lof_from_knn_edges(knn: DataFrame, k: int, id_filter_mod: int | None = 5) ->
     path (knn_candidate_edges_bucketed) are interchangeable inputs —
     the swap SCALE.md's "exact-kNN edges law" prescribes, exercised by
     tests/test_plans.py::test_bucketed_knn_edge_recall.  All joins are
-    equi-joins on vec_id with k-bounded fan-out."""
+    equi-joins on vec_id with k-bounded fan-out.
+
+    r12 pins (guide S2.4/S3.3): the edge frame feeds THREE consumers
+    (k-distance agg, reachability join, LOF join) and un-pinned each
+    consumer replans and re-executes the whole upstream kernel —
+    plan-measured 8 parquet scans / 8 Python-eval nodes for one
+    query.  The edge frame is k*N-bounded, so pinning it is cheap at
+    any scale (the k-core/PageRank argument); lrd (one row per node)
+    is pinned for the same reason — it feeds both sides of the LOF
+    ratio plus the output join."""
+    knn = knn.transform(pin_frame)
     kd = knn.groupBy("pid").agg(F.max("dist").alias("kdist"))
     reach = knn.join(
         kd.select(F.col("pid").alias("nid"), "kdist"), "nid"
@@ -2504,7 +2514,7 @@ def lof_from_knn_edges(knn: DataFrame, k: int, id_filter_mod: int | None = 5) ->
     )
     lrd = reach.groupBy("pid").agg(
         (F.lit(float(k)) / F.sum("rdist")).alias("lrd")
-    )
+    ).transform(pin_frame)
     lof = (
         knn.join(
             lrd.select(F.col("pid").alias("nid"), F.col("lrd").alias("lrd_n")),

@@ -3397,12 +3397,21 @@ def q378_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang",
         F.explode(word_shingles(tokens("text"), 2)).alias("s"),
     )
-    ev = bgd.groupBy("doc_id", "lang", "s").agg(F.count("*").alias("n"))
-    big = ev.groupBy("lang", "s").agg(
+    # r12 pins (guide S2.4): ev (per-doc bigram counts) feeds both the
+    # model-table chain and the per-doc scoring join, and big (the
+    # per-lang bigram type table) feeds FOUR consumers (hist, cont,
+    # tot, and the model join's left side) — un-pinned, the
+    # tokenize+shingle+explode+agg chain re-ran five times in the
+    # measured plan.  Both frames are aggregates far smaller than the
+    # token stream they summarize, so the pins shrink state at scale.
+    ev = pin_frame(
+        bgd.groupBy("doc_id", "lang", "s").agg(F.count("*").alias("n"))
+    )
+    big = pin_frame(ev.groupBy("lang", "s").agg(
         F.sum("n").alias("n"),
         F.first(F.split_part(F.col("s"), F.lit(" "), F.lit(1))).alias("v"),
         F.first(F.split_part(F.col("s"), F.lit(" "), F.lit(2))).alias("w"),
-    )
+    ))
     hist = big.groupBy("lang", "v").agg(
         F.sum("n").cast("double").alias("c_v"),
         F.count("*").alias("n1p_fwd"),
@@ -4279,12 +4288,22 @@ def q399_self_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "source", tokens("text").alias("t")
     )
-    dl = toks.select("doc_id", F.size("t").cast("long").alias("dl"))
+    # r12 pins (guide S2.4): the tokenize pass is the expensive leaf
+    # here, and un-pinned it re-ran once per consumer — dl feeds the
+    # corpus stats AND the per-candidate length join, tfs feeds the
+    # document-frequency agg, the query-term pick and BOTH sides of
+    # the posting join: 6 full tokenize+explode re-executions in the
+    # measured plan.  dl is doc-grain (2 longs/row) and tfs is
+    # (doc, term) grain — both bounded well under the corpus text
+    # volume they replace, so the pins shrink state at any scale.
+    dl = pin_frame(
+        toks.select("doc_id", F.size("t").cast("long").alias("dl"))
+    )
     stats = dl.agg(
         F.count("*").cast("long").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
-    tfs = (
+    tfs = pin_frame(
         toks.select("doc_id", F.explode("t").alias("term"))
         .filter(F.col("term").rlike("^[a-z0-9]+$"))
         .groupBy("doc_id", "term")
