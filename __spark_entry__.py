@@ -100,6 +100,9 @@ _ADJUDICATE_FIRST = [
     "q378_ccnet_buckets",
     "q280_interval_coverage",
     "q267_concurrency_sweep",
+    # r12 batch 3 (plan_dup_audit finds): q334's label/feature aggs
+    # collapsed onto one tokenize pass
+    "q334_threshold_sweep",
     "q108_retention_cohorts",
     "q109_count_min_sketch",
     "q110_bloom_membership",
@@ -129,7 +132,6 @@ _ADJUDICATE_FIRST = [
     "q142_event_transitions",
     "q143_mutual_knn",
     "q144_jl_projection",
-    "q145_adx",
     "q23_approx_aggregates",
     "q55_kmeans_clusters",
     "q71_multimodal_features",

@@ -1104,10 +1104,15 @@ def pagerank_from_edges(vecs: DataFrame, edges: DataFrame) -> DataFrame:
     # iteration's pr/contrib are all O(|V|)-grain, and |V| <= n_deg
     # rows with degree + the isolated remainder of the node universe.
     n_deg = deg.count()
-    n_nodes = vecs.count()
     degb = _gated_broadcast(deg, n_deg)
-    nodes = vecs.select(F.col("vec_id").alias("node"))
-    nn = vecs.agg(F.count("*").alias("n"))
+    # pin the node universe too (N longs — the r12 plan_dup_audit
+    # flagged the un-pinned projection re-planned in all 5 iteration
+    # bodies, each pulling its own scan of the vector source); the
+    # N scalar and the gate count both derive from the pin, so the
+    # source is scanned exactly once for the node side
+    nodes = pin_frame(vecs.select(F.col("vec_id").alias("node")))
+    n_nodes = nodes.count()
+    nn = nodes.agg(F.count("*").alias("n"))
     pr = nodes.crossJoin(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("pr")
     )
@@ -2662,8 +2667,25 @@ def q351_mmd_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab_index = {int(l): i for i, l in enumerate(labels)}
     n_lab = len(labels)
 
+    # r12 kernel vectorization (guide S4.2): the accumulation loop ran
+    # per probe ROW (1024 per block) x per label, each step masking
+    # the full corpus axis in interpreted numpy — O(rows * labels)
+    # Python-level ops per block.  Replaced by two one-hot matmuls:
+    # row-label^T @ (term @ col-label) gives every (la, lb) partial
+    # sum in ONE BLAS pass, and the i<>j self-exclusion becomes a
+    # diagonal correction (each probe's own corpus column, always its
+    # own label class).  Same partial-sum semantics; per-term values
+    # are identical (the grid rounding happens before accumulation),
+    # only the summation ORDER changes — inside the 8dp output
+    # rounding tolerance exactly like the distributed sum it feeds.
     def partials(batches, gamma=None):
         ids, lab, m, sn = bc.value
+        # per-task setup derived from the broadcast (guide S4.5):
+        # one-hot corpus label matrix, per-label column counts, and
+        # the probe-id -> corpus-column map for the diagonal fix
+        corpus_onehot = (lab[:, None] == labels[None, :]).astype("float64")
+        corpus_counts = corpus_onehot.sum(axis=0).astype("int64")
+        id_to_col = {int(v): i for i, v in enumerate(ids)}
         for pdf in batches:
             pm = np.stack([np.asarray(v, dtype="float64") for v in pdf["v"]])
             pids = pdf["vec_id"].to_numpy()
@@ -2675,15 +2697,25 @@ def q351_mmd_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sqd = bsq[:, None] - 2.0 * (blk @ m.T) + sn[None, :]
                 sqd = np.floor(sqd * 1e9 + 0.5001) / 1e9
                 term = np.exp(-gamma * sqd) if gamma is not None else sqd
-                cnt = np.zeros((n_lab, n_lab), dtype="int64")
-                acc = np.zeros((n_lab, n_lab), dtype="float64")
-                for i in range(hi - lo):
-                    row_ok = ids != pids[lo + i]
-                    li = lab_index[int(plab[lo + i])]
-                    for lj, ljv in enumerate(labels):
-                        mask = row_ok & (lab == ljv)
-                        cnt[li, lj] += int(mask.sum())
-                        acc[li, lj] += float(term[i][mask].sum())
+                row_onehot = (
+                    plab[lo:hi, None] == labels[None, :]
+                ).astype("float64")
+                acc = row_onehot.T @ (term @ corpus_onehot)
+                row_counts = row_onehot.sum(axis=0).astype("int64")
+                cnt = row_counts[:, None] * corpus_counts[None, :]
+                # self-exclusion (i <> j): every probe row appears
+                # exactly once in the corpus columns under its own
+                # label, so subtract its diagonal term per row class
+                self_col = np.array(
+                    [id_to_col[int(p)] for p in pids[lo:hi]], dtype="int64"
+                )
+                diag = term[np.arange(hi - lo), self_col]
+                for li in range(n_lab):
+                    rows_li = plab[lo:hi] == labels[li]
+                    n_li = int(rows_li.sum())
+                    if n_li:
+                        cnt[li, li] -= n_li
+                        acc[li, li] -= float(diag[rows_li].sum())
                 la_idx, lb_idx = np.nonzero(cnt)
                 yield pd.DataFrame(
                     {

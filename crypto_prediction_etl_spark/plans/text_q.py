@@ -1996,27 +1996,37 @@ def q334_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
         ).alias("tok"),
     )
-    lbl = toks.groupBy("doc_id").agg(
-        F.max((F.col("tok") == "join").cast("int")).cast("int").alias("y")
+    # r12 (guide S2.3, plan_dup_audit find): the label and feature
+    # aggregations both consumed the token explode, so the corpus
+    # tokenize ran twice.  One (doc, bkt)-grain aggregation now
+    # carries BOTH the hashed-feature count and the ground-truth flag
+    # (max over the bucket's tokens; the probe token always lands in
+    # one bucket, and max-of-max over buckets == max over tokens), so
+    # a single tokenize pass and a single position-grain shuffle feed
+    # one doc-grain aggregation producing prob AND y together.
+    g = toks.select(
+        "doc_id",
+        (hash64(F.col("tok")) % _Q320_BUCKETS).alias("bkt"),
+        (F.col("tok") == "join").cast("int").alias("is_probe"),
+    ).groupBy("doc_id", "bkt").agg(
+        F.count("*").alias("cnt"), F.max("is_probe").alias("hit")
     )
-    feats = toks.select(
-        "doc_id", (hash64(F.col("tok")) % _Q320_BUCKETS).alias("bkt")
-    ).groupBy("doc_id", "bkt").agg(F.count("*").alias("cnt"))
     wcol = (
         hash64(F.concat(F.lit("w:"), F.col("bkt").cast("string"))) % 2001
         - 1000
     ) / 1000.0
-    scored = feats.groupBy("doc_id").agg(
+    scored = g.groupBy("doc_id").agg(
         prnd(
             1.0
             / (1.0 + F.exp(-(F.sum(F.col("cnt") * wcol) / F.sum("cnt")))),
             6,
-        ).alias("prob")
+        ).alias("prob"),
+        F.max("hit").cast("int").alias("y"),
     )
     th = docs.sparkSession.createDataFrame(
         [(t,) for t in _Q334_THRESHOLDS], "t double"
     )
-    j = scored.join(lbl, "doc_id").crossJoin(F.broadcast(th))
+    j = scored.crossJoin(F.broadcast(th))
     cells = j.groupBy("t").agg(
         F.sum(
             F.when((F.col("prob") >= F.col("t")) & (F.col("y") == 1), 1).otherwise(0)
