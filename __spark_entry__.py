@@ -103,6 +103,16 @@ _ADJUDICATE_FIRST = [
     # r12 batch 3 (plan_dup_audit finds): q334's label/feature aggs
     # collapsed onto one tokenize pass
     "q334_threshold_sweep",
+    # r12 batch 4 (mandatory picks, same protocol): mutual-kNN
+    # mutualization rewritten from the reversed self equi-join to ONE
+    # canonical-pair aggregation (q143 + the shared _edges feeder now
+    # pinned — q165/q372/q391 consume it; q314's kcore kernel carries
+    # the same rewrite and is already seated above).  All oracle-
+    # replayed green at sf0.01 before staging; three more displaced
+    # fills roll to r13.
+    "q165_triangle_count",
+    "q372_label_modularity",
+    "q391_knn_assortativity",
     "q108_retention_cohorts",
     "q109_count_min_sketch",
     "q110_bloom_membership",
@@ -137,9 +147,6 @@ _ADJUDICATE_FIRST = [
     "q71_multimodal_features",
     "q124_mfi",
     "q125_donchian",
-    "q126_chaikin_adl",
-    "q127_pivot_points",
-    "q128_char_entropy",
 ]
 
 # Superseded round-2 rotation, kept for the audit trail.

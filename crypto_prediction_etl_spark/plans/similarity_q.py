@@ -861,29 +861,41 @@ def q143_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     for clustering (mutual edges reject hub/asymmetric matches).
 
     Composes q50's exact top-k (corpus scanned once, per-batch BLAS,
-    partial top-k) with ONE self equi-join of the kNN edge list on the
-    reversed (query, neighbor) pair — the edge list is k rows per
-    vector, so the join input is k*N rows, never N^2. Here every
-    vector is a query, which is the documented collect-side bound of
-    cosine_topk (fine to ~10^5 queries x 64 dims); past that the same
-    mutual join runs unchanged over a block-matrix scorer.
+    partial top-k) with mutualization by ONE canonical-pair
+    aggregation (r12, guide S2.2/S2.3): each directed edge maps to
+    (least, greatest) carrying its direction's attributes in
+    direction-gated columns, and a pair is mutual iff the group holds
+    both directions (count == 2 — kNN rows are unique per direction,
+    self-edges kernel-excluded).  max() over (value, NULL) recovers
+    each direction's payload: cos_sim/rank_ab from the a<b direction
+    (exactly the oracle's ab.cos_sim — cosine is symmetric but the
+    value is taken from the same side), rank_ba from the reverse.
+    The previous reversed self equi-join shuffled the k*N edge list
+    twice and paid a join stage; this shuffles it once with map-side
+    partial aggregation.  Here every vector is a query, which is the
+    documented collect-side bound of cosine_topk (fine to ~10^5
+    queries x 64 dims); past that the same mutualization runs
+    unchanged over a block-matrix scorer.
     """
     vecs = _vecs(spark, sf_dir)
     knn = cosine_topk(vecs, _vecs(spark, sf_dir), k=_Q143_K)
-    ab = knn.select(
-        F.col("query_id").alias("id_a"),
-        F.col("vec_id").alias("id_b"),
-        "cos_sim",
-        F.col("rank").alias("rank_ab"),
-    )
-    ba = knn.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("query_id").alias("id_b"),
-        F.col("rank").alias("rank_ba"),
+    fwd = F.col("query_id") < F.col("vec_id")
+    canon = knn.select(
+        F.least("query_id", "vec_id").alias("id_a"),
+        F.greatest("query_id", "vec_id").alias("id_b"),
+        F.when(fwd, F.col("cos_sim")).alias("_cs_ab"),
+        F.when(fwd, F.col("rank")).alias("_r_ab"),
+        F.when(~fwd, F.col("rank")).alias("_r_ba"),
     )
     return (
-        ab.join(ba, ["id_a", "id_b"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        canon.groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("_n"),
+            F.max("_cs_ab").alias("cos_sim"),
+            F.max("_r_ab").alias("rank_ab"),
+            F.max("_r_ba").alias("rank_ba"),
+        )
+        .filter(F.col("_n") == 2)
         .select("id_a", "id_b", "cos_sim", "rank_ab", "rank_ba")
     )
 
@@ -988,20 +1000,31 @@ _EDGES_CTE = f"""
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mutual-kNN edge list (id_a < id_b), exactly q143's graph."""
+    """Mutual-kNN edge list (id_a < id_b), exactly q143's graph.
+
+    r12 (guide S2.2/S2.3): mutualization is ONE canonical-pair
+    aggregation instead of the ab><ba self equi-join — each directed
+    edge maps to (least, greatest) and a pair is mutual iff its group
+    holds both directions (count == 2; kNN rows are unique per
+    direction and self-edges are excluded by the kernel, so 2 is
+    exact).  The join shape shuffled the k*N edge list TWICE (both
+    join sides) and paid a join stage; this shuffles it once with
+    map-side partial aggregation.  The result is pinned: the edge
+    list is k*N-bounded and every consumer (q164's symmetric union,
+    q165's three self-join sides, q372's label join) reads it more
+    than once or feeds it to an iterative body."""
     vecs = _vecs(spark, sf_dir)
     knn = cosine_topk(vecs, _vecs(spark, sf_dir), k=_Q143_K).select(
         "query_id", "vec_id"
     )
-    ab = knn.select(
-        F.col("query_id").alias("id_a"), F.col("vec_id").alias("id_b")
-    )
-    ba = knn.select(
-        F.col("vec_id").alias("id_a"), F.col("query_id").alias("id_b")
-    )
-    return (
-        ab.join(ba, ["id_a", "id_b"])
-        .filter(F.col("id_a") < F.col("id_b"))
+    return pin_frame(
+        knn.select(
+            F.least("query_id", "vec_id").alias("id_a"),
+            F.greatest("query_id", "vec_id").alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") == 2)
         .select("id_a", "id_b")
     )
 
@@ -1058,13 +1081,13 @@ def q164_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means) expressed so Catalyst sees the whole dataflow: each
     iteration is a (join edge list -> partial-agg groupBy -> left join
     nodes) stage, all on the node key, so one co-partitioning carries
-    every iteration at scale; the O(|V|) degree/rank/contrib frames
+    every iteration at scale; the O(|V|) rank-ratio/contrib frames
     join under a MEASURED size gate (_gated_broadcast: broadcast while
     the counted rows provably fit, AQE-decided shuffle join beyond the
-    gate — never a forced unbounded hint), and only the 1-row N scalar
-    is unconditionally broadcast. Fixed iteration count keeps it
-    SQL-expressible — the oracle replays the identical five stages as
-    chained CTEs."""
+    gate — never a forced unbounded hint), and the 1/N teleport scalar
+    is a literal derived from the gate's own count. Fixed iteration
+    count keeps it SQL-expressible — the oracle replays the identical
+    five stages as chained CTEs."""
     edges = _edges(spark, sf_dir)
     return pagerank_from_edges(_vecs(spark, sf_dir), edges)
 
@@ -1112,28 +1135,36 @@ def pagerank_from_edges(vecs: DataFrame, edges: DataFrame) -> DataFrame:
     # source is scanned exactly once for the node side
     nodes = pin_frame(vecs.select(F.col("vec_id").alias("node")))
     n_nodes = nodes.count()
-    nn = nodes.agg(F.count("*").alias("n"))
-    pr = nodes.crossJoin(F.broadcast(nn)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("pr")
-    )
+    # n_nodes is already materialized for the broadcast gate, so the
+    # 1/N and teleport scalars are plain literals (identical IEEE
+    # doubles to the former per-iteration crossJoin(broadcast(agg)) —
+    # same dividend, same long divisor, same double division), which
+    # removes 5 SinglePartition aggregate exchanges + 5 broadcast
+    # builds from the unrolled plan (guide S2.2).
+    pr = nodes.select("node", F.lit(1.0 / n_nodes).alias("pr"))
+    teleport = (1.0 - _Q164_D) / n_nodes
     for _ in range(_Q164_ITERS):
+        # fold deg into the rank frame at NODE grain (inner join —
+        # sym.src only holds nodes with degree, so dropping isolated
+        # nodes here changes nothing): each edge row then probes ONE
+        # broadcast hash table carrying the precomputed pr/deg ratio
+        # instead of two (pr AND deg).  The per-edge value is the
+        # identical double — the division just happens once per node
+        # instead of once per edge row (guide S3.3, S2.3).
+        rd = pr.join(degb, "node").select(
+            "node", (F.col("pr") / F.col("deg")).alias("r")
+        )
         contrib = (
-            sym.join(_gated_broadcast(pr, n_nodes), sym.src == pr.node)
-            .join(degb.alias("d"), F.col("d.node") == sym.src)
+            sym.join(_gated_broadcast(rd, n_deg), sym.src == rd.node)
             .groupBy(F.col("dst").alias("cnode"))
-            .agg(F.sum(F.col("pr") / F.col("deg")).alias("c"))
+            .agg(F.sum("r").alias("c"))
         )
         contrib = _gated_broadcast(contrib, n_deg)
-        pr = (
-            nodes.join(contrib, nodes.node == contrib.cnode, "left")
-            .crossJoin(F.broadcast(nn))
-            .select(
-                "node",
-                (
-                    F.lit(1.0 - _Q164_D) / F.col("n")
-                    + _Q164_D * F.coalesce("c", F.lit(0.0))
-                ).alias("pr"),
-            )
+        pr = nodes.join(contrib, nodes.node == contrib.cnode, "left").select(
+            "node",
+            (
+                F.lit(teleport) + _Q164_D * F.coalesce("c", F.lit(0.0))
+            ).alias("pr"),
         )
     return pr.select("node", prnd("pr", 8).alias("pagerank"))
 
@@ -2355,13 +2386,23 @@ def kcore_from_knn_edges(
     LOF (VERDICT r10 item 3).  Peeling sensitivity to candidate recall
     is measured in tests/test_plans.py::test_bucketed_kcore_stability.
     """
-    ab = knn.select(
-        F.col("query_id").alias("a"), F.col("vec_id").alias("b")
+    # mutualization by ONE canonical-pair aggregation (r12, guide
+    # S2.2/S2.3): a pair is mutual iff its (least, greatest) group
+    # holds both directions — count == 2 is exact because kNN rows
+    # are unique per direction and self-edges are kernel-excluded.
+    # The previous reversed self equi-join (+ redundant distinct)
+    # shuffled the k*N edge list twice; this shuffles it once with
+    # map-side partial aggregation.
+    mut = (
+        knn.select(
+            F.least("query_id", "vec_id").alias("a"),
+            F.greatest("query_id", "vec_id").alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") == 2)
+        .select("a", "b")
     )
-    ba = knn.select(
-        F.col("vec_id").alias("a"), F.col("query_id").alias("b")
-    )
-    mut = ab.join(ba, ["a", "b"]).filter(F.col("a") < F.col("b")).distinct()
     dir0 = mut.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
         mut.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
@@ -3035,12 +3076,15 @@ def q372_label_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     GRAPH-side verdict, and grades any clustering (swap labels for
     q55's k-means assignment) without touching distances twice.
 
-    Composes q143's mutual-kNN edges (broadcast-matrix BLAS kernel +
-    k*N equi self-join — never N^2 rows) with label lookups that are
-    two joins keyed on vec_id, then pure per-label partial aggs; the
-    modularity fold is over a #labels-row frame with a single global
-    window (tiny, post-aggregate — the q355 scalar law)."""
-    edges = q143_mutual_knn(spark, sf_dir).select("id_a", "id_b")
+    Composes the shared mutual-kNN edge list (broadcast-matrix BLAS
+    kernel + one canonical-pair mutualization shuffle — never N^2
+    rows; r12: reads the pinned _edges frame instead of re-deriving
+    q143's full attribute frame and dropping the attributes) with
+    label lookups that are two joins keyed on vec_id, then pure
+    per-label partial aggs; the modularity fold is over a
+    #labels-row frame with a single global window (tiny,
+    post-aggregate — the q355 scalar law)."""
+    edges = _edges(spark, sf_dir)
     lab = table(spark, sf_dir, "embeddings").select("vec_id", "label")
     ed = (
         edges.join(

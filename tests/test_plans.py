@@ -1073,6 +1073,13 @@ _PARTITIONLESS_WINDOW_ALLOWED = {
     },
     # contingency cells: |status| x |priority| <= 15 rows
     "q341_chi_square": {_ROWS_ALL},
+    # label table: one row per embedding label (~10) — the modularity
+    # fold is post-aggregate (q355 scalar law).  Flagged only since
+    # r12: pinning the shared _edges feeder collapsed the kNN kernel
+    # subtree (whose WindowGroupLimit markers previously tripped the
+    # _BOUNDED exclusion) into a LogicalRDD leaf, exposing the
+    # always-present window to the guard.
+    "q372_label_modularity": {_ROWS_ALL},
     # hypothesis table: one row per tested event_type (~5)
     "q355_bh_fdr": {
         f"_w0 DESC NULLS LAST, id ASC NULLS FIRST, {_ROWS_CUM}"
@@ -1143,30 +1150,36 @@ def test_q364_variance_ratio_one_window_pass(spark, sf_dir):
 
 
 def test_q365_adamic_adar_pairs_are_equi_join(spark, sf_dir):
-    """The AA pair generator must be a per-customer equi self-join
-    (SortMergeJoin/ShuffledHashJoin on cust), never a cartesian, and
-    the part< part filter rides the join condition."""
+    """The AA pair generator (r12: in-array i<j enumeration over the
+    per-customer sorted part set) must never plan a cartesian or
+    nested-loop join at any stage."""
     plan = _plan(spark, sf_dir, "q365_adamic_adar")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_q365_edge_list_pinned_before_self_join(spark, sf_dir):
-    """r9: the degree-banded edge list is eager-localCheckpoint-pinned
-    before the pair self-join (q141's law) — unpinned, Catalyst plans
-    the co-purchase distinct + degree agg FOUR times (2 sides x
-    cp+deg, zero exchange reuse; observed 8 parquet scans / 14
-    HashAggregates).  Pinned, the final plan shows both join sides
-    scanning the same checkpointed RDD, no parquet rescans, and only
-    the pair aggregation itself."""
+def test_q365_single_pass_set_aggregation(spark, sf_dir):
+    """r12 restructure (guide S2.3/S2.4): the co-purchase DISTINCT,
+    degree agg, degree-band join-back, pinned edge list and the pair
+    SELF-JOIN all collapsed into ONE groupBy(cust).collect_set(part)
+    with in-array pair enumeration.  The executed plan must show
+    exactly: the orders><lineitem join, the set-building aggregation
+    (ObjectHashAggregate, one exchange), the pair Generate, and the
+    pair aggregation (one exchange) — no self-join of a derived edge
+    list, no checkpoint pin, no parquet rescans beyond the two base
+    tables."""
     from crypto_prediction_etl_spark.plans.registry import QUERIES
 
     df = QUERIES["q365_adamic_adar"](spark, sf_dir)
     executed = df._jdf.queryExecution().executedPlan().toString()
-    assert executed.count("Scan ExistingRDD") == 2
-    assert "Scan parquet" not in executed
-    # exactly the partial+final pair agg — no upstream re-aggregation
-    assert executed.count("HashAggregate") == 2
+    # the only join left is orders><lineitem
+    assert executed.count("Join") == 1
+    assert executed.count("Scan parquet") == 2
+    assert "Scan ExistingRDD" not in executed  # pin removed with the self-join
+    # one set-building exchange + one pair-agg exchange
+    assert executed.count("Exchange hashpartitioning") == 2
+    assert executed.count("ObjectHashAggregate") == 2  # partial+final collect_set
+    assert executed.count("Generate") == 1  # the in-array pair explode
 
 
 def test_q366_readability_is_map_only_scan(spark, sf_dir):
