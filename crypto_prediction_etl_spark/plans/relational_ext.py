@@ -2699,7 +2699,18 @@ def q365_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree agg, the band join-back and TWO self-join sides.  The
     per-customer pair fan-out is bounded by the same degree cap
     (<= 48^2/2 pairs per customer), so no generated array outgrows a
-    task at any scale."""
+    task at any scale.
+
+    The set-grain frame is explicitly spread to defaultParallelism
+    partitions before the pair explode: AQE coalesces the small
+    post-aggregation shuffle by BYTES (at sf0.1: 2 partitions) and
+    cannot anticipate the ~20x row fan-out behind the Generate, which
+    would otherwise run the pair enumeration + partial aggregation on
+    2 cores (measured 5.3s -> 2.0s at sf0.1).  The extra exchange
+    moves the compacted set frame — ~deg-arrays per customer, far
+    smaller than the pair stream it unlocks — and the count is
+    cluster-derived, not a local constant (guide S2.5 input-skew /
+    fan-out note)."""
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     parts_per_cust = (
@@ -2714,6 +2725,9 @@ def q365_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ps",
             (F.lit(1.0) / F.log(F.size("ps").cast("double"))).alias("w"),
         )
+    )
+    parts_per_cust = parts_per_cust.repartition(
+        spark.sparkContext.defaultParallelism
     )
     pair_structs = F.flatten(
         F.transform(
