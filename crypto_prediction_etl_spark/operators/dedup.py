@@ -82,7 +82,11 @@ def exact_dedup(
 
 
 def doc_shingle_arrays(
-    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    nonempty: bool = False,
 ) -> DataFrame:
     """(id, shingles) — distinct shingle ARRAY per document.
 
@@ -101,13 +105,22 @@ def doc_shingle_arrays(
     # CollapseProject keeps them separate (split is non-cheap), so the
     # generated code stays small — the inline form compiled to code ~2x
     # slower to Janino-compile and evaluate.
-    return (
-        spread_small_scan(docs)
-        .select(F.col(id_col), tokens(text_col).alias("_toks"))
-        .select(
-            F.col(id_col),
-            F.array_distinct(word_shingles(F.col("_toks"), n)).alias("shingles"),
-        )
+    toks = spread_small_scan(docs).select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    )
+    if nonempty:
+        # equivalent to filter(size(shingles) > 0) AFTER shingling —
+        # word_shingles yields an empty array exactly when the doc has
+        # fewer than n tokens — but a post-hoc filter on the computed
+        # column gets pushed below the projection with the ENTIRE
+        # shingle expression inlined into the Filter condition, so the
+        # build evaluated twice per doc (plan-verified on the memo
+        # build job). Filtering on the token count inlines only the
+        # split().
+        toks = toks.filter(F.size("_toks") >= n)
+    return toks.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(F.col("_toks"), n)).alias("shingles"),
     )
 
 
@@ -132,11 +145,9 @@ def shingle_arrays_cached(
     parquet dedup-index table (streaming.sinks.neardup_screen_writer
     persists exactly that); localCheckpoint is the in-session analog.
     """
-    return (
-        doc_shingle_arrays(docs, n, id_col, text_col)
-        .filter(F.size("shingles") > 0)
-        .transform(pin_frame)
-    )
+    return doc_shingle_arrays(
+        docs, n, id_col, text_col, nonempty=True
+    ).transform(pin_frame)
 
 
 # Session-scoped memo of shared corpus derivations, keyed by
@@ -259,6 +270,79 @@ def jaccard_pairs(
         a.join(b, "shingle")
         .filter((F.col("id_a") < F.col("id_b")) & ratio_ok)
         .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_inter", "jaccard")
+    )
+
+
+def jaccard_pairs_capped(
+    shingled: DataFrame,
+    threshold: float,
+    max_doc_freq: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact pairwise Jaccard >= threshold with the stop-shingle cut
+    folded in — result-identical to ``stop_shingle_cut(shingled, cap)``
+    piped through :func:`jaccard_pairs`, in half the shuffles.
+
+    One groupBy(shingle) builds the POSTING LIST per shingle and
+    carries the df-cap as a size filter on it (the cut's own groupBy +
+    semi-join back disappear); the i<j pair enumeration is an in-array
+    JVM expression over the sorted list (the q365 pattern — pair rows
+    flow straight into the (id_a, id_b) partial aggregation, no
+    self-join, so the exploded frame never shuffles twice more); the
+    per-doc post-cut sizes come from one explode of the pinned posting
+    frame. The cap bounds every enumeration array at
+    C(max_doc_freq, 2) pairs, so no generated array outgrows a task at
+    any scale. The posting frame is pinned because sizes + pairs both
+    consume it — same magnitude as the capped exploded frame the old
+    shape pinned.
+
+    The fan-out spread before the pair explode is the q365 lesson
+    (guide S2.5): AQE coalesces the small post-aggregation exchange by
+    BYTES and cannot anticipate the ~df^2/2 row fan-out behind the
+    Generate; the round-robin exchange moves the compacted list frame,
+    far smaller than the pair stream it unlocks, and the count is
+    cluster-derived."""
+    pl = (
+        shingled.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ds"))
+        .filter(F.size("_ds") <= max_doc_freq)
+        .select("_ds")
+        .transform(pin_frame)
+    )
+    sizes = (
+        pl.select(F.explode("_ds").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_sh"))
+    )
+    multi = pl.filter(F.size("_ds") >= 2).repartition(
+        shingled.sparkSession.sparkContext.defaultParallelism
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ds"), i + F.lit(2), F.size("_ds")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    inter = (
+        multi.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("n_inter"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
@@ -507,18 +591,14 @@ def incremental_dedup(
     # filtered to each side is identical to shingling the side directly
     idx_arrays = index_arrays
     if idx_arrays is None:
-        idx_arrays = (
-            doc_shingle_arrays(index_docs, n, id_col, text_col)
-            .filter(F.size("shingles") > 0)
-            .transform(pin_frame)
-        )
+        idx_arrays = doc_shingle_arrays(
+            index_docs, n, id_col, text_col, nonempty=True
+        ).transform(pin_frame)
     new_arrays = incoming_arrays
     if new_arrays is None:
-        new_arrays = (
-            doc_shingle_arrays(incoming_docs, n, id_col, text_col)
-            .filter(F.size("shingles") > 0)
-            .transform(pin_frame)
-        )
+        new_arrays = doc_shingle_arrays(
+            incoming_docs, n, id_col, text_col, nonempty=True
+        ).transform(pin_frame)
     idx_bands = _band_keys(_minhash_sigs_from_arrays(idx_arrays, id_col), id_col)
     new_bands = _band_keys(_minhash_sigs_from_arrays(new_arrays, id_col), id_col)
     return screen_against_index(

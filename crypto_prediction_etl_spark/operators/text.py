@@ -59,6 +59,67 @@ def word_shingles(tokens_col: Column, n: int = 2) -> Column:
     return F.when(size >= n, mk).otherwise(F.array().cast("array<string>"))
 
 
+def with_word_shingles(
+    df, toks_col: str, n: int, out_col: str
+):
+    """DataFrame-level wide-n shingle builder: binary-DOUBLING ladder of
+    zip_with passes, each gram level materialized as its own projected
+    column so it evaluates ONCE (zip_with is CodegenFallback — a Column
+    tree that references a computed gram array twice would re-evaluate
+    the whole subtree; separate Projects make it an attribute lookup,
+    and CollapseProject keeps non-cheap multiply-referenced projections
+    separate).  Char-copy work is O(size * n) summed over log2(n)
+    passes (~2n token copies) versus the chained :func:`word_shingles`
+    form's O(size * n^2 / 2) (~n^2/2 copies) — at n=8 that is 14 vs 35
+    token copies per position (guide S1.2 "per-task work").  Output
+    strings are IDENTICAL to ``word_shingles(toks, n)``: a g-gram at
+    position i concatenated with the g'-gram at position i+g is the
+    (g+g')-gram at i, concat_ws skips the null padding past the end,
+    and the final slice cuts every partial tail gram.  Use for n >= 4;
+    at n <= 3 the ladder degenerates to the chained form, so callers
+    keep :func:`word_shingles` (identical plan, no drift)."""
+    assert n >= 2
+    size = F.size(F.col(toks_col))
+
+    def _zip(a_name: str, b_name: str, a_len: int) -> Column:
+        # greatest(0, ...): unlike the chained form, the ladder columns
+        # evaluate for EVERY row (they are not gated behind the final
+        # when(size >= n)), so a doc shorter than the shift must yield
+        # an empty slice, not a negative-length error; such rows only
+        # produce partial grams that the final when() discards anyway
+        return F.zip_with(
+            F.col(a_name),
+            F.slice(F.col(b_name), a_len + 1, F.greatest(F.lit(0), size - a_len)),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+
+    keep = list(df.columns)
+    built = {1: toks_col}  # gram length -> column name
+    g = 1
+    while g * 2 <= n:
+        nm = f"_wsg{g * 2}"
+        df = df.withColumn(nm, _zip(built[g], built[g], g))
+        built[g * 2] = nm
+        g *= 2
+    # combine remaining length from already-built power-of-two grams,
+    # largest first (n's binary decomposition)
+    rem = n - g
+    cur = built[g]
+    cur_len = g
+    p = g
+    while rem > 0:
+        while p > rem:
+            p //= 2
+        nm = f"_wsg{cur_len + p}"
+        df = df.withColumn(nm, _zip(cur, built[p], cur_len))
+        cur = nm
+        cur_len += p
+        rem -= p
+    mk = F.slice(F.col(cur), 1, size - (n - 1))
+    out = F.when(size >= n, mk).otherwise(F.array().cast("array<string>"))
+    return df.select(*keep, out.alias(out_col))
+
+
 # ---------------------------------------------------------------------------
 # Language identification (stopword-marker heuristic)
 # ---------------------------------------------------------------------------

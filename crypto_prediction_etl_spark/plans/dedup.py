@@ -87,17 +87,23 @@ def q44_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard near-dup pairs (>= 0.8) with the
     stop-shingle skew cap (doc frequency <= 100).
 
-    Shuffle pattern at scale: explode shingles -> doc-frequency cut ->
-    equi-join on shingle (hash-partitioned) -> pair aggregation.
+    Shuffle pattern at scale (r12 restructure, guide S2.3/S2.4): ONE
+    groupBy(shingle) builds df-capped posting lists (the cut is a size
+    filter on the list — its old groupBy + semi-join back disappear),
+    and the pair stream is an in-array i<j enumeration feeding the
+    (id_a, id_b) aggregation directly (the q365 pattern — the old
+    posting-list SELF-join shuffled the capped frame twice more).
     Quadratic only within a posting list, and the cap bounds every
-    posting list at 100 docs — the LSH variant (q45) is the designed
-    scale path. The oracle replays the identical cut."""
+    list at 100 docs — the LSH variant (q45) is the designed scale
+    path. The oracle replays the identical cut."""
+    from ..operators.dedup import jaccard_pairs_capped
+
     arrays = corpus_shingle_arrays(spark, sf_dir)
-    shingled = stop_shingle_cut(
+    pairs = jaccard_pairs_capped(
         arrays.select(F.col("doc_id"), F.explode("shingles").alias("shingle")),
+        0.8,
         _Q44_MAX_DF,
     )
-    pairs = jaccard_pairs(shingled, 0.8)
     return pairs.select(
         "id_a", "id_b", "n_inter", prnd("jaccard", 6).alias("jaccard")
     )

@@ -2890,41 +2890,50 @@ def q367_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash groupBy (count distinct docs) and one equi join back on the
     hash — never pairwise doc comparison; the same
     shingle-as-inverted-index law as q89.  r12 restructure (guide
-    S2.3 "aggregate before you shuffle"): the tokenize+explode span
-    frame collapses to per-(h, doc_id) position counts FIRST — one
-    pass over the text and ONE full-position-grain shuffle (with
-    map-side partial aggregation) — and both the ndocs aggregation
-    and the join-back then run on the collapsed frame, where the old
-    shape tokenized the corpus twice and shuffled the raw position
-    rows twice (agg side + join-back side).  Per-position coverage
+    S2.3/S2.4 — shuffle fewer bytes, remove shuffles outright): the
+    span-position stream crosses the network exactly ONCE, as bare
+    (h, doc_id) 16-byte rows hash-partitioned by h.  The per-(h, doc)
+    position counts then aggregate WITHOUT an exchange (hash
+    partitioning on h satisfies the (h, doc_id) clustering), ndocs is
+    a count window over the same h partitioning (sort only, no
+    exchange) instead of a groupBy(h) + equi-join back — the earlier
+    shape re-shuffled the counted frame a second time for the join's
+    h clustering — and the per-doc source label joins in at DOC grain
+    from the documents scan rather than riding every position row
+    through the shuffle as a string payload.  Per-position coverage
     is preserved exactly: n_pos = sum(c), dup_pos = sum(c) over
-    spans seen in >= 2 docs.  At 100 TB every shuffle keys on the
-    span hash — uniform by construction."""
+    spans seen in >= 2 docs.  At 100 TB every data move keys on the
+    span hash — uniform by construction; the one concentration point
+    is a corpus-wide boilerplate span whose ndocs rows share a window
+    group, the same hot-h concentration the join shape had on its
+    probe side, bounded by the document count."""
     from ..functions.portable import hash64
-    from ..operators.text import word_shingles
+    from ..operators.text import with_word_shingles
 
     docs = spread_small_scan(table(spark, sf_dir, "documents"))
+    # NO size-filter before the explode: explode() already drops empty
+    # arrays (identical rows), and a filter on the computed shingle
+    # column gets pushed below the projection with the WHOLE ladder
+    # expression inlined into the Filter condition — the plan dump
+    # showed the 8-gram construction evaluated 3x per doc inside the
+    # Filter alone (guide S4.4's duplication trap, expression form).
     sh = (
-        docs.select(
-            "doc_id",
-            "source",
-            word_shingles(tokens("text"), _Q367_K).alias("shs"),
+        with_word_shingles(
+            docs.select("doc_id", tokens("text").alias("_toks")),
+            "_toks",
+            _Q367_K,
+            "shs",
         )
-        .filter(F.size("shs") >= 1)
-        .select(
-            "doc_id", "source", F.explode("shs").alias("s")
-        )
-        .select("doc_id", "source", hash64("s").alias("h"))
+        .select("doc_id", F.explode("shs").alias("s"))
+        .select("doc_id", hash64("s").alias("h"))
     )
-    g = sh.groupBy("h", "doc_id").agg(
-        F.first("source").alias("source"), F.count("*").alias("c")
+    g = sh.repartition("h").groupBy("h", "doc_id").agg(
+        F.count("*").alias("c")
     )
-    nd = g.groupBy("h").agg(F.count("*").alias("ndocs"))
+    gd = g.withColumn("ndocs", F.count("*").over(W.partitionBy("h")))
     per_doc = (
-        g.join(nd, "h")
-        .groupBy("doc_id")
+        gd.groupBy("doc_id")
         .agg(
-            F.first("source").alias("source"),
             F.sum("c").alias("n_pos"),
             # coalesce: a doc with zero duplicated positions must read
             # dup_pos = 0 (the old count(when...) semantics), not NULL
@@ -2932,6 +2941,7 @@ def q367_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.when(F.col("ndocs") >= 2, F.col("c"))), F.lit(0)
             ).alias("dup_pos"),
         )
+        .join(table(spark, sf_dir, "documents").select("doc_id", "source"), "doc_id")
     )
     rate = F.col("dup_pos").cast("double") / F.col("n_pos")
     return per_doc.groupBy("source").agg(
