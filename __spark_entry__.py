@@ -113,6 +113,24 @@ _ADJUDICATE_FIRST = [
     "q165_triangle_count",
     "q372_label_modularity",
     "q391_knn_assortativity",
+    # r12 batch 5 (mandatory picks, same protocol): q44's stop-cut +
+    # posting-list self-join collapsed into one df-capped posting-list
+    # aggregation with in-array pair enumeration; q367's second
+    # restructure (md5 span kernel + single h-partitioned exchange +
+    # window ndocs) is covered by its seat above; q102's chunks now
+    # feed the BM25 scorer as token-array slices; q269/q289 read a
+    # shared pinned interaction frame (q269 also drops the forced
+    # part-grain broadcast).  Four more displaced fills roll to r13.
+    "q44_ngram_jaccard_pairs",
+    "q102_chunk_retrieval",
+    "q269_recsys_hitrate",
+    "q289_rec_coverage_bias",
+    # r12 batch 6: q304's Neumann series moved to the driver over the
+    # bounded state-domain^2 matrix (24 jobs -> 1 collect); q406's
+    # doc-token posting list pinned (7 re-derivations -> 1).  Two more
+    # displaced fills roll to r13.
+    "q304_absorbing_markov",
+    "q406_greedy_coverage",
     "q108_retention_cohorts",
     "q109_count_min_sketch",
     "q110_bloom_membership",
@@ -141,12 +159,6 @@ _ADJUDICATE_FIRST = [
     "q140_vocab_oov",
     "q142_event_transitions",
     "q143_mutual_knn",
-    "q144_jl_projection",
-    "q23_approx_aggregates",
-    "q55_kmeans_clusters",
-    "q71_multimodal_features",
-    "q124_mfi",
-    "q125_donchian",
 ]
 
 # Superseded round-2 rotation, kept for the audit trail.

@@ -42,18 +42,28 @@ def bm25_scores(
     b: float = BM25_B,
     id_col: str = "doc_id",
     text_col: str = "text",
+    pretokenized: bool = False,
 ) -> DataFrame:
     """(id, dl, n_terms, total_tf, bm25) for documents matching >= 1
     query term. ``bm25`` is the raw double (caller rounds for output).
 
     ``dl`` is whitespace-token document length; ``n_terms`` the number
     of distinct query terms present; ``total_tf`` their summed counts.
+
+    ``pretokenized=True`` means ``text_col`` already holds the token
+    ARRAY (and the caller already spread the scan): the tokenize and
+    the spread exchange are skipped — the chunk-retrieval composition
+    (q102) would otherwise build one big string per chunk, re-exchange
+    it, and split it right back into the tokens it was built from.
     """
     from ..sources.readers import spread_small_scan
 
-    toks = spread_small_scan(docs).select(
-        F.col(id_col), tokens(text_col).alias("_toks")
-    )
+    if pretokenized:
+        toks = docs.select(F.col(id_col), F.col(text_col).alias("_toks"))
+    else:
+        toks = spread_small_scan(docs).select(
+            F.col(id_col), tokens(text_col).alias("_toks")
+        )
     dl = toks.select(F.col(id_col), F.size("_toks").cast("long").alias("dl"))
     # one-row corpus stats frame: exact bigint sum / count, then divide
     stats = dl.agg(

@@ -120,6 +120,52 @@ def with_word_shingles(
     return df.select(*keep, out.alias(out_col))
 
 
+def span_hash_rows(
+    docs, k: int, id_col: str = "doc_id", text_col: str = "text"
+):
+    """(id, h) — one row per token position opening a k-token span,
+    ``h`` the portable 60-bit md5 hash of the space-joined span
+    (:func:`functions.portable.hash64` semantics, bit-identical).
+
+    mapInPandas kernel on purpose (guide S4.2 — hand whole batches to
+    native code): the expression form
+    ``explode(word_shingles(tokens(text), k)) -> hash64`` pays k-gram
+    construction through the INTERPRETED higher-order-function path
+    (zip_with is CodegenFallback; ~1 us per lambda eval) plus a
+    codegen'd md5 per span, measured 2.55 s at sf0.1 even with the
+    doubling ladder; this kernel does the same work with C-backed
+    str.split / str.join / hashlib.md5 in 0.39 s (6.6x), and the
+    Python boundary carries exactly two columns in and two longs out.
+    Value identity with the expression form is exhaustively asserted
+    (tests/test_span_kernel.py: zero exceptAll diffs both ways,
+    including multi-space and shorter-than-k docs — Python
+    ``s.split(" ")`` keeps leading/inner/trailing empties exactly like
+    Java ``split`` with limit -1, and ``int(hexdigest()[:15], 16)``
+    equals ``conv(substring(md5(s), 1, 15), 16, 10)``)."""
+
+    def fn(batches):
+        import hashlib
+
+        import pandas as pd
+
+        md5 = hashlib.md5
+        for b in batches:
+            ids = []
+            hs = []
+            for did, txt in zip(b[id_col].values, b[text_col].values):
+                toks = txt.lower().split(" ")
+                n = len(toks)
+                for i in range(n - k + 1):
+                    s = " ".join(toks[i : i + k])
+                    hs.append(int(md5(s.encode("utf-8")).hexdigest()[:15], 16))
+                    ids.append(did)
+            yield pd.DataFrame({id_col: ids, "h": hs})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        fn, schema=f"{id_col} long, h long"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Language identification (stopword-marker heuristic)
 # ---------------------------------------------------------------------------

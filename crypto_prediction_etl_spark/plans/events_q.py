@@ -5335,10 +5335,19 @@ def q304_absorbing_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form oracles). Funnel metrics (q114) count who arrives;
     this says HOW LONG the journey is from every entry point.
 
-    Each series term is one 4x4-matrix join + groupBy (q164's
-    PageRank law); the transition matrix comes from the shared
-    per-user sort. Matrix inversion never happens — iterated tiny
-    equi joins replace linear algebra."""
+    The transition COUNTING stays distributed (events scan, per-user
+    window, (cur, nxt) aggregation — data-grain work); the Neumann
+    series itself runs on the DRIVER over the collected transition
+    matrix (r12, guide S1.2: the matrix is state-domain^2 rows — the
+    event-type vocabulary, never data grain — and the previous 24
+    distributed join+checkpoint terms cost 24 job round-trips plus 23
+    eager localCheckpoints of pure scheduling latency at ANY scale,
+    measured 4.2 s warm at sf0.1 vs ~1 s for one aggregation pass +
+    a numpy loop).  Bounded-materialization site audited in
+    tests/test_plans.py; same class as q56's coarse-seed collect.
+    Series algebra is verbatim: term_k = Q^k 1, expected = 1 + sum_k
+    term_k, float64 matmul (the join+sum order it replaces was itself
+    partition-order-dependent; both sit ~1e11 below the 1e-4 grid)."""
     ev = table(spark, sf_dir, "events")
     from pyspark.sql import Window as W
 
@@ -5354,27 +5363,26 @@ def q304_absorbing_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nxt",
         (F.col("c").cast("double") / F.sum("c").over(tot)).alias("p"),
     )
-    qm = q0.filter(F.col("nxt") != "purchase").transform(pin_frame)
-    term = qm.select("cur", "nxt", F.col("p").alias("v"))
-    acc = term
-    for _ in range(2, _Q304_TERMS + 1):
-        term = (
-            term.join(
-                qm.select(
-                    F.col("cur").alias("jc"), F.col("nxt").alias("jn"), "p"
-                ),
-                F.col("nxt") == F.col("jc"),
-            )
-            .groupBy("cur", F.col("jn").alias("nxt2"))
-            .agg(F.sum(F.col("v") * F.col("p")).alias("v"))
-            .select("cur", F.col("nxt2").alias("nxt"), "v")
-        )
-        term = term.localCheckpoint(eager=True)
-        # acc stays lazy: it is a shallow union tree over checkpointed
-        # terms, collapsed by one final groupBy
-        acc = acc.unionByName(term)
-    return acc.groupBy(F.col("cur").alias("start_state")).agg(
-        prnd(1.0 + F.sum("v"), 4).alias("expected_steps_to_purchase")
+    qm = q0.filter(F.col("nxt") != "purchase")
+    rows = qm.collect()  # bounded: |event-type domain|^2 max
+    states = sorted({r["cur"] for r in rows} | {r["nxt"] for r in rows})
+    idx = {s: i for i, s in enumerate(states)}
+    import numpy as np
+
+    Q = np.zeros((len(states), len(states)))
+    for r in rows:
+        Q[idx[r["cur"]], idx[r["nxt"]]] = r["p"]
+    v = np.ones(len(states))
+    acc = np.zeros(len(states))
+    for _ in range(1, _Q304_TERMS + 1):
+        v = Q @ v
+        acc = acc + v
+    curs = sorted({r["cur"] for r in rows})
+    out = [(c, 1.0 + float(acc[idx[c]])) for c in curs]
+    return spark.createDataFrame(
+        out, "start_state string, _e double"
+    ).select(
+        "start_state", prnd("_e", 4).alias("expected_steps_to_purchase")
     )
 
 

@@ -1709,6 +1709,57 @@ def q255_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REC_CUTOFF = "2000-01-01"  # train < cutoff <= test
 _REC_K = 3  # neighbors per item / recommendations per customer
 
+def _rec_inter(spark: SparkSession, sf_dir: str, pin: bool = True) -> DataFrame:
+    """The recommender family's interaction frame: DISTINCT (custkey,
+    partkey, orderkey, is_train) from orders><lineitem.
+
+    r12 (guide S2.4): q269 consumed this 4x and q289 3x — the
+    orders><lineitem join + distinct re-planned and re-executed per
+    consumer.  Pinned by default (4 narrow columns at interaction
+    grain, far smaller than the two base tables it replaces — the
+    exact_dedup fingerprint-pin argument); q268 consumes it once and
+    passes pin=False."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    inter = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("partkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            (F.col("o_orderdate") < F.lit(_REC_CUTOFF).cast("date")).alias(
+                "is_train"
+            ),
+        )
+        .distinct()
+    )
+    return inter.transform(pin_frame) if pin else inter
+
+
+def _rec_copairs(spark: SparkSession, tr: DataFrame) -> DataFrame:
+    """(pa, pb, n_co) ordered co-purchase pairs, pa != pb, counted over
+    train orders via the per-order self-equi-join — shared by
+    q268/q269/q289 (one implementation, three consumers of the same
+    model artifact).
+
+    MEASURED trade (r12): the q365-style collect_set + in-array i<j
+    enumeration was tried here and ran 15-25% SLOWER back-to-back at
+    sf0.1 — baskets are <= 7 parts, so the enumeration generates ~1-21
+    structs per order through the INTERPRETED higher-order-function
+    path while the self-join streams the same pairs through
+    whole-stage codegen; the q365 win needs the bigger fan-out (deg
+    <= 48, one row per customer) plus the distinct/band machinery it
+    also deleted.  Kept the join; when ``tr`` is pinned the two join
+    sides read materialized blocks, not two recomputations."""
+    a = tr.select("orderkey", F.col("partkey").alias("pa"))
+    b = tr.select(F.col("orderkey").alias("okb"), F.col("partkey").alias("pb"))
+    return (
+        a.join(b, (F.col("okb") == F.col("orderkey")) & (F.col("pb") != F.col("pa")))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").cast("long").alias("n_co"))
+    )
+
+
 _REC_TRAIN_CTE = f"""
     inter AS (
       SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey,
@@ -1749,30 +1800,8 @@ def q268_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy + one per-item top-k window over the co-pair table. At
     100 TB the co-pair table is the thing to prune — min-support
     HAVING or basket-size caps slot in before the window unchanged."""
-    o = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem")
-    inter = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            F.col("o_custkey").alias("custkey"),
-            F.col("l_partkey").alias("partkey"),
-            F.col("o_orderkey").alias("orderkey"),
-            (F.col("o_orderdate") < F.lit(_REC_CUTOFF).cast("date")).alias(
-                "is_train"
-            ),
-        )
-        .distinct()
-    )
-    tr = inter.filter("is_train")
-    a = tr.select(F.col("orderkey"), F.col("partkey").alias("pa"))
-    b = tr.select(
-        F.col("orderkey").alias("okb"), F.col("partkey").alias("pb")
-    )
-    copair = (
-        a.join(b, (F.col("okb") == F.col("orderkey")) & (F.col("pb") != F.col("pa")))
-        .groupBy("pa", "pb")
-        .agg(F.count("*").cast("long").alias("n_co"))
-    )
+    inter = _rec_inter(spark, sf_dir, pin=False)  # single consumer
+    copair = _rec_copairs(spark, inter.filter("is_train"))
     nbr = copair.withColumn(
         "rk",
         F.row_number().over(
@@ -1840,30 +1869,9 @@ def q269_recsys_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbors, never customer x catalog (q238's propose law). The
     oracle replays the full train-score-rank-evaluate chain in one
     statement, so the gate hash-checks a complete ML workflow."""
-    o = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem")
-    inter = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            F.col("o_custkey").alias("custkey"),
-            F.col("l_partkey").alias("partkey"),
-            F.col("o_orderkey").alias("orderkey"),
-            (F.col("o_orderdate") < F.lit(_REC_CUTOFF).cast("date")).alias(
-                "is_train"
-            ),
-        )
-        .distinct()
-    )
+    inter = _rec_inter(spark, sf_dir)  # pinned: copairs + hist + test
     tr = inter.filter("is_train")
-    a = tr.select("orderkey", F.col("partkey").alias("pa"))
-    b = tr.select(
-        F.col("orderkey").alias("okb"), F.col("partkey").alias("pb")
-    )
-    copair = (
-        a.join(b, (F.col("okb") == F.col("orderkey")) & (F.col("pb") != F.col("pa")))
-        .groupBy("pa", "pb")
-        .agg(F.count("*").cast("long").alias("n_co"))
-    )
+    copair = _rec_copairs(spark, tr)
     topn = (
         copair.withColumn(
             "rk",
@@ -1876,7 +1884,10 @@ def q269_recsys_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hist = tr.select("custkey", "partkey").distinct()
     test = inter.filter(~F.col("is_train")).select("custkey", "partkey").distinct()
-    cand = hist.join(F.broadcast(topn), hist.partkey == topn.pa).select(
+    # no forced broadcast: topn is 3 rows per part — part-catalog grain,
+    # the q164-class unbounded-hint shape; AQE broadcasts it at local
+    # scale from runtime stats and falls back gracefully at 100x
+    cand = hist.join(topn, hist.partkey == topn.pa).select(
         "custkey", F.col("pb").alias("rec"), "n_co"
     )
     unseen = cand.join(
@@ -2196,30 +2207,11 @@ def q289_rec_coverage_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     the end. The popularity rank routes through operators/globalrank
     (r6 — the purchased-part histogram is key-grain, never a
     single-task window)."""
-    o = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
-    inter = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            F.col("o_custkey").alias("custkey"),
-            F.col("l_partkey").alias("partkey"),
-            F.col("o_orderkey").alias("orderkey"),
-            (F.col("o_orderdate") < F.lit(_REC_CUTOFF).cast("date")).alias(
-                "is_train"
-            ),
-        )
-        .distinct()
-    )
+    inter = _rec_inter(spark, sf_dir)  # pinned: copairs + popularity
     tr = inter.filter("is_train")
-    a = tr.select("orderkey", F.col("partkey").alias("pa"))
-    b = tr.select(
-        F.col("orderkey").alias("okb"), F.col("partkey").alias("pb")
-    )
     topn = (
-        a.join(b, (F.col("okb") == F.col("orderkey")) & (F.col("pb") != F.col("pa")))
-        .groupBy("pa", "pb")
-        .agg(F.count("*").alias("n_co"))
+        _rec_copairs(spark, tr)
         .withColumn(
             "rk",
             F.row_number().over(

@@ -955,7 +955,19 @@ def q102_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     query's terms before shuffling, corpus stats broadcast, and the
     final top-k is a window over query-matching chunks only. chunk_key
     = doc_id*1000 + chunk_id keeps the composite identity arithmetic
-    (no join to recover provenance)."""
+    (no join to recover provenance).
+
+    r12 (guide S2.3 "shuffle keys and metadata instead of payloads",
+    S4 column thrift): chunks are passed to the scorer as token-ARRAY
+    slices (``pretokenized=True``) — the old shape concat_ws'd every
+    64-token chunk into a string, round-robin re-exchanged the chunk
+    text (the scorer's own spread), and split it right back into the
+    tokens it was built from.  Equivalence: a chunk slice is non-empty
+    whenever the doc has >= 1 token (start <= len), tokens carry no
+    spaces (they are split products), and concat_ws keeps empty
+    strings, so split(concat_ws(slice)) == slice element-for-element —
+    dl and every tf are unchanged, and the oracle replays the
+    string-rebuild form on identical values."""
     from ..operators.retrieval import bm25_scores
 
     docs = spread_small_scan(table(spark, sf_dir, "documents"))
@@ -970,14 +982,14 @@ def q102_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + ((F.col("start_tok") - 1) / _CHUNK_STRIDE).cast("long")
                 + 1
             ).alias("chunk_key"),
-            F.concat_ws(
-                " ", F.slice("_toks", F.col("start_tok"), F.lit(_CHUNK_LEN))
-            ).alias("chunk_text"),
+            F.slice("_toks", F.col("start_tok"), F.lit(_CHUNK_LEN)).alias(
+                "_ctoks"
+            ),
         )
     )
     scored = bm25_scores(
         chunks, list(_BM25_TERMS), _BM25_K1, _BM25_B, id_col="chunk_key",
-        text_col="chunk_text",
+        text_col="_ctoks", pretokenized=True,
     ).withColumn("bm25", prnd(F.col("bm25"), 6))
     from pyspark.sql import Window as W
 
@@ -2907,28 +2919,27 @@ def q367_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a corpus-wide boilerplate span whose ndocs rows share a window
     group, the same hot-h concentration the join shape had on its
     probe side, bounded by the document count."""
-    from ..functions.portable import hash64
-    from ..operators.text import with_word_shingles
+    from ..operators.text import span_hash_rows
 
     docs = spread_small_scan(table(spark, sf_dir, "documents"))
-    # NO size-filter before the explode: explode() already drops empty
-    # arrays (identical rows), and a filter on the computed shingle
-    # column gets pushed below the projection with the WHOLE ladder
-    # expression inlined into the Filter condition — the plan dump
-    # showed the 8-gram construction evaluated 3x per doc inside the
-    # Filter alone (guide S4.4's duplication trap, expression form).
-    sh = (
-        with_word_shingles(
-            docs.select("doc_id", tokens("text").alias("_toks")),
-            "_toks",
-            _Q367_K,
-            "shs",
-        )
-        .select("doc_id", F.explode("shs").alias("s"))
-        .select("doc_id", hash64("s").alias("h"))
-    )
-    g = sh.repartition("h").groupBy("h", "doc_id").agg(
-        F.count("*").alias("c")
+    # span hashing is the mapInPandas kernel (guide S4.2): the
+    # expression form (ladder shingles -> explode -> md5) measured
+    # 2.55 s at sf0.1 against the kernel's 0.39 s, bit-identical
+    # output (see span_hash_rows / tests/test_span_kernel.py); a doc
+    # shorter than k emits no rows in both forms, so no pre-filter is
+    # needed (and a filter on a computed column would inline its whole
+    # expression into the Filter — guide S4.4's duplication trap)
+    sh = span_hash_rows(docs, _Q367_K)
+    # explicit partition count (cluster-derived): a bare
+    # repartition("h") is advisory to AQE, which coalesces the ~16B/row
+    # exchange by BYTES down to 1-2 partitions and then runs the whole
+    # aggregate+sort+window chain on those cores (measured: 26.6 s in a
+    # full-catalog sweep vs ~2 s spread) — same lesson as q365's
+    # fan-out spread, on the reduce side
+    g = (
+        sh.repartition(spark.sparkContext.defaultParallelism, "h")
+        .groupBy("h", "doc_id")
+        .agg(F.count("*").alias("c"))
     )
     gd = g.withColumn("ndocs", F.count("*").over(W.partitionBy("h")))
     per_doc = (
@@ -4604,9 +4615,21 @@ def q406_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     per round.  Rounds are bounded (3) and each is a fixed
     plan stage — same unrolled-iteration law as q393."""
     docs = spread_small_scan(table(spark, sf_dir, "documents"))
-    dt = docs.select(
-        "source", "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
-    ).distinct()
+    # pinned (r12, guide S2.4): the doc-token posting list feeds every
+    # round's candidate anti-joins, every round's coverage join-back
+    # and the per-source vocabulary total — 7 consumers re-ran the
+    # tokenize+explode+DISTINCT (a full shuffle each) per round; the
+    # distinct frame is aggregated (the q348 pin class), far smaller
+    # than the token stream that builds it
+    dt = (
+        docs.select(
+            "source",
+            "doc_id",
+            F.explode(F.array_distinct(tokens("text"))).alias("tok"),
+        )
+        .distinct()
+        .transform(pin_frame)
+    )
     tot = dt.groupBy("source").agg(F.countDistinct("tok").alias("v"))
     covered = None
     selected = None

@@ -1659,6 +1659,7 @@ _DRIVER_MATERIALIZATION_ALLOWED = {
     ("operators/similarity.py", "cosine_topk"),  # query matrix (broadcast side)
     ("operators/similarity.py", "bucketed_ann_topk_from_index"),  # distinct query buckets (<= n_queries)
     ("operators/similarity.py", "knn_dist_edges"),  # normalized matrix (q348 law)
+    ("plans/events_q.py", "q304_absorbing_markov"),  # state-domain^2 transition matrix
     ("plans/similarity_q.py", "q101_semdedup"),  # k cell seeds
     ("plans/similarity_q.py", "q210_pca_power_iteration"),  # d x d cov
     ("plans/similarity_q.py", "q351_mmd_two_sample"),  # guarded broadcast matrix
@@ -1819,7 +1820,6 @@ _BROADCAST_ALLOWED = {
     ("plans/relational_ext.py", "q226_blame_supplier", "broadcast"),
     ("plans/relational_ext.py", "q228_k_anonymity", "broadcast"),
     ("plans/relational_ext.py", "q243_skyline", "broadcast"),
-    ("plans/relational_ext.py", "q269_recsys_hitrate", "broadcast"),
     ("plans/relational_ext.py", "q271_nation_volume", "broadcast"),
     ("plans/relational_ext.py", "q272_market_share", "broadcast"),
     ("plans/relational_ext.py", "q273_product_profit", "broadcast"),
@@ -1828,7 +1828,6 @@ _BROADCAST_ALLOWED = {
     ("plans/relational_ext.py", "q404_erasure_cost", "broadcast"),
     ("plans/relational_ext.py", "q410_shard_key_advisor", "broadcast"),
     ("plans/relational_ext.py", "q415_bloom_empirical", "broadcast"),
-    ("plans/similarity_q.py", "pagerank_from_edges", "broadcast"),
     ("plans/similarity_q.py", "q167_knn_eval", "broadcast"),
     ("plans/similarity_q.py", "q188_centroid_outliers", "broadcast"),
     ("plans/similarity_q.py", "q210_pca_power_iteration", "broadcast"),
