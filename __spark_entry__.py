@@ -131,6 +131,10 @@ _ADJUDICATE_FIRST = [
     # displaced fills roll to r13.
     "q304_absorbing_markov",
     "q406_greedy_coverage",
+    # r12 batch 7: q46's simhash moved to the map-only md5/bit-majority
+    # kernel (integer-exact, identity-tested).  One more displaced fill
+    # rolls to r13.
+    "q46_simhash",
     "q108_retention_cohorts",
     "q109_count_min_sketch",
     "q110_bloom_membership",
@@ -157,7 +161,6 @@ _ADJUDICATE_FIRST = [
     "q137_disjunctive_pred",
     "q138_dormant_customers",
     "q140_vocab_oov",
-    "q142_event_transitions",
     "q143_mutual_knn",
 ]
 

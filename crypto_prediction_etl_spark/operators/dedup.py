@@ -617,10 +617,62 @@ def simhash_signatures(
 ) -> DataFrame:
     """(id, simhash): tf-weighted bitwise-majority of token hashes.
 
-    The tokenize+hash explode is CPU-bound map work; an
-    under-partitioned corpus scan is spread across the session first
-    (one small file = one task = 1/32 of the machine otherwise).
-    """
+    mapInPandas kernel (r12, guide S4.2 — the span_hash_rows
+    template): per doc, C-backed split + hashlib.md5 per token and a
+    numpy bit-matrix majority replace the JVM md5 + 32 per-token
+    conditional sums + the doc-grain aggregation exchange — the whole
+    signature is ONE map pass, no shuffle at all.  All arithmetic is
+    integer-exact (sum of +-1 per bit == 2*ones - n; bit set iff
+    sum > 0), so output is bit-identical to the expression form
+    (:func:`_simhash_signatures_expr`, kept as the cross-checked
+    reference — tests/test_span_kernel.py asserts equality on the
+    corpus fixture and edge docs).  Measured 0.675 -> 0.407 s at
+    sf0.1 warm.  Spread first: the derivation is CPU-bound map work
+    and an under-partitioned scan would put it all on one task."""
+
+    def fn(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        md5 = hashlib.md5
+        shifts = np.arange(bits, dtype=np.uint64)
+        for b in batches:
+            ids = []
+            sigs = []
+            for did, txt in zip(b[id_col].values, b[text_col].values):
+                toks = txt.lower().split(" ")
+                h = np.fromiter(
+                    (
+                        int(md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                        for t in toks
+                    ),
+                    dtype=np.uint64,
+                    count=len(toks),
+                )
+                ones = ((h[:, None] >> shifts) & 1).sum(axis=0, dtype=np.int64)
+                s = 2 * ones - len(toks)
+                sig = int(((s > 0).astype(np.uint64) << shifts).sum())
+                ids.append(did)
+                sigs.append(sig)
+            yield pd.DataFrame(
+                {id_col: ids, "simhash": np.array(sigs, dtype=np.int64)}
+            )
+
+    return (
+        spread_small_scan(docs)
+        .select(id_col, text_col)
+        .mapInPandas(fn, schema=f"{id_col} long, simhash long")
+    )
+
+
+def _simhash_signatures_expr(
+    docs: DataFrame, bits: int = 32, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """JVM expression form of :func:`simhash_signatures` — the
+    reference implementation the kernel is identity-tested against
+    (and the shape a pure-SQL engine would run)."""
     tok = spread_small_scan(docs).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
     )

@@ -70,3 +70,22 @@ def test_doubling_ladder_matches_chained(spark):
             for r in with_word_shingles(df, "_toks", n, "s").select("s").collect()
         ]
         assert old == new
+
+
+def test_simhash_kernel_matches_expression_form(spark, sf_dir):
+    from crypto_prediction_etl_spark.operators.dedup import (
+        _simhash_signatures_expr,
+        simhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kern = sorted(simhash_signatures(docs, bits=32).collect())
+    expr = sorted(_simhash_signatures_expr(docs, bits=32).collect())
+    assert kern == expr
+    edge = spark.createDataFrame(
+        [(1, "a  b"), (2, ""), (3, "ONE two Three"), (4, " x ")],
+        "doc_id long, text string",
+    )
+    assert sorted(simhash_signatures(edge, bits=32).collect()) == sorted(
+        _simhash_signatures_expr(edge, bits=32).collect()
+    )
