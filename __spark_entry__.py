@@ -42,126 +42,77 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver adjudicates exactly the first 50 ``queries()`` entries per
-# round.  Round-11 rotation (VERDICT r10 item 1): the 420-query ledger
-# stays CLOSED (every registered query green, latest-wins), so this
-# window is the next pure FRESHNESS sweep, generated mechanically by
-#   python tools/plan_fingerprint.py --update   (r11 start: recorded
-#     the r10 window's at-verdict fingerprints, clearing the staged
-#     q51 drift; check mode then reported 420 checked / 0 drifted —
-#     no mandatory re-picks), then
-#   python tools/make_window.py --fill-oldest
-# Pure age fill, exactly as the r10 verdict predicted: the 32
-# remaining r2-era verdicts (q48..q64 tail families, q72..q90) plus
-# the 18 oldest r3-era ones (q74, q91..q107).  These verdicts predate
-# the r5-r9 canonicalization/guard rewrites; every one has stayed
-# green on the local pandas-canonical mirror (tools/driver_replay.py
-# 420/420) each round, so this is verdict hygiene, not suspicion.
-# Queries flagged by tools/plan_fingerprint.py (plan or oracle drifted
-# since last verdict) would be mandatory picks ahead of the age fill —
-# tests/test_plan_fingerprints.py enforces this; none were flagged at
-# r11 start.
+# round.  Round-13 rotation (optimization round 2): mandatory picks =
+# every query whose declared plan this round's optimization batches
+# touch (the r12-verdict protocol: changed queries are exactly the
+# ones re-verified).  Inherited-WIP picks: q249 (regex-greedy BPE
+# rewrite), q367 (min/max/count + complement-algebra restructure),
+# q44 (collect_set posting lists), q45/q48/q51/q52/q85/q112/q113/q141
+# (minhash signature derivation moved to the md5 mapInPandas kernel —
+# pin-hidden from the fingerprint ledger, so staged explicitly),
+# q46 (kernel null guard).  Round-13 batch picks: q215/q278 (kernel
+# signatures + posting-list exact baseline).  All oracle-replayed
+# green at sf0.01 AND sf0.001 before staging (tools/driver_replay.py).
+# Remaining 36 seats are the mechanical age fill
+# (python tools/make_window.py --fill-oldest: r3-r12 oldest verdicts).
 #
-# r10 audit trail (superseded window, kept for the record): the one
-# mandatory plan-changed pick q51 (pair frame session-memoized in r10)
-# + 49 oldest r1/r2-era verdicts (q02..q47 relational/window/indicator
-# /text families).  All 50 landed green (CORRECTNESS_r10.json).
-# Everything already adjudicated keeps its green row and stays covered
-# by the local mirror (tests/test_oracle_parity.py +
-# tools/driver_replay.py, which canonicalizes through pandas exactly
-# like the driver) plus the independent numpy/pandas cross-checks in
-# tests/test_r6_tail_pandas.py, test_r7_hash_mirrors.py and
-# test_r8_mirrors.py.
+# r10-r12 audit trail (superseded windows) lives in git history and
+# CORRECTNESS_r{10,11,12}.json; every previously adjudicated query
+# keeps its green row and stays covered by the local mirror
+# (tools/driver_replay.py, pandas-canonical) plus the independent
+# numpy/pandas cross-checks in tests/test_r6_tail_pandas.py,
+# test_r7_hash_mirrors.py and test_r8_mirrors.py.
 _ADJUDICATE_FIRST = [
-    "q164_pagerank",
-    "q314_kcore_decomposition",
-    "q253_bfs_reachability",
-    "q232_mmr_diversify",
-    # r12 optimization-round plan changes (mandatory picks): q101's
-    # within-cell scoring moved to a grouped BLAS kernel, q367's span
-    # coverage collapsed to per-(hash, doc) counts before the
-    # ndocs/join-back stage — both oracle-replayed green at sf0.01
-    # before staging (window tail trimmed 2 to keep 50 seats; the
-    # displaced r3-era fills roll to r13)
-    "q101_semdedup",
+    "q249_bpe_train",
     "q367_span_dedup",
-    # r12 optimization: q365's co-purchase distinct + degree band +
-    # self-join collapsed into one collect_set groupBy with in-array
-    # pair enumeration (oracle-replayed green at sf0.01 before
-    # staging; one more r3-era fill rolls to r13)
-    "q365_adamic_adar",
-    # r12 optimization batch 2 (mandatory picks, same protocol): the
-    # LOF kNN-edge frame + lrd pinned (q348), the BM25 tfs/dl frames
-    # pinned (q399), the Kneser-Ney ev/big model frames pinned
-    # (q378), and the sweep-line boundary emission collapsed from a
-    # two-projection union to a single-pass array explode (q280,
-    # q267) — five more displaced fills roll to r13
-    "q348_lof_outliers",
-    "q399_self_retrieval",
-    "q378_ccnet_buckets",
-    "q280_interval_coverage",
-    "q267_concurrency_sweep",
-    # r12 batch 3 (plan_dup_audit finds): q334's label/feature aggs
-    # collapsed onto one tokenize pass
-    "q334_threshold_sweep",
-    # r12 batch 4 (mandatory picks, same protocol): mutual-kNN
-    # mutualization rewritten from the reversed self equi-join to ONE
-    # canonical-pair aggregation (q143 + the shared _edges feeder now
-    # pinned — q165/q372/q391 consume it; q314's kcore kernel carries
-    # the same rewrite and is already seated above).  All oracle-
-    # replayed green at sf0.01 before staging; three more displaced
-    # fills roll to r13.
-    "q165_triangle_count",
-    "q372_label_modularity",
-    "q391_knn_assortativity",
-    # r12 batch 5 (mandatory picks, same protocol): q44's stop-cut +
-    # posting-list self-join collapsed into one df-capped posting-list
-    # aggregation with in-array pair enumeration; q367's second
-    # restructure (md5 span kernel + single h-partitioned exchange +
-    # window ndocs) is covered by its seat above; q102's chunks now
-    # feed the BM25 scorer as token-array slices; q269/q289 read a
-    # shared pinned interaction frame (q269 also drops the forced
-    # part-grain broadcast).  Four more displaced fills roll to r13.
     "q44_ngram_jaccard_pairs",
-    "q102_chunk_retrieval",
-    "q269_recsys_hitrate",
-    "q289_rec_coverage_bias",
-    # r12 batch 6: q304's Neumann series moved to the driver over the
-    # bounded state-domain^2 matrix (24 jobs -> 1 collect); q406's
-    # doc-token posting list pinned (7 re-derivations -> 1).  Two more
-    # displaced fills roll to r13.
-    "q304_absorbing_markov",
-    "q406_greedy_coverage",
-    # r12 batch 7: q46's simhash moved to the map-only md5/bit-majority
-    # kernel (integer-exact, identity-tested).  One more displaced fill
-    # rolls to r13.
+    "q45_minhash_lsh_pairs",
     "q46_simhash",
-    "q108_retention_cohorts",
-    "q109_count_min_sketch",
-    "q110_bloom_membership",
-    "q111_salted_join",
+    "q48_dedup_clusters",
+    "q51_embedding_near_dup",
+    "q52_bucketed_ann",
+    "q85_incremental_dedup",
     "q112_prefix_filter_join",
     "q113_containment_dedup",
-    "q114_ordered_funnel",
-    "q115_return_correlation",
-    "q116_max_drawdown",
-    "q118_vwap",
-    "q119_lead_lag_correlation",
-    "q120_dow_seasonality",
-    "q121_atr",
-    "q122_williams_r",
-    "q123_candle_patterns",
-    "q129_heikin_ashi",
-    "q130_rolling_volatility",
-    "q131_keltner",
-    "q132_event_rate_anomaly",
-    "q133_bpe_merge_candidates",
-    "q134_grouping_sets",
-    "q135_pivot_matrix",
-    "q136_distribution_windows",
-    "q137_disjunctive_pred",
-    "q138_dormant_customers",
-    "q140_vocab_oov",
-    "q143_mutual_knn",
+    "q141_edit_distance_pairs",
+    "q215_lsh_recall_report",
+    "q278_minhash_error_audit",
+    "q142_event_transitions",
+    "q144_jl_projection",
+    "q23_approx_aggregates",
+    "q55_kmeans_clusters",
+    "q71_multimodal_features",
+    "q124_mfi",
+    "q125_donchian",
+    "q126_chaikin_adl",
+    "q127_pivot_points",
+    "q128_char_entropy",
+    "q145_adx",
+    "q146_trix",
+    "q147_cci",
+    "q148_top_supplier",
+    "q149_supplier_diversity",
+    "q150_small_quantity_revenue",
+    "q151_large_orders",
+    "q152_weighted_jaccard",
+    "q155_rolling_beta",
+    "q156_percentile_cont",
+    "q158_bigram_nll",
+    "q159_key_skew_profile",
+    "q160_snapshot_diff",
+    "q161_scd2_intervals",
+    "q162_out_of_order",
+    "q163_cogrouped_adjust",
+    "q166_feature_hashing",
+    "q167_knn_eval",
+    "q168_ab_test_stats",
+    "q169_histogram",
+    "q170_embedding_dim_stats",
+    "q171_quantile_transform",
+    "q172_feature_matrix",
+    "q173_rolling_pair_corr",
+    "q174_seasonal_decompose",
+    "q175_cusum_changepoint",
 ]
 
 # Superseded round-2 rotation, kept for the audit trail.

@@ -132,7 +132,14 @@ def main() -> None:
     gate_s = float(os.environ.get("SPARK_GRAFT_LOADGATE_S", "180"))
     waited_s = 0.0
     try:
-        while waited_s < gate_s and os.getloadavg()[0] >= 1.0:
+        # r13 (VERDICT r12 item 2): gate on load5 too — BENCH_r12
+        # started at load1 0.94 / load5 8.3 (a replay's tail) and was
+        # stamped noisy; the noisy_host stamp below already knows load5
+        # is the regime tell (r10 refinement), so the gate should wait
+        # on the same predicate it stamps.
+        while waited_s < gate_s and (
+            os.getloadavg()[0] >= 1.0 or os.getloadavg()[1] >= 2.0
+        ):
             time.sleep(5.0)
             waited_s += 5.0
     except OSError:

@@ -315,10 +315,18 @@ def jaccard_pairs_capped(
     BYTES and cannot anticipate the ~df^2/2 row fan-out behind the
     Generate; the round-robin exchange moves the compacted list frame,
     far smaller than the pair stream it unlocks, and the count is
-    cluster-derived."""
+    cluster-derived.
+
+    Posting lists build with ``collect_set`` (r13, ADVICE r12): a
+    duplicated (id, shingle) input row would otherwise put the same id
+    twice in the list and the in-array i<j enumeration would emit
+    id_a == id_b self-pairs — the old stop_shingle_cut + jaccard_pairs
+    path filtered id_a < id_b strictly, so the function must be robust
+    to non-distinct input, not silently assume it.  For distinct input
+    (every current caller) set == list, bit-identically."""
     pl = (
         shingled.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ds"))
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("_ds"))
         .filter(F.size("_ds") <= max_doc_freq)
         .select("_ds")
         .transform(pin_frame)
@@ -472,7 +480,87 @@ def _band_keys(signatures: DataFrame, id_col: str) -> DataFrame:
 
 
 def _minhash_sigs_from_arrays(arrays: DataFrame, id_col: str) -> DataFrame:
-    """(id, mh0..mh15) from per-doc shingle arrays (hash-explode form)."""
+    """(id, mh0..mh15) from per-doc shingle arrays — map-only
+    mapInPandas kernel (r13, VERDICT r12 item 1: the span/simhash md5
+    template applied to the minhash signature path, guide S4.2).
+
+    The expression form (:func:`_minhash_sigs_from_arrays_expr`, kept
+    as the cross-checked reference) pays an interpreted
+    ``transform(shingles, md5-conv)`` HOF, an explode to hash grain,
+    16 modular-arithmetic min aggregates per row, and a
+    groupBy(id) EXCHANGE of the exploded hash stream.  The kernel does
+    the identical arithmetic per doc with C-backed hashlib.md5 and one
+    (n_shingles x 16) int64 numpy matmul-mod-min — and because the
+    input is already one row per doc, the signature needs NO shuffle
+    at all: scan -> kernel, 17 longs out per doc (the tiny-output
+    shape that made span/simhash kernels 6.6x/1.7x; the pair-grain
+    q365 counterexample does not apply).
+
+    Bit-identity argument (asserted in tests/test_span_kernel.py):
+    ``int(md5(s).hexdigest()[:15], 16)`` == ``conv(substring(md5(s),
+    1, 15), 16, 10)`` (60-bit, non-negative, so JVM ``%`` == Python
+    ``%`` == numpy ``%`` on int64); a*h+b < 2^62 fits int64 exactly;
+    min over shingles is order-free.  Docs with NULL or empty shingle
+    arrays emit no row (the explode in the expression form drops them
+    the same way).  ASCII scope as the other md5 kernels (shingles
+    come from lowercased corpus text)."""
+    a_np = [a for a, _ in MINHASH_PERMS]
+    b_np = [b for _, b in MINHASH_PERMS]
+    n_perm = len(MINHASH_PERMS)
+    prime = MINHASH_PRIME
+
+    def fn(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        md5 = hashlib.md5
+        A = np.array(a_np, dtype=np.int64)[None, :]
+        B = np.array(b_np, dtype=np.int64)[None, :]
+        for batch in batches:
+            ids = []
+            sigs = []
+            for did, shs in zip(batch[id_col].values, batch["shingles"].values):
+                if shs is None or len(shs) == 0:
+                    continue
+                h = np.fromiter(
+                    (
+                        int(md5(s.encode("utf-8")).hexdigest()[:15], 16) % prime
+                        for s in shs
+                    ),
+                    dtype=np.int64,
+                    count=len(shs),
+                )
+                ids.append(did)
+                sigs.append(((h[:, None] * A + B) % prime).min(axis=0))
+            if ids:
+                m = np.vstack(sigs)
+                out = {id_col: np.array(ids, dtype=np.int64)}
+                for i in range(n_perm):
+                    out[f"mh{i}"] = m[:, i]
+                yield pd.DataFrame(out)
+            else:
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series([], dtype="int64"),
+                        **{
+                            f"mh{i}": pd.Series([], dtype="int64")
+                            for i in range(n_perm)
+                        },
+                    }
+                )
+
+    schema = f"{id_col} long, " + ", ".join(
+        f"mh{i} long" for i in range(n_perm)
+    )
+    return arrays.select(id_col, "shingles").mapInPandas(fn, schema=schema)
+
+
+def _minhash_sigs_from_arrays_expr(arrays: DataFrame, id_col: str) -> DataFrame:
+    """JVM expression form of :func:`_minhash_sigs_from_arrays` — the
+    reference implementation the kernel is identity-tested against
+    (and the shape a pure-SQL engine would run)."""
     hashed = arrays.select(
         F.col(id_col),
         F.explode(
@@ -628,7 +716,12 @@ def simhash_signatures(
     reference — tests/test_span_kernel.py asserts equality on the
     corpus fixture and edge docs).  Measured 0.675 -> 0.407 s at
     sf0.1 warm.  Spread first: the derivation is CPU-bound map work
-    and an under-partitioned scan would put it all on one task."""
+    and an under-partitioned scan would put it all on one task.
+    A NULL text row is skipped (matching the expression form, whose
+    explode-of-null drops the doc before the aggregation); the
+    bit-identity contract is scoped to ASCII text — Python
+    ``str.lower`` and JVM ``lower`` agree on ASCII but can diverge on
+    exotic Unicode case mappings (e.g. U+0130)."""
 
     def fn(batches):
         import hashlib
@@ -642,6 +735,8 @@ def simhash_signatures(
             ids = []
             sigs = []
             for did, txt in zip(b[id_col].values, b[text_col].values):
+                if txt is None:
+                    continue
                 toks = txt.lower().split(" ")
                 h = np.fromiter(
                     (

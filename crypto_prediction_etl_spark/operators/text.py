@@ -141,7 +141,13 @@ def span_hash_rows(
     including multi-space and shorter-than-k docs — Python
     ``s.split(" ")`` keeps leading/inner/trailing empties exactly like
     Java ``split`` with limit -1, and ``int(hexdigest()[:15], 16)``
-    equals ``conv(substring(md5(s), 1, 15), 16, 10)``)."""
+    equals ``conv(substring(md5(s), 1, 15), 16, 10)``).  A NULL text
+    row is skipped (the expression form's explode-of-null drops the
+    row the same way).  Case-folding identity is asserted for ASCII
+    (the corpus domain): Python ``str.lower`` and JVM ``lower`` agree
+    on ASCII by definition but can diverge on exotic Unicode case
+    mappings (e.g. U+0130), so the bit-identity contract is scoped to
+    ASCII text — same scope as the simhash kernel."""
 
     def fn(batches):
         import hashlib
@@ -153,6 +159,8 @@ def span_hash_rows(
             ids = []
             hs = []
             for did, txt in zip(b[id_col].values, b[text_col].values):
+                if txt is None:
+                    continue
                 toks = txt.lower().split(" ")
                 n = len(toks)
                 for i in range(n - k + 1):

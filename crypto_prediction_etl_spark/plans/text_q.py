@@ -2899,27 +2899,29 @@ def q367_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise-unique pages.
 
     Scale shape: span keys are 64-bit hashes, duplication is one
-    hash groupBy (count distinct docs) and one equi join back on the
-    hash — never pairwise doc comparison; the same
-    shingle-as-inverted-index law as q89.  r12 restructure (guide
-    S2.3/S2.4 — shuffle fewer bytes, remove shuffles outright): the
-    span-position stream crosses the network exactly ONCE, as bare
-    (h, doc_id) 16-byte rows hash-partitioned by h.  The per-(h, doc)
-    position counts then aggregate WITHOUT an exchange (hash
-    partitioning on h satisfies the (h, doc_id) clustering), ndocs is
-    a count window over the same h partitioning (sort only, no
-    exchange) instead of a groupBy(h) + equi-join back — the earlier
-    shape re-shuffled the counted frame a second time for the join's
-    h clustering — and the per-doc source label joins in at DOC grain
-    from the documents scan rather than riding every position row
-    through the shuffle as a string payload.  Per-position coverage
-    is preserved exactly: n_pos = sum(c), dup_pos = sum(c) over
-    spans seen in >= 2 docs.  At 100 TB every data move keys on the
-    span hash — uniform by construction; the one concentration point
-    is a corpus-wide boilerplate span whose ndocs rows share a window
-    group, the same hot-h concentration the join shape had on its
-    probe side, bounded by the document count."""
-    from ..operators.text import span_hash_rows
+    hash groupBy — never pairwise doc comparison; the same
+    shingle-as-inverted-index law as q89.  r13 restructure (guide
+    S2.3/S2.5 — aggregate before you shuffle, kill the hot key): a
+    span is duplicated iff its hash occurs in >= 2 DISTINCT docs,
+    i.e. iff min(doc_id) != max(doc_id) over the hash — and min/max/
+    count are classic partial aggregates, so the span-position stream
+    now collapses to at most ONE row per distinct hash per map task
+    BEFORE the only h-keyed exchange (the r12 shape repartitioned the
+    raw position stream, so a corpus-wide boilerplate span
+    concentrated its full row set — bounded only by the document
+    count — into one task's sort; VERDICT r12 item 8).  The per-doc
+    attach then needs NO join back on h at all: complement algebra —
+    dup_pos(doc) = n_pos(doc) - unique_pos(doc), where a UNIQUE hash
+    (mn == mx) identifies its owning doc as mn and contributes its
+    full position count, so unique_pos is one doc-grain aggregation
+    of the h-grain frame; and n_pos(doc) = n_tokens - k + 1 comes
+    straight off the documents scan (the identical split-on-space
+    token count the kernel uses), which the query already reads for
+    the source label.  The r12 shape's (h, doc)-grain aggregation,
+    its count window (single-task sort on the hot h), and the
+    position-grain repartition all disappear; every surviving
+    exchange carries h-grain or doc-grain metadata rows."""
+    from ..operators.text import span_hash_rows, tokens
 
     docs = spread_small_scan(table(spark, sf_dir, "documents"))
     # span hashing is the mapInPandas kernel (guide S4.2): the
@@ -2930,29 +2932,36 @@ def q367_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # needed (and a filter on a computed column would inline its whole
     # expression into the Filter — guide S4.4's duplication trap)
     sh = span_hash_rows(docs, _Q367_K)
-    # explicit partition count (cluster-derived): a bare
-    # repartition("h") is advisory to AQE, which coalesces the ~16B/row
-    # exchange by BYTES down to 1-2 partitions and then runs the whole
-    # aggregate+sort+window chain on those cores (measured: 26.6 s in a
-    # full-catalog sweep vs ~2 s spread) — same lesson as q365's
-    # fan-out spread, on the reduce side
-    g = (
-        sh.repartition(spark.sparkContext.defaultParallelism, "h")
-        .groupBy("h", "doc_id")
-        .agg(F.count("*").alias("c"))
+    nd = sh.groupBy("h").agg(
+        F.min("doc_id").alias("_mn"),
+        F.max("doc_id").alias("_mx"),
+        F.count("*").alias("_cnt"),
     )
-    gd = g.withColumn("ndocs", F.count("*").over(W.partitionBy("h")))
-    per_doc = (
-        gd.groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_pos"),
-            # coalesce: a doc with zero duplicated positions must read
-            # dup_pos = 0 (the old count(when...) semantics), not NULL
-            F.coalesce(
-                F.sum(F.when(F.col("ndocs") >= 2, F.col("c"))), F.lit(0)
-            ).alias("dup_pos"),
+    uniq = (
+        nd.filter(F.col("_mn") == F.col("_mx"))
+        .groupBy(F.col("_mn").alias("doc_id"))
+        .agg(F.sum("_cnt").alias("_uniq_pos"))
+    )
+    # n_pos = token count - k + 1, exactly the kernel's span count per
+    # doc (same split-on-space semantics); docs shorter than k emit no
+    # spans and are excluded, matching the r12 shape's implicit drop
+    base = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            (F.size(tokens("text")) - F.lit(_Q367_K - 1)).alias("n_pos"),
         )
-        .join(table(spark, sf_dir, "documents").select("doc_id", "source"), "doc_id")
+        .filter(F.col("n_pos") > 0)
+    )
+    per_doc = base.join(uniq, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        F.col("n_pos").cast("long").alias("n_pos"),
+        # a doc whose every span is shared reads uniq_pos = NULL -> 0
+        (F.col("n_pos") - F.coalesce(F.col("_uniq_pos"), F.lit(0)))
+        .cast("long")
+        .alias("dup_pos"),
     )
     rate = F.col("dup_pos").cast("double") / F.col("n_pos")
     return per_doc.groupBy("source").agg(

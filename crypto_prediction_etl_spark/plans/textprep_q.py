@@ -1327,32 +1327,136 @@ def _q249_spark_round(spark, toks_df, r):
     return summary, nxt_toks
 
 
+def _rx_quote(s: str) -> str:
+    """java.util.regex.Pattern.quote: wrap in \\Q...\\E, splitting any
+    embedded \\E so arbitrary token text is matched literally."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
+def _rx_repl(s: str) -> str:
+    """java.util.regex.Matcher.quoteReplacement: escape backslash and
+    dollar so the merged token is inserted literally."""
+    return s.replace("\\", "\\\\").replace("$", "\\$")
+
+
 @query("q249_bpe_train", oracle=_q249_oracle())
 def q249_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE merge TRAINING, three rounds, fully declarative: each round
-    counts adjacent token pairs corpus-wide, picks the most frequent
-    (deterministic tie-break), and applies the merge with exact greedy
-    left-to-right semantics — overlapping matches (e.g. 'x x x' for
-    pair (x,x)) resolve by island parity: consecutive match runs merge
-    at odd offsets only, exactly what a sequential BPE trainer does.
-    Emits per round the chosen pair, its occurrence count, and the
-    number of merges actually applied (< occurrences when runs
-    overlap) — q133 scored ONE round of candidates; this trains.
+    """BPE merge TRAINING, three rounds: each round counts adjacent
+    token pairs corpus-wide, picks the most frequent (deterministic
+    tie-break), and applies the merge with exact greedy left-to-right
+    semantics — overlapping matches (e.g. 'x x x' for pair (x,x))
+    resolve by island parity: consecutive match runs merge at odd
+    offsets only, exactly what a sequential BPE trainer does.  Emits
+    per round the chosen pair, its occurrence count, and the number of
+    merges actually applied (< occurrences when runs overlap) — q133
+    scored ONE round of candidates; this trains.
 
-    Each round is: one pair-count groupBy (partial-agg), a 1-row top
-    broadcast, island/parity windows on the MATCH positions only, and
-    a per-doc array rebuild — all linear in corpus tokens; rounds
-    chain through localCheckpoints so plan depth stays bounded. The
-    oracle unrolls the identical three rounds (window-for-window) in
-    one SQL statement."""
-    docs = table(spark, sf_dir, "documents")
-    toks_df = docs.select("doc_id", tokens("text").alias("toks"))
+    r13 restructure (guide S2.4 — remove shuffles outright; S1.2 —
+    fix the distributed algorithm first): the r12 shape paid per round
+    a posexplode to position grain, a lead() window, TWO more windows
+    on the match positions (island grouping + parity), a crossJoin +
+    two position-grain left joins, and a collect_list re-assembly —
+    ~6 corpus-grain exchanges per round.  But the merge application is
+    PER-DOCUMENT: greedy left-to-right replacement of the (a, b) pair.
+    So each round now keeps the corpus as one sentinel-wrapped string
+    per doc (' ' || join(toks) || ' ') and applies the merge as ONE
+    ``regexp_replace`` with non-consuming boundaries —
+    ``(?<= )\\Qa\\E \\Qb\\E(?= )`` -> ``a~b``.  Java's replaceAll is
+    leftmost non-overlapping and resumes AFTER each match, which IS
+    island parity: in 'x x x' the first 'x x' merges and scanning
+    resumes past it, so the overlapping second match is skipped;
+    disjoint adjacent matches ('a b a b') both merge because the
+    lookaround boundaries consume no separator.  Equality with the
+    window/island reference (`_q249_spark_round`, kept for the
+    identity test) is asserted in tests/test_q249_equivalence.py.
+    Per round the only distributed work left is the pair-count
+    groupBy (partial-aggregated zip_with pairs off the stored string)
+    + a LIMIT-1 driver probe of the winner, the map-only
+    regexp_replace, and a 1-row merge-count aggregate; rounds chain
+    through pin_loop so plan depth stays bounded.  n_merges needs no
+    token re-count: a merge deletes exactly one separator space and
+    'a b' -> 'a~b' keeps the string LENGTH unchanged, so the per-doc
+    merge count is the drop in space count.  The oracle unrolls the
+    identical three rounds (window-for-window) in one SQL statement."""
+    return _q249_train_rounds(table(spark, sf_dir, "documents"), _Q249_ROUNDS)
+
+
+def _q249_train_rounds(docs: DataFrame, rounds: int) -> DataFrame:
+    """Regex-greedy BPE training loop over a (doc_id, text) frame —
+    the q249 engine, factored so the identity test can drive it on
+    synthetic corpora against the window/island reference
+    (:func:`_q249_spark_round`)."""
+    # sentinel-wrapped token stream: join(split(lower(text)),' ') is
+    # lower(text) itself, so round 1 needs no tokenize at all
+    s_df = docs.select(
+        "doc_id",
+        F.concat(F.lit(" "), F.lower("text"), F.lit(" ")).alias("s"),
+    ).transform(pin_loop)
+
+    def _spaces(c):
+        return F.length(c) - F.length(F.regexp_replace(c, " ", ""))
+
     outs = []
-    for r in range(1, _Q249_ROUNDS + 1):
-        summary, toks_df = _q249_spark_round(spark, toks_df, r)
+    for r in range(1, rounds + 1):
+        toks = F.split(
+            F.col("s").substr(F.lit(2), F.length("s") - 2), " "
+        )
+        pairs = (
+            s_df.select(toks.alias("_t"))
+            .select(
+                F.explode(
+                    F.zip_with(
+                        F.col("_t"),
+                        F.slice(
+                            F.col("_t"),
+                            2,
+                            F.greatest(F.lit(0), F.size("_t") - 1),
+                        ),
+                        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                    )
+                ).alias("p")
+            )
+            # zip_with null-pads the shorter side: the (last_tok, null)
+            # tail row is not a pair (= the lead() IS NOT NULL filter)
+            .filter(F.col("p.b").isNotNull())
+        )
+        top_rows = (
+            pairs.groupBy(
+                F.col("p.a").alias("a"), F.col("p.b").alias("b")
+            )
+            .agg(F.count("*").cast("long").alias("n_occ"))
+            .orderBy(F.desc("n_occ"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top_rows:
+            break
+        a, b, n_occ = top_rows[0][0], top_rows[0][1], top_rows[0][2]
+        pat = f"(?<= ){_rx_quote(a)} {_rx_quote(b)}(?= )"
+        repl = _rx_repl(a + "~" + b)
+        # two projections on purpose: regexp_replace is non-cheap and
+        # referenced by both the next-round string and the merge
+        # count; CollapseProject keeps them separate so it runs once
+        stage = s_df.select(
+            "doc_id", "s", F.regexp_replace("s", pat, repl).alias("_s2")
+        ).select(
+            "doc_id",
+            F.col("_s2").alias("s"),
+            (_spaces(F.col("s")) - _spaces(F.col("_s2"))).alias("_nm"),
+        )
+        stage = stage.transform(pin_loop)
+        summary = (
+            stage.agg(F.sum("_nm").cast("long").alias("n_merges"))
+            .select(
+                F.lit(r).cast("int").alias("round"),
+                F.lit(a).alias("a"),
+                F.lit(b).alias("b"),
+                F.lit(n_occ).cast("long").alias("n_occ"),
+                "n_merges",
+            )
+        )
         outs.append(summary)
-        if r < _Q249_ROUNDS:
-            toks_df = toks_df.transform(pin_loop)
+        s_df = stage.select("doc_id", "s")
     res = outs[0]
     for o in outs[1:]:
         res = res.unionByName(o)

@@ -59,10 +59,23 @@ def test_no_python_udf_in_jvm_paths(spark, sf_dir):
         "q30_sma_bollinger",
         "q40_token_stats",
         "q44_ngram_jaccard_pairs",
-        "q46_simhash",
     ):
         plan = _plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_q46_simhash_is_shuffle_free_map_kernel(spark, sf_dir):
+    """q46 moved off the JVM-expression path in r12 (sanctioned
+    MapInPandas md5 kernel, guide S4.2) — the guard for it is now the
+    POSITIVE shape assertion: exactly scan -> spread exchange ->
+    kernel, with no hash exchange (no aggregation shuffle) and no
+    row-at-a-time Python UDF node."""
+    plan = _plan(spark, sf_dir, "q46_simhash")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the only exchange is the round-robin spread of the small scan;
+    # the bit-majority aggregation must NOT reappear as a shuffle
+    assert "Exchange hashpartitioning" not in plan
 
 
 def test_recursive_kernel_is_arrow_grouped_map(spark, sf_dir):
@@ -1660,6 +1673,7 @@ _DRIVER_MATERIALIZATION_ALLOWED = {
     ("operators/similarity.py", "bucketed_ann_topk_from_index"),  # distinct query buckets (<= n_queries)
     ("operators/similarity.py", "knn_dist_edges"),  # normalized matrix (q348 law)
     ("plans/events_q.py", "q304_absorbing_markov"),  # state-domain^2 transition matrix
+    ("plans/textprep_q.py", "_q249_train_rounds"),  # limit-1 top-pair probe per BPE round
     ("plans/similarity_q.py", "q101_semdedup"),  # k cell seeds
     ("plans/similarity_q.py", "q210_pca_power_iteration"),  # d x d cov
     ("plans/similarity_q.py", "q351_mmd_two_sample"),  # guarded broadcast matrix

@@ -50,6 +50,7 @@ def test_span_kernel_edge_docs(spark):
         (4, ""),  # empty text -> [''] single token
         (5, " leading and trailing "),  # boundary empties
         (6, "A B c D e F g H i J"),  # lowercasing
+        (7, None),  # NULL text: dropped, not crashed (ADVICE r12)
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     k = 8
@@ -83,9 +84,43 @@ def test_simhash_kernel_matches_expression_form(spark, sf_dir):
     expr = sorted(_simhash_signatures_expr(docs, bits=32).collect())
     assert kern == expr
     edge = spark.createDataFrame(
-        [(1, "a  b"), (2, ""), (3, "ONE two Three"), (4, " x ")],
+        [(1, "a  b"), (2, ""), (3, "ONE two Three"), (4, " x "), (5, None)],
         "doc_id long, text string",
     )
     assert sorted(simhash_signatures(edge, bits=32).collect()) == sorted(
         _simhash_signatures_expr(edge, bits=32).collect()
     )
+
+
+def test_minhash_kernel_matches_expression_form(spark, sf_dir):
+    """r13 kernel (VERDICT r12 item 1): the mapInPandas minhash
+    signature derivation must be bit-identical to the JVM
+    hash-explode-groupBy reference on the real corpus arrays and on
+    hand-built edges (empty / NULL shingle arrays drop the doc in both
+    forms; single-shingle docs take that shingle's 16 permuted hashes
+    verbatim)."""
+    from crypto_prediction_etl_spark.operators.dedup import (
+        _minhash_sigs_from_arrays,
+        _minhash_sigs_from_arrays_expr,
+        doc_shingle_arrays,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    arrays = doc_shingle_arrays(docs, 3, nonempty=True)
+    kern = sorted(_minhash_sigs_from_arrays(arrays, "doc_id").collect())
+    expr = sorted(_minhash_sigs_from_arrays_expr(arrays, "doc_id").collect())
+    assert kern and kern == expr
+    edge = spark.createDataFrame(
+        [
+            (1, ["a b c", "b c d"]),
+            (2, []),
+            (3, None),
+            (4, ["lone shingle x"]),
+            (5, ["", " ", "a  b"]),  # empty/whitespace shingles still hash
+        ],
+        "doc_id long, shingles array<string>",
+    )
+    ek = sorted(_minhash_sigs_from_arrays(edge, "doc_id").collect())
+    ee = sorted(_minhash_sigs_from_arrays_expr(edge, "doc_id").collect())
+    assert [r.doc_id for r in ek] == [1, 4, 5]
+    assert ek == ee

@@ -1,7 +1,7 @@
-"""Dump .explain("formatted") for named queries to plans/r12/<q>_<tag>.txt.
+"""Dump .explain("formatted") for named queries to plans/r13/<q>_<tag>.txt.
 
 Usage: python tools/explain_dump.py <tag> <query> [query ...]
-  tag is e.g. "before" or "after"; files land in plans/r12/.
+  tag is e.g. "before" or "after"; files land in plans/r13/.
 
 The dump captures the INITIAL adaptive plan (AdaptiveSparkPlan
 isFinalPlan=false) — join strategies, exchange placement, pushed
@@ -17,7 +17,7 @@ from crypto_prediction_etl_spark.plans import registry  # noqa: E402
 from crypto_prediction_etl_spark.session import get_spark  # noqa: E402
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
 
 
 def main() -> int:
